@@ -1,0 +1,21 @@
+"""fuzzy_wiki_spark — a PySpark-native inverted-index + BM25 analytics engine.
+
+A from-scratch rebuild of the *capabilities* of the reference engine
+(Nehereus/Fuzzy-Wiki: Hadoop MapReduce index build + sharded Lucene + a
+home-made distributed BM25 merge), re-expressed Spark-first:
+
+- input: a table of source-code files ``(repo, path, commit, lang, content)``
+  (parquet in tests; Iceberg in production — see ``sources/``),
+- tokenize → postings via vectorized Arrow/pandas UDFs (zero per-row Python),
+- salted two-stage shuffle for hot-term skew,
+- delta-gap + varint compressed posting segments with block-max metadata,
+- BM25 (k1=1.2, b=0.75) top-k with the reference's 4-clause weighted query
+  semantics and distributed-merge math,
+- per-partition checkpoint manifest for resumable builds.
+
+Reference citations in docstrings are into ``/root/reference`` (read-only).
+"""
+
+__version__ = "0.1.0"
+
+from fuzzy_wiki_spark.session import get_spark  # noqa: F401

@@ -1,0 +1,252 @@
+"""Analyzer chain: word-break → NFKC → lowercase → stop filter → Porter stem.
+
+Pinned re-specification of the reference's index-side analyzer
+(``libFuzzyWiki/.../Tokenizer.java:15-24``: StandardTokenizer → ICU NFKC
+normalization → lowercase → English stop-word removal → Porter stemming).
+The reference's *query* side accidentally uses a plain ``StandardAnalyzer``
+(``Searcher.java:80``) — an index/query asymmetry. Per SURVEY.md §7 we use
+the index-side chain on BOTH sides; golden fixtures are generated from this
+pinned spec by the pure-Python oracle (``oracle.py``), so engine/oracle
+parity is exact.
+
+Word-break approximation: Lucene's StandardTokenizer implements UAX#29, in
+which ``_`` is ExtendNumLet (joins words → ``snake_case`` is ONE token) and
+alphanumerics run together. We pin the spec to the unicode regex ``\\w+``
+(identical behavior for ASCII identifiers/digits/underscore), applied after
+NFKC so full-width forms fold first.
+
+Everything is batch-vectorized: tokenization is a pandas ``str`` op per Arrow
+batch, and stemming/stop-filtering run once per *unique* token in the batch
+(Zipf makes the vocab tiny relative to token count) through a shared cache.
+Zero per-row Python in the Spark plan — this module is only ever invoked from
+``mapInArrow``/``pandas_udf`` batch functions (see operators/postings.py).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+# Lucene EnglishAnalyzer.ENGLISH_STOP_WORDS_SET — 33 words
+# (reference applies it via its analyzer chain; set contents are public
+# Lucene constants).
+ENGLISH_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+# Max indexed term length — Lucene's IndexWriter.MAX_TERM_LENGTH analog; the
+# reference works around it by chunking (Parser.java:15,44-69 MAX_TOKEN_LENGTH
+# = 32766). We never build giant strings, so this is only a sanity cap.
+MAX_TERM_BYTES = 32766
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+
+# ---------------------------------------------------------------------------
+# Porter stemmer (Porter, 1980 — "An algorithm for suffix stripping").
+# Classic algorithm, matching Lucene's PorterStemFilter behavior for ASCII
+# words. Pure function of the token; cached per-process.
+# ---------------------------------------------------------------------------
+
+_VOWELS = "aeiou"
+
+
+def _is_cons(word: str, i: int) -> bool:
+    c = word[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Porter's m: number of VC sequences in the stem."""
+    m = 0
+    prev_vowel = False
+    for i in range(len(stem)):
+        cons = _is_cons(stem, i)
+        if cons and prev_vowel:
+            m += 1
+        prev_vowel = not cons
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_cons(word, len(word) - 1)
+    )
+
+
+def _ends_cvc(word: str) -> bool:
+    if len(word) < 3:
+        return False
+    i = len(word) - 1
+    return (
+        _is_cons(word, i)
+        and not _is_cons(word, i - 1)
+        and _is_cons(word, i - 2)
+        and word[i] not in "wxy"
+    )
+
+
+@lru_cache(maxsize=1 << 20)
+def porter_stem(word: str) -> str:
+    """Stem one lowercase word with the classic Porter algorithm."""
+    if len(word) <= 2:
+        return word
+    w = word
+
+    # Step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # Step 1b
+    flag_1b = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed"):
+        if _has_vowel(w[:-2]):
+            w = w[:-2]
+            flag_1b = True
+    elif w.endswith("ing"):
+        if _has_vowel(w[:-3]):
+            w = w[:-3]
+            flag_1b = True
+    if flag_1b:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _ends_double_cons(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _measure(w) == 1 and _ends_cvc(w):
+            w += "e"
+
+    # Step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # Step 2
+    for suf, rep in (
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+        ("anci", "ance"), ("izer", "ize"), ("bli", "ble"), ("alli", "al"),
+        ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+        ("ation", "ate"), ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+        ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+        ("iviti", "ive"), ("biliti", "ble"), ("logi", "log"),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # Step 3
+    for suf, rep in (
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # Step 4
+    for suf in (
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    ):
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if suf == "ion" and (not stem or stem[-1] not in "st"):
+                break
+            if _measure(stem) > 1:
+                w = stem
+            break
+
+    # Step 5a
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _ends_cvc(w[:-1])):
+            w = w[:-1]
+    # Step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Batch analyzer
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=1 << 20)
+def _analyze_token(tok: str) -> str | None:
+    """Lowercase → stop filter → Porter stem for one already-broken token.
+
+    NFKC has been applied to the full string before word-break.
+    Returns None if the token is removed (stop word or over-length).
+    """
+    low = tok.lower()
+    if low in ENGLISH_STOP_WORDS:
+        return None
+    if len(low) > MAX_TERM_BYTES:  # cheap char-count guard; §O6 sanity cap
+        return None
+    return porter_stem(low)
+
+
+def tokenize_text(text: str) -> list[str]:
+    """Full analyzer chain for one string → list of terms (with positions
+    implied by list order). Stop words are REMOVED (positions of survivors
+    are their index in this list — matches how the oracle counts slop)."""
+    if not text:
+        return []
+    norm = unicodedata.normalize("NFKC", text)
+    out = []
+    for tok in _WORD_RE.findall(norm):
+        t = _analyze_token(tok)
+        if t is not None:
+            out.append(t)
+    return out
+
+
+def tokenize_series(texts: pd.Series, mode: str = "porter") -> pd.Series:
+    """Vectorized batch tokenizer: pandas Series[str] → Series[list[str]].
+
+    ``mode``:
+      - ``"porter"``  — the full pinned chain (index + query side).
+      - ``"simple"``  — whitespace split only (used for the SQL-oracle-
+        comparable pipelines over the driver's ``documents`` table, where
+        the oracle must be expressible in DuckDB SQL).
+    """
+    if mode == "simple":
+        return texts.fillna("").str.split().map(
+            lambda toks: [t for t in toks if t]
+        )
+    return texts.fillna("").map(tokenize_text)
+
+
+def analyze_terms(tokens: np.ndarray) -> np.ndarray:
+    """Apply lowercase/stop/stem to a flat array of raw tokens via a
+    unique-vocab pass. Entries mapped to stop words become ''."""
+    uniq, inv = np.unique(tokens, return_inverse=True)
+    mapped = np.array(
+        [(_analyze_token(u) or "") for u in uniq.tolist()], dtype=object
+    )
+    return mapped[inv]

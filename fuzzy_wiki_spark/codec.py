@@ -1,0 +1,106 @@
+"""Delta-gap + varint posting-list codec (numpy-vectorized).
+
+The reference delegates posting compression to Lucene's codecs (nothing in the
+repo implements one — see SURVEY.md §4 "Postings compression"); the north star
+for this rebuild names delta-gap + varint explicitly, so we implement it here
+as pure-numpy batch code suitable for calling inside Arrow UDF stages: no
+per-element Python in either direction.
+
+Layout (LEB128, little-endian base-128, unsigned):
+    encode_deltas([d0, d1, d2, ...])  where d0 = v0, di = vi - v(i-1)
+Doc-id lists are strictly increasing so all gaps are >= 1 after the first
+element; tf lists are encoded as raw values (no delta).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MASK = np.uint64(0x7F)
+_SHIFT = np.uint64(7)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints, vectorized.
+
+    Strategy: compute per-value byte-length, allocate the exact output
+    buffer, then fill byte-position *columns* (all first bytes, all second
+    bytes, ...) — at most 10 column passes for uint64, each a vector op.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # byte length of each varint: ceil(bitlen/7), min 1
+    bitlen = np.zeros(v.shape, dtype=np.int64)
+    nz = v > 0
+    # float log2 is unsafe near 2^53; use a shift loop (<=10 iters, vectorized)
+    tmp = v.copy()
+    while np.any(tmp > 0):
+        mask = tmp > 0
+        bitlen[mask] += 7
+        tmp >>= _SHIFT
+    nbytes = np.maximum(bitlen // 7, 1)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)))[:-1]
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    maxb = int(nbytes.max())
+    work = v.copy()
+    for b in range(maxb):
+        sel = nbytes > b  # values still emitting a byte at position b
+        byte = (work[sel] & _MASK).astype(np.uint8)
+        more = (b + 1) < nbytes[sel]  # continuation bit
+        byte = byte | (more.astype(np.uint8) << 7)
+        out[offsets[sel] + b] = byte
+        work[sel] >>= _SHIFT
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 buffer → uint64 array, vectorized.
+
+    Value boundaries are positions where the continuation bit is clear;
+    per-value accumulation is done with a segmented shift-or over byte
+    columns (<=10 passes), no Python loop over values.
+    """
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (raw & 0x80) == 0
+    ends = np.flatnonzero(is_last)  # index of final byte of each value
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lengths = ends - starts + 1
+    n = ends.size
+    out = np.zeros(n, dtype=np.uint64)
+    maxb = int(lengths.max())
+    payload = (raw & 0x7F).astype(np.uint64)
+    for b in range(maxb):
+        sel = lengths > b
+        out[sel] |= payload[starts[sel] + b] << np.uint64(7 * b)
+    return out
+
+
+def delta_encode(sorted_ids: np.ndarray) -> bytes:
+    """Delta-gap + varint encode a strictly-increasing int array."""
+    a = np.asarray(sorted_ids, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    gaps = np.empty_like(a)
+    gaps[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=gaps[1:])
+    return varint_encode(gaps)
+
+
+def delta_decode(buf: bytes) -> np.ndarray:
+    """Inverse of :func:`delta_encode` → uint64 array."""
+    gaps = varint_decode(buf)
+    if gaps.size == 0:
+        return gaps
+    return np.cumsum(gaps, dtype=np.uint64)
+
+
+def encode_tfs(tfs: np.ndarray) -> bytes:
+    """Varint-encode term frequencies (raw, not delta — unordered values)."""
+    return varint_encode(np.asarray(tfs, dtype=np.uint64))
+
+
+def decode_tfs(buf: bytes) -> np.ndarray:
+    return varint_decode(buf)

@@ -1,0 +1,143 @@
+"""Deterministic synthetic source-code corpus generator (FIXTURES.md §1).
+
+Produces the exact input-table shape from BASELINE.json ``input_hint``:
+``(repo string, path string, commit string, lang string, content string)``
+plus a sidecar ``content_sha256`` used for the per-row invariant check.
+
+Generation is seeded and *independent of partition count*: every row is a
+pure function of ``(seed, i)``, so the same (sf, seed) always yields
+byte-identical rows regardless of how many Spark tasks produce them. At
+scale the generator runs distributed via ``spark.range(n)`` + ``mapInArrow``
+so a 2M-doc bench corpus is built in parallel without driver memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# Vocabulary: code-like keywords/identifiers with a Zipf-ish rank order.
+# 'return' is the pinned HOT term (present in >=50% of docs — FIXTURES.md skew
+# requirement, exercising the salted-shuffle path).
+_KEYWORDS = [
+    "return", "if", "else", "for", "while", "def", "class", "import",
+    "self", "value", "result", "data", "index", "node", "tree", "binary",
+    "search", "sort", "merge", "hash", "table", "list", "array", "string",
+    "parse", "parser", "token", "stream", "buffer", "cache", "query",
+    "insert", "delete", "update", "count", "total", "error", "raise",
+    "assert", "lambda", "yield", "async", "await", "thread", "lock",
+    "queue", "stack", "heap", "graph", "edge", "vertex", "path", "walk",
+    "read", "write", "open", "close", "flush", "seek", "byte", "char",
+    "encode", "decode", "compress", "expand", "filter", "reduce", "map",
+    "fold", "scan", "join", "split", "strip", "match", "group", "field",
+    "record", "schema", "column", "partition", "shuffle", "broadcast",
+    "segment", "posting", "frequency", "running", "searching", "indexed",
+]
+_LANGS = ["py", "java", "c", "go", "js", "rs", "md"]
+_PATH_WORDS = [
+    "core", "util", "engine", "index", "store", "net", "api", "model",
+    "codec", "text", "math", "io", "fs", "db", "web", "cli",
+]
+
+DOCS_SCHEMA_PA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("repo", pa.string()),
+        pa.field("path", pa.string()),
+        pa.field("commit", pa.string()),
+        pa.field("lang", pa.string()),
+        pa.field("content", pa.string()),
+        pa.field("content_sha256", pa.string()),
+    ]
+)
+DOCS_SCHEMA_DDL = (
+    "doc_id long, repo string, path string, commit string, lang string, "
+    "content string, content_sha256 string"
+)
+
+
+def _doc_row(seed: int, i: int) -> dict:
+    rng = np.random.default_rng((seed << 32) ^ i)
+    lang = _LANGS[i % len(_LANGS)]
+    repo = f"org{i % 7}/repo{i % 23}"
+    w1 = _PATH_WORDS[int(rng.integers(0, len(_PATH_WORDS)))]
+    w2 = _KEYWORDS[int(rng.integers(0, len(_KEYWORDS)))]
+    path = f"src/{w1}/{w2}_{i}.{lang}"
+    commit = hashlib.sha256(f"commit-{i}".encode()).hexdigest()[:40]
+
+    n_tokens = int(rng.integers(20, 401))
+    # Zipf-ish: geometric rank distribution over the keyword list
+    ranks = np.minimum(
+        rng.geometric(0.08, size=n_tokens) - 1, len(_KEYWORDS) - 1
+    )
+    toks = [_KEYWORDS[r] for r in ranks]
+    # hot-term guarantee: 'return' in >=50% of docs
+    if i % 2 == 0 and "return" not in toks:
+        toks[0] = "return"
+    # seed multi-word phrases so slop clauses have matches (FIXTURES.md)
+    if rng.random() < 0.15:
+        pos = int(rng.integers(0, max(1, n_tokens - 3)))
+        toks[pos : pos + 3] = ["binary", "search", "tree"]
+    content = " ".join(toks)
+    # ~1% REDIRECT docs to exercise the invalid-doc filter (O22,
+    # WikiSearcher.java:81-84 analog)
+    if i % 100 == 99:
+        content = f"REDIRECT src/{w1}/{w2}_{max(0, i - 1)}.{lang}"
+    return {
+        "doc_id": i,
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": lang,
+        "content": content,
+        "content_sha256": hashlib.sha256(content.encode()).hexdigest(),
+    }
+
+
+def generate_docs_pdf(n_docs: int, seed: int = 42, start: int = 0) -> pd.DataFrame:
+    """Driver-side generation for tests (small n)."""
+    return pd.DataFrame([_doc_row(seed, i) for i in range(start, start + n_docs)])
+
+
+def generate_docs_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+    """Distributed generation: ``spark.range`` → ``mapInArrow``. Scales to the
+    2M-doc bench corpus (and beyond) without materializing on the driver."""
+    if partitions is None:
+        partitions = max(1, min(256, n_docs // 2000 or 1))
+    rng_df = spark.range(0, n_docs, 1, partitions)
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_numpy()
+            pdf = pd.DataFrame([_doc_row(seed, int(i)) for i in ids])
+            yield pa.RecordBatch.from_pandas(
+                pdf, schema=DOCS_SCHEMA_PA, preserve_index=False
+            )
+
+    return rng_df.mapInArrow(gen, DOCS_SCHEMA_DDL)
+
+
+# Reference query set (FIXTURES.md §2): single terms, stemmed variants,
+# stop-word-containing, multi-word slop-hitting phrases, path-field hits,
+# absent terms, REDIRECT targets.
+REFERENCE_QUERIES: list[str] = [
+    "binary",
+    "searching",          # stems to 'search'
+    "the parser",         # stop word + term
+    "binary search tree", # seeded phrase
+    "merge sort",
+    "hash table",
+    "return",             # hot term
+    "zzzzmissing",        # absent from corpus
+    "engine",             # path-field word
+    "posting frequency",
+    "index",
+    "running",            # stems to 'run'
+    "binary search",
+    "query cache",
+    "a the of",           # all stop words -> empty analysis
+]

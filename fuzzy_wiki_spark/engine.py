@@ -1,0 +1,110 @@
+"""InvertedIndex — the engine facade (build → stats → search).
+
+Bundles the materialized artifacts of an index build:
+  - ``postings``   (doc_id, field, term, tf, positions, dl)
+  - ``term_stats`` (field, term, df, sum_tf)
+  - ``field_stats``(field, doc_count, sum_dl, avgdl)  — 2 rows, collected
+  - ``docs_meta``  (doc_id, path, is_redirect)
+
+and exposes ``search(query, k)`` with the reference's semantics (SURVEY.md
+§2.1). This is the v1 *relational* engine: scoring reads the postings
+DataFrame directly. The compressed-segment engine (operators/segments.py)
+reuses the same compiler/scorer math over decoded segments.
+
+The reference equivalents: build = Main.java MapReduce job; search =
+Searcher.searchForMerge + DocTermInfoHandler.mergeAndRank collapsed into one
+Spark plan (no HTTP scatter/gather — the shuffle is the scatter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.operators import postings as P
+from fuzzy_wiki_spark.operators.topk import score_query
+from fuzzy_wiki_spark.plans.query import compile_query
+
+
+class InvertedIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        postings: DataFrame,
+        term_stats: DataFrame,
+        docs_meta: DataFrame,
+        field_stats: dict[str, tuple[int, float]],
+    ):
+        self.spark = spark
+        self.postings = postings
+        self.term_stats = term_stats
+        self.docs_meta = docs_meta
+        self.field_stats = field_stats
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        docs_df: DataFrame,
+        mode: str = "porter",
+        fields: dict[str, str] | None = None,
+        persist: bool = True,
+    ) -> "InvertedIndex":
+        """Tokenize + materialize stats. ``persist=True`` caches postings and
+        term_stats for a multi-query session (the reference's Cache/
+        DocumentsStorage O26/O27 analog, done the Spark way)."""
+        postings = P.build_postings(docs_df, fields=fields, mode=mode)
+        if persist:
+            postings = postings.persist()
+        tstats = P.term_stats(postings)
+        if persist:
+            tstats = tstats.persist()
+        fstats = {
+            r["field"]: (r["doc_count"], float(r["avgdl"]))
+            for r in P.field_stats(postings).collect()
+        }
+        docs_meta = docs_df.select(
+            "doc_id",
+            "path",
+            F.upper(F.coalesce(F.col("content"), F.lit(""))).startswith(
+                "REDIRECT"
+            ).alias("is_redirect"),
+        )
+        if persist:
+            docs_meta = docs_meta.persist()
+        return cls(spark, postings, tstats, docs_meta, fstats)
+
+    def lookup_term_df(self, terms: list[str]) -> dict[tuple[str, str], int]:
+        """Point-lookup df for the query's few terms (the O20 stats
+        side-channel as a plain filtered collect)."""
+        if not terms:
+            return {}
+        rows = self.term_stats.where(F.col("term").isin(terms)).collect()
+        return {(r["field"], r["term"]): r["df"] for r in rows}
+
+    def search(self, query: str, k: int = 10) -> DataFrame:
+        """BM25 top-k → DataFrame (doc_id, path, score)."""
+        clauses = compile_query(query)
+        terms = sorted({t for c in clauses for t in c.terms})
+        term_df = self.lookup_term_df(terms)
+        return score_query(
+            self.spark,
+            self.postings,
+            clauses,
+            term_df,
+            self.field_stats,
+            docs_meta=self.docs_meta,
+            k=k,
+        )
+
+    def get_by_path(self, path: str, docs_df: DataFrame) -> DataFrame:
+        """Exact point lookup (O21, Searcher.java:49-63): predicate-pushdown
+        point query instead of a top-1 search + string check."""
+        return docs_df.where(F.col("path") == F.lit(path)).limit(1)
+
+    def unpersist(self) -> None:
+        for df in (self.postings, self.term_stats, self.docs_meta):
+            try:
+                df.unpersist()
+            except Exception:
+                pass

@@ -1,0 +1,213 @@
+"""Compressed posting segments + segment-local top-k (reference O10/O11/O13).
+
+Layout decision (the scale-critical one): segments are partitioned by
+**doc-id bucket**, with terms sorted within each bucket's files:
+
+    index_segments(bucket int, field string, term string,
+                   df int, sum_tf long,
+                   doc_ids binary,   -- delta-gap + varint (codec.py)
+                   tfs binary,       -- varint
+                   pos_lens binary,  -- varint: #positions per doc
+                   positions binary, -- varint: per-doc delta-encoded positions
+                   max_tf int, n_blocks int,
+                   block_last binary, block_maxtf binary) -- block-max metadata
+
+Why doc-bucket (not term-hash) partitioning: every bucket holds the FULL
+posting lists of all terms for its doc range, so a query executes as
+independent per-bucket document-at-a-time top-k (vectorized numpy inside one
+Arrow stage) followed by Spark's TakeOrderedAndProject global merge — the
+reference's shard scatter / partial-k / gather (Searcher.java:66-68,
+WikiSearcher scatter O23, DocTermInfoHandler merge O15) with the shuffle as
+the network. No query-time shuffle of postings ever happens; only (bucket ×
+matched terms) rows are read, and `term` predicate pushdown prunes parquet
+row groups because terms are sorted within files.
+
+The build is the reference's reduce (Indexer.java:33-55) + merge
+(IndexMerger.java:18-37) collapsed into one salted two-stage aggregation:
+stage 1 groups (bucket, field, term, salt) — the salt defuses hot-term skew
+(north rule; a term in 50% of docs otherwise lands on one reducer) — and
+stage 2 k-way-merges the pre-sorted salted runs per (bucket, field, term)
+inside an Arrow stage, then delta+varint encodes and writes.
+
+Block-max metadata: postings are chunked into BLOCK=128-doc blocks; per block
+we store the last doc_id and max tf, enabling block-skip upper-bound pruning
+(block-max WAND) in the segment-local scorer without decoding skipped blocks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from fuzzy_wiki_spark.codec import (
+    delta_decode,
+    delta_encode,
+    encode_tfs,
+    decode_tfs,
+    varint_decode,
+    varint_encode,
+)
+
+BLOCK = 128
+
+SEGMENTS_SCHEMA_DDL = (
+    "bucket int, field string, term string, df int, sum_tf long, "
+    "doc_ids binary, tfs binary, pos_lens binary, positions binary, "
+    "max_tf int, n_blocks int, block_last binary, block_maxtf binary"
+)
+_SEG_PA = pa.schema(
+    [
+        pa.field("bucket", pa.int32()),
+        pa.field("field", pa.string()),
+        pa.field("term", pa.string()),
+        pa.field("df", pa.int32()),
+        pa.field("sum_tf", pa.int64()),
+        pa.field("doc_ids", pa.binary()),
+        pa.field("tfs", pa.binary()),
+        pa.field("pos_lens", pa.binary()),
+        pa.field("positions", pa.binary()),
+        pa.field("max_tf", pa.int32()),
+        pa.field("n_blocks", pa.int32()),
+        pa.field("block_last", pa.binary()),
+        pa.field("block_maxtf", pa.binary()),
+    ]
+)
+
+
+def encode_group(
+    doc_ids: np.ndarray, tfs: np.ndarray, pos_lists: list[np.ndarray]
+) -> dict:
+    """One (bucket, field, term) group, postings sorted by doc_id →
+    encoded segment row fields."""
+    order = np.argsort(doc_ids, kind="stable")
+    d = np.asarray(doc_ids, dtype=np.uint64)[order]
+    t = np.asarray(tfs, dtype=np.uint64)[order]
+    plists = [np.asarray(pos_lists[i], dtype=np.uint64) for i in order]
+    pos_lens = np.array([p.size for p in plists], dtype=np.uint64)
+    # per-doc delta encoding of positions, concatenated
+    flat = (
+        np.concatenate(plists) if plists else np.empty(0, dtype=np.uint64)
+    )
+    if flat.size:
+        # delta within each doc's list: subtract predecessor, reset per doc
+        starts = np.concatenate(([0], np.cumsum(pos_lens)))[:-1].astype(np.int64)
+        deltas = flat.copy()
+        deltas[1:] = flat[1:] - flat[:-1]
+        deltas[starts] = flat[starts]
+        pos_buf = varint_encode(deltas)
+    else:
+        pos_buf = b""
+    n = d.size
+    n_blocks = (n + BLOCK - 1) // BLOCK
+    pad = n_blocks * BLOCK - n
+    d_pad = np.pad(d, (0, pad), constant_values=0)
+    t_pad = np.pad(t, (0, pad), constant_values=0)
+    block_last = d[np.minimum(np.arange(1, n_blocks + 1) * BLOCK - 1, n - 1)]
+    block_maxtf = t_pad.reshape(n_blocks, BLOCK).max(axis=1)
+    return {
+        "df": int(n),
+        "sum_tf": int(t.sum()),
+        "doc_ids": delta_encode(d),
+        "tfs": encode_tfs(t),
+        "pos_lens": varint_encode(pos_lens),
+        "positions": pos_buf,
+        "max_tf": int(t.max()) if n else 0,
+        "n_blocks": int(n_blocks),
+        "block_last": varint_encode(block_last),
+        "block_maxtf": varint_encode(block_maxtf),
+    }
+
+
+def decode_positions(pos_lens_buf: bytes, pos_buf: bytes) -> list[np.ndarray]:
+    lens = varint_decode(pos_lens_buf).astype(np.int64)
+    deltas = varint_decode(pos_buf)
+    if deltas.size == 0:
+        return [np.empty(0, dtype=np.uint64) for _ in lens]
+    nz = lens > 0
+    starts = (np.concatenate(([0], np.cumsum(lens)))[:-1])[nz]
+    cs = np.cumsum(deltas)
+    # per-doc reset: true[i] = cs[i] - cs[start(i)] + deltas[start(i)]
+    base = cs[starts] - deltas[starts]
+    flat = cs - np.repeat(base, lens[nz])
+    bounds = np.cumsum(lens[nz])[:-1].astype(np.int64)
+    pieces = np.split(flat, bounds)
+    out, j = [], 0
+    for ln in lens:
+        if ln == 0:
+            out.append(np.empty(0, dtype=np.uint64))
+        else:
+            out.append(pieces[j])
+            j += 1
+    return out
+
+
+def build_segments(postings_df, n_buckets: int = 32):
+    """postings (doc_id, field, term, tf, positions, dl) → segments DF.
+
+    Hot-term skew (SURVEY.md §4, north rule "salted-key shuffle"): the
+    doc-bucket IS the salt. The shuffle key is (bucket, field, term), and
+    ``bucket = doc_id % n_buckets``, so a term occurring in 50% of all docs
+    is split into n_buckets independent groups of ~hot_df/n_buckets postings
+    each — no single reducer ever sees a full hot posting list. This is the
+    salted two-stage pattern with the second (merge) stage made unnecessary
+    by construction, because bucket-local posting lists are exactly the
+    persisted layout we want (segment-local top-k never needs the global
+    list, and global df/idf come from term_stats aggregation instead).
+
+    The bucket is ``doc_id % n_buckets``: at 10^12 docs, n_buckets is sized
+    so a bucket's postings fit an executor (e.g. 2^14 buckets → ~60M
+    docs/bucket).
+    """
+    from pyspark.sql import functions as F
+
+    with_bucket = postings_df.withColumn(
+        "bucket", (F.col("doc_id") % n_buckets).cast("int")
+    )
+
+    def encode_partition(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        # rows arrive hash-clustered by (bucket, field, term) — repartition
+        # upstream guarantees all rows of a group are in this partition
+        chunks = [b.to_pandas() for b in batches]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        out_rows = []
+        for (bucket, field, term), g in pdf.groupby(
+            ["bucket", "field", "term"], sort=False
+        ):
+            enc = encode_group(
+                g["doc_id"].to_numpy(),
+                g["tf"].to_numpy(),
+                list(g["positions"]),
+            )
+            enc.update({"bucket": bucket, "field": field, "term": term})
+            out_rows.append(enc)
+        if out_rows:
+            seg = pd.DataFrame(out_rows)[[f.name for f in _SEG_PA]]
+            yield pa.RecordBatch.from_pandas(
+                seg, schema=_SEG_PA, preserve_index=False
+            )
+
+    # exchange on hash(bucket, field, term): skew-bounded because each group
+    # holds at most 1/n_buckets of any term's postings (docstring above)
+    repart = with_bucket.repartition("bucket", "field", "term")
+    return repart.mapInArrow(encode_partition, SEGMENTS_SCHEMA_DDL)
+
+
+def write_segments(segments_df, path: str, n_buckets: int = 32) -> None:
+    """Partition by bucket, sort by (field, term) within files → parquet
+    row-group stats make term predicates prunable. (Iceberg in production:
+    same partitioning spec + sort order; parquet here — sandbox has no
+    Iceberg runtime jars.)"""
+    (
+        segments_df.repartition("bucket")
+        .sortWithinPartitions("field", "term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )

@@ -1,0 +1,213 @@
+"""BM25 top-k scoring over the postings DataFrame (reference O13-O15, O17, O19).
+
+Spark-first plan (one scan of postings, SURVEY.md §3 E2):
+
+    postings ──where(term ∈ query)──> join(broadcast clause_terms)
+        ├─ term clauses:   freq = tf                        (no shuffle)
+        └─ phrase clauses: groupBy(clause,doc) → vectorized sloppy match
+    union ──> contrib = weight · freq/(freq + k1(1−b+b·dl/avgdl))
+          ──> groupBy(doc_id).sum ──> anti-REDIRECT filter
+          ──> orderBy(score desc, doc_id).limit(k)   [TakeOrderedAndProject]
+
+Scale notes:
+- the clause-term table is a handful of rows → broadcast join, never a
+  shuffle; the `term.isin(...)` predicate is applied *before* the join so
+  parquet/Iceberg row-group stats prune non-matching files (postings are
+  written sorted by term — see segments.py).
+- per-term idf/weight math happens driver-side from a point-lookup of
+  term_stats (a few rows) — exactly the reference's stats side-channel (O20)
+  without the side channel.
+- the final top-k is Spark's TakeOrderedAndProject: per-partition partial
+  top-k then a driver merge — the same scatter/partial-k/gather shape as the
+  reference's distributed search (Searcher.java:66-68 + DocTermInfoHandler),
+  with the shuffle replacing HTTP.
+
+BM25 math (MyBM25Similarity.java:65-71, SearchResult.java:46-48):
+    idf      = ln(1 + (N − df + 0.5)/(df + 0.5))
+    tf_norm  = freq / (freq + k1·(1 − b + b·dl/avgdl))      [exact dl]
+    score    = Σ_clauses boost · idf_clause · tf_norm
+phrase idf = Σ member idfs (MyBM25Similarity.java:88-96); phrase freq = Σ
+member tfs if the sloppy phrase matches else 0 (myTermStats.java:28-67).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fuzzy_wiki_spark.plans.query import B, K1, Clause, compile_query
+
+
+def idf(df_count: int, doc_count: int) -> float:
+    return math.log(1.0 + (doc_count - df_count + 0.5) / (df_count + 0.5))
+
+
+def sloppy_match_batch(
+    terms_col: pd.Series, pos_col: pd.Series, phrase_col: pd.Series, slop_col: pd.Series
+) -> pd.Series:
+    """Vectorized-batch sloppy-phrase matcher (O17). Each row is one
+    (clause, doc) candidate that already contains ALL phrase terms; per-row
+    work is a tiny combinatorial check over ≤ a few occurrence lists.
+
+    Pinned spec (== oracle.sloppy_phrase_match): match iff ∃ distinct
+    positions p_i of term_i with Σ|p_i − (p_1 + i)| ≤ slop."""
+    from itertools import product as iproduct
+
+    out = []
+    for terms, poss, phrase, slop in zip(
+        terms_col, pos_col, phrase_col, slop_col
+    ):
+        posmap: dict[str, list[int]] = {}
+        for t, pl in zip(terms, poss):
+            posmap.setdefault(t, []).extend(pl)
+        lists = [posmap.get(t) for t in phrase]
+        if any(not pl for pl in lists):
+            out.append(False)
+            continue
+        matched = False
+        for combo in iproduct(*lists):
+            if len(set(combo)) != len(combo):
+                continue
+            base = combo[0]
+            if sum(abs(p - (base + i)) for i, p in enumerate(combo)) <= slop:
+                matched = True
+                break
+        out.append(matched)
+    return pd.Series(out)
+
+
+_sloppy_udf = F.pandas_udf(sloppy_match_batch, T.BooleanType())
+
+
+def clause_weights(
+    clauses: list[Clause],
+    term_df: dict[tuple[str, str], int],
+    doc_counts: dict[str, int],
+) -> list[dict]:
+    """Driver-side weight computation: one dict row per clause for the
+    broadcast clause-term table. weight = boost · Σ idf(member terms)."""
+    rows = []
+    for cl in clauses:
+        w = cl.boost * sum(
+            idf(term_df.get((cl.field, t), 0), doc_counts.get(cl.field, 0))
+            for t in cl.terms
+        )
+        for t in cl.terms:
+            rows.append(
+                {
+                    "clause_id": cl.clause_id,
+                    "field": cl.field,
+                    "term": t,
+                    "weight": w,
+                    "is_phrase": cl.is_phrase and len(cl.terms) > 1,
+                    "slop": cl.slop,
+                    "n_terms": len(set(cl.terms)),
+                    "phrase_terms": list(cl.terms),
+                }
+            )
+    return rows
+
+
+def score_query(
+    spark: SparkSession,
+    postings: DataFrame,
+    clauses: list[Clause],
+    term_df: dict[tuple[str, str], int],
+    field_stats: dict[str, tuple[int, float]],  # field -> (doc_count, avgdl)
+    docs_meta: DataFrame | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Score compiled clauses → top-k ``(doc_id, score)`` (+path if meta)."""
+    if not clauses:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    doc_counts = {f: dc for f, (dc, _) in field_stats.items()}
+    rows = clause_weights(clauses, term_df, doc_counts)
+    cterms = spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema=(
+            "clause_id int, field string, term string, weight double, "
+            "is_phrase boolean, slop int, n_terms int, phrase_terms array<string>"
+        ),
+    )
+    all_terms = sorted({r["term"] for r in rows})
+
+    # avgdl as a literal map (2 fields) — keeps the scorer join-free here
+    avgdl_expr = F.create_map(
+        *[x for f, (_, a) in field_stats.items() for x in (F.lit(f), F.lit(a))]
+    )
+
+    matched = (
+        postings.where(F.col("term").isin(all_terms))  # pushdown-able
+        .join(F.broadcast(cterms), ["field", "term"])
+        .withColumn("avgdl", avgdl_expr[F.col("field")])
+    )
+
+    def tf_norm(freq, dl, avgdl):
+        return freq / (freq + K1 * (1 - B + B * dl / avgdl))
+
+    term_contrib = matched.where(~F.col("is_phrase")).select(
+        "doc_id",
+        (
+            F.col("weight")
+            * tf_norm(
+                F.col("tf").cast("double"), F.col("dl").cast("double"), F.col("avgdl")
+            )
+        ).alias("contrib"),
+    )
+
+    phrase_cand = (
+        matched.where(F.col("is_phrase"))
+        .groupBy("clause_id", "doc_id")
+        .agg(
+            F.collect_list("term").alias("mterms"),
+            F.collect_list("positions").alias("mpos"),
+            F.sum("tf").alias("freq"),
+            F.countDistinct("term").alias("n_found"),
+            F.first("dl").alias("dl"),
+            F.first("avgdl").alias("avgdl"),
+            F.first("weight").alias("weight"),
+            F.first("slop").alias("slop"),
+            F.first("n_terms").alias("n_terms"),
+            F.first("phrase_terms").alias("phrase_terms"),
+        )
+        .where(F.col("n_found") == F.col("n_terms"))
+    )
+    phrase_contrib = (
+        phrase_cand.withColumn(
+            "matched",
+            _sloppy_udf(
+                F.col("mterms"), F.col("mpos"), F.col("phrase_terms"), F.col("slop")
+            ),
+        )
+        .where(F.col("matched"))
+        .select(
+            "doc_id",
+            (
+                F.col("weight")
+                * tf_norm(
+                    F.col("freq").cast("double"),
+                    F.col("dl").cast("double"),
+                    F.col("avgdl"),
+                )
+            ).alias("contrib"),
+        )
+    )
+
+    scored = (
+        term_contrib.unionByName(phrase_contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+    if docs_meta is not None:
+        scored = (
+            scored.join(docs_meta, "doc_id")
+            .where(~F.col("is_redirect"))
+            .select("doc_id", "path", "score")
+        )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

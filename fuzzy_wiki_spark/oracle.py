@@ -1,0 +1,182 @@
+"""Pure-Python brute-force BM25 oracle (no Spark).
+
+Implements the pinned query semantics of SURVEY.md §2.1 exactly — this is the
+generator of golden top-k fixtures; the Spark engine must match it
+rank-identically (tie-break: score desc, doc_id asc) with scores to 1e-6.
+
+Semantics reproduced (citations into /root/reference):
+- analyzer chain on both index and query side (Tokenizer.java:15-24; the
+  reference's query-side StandardAnalyzer asymmetry at Searcher.java:80 is
+  deliberately fixed, documented in SURVEY.md §7),
+- 4-clause weighted query (Searcher.java:79-97): path-phrase slop1 ^1.5,
+  content-phrase slop3 ^1.2, plus per-term clauses ^1.1/^0.8 when the
+  analyzed query has >1 term,
+- idf = ln(1 + (N - n + 0.5)/(n + 0.5)) per term; phrase idf = sum of member
+  idfs (MyBM25Similarity.java:65-67,88-96),
+- avgdl = sumTotalTermFreq / docCount per field (MyBM25Similarity.java:69-71),
+- tf_norm = freq / (freq + k1*(1 - b + b*dl/avgdl)) with EXACT dl
+  (SearchResult.java:46-48; Searcher.java:122-123),
+- phrase freq = sum of member-term freqs if the sloppy phrase matches, else 0
+  (myTermStats.java:28-67),
+- score = sum over clauses of boost*idf*tf_norm; single-index merge
+  (DocTermInfoHandler.java:34-50 with one shard),
+- REDIRECT docs are indexed but filtered from results
+  (WikiSearcher.java:81-84),
+- k=10 default (Searcher.java:66-68).
+
+Sloppy-phrase pinned spec (Lucene-like): the phrase (t1..tn) matches a doc
+field iff there exist occurrence positions p1..pn (pi a position of ti, all
+distinct) with cost = sum_i |p_i - (p_1 + i - 1)| <= slop. For two terms this
+equals Lucene's behavior ("b a" adjacent costs 2; one-gap in-order costs 1).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from itertools import product
+
+from fuzzy_wiki_spark.analyzer import tokenize_text
+
+K1 = 1.2
+B = 0.75
+
+BOOST_PATH_PHRASE = 1.5
+BOOST_CONTENT_PHRASE = 1.2
+BOOST_PATH_TERM = 1.1
+BOOST_CONTENT_TERM = 0.8
+SLOP_PATH = 1
+SLOP_CONTENT = 3
+
+
+@dataclass(frozen=True)
+class Clause:
+    field: str          # 'path' | 'content'
+    terms: tuple[str, ...]
+    boost: float
+    slop: int           # only meaningful for phrase clauses
+    is_phrase: bool
+
+
+def compile_query(query: str) -> list[Clause]:
+    """Query → weighted clauses (Searcher.java:79-97 semantics, analyzed
+    with the pinned chain). Multi-word detection uses the ANALYZED token
+    count (documented deviation from the raw ``contains(" ")`` check)."""
+    terms = tuple(tokenize_text(query))
+    if not terms:
+        return []
+    clauses = [
+        Clause("path", terms, BOOST_PATH_PHRASE, SLOP_PATH, True),
+        Clause("content", terms, BOOST_CONTENT_PHRASE, SLOP_CONTENT, True),
+    ]
+    if len(terms) > 1:
+        for t in dict.fromkeys(terms):  # dedupe, keep order
+            clauses.append(Clause("path", (t,), BOOST_PATH_TERM, 0, False))
+            clauses.append(Clause("content", (t,), BOOST_CONTENT_TERM, 0, False))
+    return clauses
+
+
+def sloppy_phrase_match(
+    positions: dict[str, list[int]], terms: tuple[str, ...], slop: int
+) -> bool:
+    """Pinned sloppy-match spec (module docstring). Brute force over
+    occurrence combinations — oracle only (docs are small)."""
+    pos_lists = []
+    for t in terms:
+        pl = positions.get(t)
+        if not pl:
+            return False
+        pos_lists.append(pl)
+    for combo in product(*pos_lists):
+        if len(set(combo)) != len(combo):
+            continue
+        base = combo[0]
+        cost = sum(abs(p - (base + i)) for i, p in enumerate(combo))
+        if cost <= slop:
+            return True
+    return False
+
+
+class BM25Oracle:
+    """In-memory single-index BM25 engine over (doc_id, path, content)."""
+
+    FIELDS = ("path", "content")
+
+    def __init__(self, docs: list[dict]):
+        """docs: dicts with doc_id, path, content (reference 'title'/'text'
+        map to path/content per SURVEY.md)."""
+        self.docs = docs
+        # per doc per field: term -> positions
+        self.positions: dict[int, dict[str, dict[str, list[int]]]] = {}
+        self.dl: dict[str, dict[int, int]] = {f: {} for f in self.FIELDS}
+        self.df: dict[str, dict[str, int]] = {f: {} for f in self.FIELDS}
+        self.doc_count: dict[str, int] = {}
+        self.sum_dl: dict[str, int] = {}
+        self.redirect: dict[int, bool] = {}
+
+        for d in docs:
+            did = d["doc_id"]
+            self.redirect[did] = (d.get("content") or "").upper().startswith(
+                "REDIRECT"
+            )
+            self.positions[did] = {}
+            for f in self.FIELDS:
+                toks = tokenize_text(d.get(f) or "")
+                posmap: dict[str, list[int]] = {}
+                for i, t in enumerate(toks):
+                    posmap.setdefault(t, []).append(i)
+                self.positions[did][f] = posmap
+                self.dl[f][did] = len(toks)
+                for t in posmap:
+                    self.df[f][t] = self.df[f].get(t, 0) + 1
+        for f in self.FIELDS:
+            nonempty = [n for n in self.dl[f].values() if n > 0]
+            self.doc_count[f] = len(nonempty)
+            self.sum_dl[f] = sum(nonempty)
+
+    def idf(self, field: str, term: str) -> float:
+        n = self.df[field].get(term, 0)
+        big_n = self.doc_count[field]
+        return math.log(1.0 + (big_n - n + 0.5) / (n + 0.5))
+
+    def avgdl(self, field: str) -> float:
+        c = self.doc_count[field]
+        return self.sum_dl[field] / c if c else 0.0
+
+    def score_doc(self, doc_id: int, clauses: list[Clause]) -> float:
+        score = 0.0
+        for cl in clauses:
+            posmap = self.positions[doc_id][cl.field]
+            if cl.is_phrase and len(cl.terms) > 1:
+                if sloppy_phrase_match(posmap, cl.terms, cl.slop):
+                    freq = sum(len(posmap.get(t, ())) for t in cl.terms)
+                else:
+                    freq = 0
+            else:
+                freq = len(posmap.get(cl.terms[0], ()))
+            if freq == 0:
+                continue
+            dl = self.dl[cl.field][doc_id]
+            avgdl = self.avgdl(cl.field)
+            if avgdl == 0:
+                continue
+            w = cl.boost * sum(self.idf(cl.field, t) for t in cl.terms)
+            tf_norm = freq / (freq + K1 * (1 - B + B * dl / avgdl))
+            score += w * tf_norm
+        return score
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score), REDIRECT docs filtered, ties by doc_id."""
+        clauses = compile_query(query)
+        if not clauses:
+            return []
+        hits = []
+        for d in self.docs:
+            did = d["doc_id"]
+            if self.redirect[did]:
+                continue
+            s = self.score_doc(did, clauses)
+            if s > 0:
+                hits.append((did, s))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:k]

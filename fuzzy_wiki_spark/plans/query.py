@@ -1,0 +1,61 @@
+"""Query compiler (reference O12, ``Searcher.java:79-97``).
+
+Compiles a free-text query into the reference's 4-clause weighted boolean
+shape: path-phrase (slop 1, boost 1.5) OR content-phrase (slop 3, boost 1.2),
+plus per-term clauses (path ^1.1 / content ^0.8) when the analyzed query has
+more than one term. The reference's slop constants per field also appear at
+``myTermStats.java:36-40``.
+
+No Catalyst analog is needed — a query is at most ``2 + 2*n_terms`` clauses;
+the compiled form is a small plain-Python structure that the scorer turns
+into a broadcast DataFrame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from fuzzy_wiki_spark.analyzer import tokenize_text
+
+K1 = 1.2  # MyBM25Similarity.java:53-55
+B = 0.75
+
+BOOST_PATH_PHRASE = 1.5  # Searcher.java:81-84
+BOOST_CONTENT_PHRASE = 1.2
+BOOST_PATH_TERM = 1.1
+BOOST_CONTENT_TERM = 0.8
+SLOP = {"path": 1, "content": 3}  # myTermStats.java:36-40
+
+
+@dataclass(frozen=True)
+class Clause:
+    clause_id: int
+    field: str
+    terms: tuple[str, ...]
+    boost: float
+    slop: int
+    is_phrase: bool
+
+
+def compile_query(query: str) -> list[Clause]:
+    """Analyze with the pinned chain, emit weighted clauses.
+
+    Multi-word detection uses the ANALYZED token count (the reference checks
+    ``query.contains(" ")`` on the raw string, Searcher.java:89 — we pin the
+    saner post-analysis check; goldens encode this choice)."""
+    terms = tuple(tokenize_text(query))
+    if not terms:
+        return []
+    out = [
+        Clause(0, "path", terms, BOOST_PATH_PHRASE, SLOP["path"], True),
+        Clause(1, "content", terms, BOOST_CONTENT_PHRASE, SLOP["content"], True),
+    ]
+    if len(terms) > 1:
+        cid = 2
+        for t in dict.fromkeys(terms):
+            out.append(Clause(cid, "path", (t,), BOOST_PATH_TERM, 0, False))
+            out.append(
+                Clause(cid + 1, "content", (t,), BOOST_CONTENT_TERM, 0, False)
+            )
+            cid += 2
+    return out

@@ -1,0 +1,78 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode settings mirror what a 1000-executor cluster run would set
+per-executor: AQE on (runtime skew/coalesce re-planning), Arrow transfer on
+(every UDF in this engine is a vectorized pandas/Arrow UDF), shuffle
+partitions sized to cores rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "fuzzy_wiki_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    On a real cluster this function is a no-op passthrough: ``spark-submit``
+    owns master/memory and we only set SQL-layer confs, all of which are
+    safe at any scale.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N]: one shuffle partition per core keeps every task busy
+        # without tiny-partition overhead; on a real cluster this is
+        # overridden by spark-submit conf sized to executors*cores.
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
+        shuffle_partitions = cpus if n == "*" else int(n)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (the ``spark-submit --py-files``
+    contract, automated): zips ``fuzzy_wiki_spark`` and ``addPyFile``s it so
+    Arrow-UDF closures that reference the module deserialize on workers even
+    when the driver script runs outside the repo."""
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    try:
+        zpath = pathlib.Path(tempfile.gettempdir()) / "fuzzy_wiki_spark_pkg.zip"
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, f"fuzzy_wiki_spark/{py.relative_to(pkg_dir)}")
+        spark.sparkContext.addPyFile(str(zpath))
+    except Exception:
+        pass  # already shipped via --py-files, or read-only tmp

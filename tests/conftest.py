@@ -1,0 +1,13 @@
+import os
+
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")  # tests: small local session
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from fuzzy_wiki_spark.session import get_spark
+
+    s = get_spark("fuzzy-wiki-tests", master="local[4]", shuffle_partitions=4)
+    yield s

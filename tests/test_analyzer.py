@@ -1,0 +1,120 @@
+"""Analyzer-chain parity fixtures (FIXTURES.md §4, SURVEY.md §2.1 item 1)."""
+
+import pandas as pd
+
+from fuzzy_wiki_spark.analyzer import (
+    ENGLISH_STOP_WORDS,
+    porter_stem,
+    tokenize_series,
+    tokenize_text,
+)
+
+
+def test_stop_set_is_lucene_33():
+    assert len(ENGLISH_STOP_WORDS) == 33
+    assert "the" in ENGLISH_STOP_WORDS and "return" not in ENGLISH_STOP_WORDS
+
+
+def test_porter_classic_vectors():
+    # classic Porter examples (public test vectors from the 1980 paper)
+    vectors = {
+        "caresses": "caress",
+        "ponies": "poni",
+        "ties": "ti",
+        "caress": "caress",
+        "cats": "cat",
+        "feed": "feed",
+        "agreed": "agre",
+        "plastered": "plaster",
+        "bled": "bled",
+        "motoring": "motor",
+        "sing": "sing",
+        "conflated": "conflat",
+        "troubled": "troubl",
+        "sized": "size",
+        "hopping": "hop",
+        "tanned": "tan",
+        "falling": "fall",
+        "hissing": "hiss",
+        "fizzed": "fizz",
+        "failing": "fail",
+        "filing": "file",
+        "happy": "happi",
+        "sky": "sky",
+        "relational": "relat",
+        "conditional": "condit",
+        "rational": "ration",
+        "valenci": "valenc",
+        "digitizer": "digit",
+        "operator": "oper",
+        "feudalism": "feudal",
+        "decisiveness": "decis",
+        "hopefulness": "hope",
+        "formaliti": "formal",
+        "triplicate": "triplic",
+        "formative": "form",
+        "formalize": "formal",
+        "electriciti": "electr",
+        "electrical": "electr",
+        "hopeful": "hope",
+        "goodness": "good",
+        "revival": "reviv",
+        "allowance": "allow",
+        "inference": "infer",
+        "airliner": "airlin",
+        "gyroscopic": "gyroscop",
+        "adjustable": "adjust",
+        "defensible": "defens",
+        "irritant": "irrit",
+        "replacement": "replac",
+        "adjustment": "adjust",
+        "dependent": "depend",
+        "adoption": "adopt",
+        "homologou": "homolog",
+        "communism": "commun",
+        "activate": "activ",
+        "angulariti": "angular",
+        "homologous": "homolog",
+        "effective": "effect",
+        "bowdlerize": "bowdler",
+        "probate": "probat",
+        "rate": "rate",
+        "cease": "ceas",
+        "controll": "control",
+        "roll": "roll",
+        "searching": "search",
+        "running": "run",
+        "indexed": "index",
+    }
+    for w, expected in vectors.items():
+        assert porter_stem(w) == expected, f"{w}: {porter_stem(w)} != {expected}"
+
+
+def test_chain_stop_then_stem():
+    # stop removal happens before stemming; 'the' dropped, words stemmed
+    assert tokenize_text("The running parsers") == ["run", "parser"]
+
+
+def test_nfkc_and_case():
+    # full-width latin folds to ascii via NFKC then lowercases
+    assert tokenize_text("ＳＰＡＲＫ") == ["spark"]
+    assert tokenize_text("MixedCase Token") == ["mixedcas", "token"]
+
+
+def test_code_identifiers():
+    # underscore joins (UAX#29 ExtendNumLet behavior)
+    assert tokenize_text("snake_case foo123") == ["snake_cas", "foo123"]
+
+
+def test_empty_and_punct():
+    assert tokenize_text("") == []
+    assert tokenize_text("...!!!") == []
+    assert tokenize_text("a the of to") == []  # all stops
+
+
+def test_series_modes():
+    s = pd.Series(["the quick running", None, "a b"])
+    porter = tokenize_series(s, "porter").tolist()
+    assert porter == [["quick", "run"], [], ["b"]]
+    simple = tokenize_series(s, "simple").tolist()
+    assert simple == [["the", "quick", "running"], [], ["a", "b"]]

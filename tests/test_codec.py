@@ -1,0 +1,55 @@
+"""Property tests for the delta-gap + varint codec (FIXTURES.md §5)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fuzzy_wiki_spark.codec import (
+    delta_decode,
+    delta_encode,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_empty():
+    assert varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert varint_decode(b"").size == 0
+    assert delta_encode(np.array([], dtype=np.uint64)) == b""
+
+
+def test_known_values():
+    # 0 -> 0x00, 127 -> 0x7f, 128 -> 0x80 0x01, 300 -> 0xAC 0x02
+    assert varint_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert varint_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert varint_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert varint_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500)
+)
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(xs):
+    arr = np.array(xs, dtype=np.uint64)
+    out = varint_decode(varint_encode(arr))
+    assert np.array_equal(out, arr)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=500
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_delta_roundtrip_sorted(xs):
+    arr = np.unique(np.array(xs, dtype=np.uint64))  # strictly increasing
+    out = delta_decode(delta_encode(arr))
+    assert np.array_equal(out, arr)
+
+
+def test_delta_compresses_dense_runs():
+    ids = np.arange(0, 100000, dtype=np.uint64)
+    buf = delta_encode(ids)
+    assert len(buf) < 110000  # ~1 byte/gap vs 8 bytes raw
+    assert np.array_equal(delta_decode(buf), ids)

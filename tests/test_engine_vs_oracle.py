@@ -1,0 +1,76 @@
+"""Golden end-to-end: Spark engine vs pure-Python BM25 oracle (SURVEY.md §5).
+
+Rank-identity contract: identical (rank, doc_id) sequences, scores within
+rel 1e-6, for every query in the reference query set, on the seeded 200-doc
+synthetic code corpus (FIXTURES.md sf-small).
+"""
+
+import pytest
+
+from fuzzy_wiki_spark.corpus import REFERENCE_QUERIES, generate_docs_pdf
+from fuzzy_wiki_spark.engine import InvertedIndex
+from fuzzy_wiki_spark.oracle import BM25Oracle
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return generate_docs_pdf(N_DOCS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_pdf):
+    return BM25Oracle(corpus_pdf[["doc_id", "path", "content"]].to_dict("records"))
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus_pdf):
+    docs = spark.createDataFrame(corpus_pdf)
+    idx = InvertedIndex.build(spark, docs)
+    yield idx
+    idx.unpersist()
+
+
+@pytest.mark.parametrize("query", REFERENCE_QUERIES)
+def test_rank_identical_topk(spark, index, oracle, query):
+    got = [(r["doc_id"], r["score"]) for r in index.search(query, k=10).collect()]
+    want = oracle.search(query, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want], (
+        f"query={query!r}\n got={got}\nwant={want}"
+    )
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-6)
+
+
+def test_redirect_docs_excluded(spark, index, oracle, corpus_pdf):
+    # doc 99, 199 are REDIRECT docs (i % 100 == 99)
+    redirects = set(
+        corpus_pdf[corpus_pdf.content.str.startswith("REDIRECT")].doc_id
+    )
+    assert redirects, "fixture should contain REDIRECT docs"
+    got = {r["doc_id"] for r in index.search("return", k=200).collect()}
+    assert not (got & redirects)
+
+
+def test_empty_query_yields_no_rows(spark, index):
+    assert index.search("a the of", k=10).count() == 0
+    assert index.search("zzzzmissing", k=10).count() == 0
+
+
+def test_point_lookup(spark, index, corpus_pdf):
+    docs = spark.createDataFrame(corpus_pdf)
+    path = corpus_pdf.path.iloc[5]
+    row = index.get_by_path(path, docs).collect()
+    assert len(row) == 1 and row[0]["doc_id"] == 5
+
+
+def test_sha256_invariant(spark, corpus_pdf):
+    """Per-row content sha256 equality vs the source table (input_hint)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(corpus_pdf)
+    bad = docs.where(
+        F.sha2(F.col("content"), 256) != F.col("content_sha256")
+    ).count()
+    assert bad == 0

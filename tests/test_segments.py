@@ -1,0 +1,94 @@
+"""Segment codec round-trips + segment build invariants (FIXTURES.md §5)."""
+
+import numpy as np
+import pytest
+
+from fuzzy_wiki_spark.codec import delta_decode, decode_tfs
+from fuzzy_wiki_spark.operators.segments import (
+    BLOCK,
+    decode_positions,
+    encode_group,
+)
+
+
+def test_encode_group_roundtrip():
+    rng = np.random.default_rng(7)
+    n = 1000
+    doc_ids = np.sort(rng.choice(10**9, size=n, replace=False))
+    tfs = rng.integers(1, 50, size=n)
+    pos_lists = [
+        np.sort(rng.choice(500, size=int(t), replace=False)) for t in tfs
+    ]
+    enc = encode_group(doc_ids, tfs, pos_lists)
+    assert enc["df"] == n
+    assert enc["sum_tf"] == int(tfs.sum())
+    got_ids = delta_decode(enc["doc_ids"])
+    assert np.array_equal(got_ids, doc_ids.astype(np.uint64))
+    assert np.all(np.diff(got_ids.astype(np.int64)) > 0)  # strictly increasing
+    got_tfs = decode_tfs(enc["tfs"])
+    assert np.array_equal(got_tfs, tfs.astype(np.uint64))
+    got_pos = decode_positions(enc["pos_lens"], enc["positions"])
+    assert len(got_pos) == n
+    for want, got in zip(pos_lists, got_pos):
+        assert np.array_equal(got, want.astype(np.uint64))
+
+
+def test_encode_group_unsorted_input_gets_sorted():
+    doc_ids = np.array([30, 10, 20])
+    tfs = np.array([3, 1, 2])
+    pos = [np.array([5]), np.array([0]), np.array([1, 2])]
+    enc = encode_group(doc_ids, tfs, pos)
+    assert np.array_equal(delta_decode(enc["doc_ids"]), [10, 20, 30])
+    assert np.array_equal(decode_tfs(enc["tfs"]), [1, 2, 3])
+    got_pos = decode_positions(enc["pos_lens"], enc["positions"])
+    assert [list(p) for p in got_pos] == [[0], [1, 2], [5]]
+
+
+def test_block_max_metadata():
+    n = BLOCK * 3 + 17
+    doc_ids = np.arange(1, n + 1) * 2
+    tfs = np.arange(1, n + 1)
+    pos = [np.array([0]) for _ in range(n)]
+    enc = encode_group(doc_ids, tfs, pos)
+    assert enc["n_blocks"] == 4
+    from fuzzy_wiki_spark.codec import varint_decode
+
+    block_last = varint_decode(enc["block_last"])
+    block_maxtf = varint_decode(enc["block_maxtf"])
+    assert list(block_last) == [
+        doc_ids[BLOCK - 1], doc_ids[2 * BLOCK - 1], doc_ids[3 * BLOCK - 1],
+        doc_ids[-1],
+    ]
+    assert list(block_maxtf) == [BLOCK, 2 * BLOCK, 3 * BLOCK, n]
+    assert enc["max_tf"] == n
+
+
+def test_empty_positions_docs():
+    enc = encode_group(
+        np.array([1, 2]), np.array([1, 1]), [np.array([]), np.array([3])]
+    )
+    got = decode_positions(enc["pos_lens"], enc["positions"])
+    assert list(got[0]) == [] and list(got[1]) == [3]
+
+
+@pytest.mark.parametrize("n_buckets", [4])
+def test_build_segments_spark(spark, n_buckets):
+    from fuzzy_wiki_spark.corpus import generate_docs_pdf
+    from fuzzy_wiki_spark.operators.postings import build_postings
+    from fuzzy_wiki_spark.operators.segments import build_segments
+
+    docs = spark.createDataFrame(generate_docs_pdf(100, seed=42))
+    postings = build_postings(docs).persist()
+    segs = build_segments(postings, n_buckets=n_buckets).collect()
+    # invariant: sum(df) over segments == distinct (field,term,doc_id)
+    n_postings = postings.count()
+    assert sum(r["df"] for r in segs) == n_postings
+    # per (bucket, field, term) unique
+    keys = [(r["bucket"], r["field"], r["term"]) for r in segs]
+    assert len(keys) == len(set(keys))
+    # doc ids decode to the right bucket
+    for r in segs[:50]:
+        ids = delta_decode(r["doc_ids"]).astype(np.int64)
+        assert np.all(ids % n_buckets == r["bucket"])
+        assert np.all(np.diff(ids) > 0)
+    postings.unpersist()
