@@ -1,0 +1,345 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Each entry runs one engine operator (SURVEY.md §2 / the brief's pipeline
+additions) over the driver-provided tables at ``sf_dir`` and has an exact
+ANSI-SQL mirror for DuckDB. Column names/types are aligned on both sides
+(the driver hash-compares values after sorting columns by name).
+
+The `documents` table (doc_id, text, lang, source, n_chars) stands in for
+the code corpus here; its text is single-space tokenized, so the SQL oracle
+tokenizer is ``string_split(text, ' ')`` and the Spark side uses the
+engine's ``mode="simple"`` analyzer — byte-identical token streams.
+Engine-internal ops with no SQL mirror (porter chain, codecs, WAND) are
+covered by the pytest golden suite instead (tests/).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from fuzzy_wiki_spark.functions import text as TXT
+from fuzzy_wiki_spark.operators import dedup as DD
+from fuzzy_wiki_spark.operators import postings as P
+from fuzzy_wiki_spark.operators import similarity as SIM
+from fuzzy_wiki_spark.operators.topk import score_query
+from fuzzy_wiki_spark.plans.query import Clause
+
+BM25_QUERY_TERMS = ["spark", "merge", "join"]
+K1, B = 1.2, 0.75
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _postings_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → postings via the engine's Arrow tokenize stage."""
+    return P.build_postings(
+        _docs(spark, sf_dir), fields={"content": "text"}, mode="simple"
+    )
+
+
+# --------------------------------------------------------------------------
+# queries() callables
+# --------------------------------------------------------------------------
+
+
+def q_postings(spark, sf_dir):
+    """O7/O8: tokenize → (doc_id, term, tf) postings."""
+    return _postings_simple(spark, sf_dir).select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf")
+    )
+
+
+def q_doc_lens(spark, sf_dir):
+    """O18: exact per-doc token count (field length)."""
+    return (
+        P.doc_lens(_postings_simple(spark, sf_dir))
+        .select("doc_id", F.col("dl").cast("long").alias("dl"))
+    )
+
+
+def q_term_stats(spark, sf_dir):
+    """O20: per-term df + idf (BM25 idf form, MyBM25Similarity.java:65-67)."""
+    posts = _postings_simple(spark, sf_dir)
+    n_docs = P.field_stats(posts).select("doc_count")
+    ts = P.term_stats(posts)
+    return (
+        ts.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "df",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("doc_count") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                ),
+                6,
+            ).alias("idf"),
+        )
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """O13-O15/O19: full BM25 scoring pipeline, top-10 for a fixed query.
+
+    Uses the engine's scorer with boost-1.0 term clauses over the single
+    'content' field (the SQL-expressible relational skeleton; phrase/slop
+    clauses are exercised by the pytest golden suite)."""
+    posts = _postings_simple(spark, sf_dir)
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    ts = P.term_stats(posts)
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in ts.where(F.col("term").isin(BM25_QUERY_TERMS)).collect()
+    }
+    clauses = [
+        Clause(i, "content", (t,), 1.0, 0, False)
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    ]
+    res = score_query(spark, posts, clauses, term_df, fstats, docs_meta=None, k=10)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_term_topdocs(spark, sf_dir):
+    """Window top-k per group: top-5 docs by tf for each query term."""
+    posts = _postings_simple(spark, sf_dir).where(
+        F.col("term").isin(BM25_QUERY_TERMS)
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        posts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("term", "doc_id", F.col("tf").cast("long").alias("tf"), "rank")
+    )
+
+
+def q_point_lookup(spark, sf_dir):
+    """O21: exact point lookup by id (predicate pushdown)."""
+    return _docs(spark, sf_dir).where(F.col("doc_id") == 42).select(
+        "doc_id", "text"
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups by md5(text) — all groups (corpus has no dups, so
+    emitting singletons keeps the comparison non-vacuous)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Order-insensitive document fingerprint (rolling content identity)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", TXT.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: token count, stopword ratio, avg token length."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TXT.token_count(F.col("text")).alias("n_tokens"),
+        F.round(TXT.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        F.round(TXT.avg_token_len(F.col("text")), 6).alias("avg_tok_len"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-heuristic language ID."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", TXT.lang_guess(F.col("text")).alias("lang_guess")
+    )
+
+
+def q_ann_cosine(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    res = SIM.cosine_topk(emb, list(qvec), k=10, exclude_ids=[0])
+    return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs among vec_id < 200 (exact O(n²)
+    verification variant; LSH path is lsh_cosine_topk)."""
+    res = SIM.cosine_pairs(_emb(spark, sf_dir), threshold=0.35, max_id=200)
+    return res.select(
+        "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidates (no SQL oracle: xxhash64 is
+    Spark-specific → rows-only check)."""
+    return DD.minhash_lsh_pairs(
+        _docs(spark, sf_dir), text_col="text", min_jaccard=0.3
+    ).select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints (rows-only: xxhash64-based)."""
+    return DD.simhash(_docs(spark, sf_dir), text_col="text")
+
+
+def q_flagship_porter(spark, sf_dir):
+    """Flagship: full porter-chain BM25 engine over documents (rows-only —
+    the porter analyzer has no SQL mirror; correctness is pinned by the
+    oracle golden suite in tests/)."""
+    from fuzzy_wiki_spark.engine import InvertedIndex
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("source").alias("path"),
+        F.col("text").alias("content"),
+    )
+    idx = InvertedIndex.build(spark, docs, persist=False)
+    res = idx.search("spark merge join", k=10)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered by the driver)
+# --------------------------------------------------------------------------
+
+_TOK = (
+    "SELECT doc_id, t AS term FROM ("
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents"
+    ") WHERE t <> ''"
+)
+_TF = f"SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({_TOK}) GROUP BY doc_id, term"
+_DL = f"SELECT doc_id, count(*)::BIGINT AS dl FROM ({_TOK}) GROUP BY doc_id"
+_QTERMS = "('" + "','".join(BM25_QUERY_TERMS) + "')"
+
+ORACLE_SQL: dict[str, str] = {
+    "postings": _TF,
+    "doc_lens": _DL,
+    "term_stats": f"""
+        WITH tf AS ({_TF}), n AS (SELECT count(DISTINCT doc_id) AS doc_count FROM tf)
+        SELECT term, count(*)::BIGINT AS df,
+               round(ln(1 + (n.doc_count - count(*) + 0.5)/(count(*) + 0.5)), 6) AS idf
+        FROM tf CROSS JOIN n GROUP BY term, n.doc_count
+    """,
+    "bm25_topk": f"""
+        WITH tf AS ({_TF}), dl AS ({_DL}),
+        st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+        dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                WHERE term IN {_QTERMS} GROUP BY term),
+        sc AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+                      * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ) AS s
+          FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+          GROUP BY tf.doc_id)
+        SELECT doc_id, round(s, 6) AS score FROM sc
+        ORDER BY s DESC, doc_id LIMIT 10
+    """,
+    "term_topdocs": f"""
+        WITH tf AS ({_TF}),
+        r AS (SELECT term, doc_id, tf,
+                     row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rank
+              FROM tf WHERE term IN {_QTERMS})
+        SELECT term, doc_id, tf, rank::INT AS rank FROM r WHERE rank <= 5
+    """,
+    "point_lookup": "SELECT doc_id, text FROM documents WHERE doc_id = 42",
+    "dedup_exact": """
+        SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_dups,
+               min(doc_id) AS min_doc_id
+        FROM documents GROUP BY md5(text)
+    """,
+    "fingerprint": """
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp
+        FROM documents
+    """,
+    "text_quality": """
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+          FROM documents),
+        stops AS (SELECT ['a','an','and','are','as','at','be','but','by','for',
+                 'if','in','into','is','it','no','not','of','on','or','such',
+                 'that','the','their','then','there','these','they','this',
+                 'to','was','will','with'] AS sw)
+        SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+               round(CASE WHEN len(ts) > 0 THEN
+                 len(list_filter(ts, x -> list_contains(sw, lower(x))))::DOUBLE / len(ts)
+                 ELSE 0 END, 6) AS stop_ratio,
+               round(CASE WHEN len(ts) > 0 THEN
+                 list_sum(list_transform(ts, x -> len(x)))::DOUBLE / len(ts)
+                 ELSE 0 END, 6) AS avg_tok_len
+        FROM toks CROSS JOIN stops
+    """,
+    "lang_id": """
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+          FROM documents),
+        stops AS (SELECT ['a','an','and','are','as','at','be','but','by','for',
+                 'if','in','into','is','it','no','not','of','on','or','such',
+                 'that','the','their','then','there','these','they','this',
+                 'to','was','will','with'] AS sw)
+        SELECT doc_id,
+               CASE WHEN len(ts) > 0 AND
+                 len(list_filter(ts, x -> list_contains(sw, lower(x))))::DOUBLE / len(ts) >= 0.15
+               THEN 'en' ELSE 'other' END AS lang_guess
+        FROM toks CROSS JOIN stops
+    """,
+    "ann_cosine": """
+        WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+                   FROM embeddings WHERE vec_id = 0),
+        s AS (SELECT vec_id,
+                     list_dot_product(list_transform(embedding, x -> x::DOUBLE), qe)
+                     / (sqrt(list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+                                              list_transform(embedding, x -> x::DOUBLE)))
+                        * sqrt(list_dot_product(qe, qe))) AS cos
+              FROM embeddings CROSS JOIN q WHERE vec_id <> 0)
+        SELECT vec_id, round(cos, 4) AS cos_sim FROM s
+        ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+    "embed_neardup": """
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+                   FROM embeddings WHERE vec_id < 200)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))), 4) AS cos_sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))) >= 0.35
+    """,
+}
+
+QUERIES = {
+    "postings": q_postings,
+    "doc_lens": q_doc_lens,
+    "term_stats": q_term_stats,
+    "bm25_topk": q_bm25_topk,
+    "term_topdocs": q_term_topdocs,
+    "point_lookup": q_point_lookup,
+    "dedup_exact": q_dedup_exact,
+    "fingerprint": q_fingerprint,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "ann_cosine": q_ann_cosine,
+    "embed_neardup": q_embed_neardup,
+    # rows-only (no SQL mirror — Spark-specific hashing / porter chain):
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "flagship_porter": q_flagship_porter,
+}

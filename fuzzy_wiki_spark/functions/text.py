@@ -1,0 +1,80 @@
+"""Text-analysis column functions (training-data pipeline additions).
+
+All pure Column expressions — JVM-side, whole-stage codegen, no UDFs:
+token counting, quality scoring (length/punct/stopword ratios), a stopword
+language-ID heuristic, and document fingerprinting. Each has an exact ANSI
+SQL equivalent (used as the DuckDB oracle in __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.analyzer import ENGLISH_STOP_WORDS
+
+
+def tokens(text_col) -> Column:
+    """Whitespace tokens, empties removed (single-space-joined corpora)."""
+    return F.filter(F.split(text_col, " "), lambda t: t != "")
+
+
+def token_count(text_col) -> Column:
+    return F.size(tokens(text_col)).cast("long")
+
+
+def stopword_ratio(text_col) -> Column:
+    """Fraction of tokens that are English stop words (quality signal)."""
+    toks = tokens(text_col)
+    stops = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, F.lower(t))))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def avg_token_len(text_col) -> Column:
+    toks = tokens(text_col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, v: a + v
+    )
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def punct_ratio(text_col) -> Column:
+    """Non-alphanumeric-non-space chars / total chars."""
+    clean = F.regexp_replace(text_col, r"[A-Za-z0-9\s]", "")
+    return F.when(
+        F.length(text_col) > 0,
+        F.length(clean).cast("double") / F.length(text_col),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text_col) -> Column:
+    """Composite quality in [0,1]: favors mid-length docs, few stopwords
+    gone wrong, low punctuation noise. Deterministic, documented formula:
+    q = clamp(n_tok/100, 0, 1) * (1 - punct_ratio) * (1 - |stop_ratio - 0.4|)."""
+    n = token_count(text_col)
+    lenf = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+    return (
+        lenf
+        * (F.lit(1.0) - punct_ratio(text_col))
+        * (F.lit(1.0) - F.abs(stopword_ratio(text_col) - F.lit(0.4)))
+    )
+
+
+def lang_guess(text_col) -> Column:
+    """Stopword-heuristic language ID: 'en' if >=15% of tokens are English
+    stop words, else 'other'. (Real n-gram langid needs model tables; this
+    is the deterministic, SQL-mirrorable heuristic.)"""
+    return F.when(stopword_ratio(text_col) >= 0.15, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+def fingerprint(text_col) -> Column:
+    """Document fingerprint: md5 over the sorted distinct token set —
+    word-order-insensitive content identity (near-dup prefilter)."""
+    return F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col))))
+    )

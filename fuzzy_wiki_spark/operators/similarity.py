@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k (the correctness baseline) and an LSH-bucketed
+approximate variant (the scale path). Both JVM-side: dot products via
+``zip_with`` + ``aggregate`` column expressions — no Python in the plan.
+
+Scale notes: brute force is a single scan + TakeOrderedAndProject (fine for
+one query vector over any corpus size — it's embarrassingly parallel); for
+batch query sets use random-hyperplane LSH to bucket vectors, then rerank
+exactly within buckets, turning O(Q·N) into O(Q·N/2^bits · collision)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k vs one query vector: (vec_id, cos_sim).
+
+    The query vector is a literal array baked into the plan (broadcast-free);
+    the scan + score + TakeOrderedAndProject plan never shuffles data."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = df.select(
+        F.col(id_col),
+        (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))).alias(
+            "cos_sim"
+        ),
+    )
+    if exclude_ids:
+        out = out.where(~F.col(id_col).isin(exclude_ids))
+    return out.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_id: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (doc pairs with cos >= t).
+
+    Exact O(n²) variant for verification (optionally bounded by max_id);
+    at scale use lsh_buckets + within-bucket pairs instead."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        (_norm(F.col(vec_col))).alias("n"),
+    )
+    if max_id is not None:
+        v = v.where(F.col("id") < max_id)
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.n") * F.col("b.n"))
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def lsh_bucket(
+    df: DataFrame,
+    planes: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding, bucket) — random-hyperplane signature as a long.
+
+    sign(v·p_i) per plane → bit i. Planes are plan literals (bits ≤ 16 for a
+    single probe bucket; multi-probe = query neighboring buckets)."""
+    sig = None
+    for i, p in enumerate(planes):
+        d = _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p]))
+        bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    planes: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket,
+    exact cosine rerank inside. Recall < 1 by construction; the bench
+    compares it against cosine_topk for recall@k."""
+    qsig = 0
+    qv = np.asarray(query_vec, dtype=np.float64)
+    for i, p in enumerate(planes):
+        if float(np.dot(qv, p)) >= 0:
+            qsig |= 1 << i
+    bucketed = lsh_bucket(df, planes, id_col, vec_col)
+    cand = bucketed.where(F.col("bucket") == qsig)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            F.col(id_col),
+            (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
