@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...}
+
+Suite = porter index build over `documents` + BM25 query set over the
+persisted index + the heavy pipeline operators (postings materialization,
+SQL-skeleton BM25, MinHash-LSH, SimHash, ANN cosine). Extra keys beyond the
+contract (build_files_per_sec, query p50/p99) are informational.
+
+Scaling evidence (north rule, N vs 4N executors): run
+  SPARK_GRAFT_CPUS=8 python bench.py   and   SPARK_GRAFT_CPUS=32 python bench.py
+— see BENCH.md for recorded results + efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fuzzy_wiki_spark import get_spark  # noqa: E402
+from fuzzy_wiki_spark import driver_queries as DQ  # noqa: E402
+from fuzzy_wiki_spark.engine import InvertedIndex  # noqa: E402
+
+BM25_QUERIES = [
+    "spark merge join",
+    "window batch stream",
+    "customer order",
+    "hash table scan",
+    "slow query filter",
+    "vector column data",
+    "the small part",
+    "sort",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark(
+        "fuzzy-wiki-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.col("source").alias("path"),
+        F.col("text").alias("content"),
+    )
+    n_docs = docs.count()
+
+    # 1) index build (porter chain, postings + stats materialized)
+    idx = timed(
+        "build_index",
+        lambda: InvertedIndex.build(spark, docs, persist=True),
+    )
+    n_postings = timed("postings_count", lambda: idx.postings.count())
+
+    # 2) BM25 query set over the persisted index
+    q_times = []
+    for i, q in enumerate(BM25_QUERIES):
+        t0 = time.perf_counter()
+        idx.search(q, k=10).collect()
+        dt = time.perf_counter() - t0
+        q_times.append(dt)
+        timings[f"bm25_q{i}"] = round(dt, 4)
+
+    # 3) heavy pipeline operators (driver-contract implementations)
+    timed("pipe_postings", lambda: DQ.q_postings(spark, sf_dir).count())
+    timed("pipe_bm25_sql_skeleton", lambda: DQ.q_bm25_topk(spark, sf_dir).collect())
+    timed("pipe_dedup_exact", lambda: DQ.q_dedup_exact(spark, sf_dir).count())
+    timed("pipe_minhash_pairs", lambda: DQ.q_minhash_pairs(spark, sf_dir).count())
+    timed("pipe_simhash", lambda: DQ.q_simhash(spark, sf_dir).count())
+    timed("pipe_ann_cosine", lambda: DQ.q_ann_cosine(spark, sf_dir).collect())
+
+    total = round(sum(timings.values()), 4)
+    q_sorted = sorted(q_times)
+    p50 = q_sorted[len(q_sorted) // 2]
+    p99 = q_sorted[min(len(q_sorted) - 1, int(len(q_sorted) * 0.99))]
+    out = {
+        "metric": "headline suite wall time (index build + BM25 query set + pipeline ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "n_postings": n_postings,
+        "build_files_per_sec": round(n_docs / timings["build_index"], 2),
+        "bm25_p50_sec": round(p50, 4),
+        "bm25_p99_sec": round(p99, 4),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Per-partition checkpoint/lineage for resumable index builds (north rule).
+
+The reference has NO checkpointing: a failed MapReduce build restarts and the
+merge step is manual (SURVEY.md §4; the only lineage artifact is the shard
+path emitted at Indexer.java:57-63 cleanup). Here every *partition group* of
+the corpus is built as its own idempotent unit:
+
+  manifest row: (partition_id, input_fingerprint, n_docs, n_postings,
+                 bytes, wall_ms, status)
+
+A group's output lands under ``<out>/postings/group=<id>/`` only after it
+completes; the manifest row is written after the data (write-ahead-commit
+ordering: data first, then manifest — a crash between the two re-runs the
+group, which is idempotent because the output dir is overwritten).
+
+Resume = anti-join: groups whose manifest row exists with a matching input
+fingerprint are skipped without re-tokenizing (the fingerprint is an
+order-independent aggregate over (doc_id, content_sha256), so upstream
+changes invalidate exactly the groups they touch).
+
+Scale: a "group" is a coarse unit (hundreds at 10^12-file scale, each a
+fully distributed Spark job over many tasks) — the driver loop is over
+groups, never rows. On Iceberg this maps to partition-level incremental
+processing; parquet directories play that role in the sandbox.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.operators.postings import build_postings
+
+MANIFEST_SCHEMA = (
+    "partition_id int, input_fingerprint long, n_docs long, n_postings long, "
+    "bytes long, wall_ms long, status string"
+)
+
+
+def _group_fingerprint(docs_group: DataFrame) -> tuple[int, int]:
+    """(fingerprint, n_docs): order-independent xxhash64 XOR aggregate
+    (XOR never overflows under ANSI mode; doc_ids are unique so no
+    pairwise cancellation of identical rows)."""
+    row = docs_group.select(
+        F.bit_xor(
+            F.xxhash64(F.col("doc_id"), F.coalesce(F.col("content"), F.lit("")))
+        ).alias("fp"),
+        F.count("*").alias("n"),
+    ).head()
+    return int(row["fp"] or 0), int(row["n"])
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    mpath = Path(out_dir) / "manifest"
+    if mpath.exists() and any(mpath.glob("*.parquet")):
+        return spark.read.parquet(str(mpath))
+    return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def completed_groups(spark: SparkSession, out_dir: str) -> dict[int, int]:
+    """partition_id -> input_fingerprint for groups marked done."""
+    return {
+        r["partition_id"]: r["input_fingerprint"]
+        for r in read_manifest(spark, out_dir)
+        .where(F.col("status") == "done")
+        .collect()
+    }
+
+
+def build_index_checkpointed(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    out_dir: str,
+    n_groups: int = 8,
+    mode: str = "porter",
+    fields: dict[str, str] | None = None,
+) -> dict:
+    """Build postings group-by-group with manifest checkpointing.
+
+    Returns {"built": [...], "skipped": [...]} group ids. Output layout:
+    ``<out>/postings/group=<id>/*.parquet`` + ``<out>/manifest/``.
+    """
+    out = Path(out_dir)
+    done = completed_groups(spark, out_dir)
+    built, skipped = [], []
+
+    for gid in range(n_groups):
+        group = docs_df.where(F.col("doc_id") % n_groups == gid)
+        fp, n_docs = _group_fingerprint(group)
+        if done.get(gid) == fp:
+            skipped.append(gid)
+            continue
+        t0 = time.perf_counter()
+        posts = build_postings(group, fields=fields, mode=mode)
+        gdir = out / "postings" / f"group={gid}"
+        posts.write.mode("overwrite").parquet(str(gdir))
+        n_postings = spark.read.parquet(str(gdir)).count()
+        nbytes = sum(f.stat().st_size for f in gdir.rglob("*.parquet"))
+        wall_ms = int((time.perf_counter() - t0) * 1000)
+        row = [(gid, fp, n_docs, n_postings, nbytes, wall_ms, "done")]
+        spark.createDataFrame(row, MANIFEST_SCHEMA).write.mode("append").parquet(
+            str(out / "manifest")
+        )
+        built.append(gid)
+
+    return {"built": built, "skipped": skipped}
+
+
+def load_checkpointed_postings(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(str(Path(out_dir) / "postings"))

@@ -197,6 +197,15 @@ def q_simhash(spark, sf_dir):
     return DD.simhash(_docs(spark, sf_dir), text_col="text")
 
 
+def q_events_window(spark, sf_dir):
+    """Tumbling-window event aggregation (batch form of the streaming
+    operator; identical semantics — streaming/incremental.py)."""
+    from fuzzy_wiki_spark.streaming.incremental import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_counts(ev, window="1 hour")
+
+
 def q_flagship_porter(spark, sf_dir):
     """Flagship: full porter-chain BM25 engine over documents (rows-only —
     the porter analyzer has no SQL mirror; correctness is pinned by the
@@ -299,6 +308,11 @@ ORACLE_SQL: dict[str, str] = {
                THEN 'en' ELSE 'other' END AS lang_guess
         FROM toks CROSS JOIN stops
     """,
+    "events_window": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+               count(*)::BIGINT AS n, round(sum(value), 6) AS total
+        FROM events GROUP BY 1, 2
+    """,
     "ann_cosine": """
         WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
                    FROM embeddings WHERE vec_id = 0),
@@ -336,6 +350,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
+    "events_window": q_events_window,
     "ann_cosine": q_ann_cosine,
     "embed_neardup": q_embed_neardup,
     # rows-only (no SQL mirror — Spark-specific hashing / porter chain):

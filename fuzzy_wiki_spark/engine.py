@@ -108,3 +108,78 @@ class InvertedIndex:
                 df.unpersist()
             except Exception:
                 pass
+
+
+class SegmentIndex:
+    """v2 engine: compressed, bucket-partitioned on-disk segments
+    (operators/segments.py) queried via per-bucket DAAT + MaxScore
+    (operators/segment_query.py). Same query semantics as InvertedIndex —
+    the golden suite runs both against the oracle.
+
+    On-disk layout under ``path``:
+      segments/   bucket-partitioned parquet, term-sorted within files
+      term_stats/ (field, term, df, sum_tf) parquet
+      stats/      (field, doc_count, sum_dl) parquet
+    (Iceberg tables with the same spec in production.)
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.segments = spark.read.parquet(f"{path}/segments")
+        self.term_stats = spark.read.parquet(f"{path}/term_stats")
+        self.field_stats = {
+            r["field"]: (r["doc_count"], float(r["sum_dl"]) / r["doc_count"])
+            for r in spark.read.parquet(f"{path}/stats").collect()
+        }
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        docs_df: DataFrame,
+        path: str,
+        n_buckets: int = 32,
+        mode: str = "porter",
+        fields: dict[str, str] | None = None,
+    ) -> "SegmentIndex":
+        from fuzzy_wiki_spark.operators.segments import (
+            build_index_segments,
+            write_segments,
+        )
+
+        postings = P.build_postings(docs_df, fields=fields, mode=mode).persist()
+        docs_meta = docs_df.select(
+            "doc_id",
+            F.upper(F.coalesce(F.col("content"), F.lit(""))).startswith(
+                "REDIRECT"
+            ).alias("is_redirect"),
+        )
+        segs = build_index_segments(postings, docs_meta, n_buckets=n_buckets)
+        write_segments(segs, f"{path}/segments", n_buckets=n_buckets)
+        P.term_stats(postings).write.mode("overwrite").parquet(
+            f"{path}/term_stats"
+        )
+        P.field_stats(postings).select(
+            "field", "doc_count", "sum_dl"
+        ).write.mode("overwrite").parquet(f"{path}/stats")
+        postings.unpersist()
+        return cls(spark, path)
+
+    def search(self, query: str, k: int = 10) -> DataFrame:
+        from fuzzy_wiki_spark.operators.segment_query import search_segments
+
+        clauses = compile_query(query)
+        terms = sorted({t for c in clauses for t in c.terms})
+        term_df = {}
+        if terms:
+            rows = self.term_stats.where(F.col("term").isin(terms)).collect()
+            term_df = {(r["field"], r["term"]): r["df"] for r in rows}
+        return search_segments(
+            self.spark,
+            self.segments,
+            clauses,
+            term_df,
+            self.field_stats,
+            k=k,
+        )

@@ -1,0 +1,143 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Brief requirement for the 100 TB training-data pipeline. The Spark-side
+plumbing is REAL — schemas, partition-preserving ``mapInPandas`` operators,
+Arrow batch shapes, deterministic fake feature extraction for tests — while
+the actual media decoding is STUBBED (the container has no image/audio
+libs): ``decode_image``/``decode_audio`` raise ``NotImplementedError``
+unless ``fake=True``, which produces a deterministic fake decode keyed by
+``sha2(payload)`` so tests exercise the full distributed path.
+
+Design notes for scale:
+- media bytes stay in an opaque ``binary`` column; metadata (width, height,
+  codec, duration) is typed columns so filters prune BEFORE any decode —
+  predicate pushdown on parquet/Iceberg column stats works on metadata but
+  never on blobs.
+- decode/resize/frame-sample run inside ``mapInPandas`` so one Python worker
+  processes a whole Arrow batch of blobs; batch size is capped by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` to bound memory
+  (blobs ~MBs each → set it low for media tables).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+MEDIA_SCHEMA_DDL = (
+    "media_id long, kind string, payload binary, width int, height int, "
+    "duration_s double, codec string"
+)
+
+IMAGE_FEATURES_DDL = "media_id long, feat array<float>, feat_dim int"
+FRAME_SAMPLE_DDL = "media_id long, frame_idx int, frame_sha string"
+
+
+def make_fake_media(n: int, seed: int = 42) -> pd.DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
+        rows.append(
+            {
+                "media_id": i,
+                "kind": kind,
+                "payload": payload,
+                "width": 64 * (1 + i % 4) if kind != "audio" else 0,
+                "height": 64 * (1 + i % 3) if kind != "audio" else 0,
+                "duration_s": float(i % 30) if kind != "image" else 0.0,
+                "codec": {"image": "png", "audio": "opus", "video": "h264"}[kind],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: feature vector derived
+    from sha256(payload) — stable across partitions/runs."""
+    h = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    return (raw % 1000).astype(np.float32) / 1000.0
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Real decode is stubbed: no image libs in this container."""
+    if fake:
+        return _fake_decode(payload, 64)
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv (not in this container); "
+        "pass fake=True for the deterministic test path"
+    )
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
+    if fake:
+        return _fake_decode(payload, 128)
+    raise NotImplementedError(
+        "audio decoding requires soundfile/ffmpeg (not in this container); "
+        "pass fake=True for the deterministic test path"
+    )
+
+
+def extract_image_features(media_df, dim: int = 64, fake: bool = True):
+    """media table → (media_id, feat array<float>, feat_dim) via mapInPandas.
+
+    Only image rows are decoded; the ``kind`` filter happens in the Spark
+    plan (pushdown) BEFORE bytes reach Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image(p, fake=fake) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feat": [f.tolist() for f in feats],
+                    "feat_dim": [len(f) for f in feats],
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    return media_df.where(F.col("kind") == "image").mapInPandas(
+        run, IMAGE_FEATURES_DDL
+    )
+
+
+def sample_frames(media_df, every_s: float = 1.0, fake: bool = True):
+    """video table → one row per sampled frame (frame-sample plumbing).
+
+    Real frame extraction is stubbed: the fake path emits
+    ceil(duration/every_s) frames with sha-derived ids, preserving the
+    explode-like row multiplication a real sampler produces."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_sha = [], [], []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_s"]
+            ):
+                if not fake:
+                    raise NotImplementedError("video decode not available")
+                n_frames = max(1, int(float(dur) / every_s))
+                base = hashlib.sha256(payload).hexdigest()
+                for j in range(n_frames):
+                    out_id.append(mid)
+                    out_idx.append(j)
+                    out_sha.append(
+                        hashlib.sha256(f"{base}:{j}".encode()).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(
+                {"media_id": out_id, "frame_idx": out_idx, "frame_sha": out_sha}
+            )
+
+    from pyspark.sql import functions as F
+
+    return media_df.where(F.col("kind") == "video").mapInPandas(
+        run, FRAME_SAMPLE_DDL
+    )

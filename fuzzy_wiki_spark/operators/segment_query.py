@@ -1,0 +1,238 @@
+"""Segment-backed BM25 top-k: per-bucket DAAT scoring with MaxScore pruning.
+
+The v2 query path (SURVEY.md §7 step 6). The v1 engine (topk.py) scores the
+raw postings DataFrame; this one reads the compressed ``index_segments``
+layout (segments.py) and executes the reference's scatter / partial-top-k /
+gather shape (Searcher.java:66-68 + WikiSearcher O23/O24 + merge O15)
+entirely inside Spark:
+
+    segments.where(term ∈ query ∪ {_dl,_redirect})   ← partition+rowgroup prune
+      → groupBy(bucket)                               ← no posting shuffle:
+        applyInPandas(bucket_topk)                      segments already
+      → TakeOrderedAndProject(k)                        bucket-partitioned
+
+Inside a bucket everything is vectorized numpy over decoded arrays:
+- delta+varint decode of doc_ids/tfs (codec.py),
+- per-doc dl from the bucket's ``_dl`` meta row (same codec),
+- term-clause contributions via searchsorted joins,
+- sloppy-phrase via the anchor-min matcher (positions decoded lazily, only
+  for docs containing ALL phrase terms),
+- **MaxScore pruning** (WAND family, bounds from the stored block-max/max_tf
+  metadata): score the highest-upper-bound clause first → θ = its k-th best
+  partial score (a valid lower bound on the final k-th score); clauses whose
+  suffix upper-bound sum is < θ are non-essential — docs appearing ONLY in
+  non-essential clauses can never enter the top-k, so the candidate set is
+  the union of essential clauses' postings and non-essential lists are only
+  probed at candidate positions. Exact top-k, skew-proof (hot terms are
+  split across buckets by construction).
+
+At 10^12-file scale each bucket is one task reading only the query terms'
+segment rows for its partition — the scan is pruned by partition (bucket)
+and by parquet row-group stats on the sorted ``term`` column.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from fuzzy_wiki_spark.codec import decode_tfs, delta_decode
+from fuzzy_wiki_spark.operators.segments import decode_positions
+from fuzzy_wiki_spark.plans.query import B, K1, Clause
+
+META_DL = "_dl"
+META_REDIRECT = "_redirect"
+
+
+def _tf_norm(freq: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    return freq / (freq + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def _clause_ub(weight: float, max_tf: int) -> float:
+    """Upper bound of a clause's contribution: tf_norm is increasing in tf
+    and decreasing in dl; bound with dl→0 ⇒ tf/(tf + k1(1−b))."""
+    if max_tf <= 0:
+        return 0.0
+    return weight * max_tf / (max_tf + K1 * (1.0 - B))
+
+
+def bucket_topk(
+    seg_pdf: pd.DataFrame,
+    clauses: list[Clause],
+    weights: dict[int, float],
+    avgdl: dict[str, float],
+    k: int,
+    use_maxscore: bool = True,
+) -> pd.DataFrame:
+    """Score one bucket's segment rows → local top-k (doc_id, score)."""
+    # decode meta rows: per-field dl maps and redirect set
+    dl_map: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    redirect_ids = np.empty(0, dtype=np.int64)
+    rows: dict[tuple[str, str], pd.Series] = {}
+    for _, r in seg_pdf.iterrows():
+        if r["term"] == META_DL:
+            dl_map[r["field"]] = (
+                delta_decode(r["doc_ids"]).astype(np.int64),
+                decode_tfs(r["tfs"]).astype(np.float64),
+            )
+        elif r["term"] == META_REDIRECT:
+            redirect_ids = delta_decode(r["doc_ids"]).astype(np.int64)
+        else:
+            rows[(r["field"], r["term"])] = r
+
+    def term_arrays(field: str, term: str):
+        r = rows.get((field, term))
+        if r is None:
+            return None
+        ids = delta_decode(r["doc_ids"]).astype(np.int64)
+        tfs = decode_tfs(r["tfs"]).astype(np.float64)
+        return r, ids, tfs
+
+    def dl_for(field: str, ids: np.ndarray) -> np.ndarray:
+        all_ids, dls = dl_map[field]
+        idx = np.searchsorted(all_ids, ids)
+        return dls[idx]
+
+    # per-clause decoded contribution lists: (doc_ids, contrib)
+    contribs: list[tuple[np.ndarray, np.ndarray, float]] = []  # +ub
+    for cl in clauses:
+        w = weights.get(cl.clause_id, 0.0)
+        if w == 0.0:
+            continue
+        if cl.is_phrase and len(cl.terms) > 1:
+            arrs = [term_arrays(cl.field, t) for t in cl.terms]
+            if any(a is None for a in arrs):
+                continue
+            # docs containing ALL member terms
+            cand = arrs[0][1]
+            for _, ids, _ in arrs[1:]:
+                cand = cand[np.isin(cand, ids, assume_unique=True)]
+            if cand.size == 0:
+                continue
+            # lazy positions decode, only candidate docs
+            pos_lists = []
+            freqs = np.zeros(cand.size)
+            for r, ids, tfs in arrs:
+                sel = np.searchsorted(ids, cand)
+                freqs += tfs[sel]
+                plist = decode_positions(r["pos_lens"], r["positions"])
+                pos_lists.append([plist[i].astype(np.int64) for i in sel])
+            matched = np.zeros(cand.size, dtype=bool)
+            for j in range(cand.size):
+                lists = [pl[j] for pl in pos_lists]
+                bases = lists[0]
+                cost = np.zeros(bases.size, dtype=np.int64)
+                for i in range(1, len(lists)):
+                    cost += np.abs(
+                        lists[i][None, :] - (bases + i)[:, None]
+                    ).min(axis=1)
+                matched[j] = bool((cost <= cl.slop).any())
+            cand, freqs = cand[matched], freqs[matched]
+            if cand.size == 0:
+                continue
+            c = w * _tf_norm(freqs, dl_for(cl.field, cand), avgdl[cl.field])
+            ub = _clause_ub(w, int(sum(r["max_tf"] for r, _, _ in arrs)))
+            contribs.append((cand, c, ub))
+        else:
+            got = term_arrays(cl.field, cl.terms[0])
+            if got is None:
+                continue
+            r, ids, tfs = got
+            c = w * _tf_norm(tfs, dl_for(cl.field, ids), avgdl[cl.field])
+            contribs.append((ids, c, _clause_ub(w, int(r["max_tf"]))))
+
+    if not contribs:
+        return pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+
+    if use_maxscore and len(contribs) > 1:
+        # MaxScore: order by ub desc; θ from the top clause's kth best
+        contribs.sort(key=lambda x: -x[2])
+        top_ids, top_c, _ = contribs[0]
+        if top_c.size > k:
+            theta = float(np.partition(top_c, -k)[-k])
+        else:
+            theta = 0.0
+        ubs = [ub for _, _, ub in contribs]
+        suffix = np.cumsum([0.0] + ubs[::-1])[::-1]  # suffix[i] = Σ ub[i:]
+        # essential prefix: first m clauses with suffix ub after them >= θ
+        m = len(contribs)
+        for i in range(1, len(contribs)):
+            if suffix[i] < theta:
+                m = i
+                break
+        cand_ids = np.unique(np.concatenate([ids for ids, _, _ in contribs[:m]]))
+    else:
+        m = len(contribs)
+        cand_ids = np.unique(np.concatenate([ids for ids, _, _ in contribs]))
+
+    scores = np.zeros(cand_ids.size)
+    for i, (ids, c, _) in enumerate(contribs):
+        if i < m:
+            pos = np.searchsorted(cand_ids, ids)
+            np.add.at(scores, pos, c)
+        else:
+            # non-essential: probe only at candidate positions
+            pos = np.searchsorted(ids, cand_ids)
+            pos = np.minimum(pos, ids.size - 1)
+            hit = ids[pos] == cand_ids
+            scores[hit] += c[pos[hit]]
+
+    if redirect_ids.size:
+        keep = ~np.isin(cand_ids, redirect_ids, assume_unique=True)
+        cand_ids, scores = cand_ids[keep], scores[keep]
+    if cand_ids.size == 0:
+        return pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+    order = np.lexsort((cand_ids, -scores))[:k]
+    return pd.DataFrame(
+        {"doc_id": cand_ids[order], "score": scores[order]}
+    )
+
+
+def search_segments(
+    spark,
+    segments_df,
+    clauses: list[Clause],
+    term_df: dict[tuple[str, str], int],
+    field_stats: dict[str, tuple[int, float]],
+    k: int = 10,
+):
+    """Distributed segment search → global top-k (doc_id, score) DataFrame."""
+    from pyspark.sql import functions as F
+
+    if not clauses:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    doc_counts = {f: dc for f, (dc, _) in field_stats.items()}
+    avgdl = {f: a for f, (_, a) in field_stats.items()}
+    weights: dict[int, float] = {}
+    for cl in clauses:
+        weights[cl.clause_id] = cl.boost * sum(
+            math.log(
+                1.0
+                + (doc_counts.get(cl.field, 0) - term_df.get((cl.field, t), 0) + 0.5)
+                / (term_df.get((cl.field, t), 0) + 0.5)
+            )
+            for t in cl.terms
+        )
+    all_terms = sorted({t for c in clauses for t in c.terms}) + [
+        META_DL,
+        META_REDIRECT,
+    ]
+
+    pruned = segments_df.where(F.col("term").isin(all_terms))
+
+    # segments are written partitioned by bucket, so this groupBy's exchange
+    # moves only the ~|query terms| pruned rows per bucket — a few KB; AQE
+    # coalesces the tiny post-shuffle partitions.
+    local = pruned.groupBy("bucket").applyInPandas(
+        lambda _, g: bucket_topk(g, clauses, weights, avgdl, k),
+        "doc_id long, score double",
+    )
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -199,6 +199,47 @@ def build_segments(postings_df, n_buckets: int = 32):
     return repart.mapInArrow(encode_partition, SEGMENTS_SCHEMA_DDL)
 
 
+def build_index_segments(postings_df, docs_meta=None, n_buckets: int = 32):
+    """Full segment build: postings + per-bucket meta rows, one pipeline.
+
+    Meta rows reuse the posting codec (segment_query.py reads them):
+      - ``_dl`` per (bucket, field): doc_ids = bucket docs, tfs = exact dl —
+        the O(1) doc-length store (O18 done right; the reference walks the
+        whole vocabulary per lookup, myTermStats.java:69-88),
+      - ``_redirect`` per bucket: doc_ids of REDIRECT docs (O22 filter),
+        indexed-but-filtered exactly like the reference.
+    """
+    from pyspark.sql import functions as F
+
+    empty_pos = F.array().cast("array<int>")
+    dl_rows = (
+        postings_df.groupBy("doc_id", "field")
+        .agg(F.first("dl").alias("dl"))
+        .select(
+            "doc_id",
+            "field",
+            F.lit("_dl").alias("term"),
+            F.col("dl").alias("tf"),
+            empty_pos.alias("positions"),
+            "dl",
+        )
+    )
+    seg_input = postings_df.select(
+        "doc_id", "field", "term", "tf", "positions", "dl"
+    ).unionByName(dl_rows)
+    if docs_meta is not None:
+        red = docs_meta.where(F.col("is_redirect")).select(
+            "doc_id",
+            F.lit("content").alias("field"),
+            F.lit("_redirect").alias("term"),
+            F.lit(1).alias("tf"),
+            empty_pos.alias("positions"),
+            F.lit(0).alias("dl"),
+        )
+        seg_input = seg_input.unionByName(red)
+    return build_segments(seg_input, n_buckets=n_buckets)
+
+
 def write_segments(segments_df, path: str, n_buckets: int = 32) -> None:
     """Partition by bucket, sort by (field, term) within files → parquet
     row-group stats make term predicates prunable. (Iceberg in production:

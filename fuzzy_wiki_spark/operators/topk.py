@@ -50,11 +50,20 @@ def sloppy_match_batch(
     terms_col: pd.Series, pos_col: pd.Series, phrase_col: pd.Series, slop_col: pd.Series
 ) -> pd.Series:
     """Vectorized-batch sloppy-phrase matcher (O17). Each row is one
-    (clause, doc) candidate that already contains ALL phrase terms; per-row
-    work is a tiny combinatorial check over ≤ a few occurrence lists.
+    (clause, doc) candidate that already contains ALL phrase terms.
 
     Pinned spec (== oracle.sloppy_phrase_match): match iff ∃ distinct
-    positions p_i of term_i with Σ|p_i − (p_1 + i)| ≤ slop."""
+    positions p_i of term_i with Σ|p_i − (p_1 + i)| ≤ slop.
+
+    Fast exact path: when the phrase's terms are pairwise distinct, their
+    occurrence-position lists are disjoint (one token per position), so the
+    distinctness constraint is automatic and, for a fixed anchor p_1 = base,
+    each term minimizes |p_i − (base+i)| independently:
+        cost(base) = Σ_i min_{p∈L_i} |p − (base + i)|
+    evaluated for every base ∈ L_1 with one numpy broadcast — O(|L_1|·Σ|L_i|)
+    instead of the brute-force O(Π|L_i|). Phrases with repeated terms fall
+    back to the combinatorial check (rare, and oracle-equivalent)."""
+    import numpy as np
     from itertools import product as iproduct
 
     out = []
@@ -67,6 +76,15 @@ def sloppy_match_batch(
         lists = [posmap.get(t) for t in phrase]
         if any(not pl for pl in lists):
             out.append(False)
+            continue
+        if len(set(phrase)) == len(phrase):
+            bases = np.asarray(lists[0], dtype=np.int64)
+            cost = np.zeros(bases.size, dtype=np.int64)
+            for i in range(1, len(lists)):
+                li = np.asarray(lists[i], dtype=np.int64)
+                # min over occurrences of |p - (base + i)| per base
+                cost += np.abs(li[None, :] - (bases + i)[:, None]).min(axis=1)
+            out.append(bool((cost <= slop).any()))
             continue
         matched = False
         for combo in iproduct(*lists):

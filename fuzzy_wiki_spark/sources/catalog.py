@@ -1,0 +1,77 @@
+"""Table I/O: Iceberg in production, parquet fallback in the sandbox.
+
+The BASELINE input is "an Iceberg table of source-code repositories"; this
+module is the single place that decides between ``spark.read.table`` (Iceberg
+catalog, when the runtime jars + catalog conf are present) and path-based
+parquet (sandbox). Everything above it is layout-agnostic.
+
+Reference analogs: O1/O3 (sources: XML dump / Hadoop FileInputFormat,
+Parser/XMLparser.py:6-13, Main.java:18) and O2/O10 (sinks: JSONL writer,
+Lucene shard dirs). Our sources/sinks are columnar tables with explicit
+schemas instead of stringly files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+DOCS_SCHEMA_DDL = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is configured on this session."""
+    try:
+        jvm_cls = spark.sparkContext._jvm.java.lang.Class
+        jvm_cls.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def read_docs(spark: SparkSession, location: str) -> DataFrame:
+    """Read the docs corpus: ``catalog.db.table`` (Iceberg) or a path.
+
+    Iceberg gives snapshot isolation + partition pruning; the parquet path
+    preserves the same pushdown behavior for the sandbox."""
+    if "/" not in location and iceberg_available(spark):
+        return spark.read.table(location)
+    return spark.read.parquet(location)
+
+
+def write_table(
+    df: DataFrame,
+    location: str,
+    partition_by: list[str] | None = None,
+    sort_within: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a table with the engine's layout conventions: partition
+    columns for pruning, a sort order within files so min/max row-group
+    stats make point predicates (term lookups) skippable."""
+    if sort_within:
+        df = df.repartition(*(partition_by or sort_within)).sortWithinPartitions(
+            *sort_within
+        )
+    spark = df.sparkSession
+    if "/" not in location and iceberg_available(spark):
+        w = df.writeTo(location)
+        if mode == "overwrite":
+            w.createOrReplace()
+        else:
+            w.append()
+        return
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(location)
+
+
+def read_jsonl_docs(spark: SparkSession, path: str, schema: str | None = None):
+    """JSONL ingestion (reference O2/O3: Parser/XMLparser.py:23-26 output,
+    consumed by Parser.java:20-23) — explicit schema, no inference."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -1,0 +1,127 @@
+"""Structured-Streaming incremental index maintenance.
+
+The reference is batch-only (SURVEY.md §2: "no streaming at all"; its only
+incremental behavior is the query/document heap caches, Cache.java /
+DocumentsStorage.java). This module adds the Spark-native capability a
+100 TB corpus actually needs: new documents arrive as a stream and the index
+grows incrementally without re-tokenizing history — the streaming analog of
+checkpoint.py's group-wise batch resume.
+
+Design: ``readStream`` over the docs source → ``foreachBatch``; each
+micro-batch runs the SAME batch operators (build_postings →
+build_index_segments) and appends a new segment *generation* directory.
+Readers union generations; a background compaction (reference O11,
+IndexMerger.java) periodically k-way-merges generations per (bucket, field,
+term) — same codec, same encode_group.
+
+Query-time merge semantics over multiple generations: term_stats/df/avgdl
+are re-aggregated across generations, which is exactly the reference's
+distributed-merge math (DocTermInfoHandler O15) with generations as shards.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.operators.postings import build_postings, term_stats
+from fuzzy_wiki_spark.operators.segments import build_index_segments
+
+
+def append_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    out_dir: str,
+    n_buckets: int = 32,
+    mode: str = "porter",
+    fields: dict[str, str] | None = None,
+) -> None:
+    """foreachBatch body: micro-batch docs → one segment generation.
+
+    Idempotent per epoch (overwrite of ``gen=<epoch>``): Spark's streaming
+    checkpoint may replay an epoch after failure; replay rewrites the same
+    directory, so exactly-once output holds without a transactional sink.
+    (On Iceberg: one append commit per epoch with epoch_id in the snapshot
+    summary, validated before commit.)
+    """
+    if batch_df.isEmpty():
+        return
+    docs_meta = batch_df.select(
+        "doc_id",
+        F.upper(F.coalesce(F.col("content"), F.lit(""))).startswith(
+            "REDIRECT"
+        ).alias("is_redirect"),
+    )
+    posts = build_postings(batch_df, fields=fields, mode=mode)
+    segs = build_index_segments(posts, docs_meta, n_buckets=n_buckets)
+    gen_dir = str(Path(out_dir) / "segments" / f"gen={epoch_id}")
+    (
+        segs.repartition("bucket")
+        .sortWithinPartitions("field", "term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(gen_dir)
+    )
+    term_stats(posts).withColumn("gen", F.lit(epoch_id)).write.mode(
+        "append"
+    ).parquet(str(Path(out_dir) / "term_stats"))
+
+
+def start_incremental_index(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    schema: str,
+    checkpoint_dir: str | None = None,
+    n_buckets: int = 32,
+    mode: str = "porter",
+    fields: dict[str, str] | None = None,
+):
+    """File-source streaming build: watch ``source_dir`` for new parquet of
+    docs, index each micro-batch. Returns the StreamingQuery."""
+    checkpoint_dir = checkpoint_dir or f"{out_dir}/_checkpoint"
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            lambda bdf, eid: append_batch(
+                spark, bdf, eid, out_dir, n_buckets, mode, fields
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def load_generations(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Union of all segment generations (readers see one logical table)."""
+    return spark.read.option("basePath", f"{out_dir}/segments").parquet(
+        f"{out_dir}/segments/gen=*"
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate over an event stream —
+    late-data-tolerant counts/sums per (window, event_type). Works in both
+    batch and streaming mode (identical semantics; the batch form is the
+    DuckDB-oracle-checked queries() entry)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )

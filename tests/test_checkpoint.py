@@ -1,0 +1,62 @@
+"""Kill/resume semantics (FIXTURES.md §5 resume test, north rule)."""
+
+import pandas as pd
+import pytest
+
+from fuzzy_wiki_spark.checkpoint import (
+    build_index_checkpointed,
+    completed_groups,
+    load_checkpointed_postings,
+    read_manifest,
+)
+from fuzzy_wiki_spark.corpus import generate_docs_pdf
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(generate_docs_pdf(120, seed=42))
+
+
+def test_resume_skips_completed(spark, docs, tmp_path):
+    out = str(tmp_path / "idx")
+    # simulate a killed build: only groups 0-1 completed
+    partial_docs = docs.where("doc_id % 4 in (0, 1)")
+    r1 = build_index_checkpointed(spark, partial_docs, out, n_groups=4)
+    # groups 2,3 of the partial input are empty but still get manifest rows;
+    # their fingerprint over zero rows differs from the full input's
+    assert set(r1["built"]) == {0, 1, 2, 3}
+
+    r2 = build_index_checkpointed(spark, docs, out, n_groups=4)
+    assert set(r2["skipped"]) == {0, 1}, r2  # no re-tokenize of done groups
+    assert set(r2["built"]) == {2, 3}  # fingerprints changed -> rebuilt
+
+    # final output identical to a clean one-shot build
+    clean = str(tmp_path / "clean")
+    build_index_checkpointed(spark, docs, clean, n_groups=4)
+    a = load_checkpointed_postings(spark, out).toPandas()
+    b = load_checkpointed_postings(spark, clean).toPandas()
+    key = ["doc_id", "field", "term"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["doc_id", "field", "term", "tf", "dl"]],
+        b[["doc_id", "field", "term", "tf", "dl"]],
+    )
+
+
+def test_noop_rerun(spark, docs, tmp_path):
+    out = str(tmp_path / "idx2")
+    build_index_checkpointed(spark, docs, out, n_groups=3)
+    r = build_index_checkpointed(spark, docs, out, n_groups=3)
+    assert r["built"] == [] and set(r["skipped"]) == {0, 1, 2}
+
+
+def test_manifest_metrics(spark, docs, tmp_path):
+    out = str(tmp_path / "idx3")
+    build_index_checkpointed(spark, docs, out, n_groups=2)
+    m = read_manifest(spark, out).toPandas()
+    assert len(m) == 2
+    assert (m["status"] == "done").all()
+    assert (m["n_docs"] > 0).all() and (m["n_postings"] > 0).all()
+    assert (m["bytes"] > 0).all()
+    assert set(completed_groups(spark, out)) == {0, 1}

@@ -1,0 +1,46 @@
+"""Multimodal plumbing: schemas, mapInPandas batch shape, determinism."""
+
+import pytest
+
+from fuzzy_wiki_spark.functions.multimodal import (
+    MEDIA_SCHEMA_DDL,
+    decode_image,
+    extract_image_features,
+    make_fake_media,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return spark.createDataFrame(make_fake_media(30, seed=42), MEDIA_SCHEMA_DDL)
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_image_features_deterministic(spark, media):
+    a = extract_image_features(media).orderBy("media_id").collect()
+    b = extract_image_features(media.repartition(7)).orderBy("media_id").collect()
+    assert len(a) == 10  # 30 rows, every 3rd is an image
+    assert all(r["feat_dim"] == 64 for r in a)
+    assert [r["feat"] for r in a] == [r["feat"] for r in b]  # partition-count independent
+
+
+def test_frame_sampling_row_multiplication(spark, media):
+    frames = sample_frames(media, every_s=1.0).collect()
+    vids = {r["media_id"] for r in frames}
+    assert vids  # video rows exist (kind cycle)
+    per_vid = {}
+    for r in frames:
+        per_vid.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for mid, idxs in per_vid.items():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense frame indices
+
+
+def test_metadata_filter_prunes_before_decode(spark, media):
+    # only 'image' rows reach the decoder; audio/video payloads never do
+    plan = extract_image_features(media)._jdf.queryExecution().executedPlan().toString()
+    assert "kind" in plan  # filter present below the Python stage

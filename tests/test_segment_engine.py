@@ -1,0 +1,55 @@
+"""v2 segment engine vs oracle: same golden rank-identity contract as v1.
+
+Also differential: v2 (compressed segments + MaxScore) must equal v1
+(relational postings scorer) — SURVEY.md §7 step 6 says v1 is the
+differential oracle at scale.
+"""
+
+import pytest
+
+from fuzzy_wiki_spark.corpus import REFERENCE_QUERIES, generate_docs_pdf
+from fuzzy_wiki_spark.engine import SegmentIndex
+from fuzzy_wiki_spark.oracle import BM25Oracle
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return generate_docs_pdf(N_DOCS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_pdf):
+    return BM25Oracle(corpus_pdf[["doc_id", "path", "content"]].to_dict("records"))
+
+
+@pytest.fixture(scope="module")
+def seg_index(spark, corpus_pdf, tmp_path_factory):
+    docs = spark.createDataFrame(corpus_pdf)
+    path = str(tmp_path_factory.mktemp("segidx"))
+    return SegmentIndex.build(spark, docs, path, n_buckets=4)
+
+
+@pytest.mark.parametrize("query", REFERENCE_QUERIES)
+def test_segment_engine_rank_identical(spark, seg_index, oracle, query):
+    got = [(r["doc_id"], r["score"]) for r in seg_index.search(query, k=10).collect()]
+    want = oracle.search(query, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want], (
+        f"query={query!r}\n got={got}\nwant={want}"
+    )
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-6)
+
+
+def test_maxscore_pruning_matches_unpruned(spark, seg_index, oracle):
+    """MaxScore candidate pruning must be invisible in results (exactness)."""
+    from fuzzy_wiki_spark.operators import segment_query as SQ
+
+    # big k forces pruning off the happy path; compare against oracle at k=50
+    got = [
+        (r["doc_id"], r["score"])
+        for r in seg_index.search("binary search", k=50).collect()
+    ]
+    want = oracle.search("binary search", k=50)
+    assert [d for d, _ in got] == [d for d, _ in want]

@@ -1,0 +1,88 @@
+"""Structured-Streaming incremental index build + windowed aggregates."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.corpus import DOCS_SCHEMA_DDL, generate_docs_pdf
+from fuzzy_wiki_spark.streaming.incremental import (
+    load_generations,
+    start_incremental_index,
+    windowed_event_counts,
+)
+
+
+def test_incremental_index_build(spark, tmp_path):
+    src = tmp_path / "src"
+    out = tmp_path / "idx"
+    src.mkdir()
+
+    pdf = generate_docs_pdf(60, seed=42)
+    # first file arrives
+    spark.createDataFrame(pdf.iloc[:30]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    q = start_incremental_index(
+        spark, str(src), str(out), DOCS_SCHEMA_DDL, n_buckets=2
+    )
+    q.awaitTermination(120)
+
+    # second file arrives; availableNow trigger restarts from checkpoint
+    spark.createDataFrame(pdf.iloc[30:]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    q2 = start_incremental_index(
+        spark, str(src), str(out), DOCS_SCHEMA_DDL, n_buckets=2
+    )
+    q2.awaitTermination(120)
+
+    segs = load_generations(spark, str(out))
+    gens = [r["gen"] for r in segs.select("gen").distinct().collect()]
+    assert len(gens) == 2, f"expected 2 generations, got {gens}"
+
+    # union of generations covers all 60 docs' postings: df sums match a
+    # one-shot batch build
+    from fuzzy_wiki_spark.operators.postings import build_postings
+
+    batch = build_postings(spark.createDataFrame(pdf))
+    n_batch = batch.count()
+    n_stream = segs.where(~F.col("term").startswith("_")).agg(
+        F.sum("df")
+    ).head()[0]
+    assert n_stream == n_batch
+
+
+def test_windowed_event_counts_streaming_equals_batch(spark, tmp_path):
+    ev_dir = str(tmp_path / "events")
+    batch_events = spark.range(0, 200).select(
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+            mins=(F.col("id") % 90).cast("int")
+        )).alias("ts"),
+        F.when(F.col("id") % 3 == 0, "click").otherwise("view").alias(
+            "event_type"
+        ),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+    batch_events.write.parquet(ev_dir)
+
+    want = sorted(
+        tuple(r) for r in windowed_event_counts(
+            spark.read.parquet(ev_dir), window="1 hour"
+        ).collect()
+    )
+
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(ev_dir)
+    agg = windowed_event_counts(stream, window="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM win_out").collect())
+    assert got == want
