@@ -132,6 +132,15 @@ def q_point_lookup(spark, sf_dir):
     )
 
 
+def q_content_sha(spark, sf_dir):
+    """Per-row content sha256 invariant (BASELINE.json input_hint): the
+    engine's stored-field identity check — every doc's content hash must
+    equal the source table's, row by row (Spark sha2 vs DuckDB sha256)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha256")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup groups by md5(text) — all groups (corpus has no dups, so
     emitting singletons keeps the comparison non-vacuous)."""
@@ -266,6 +275,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT term, doc_id, tf, rank::INT AS rank FROM r WHERE rank <= 5
     """,
     "point_lookup": "SELECT doc_id, text FROM documents WHERE doc_id = 42",
+    "content_sha": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
     "dedup_exact": """
         SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_dups,
                min(doc_id) AS min_doc_id
@@ -346,6 +356,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "term_topdocs": q_term_topdocs,
     "point_lookup": q_point_lookup,
+    "content_sha": q_content_sha,
     "dedup_exact": q_dedup_exact,
     "fingerprint": q_fingerprint,
     "text_quality": q_text_quality,

@@ -143,11 +143,6 @@ class SegmentIndex:
         mode: str = "porter",
         fields: dict[str, str] | None = None,
     ) -> "SegmentIndex":
-        from fuzzy_wiki_spark.operators.segments import (
-            build_index_segments,
-            write_segments,
-        )
-
         postings = P.build_postings(docs_df, fields=fields, mode=mode).persist()
         docs_meta = docs_df.select(
             "doc_id",
@@ -155,6 +150,30 @@ class SegmentIndex:
                 "REDIRECT"
             ).alias("is_redirect"),
         )
+        idx = cls.from_postings(
+            spark, postings, docs_meta, path, n_buckets=n_buckets
+        )
+        postings.unpersist()
+        return idx
+
+    @classmethod
+    def from_postings(
+        cls,
+        spark: SparkSession,
+        postings: DataFrame,
+        docs_meta: DataFrame | None,
+        path: str,
+        n_buckets: int = 32,
+    ) -> "SegmentIndex":
+        """Materialize the segment layout from an existing postings DF —
+        the path the checkpointed build takes (checkpoint.py writes postings
+        group-by-group; segment encoding restarts from those, never from
+        re-tokenization)."""
+        from fuzzy_wiki_spark.operators.segments import (
+            build_index_segments,
+            write_segments,
+        )
+
         segs = build_index_segments(postings, docs_meta, n_buckets=n_buckets)
         write_segments(segs, f"{path}/segments", n_buckets=n_buckets)
         P.term_stats(postings).write.mode("overwrite").parquet(
@@ -163,7 +182,6 @@ class SegmentIndex:
         P.field_stats(postings).select(
             "field", "doc_count", "sum_dl"
         ).write.mode("overwrite").parquet(f"{path}/stats")
-        postings.unpersist()
         return cls(spark, path)
 
     def search(self, query: str, k: int = 10) -> DataFrame:

@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: checkpointed inverted-index build (north rule).
+
+Run (the package zip is what ``--py-files`` ships to executors; the script
+itself never assumes the repo exists on workers):
+
+    python scripts/make_pkg_zip.py                       # → /tmp/fuzzy_wiki_spark_pkg.zip
+    spark-submit --master local[32] \
+        --py-files /tmp/fuzzy_wiki_spark_pkg.zip \
+        scripts/build_index.py --out /tmp/fw_index --n-docs 200000 --groups 8
+
+Pipeline (SURVEY.md §3 E1, Spark rebuild):
+  corpus (generated deterministically, or ``--input`` parquet/Iceberg with
+  the input_hint shape repo/path/commit/lang/content)
+    → per-row sha256(content) invariant check (input_hint gate; job aborts
+      on any mismatch)
+    → group-by-group tokenize with per-partition checkpoint manifest
+      (lineage + metrics; rerun after a kill skips completed groups —
+      checkpoint.py)
+    → compressed block-max segments + term_stats + field stats
+      (operators/segments.py) under <out>/index/
+    → ONE JSON metrics line on stdout (files/sec, bytes, group lineage).
+
+Kill/resume: re-running the same command continues from the manifest; only
+unfinished groups re-tokenize. ``--fresh`` wipes <out> first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+# driver-side import path: repo checkout OR the --py-files zip already on
+# sys.path (spark-submit client mode adds it); the repo fallback keeps
+# `python scripts/build_index.py` working too.
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True, help="output root (manifest + index)")
+    ap.add_argument("--input", default=None,
+                    help="parquet/Iceberg docs table (repo,path,commit,lang,"
+                         "content[,content_sha256]); default: generate")
+    ap.add_argument("--n-docs", type=int, default=20000)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--groups", type=int, default=8,
+                    help="checkpoint groups (coarse resume units)")
+    ap.add_argument("--n-buckets", type=int, default=32,
+                    help="segment doc-id buckets (≈ partitions of the index)")
+    ap.add_argument("--mode", default="porter", choices=["porter", "simple"])
+    ap.add_argument("--fresh", action="store_true", help="wipe --out first")
+    ap.add_argument("--skip-segments", action="store_true",
+                    help="stop after checkpointed postings (resume drill)")
+    args = ap.parse_args()
+
+    from fuzzy_wiki_spark.checkpoint import (
+        build_index_checkpointed,
+        load_checkpointed_postings,
+        read_manifest,
+    )
+    from fuzzy_wiki_spark.corpus import generate_docs_df
+    from fuzzy_wiki_spark.engine import SegmentIndex
+    from fuzzy_wiki_spark.session import _ship_package
+
+    spark = SparkSession.builder.getOrCreate()  # spark-submit owns master/conf
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+
+    if args.fresh and Path(args.out).exists():
+        shutil.rmtree(args.out)
+
+    t0 = time.perf_counter()
+    if args.input:
+        docs = spark.read.parquet(args.input)
+    else:
+        docs = generate_docs_df(spark, args.n_docs, seed=args.seed)
+
+    # --- per-row invariant gate (input_hint): sha256(content) equality ---
+    sha_checked = -1
+    if "content_sha256" in docs.columns:
+        bad, sha_checked = (
+            docs.select(
+                (F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
+                 != F.col("content_sha256")).cast("int").alias("bad")
+            )
+            .agg(F.sum("bad"), F.count("*"))
+            .head()
+        )
+        if bad:
+            print(json.dumps({"error": "sha256 invariant violated", "rows": int(bad)}))
+            sys.exit(2)
+
+    # --- checkpointed tokenize (lineage + metrics manifest) ---
+    ck = build_index_checkpointed(
+        spark, docs, args.out, n_groups=args.groups, mode=args.mode
+    )
+    t_tok = time.perf_counter()
+
+    # --- segment encode from checkpointed postings ---
+    if not args.skip_segments:
+        postings = load_checkpointed_postings(spark, args.out)
+        docs_meta = docs.select(
+            "doc_id",
+            F.upper(F.coalesce(F.col("content"), F.lit(""))).startswith(
+                "REDIRECT"
+            ).alias("is_redirect"),
+        )
+        SegmentIndex.from_postings(
+            spark, postings, docs_meta, f"{args.out}/index",
+            n_buckets=args.n_buckets,
+        )
+    t_end = time.perf_counter()
+
+    mani = [r.asDict() for r in read_manifest(spark, args.out).collect()]
+    n_docs = sum(m["n_docs"] for m in mani)
+    out_root = Path(args.out)
+    print(json.dumps({
+        "n_docs": n_docs,
+        "sha256_checked_rows": int(sha_checked),
+        "groups_built": ck["built"],
+        "groups_skipped": ck["skipped"],
+        "tokenize_sec": round(t_tok - t0, 3),
+        "segment_sec": round(t_end - t_tok, 3),
+        "total_sec": round(t_end - t0, 3),
+        "files_per_sec": round(n_docs / (t_end - t0), 1),
+        "index_bytes": sum(
+            f.stat().st_size for f in out_root.rglob("*.parquet")
+        ) if out_root.exists() else 0,
+        "manifest": mani,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: BM25 top-k query replay over a built index.
+
+    spark-submit --master local[32] \
+        --py-files /tmp/fuzzy_wiki_spark_pkg.zip \
+        scripts/search_index.py --index /tmp/fw_index/index [--queries q1;q2] [-k 10]
+
+Loads the compressed segment index (engine.SegmentIndex), replays the
+reference query set (corpus.REFERENCE_QUERIES by default), and prints ONE
+JSON line with per-query latency + p50/p99 and the top-k (doc_id, score)
+results. The first query is run once untimed to exclude Spark session/scan
+warmup from latency percentiles (the reference's server is likewise warm —
+Cache.java/DocumentsStorage.java exist precisely for that).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True, help="<out>/index dir from build_index.py")
+    ap.add_argument("--queries", default=None, help="';'-separated; default reference set")
+    ap.add_argument("-k", type=int, default=10)
+    args = ap.parse_args()
+
+    from fuzzy_wiki_spark.corpus import REFERENCE_QUERIES
+    from fuzzy_wiki_spark.engine import SegmentIndex
+    from fuzzy_wiki_spark.session import _ship_package
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+
+    queries = args.queries.split(";") if args.queries else list(REFERENCE_QUERIES)
+    idx = SegmentIndex(spark, args.index)
+    idx.segments = idx.segments.persist()
+    idx.segments.count()  # warm the segment scan (server-warm analogy)
+    idx.search(queries[0], k=args.k).collect()
+
+    lat, results = [], {}
+    for q in queries:
+        t0 = time.perf_counter()
+        rows = idx.search(q, k=args.k).collect()
+        lat.append(time.perf_counter() - t0)
+        results[q] = [[int(r["doc_id"]), round(float(r["score"]), 6)] for r in rows]
+
+    s = sorted(lat)
+    print(json.dumps({
+        "n_queries": len(queries),
+        "p50_sec": round(s[len(s) // 2], 4),
+        "p99_sec": round(s[min(len(s) - 1, int(len(s) * 0.99))], 4),
+        "mean_sec": round(sum(s) / len(s), 4),
+        "per_query_sec": {q: round(t, 4) for q, t in zip(queries, lat)},
+        "topk": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
