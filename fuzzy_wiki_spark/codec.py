@@ -97,6 +97,73 @@ def delta_decode(buf: bytes) -> np.ndarray:
     return np.cumsum(gaps, dtype=np.uint64)
 
 
+def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte length (vectorized) — used to derive block
+    byte offsets without re-encoding per block."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    bitlen = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while np.any(tmp > 0):
+        mask = tmp > 0
+        bitlen[mask] += 7
+        tmp >>= _SHIFT
+    return np.maximum(bitlen // 7, 1)
+
+
+def block_offsets(values: np.ndarray, block: int) -> np.ndarray:
+    """Byte offset of each block boundary in the varint buffer of ``values``
+    (length n_blocks+1; last entry = total bytes). Enables O(1) slicing of
+    a single block out of the buffer for selective decode."""
+    nb = varint_byte_lengths(values)
+    cum = np.concatenate(([0], np.cumsum(nb)))
+    n = len(values)
+    n_blocks = (n + block - 1) // block
+    idx = np.minimum(np.arange(0, n_blocks + 1) * block, n)
+    return cum[idx]
+
+
+def delta_encode_blocked(
+    sorted_ids: np.ndarray, block: int
+) -> tuple[bytes, np.ndarray]:
+    """Delta-gap varint encode with a **restart at every block boundary**
+    (the gap at a block start is the absolute doc_id). Returns
+    ``(buf, byte_offsets)`` so any block decodes independently — the
+    physical layout block-max WAND needs to *skip* blocks without touching
+    their bytes (Lucene's codecs do the same; SURVEY.md §4)."""
+    a = np.asarray(sorted_ids, dtype=np.uint64)
+    if a.size == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    gaps = np.empty_like(a)
+    gaps[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=gaps[1:])
+    starts = np.arange(0, a.size, block)
+    gaps[starts] = a[starts]  # restart: absolute value at block head
+    return varint_encode(gaps), block_offsets(gaps, block)
+
+
+def delta_decode_blocked(buf: bytes, block: int) -> np.ndarray:
+    """Full decode of a blocked buffer (segmented cumsum, reset per block)."""
+    gaps = varint_decode(buf)
+    if gaps.size == 0:
+        return gaps
+    c = np.cumsum(gaps, dtype=np.uint64)
+    starts = np.arange(0, gaps.size, block)
+    base = c[starts] - gaps[starts]  # cumsum just before each block
+    counts = np.diff(np.concatenate((starts, [gaps.size])))
+    return c - np.repeat(base, counts)
+
+
+def decode_doc_block(buf: bytes, offs: np.ndarray, j: int) -> np.ndarray:
+    """Decode ONLY block ``j`` of a blocked doc_id buffer."""
+    gaps = varint_decode(buf[int(offs[j]) : int(offs[j + 1])])
+    return np.cumsum(gaps, dtype=np.uint64)
+
+
+def decode_tf_block(buf: bytes, offs: np.ndarray, j: int) -> np.ndarray:
+    """Decode ONLY block ``j`` of a raw-varint tf buffer."""
+    return varint_decode(buf[int(offs[j]) : int(offs[j + 1])])
+
+
 def encode_tfs(tfs: np.ndarray) -> bytes:
     """Varint-encode term frequencies (raw, not delta — unordered values)."""
     return varint_encode(np.asarray(tfs, dtype=np.uint64))

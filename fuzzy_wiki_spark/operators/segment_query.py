@@ -39,8 +39,14 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from fuzzy_wiki_spark.codec import decode_tfs, delta_decode
-from fuzzy_wiki_spark.operators.segments import decode_positions
+from fuzzy_wiki_spark.codec import (
+    decode_doc_block,
+    decode_tf_block,
+    decode_tfs,
+    delta_decode_blocked,
+    varint_decode,
+)
+from fuzzy_wiki_spark.operators.segments import BLOCK, decode_positions
 from fuzzy_wiki_spark.plans.query import B, K1, Clause
 
 META_DL = "_dl"
@@ -59,6 +65,15 @@ def _clause_ub(weight: float, max_tf: int) -> float:
     return weight * max_tf / (max_tf + K1 * (1.0 - B))
 
 
+_EMPTY = pd.DataFrame({"doc_id": [], "score": []}).astype(
+    {"doc_id": "int64", "score": "float64"}
+)
+
+# per-process decode accounting (tests + bench read this after driver-side
+# calls; on executors it's worker-local and unused)
+PRUNE_STATS = {"blocks_decoded": 0, "blocks_total": 0, "cands_skipped": 0}
+
+
 def bucket_topk(
     seg_pdf: pd.DataFrame,
     clauses: list[Clause],
@@ -67,7 +82,22 @@ def bucket_topk(
     k: int,
     use_maxscore: bool = True,
 ) -> pd.DataFrame:
-    """Score one bucket's segment rows → local top-k (doc_id, score)."""
+    """Score one bucket's segment rows → local top-k (doc_id, score).
+
+    Block-max WAND execution order (exact top-k, lazy decode):
+      1. clause upper bounds from STORED max_tf (no posting decode),
+      2. decode only the essential prefix (MaxScore split at θ = k-th best
+         partial of the largest-ub clause),
+      3. tighten θ to the k-th best partial score of the candidate set,
+      4. probe non-essential clauses per candidate through the block-max
+         metadata: a candidate whose partial + Σ block-ub < θ is dropped
+         without touching posting bytes, and only the specific 128-doc
+         blocks containing surviving candidates are varint-decoded
+         (block-local delta restarts make each block self-contained).
+    A hot term (df ≈ 50% of the bucket) that lands non-essential therefore
+    costs O(candidates) block decodes, not O(df) — the decode-bandwidth win
+    block-max WAND exists for.
+    """
     # decode meta rows: per-field dl maps and redirect set
     dl_map: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     redirect_ids = np.empty(0, dtype=np.int64)
@@ -75,11 +105,13 @@ def bucket_topk(
     for _, r in seg_pdf.iterrows():
         if r["term"] == META_DL:
             dl_map[r["field"]] = (
-                delta_decode(r["doc_ids"]).astype(np.int64),
+                delta_decode_blocked(r["doc_ids"], BLOCK).astype(np.int64),
                 decode_tfs(r["tfs"]).astype(np.float64),
             )
         elif r["term"] == META_REDIRECT:
-            redirect_ids = delta_decode(r["doc_ids"]).astype(np.int64)
+            redirect_ids = delta_decode_blocked(r["doc_ids"], BLOCK).astype(
+                np.int64
+            )
         else:
             rows[(r["field"], r["term"])] = r
 
@@ -87,7 +119,7 @@ def bucket_topk(
         r = rows.get((field, term))
         if r is None:
             return None
-        ids = delta_decode(r["doc_ids"]).astype(np.int64)
+        ids = delta_decode_blocked(r["doc_ids"], BLOCK).astype(np.int64)
         tfs = decode_tfs(r["tfs"]).astype(np.float64)
         return r, ids, tfs
 
@@ -96,23 +128,38 @@ def bucket_topk(
         idx = np.searchsorted(all_ids, ids)
         return dls[idx]
 
-    # per-clause decoded contribution lists: (doc_ids, contrib)
-    contribs: list[tuple[np.ndarray, np.ndarray, float]] = []  # +ub
+    # ---- pass 1: clause descriptors + upper bounds, NO posting decode ----
+    # each: (ub, clause, row-or-rows)
+    descs: list[tuple[float, Clause, object]] = []
     for cl in clauses:
         w = weights.get(cl.clause_id, 0.0)
         if w == 0.0:
             continue
         if cl.is_phrase and len(cl.terms) > 1:
-            arrs = [term_arrays(cl.field, t) for t in cl.terms]
-            if any(a is None for a in arrs):
+            rs = [rows.get((cl.field, t)) for t in cl.terms]
+            if any(r is None for r in rs):
                 continue
-            # docs containing ALL member terms
+            ub = _clause_ub(w, int(sum(r["max_tf"] for r in rs)))
+            descs.append((ub, cl, rs))
+        else:
+            r = rows.get((cl.field, cl.terms[0]))
+            if r is None:
+                continue
+            descs.append((_clause_ub(w, int(r["max_tf"])), cl, r))
+    if not descs:
+        return _EMPTY.copy()
+    descs.sort(key=lambda x: -x[0])
+
+    def eval_clause(cl: Clause, payload) -> tuple[np.ndarray, np.ndarray] | None:
+        """Full evaluation → (sorted doc_ids, contribution)."""
+        w = weights[cl.clause_id]
+        if cl.is_phrase and len(cl.terms) > 1:
+            arrs = [term_arrays(cl.field, t) for t in cl.terms]
             cand = arrs[0][1]
             for _, ids, _ in arrs[1:]:
                 cand = cand[np.isin(cand, ids, assume_unique=True)]
             if cand.size == 0:
-                continue
-            # lazy positions decode, only candidate docs
+                return None
             pos_lists = []
             freqs = np.zeros(cand.size)
             for r, ids, tfs in arrs:
@@ -132,63 +179,113 @@ def bucket_topk(
                 matched[j] = bool((cost <= cl.slop).any())
             cand, freqs = cand[matched], freqs[matched]
             if cand.size == 0:
-                continue
-            c = w * _tf_norm(freqs, dl_for(cl.field, cand), avgdl[cl.field])
-            ub = _clause_ub(w, int(sum(r["max_tf"] for r, _, _ in arrs)))
-            contribs.append((cand, c, ub))
-        else:
-            got = term_arrays(cl.field, cl.terms[0])
-            if got is None:
-                continue
-            r, ids, tfs = got
-            c = w * _tf_norm(tfs, dl_for(cl.field, ids), avgdl[cl.field])
-            contribs.append((ids, c, _clause_ub(w, int(r["max_tf"]))))
+                return None
+            return cand, w * _tf_norm(
+                freqs, dl_for(cl.field, cand), avgdl[cl.field]
+            )
+        r, ids, tfs = term_arrays(cl.field, cl.terms[0])
+        return ids, w * _tf_norm(tfs, dl_for(cl.field, ids), avgdl[cl.field])
 
-    if not contribs:
-        return pd.DataFrame({"doc_id": [], "score": []}).astype(
-            {"doc_id": "int64", "score": "float64"}
-        )
-
-    if use_maxscore and len(contribs) > 1:
-        # MaxScore: order by ub desc; θ from the top clause's kth best
-        contribs.sort(key=lambda x: -x[2])
-        top_ids, top_c, _ = contribs[0]
-        if top_c.size > k:
-            theta = float(np.partition(top_c, -k)[-k])
-        else:
-            theta = 0.0
-        ubs = [ub for _, _, ub in contribs]
+    # ---- pass 2: essential split (MaxScore θ from the top clause) ----
+    if use_maxscore and len(descs) > 1:
+        first = eval_clause(descs[0][1], descs[0][2])
+        theta = 0.0
+        if first is not None and first[1].size > k:
+            theta = float(np.partition(first[1], -k)[-k])
+        ubs = [ub for ub, _, _ in descs]
         suffix = np.cumsum([0.0] + ubs[::-1])[::-1]  # suffix[i] = Σ ub[i:]
-        # essential prefix: first m clauses with suffix ub after them >= θ
-        m = len(contribs)
-        for i in range(1, len(contribs)):
+        m = len(descs)
+        for i in range(1, len(descs)):
             if suffix[i] < theta:
                 m = i
                 break
-        cand_ids = np.unique(np.concatenate([ids for ids, _, _ in contribs[:m]]))
+        # phrase clauses need positions anyway → keep them essential
+        order = list(range(len(descs)))
+        essential = [
+            i for i in order if i < m or descs[i][1].is_phrase
+        ]
+        nonessential = [
+            i for i in order if i >= m and not descs[i][1].is_phrase
+        ]
+        evaled: dict[int, tuple[np.ndarray, np.ndarray] | None] = {0: first}
     else:
-        m = len(contribs)
-        cand_ids = np.unique(np.concatenate([ids for ids, _, _ in contribs]))
+        theta = 0.0
+        essential = list(range(len(descs)))
+        nonessential = []
+        evaled = {}
 
+    contribs = []
+    for i in essential:
+        got = evaled[i] if i in evaled else eval_clause(descs[i][1], descs[i][2])
+        if got is not None:
+            contribs.append(got)
+    if not contribs:
+        return _EMPTY.copy()
+    cand_ids = np.unique(np.concatenate([ids for ids, _ in contribs]))
     scores = np.zeros(cand_ids.size)
-    for i, (ids, c, _) in enumerate(contribs):
-        if i < m:
-            pos = np.searchsorted(cand_ids, ids)
-            np.add.at(scores, pos, c)
-        else:
-            # non-essential: probe only at candidate positions
-            pos = np.searchsorted(ids, cand_ids)
-            pos = np.minimum(pos, ids.size - 1)
-            hit = ids[pos] == cand_ids
-            scores[hit] += c[pos[hit]]
+    for ids, c in contribs:
+        np.add.at(scores, np.searchsorted(cand_ids, ids), c)
+
+    # ---- pass 3: block-max probe of non-essential clauses ----
+    if nonessential:
+        # tighten θ: k-th best current partial is a valid lower bound on the
+        # final k-th score (partial ≤ full, and those k docs get fully scored)
+        if scores.size > k:
+            theta = max(theta, float(np.partition(scores, -k)[-k]))
+        probes = []  # (field, w, bj, bmax_ub, row) aligned to cand_ids
+        upper = scores.copy()
+        for i in nonessential:
+            _, cl, r = descs[i]
+            w = weights[cl.clause_id]
+            blast = varint_decode(r["block_last"]).astype(np.int64)
+            bmax = varint_decode(r["block_maxtf"]).astype(np.float64)
+            bj = np.searchsorted(blast, cand_ids)  # candidate → block idx
+            in_range = bj < blast.size
+            ub_c = np.zeros(cand_ids.size)
+            mt = bmax[np.minimum(bj, blast.size - 1)]
+            ub_c[in_range] = (
+                w * mt[in_range] / (mt[in_range] + K1 * (1.0 - B))
+            )
+            upper += ub_c
+            probes.append((cl.field, w, bj, ub_c, r))
+        alive = upper >= theta  # strict-< skip is safe (see docstring)
+        PRUNE_STATS["cands_skipped"] += int((~alive).sum())
+        for field, w, bj, ub_c, r in probes:
+            PRUNE_STATS["blocks_total"] += int(r["n_blocks"])
+            sub = np.flatnonzero(alive & (ub_c > 0))
+            if sub.size == 0:
+                continue
+            doffs = varint_decode(r["block_doc_off"]).astype(np.int64)
+            toffs = varint_decode(r["block_tf_off"]).astype(np.int64)
+            needed = np.unique(bj[sub])
+            PRUNE_STATS["blocks_decoded"] += int(needed.size)
+            for j in needed:
+                in_j = sub[bj[sub] == j]
+                ids_j = decode_doc_block(r["doc_ids"], doffs, int(j)).astype(
+                    np.int64
+                )
+                tfs_j = decode_tf_block(r["tfs"], toffs, int(j)).astype(
+                    np.float64
+                )
+                pos = np.searchsorted(ids_j, cand_ids[in_j])
+                pos_c = np.minimum(pos, ids_j.size - 1)
+                hit = ids_j[pos_c] == cand_ids[in_j]
+                if not hit.any():
+                    continue
+                hit_idx = in_j[hit]
+                freq = tfs_j[pos_c[hit]]
+                scores[hit_idx] += w * _tf_norm(
+                    freq, dl_for(field, cand_ids[hit_idx]), avgdl[field]
+                )
+        # drop candidates that could never reach θ (their score is partial)
+        if scores.size > k:
+            cand_ids, scores = cand_ids[alive], scores[alive]
 
     if redirect_ids.size:
         keep = ~np.isin(cand_ids, redirect_ids, assume_unique=True)
         cand_ids, scores = cand_ids[keep], scores[keep]
     if cand_ids.size == 0:
-        return pd.DataFrame({"doc_id": [], "score": []}).astype(
-            {"doc_id": "int64", "score": "float64"}
-        )
+        return _EMPTY.copy()
     order = np.lexsort((cand_ids, -scores))[:k]
     return pd.DataFrame(
         {"doc_id": cand_ids[order], "score": scores[order]}

@@ -10,7 +10,9 @@ Layout decision (the scale-critical one): segments are partitioned by
                    pos_lens binary,  -- varint: #positions per doc
                    positions binary, -- varint: per-doc delta-encoded positions
                    max_tf int, n_blocks int,
-                   block_last binary, block_maxtf binary) -- block-max metadata
+                   block_last binary, block_maxtf binary, -- block-max metadata
+                   block_doc_off binary, block_tf_off binary) -- per-block byte
+                                        -- offsets (selective block decode)
 
 Why doc-bucket (not term-hash) partitioning: every bucket holds the FULL
 posting lists of all terms for its doc range, so a query executes as
@@ -30,8 +32,11 @@ stage 2 k-way-merges the pre-sorted salted runs per (bucket, field, term)
 inside an Arrow stage, then delta+varint encodes and writes.
 
 Block-max metadata: postings are chunked into BLOCK=128-doc blocks; per block
-we store the last doc_id and max tf, enabling block-skip upper-bound pruning
-(block-max WAND) in the segment-local scorer without decoding skipped blocks.
+we store the last doc_id, max tf, and the byte offset of the block in the
+doc_ids/tfs buffers (delta encoding restarts at block heads, so each block
+is independently decodable). segment_query.py uses these for block-max WAND:
+candidates whose upper bound can't reach θ are dropped pre-probe, and only
+blocks containing surviving candidates are ever varint-decoded.
 """
 
 from __future__ import annotations
@@ -43,10 +48,9 @@ import pandas as pd
 import pyarrow as pa
 
 from fuzzy_wiki_spark.codec import (
-    delta_decode,
-    delta_encode,
+    block_offsets,
+    delta_encode_blocked,
     encode_tfs,
-    decode_tfs,
     varint_decode,
     varint_encode,
 )
@@ -56,7 +60,8 @@ BLOCK = 128
 SEGMENTS_SCHEMA_DDL = (
     "bucket int, field string, term string, df int, sum_tf long, "
     "doc_ids binary, tfs binary, pos_lens binary, positions binary, "
-    "max_tf int, n_blocks int, block_last binary, block_maxtf binary"
+    "max_tf int, n_blocks int, block_last binary, block_maxtf binary, "
+    "block_doc_off binary, block_tf_off binary"
 )
 _SEG_PA = pa.schema(
     [
@@ -73,6 +78,8 @@ _SEG_PA = pa.schema(
         pa.field("n_blocks", pa.int32()),
         pa.field("block_last", pa.binary()),
         pa.field("block_maxtf", pa.binary()),
+        pa.field("block_doc_off", pa.binary()),
+        pa.field("block_tf_off", pa.binary()),
     ]
 )
 
@@ -107,10 +114,12 @@ def encode_group(
     t_pad = np.pad(t, (0, pad), constant_values=0)
     block_last = d[np.minimum(np.arange(1, n_blocks + 1) * BLOCK - 1, n - 1)]
     block_maxtf = t_pad.reshape(n_blocks, BLOCK).max(axis=1)
+    doc_buf, doc_offs = delta_encode_blocked(d, BLOCK)
+    tf_offs = block_offsets(t, BLOCK)
     return {
         "df": int(n),
         "sum_tf": int(t.sum()),
-        "doc_ids": delta_encode(d),
+        "doc_ids": doc_buf,
         "tfs": encode_tfs(t),
         "pos_lens": varint_encode(pos_lens),
         "positions": pos_buf,
@@ -118,6 +127,8 @@ def encode_group(
         "n_blocks": int(n_blocks),
         "block_last": varint_encode(block_last),
         "block_maxtf": varint_encode(block_maxtf),
+        "block_doc_off": varint_encode(doc_offs.astype(np.uint64)),
+        "block_tf_off": varint_encode(tf_offs.astype(np.uint64)),
     }
 
 

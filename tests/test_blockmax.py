@@ -1,0 +1,111 @@
+"""Block-max WAND exactness + pruning-actually-fires (segment_query.py).
+
+The golden suite proves rank identity end-to-end; these tests pin the
+pruning path specifically: (a) MaxScore/block-max results are identical to
+the exhaustive path on randomized skew-heavy buckets, and (b) a hot
+non-essential clause is probed through FAR fewer blocks than it has.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fuzzy_wiki_spark.operators.segment_query import (
+    META_DL,
+    PRUNE_STATS,
+    bucket_topk,
+)
+from fuzzy_wiki_spark.operators.segments import BLOCK, encode_group
+from fuzzy_wiki_spark.plans.query import Clause
+
+
+def _seg_row(bucket, field, term, doc_ids, tfs):
+    enc = encode_group(
+        np.asarray(doc_ids), np.asarray(tfs), [np.array([0])] * len(doc_ids)
+    )
+    enc.update({"bucket": bucket, "field": field, "term": term})
+    return enc
+
+
+def _bucket(rng, n_docs, n_terms=6, hot_df=0.6, rare_df=0.02):
+    """One synthetic bucket: term0 is hot (in ~hot_df of docs), the rest
+    occur in ~rare_df·(t+1) of docs; every doc has a dl."""
+    all_ids = np.arange(0, n_docs) * 7 + 3  # arbitrary stride
+    rows = []
+    dls = rng.integers(20, 400, size=n_docs)
+    rows.append(_seg_row(0, "content", META_DL, all_ids, dls))
+    for t in range(n_terms):
+        df = max(2, int(n_docs * (hot_df if t == 0 else rare_df * (t + 1))))
+        sel = np.sort(rng.choice(n_docs, size=df, replace=False))
+        tfs = rng.integers(1, 9, size=df)
+        rows.append(_seg_row(0, "content", f"t{t}", all_ids[sel], tfs))
+    return pd.DataFrame(rows), [f"t{t}" for t in range(n_terms)]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_maxscore_identical_to_exhaustive(seed):
+    rng = np.random.default_rng(seed)
+    seg, terms = _bucket(rng, n_docs=BLOCK * 20, n_terms=5)
+    clauses = [Clause(i, "content", (t,), 1.0, 0, False) for i, t in enumerate(terms)]
+    # rare terms get big weights, the hot term a small one → hot lands
+    # non-essential (the reference idf shape does exactly this)
+    weights = {0: 0.05}
+    weights.update({i: 2.0 + 0.3 * i for i in range(1, len(terms))})
+    avgdl = {"content": 200.0}
+    fast = bucket_topk(seg, clauses, weights, avgdl, k=10, use_maxscore=True)
+    slow = bucket_topk(seg, clauses, weights, avgdl, k=10, use_maxscore=False)
+    assert list(fast["doc_id"]) == list(slow["doc_id"])
+    np.testing.assert_allclose(fast["score"], slow["score"], rtol=1e-12)
+
+
+def test_hot_clause_probed_blockwise_not_decoded():
+    """The rare∧hot query shape WAND exists for: candidate docs come from
+    the rare (high-idf, essential) clauses — far fewer candidates than the
+    hot clause has blocks, so most hot blocks are never varint-decoded, and
+    the θ bound additionally drops candidates before any probe."""
+    rng = np.random.default_rng(42)
+    seg, terms = _bucket(
+        rng, n_docs=BLOCK * 200, n_terms=3, hot_df=0.5, rare_df=0.0008
+    )
+    clauses = [Clause(i, "content", (t,), 1.0, 0, False) for i, t in enumerate(terms)]
+    weights = {0: 0.05, 1: 3.0, 2: 3.2}
+    avgdl = {"content": 200.0}
+    before = dict(PRUNE_STATS)
+    out = bucket_topk(seg, clauses, weights, avgdl, k=10, use_maxscore=True)
+    assert len(out) == 10
+    decoded = PRUNE_STATS["blocks_decoded"] - before["blocks_decoded"]
+    total = PRUNE_STATS["blocks_total"] - before["blocks_total"]
+    # hot term alone has 100 blocks; candidates ≈ 60 rare-term docs
+    assert total >= 100
+    assert decoded < total * 0.8, (decoded, total)
+    # exactness under pruning, same inputs
+    slow = bucket_topk(seg, clauses, weights, avgdl, k=10, use_maxscore=False)
+    assert list(out["doc_id"]) == list(slow["doc_id"])
+    np.testing.assert_allclose(out["score"], slow["score"], rtol=1e-12)
+
+
+def test_theta_candidate_skip_fires_on_dense_candidates():
+    """When candidates ARE dense (hot term + mid-df terms), the win comes
+    from the θ upper-bound mask dropping candidates pre-probe."""
+    rng = np.random.default_rng(42)
+    seg, terms = _bucket(rng, n_docs=BLOCK * 200, n_terms=4, hot_df=0.5)
+    clauses = [Clause(i, "content", (t,), 1.0, 0, False) for i, t in enumerate(terms)]
+    weights = {0: 0.05, 1: 3.0, 2: 3.2, 3: 3.4}
+    avgdl = {"content": 200.0}
+    before = dict(PRUNE_STATS)
+    out = bucket_topk(seg, clauses, weights, avgdl, k=10, use_maxscore=True)
+    assert len(out) == 10
+    skipped = PRUNE_STATS["cands_skipped"] - before["cands_skipped"]
+    assert skipped > 1000, skipped
+
+
+def test_k_larger_than_candidates_still_exact():
+    rng = np.random.default_rng(9)
+    seg, terms = _bucket(rng, n_docs=BLOCK * 4, n_terms=3)
+    clauses = [Clause(i, "content", (t,), 1.0, 0, False) for i, t in enumerate(terms)]
+    weights = {0: 0.1, 1: 2.0, 2: 2.5}
+    avgdl = {"content": 200.0}
+    fast = bucket_topk(seg, clauses, weights, avgdl, k=10**6, use_maxscore=True)
+    slow = bucket_topk(seg, clauses, weights, avgdl, k=10**6, use_maxscore=False)
+    assert list(fast["doc_id"]) == list(slow["doc_id"])
+    np.testing.assert_allclose(fast["score"], slow["score"], rtol=1e-12)

@@ -3,7 +3,13 @@
 import numpy as np
 import pytest
 
-from fuzzy_wiki_spark.codec import delta_decode, decode_tfs
+from fuzzy_wiki_spark.codec import (
+    decode_doc_block,
+    decode_tf_block,
+    decode_tfs,
+    delta_decode_blocked,
+    varint_decode,
+)
 from fuzzy_wiki_spark.operators.segments import (
     BLOCK,
     decode_positions,
@@ -22,7 +28,7 @@ def test_encode_group_roundtrip():
     enc = encode_group(doc_ids, tfs, pos_lists)
     assert enc["df"] == n
     assert enc["sum_tf"] == int(tfs.sum())
-    got_ids = delta_decode(enc["doc_ids"])
+    got_ids = delta_decode_blocked(enc["doc_ids"], BLOCK)
     assert np.array_equal(got_ids, doc_ids.astype(np.uint64))
     assert np.all(np.diff(got_ids.astype(np.int64)) > 0)  # strictly increasing
     got_tfs = decode_tfs(enc["tfs"])
@@ -38,7 +44,7 @@ def test_encode_group_unsorted_input_gets_sorted():
     tfs = np.array([3, 1, 2])
     pos = [np.array([5]), np.array([0]), np.array([1, 2])]
     enc = encode_group(doc_ids, tfs, pos)
-    assert np.array_equal(delta_decode(enc["doc_ids"]), [10, 20, 30])
+    assert np.array_equal(delta_decode_blocked(enc["doc_ids"], BLOCK), [10, 20, 30])
     assert np.array_equal(decode_tfs(enc["tfs"]), [1, 2, 3])
     got_pos = decode_positions(enc["pos_lens"], enc["positions"])
     assert [list(p) for p in got_pos] == [[0], [1, 2], [5]]
@@ -51,8 +57,6 @@ def test_block_max_metadata():
     pos = [np.array([0]) for _ in range(n)]
     enc = encode_group(doc_ids, tfs, pos)
     assert enc["n_blocks"] == 4
-    from fuzzy_wiki_spark.codec import varint_decode
-
     block_last = varint_decode(enc["block_last"])
     block_maxtf = varint_decode(enc["block_maxtf"])
     assert list(block_last) == [
@@ -88,7 +92,26 @@ def test_build_segments_spark(spark, n_buckets):
     assert len(keys) == len(set(keys))
     # doc ids decode to the right bucket
     for r in segs[:50]:
-        ids = delta_decode(r["doc_ids"]).astype(np.int64)
+        ids = delta_decode_blocked(r["doc_ids"], BLOCK).astype(np.int64)
         assert np.all(ids % n_buckets == r["bucket"])
         assert np.all(np.diff(ids) > 0)
     postings.unpersist()
+
+
+def test_selective_block_decode_matches_full():
+    rng = np.random.default_rng(11)
+    n = BLOCK * 5 + 3
+    doc_ids = np.sort(rng.choice(10**7, size=n, replace=False))
+    tfs = rng.integers(1, 99, size=n)
+    enc = encode_group(doc_ids, tfs, [np.array([0])] * n)
+    doffs = varint_decode(enc["block_doc_off"]).astype(np.int64)
+    toffs = varint_decode(enc["block_tf_off"]).astype(np.int64)
+    assert doffs.size == enc["n_blocks"] + 1
+    assert doffs[-1] == len(enc["doc_ids"]) and toffs[-1] == len(enc["tfs"])
+    full_ids = delta_decode_blocked(enc["doc_ids"], BLOCK)
+    full_tfs = decode_tfs(enc["tfs"])
+    for j in range(enc["n_blocks"]):
+        lo, hi = j * BLOCK, min((j + 1) * BLOCK, n)
+        assert np.array_equal(decode_doc_block(enc["doc_ids"], doffs, j), full_ids[lo:hi])
+        assert np.array_equal(decode_tf_block(enc["tfs"], toffs, j), full_tfs[lo:hi])
+    assert np.array_equal(full_ids, doc_ids.astype(np.uint64))
