@@ -82,6 +82,12 @@ def main() -> None:
         q_times.append(dt)
         timings[f"bm25_q{i}"] = round(dt, 4)
 
+    # 2b) batch replay: whole query set in ONE job (the throughput path)
+    t0 = time.perf_counter()
+    n_batch_rows = idx.search_many(BM25_QUERIES, k=10).count()
+    batch_sec = time.perf_counter() - t0
+    timings["bm25_batch_replay"] = round(batch_sec, 4)
+
     # 3) heavy pipeline operators (driver-contract implementations)
     timed("pipe_postings", lambda: DQ.q_postings(spark, sf_dir).count())
     timed("pipe_bm25_sql_skeleton", lambda: DQ.q_bm25_topk(spark, sf_dir).collect())
@@ -105,6 +111,7 @@ def main() -> None:
         "build_files_per_sec": round(n_docs / timings["build_index"], 2),
         "bm25_p50_sec": round(p50, 4),
         "bm25_p99_sec": round(p99, 4),
+        "bm25_batch_qps": round(len(BM25_QUERIES) / batch_sec, 2),
         "cpus": cpus,
     }
     print(json.dumps(out))

@@ -29,7 +29,7 @@ from __future__ import annotations
 import time
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from fuzzy_wiki_spark.operators.postings import build_postings
@@ -40,17 +40,24 @@ MANIFEST_SCHEMA = (
 )
 
 
-def _group_fingerprint(docs_group: DataFrame) -> tuple[int, int]:
-    """(fingerprint, n_docs): order-independent xxhash64 XOR aggregate
-    (XOR never overflows under ANSI mode; doc_ids are unique so no
-    pairwise cancellation of identical rows)."""
-    row = docs_group.select(
-        F.bit_xor(
-            F.xxhash64(F.col("doc_id"), F.coalesce(F.col("content"), F.lit("")))
-        ).alias("fp"),
-        F.count("*").alias("n"),
-    ).head()
-    return int(row["fp"] or 0), int(row["n"])
+def group_fingerprints(
+    docs_df: DataFrame, n_groups: int
+) -> dict[int, tuple[int, int]]:
+    """gid -> (fingerprint, n_docs) for ALL groups in ONE scan (the
+    per-group variant costs n_groups passes over the input)."""
+    rows = (
+        docs_df.groupBy((F.col("doc_id") % n_groups).cast("int").alias("gid"))
+        .agg(
+            F.bit_xor(
+                F.xxhash64(
+                    F.col("doc_id"), F.coalesce(F.col("content"), F.lit(""))
+                )
+            ).alias("fp"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    return {int(r["gid"]): (int(r["fp"] or 0), int(r["n"])) for r in rows}
 
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -86,18 +93,25 @@ def build_index_checkpointed(
     out = Path(out_dir)
     done = completed_groups(spark, out_dir)
     built, skipped = [], []
+    fps = group_fingerprints(docs_df, n_groups)
 
     for gid in range(n_groups):
         group = docs_df.where(F.col("doc_id") % n_groups == gid)
-        fp, n_docs = _group_fingerprint(group)
+        fp, n_docs = fps.get(gid, (0, 0))
         if done.get(gid) == fp:
             skipped.append(gid)
             continue
         t0 = time.perf_counter()
         posts = build_postings(group, fields=fields, mode=mode)
         gdir = out / "postings" / f"group={gid}"
-        posts.write.mode("overwrite").parquet(str(gdir))
-        n_postings = spark.read.parquet(str(gdir)).count()
+        # Observation: the posting count rides along with the write job —
+        # no second scan of what was just written (the reference's build
+        # counters, Parser.java:36-40, done the Spark way)
+        obs = Observation(f"ckpt_g{gid}")
+        posts.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(str(gdir))
+        n_postings = int(obs.get["n"])
         nbytes = sum(f.stat().st_size for f in gdir.rglob("*.parquet"))
         wall_ms = int((time.perf_counter() - t0) * 1000)
         row = [(gid, fp, n_docs, n_postings, nbytes, wall_ms, "done")]

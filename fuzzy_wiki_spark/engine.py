@@ -97,6 +97,29 @@ class InvertedIndex:
             k=k,
         )
 
+    def search_many(self, queries: list[str], k: int = 10) -> DataFrame:
+        """Batch query replay: ALL queries scored in one Spark job →
+        (query_id, doc_id, path, score, rank). query_id = index into
+        ``queries``. This is the scale path for a query-set workload (the
+        reference's k6 load test fires 10k queries, LoadTest.ts:6-14):
+        fixed job overhead is paid once, not per query."""
+        from fuzzy_wiki_spark.operators.topk import score_queries_batch
+
+        compiled = {i: compile_query(q) for i, q in enumerate(queries)}
+        terms = sorted(
+            {t for cls in compiled.values() for c in cls for t in c.terms}
+        )
+        term_df = self.lookup_term_df(terms)
+        return score_queries_batch(
+            self.spark,
+            self.postings,
+            compiled,
+            term_df,
+            self.field_stats,
+            docs_meta=self.docs_meta,
+            k=k,
+        )
+
     def get_by_path(self, path: str, docs_df: DataFrame) -> DataFrame:
         """Exact point lookup (O21, Searcher.java:49-63): predicate-pushdown
         point query instead of a top-1 search + string check."""

@@ -137,6 +137,13 @@ def build_postings(
     cols = [id_col] + sorted(set(fields.values()))
     src = docs_df.select(*cols)
 
+    # A small/single-file source scans as 1-2 splits, which would serialize
+    # the (CPU-heavy) tokenize stage; spread it across the cluster. At real
+    # scale the scan already has >= parallelism splits and this is a no-op.
+    para = docs_df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < para:
+        src = src.repartition(para)
+
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             pdf = batch.to_pandas()

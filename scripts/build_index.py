@@ -82,7 +82,15 @@ def main() -> None:
     if args.input:
         docs = spark.read.parquet(args.input)
     else:
-        docs = generate_docs_df(spark, args.n_docs, seed=args.seed)
+        # materialize the synthetic corpus ONCE: the build makes several
+        # passes over docs (sha gate, fingerprints, per-group tokenize,
+        # docs_meta) and a lazy generator would re-run per pass
+        docs_dir = Path(args.out) / "docs"
+        if not (docs_dir.exists() and any(docs_dir.glob("*.parquet"))):
+            generate_docs_df(spark, args.n_docs, seed=args.seed).write.mode(
+                "overwrite"
+            ).parquet(str(docs_dir))
+        docs = spark.read.parquet(str(docs_dir))
 
     # --- per-row invariant gate (input_hint): sha256(content) equality ---
     sha_checked = -1

@@ -1,0 +1,41 @@
+"""Batch query replay (score_queries_batch): one job, identical results to
+the per-query path for every reference query."""
+
+import pytest
+
+from fuzzy_wiki_spark.corpus import REFERENCE_QUERIES, generate_docs_pdf
+from fuzzy_wiki_spark.engine import InvertedIndex
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    docs = spark.createDataFrame(generate_docs_pdf(200, seed=42))
+    ix = InvertedIndex.build(spark, docs, persist=True)
+    yield ix
+    ix.unpersist()
+
+
+def test_batch_matches_per_query(idx):
+    queries = list(REFERENCE_QUERIES)
+    batch = idx.search_many(queries, k=10).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+        )
+    for qid, q in enumerate(queries):
+        single = [
+            (i + 1, r["doc_id"], round(r["score"], 9))
+            for i, r in enumerate(idx.search(q, k=10).collect())
+        ]
+        assert got.get(qid, []) == single, q
+
+
+def test_batch_rank_contiguous(idx):
+    rows = idx.search_many(["binary search", "return"], k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
