@@ -207,20 +207,43 @@ class SegmentIndex:
         ).write.mode("overwrite").parquet(f"{path}/stats")
         return cls(spark, path)
 
+    def _term_df(self, terms: list[str]) -> dict[tuple[str, str], int]:
+        if not terms:
+            return {}
+        rows = self.term_stats.where(F.col("term").isin(terms)).collect()
+        return {(r["field"], r["term"]): r["df"] for r in rows}
+
     def search(self, query: str, k: int = 10) -> DataFrame:
         from fuzzy_wiki_spark.operators.segment_query import search_segments
 
         clauses = compile_query(query)
-        terms = sorted({t for c in clauses for t in c.terms})
-        term_df = {}
-        if terms:
-            rows = self.term_stats.where(F.col("term").isin(terms)).collect()
-            term_df = {(r["field"], r["term"]): r["df"] for r in rows}
+        term_df = self._term_df(sorted({t for c in clauses for t in c.terms}))
         return search_segments(
             self.spark,
             self.segments,
             clauses,
             term_df,
+            self.field_stats,
+            k=k,
+        )
+
+    def search_many(self, queries: list[str], k: int = 10) -> DataFrame:
+        """Batch replay over compressed segments: one job for the whole
+        query set; per-bucket decode is shared across queries →
+        (query_id, doc_id, score, rank)."""
+        from fuzzy_wiki_spark.operators.segment_query import (
+            search_segments_batch,
+        )
+
+        compiled = {i: compile_query(q) for i, q in enumerate(queries)}
+        terms = sorted(
+            {t for cls in compiled.values() for c in cls for t in c.terms}
+        )
+        return search_segments_batch(
+            self.spark,
+            self.segments,
+            compiled,
+            self._term_df(terms),
             self.field_stats,
             k=k,
         )

@@ -27,8 +27,9 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from fuzzy_wiki_spark.analyzer import analyze_terms
+from fuzzy_wiki_spark.analyzer import _analyze_token
 
 POSTINGS_SCHEMA_DDL = (
     "doc_id long, field string, term string, tf int, positions array<int>, dl int"
@@ -45,58 +46,75 @@ _POSTINGS_PA = pa.schema(
 )
 
 
-def _postings_for_field(
-    doc_ids: np.ndarray, texts: pd.Series, field: str, mode: str
-) -> pd.DataFrame:
-    """One Arrow batch, one field → posting rows.
+# \w-equivalent separator for RE2 (Arrow's regex engine): python re's \w is
+# unicode letters/digits/underscore; RE2 spells that \p{L}\p{N}_
+_SEP_RE = r"[^\p{L}\p{N}_]+"
 
-    Vectorized pipeline: NFKC (pandas C path) → regex findall → flat token
-    array → unique-vocab analyze (stop/stem, cached) → lexsort run-grouping
-    for (doc, term) tf + positions.
+
+def _postings_batch(
+    doc_ids: np.ndarray, texts: pa.Array, field: str, mode: str
+) -> pa.RecordBatch | None:
+    """One Arrow batch, one field → posting rows, **Arrow-native**.
+
+    The entire token stream stays in Arrow C++ buffers (normalize → regex
+    split → lower → dictionary-encode); Python only ever touches the
+    per-batch UNIQUE vocabulary (stop/stem — Zipf makes it tiny) and flat
+    int arrays (numpy). The previous pandas implementation materialized one
+    PyObject per token (~200/doc), which saturated the memory allocator
+    long before 32 cores were busy — measured 1.6× per-CPU inflation at 32
+    workers; token buffers in Arrow keep the hot path cache-friendly, which
+    is what makes the build scale with cores at constant memory bandwidth.
     """
-    texts = texts.fillna("")
+    n_docs = len(texts)
     if mode == "porter":
-        toks_per_doc = texts.str.normalize("NFKC").str.findall(r"\w+")
+        toks = pc.split_pattern_regex(
+            pc.utf8_normalize(texts, form="NFKC"), pattern=_SEP_RE
+        )
     else:  # simple whitespace mode (SQL-oracle-parity pipelines)
-        toks_per_doc = texts.str.split()
-        toks_per_doc = toks_per_doc.map(lambda t: t if t is not None else [])
-
-    counts = toks_per_doc.str.len().to_numpy(dtype=np.int64)
-    if counts.sum() == 0:
-        return pd.DataFrame(
-            columns=["doc_id", "field", "term", "tf", "positions", "dl"]
-        )
-    flat_tokens = np.concatenate(
-        [np.asarray(t, dtype=object) for t in toks_per_doc.to_numpy()]
-    ) if counts.sum() else np.empty(0, dtype=object)
-    doc_idx = np.repeat(np.arange(len(texts)), counts)
-
+        toks = pc.split_pattern(texts, pattern=" ")
+    lens = pc.list_value_length(toks).fill_null(0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    flat = pc.list_flatten(toks)  # null lists contribute nothing
     if mode == "porter":
-        terms = analyze_terms(flat_tokens)  # '' marks removed stop words
-        keep = terms != ""
-        terms = terms[keep]
-        doc_idx = doc_idx[keep]
-    else:
-        terms = flat_tokens
+        flat = pc.utf8_lower(flat)
+    if len(flat) == 0:
+        return None
 
-    if terms.size == 0:
-        return pd.DataFrame(
-            columns=["doc_id", "field", "term", "tf", "positions", "dl"]
+    d = flat.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = d.dictionary.to_pylist()  # unique raw tokens only
+
+    # unique-vocab analyze (python, tiny): '' marks removed tokens
+    if mode == "porter":
+        mapped = np.asarray(
+            [(_analyze_token(u) or "") for u in vocab], dtype=object
         )
+    else:
+        mapped = np.asarray(vocab, dtype=object)  # '' split artifacts drop
+    stem_vocab, vocab_to_stem = np.unique(mapped, return_inverse=True)
+    term_codes = vocab_to_stem[codes]
+    doc_idx = np.repeat(np.arange(n_docs), lens)
+
+    if stem_vocab.size and stem_vocab[0] == "":  # np.unique sorts '' first
+        keep = term_codes != 0
+        term_codes = term_codes[keep]
+        doc_idx = doc_idx[keep]
+    if term_codes.size == 0:
+        return None
 
     # positions of surviving tokens within their doc: arange minus each
     # doc's first flat index (doc_idx is non-decreasing by construction)
     boundaries = np.flatnonzero(np.diff(doc_idx, prepend=doc_idx[0] - 1))
-    starts = np.zeros(terms.size, dtype=np.int64)
-    starts[boundaries] = np.arange(terms.size)[boundaries]
+    starts = np.zeros(term_codes.size, dtype=np.int64)
+    starts[boundaries] = np.arange(term_codes.size)[boundaries]
     starts = np.maximum.accumulate(starts)
-    positions = (np.arange(terms.size) - starts).astype(np.int32)
+    positions = (np.arange(term_codes.size) - starts).astype(np.int32)
 
     # dl per doc = surviving token count
-    dl_per_doc = np.bincount(doc_idx, minlength=len(texts)).astype(np.int32)
+    dl_per_doc = np.bincount(doc_idx, minlength=n_docs).astype(np.int32)
 
-    # group (doc, term) via lexsort; runs give tf and position slices
-    term_codes, term_uniq = pd.factorize(terms, sort=False)
+    # group (doc, term) via lexsort on int arrays; runs give tf + positions
     order = np.lexsort((positions, term_codes, doc_idx))
     d_s, t_s, p_s = doc_idx[order], term_codes[order], positions[order]
     new_run = np.empty(d_s.size, dtype=bool)
@@ -105,18 +123,52 @@ def _postings_for_field(
     run_starts = np.flatnonzero(new_run)
     run_ends = np.append(run_starts[1:], d_s.size)
     tf = (run_ends - run_starts).astype(np.int32)
-    pos_lists = np.split(p_s, run_starts[1:])
+    n_rows = run_starts.size
 
-    return pd.DataFrame(
-        {
-            "doc_id": doc_ids[d_s[run_starts]],
-            "field": field,
-            "term": term_uniq[t_s[run_starts]],
-            "tf": tf,
-            "positions": pos_lists,
-            "dl": dl_per_doc[d_s[run_starts]],
-        }
+    # assemble output columns in Arrow (C++ take/list construction —
+    # no per-row Python, no object churn)
+    term_col = pa.array(stem_vocab.tolist(), type=pa.string()).take(
+        pa.array(t_s[run_starts], type=pa.int64())
     )
+    pos_offsets = np.empty(n_rows + 1, dtype=np.int32)
+    pos_offsets[0] = 0
+    np.cumsum(tf, out=pos_offsets[1:], dtype=np.int32)
+    pos_col = pa.ListArray.from_arrays(
+        pa.array(pos_offsets, type=pa.int32()), pa.array(p_s, type=pa.int32())
+    )
+    field_col = pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(n_rows, dtype=np.int32)),
+        pa.array([field], type=pa.string()),
+    ).cast(pa.string())
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(doc_ids[d_s[run_starts]], type=pa.int64()),
+            field_col,
+            term_col,
+            pa.array(tf, type=pa.int32()),
+            pos_col,
+            pa.array(dl_per_doc[d_s[run_starts]], type=pa.int32()),
+        ],
+        schema=_POSTINGS_PA,
+    )
+
+
+def _postings_for_field(
+    doc_ids: np.ndarray, texts: pd.Series, field: str, mode: str
+) -> pd.DataFrame:
+    """pandas-Series convenience wrapper over :func:`_postings_batch`
+    (tests/microbenches; the Spark path feeds Arrow arrays directly)."""
+    rb = _postings_batch(
+        np.asarray(doc_ids, dtype=np.int64),
+        pa.array(texts, type=pa.string()),
+        field,
+        mode,
+    )
+    if rb is None:
+        return pd.DataFrame(
+            columns=["doc_id", "field", "term", "tf", "positions", "dl"]
+        )
+    return rb.to_pandas()
 
 
 def build_postings(
@@ -144,16 +196,23 @@ def build_postings(
     if src.rdd.getNumPartitions() < para:
         src = src.repartition(para)
 
+    col_names = cols
+
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # one worker = one core: Arrow's per-process thread pool (default
+        # os.cpu_count()) would give 32 workers × 32 threads of contention
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
         for batch in batches:
-            pdf = batch.to_pandas()
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = batch.column(col_names.index(id_col)).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
             for fname, col in fields.items():
-                out = _postings_for_field(ids, pdf[col], fname, mode)
-                if len(out):
-                    yield pa.RecordBatch.from_pandas(
-                        out, schema=_POSTINGS_PA, preserve_index=False
-                    )
+                rb = _postings_batch(
+                    ids, batch.column(col_names.index(col)), fname, mode
+                )
+                if rb is not None:
+                    yield rb
 
     return src.mapInArrow(gen, POSTINGS_SCHEMA_DDL)
 

@@ -81,6 +81,7 @@ def bucket_topk(
     avgdl: dict[str, float],
     k: int,
     use_maxscore: bool = True,
+    cache: dict | None = None,
 ) -> pd.DataFrame:
     """Score one bucket's segment rows → local top-k (doc_id, score).
 
@@ -98,30 +99,42 @@ def bucket_topk(
     costs O(candidates) block decodes, not O(df) — the decode-bandwidth win
     block-max WAND exists for.
     """
-    # decode meta rows: per-field dl maps and redirect set
-    dl_map: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    redirect_ids = np.empty(0, dtype=np.int64)
-    rows: dict[tuple[str, str], pd.Series] = {}
-    for _, r in seg_pdf.iterrows():
-        if r["term"] == META_DL:
-            dl_map[r["field"]] = (
-                delta_decode_blocked(r["doc_ids"], BLOCK).astype(np.int64),
-                decode_tfs(r["tfs"]).astype(np.float64),
-            )
-        elif r["term"] == META_REDIRECT:
-            redirect_ids = delta_decode_blocked(r["doc_ids"], BLOCK).astype(
-                np.int64
-            )
-        else:
-            rows[(r["field"], r["term"])] = r
+    # decode meta rows: per-field dl maps and redirect set. ``cache`` (one
+    # per bucket in batch replay) memoizes decodes across the query set.
+    if cache is None:
+        cache = {}
+    if "meta" in cache:
+        dl_map, redirect_ids, rows = cache["meta"]
+    else:
+        dl_map: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        redirect_ids = np.empty(0, dtype=np.int64)
+        rows: dict[tuple[str, str], pd.Series] = {}
+        for _, r in seg_pdf.iterrows():
+            if r["term"] == META_DL:
+                dl_map[r["field"]] = (
+                    delta_decode_blocked(r["doc_ids"], BLOCK).astype(np.int64),
+                    decode_tfs(r["tfs"]).astype(np.float64),
+                )
+            elif r["term"] == META_REDIRECT:
+                redirect_ids = delta_decode_blocked(r["doc_ids"], BLOCK).astype(
+                    np.int64
+                )
+            else:
+                rows[(r["field"], r["term"])] = r
+        cache["meta"] = (dl_map, redirect_ids, rows)
 
     def term_arrays(field: str, term: str):
+        key = ("arr", field, term)
+        if key in cache:
+            return cache[key]
         r = rows.get((field, term))
         if r is None:
+            cache[key] = None
             return None
         ids = delta_decode_blocked(r["doc_ids"], BLOCK).astype(np.int64)
         tfs = decode_tfs(r["tfs"]).astype(np.float64)
-        return r, ids, tfs
+        cache[key] = (r, ids, tfs)
+        return cache[key]
 
     def dl_for(field: str, ids: np.ndarray) -> np.ndarray:
         all_ids, dls = dl_map[field]
@@ -292,6 +305,25 @@ def bucket_topk(
     )
 
 
+def _query_weights(
+    clauses: list[Clause],
+    term_df: dict[tuple[str, str], int],
+    doc_counts: dict[str, int],
+) -> dict[int, float]:
+    return {
+        cl.clause_id: cl.boost
+        * sum(
+            math.log(
+                1.0
+                + (doc_counts.get(cl.field, 0) - term_df.get((cl.field, t), 0) + 0.5)
+                / (term_df.get((cl.field, t), 0) + 0.5)
+            )
+            for t in cl.terms
+        )
+        for cl in clauses
+    }
+
+
 def search_segments(
     spark,
     segments_df,
@@ -303,33 +335,69 @@ def search_segments(
     """Distributed segment search → global top-k (doc_id, score) DataFrame."""
     from pyspark.sql import functions as F
 
-    if not clauses:
-        return spark.createDataFrame([], "doc_id long, score double")
+    out = search_segments_batch(
+        spark, segments_df, {0: clauses}, term_df, field_stats, k=k
+    )
+    return out.select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+def search_segments_batch(
+    spark,
+    segments_df,
+    queries: dict[int, list[Clause]],  # query_id -> compiled clauses
+    term_df: dict[tuple[str, str], int],
+    field_stats: dict[str, tuple[int, float]],
+    k: int = 10,
+):
+    """Batch replay over the segment index → (query_id, doc_id, score, rank).
+
+    One job for the whole query set: each bucket task receives the union of
+    all queries' segment rows and scores every query against them — a
+    bucket's meta rows (dl map) and any shared term's postings are decoded
+    ONCE for the set, not once per query. Per-bucket partial top-k per
+    query, then a global window rank (tiny input: ≤ buckets·Q·k rows)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    schema = "query_id int, doc_id long, score double"
+    queries = {qid: cls for qid, cls in queries.items() if cls}
+    if not queries:
+        return spark.createDataFrame([], schema + ", rank int")
 
     doc_counts = {f: dc for f, (dc, _) in field_stats.items()}
     avgdl = {f: a for f, (_, a) in field_stats.items()}
-    weights: dict[int, float] = {}
-    for cl in clauses:
-        weights[cl.clause_id] = cl.boost * sum(
-            math.log(
-                1.0
-                + (doc_counts.get(cl.field, 0) - term_df.get((cl.field, t), 0) + 0.5)
-                / (term_df.get((cl.field, t), 0) + 0.5)
-            )
-            for t in cl.terms
-        )
-    all_terms = sorted({t for c in clauses for t in c.terms}) + [
-        META_DL,
-        META_REDIRECT,
-    ]
+    weights = {
+        qid: _query_weights(cls, term_df, doc_counts)
+        for qid, cls in queries.items()
+    }
+    all_terms = sorted(
+        {t for cls in queries.values() for c in cls for t in c.terms}
+    ) + [META_DL, META_REDIRECT]
 
     pruned = segments_df.where(F.col("term").isin(all_terms))
 
+    def per_bucket(_, g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        cache: dict = {}  # shared decode across the query set
+        for qid, cls in queries.items():
+            r = bucket_topk(g, cls, weights[qid], avgdl, k, cache=cache)
+            if len(r):
+                r.insert(0, "query_id", np.int32(qid))
+                outs.append(r)
+        if not outs:
+            return pd.DataFrame(
+                {"query_id": [], "doc_id": [], "score": []}
+            ).astype({"query_id": "int32", "doc_id": "int64", "score": "float64"})
+        return pd.concat(outs, ignore_index=True)
+
     # segments are written partitioned by bucket, so this groupBy's exchange
-    # moves only the ~|query terms| pruned rows per bucket — a few KB; AQE
-    # coalesces the tiny post-shuffle partitions.
-    local = pruned.groupBy("bucket").applyInPandas(
-        lambda _, g: bucket_topk(g, clauses, weights, avgdl, k),
-        "doc_id long, score double",
+    # moves only the pruned (bucket × matched term) rows — a few KB/bucket;
+    # AQE coalesces the tiny post-shuffle partitions.
+    local = pruned.groupBy("bucket").applyInPandas(per_bucket, schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )
-    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

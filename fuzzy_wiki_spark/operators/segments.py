@@ -183,6 +183,8 @@ def build_segments(postings_df, n_buckets: int = 32):
     ) -> Iterator[pa.RecordBatch]:
         # rows arrive hash-clustered by (bucket, field, term) — repartition
         # upstream guarantees all rows of a group are in this partition
+        pa.set_cpu_count(1)  # one worker = one core (see postings.py)
+        pa.set_io_thread_count(1)
         chunks = [b.to_pandas() for b in batches]
         if not chunks:
             return

@@ -56,12 +56,27 @@ def main() -> None:
         lat.append(time.perf_counter() - t0)
         results[q] = [[int(r["doc_id"]), round(float(r["score"]), 6)] for r in rows]
 
+    # batch replay: the whole set in one job (throughput path)
+    t0 = time.perf_counter()
+    batch_rows = idx.search_many(queries, k=args.k).collect()
+    batch_sec = time.perf_counter() - t0
+    # rank-identity: batch must equal the per-query loop
+    got = {}
+    for r in batch_rows:
+        got.setdefault(queries[r["query_id"]], []).append(
+            [int(r["doc_id"]), round(float(r["score"]), 6)]
+        )
+    batch_identical = all(got.get(q, []) == results[q] for q in queries)
+
     s = sorted(lat)
     print(json.dumps({
         "n_queries": len(queries),
         "p50_sec": round(s[len(s) // 2], 4),
         "p99_sec": round(s[min(len(s) - 1, int(len(s) * 0.99))], 4),
         "mean_sec": round(sum(s) / len(s), 4),
+        "batch_replay_sec": round(batch_sec, 4),
+        "batch_qps": round(len(queries) / batch_sec, 2),
+        "batch_identical_to_per_query": batch_identical,
         "per_query_sec": {q: round(t, 4) for q, t in zip(queries, lat)},
         "topk": results,
     }))

@@ -31,6 +31,23 @@ def test_batch_matches_per_query(idx):
         assert got.get(qid, []) == single, q
 
 
+def test_segment_batch_matches_relational_batch(idx, spark, tmp_path):
+    from fuzzy_wiki_spark.engine import SegmentIndex
+
+    docs = spark.createDataFrame(generate_docs_pdf(200, seed=42))
+    seg = SegmentIndex.build(spark, docs, str(tmp_path / "segidx"), n_buckets=4)
+    queries = list(REFERENCE_QUERIES)
+    want = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+        for r in idx.search_many(queries, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+        for r in seg.search_many(queries, k=10).collect()
+    }
+    assert got == want
+
+
 def test_batch_rank_contiguous(idx):
     rows = idx.search_many(["binary search", "return"], k=5).collect()
     by_q = {}
