@@ -41,23 +41,34 @@ MANIFEST_SCHEMA = (
 
 
 def group_fingerprints(
-    docs_df: DataFrame, n_groups: int
-) -> dict[int, tuple[int, int]]:
-    """gid -> (fingerprint, n_docs) for ALL groups in ONE scan (the
-    per-group variant costs n_groups passes over the input)."""
+    docs_df: DataFrame, n_groups: int, check_sha: bool = False
+) -> tuple[dict[int, tuple[int, int]], int]:
+    """(gid -> (fingerprint, n_docs), sha_mismatches) for ALL groups in ONE
+    scan (the per-group variant costs n_groups passes over the input; the
+    sha256 invariant gate rides the same aggregation when requested)."""
+    aggs = [
+        F.bit_xor(
+            F.xxhash64(F.col("doc_id"), F.coalesce(F.col("content"), F.lit("")))
+        ).alias("fp"),
+        F.count("*").alias("n"),
+    ]
+    if check_sha:
+        aggs.append(
+            F.sum(
+                (
+                    F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
+                    != F.col("content_sha256")
+                ).cast("long")
+            ).alias("sha_bad")
+        )
     rows = (
         docs_df.groupBy((F.col("doc_id") % n_groups).cast("int").alias("gid"))
-        .agg(
-            F.bit_xor(
-                F.xxhash64(
-                    F.col("doc_id"), F.coalesce(F.col("content"), F.lit(""))
-                )
-            ).alias("fp"),
-            F.count("*").alias("n"),
-        )
+        .agg(*aggs)
         .collect()
     )
-    return {int(r["gid"]): (int(r["fp"] or 0), int(r["n"])) for r in rows}
+    fps = {int(r["gid"]): (int(r["fp"] or 0), int(r["n"])) for r in rows}
+    sha_bad = sum(int(r["sha_bad"] or 0) for r in rows) if check_sha else 0
+    return fps, sha_bad
 
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -84,16 +95,19 @@ def build_index_checkpointed(
     n_groups: int = 8,
     mode: str = "porter",
     fields: dict[str, str] | None = None,
+    fps: dict[int, tuple[int, int]] | None = None,
 ) -> dict:
     """Build postings group-by-group with manifest checkpointing.
 
     Returns {"built": [...], "skipped": [...]} group ids. Output layout:
     ``<out>/postings/group=<id>/*.parquet`` + ``<out>/manifest/``.
+    ``fps``: pre-computed group fingerprints (skips the scan).
     """
     out = Path(out_dir)
     done = completed_groups(spark, out_dir)
     built, skipped = [], []
-    fps = group_fingerprints(docs_df, n_groups)
+    if fps is None:
+        fps, _ = group_fingerprints(docs_df, n_groups)
 
     for gid in range(n_groups):
         group = docs_df.where(F.col("doc_id") % n_groups == gid)

@@ -97,6 +97,15 @@ def delta_decode(buf: bytes) -> np.ndarray:
     return np.cumsum(gaps, dtype=np.uint64)
 
 
+def varint_encode_with_lengths(
+    values: np.ndarray,
+) -> tuple[bytes, np.ndarray]:
+    """(buffer, per-value byte length) in one pass — callers that slice the
+    buffer per group need the lengths anyway."""
+    buf = varint_encode(values)
+    return buf, varint_byte_lengths(values)
+
+
 def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
     """Per-value encoded byte length (vectorized) — used to derive block
     byte offsets without re-encoding per block."""

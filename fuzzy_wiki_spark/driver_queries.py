@@ -191,6 +191,13 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def q_preview(spark, sf_dir):
+    """O28 preview truncation: first sentence per doc (textBrief analog)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", TXT.text_brief(F.col("text")).alias("preview")
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     """Order-insensitive document fingerprint (rolling content identity)."""
     return _docs(spark, sf_dir).select(
@@ -343,6 +350,13 @@ ORACLE_SQL: dict[str, str] = {
                min(doc_id) AS min_doc_id
         FROM documents GROUP BY md5(text)
     """,
+    "preview": """
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 OR text IS NULL
+                    THEN 'No Description'
+                    ELSE split_part(text, '.', 1) END AS preview
+        FROM documents
+    """,
     "fingerprint": """
         SELECT doc_id,
                md5(array_to_string(list_sort(list_distinct(
@@ -421,6 +435,7 @@ QUERIES = {
     "point_lookup": q_point_lookup,
     "content_sha": q_content_sha,
     "dedup_exact": q_dedup_exact,
+    "preview": q_preview,
     "fingerprint": q_fingerprint,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,

@@ -72,6 +72,17 @@ def lang_guess(text_col) -> Column:
     )
 
 
+def text_brief(text_col) -> Column:
+    """Preview truncation (reference O28, MyScoredDoc.textBrief
+    MyScoredDoc.java:34-56): first sentence of the text, 'No Description'
+    when empty. Column-expression port of the scalar Java helper."""
+    first = F.substring_index(text_col, ".", 1)
+    return F.when(
+        F.coalesce(F.length(F.trim(text_col)), F.lit(0)) == 0,
+        F.lit("No Description"),
+    ).otherwise(first)
+
+
 def fingerprint(text_col) -> Column:
     """Document fingerprint: md5 over the sorted distinct token set —
     word-order-insensitive content identity (near-dup prefilter)."""

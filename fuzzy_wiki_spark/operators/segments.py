@@ -47,12 +47,15 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import pyarrow.compute as pc
+
 from fuzzy_wiki_spark.codec import (
     block_offsets,
     delta_encode_blocked,
     encode_tfs,
     varint_decode,
     varint_encode,
+    varint_encode_with_lengths,
 )
 
 BLOCK = 128
@@ -155,6 +158,172 @@ def decode_positions(pos_lens_buf: bytes, pos_buf: bytes) -> list[np.ndarray]:
     return out
 
 
+def _binary_col(buf: bytes, byte_offsets: np.ndarray) -> pa.BinaryArray:
+    """Zero-copy per-group binary column: one big varint buffer + group
+    byte offsets → Arrow BinaryArray (no per-group Python slicing)."""
+    return pa.BinaryArray.from_buffers(
+        pa.binary(),
+        byte_offsets.size - 1,
+        [
+            None,
+            pa.py_buffer(byte_offsets.astype(np.int32).tobytes()),
+            pa.py_buffer(buf),
+        ],
+    )
+
+
+def encode_partition_table(tbl: pa.Table) -> pa.RecordBatch | None:
+    """Encode ALL (bucket, field, term) groups of one partition at once.
+
+    The per-group loop (`encode_group` × ~vocab·buckets calls — code
+    corpora have near-unique path tokens, so hundreds of thousands of tiny
+    groups per partition) was the build's top cost. Here every step is one
+    global numpy/Arrow op over the partition: lexsort on integer codes,
+    gap computation with restarts at block heads, ONE varint encode of the
+    whole partition's gaps/tfs/positions/metadata, and zero-copy slicing
+    of those buffers into per-group binary cells via offset arithmetic.
+    Per-group Python: none.
+    """
+    n = tbl.num_rows
+    if n == 0:
+        return None
+    bucket = tbl.column("bucket").combine_chunks().to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    doc = tbl.column("doc_id").combine_chunks().to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    tf = tbl.column("tf").combine_chunks().to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    field_d = tbl.column("field").combine_chunks().dictionary_encode()
+    term_d = tbl.column("term").combine_chunks().dictionary_encode()
+    f_codes = field_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    t_codes = term_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    pos_col = tbl.column("positions").combine_chunks()
+
+    order_np = np.lexsort((doc, t_codes, f_codes, bucket))
+    order = pa.array(order_np, type=pa.int64())
+    bucket, doc, tf = bucket[order_np], doc[order_np], tf[order_np]
+    f_codes, t_codes = f_codes[order_np], t_codes[order_np]
+    pos_sorted = pos_col.take(order)
+    row_lens = pc.list_value_length(pos_sorted).fill_null(0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    flat_pos = pc.list_flatten(pos_sorted).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+
+    new_group = np.empty(n, dtype=bool)
+    new_group[0] = True
+    new_group[1:] = (
+        (bucket[1:] != bucket[:-1])
+        | (f_codes[1:] != f_codes[:-1])
+        | (t_codes[1:] != t_codes[:-1])
+    )
+    group_starts = np.flatnonzero(new_group)
+    n_groups = group_starts.size
+    group_ends = np.append(group_starts[1:], n)
+    glens = group_ends - group_starts
+    row_bounds = np.append(group_starts, n)  # n_groups+1, row space
+
+    # ---- doc gaps, restart at every block head (covers group heads) ----
+    idx_in_group = np.arange(n) - np.repeat(group_starts, glens)
+    block_start_mask = (idx_in_group % BLOCK) == 0
+    block_starts = np.flatnonzero(block_start_mask)
+    gaps = doc.copy()
+    gaps[1:] -= doc[:-1]
+    gaps[block_starts] = doc[block_starts]
+    doc_buf, doc_nb = varint_encode_with_lengths(gaps.astype(np.uint64))
+    doc_cum = np.concatenate(([0], np.cumsum(doc_nb)))
+    doc_col = _binary_col(doc_buf, doc_cum[row_bounds])
+
+    # ---- tfs ----
+    tf_buf, tf_nb = varint_encode_with_lengths(tf.astype(np.uint64))
+    tf_cum = np.concatenate(([0], np.cumsum(tf_nb)))
+    tf_col = _binary_col(tf_buf, tf_cum[row_bounds])
+
+    # ---- positions: per-row delta restart over the flat value stream ----
+    if flat_pos.size:
+        pgaps = flat_pos.copy()
+        pgaps[1:] -= flat_pos[:-1]
+        row_flat_starts = np.concatenate(([0], np.cumsum(row_lens)))  # n+1
+        first_idx = row_flat_starts[:-1][row_lens > 0]
+        pgaps[first_idx] = flat_pos[first_idx]
+        pos_buf, pos_nb = varint_encode_with_lengths(pgaps.astype(np.uint64))
+        pos_cum = np.concatenate(([0], np.cumsum(pos_nb)))
+    else:
+        row_flat_starts = np.zeros(n + 1, dtype=np.int64)
+        pos_buf, pos_cum = b"", np.zeros(1, dtype=np.int64)
+    pos_col_out = _binary_col(pos_buf, pos_cum[row_flat_starts[row_bounds]])
+
+    # pos_lens: varint of per-row list lengths, sliced per group
+    rl_buf, rl_nb = varint_encode_with_lengths(row_lens.astype(np.uint64))
+    rl_cum = np.concatenate(([0], np.cumsum(rl_nb)))
+    pos_lens_col = _binary_col(rl_buf, rl_cum[row_bounds])
+
+    # ---- block metadata ----
+    nb_per_group = (glens + BLOCK - 1) // BLOCK
+    block_ends = np.minimum(
+        block_starts + BLOCK, np.repeat(group_ends, nb_per_group)
+    )
+    block_last = doc[block_ends - 1].astype(np.uint64)
+    block_maxtf = np.maximum.reduceat(tf, block_starts).astype(np.uint64)
+    blk_bounds = np.concatenate(([0], np.cumsum(nb_per_group)))
+    bl_buf, bl_nb = varint_encode_with_lengths(block_last)
+    bl_cum = np.concatenate(([0], np.cumsum(bl_nb)))
+    block_last_col = _binary_col(bl_buf, bl_cum[blk_bounds])
+    bm_buf, bm_nb = varint_encode_with_lengths(block_maxtf)
+    bm_cum = np.concatenate(([0], np.cumsum(bm_nb)))
+    block_maxtf_col = _binary_col(bm_buf, bm_cum[blk_bounds])
+
+    # block byte-offset arrays: per group, n_blocks rel offsets + end
+    def _block_off_col(val_cum: np.ndarray, value_bounds: np.ndarray):
+        rel = val_cum[block_starts] - np.repeat(
+            val_cum[value_bounds[:-1]], nb_per_group
+        )
+        end = val_cum[value_bounds[1:]] - val_cum[value_bounds[:-1]]
+        slot_base = np.concatenate(([0], np.cumsum(nb_per_group + 1)))
+        out = np.empty(int(slot_base[-1]), dtype=np.uint64)
+        blk_idx_in_group = np.arange(block_starts.size) - np.repeat(
+            blk_bounds[:-1], nb_per_group
+        )
+        out[np.repeat(slot_base[:-1], nb_per_group) + blk_idx_in_group] = rel
+        out[slot_base[1:] - 1] = end
+        b, nb = varint_encode_with_lengths(out)
+        cum = np.concatenate(([0], np.cumsum(nb)))
+        return _binary_col(b, cum[slot_base])
+
+    block_doc_off_col = _block_off_col(doc_cum, row_bounds)
+    block_tf_off_col = _block_off_col(tf_cum, row_bounds)
+
+    # group_starts indexes the SORTED row order; field_d/term_d are in
+    # original order — compose with order_np to fetch the right strings
+    gs = pa.array(order_np[group_starts], type=pa.int64())
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(bucket[group_starts].astype(np.int32)),
+            field_d.take(gs).cast(pa.string()),
+            term_d.take(gs).cast(pa.string()),
+            pa.array(glens.astype(np.int32)),
+            pa.array(np.add.reduceat(tf, group_starts).astype(np.int64)),
+            doc_col,
+            tf_col,
+            pos_lens_col,
+            pos_col_out,
+            pa.array(
+                np.maximum.reduceat(tf, group_starts).astype(np.int32)
+            ),
+            pa.array(nb_per_group.astype(np.int32)),
+            block_last_col,
+            block_maxtf_col,
+            block_doc_off_col,
+            block_tf_off_col,
+        ],
+        schema=_SEG_PA,
+    )
+
+
 def build_segments(postings_df, n_buckets: int = 32):
     """postings (doc_id, field, term, tf, positions, dl) → segments DF.
 
@@ -185,26 +354,12 @@ def build_segments(postings_df, n_buckets: int = 32):
         # upstream guarantees all rows of a group are in this partition
         pa.set_cpu_count(1)  # one worker = one core (see postings.py)
         pa.set_io_thread_count(1)
-        chunks = [b.to_pandas() for b in batches]
-        if not chunks:
+        blist = list(batches)
+        if not blist:
             return
-        pdf = pd.concat(chunks, ignore_index=True)
-        out_rows = []
-        for (bucket, field, term), g in pdf.groupby(
-            ["bucket", "field", "term"], sort=False
-        ):
-            enc = encode_group(
-                g["doc_id"].to_numpy(),
-                g["tf"].to_numpy(),
-                list(g["positions"]),
-            )
-            enc.update({"bucket": bucket, "field": field, "term": term})
-            out_rows.append(enc)
-        if out_rows:
-            seg = pd.DataFrame(out_rows)[[f.name for f in _SEG_PA]]
-            yield pa.RecordBatch.from_pandas(
-                seg, schema=_SEG_PA, preserve_index=False
-            )
+        rb = encode_partition_table(pa.Table.from_batches(blist))
+        if rb is not None:
+            yield rb
 
     # exchange on hash(bucket, field, term): skew-bounded because each group
     # holds at most 1/n_buckets of any term's postings (docstring above)

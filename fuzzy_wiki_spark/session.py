@@ -58,21 +58,52 @@ def get_spark(
     return spark
 
 
-def _ship_package(spark: SparkSession) -> None:
-    """Ship this package to executors (the ``spark-submit --py-files``
-    contract, automated): zips ``fuzzy_wiki_spark`` and ``addPyFile``s it so
-    Arrow-UDF closures that reference the module deserialize on workers even
-    when the driver script runs outside the repo."""
+def build_pkg_zip(out_path: str | None = None) -> str:
+    """Zip ``fuzzy_wiki_spark`` deterministically (fixed zip timestamps, so
+    identical sources → byte-identical zip). Default output is
+    content-addressed: ``fuzzy_wiki_spark_pkg_<sha1[:12]>.zip``."""
+    import hashlib
     import pathlib
     import tempfile
     import zipfile
 
     pkg_dir = pathlib.Path(__file__).resolve().parent
+    entries = [
+        (f"fuzzy_wiki_spark/{py.relative_to(pkg_dir)}", py.read_bytes())
+        for py in sorted(pkg_dir.rglob("*.py"))
+    ]
+    if out_path is None:
+        h = hashlib.sha1()
+        for name, data in entries:
+            h.update(name.encode())
+            h.update(data)
+        out_path = str(
+            pathlib.Path(tempfile.gettempdir())
+            / f"fuzzy_wiki_spark_pkg_{h.hexdigest()[:12]}.zip"
+        )
+    import io
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in entries:
+            zf.writestr(zipfile.ZipInfo(name, (2020, 1, 1, 0, 0, 0)), data)
+    # never rewrite an existing (possibly already-registered) zip in place:
+    # Spark rejects a re-added path whose bytes changed
+    p = pathlib.Path(out_path)
+    data = buf.getvalue()
+    if not (p.exists() and p.read_bytes() == data):
+        p.write_bytes(data)
+    return out_path
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (the ``spark-submit --py-files``
+    contract, automated): zips ``fuzzy_wiki_spark`` and ``addPyFile``s it so
+    Arrow-UDF closures that reference the module deserialize on workers even
+    when the driver script runs outside the repo. Content-addressed name →
+    re-shipping identical code is a no-op, changed code gets a fresh path
+    (Spark refuses re-adding a mutated file under the same name)."""
     try:
-        zpath = pathlib.Path(tempfile.gettempdir()) / "fuzzy_wiki_spark_pkg.zip"
-        with zipfile.ZipFile(zpath, "w") as zf:
-            for py in sorted(pkg_dir.rglob("*.py")):
-                zf.write(py, f"fuzzy_wiki_spark/{py.relative_to(pkg_dir)}")
-        spark.sparkContext.addPyFile(str(zpath))
+        spark.sparkContext.addPyFile(build_pkg_zip())
     except Exception:
         pass  # already shipped via --py-files, or read-only tmp

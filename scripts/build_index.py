@@ -93,24 +93,20 @@ def main() -> None:
         docs = spark.read.parquet(str(docs_dir))
     t0 = time.perf_counter()  # index build starts here (gen is fixture prep)
 
-    # --- per-row invariant gate (input_hint): sha256(content) equality ---
-    sha_checked = -1
-    if "content_sha256" in docs.columns:
-        bad, sha_checked = (
-            docs.select(
-                (F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
-                 != F.col("content_sha256")).cast("int").alias("bad")
-            )
-            .agg(F.sum("bad"), F.count("*"))
-            .head()
-        )
-        if bad:
-            print(json.dumps({"error": "sha256 invariant violated", "rows": int(bad)}))
-            sys.exit(2)
+    # --- one scan: group fingerprints + per-row sha256 invariant gate
+    #     (input_hint: sha256(content) equality) ---
+    from fuzzy_wiki_spark.checkpoint import group_fingerprints
+
+    check_sha = "content_sha256" in docs.columns
+    fps, sha_bad = group_fingerprints(docs, args.groups, check_sha=check_sha)
+    sha_checked = sum(n for _, n in fps.values()) if check_sha else -1
+    if sha_bad:
+        print(json.dumps({"error": "sha256 invariant violated", "rows": int(sha_bad)}))
+        sys.exit(2)
 
     # --- checkpointed tokenize (lineage + metrics manifest) ---
     ck = build_index_checkpointed(
-        spark, docs, args.out, n_groups=args.groups, mode=args.mode
+        spark, docs, args.out, n_groups=args.groups, mode=args.mode, fps=fps
     )
     t_tok = time.perf_counter()
 

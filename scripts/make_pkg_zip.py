@@ -1,16 +1,15 @@
 #!/usr/bin/env python
 """Zip fuzzy_wiki_spark for ``spark-submit --py-files`` (north-rule launch
-mode). Writes /tmp/fuzzy_wiki_spark_pkg.zip and prints the path."""
+mode). Deterministic content-addressed zip (see session.build_pkg_zip);
+prints the path. An explicit output path may be passed as argv[1]."""
 
 from __future__ import annotations
 
 import pathlib
 import sys
-import zipfile
 
-pkg_dir = pathlib.Path(__file__).resolve().parent.parent / "fuzzy_wiki_spark"
-out = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/fuzzy_wiki_spark_pkg.zip")
-with zipfile.ZipFile(out, "w") as zf:
-    for py in sorted(pkg_dir.rglob("*.py")):
-        zf.write(py, f"fuzzy_wiki_spark/{py.relative_to(pkg_dir)}")
-print(out)
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from fuzzy_wiki_spark.session import build_pkg_zip  # noqa: E402
+
+print(build_pkg_zip(sys.argv[1] if len(sys.argv) > 1 else None))

@@ -98,6 +98,77 @@ def test_build_segments_spark(spark, n_buckets):
     postings.unpersist()
 
 
+def test_vectorized_partition_encoder_matches_per_group():
+    """encode_partition_table (global vectorized, zero per-group Python)
+    must produce byte-identical cells to encode_group run per group."""
+    import pyarrow as pa
+    from fuzzy_wiki_spark.operators.segments import (
+        _SEG_PA,
+        encode_partition_table,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for bucket in (0, 2):
+        for field in ("content", "path"):
+            for t in range(7):
+                df = int(rng.integers(1, BLOCK * 3))
+                ids = np.sort(rng.choice(10**6, size=df, replace=False))
+                tfs = rng.integers(1, 9, size=df)
+                for i in range(df):
+                    pos = np.sort(
+                        rng.choice(500, size=int(tfs[i]), replace=False)
+                    )
+                    rows.append(
+                        (bucket, int(ids[i]), field, f"t{t}", int(tfs[i]),
+                         pos.astype("int32").tolist(), 100)
+                    )
+    rng.shuffle(rows)
+    tbl = pa.Table.from_pydict(
+        {
+            "bucket": [r[0] for r in rows],
+            "doc_id": [r[1] for r in rows],
+            "field": [r[2] for r in rows],
+            "term": [r[3] for r in rows],
+            "tf": [r[4] for r in rows],
+            "positions": [r[5] for r in rows],
+            "dl": [r[6] for r in rows],
+        },
+        schema=pa.schema(
+            [
+                pa.field("bucket", pa.int32()),
+                pa.field("doc_id", pa.int64()),
+                pa.field("field", pa.string()),
+                pa.field("term", pa.string()),
+                pa.field("tf", pa.int32()),
+                pa.field("positions", pa.list_(pa.int32())),
+                pa.field("dl", pa.int32()),
+            ]
+        ),
+    )
+    got = encode_partition_table(tbl).to_pandas()
+    assert len(got) == 2 * 2 * 7
+    keys = list(zip(got["bucket"], got["field"], got["term"]))
+    assert len(set(keys)) == len(keys)
+
+    import pandas as pd
+
+    pdf = tbl.to_pandas()
+    for _, g in pdf.groupby(["bucket", "field", "term"], sort=False):
+        want = encode_group(
+            g["doc_id"].to_numpy(),
+            g["tf"].to_numpy(),
+            [np.asarray(p) for p in g["positions"]],
+        )
+        row = got[
+            (got["bucket"] == g["bucket"].iloc[0])
+            & (got["field"] == g["field"].iloc[0])
+            & (got["term"] == g["term"].iloc[0])
+        ].iloc[0]
+        for k, v in want.items():
+            assert row[k] == v, (g["term"].iloc[0], k)
+
+
 def test_selective_block_decode_matches_full():
     rng = np.random.default_rng(11)
     n = BLOCK * 5 + 3
