@@ -26,6 +26,7 @@ processing; parquet directories play that role in the sandbox.
 
 from __future__ import annotations
 
+import json
 import time
 from pathlib import Path
 
@@ -38,6 +39,10 @@ MANIFEST_SCHEMA = (
     "partition_id int, input_fingerprint long, n_docs long, n_postings long, "
     "bytes long, wall_ms long, status string"
 )
+_MANIFEST_KEYS = [
+    "partition_id", "input_fingerprint", "n_docs", "n_postings",
+    "bytes", "wall_ms", "status",
+]
 
 
 def group_fingerprints(
@@ -71,10 +76,23 @@ def group_fingerprints(
     return fps, sha_bad
 
 
+def _manifest_rows(out_dir: str) -> list[dict]:
+    rows = []
+    for f in sorted((Path(out_dir) / "manifest").glob("group-*.json")):
+        rows.append(json.loads(f.read_text()))
+    return rows
+
+
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
-    mpath = Path(out_dir) / "manifest"
-    if mpath.exists() and any(mpath.glob("*.parquet")):
-        return spark.read.parquet(str(mpath))
+    """Manifest rows are tiny driver-written JSON files (one per group) —
+    a Spark parquet write per row would cost a full job commit each; the
+    manifest is metadata, not data. (On Iceberg: snapshot summary props.)"""
+    rows = _manifest_rows(out_dir)
+    if rows:
+        return spark.createDataFrame(
+            [tuple(r[k] for k in _MANIFEST_KEYS) for r in rows],
+            MANIFEST_SCHEMA,
+        )
     return spark.createDataFrame([], MANIFEST_SCHEMA)
 
 
@@ -128,9 +146,20 @@ def build_index_checkpointed(
         n_postings = int(obs.get["n"])
         nbytes = sum(f.stat().st_size for f in gdir.rglob("*.parquet"))
         wall_ms = int((time.perf_counter() - t0) * 1000)
-        row = [(gid, fp, n_docs, n_postings, nbytes, wall_ms, "done")]
-        spark.createDataFrame(row, MANIFEST_SCHEMA).write.mode("append").parquet(
-            str(out / "manifest")
+        mdir = out / "manifest"
+        mdir.mkdir(parents=True, exist_ok=True)
+        (mdir / f"group-{gid}.json").write_text(
+            json.dumps(
+                {
+                    "partition_id": gid,
+                    "input_fingerprint": fp,
+                    "n_docs": n_docs,
+                    "n_postings": n_postings,
+                    "bytes": nbytes,
+                    "wall_ms": wall_ms,
+                    "status": "done",
+                }
+            )
         )
         built.append(gid)
 

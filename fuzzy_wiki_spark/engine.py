@@ -191,20 +191,44 @@ class SegmentIndex:
         """Materialize the segment layout from an existing postings DF —
         the path the checkpointed build takes (checkpoint.py writes postings
         group-by-group; segment encoding restarts from those, never from
-        re-tokenization)."""
+        re-tokenization).
+
+        term_stats and field stats are aggregated from the SEGMENT
+        metadata columns (per-group df/sum_tf; the ``_dl`` meta rows carry
+        doc_count/sum_dl as df/sum_tf) — MBs of metadata instead of two
+        more full passes over the postings table."""
+        from fuzzy_wiki_spark.operators.segment_query import META_DL
         from fuzzy_wiki_spark.operators.segments import (
+            META_TERMS,
             build_index_segments,
             write_segments,
         )
 
+        # two consumers of postings below (dl meta rows + posting rows);
+        # persist avoids recomputing the upstream scan per branch. At
+        # 10^12-doc scale drop this and accept the second scan.
+        postings = postings.persist()
         segs = build_index_segments(postings, docs_meta, n_buckets=n_buckets)
         write_segments(segs, f"{path}/segments", n_buckets=n_buckets)
-        P.term_stats(postings).write.mode("overwrite").parquet(
-            f"{path}/term_stats"
+        postings.unpersist()
+        segs_r = spark.read.parquet(f"{path}/segments")
+        (
+            segs_r.where(~F.col("term").isin(META_TERMS))
+            .groupBy("field", "term")
+            .agg(F.sum("df").alias("df"), F.sum("sum_tf").alias("sum_tf"))
+            .write.mode("overwrite")
+            .parquet(f"{path}/term_stats")
         )
-        P.field_stats(postings).select(
-            "field", "doc_count", "sum_dl"
-        ).write.mode("overwrite").parquet(f"{path}/stats")
+        (
+            segs_r.where(F.col("term") == META_DL)
+            .groupBy("field")
+            .agg(
+                F.sum("df").alias("doc_count"),
+                F.sum("sum_tf").alias("sum_dl"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/stats")
+        )
         return cls(spark, path)
 
     def _term_df(self, terms: list[str]) -> dict[tuple[str, str], int]:
