@@ -253,6 +253,61 @@ def q_simhash(spark, sf_dir):
     return DD.simhash(_docs(spark, sf_dir), text_col="text")
 
 
+def q_dedup_keep_first(spark, sf_dir):
+    """Keep-first exact dedup (window over md5(text)). The corpus has no
+    exact dups, so the input is unioned with an id-shifted copy of itself —
+    the operator must collapse every pair back to the original id."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.union(d.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    return DD.dedup_keep_first(dup, text_col="text").select("doc_id")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs ≥0.8 over MinHash-LSH candidates
+    (the scale path: LSH prunes the O(n²) pair space, exact JVM-side
+    array_intersect/union verifies). Oracle is brute-force all-pairs — at
+    j≥0.95 (the corpus's near-dup band) LSH false-negative odds are ~1e-12."""
+    res = DD.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), text_col="text", shingle=3, min_jaccard=0.8
+    )
+    return res.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_lsh_cosine(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN top-10 (rows-only: seeded numpy planes
+    have no SQL mirror; recall vs brute force is asserted in tests/)."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    planes = SIM.random_hyperplanes(len(qvec), bits=6, seed=42)
+    res = SIM.lsh_cosine_topk(emb.where(F.col("vec_id") != 0), list(qvec), planes, k=10)
+    return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: image decode → feature vector via mapInPandas
+    (deterministic fake decode; real codec stubbed — no media libs here)."""
+    from fuzzy_wiki_spark.functions.multimodal import (
+        make_fake_media,
+        extract_image_features,
+    )
+
+    media = spark.createDataFrame(make_fake_media(120))
+    return extract_image_features(media, fake=True).select(
+        "media_id", "feat_dim", F.round(F.element_at("feat", 1), 4).alias("f0")
+    )
+
+
+def q_frame_sample(spark, sf_dir):
+    """Multimodal plumbing: video frame sampling (row-multiplying
+    mapInPandas; deterministic fake frames keyed by sha256(payload))."""
+    from fuzzy_wiki_spark.functions.multimodal import make_fake_media, sample_frames
+
+    media = spark.createDataFrame(make_fake_media(120))
+    return sample_frames(media, every_s=1.0, fake=True)
+
+
 def q_events_window(spark, sf_dir):
     """Tumbling-window event aggregation (batch form of the streaming
     operator; identical semantics — streaming/incremental.py)."""
@@ -411,6 +466,28 @@ ORACLE_SQL: dict[str, str] = {
         SELECT vec_id, round(cos, 4) AS cos_sim FROM s
         ORDER BY cos DESC, vec_id LIMIT 10
     """,
+    "dedup_keep_first": """
+        WITH u AS (SELECT doc_id, text FROM documents
+                   UNION ALL SELECT doc_id + 10000, text FROM documents),
+        r AS (SELECT doc_id,
+                     row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM u)
+        SELECT doc_id FROM r WHERE rn = 1
+    """,
+    "ngram_jaccard": """
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+          FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+                 range(0, greatest(len(ts) - 3, 0) + 1),
+                 i -> array_to_string(list_slice(ts, i + 1, i + 3), ' '))) AS s
+               FROM toks),
+        j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s))) AS jac
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
+    """,
     "embed_neardup": """
         WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
                    FROM embeddings WHERE vec_id < 200)
@@ -442,8 +519,14 @@ QUERIES = {
     "events_window": q_events_window,
     "ann_cosine": q_ann_cosine,
     "embed_neardup": q_embed_neardup,
-    # rows-only (no SQL mirror — Spark-specific hashing / porter chain):
+    "dedup_keep_first": q_dedup_keep_first,
+    "ngram_jaccard": q_ngram_jaccard,
+    # rows-only (no SQL mirror — Spark-specific hashing / porter chain /
+    # seeded-numpy LSH planes / binary media payloads):
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
+    "lsh_cosine": q_lsh_cosine,
+    "media_features": q_media_features,
+    "frame_sample": q_frame_sample,
     "flagship_porter": q_flagship_porter,
 }
