@@ -253,6 +253,18 @@ def q_simhash(spark, sf_dir):
     return DD.simhash(_docs(spark, sf_dir), text_col="text")
 
 
+def q_merge_compat(spark, sf_dir):
+    """O15 compatibility mode: the reference's distributed merge — 4 shards,
+    shard-local idf, per-shard top-10, cross-shard mean weight, re-score
+    (DocTermInfoHandler.java:14-57). operators/merge_compat.py."""
+    from fuzzy_wiki_spark.operators.merge_compat import sharded_merge_and_rank
+
+    res = sharded_merge_and_rank(
+        _postings_simple(spark, sf_dir), BM25_QUERY_TERMS, n_shards=4, k=10
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_dedup_keep_first(spark, sf_dir):
     """Keep-first exact dedup (window over md5(text)). The corpus has no
     exact dups, so the input is unioned with an id-shifted copy of itself —
@@ -466,6 +478,38 @@ ORACLE_SQL: dict[str, str] = {
         SELECT vec_id, round(cos, 4) AS cos_sim FROM s
         ORDER BY cos DESC, vec_id LIMIT 10
     """,
+    "merge_compat": f"""
+        WITH tf AS ({_TF}), dl AS ({_DL}),
+        p AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl, tf.doc_id % 4 AS shard
+              FROM tf JOIN dl USING(doc_id)),
+        fs AS (SELECT doc_id % 4 AS shard, count(*) AS doc_count,
+                      sum(dl)::DOUBLE / count(*) AS avgdl
+               FROM dl GROUP BY 1),
+        qp AS (SELECT * FROM p WHERE term IN {_QTERMS}),
+        dfs AS (SELECT shard, term, count(DISTINCT doc_id) AS df
+                FROM qp GROUP BY shard, term),
+        w AS (SELECT dfs.shard, dfs.term,
+                     ln(1 + (fs.doc_count - dfs.df + 0.5)/(dfs.df + 0.5)) AS weight
+              FROM dfs JOIN fs USING(shard)),
+        hits AS (SELECT qp.shard, qp.doc_id, qp.term, w.weight,
+                        qp.tf / (qp.tf + {K1}*(1 - {B} + {B}*qp.dl/fs.avgdl)) AS tfn
+                 FROM qp JOIN w ON qp.shard = w.shard AND qp.term = w.term
+                      JOIN fs ON qp.shard = fs.shard),
+        loc AS (SELECT shard, doc_id, sum(weight*tfn) AS ls
+                FROM hits GROUP BY shard, doc_id),
+        lk AS (SELECT shard, doc_id FROM (
+                 SELECT shard, doc_id,
+                        row_number() OVER (PARTITION BY shard
+                                           ORDER BY ls DESC, doc_id) AS rn
+                 FROM loc) WHERE rn <= 10),
+        gw AS (SELECT term, avg(weight) AS gweight FROM w GROUP BY term),
+        sc AS (SELECT h.doc_id, sum(gw.gweight * h.tfn) AS s
+               FROM hits h JOIN lk ON h.shard = lk.shard AND h.doc_id = lk.doc_id
+                    JOIN gw ON h.term = gw.term
+               GROUP BY h.doc_id)
+        SELECT doc_id, round(s, 6) AS score FROM sc
+        ORDER BY s DESC, doc_id LIMIT 10
+    """,
     "dedup_keep_first": """
         WITH u AS (SELECT doc_id, text FROM documents
                    UNION ALL SELECT doc_id + 10000, text FROM documents),
@@ -519,6 +563,7 @@ QUERIES = {
     "events_window": q_events_window,
     "ann_cosine": q_ann_cosine,
     "embed_neardup": q_embed_neardup,
+    "merge_compat": q_merge_compat,
     "dedup_keep_first": q_dedup_keep_first,
     "ngram_jaccard": q_ngram_jaccard,
     # rows-only (no SQL mirror — Spark-specific hashing / porter chain /

@@ -1,0 +1,122 @@
+"""O15 compatibility mode: the reference's distributed merge + re-rank.
+
+The reference scatters a query to N Lucene shards, each of which answers
+with its local top-k plus a per-(field:term) ``boost·idf`` computed from
+*shard-local* collection stats (``Searcher.java:103-137``); the gathering
+node then (1) averages each term's weight across the shards that reported
+it, (2) re-scores every returned doc as Σ meanWeight(term)·tf_norm, and
+(3) sorts descending (``DocTermInfoHandler.java:14-57``). Because idf is
+shard-local, the merged ranking differs from a single-index ranking — this
+module reproduces that exact semantic so rank-identity against the
+reference's distributed deployment is testable, while the engine's default
+path uses exact global stats (SURVEY.md §7 item 8).
+
+Spark-first shape: shards are a hash of doc_id (standing in for the 4
+reduce-task shards, ``Main.java:25``); every step is a groupBy/join the
+optimizer can reorder — the per-shard stats tables are tiny (broadcast),
+the postings scan is pruned to the query terms, and the per-shard local
+top-k is a WindowGroupLimit (partial per partition), i.e. the same
+scatter/partial-k/gather shape Spark's TakeOrderedAndProject uses. Nothing
+here shuffles more than the (shard, term)-matched posting rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+K1, B = 1.2, 0.75
+
+
+def sharded_merge_and_rank(
+    postings: DataFrame,
+    terms: list[str],
+    n_shards: int = 4,
+    k: int = 10,
+    k_local: int = 10,
+    boost: float = 1.0,
+) -> DataFrame:
+    """Merged top-k ``(doc_id, score)`` under the reference's cross-shard
+    idf-averaging semantics (term clauses, one boost — the weightMap keys
+    the reference averages are exactly ``field:term`` → boost·idf_shard).
+
+    Steps mirror DocTermInfoHandler.mergeAndRank:
+      1. shard-local stats: doc_count, avgdl per (shard, field);
+         df per (shard, field, term)  → weight = boost·ln(1+(N−n+0.5)/(n+0.5))
+      2. shard-local top-k_local by the local BM25 score (Searcher.java:66-75)
+      3. global weight = avg(weight) over shards with df > 0 (:19-31)
+      4. merged score = Σ_terms gweight·tf_norm over each survivor's
+         shard-local hit rows (:34-50); sort desc, limit k (:53-56)
+    """
+    p = postings.withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+    )
+    # shard-local collection stats (MyBM25Similarity.java:69-71, per shard)
+    dls = p.groupBy("shard", "field", "doc_id").agg(F.first("dl").alias("dl"))
+    fs = dls.groupBy("shard", "field").agg(
+        F.count("*").alias("doc_count"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    qp = p.where(F.col("term").isin(list(terms)))
+    dfs = qp.groupBy("shard", "field", "term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    w = (
+        dfs.join(F.broadcast(fs), ["shard", "field"])
+        .withColumn(
+            "weight",
+            F.lit(boost)
+            * F.log(
+                F.lit(1.0)
+                + (F.col("doc_count") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .select("shard", "field", "term", "weight")
+    )
+    # per-hit exact tf_norm with shard-local avgdl (Searcher.java:122-123)
+    hits = (
+        qp.join(F.broadcast(w), ["shard", "field", "term"])
+        .join(F.broadcast(fs.select("shard", "field", "avgdl")), ["shard", "field"])
+        .select(
+            "shard",
+            "doc_id",
+            "field",
+            "term",
+            "weight",
+            (
+                F.col("tf").cast("double")
+                / (
+                    F.col("tf").cast("double")
+                    + K1
+                    * (
+                        1
+                        - B
+                        + B * F.col("dl").cast("double") / F.col("avgdl")
+                    )
+                )
+            ).alias("tfn"),
+        )
+    )
+    # shard-local top-k_local by the LOCAL score — what each peer returns
+    local = hits.groupBy("shard", "doc_id").agg(
+        F.sum(F.col("weight") * F.col("tfn")).alias("local_score")
+    )
+    lw = Window.partitionBy("shard").orderBy(
+        F.desc("local_score"), F.asc("doc_id")
+    )
+    survivors = (
+        local.withColumn("_rn", F.row_number().over(lw))
+        .where(F.col("_rn") <= k_local)
+        .select("shard", "doc_id")
+    )
+    # mean weight across shards that reported the term (DocTermInfoHandler:19-31)
+    gw = w.groupBy("field", "term").agg(F.avg("weight").alias("gweight"))
+    merged = (
+        hits.join(F.broadcast(survivors), ["shard", "doc_id"])
+        .join(F.broadcast(gw), ["field", "term"])
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("gweight") * F.col("tfn")).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return merged

@@ -1,0 +1,122 @@
+"""O15 merge-compat: cross-shard idf-averaging semantics
+(DocTermInfoHandler.java:14-57) vs a pure-pandas oracle, plus the
+single-shard == exact-global invariant."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.corpus import generate_docs_df
+from fuzzy_wiki_spark.operators import postings as P
+from fuzzy_wiki_spark.operators.merge_compat import K1, B, sharded_merge_and_rank
+from fuzzy_wiki_spark.operators.topk import score_query
+from fuzzy_wiki_spark.plans.query import Clause
+
+TERMS = ["binari", "search", "return"]
+
+
+@pytest.fixture(scope="module")
+def posts(spark):
+    docs = generate_docs_df(spark, 120, seed=7).select(
+        "doc_id", F.col("content").alias("content")
+    )
+    p = P.build_postings(docs, fields={"content": "content"}, mode="porter")
+    p = p.persist()
+    p.count()
+    yield p
+    p.unpersist()
+
+
+def _pandas_oracle(pdf: pd.DataFrame, terms, n_shards, k_local=10, k=10):
+    """Reference math, straight-line pandas: shard-local stats → local
+    top-k → mean weight across shards → re-score → global top-k."""
+    pdf = pdf.copy()
+    pdf["shard"] = pdf["doc_id"] % n_shards
+    dl = pdf.groupby(["shard", "doc_id"])["dl"].first()
+    fs = {
+        s: (len(g), g.mean())
+        for s, g in dl.groupby(level=0)
+    }
+    qp = pdf[pdf["term"].isin(terms)]
+    weights = {}
+    for (s, t), g in qp.groupby(["shard", "term"]):
+        n_docs, _ = fs[s]
+        df = g["doc_id"].nunique()
+        weights[(s, t)] = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+    rows = []
+    for r in qp.itertuples():
+        _, avgdl = fs[r.shard]
+        tfn = r.tf / (r.tf + K1 * (1 - B + B * r.dl / avgdl))
+        rows.append((r.shard, r.doc_id, r.term, weights[(r.shard, r.term)], tfn))
+    hits = pd.DataFrame(rows, columns=["shard", "doc_id", "term", "w", "tfn"])
+    hits["contrib"] = hits["w"] * hits["tfn"]
+    local = hits.groupby(["shard", "doc_id"])["contrib"].sum().reset_index()
+    survivors = set()
+    for s, g in local.groupby("shard"):
+        g = g.sort_values(["contrib", "doc_id"], ascending=[False, True])
+        survivors.update(zip(g["shard"].head(k_local), g["doc_id"].head(k_local)))
+    gw = {
+        t: sum(w for (s, tt), w in weights.items() if tt == t)
+        / len([1 for (s, tt) in weights if tt == t])
+        for t in {tt for (_, tt) in weights}
+    }
+    surv = hits[[
+        (s, d) in survivors for s, d in zip(hits["shard"], hits["doc_id"])
+    ]].copy()
+    surv["gc"] = surv["term"].map(gw) * surv["tfn"]
+    sc = surv.groupby("doc_id")["gc"].sum().reset_index()
+    sc = sc.sort_values(["gc", "doc_id"], ascending=[False, True]).head(k)
+    return [(int(d), float(s)) for d, s in zip(sc["doc_id"], sc["gc"])]
+
+
+def test_four_shard_matches_reference_math(spark, posts):
+    pdf = posts.select("doc_id", "term", "tf", "dl").toPandas()
+    want = _pandas_oracle(pdf, TERMS, n_shards=4)
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in sharded_merge_and_rank(posts, TERMS, n_shards=4, k=10).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, rel=1e-9)
+
+
+def test_single_shard_equals_exact_global(spark, posts):
+    """With one shard, local == global stats, so the compat path must rank
+    identically to the engine's exact-global scorer (k_local wide enough
+    that the local cut doesn't clip the final top-k)."""
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    ts = P.term_stats(posts)
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in ts.where(F.col("term").isin(TERMS)).collect()
+    }
+    clauses = [Clause(i, "content", (t,), 1.0, 0, False) for i, t in enumerate(TERMS)]
+    exact = score_query(spark, posts, clauses, term_df, fstats, docs_meta=None, k=10)
+    got = sharded_merge_and_rank(posts, TERMS, n_shards=1, k=10, k_local=1000)
+    exact_rows = [(int(r["doc_id"]), float(r["score"])) for r in exact.collect()]
+    got_rows = [(int(r["doc_id"]), float(r["score"])) for r in got.collect()]
+    assert [d for d, _ in got_rows] == [d for d, _ in exact_rows]
+    for (_, a), (_, b) in zip(got_rows, exact_rows):
+        assert a == pytest.approx(b, rel=1e-9)
+
+
+def test_shard_local_idf_changes_ranking_vs_global(spark, posts):
+    """Sanity that the compat mode is not a no-op: scores differ from the
+    exact-global path for at least some docs (shard-local idf ≠ global)."""
+    g1 = {
+        int(r["doc_id"]): float(r["score"])
+        for r in sharded_merge_and_rank(posts, TERMS, n_shards=1, k_local=1000).collect()
+    }
+    g4 = {
+        int(r["doc_id"]): float(r["score"])
+        for r in sharded_merge_and_rank(posts, TERMS, n_shards=4, k_local=1000).collect()
+    }
+    common = set(g1) & set(g4)
+    assert common
+    assert any(abs(g1[d] - g4[d]) > 1e-12 for d in common)
