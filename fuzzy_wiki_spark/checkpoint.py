@@ -168,3 +168,44 @@ def build_index_checkpointed(
 
 def load_checkpointed_postings(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(str(Path(out_dir) / "postings"))
+
+
+def segment_stage_fingerprint(spark: SparkSession, out_dir: str) -> int:
+    """Order-independent fingerprint of the completed postings groups —
+    the segment stage's input lineage. Any group rebuild (new input
+    fingerprint) changes it, so a stale index can never be skipped."""
+    fp = 0
+    for r in _manifest_rows(out_dir):
+        if r.get("status") == "done":
+            fp ^= hash((int(r["partition_id"]), int(r["input_fingerprint"])))
+    return fp
+
+
+def segment_stage_done(spark: SparkSession, out_dir: str, index_dir: str) -> bool:
+    """True iff <index_dir>/_lineage.json records the current postings
+    lineage — i.e. the segment encode for exactly these group builds
+    already completed and can be skipped on resume."""
+    lineage = Path(index_dir) / "_lineage.json"
+    if not lineage.exists():
+        return False
+    try:
+        rec = json.loads(lineage.read_text())
+    except (OSError, json.JSONDecodeError):
+        return False
+    return rec.get("postings_fingerprint") == segment_stage_fingerprint(
+        spark, out_dir
+    )
+
+
+def mark_segment_stage_done(
+    spark: SparkSession, out_dir: str, index_dir: str, metrics: dict | None = None
+) -> None:
+    """Write the segment stage's lineage record AFTER the index data is on
+    disk (same data-then-manifest commit ordering as the group builds: a
+    crash in between re-runs the idempotent encode)."""
+    rec = {
+        "postings_fingerprint": segment_stage_fingerprint(spark, out_dir),
+        **(metrics or {}),
+    }
+    Path(index_dir).mkdir(parents=True, exist_ok=True)
+    (Path(index_dir) / "_lineage.json").write_text(json.dumps(rec))

@@ -110,19 +110,34 @@ def main() -> None:
     )
     t_tok = time.perf_counter()
 
-    # --- segment encode from checkpointed postings ---
+    # --- segment encode from checkpointed postings (itself checkpointed:
+    #     skipped when <out>/index/_lineage.json matches the postings
+    #     lineage, so a fully-resumed build re-encodes nothing) ---
+    from fuzzy_wiki_spark.checkpoint import (
+        mark_segment_stage_done,
+        segment_stage_done,
+    )
+
+    segments_skipped = False
     if not args.skip_segments:
-        postings = load_checkpointed_postings(spark, args.out)
-        docs_meta = docs.select(
-            "doc_id",
-            F.upper(F.coalesce(F.col("content"), F.lit(""))).startswith(
-                "REDIRECT"
-            ).alias("is_redirect"),
-        )
-        SegmentIndex.from_postings(
-            spark, postings, docs_meta, f"{args.out}/index",
-            n_buckets=args.n_buckets,
-        )
+        index_dir = f"{args.out}/index"
+        if segment_stage_done(spark, args.out, index_dir):
+            segments_skipped = True
+        else:
+            postings = load_checkpointed_postings(spark, args.out)
+            docs_meta = docs.select(
+                "doc_id",
+                F.upper(F.coalesce(F.col("content"), F.lit(""))).startswith(
+                    "REDIRECT"
+                ).alias("is_redirect"),
+            )
+            SegmentIndex.from_postings(
+                spark, postings, docs_meta, index_dir,
+                n_buckets=args.n_buckets,
+            )
+            mark_segment_stage_done(
+                spark, args.out, index_dir, {"n_buckets": args.n_buckets}
+            )
     t_end = time.perf_counter()
 
     mani = [r.asDict() for r in read_manifest(spark, args.out).collect()]
@@ -134,6 +149,7 @@ def main() -> None:
         "sha256_checked_rows": int(sha_checked),
         "groups_built": ck["built"],
         "groups_skipped": ck["skipped"],
+        "segments_skipped": segments_skipped,
         "tokenize_sec": round(t_tok - t0, 3),
         "segment_sec": round(t_end - t_tok, 3),
         "total_sec": round(t_end - t0, 3),

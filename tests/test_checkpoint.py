@@ -2,6 +2,7 @@
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from fuzzy_wiki_spark.checkpoint import (
     build_index_checkpointed,
@@ -60,3 +61,30 @@ def test_manifest_metrics(spark, docs, tmp_path):
     assert (m["n_docs"] > 0).all() and (m["n_postings"] > 0).all()
     assert (m["bytes"] > 0).all()
     assert set(completed_groups(spark, out)) == {0, 1}
+
+
+def test_segment_stage_skip_and_invalidate(spark, docs, tmp_path):
+    """The segment encode is checkpointed by postings lineage: same groups
+    → skip; any group rebuild → re-encode."""
+    from fuzzy_wiki_spark.checkpoint import (
+        mark_segment_stage_done,
+        segment_stage_done,
+    )
+
+    out = str(tmp_path / "idx3")
+    idxdir = str(tmp_path / "idx3" / "index")
+    build_index_checkpointed(spark, docs, out, n_groups=3)
+    assert not segment_stage_done(spark, out, idxdir)  # never encoded
+    mark_segment_stage_done(spark, out, idxdir, {"n_buckets": 8})
+    assert segment_stage_done(spark, out, idxdir)  # clean resume: skip
+
+    # upstream change: one group's input differs -> rebuilt -> lineage moves
+    changed = docs.withColumn(
+        "content",
+        F.when(F.col("doc_id") == 0, F.lit("totally new body")).otherwise(
+            F.col("content")
+        ),
+    ).withColumn("content_sha256", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
+    r = build_index_checkpointed(spark, changed, out, n_groups=3)
+    assert r["built"] == [0]
+    assert not segment_stage_done(spark, out, idxdir)  # must re-encode
