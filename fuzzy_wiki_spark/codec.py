@@ -20,38 +20,70 @@ _MASK = np.uint64(0x7F)
 _SHIFT = np.uint64(7)
 
 
+def _as_unsigned(values: np.ndarray) -> np.ndarray:
+    """View/cast input to an unsigned dtype WITHOUT widening: the encoder's
+    temp-array traffic is the hot cost inside concurrent Arrow workers
+    (memory bus + page-fault contention), so uint32 inputs must stay 4-byte
+    end-to-end instead of paying a 2× widening to uint64."""
+    v = np.ascontiguousarray(values)
+    if v.dtype == np.uint64 or v.dtype == np.uint32:
+        return v
+    if v.dtype == np.int64:
+        return v.view(np.uint64)  # non-negative by contract
+    if v.dtype == np.int32:
+        return v.view(np.uint32)
+    return v.astype(np.uint64)
+
+
+def _varint_nbytes(v: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte length (int8: maxb ≤ 10): 1 + Σ (v >= 2^(7k))
+    — a short chain of vectorized compares (no data-dependent loop). The
+    chain stops at the first threshold no value reaches, so small-valued
+    arrays (tfs, position gaps — the overwhelming majority) pay 1-2 passes;
+    int8 output keeps this temp at n bytes, not 8n."""
+    nb = np.ones(v.shape, dtype=np.int8)
+    lim = 5 if v.dtype == np.uint32 else 10
+    for k in range(1, lim):
+        ge = v >= v.dtype.type(1 << (7 * k))
+        if not ge.any():
+            break
+        np.add(nb, ge, out=nb, casting="unsafe")
+    return nb
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode an array of non-negative ints, vectorized.
 
-    Strategy: compute per-value byte-length, allocate the exact output
-    buffer, then fill byte-position *columns* (all first bytes, all second
-    bytes, ...) — at most 10 column passes for uint64, each a vector op.
-    """
-    v = np.ascontiguousarray(values, dtype=np.uint64)
+    Strategy: byte-length per value via a compare chain, then materialize
+    an (n, maxb) byte matrix with vectorized shifts and compact it with ONE
+    boolean take — row-major order makes each value's bytes contiguous, so
+    the compaction IS the final buffer. All-below-128 inputs (tfs, most gap
+    streams) short-circuit to a single astype. Input dtype is preserved
+    (uint32 stays 4-byte) to halve temp traffic in concurrent workers."""
+    v = _as_unsigned(values)
     if v.size == 0:
         return b""
-    # byte length of each varint: ceil(bitlen/7), min 1
-    bitlen = np.zeros(v.shape, dtype=np.int64)
-    nz = v > 0
-    # float log2 is unsafe near 2^53; use a shift loop (<=10 iters, vectorized)
-    tmp = v.copy()
-    while np.any(tmp > 0):
-        mask = tmp > 0
-        bitlen[mask] += 7
-        tmp >>= _SHIFT
-    nbytes = np.maximum(bitlen // 7, 1)
-    offsets = np.concatenate(([0], np.cumsum(nbytes)))[:-1]
-    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
-    maxb = int(nbytes.max())
+    return _encode_with_nb(v, _varint_nbytes(v))
+
+
+def _encode_with_nb(v: np.ndarray, nbytes: np.ndarray) -> bytes:
+    maxb = int(nbytes[np.argmax(nbytes)])
+    if maxb == 1:  # every value < 128: the varint IS the byte
+        return v.astype(np.uint8).tobytes()
+    n = v.size
+    shift = v.dtype.type(7)
+    mask = v.dtype.type(0x7F)
+    mat = np.empty((n, maxb), dtype=np.uint8)
     work = v.copy()
-    for b in range(maxb):
-        sel = nbytes > b  # values still emitting a byte at position b
-        byte = (work[sel] & _MASK).astype(np.uint8)
-        more = (b + 1) < nbytes[sel]  # continuation bit
-        byte = byte | (more.astype(np.uint8) << 7)
-        out[offsets[sel] + b] = byte
-        work[sel] >>= _SHIFT
-    return out.tobytes()
+    np.bitwise_and(work, mask, out=mat[:, 0], casting="unsafe")
+    for b in range(1, maxb):
+        np.right_shift(work, shift, out=work)
+        np.bitwise_and(work, mask, out=mat[:, b], casting="unsafe")
+    # keep[b] = byte b emitted (nbytes > b); continuation bit on all but last
+    keep = nbytes[:, None] > np.arange(maxb, dtype=np.int8)
+    cont = keep[:, 1:]
+    mat[:, :-1] |= cont.view(np.uint8) << 7
+    return mat[keep].tobytes()
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
@@ -101,22 +133,19 @@ def varint_encode_with_lengths(
     values: np.ndarray,
 ) -> tuple[bytes, np.ndarray]:
     """(buffer, per-value byte length) in one pass — callers that slice the
-    buffer per group need the lengths anyway."""
-    buf = varint_encode(values)
-    return buf, varint_byte_lengths(values)
+    buffer per group need the lengths anyway (lengths computed once, shared
+    by the encoder)."""
+    v = _as_unsigned(values)
+    if v.size == 0:
+        return b"", np.empty(0, dtype=np.int8)
+    nb = _varint_nbytes(v)
+    return _encode_with_nb(v, nb), nb
 
 
 def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
     """Per-value encoded byte length (vectorized) — used to derive block
     byte offsets without re-encoding per block."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
-    bitlen = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while np.any(tmp > 0):
-        mask = tmp > 0
-        bitlen[mask] += 7
-        tmp >>= _SHIFT
-    return np.maximum(bitlen // 7, 1)
+    return _varint_nbytes(np.ascontiguousarray(values, dtype=np.uint64))
 
 
 def block_offsets(values: np.ndarray, block: int) -> np.ndarray:
@@ -124,7 +153,7 @@ def block_offsets(values: np.ndarray, block: int) -> np.ndarray:
     (length n_blocks+1; last entry = total bytes). Enables O(1) slicing of
     a single block out of the buffer for selective decode."""
     nb = varint_byte_lengths(values)
-    cum = np.concatenate(([0], np.cumsum(nb)))
+    cum = np.concatenate(([0], np.cumsum(nb, dtype=np.int64)))
     n = len(values)
     n_blocks = (n + block - 1) // block
     idx = np.minimum(np.arange(0, n_blocks + 1) * block, n)

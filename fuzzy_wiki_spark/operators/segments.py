@@ -188,19 +188,34 @@ def encode_partition_table(tbl: pa.Table) -> pa.RecordBatch | None:
     n = tbl.num_rows
     if n == 0:
         return None
-    bucket = tbl.column("bucket").combine_chunks().to_numpy(
-        zero_copy_only=False
-    ).astype(np.int64)
+    # dtypes: narrow on purpose — every astype here is a full-array copy
+    # and the concurrent-worker cost is memory traffic, not ALU (bucket/tf/
+    # positions stay int32; only doc_id needs 64 bits)
+    bucket = tbl.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
     doc = tbl.column("doc_id").combine_chunks().to_numpy(
         zero_copy_only=False
-    ).astype(np.int64)
-    tf = tbl.column("tf").combine_chunks().to_numpy(
-        zero_copy_only=False
-    ).astype(np.int64)
+    ).astype(np.int64, copy=False)
+    tf = tbl.column("tf").combine_chunks().to_numpy(zero_copy_only=False)
     field_d = tbl.column("field").combine_chunks().dictionary_encode()
     term_d = tbl.column("term").combine_chunks().dictionary_encode()
-    f_codes = field_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    t_codes = term_d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _lex_codes(dict_arr: pa.DictionaryArray) -> np.ndarray:
+        """Dictionary indices remapped to LEXICOGRAPHIC rank — dictionary
+        order is insertion order, so sorting on raw codes would leave rows
+        unsorted by term string; rank-remapped codes make the lexsort below
+        emit true (bucket, field, term) string order, which is what lets
+        the parquet write skip a Spark-side sort and still get min/max
+        row-group stats that prune term predicates."""
+        d = dict_arr.dictionary
+        order = pc.sort_indices(d).to_numpy(zero_copy_only=False)
+        ranks = np.empty(len(d), dtype=np.int64)
+        ranks[order] = np.arange(len(d))
+        return ranks[
+            dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ]
+
+    f_codes = _lex_codes(field_d)
+    t_codes = _lex_codes(term_d)
     pos_col = tbl.column("positions").combine_chunks()
 
     order_np = np.lexsort((doc, t_codes, f_codes, bucket))
@@ -210,10 +225,8 @@ def encode_partition_table(tbl: pa.Table) -> pa.RecordBatch | None:
     pos_sorted = pos_col.take(order)
     row_lens = pc.list_value_length(pos_sorted).fill_null(0).to_numpy(
         zero_copy_only=False
-    ).astype(np.int64)
-    flat_pos = pc.list_flatten(pos_sorted).to_numpy(
-        zero_copy_only=False
-    ).astype(np.int64)
+    )
+    flat_pos = pc.list_flatten(pos_sorted).to_numpy(zero_copy_only=False)
 
     new_group = np.empty(n, dtype=bool)
     new_group[0] = True
@@ -235,32 +248,34 @@ def encode_partition_table(tbl: pa.Table) -> pa.RecordBatch | None:
     gaps = doc.copy()
     gaps[1:] -= doc[:-1]
     gaps[block_starts] = doc[block_starts]
-    doc_buf, doc_nb = varint_encode_with_lengths(gaps.astype(np.uint64))
-    doc_cum = np.concatenate(([0], np.cumsum(doc_nb)))
+    doc_buf, doc_nb = varint_encode_with_lengths(gaps)
+    doc_cum = np.concatenate(([0], np.cumsum(doc_nb, dtype=np.int64)))
     doc_col = _binary_col(doc_buf, doc_cum[row_bounds])
 
     # ---- tfs ----
-    tf_buf, tf_nb = varint_encode_with_lengths(tf.astype(np.uint64))
-    tf_cum = np.concatenate(([0], np.cumsum(tf_nb)))
+    tf_buf, tf_nb = varint_encode_with_lengths(tf)
+    tf_cum = np.concatenate(([0], np.cumsum(tf_nb, dtype=np.int64)))
     tf_col = _binary_col(tf_buf, tf_cum[row_bounds])
 
     # ---- positions: per-row delta restart over the flat value stream ----
     if flat_pos.size:
         pgaps = flat_pos.copy()
         pgaps[1:] -= flat_pos[:-1]
-        row_flat_starts = np.concatenate(([0], np.cumsum(row_lens)))  # n+1
+        row_flat_starts = np.concatenate(
+            ([0], np.cumsum(row_lens, dtype=np.int64))
+        )  # n+1
         first_idx = row_flat_starts[:-1][row_lens > 0]
         pgaps[first_idx] = flat_pos[first_idx]
-        pos_buf, pos_nb = varint_encode_with_lengths(pgaps.astype(np.uint64))
-        pos_cum = np.concatenate(([0], np.cumsum(pos_nb)))
+        pos_buf, pos_nb = varint_encode_with_lengths(pgaps)
+        pos_cum = np.concatenate(([0], np.cumsum(pos_nb, dtype=np.int64)))
     else:
         row_flat_starts = np.zeros(n + 1, dtype=np.int64)
         pos_buf, pos_cum = b"", np.zeros(1, dtype=np.int64)
     pos_col_out = _binary_col(pos_buf, pos_cum[row_flat_starts[row_bounds]])
 
     # pos_lens: varint of per-row list lengths, sliced per group
-    rl_buf, rl_nb = varint_encode_with_lengths(row_lens.astype(np.uint64))
-    rl_cum = np.concatenate(([0], np.cumsum(rl_nb)))
+    rl_buf, rl_nb = varint_encode_with_lengths(row_lens)
+    rl_cum = np.concatenate(([0], np.cumsum(rl_nb, dtype=np.int64)))
     pos_lens_col = _binary_col(rl_buf, rl_cum[row_bounds])
 
     # ---- block metadata ----
@@ -268,14 +283,14 @@ def encode_partition_table(tbl: pa.Table) -> pa.RecordBatch | None:
     block_ends = np.minimum(
         block_starts + BLOCK, np.repeat(group_ends, nb_per_group)
     )
-    block_last = doc[block_ends - 1].astype(np.uint64)
-    block_maxtf = np.maximum.reduceat(tf, block_starts).astype(np.uint64)
+    block_last = doc[block_ends - 1]
+    block_maxtf = np.maximum.reduceat(tf, block_starts)
     blk_bounds = np.concatenate(([0], np.cumsum(nb_per_group)))
     bl_buf, bl_nb = varint_encode_with_lengths(block_last)
-    bl_cum = np.concatenate(([0], np.cumsum(bl_nb)))
+    bl_cum = np.concatenate(([0], np.cumsum(bl_nb, dtype=np.int64)))
     block_last_col = _binary_col(bl_buf, bl_cum[blk_bounds])
     bm_buf, bm_nb = varint_encode_with_lengths(block_maxtf)
-    bm_cum = np.concatenate(([0], np.cumsum(bm_nb)))
+    bm_cum = np.concatenate(([0], np.cumsum(bm_nb, dtype=np.int64)))
     block_maxtf_col = _binary_col(bm_buf, bm_cum[blk_bounds])
 
     # block byte-offset arrays: per group, n_blocks rel offsets + end
@@ -307,7 +322,7 @@ def encode_partition_table(tbl: pa.Table) -> pa.RecordBatch | None:
             field_d.take(gs).cast(pa.string()),
             term_d.take(gs).cast(pa.string()),
             pa.array(glens.astype(np.int32)),
-            pa.array(np.add.reduceat(tf, group_starts).astype(np.int64)),
+            pa.array(np.add.reduceat(tf, group_starts, dtype=np.int64)),
             doc_col,
             tf_col,
             pos_lens_col,
@@ -344,9 +359,13 @@ def build_segments(postings_df, n_buckets: int = 32):
     """
     from pyspark.sql import functions as F
 
-    with_bucket = postings_df.withColumn(
-        "bucket", (F.col("doc_id") % n_buckets).cast("int")
-    )
+    # project to exactly what the encoder consumes — `dl` in particular is
+    # per-(doc,field) data replicated onto every posting row; letting it
+    # ride the exchange + the Arrow socket would add ~8 bytes/row of pure
+    # waste (the _dl meta rows carry doc lengths instead)
+    with_bucket = postings_df.select(
+        "doc_id", "field", "term", "tf", "positions"
+    ).withColumn("bucket", (F.col("doc_id") % n_buckets).cast("int"))
 
     def encode_partition(
         batches: Iterator[pa.RecordBatch],
@@ -410,14 +429,18 @@ def build_index_segments(postings_df, docs_meta=None, n_buckets: int = 32):
 
 
 def write_segments(segments_df, path: str, n_buckets: int = 32) -> None:
-    """Partition by bucket, sort by (field, term) within files → parquet
-    row-group stats make term predicates prunable. (Iceberg in production:
-    same partitioning spec + sort order; parquet here — sandbox has no
-    Iceberg runtime jars.)"""
-    (
-        segments_df.repartition("bucket")
-        .sortWithinPartitions("field", "term")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(path)
-    )
+    """Partitioned-by-bucket parquet write, NO extra exchange.
+
+    The encode stage already emits each partition's rows sorted by
+    (bucket, field lex, term lex) — encode_partition_table lexsorts on
+    rank-remapped dictionary codes — so the dynamic-partition write streams
+    straight into one bucket dir after another with term-sorted row groups
+    (min/max stats prune term predicates). The previous layout re-shuffled
+    the encoded ~GB binary blobs on bucket and Spark-sorted them: a second
+    full exchange of the index payload that bought nothing. Cost: up to
+    one file per (task × bucket) instead of one per bucket — at scale the
+    per-bucket file count equals the encode parallelism, which Iceberg
+    compaction (or a coalesce on read) absorbs.
+
+    (Iceberg in production: same partition spec + sort order.)"""
+    segments_df.write.mode("overwrite").partitionBy("bucket").parquet(path)

@@ -5,7 +5,7 @@ Run (the package zip is what ``--py-files`` ships to executors; the script
 itself never assumes the repo exists on workers):
 
     python scripts/make_pkg_zip.py                       # → /tmp/fuzzy_wiki_spark_pkg.zip
-    spark-submit --master local[32] \
+    spark-submit --master local[32] --driver-memory 48g \
         --py-files /tmp/fuzzy_wiki_spark_pkg.zip \
         scripts/build_index.py --out /tmp/fw_index --n-docs 200000 --groups 8
 

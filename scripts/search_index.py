@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """spark-submit entrypoint: BM25 top-k query replay over a built index.
 
-    spark-submit --master local[32] \
+    spark-submit --master local[32] --driver-memory 48g \
         --py-files /tmp/fuzzy_wiki_spark_pkg.zip \
         scripts/search_index.py --index /tmp/fw_index/index [--queries q1;q2] [-k 10]
 
