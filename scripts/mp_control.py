@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Zero-framework control for the build's scaling ceiling on this box.
+
+Runs the engine's own hot kernels — Arrow-native tokenize (postings
+_postings_batch) and segment encode (encode_partition_table) — under plain
+``multiprocessing`` with NO Spark, NO shuffle, NO IPC: each worker reads its
+slice of a parquet file directly and computes. Whatever speedup N→4N procs
+achieve here is the *hardware* bound for this workload mix on this machine
+(memory bus + page-fault + allocator contention); the Spark build's
+efficiency should be judged against it, not against a perfect 4.0×.
+
+Usage: python scripts/mp_control.py --postings /tmp/fw_big8/postings \
+           --docs /tmp/fw_big8/docs --procs 2 8
+Prints one JSON line per proc count + the relative efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+import time
+from multiprocessing import get_context
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _encode_slice(args):
+    files, = args
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(1)
+    from fuzzy_wiki_spark.operators.segments import encode_partition_table
+
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    doc = tbl.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+    tbl = tbl.append_column("bucket", pa.array((doc % 32).astype(np.int32)))
+    rb = encode_partition_table(tbl)
+    return tbl.num_rows, (rb.num_rows if rb is not None else 0)
+
+
+def _tokenize_slice(args):
+    files, = args
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(1)
+    from fuzzy_wiki_spark.operators.postings import _postings_batch
+
+    n_rows = n_out = 0
+    for f in files:
+        t = pq.read_table(f, columns=["doc_id", "content"])
+        doc = t.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        rb = _postings_batch(doc, t.column("content").combine_chunks(),
+                             "content", "porter")
+        n_rows += t.num_rows
+        n_out += rb.num_rows if rb is not None else 0
+    return n_rows, n_out
+
+
+def run(fn, files, procs, chunks):
+    """Split files into `chunks` work items, run on a pool of `procs`."""
+    per = max(1, len(files) // chunks)
+    items = [(files[i:i + per],) for i in range(0, len(files), per)]
+    ctx = get_context("spawn")
+    t0 = time.perf_counter()
+    with ctx.Pool(procs) as pool:
+        out = pool.map(fn, items)
+    wall = time.perf_counter() - t0
+    return wall, sum(r[0] for r in out)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--postings", required=True)
+    ap.add_argument("--docs", required=True)
+    ap.add_argument("--procs", type=int, nargs="+", default=[2, 8])
+    args = ap.parse_args()
+
+    pfiles = sorted(glob.glob(f"{args.postings}/group=*/*.parquet"))
+    dfiles = sorted(glob.glob(f"{args.docs}/*.parquet"))
+    results = {}
+    for p in args.procs:
+        tw, trows = run(_tokenize_slice, dfiles, p, max(p * 4, len(dfiles)))
+        ew, erows = run(_encode_slice, pfiles, p, p)  # p slices: Spark-like
+        results[p] = {"tokenize_sec": round(tw, 1), "encode_sec": round(ew, 1),
+                      "total_sec": round(tw + ew, 1), "rows": trows}
+        print(json.dumps({"procs": p, **results[p]}))
+    ps = sorted(results)
+    for a, b in zip(ps, ps[1:]):
+        sp = results[a]["total_sec"] / results[b]["total_sec"]
+        print(json.dumps({
+            "pair": f"{a}->{b}", "speedup": round(sp, 2),
+            "efficiency": round(sp / (b / a), 2),
+        }))
+
+
+if __name__ == "__main__":
+    main()
