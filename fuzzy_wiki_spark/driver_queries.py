@@ -329,6 +329,26 @@ def q_events_window(spark, sf_dir):
     return windowed_event_counts(ev, window="1 hour")
 
 
+def q_segment_bm25(spark, sf_dir):
+    """Index-backed flagship: compressed block-max segments + WAND top-10
+    (rows-only — porter chain; rank/score identity with the relational
+    scorer and the pure-Python oracle is pinned by tests/)."""
+    import tempfile
+
+    from fuzzy_wiki_spark.engine import SegmentIndex
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("source").alias("path"),
+        F.col("text").alias("content"),
+    )
+    idx = SegmentIndex.build(
+        spark, docs, tempfile.mkdtemp(prefix="fw_seg_"), n_buckets=8
+    )
+    res = idx.search("spark merge join", k=10)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_flagship_porter(spark, sf_dir):
     """Flagship: full porter-chain BM25 engine over documents (rows-only —
     the porter analyzer has no SQL mirror; correctness is pinned by the
@@ -573,5 +593,6 @@ QUERIES = {
     "lsh_cosine": q_lsh_cosine,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
+    "segment_bm25": q_segment_bm25,
     "flagship_porter": q_flagship_porter,
 }
