@@ -88,6 +88,26 @@ def main() -> None:
     batch_sec = time.perf_counter() - t0
     timings["bm25_batch_replay"] = round(batch_sec, 4)
 
+    # 2c) north-star path: compressed block-max segments + WAND, batch replay
+    import shutil
+    import tempfile
+
+    from fuzzy_wiki_spark.engine import SegmentIndex
+
+    seg_dir = tempfile.mkdtemp(prefix="fw_bench_seg_")
+    seg = timed(
+        "seg_build",
+        lambda: SegmentIndex.build(spark, docs, seg_dir, n_buckets=cpus),
+    )
+    seg.segments = seg.segments.persist()
+    seg.segments.count()
+    t0 = time.perf_counter()
+    n_seg_rows = seg.search_many(BM25_QUERIES, k=10).count()
+    seg_batch_sec = time.perf_counter() - t0
+    timings["seg_batch_replay"] = round(seg_batch_sec, 4)
+    assert n_seg_rows == n_batch_rows, (n_seg_rows, n_batch_rows)
+    shutil.rmtree(seg_dir, ignore_errors=True)
+
     # 3) heavy pipeline operators (driver-contract implementations)
     timed("pipe_postings", lambda: DQ.q_postings(spark, sf_dir).count())
     timed("pipe_bm25_sql_skeleton", lambda: DQ.q_bm25_topk(spark, sf_dir).collect())
@@ -112,6 +132,7 @@ def main() -> None:
         "bm25_p50_sec": round(p50, 4),
         "bm25_p99_sec": round(p99, 4),
         "bm25_batch_qps": round(len(BM25_QUERIES) / batch_sec, 2),
+        "seg_batch_qps": round(len(BM25_QUERIES) / seg_batch_sec, 2),
         "cpus": cpus,
     }
     print(json.dumps(out))
