@@ -84,9 +84,12 @@ def main() -> None:
 
     # 2b) batch replay: whole query set in ONE job (the throughput path)
     t0 = time.perf_counter()
-    n_batch_rows = idx.search_many(BM25_QUERIES, k=10).count()
+    batch_rows = idx.search_many(BM25_QUERIES, k=10).select(
+        "query_id", "doc_id"
+    ).collect()
     batch_sec = time.perf_counter() - t0
     timings["bm25_batch_replay"] = round(batch_sec, 4)
+    batch_hits = {(r["query_id"], r["doc_id"]) for r in batch_rows}
 
     # 2c) north-star path: compressed block-max segments + WAND, batch replay
     import shutil
@@ -102,10 +105,17 @@ def main() -> None:
     seg.segments = seg.segments.persist()
     seg.segments.count()
     t0 = time.perf_counter()
-    n_seg_rows = seg.search_many(BM25_QUERIES, k=10).count()
+    seg_rows = seg.search_many(BM25_QUERIES, k=10).select(
+        "query_id", "doc_id"
+    ).collect()
     seg_batch_sec = time.perf_counter() - t0
     timings["seg_batch_replay"] = round(seg_batch_sec, 4)
-    seg_rows_match = n_seg_rows == n_batch_rows  # recorded, not fatal
+    # per-(query, doc) parity between the WAND replay and the relational
+    # scorer — recorded (not fatal) but precise: a doc-level regression in
+    # either path shows up as a nonzero mismatch count
+    seg_hits = {(r["query_id"], r["doc_id"]) for r in seg_rows}
+    seg_mismatched_hits = len(batch_hits ^ seg_hits)
+    seg_rows_match = seg_mismatched_hits == 0
     shutil.rmtree(seg_dir, ignore_errors=True)
 
     # 3) heavy pipeline operators (driver-contract implementations)
@@ -134,6 +144,7 @@ def main() -> None:
         "bm25_batch_qps": round(len(BM25_QUERIES) / batch_sec, 2),
         "seg_batch_qps": round(len(BM25_QUERIES) / seg_batch_sec, 2),
         "seg_rows_match_relational": seg_rows_match,
+        "seg_mismatched_hits": seg_mismatched_hits,
         "cpus": cpus,
     }
     print(json.dumps(out))

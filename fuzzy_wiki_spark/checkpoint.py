@@ -170,21 +170,40 @@ def load_checkpointed_postings(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(str(Path(out_dir) / "postings"))
 
 
-def segment_stage_fingerprint(spark: SparkSession, out_dir: str) -> int:
+def segment_stage_fingerprint(spark: SparkSession, out_dir: str) -> str:
     """Order-independent fingerprint of the completed postings groups —
     the segment stage's input lineage. Any group rebuild (new input
-    fingerprint) changes it, so a stale index can never be skipped."""
-    fp = 0
-    for r in _manifest_rows(out_dir):
-        if r.get("status") == "done":
-            fp ^= hash((int(r["partition_id"]), int(r["input_fingerprint"])))
-    return fp
+    fingerprint) changes it, so a stale index can never be skipped.
+
+    Stable across interpreter versions: sha256 over the sorted
+    (partition_id, input_fingerprint) pairs — Python ``hash()`` of int
+    tuples is not contractual across versions, and lineage records are
+    persisted and compared across processes."""
+    import hashlib
+
+    pairs = sorted(
+        (int(r["partition_id"]), int(r["input_fingerprint"]))
+        for r in _manifest_rows(out_dir)
+        if r.get("status") == "done"
+    )
+    h = hashlib.sha256()
+    for pid, fp in pairs:
+        h.update(f"{pid}:{fp};".encode())
+    return h.hexdigest()
 
 
-def segment_stage_done(spark: SparkSession, out_dir: str, index_dir: str) -> bool:
+def segment_stage_done(
+    spark: SparkSession,
+    out_dir: str,
+    index_dir: str,
+    params: dict | None = None,
+) -> bool:
     """True iff <index_dir>/_lineage.json records the current postings
-    lineage — i.e. the segment encode for exactly these group builds
-    already completed and can be skipped on resume."""
+    lineage AND the same encode parameters — i.e. the segment encode for
+    exactly these group builds, with exactly this layout (n_buckets etc.),
+    already completed and can be skipped on resume. A rerun with different
+    encode params must re-encode even over unchanged postings (the layout
+    is part of the output contract, not just a metric)."""
     lineage = Path(index_dir) / "_lineage.json"
     if not lineage.exists():
         return False
@@ -192,19 +211,28 @@ def segment_stage_done(spark: SparkSession, out_dir: str, index_dir: str) -> boo
         rec = json.loads(lineage.read_text())
     except (OSError, json.JSONDecodeError):
         return False
-    return rec.get("postings_fingerprint") == segment_stage_fingerprint(
+    if rec.get("postings_fingerprint") != segment_stage_fingerprint(
         spark, out_dir
-    )
+    ):
+        return False
+    return params is None or rec.get("params") == params
 
 
 def mark_segment_stage_done(
-    spark: SparkSession, out_dir: str, index_dir: str, metrics: dict | None = None
+    spark: SparkSession,
+    out_dir: str,
+    index_dir: str,
+    metrics: dict | None = None,
+    params: dict | None = None,
 ) -> None:
     """Write the segment stage's lineage record AFTER the index data is on
     disk (same data-then-manifest commit ordering as the group builds: a
-    crash in between re-runs the idempotent encode)."""
+    crash in between re-runs the idempotent encode). ``params`` are the
+    encode-affecting knobs (n_buckets, analyzer mode) compared on resume;
+    ``metrics`` are informational only."""
     rec = {
         "postings_fingerprint": segment_stage_fingerprint(spark, out_dir),
+        "params": params or {},
         **(metrics or {}),
     }
     Path(index_dir).mkdir(parents=True, exist_ok=True)

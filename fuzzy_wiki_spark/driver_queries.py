@@ -522,7 +522,7 @@ ORACLE_SQL: dict[str, str] = {
                         row_number() OVER (PARTITION BY shard
                                            ORDER BY ls DESC, doc_id) AS rn
                  FROM loc) WHERE rn <= 10),
-        gw AS (SELECT term, avg(weight) AS gweight FROM w GROUP BY term),
+        gw AS (SELECT term, sum(weight) / 4.0 AS gweight FROM w GROUP BY term),
         sc AS (SELECT h.doc_id, sum(gw.gweight * h.tfn) AS s
                FROM hits h JOIN lk ON h.shard = lk.shard AND h.doc_id = lk.doc_id
                     JOIN gw ON h.term = gw.term

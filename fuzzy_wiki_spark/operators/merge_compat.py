@@ -44,7 +44,10 @@ def sharded_merge_and_rank(
       1. shard-local stats: doc_count, avgdl per (shard, field);
          df per (shard, field, term)  → weight = boost·ln(1+(N−n+0.5)/(n+0.5))
       2. shard-local top-k_local by the local BM25 score (Searcher.java:66-75)
-      3. global weight = avg(weight) over shards with df > 0 (:19-31)
+      3. global weight = Σ shard weights / n_shards (:19-31 — the reference
+         divides by docTermInfoList.size(), the TOTAL number of shard
+         responses; a shard where the term has df=0 omits it from its
+         weightMap and therefore contributes an implicit 0 to the sum)
       4. merged score = Σ_terms gweight·tf_norm over each survivor's
          shard-local hit rows (:34-50); sort desc, limit k (:53-56)
     """
@@ -109,8 +112,12 @@ def sharded_merge_and_rank(
         .where(F.col("_rn") <= k_local)
         .select("shard", "doc_id")
     )
-    # mean weight across shards that reported the term (DocTermInfoHandler:19-31)
-    gw = w.groupBy("field", "term").agg(F.avg("weight").alias("gweight"))
+    # mean weight over ALL shards (DocTermInfoHandler:19-31 divides by the
+    # total response count, so non-reporting shards weigh in as 0 — NOT
+    # avg over reporting shards, which over-weights rare terms)
+    gw = w.groupBy("field", "term").agg(
+        (F.sum("weight") / F.lit(float(n_shards))).alias("gweight")
+    )
     merged = (
         hits.join(F.broadcast(survivors), ["shard", "doc_id"])
         .join(F.broadcast(gw), ["field", "term"])

@@ -433,14 +433,24 @@ def write_segments(segments_df, path: str, n_buckets: int = 32) -> None:
 
     The encode stage already emits each partition's rows sorted by
     (bucket, field lex, term lex) — encode_partition_table lexsorts on
-    rank-remapped dictionary codes — so the dynamic-partition write streams
-    straight into one bucket dir after another with term-sorted row groups
-    (min/max stats prune term predicates). The previous layout re-shuffled
-    the encoded ~GB binary blobs on bucket and Spark-sorted them: a second
-    full exchange of the index payload that bought nothing. Cost: up to
-    one file per (task × bucket) instead of one per bucket — at scale the
-    per-bucket file count equals the encode parallelism, which Iceberg
-    compaction (or a coalesce on read) absorbs.
+    rank-remapped dictionary codes — but that ordering is not *declared* to
+    Spark, and the dynamic-partition write (V1Writes) inserts its own local
+    sort on the partition column; intra-bucket term order would then survive
+    only via the sort's stability, which is true today (TimSort) but not
+    contractual. ``sortWithinPartitions`` declares the full ordering
+    explicitly: no exchange, an O(n) pass over already-sorted runs, and the
+    write's required per-partition clustering is satisfied by it — so the
+    term-sorted row groups (whose min/max stats prune term predicates at
+    query time) are guaranteed, not incidental. The earlier layout that
+    re-shuffled the encoded ~GB blobs on bucket stays retired: this sort is
+    local to each encode task. Cost: up to one file per (task × bucket) —
+    at scale the per-bucket file count equals the encode parallelism, which
+    Iceberg compaction (or a coalesce on read) absorbs.
 
     (Iceberg in production: same partition spec + sort order.)"""
-    segments_df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    (
+        segments_df.sortWithinPartitions("bucket", "field", "term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )

@@ -47,10 +47,15 @@ def idf(df_count: int, doc_count: int) -> float:
 
 
 def sloppy_match_batch(
-    terms_col: pd.Series, pos_col: pd.Series, phrase_col: pd.Series, slop_col: pd.Series
+    tp_col: pd.Series, phrase_col: pd.Series, slop_col: pd.Series
 ) -> pd.Series:
     """Vectorized-batch sloppy-phrase matcher (O17). Each row is one
-    (clause, doc) candidate that already contains ALL phrase terms.
+    (clause, doc) candidate that already contains ALL phrase terms;
+    ``tp_col`` rows are lists of {term, positions} structs — ONE
+    collect_list, so term↔positions pairing is structural, never dependent
+    on row-order correspondence between two separate aggregates (Spark does
+    not guarantee that two collect_lists in the same agg see rows in the
+    same order; SURVEY.md §7 item 5).
 
     Pinned spec (== oracle.sloppy_phrase_match): match iff ∃ distinct
     positions p_i of term_i with Σ|p_i − (p_1 + i)| ≤ slop.
@@ -67,12 +72,10 @@ def sloppy_match_batch(
     from itertools import product as iproduct
 
     out = []
-    for terms, poss, phrase, slop in zip(
-        terms_col, pos_col, phrase_col, slop_col
-    ):
+    for tps, phrase, slop in zip(tp_col, phrase_col, slop_col):
         posmap: dict[str, list[int]] = {}
-        for t, pl in zip(terms, poss):
-            posmap.setdefault(t, []).extend(pl)
+        for tp in tps:
+            posmap.setdefault(tp["term"], []).extend(tp["positions"])
         lists = [posmap.get(t) for t in phrase]
         if any(not pl for pl in lists):
             out.append(False)
@@ -221,8 +224,9 @@ def score_queries_batch(
         matched.where(F.col("is_phrase"))
         .groupBy("query_id", "clause_id", "doc_id")
         .agg(
-            F.collect_list("term").alias("mterms"),
-            F.collect_list("positions").alias("mpos"),
+            F.collect_list(
+                F.struct(F.col("term"), F.col("positions"))
+            ).alias("mtps"),
             F.sum("tf").alias("freq"),
             F.countDistinct("term").alias("n_found"),
             F.first("dl").alias("dl"),
@@ -237,9 +241,7 @@ def score_queries_batch(
     phrase_contrib = (
         phrase_cand.withColumn(
             "matched",
-            _sloppy_udf(
-                F.col("mterms"), F.col("mpos"), F.col("phrase_terms"), F.col("slop")
-            ),
+            _sloppy_udf(F.col("mtps"), F.col("phrase_terms"), F.col("slop")),
         )
         .where(F.col("matched"))
         .select(

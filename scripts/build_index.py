@@ -121,7 +121,8 @@ def main() -> None:
     segments_skipped = False
     if not args.skip_segments:
         index_dir = f"{args.out}/index"
-        if segment_stage_done(spark, args.out, index_dir):
+        enc_params = {"n_buckets": args.n_buckets, "mode": args.mode}
+        if segment_stage_done(spark, args.out, index_dir, params=enc_params):
             segments_skipped = True
         else:
             postings = load_checkpointed_postings(spark, args.out)
@@ -136,7 +137,7 @@ def main() -> None:
                 n_buckets=args.n_buckets,
             )
             mark_segment_stage_done(
-                spark, args.out, index_dir, {"n_buckets": args.n_buckets}
+                spark, args.out, index_dir, params=enc_params
             )
     t_end = time.perf_counter()
 

@@ -75,8 +75,17 @@ def test_segment_stage_skip_and_invalidate(spark, docs, tmp_path):
     idxdir = str(tmp_path / "idx3" / "index")
     build_index_checkpointed(spark, docs, out, n_groups=3)
     assert not segment_stage_done(spark, out, idxdir)  # never encoded
-    mark_segment_stage_done(spark, out, idxdir, {"n_buckets": 8})
-    assert segment_stage_done(spark, out, idxdir)  # clean resume: skip
+    mark_segment_stage_done(
+        spark, out, idxdir, params={"n_buckets": 8, "mode": "porter"}
+    )
+    assert segment_stage_done(
+        spark, out, idxdir, params={"n_buckets": 8, "mode": "porter"}
+    )  # clean resume: skip
+    # encode params are part of the lineage: a different layout request
+    # over unchanged postings must NOT be skipped
+    assert not segment_stage_done(
+        spark, out, idxdir, params={"n_buckets": 16, "mode": "porter"}
+    )
 
     # upstream change: one group's input differs -> rebuilt -> lineage moves
     changed = docs.withColumn(

@@ -57,9 +57,10 @@ def _pandas_oracle(pdf: pd.DataFrame, terms, n_shards, k_local=10, k=10):
     for s, g in local.groupby("shard"):
         g = g.sort_values(["contrib", "doc_id"], ascending=[False, True])
         survivors.update(zip(g["shard"].head(k_local), g["doc_id"].head(k_local)))
+    # Σ reported shard weights / TOTAL shard count (DocTermInfoHandler
+    # divides by docTermInfoList.size(); df=0 shards contribute implicit 0)
     gw = {
-        t: sum(w for (s, tt), w in weights.items() if tt == t)
-        / len([1 for (s, tt) in weights if tt == t])
+        t: sum(w for (s, tt), w in weights.items() if tt == t) / n_shards
         for t in {tt for (_, tt) in weights}
     }
     surv = hits[[
@@ -103,6 +104,49 @@ def test_single_shard_equals_exact_global(spark, posts):
     got_rows = [(int(r["doc_id"]), float(r["score"])) for r in got.collect()]
     assert [d for d, _ in got_rows] == [d for d, _ in exact_rows]
     for (_, a), (_, b) in zip(got_rows, exact_rows):
+        assert a == pytest.approx(b, rel=1e-9)
+
+
+def test_rare_term_absent_from_some_shards(spark):
+    """A term present in only a subset of shards must be weighted as
+    Σ shard weights / n_shards (implicit 0 from df=0 shards), matching
+    DocTermInfoHandler.mergeAndRank — avg-over-reporting-shards would
+    inflate it by n_shards/n_reporting."""
+    rows = []
+    # 16 docs over 4 shards (shard = doc_id % 4); "zebra" only in shard 0
+    for d in range(16):
+        toks = ["common", "common", "filler"] + (
+            ["zebra"] if d % 4 == 0 else []
+        )
+        for i, t in enumerate(toks):
+            rows.append((d, "content", t, 1, [i], len(toks)))
+    import pandas as _pd
+
+    pdf = _pd.DataFrame(
+        rows, columns=["doc_id", "field", "term", "tf", "positions", "dl"]
+    )
+    # collapse duplicate (doc, term) rows into tf counts
+    g = (
+        pdf.groupby(["doc_id", "field", "term"])
+        .agg(tf=("tf", "sum"), dl=("dl", "first"))
+        .reset_index()
+    )
+    g["positions"] = [[0]] * len(g)
+    posts = spark.createDataFrame(
+        g[["doc_id", "field", "term", "tf", "positions", "dl"]],
+        "doc_id long, field string, term string, tf int, "
+        "positions array<int>, dl int",
+    )
+    terms = ["common", "zebra"]
+    want = _pandas_oracle(g, terms, n_shards=4, k_local=16, k=16)
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in sharded_merge_and_rank(
+            posts, terms, n_shards=4, k=16, k_local=16
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
         assert a == pytest.approx(b, rel=1e-9)
 
 
