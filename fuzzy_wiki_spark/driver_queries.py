@@ -349,6 +349,72 @@ def q_segment_bm25(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _build_incremental(spark, sf_dir, n_epochs=2, n_buckets=8):
+    """documents → 2-epoch incremental segment index (mode="simple" so the
+    DuckDB BM25 skeleton is the exact oracle). Returns the out_dir."""
+    import tempfile
+
+    from fuzzy_wiki_spark.streaming.incremental import append_batch
+
+    out = tempfile.mkdtemp(prefix="fw_incq_")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    for epoch in range(n_epochs):
+        append_batch(
+            spark,
+            docs.where(F.col("doc_id") % n_epochs == epoch),
+            epoch,
+            out,
+            n_buckets=n_buckets,
+            mode="simple",
+            fields={"content": "content"},
+        )
+    return out
+
+
+def _segment_skeleton_topk(spark, idx):
+    """Term-clause BM25 top-10 over a SegmentIndex — the SQL-expressible
+    skeleton (same clauses as q_bm25_topk) on the segment/WAND path."""
+    from fuzzy_wiki_spark.operators.segment_query import search_segments
+
+    term_df = idx._term_df(BM25_QUERY_TERMS)
+    clauses = [
+        Clause(i, "content", (t,), 1.0, 0, False)
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    ]
+    res = search_segments(
+        spark, idx.segments, clauses, term_df, idx.field_stats, k=10
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_incremental_search(spark, sf_dir):
+    """Multi-generation incremental index (streaming O11 path): documents
+    indexed in 2 appended epochs, searched as the UNcompacted generation
+    union — bucket_topk k-way-merges the duplicate (bucket, field, term)
+    rows. Oracle: the same BM25 SQL skeleton as bm25_topk, i.e. the result
+    must be indistinguishable from a one-shot build."""
+    from fuzzy_wiki_spark.streaming.incremental import open_incremental
+
+    out = _build_incremental(spark, sf_dir)
+    return _segment_skeleton_topk(spark, open_incremental(spark, out))
+
+
+def q_compact_search(spark, sf_dir):
+    """Generation compaction (reference O11, IndexMerger.java:18-37):
+    2 epochs → decode → one re-encode shuffle → single-generation index,
+    searched via the same skeleton. Oracle: same BM25 SQL."""
+    import tempfile
+
+    from fuzzy_wiki_spark.streaming.incremental import compact_generations
+
+    out = _build_incremental(spark, sf_dir)
+    dst = tempfile.mkdtemp(prefix="fw_compq_")
+    comp = compact_generations(spark, out, dst, n_buckets=8)
+    return _segment_skeleton_topk(spark, comp)
+
+
 def q_flagship_porter(spark, sf_dir):
     """Flagship: full porter-chain BM25 engine over documents (rows-only —
     the porter analyzer has no SQL mirror; correctness is pinned by the
@@ -431,6 +497,10 @@ ORACLE_SQL: dict[str, str] = {
         SELECT term, doc_id, tf, rank::INT AS rank FROM r WHERE rank <= 5
     """,
     "point_lookup": "SELECT doc_id, text FROM documents WHERE doc_id = 42",
+    # incremental/compacted segment search must equal a one-shot build,
+    # so their oracle IS the bm25_topk skeleton
+    "incremental_search": None,  # filled below (same SQL as bm25_topk)
+    "compact_search": None,  # filled below
     "content_sha": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
     "dedup_exact": """
         SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_dups,
@@ -566,6 +636,9 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["incremental_search"] = ORACLE_SQL["bm25_topk"]
+ORACLE_SQL["compact_search"] = ORACLE_SQL["bm25_topk"]
+
 QUERIES = {
     "postings": q_postings,
     "doc_lens": q_doc_lens,
@@ -586,6 +659,8 @@ QUERIES = {
     "merge_compat": q_merge_compat,
     "dedup_keep_first": q_dedup_keep_first,
     "ngram_jaccard": q_ngram_jaccard,
+    "incremental_search": q_incremental_search,
+    "compact_search": q_compact_search,
     # rows-only (no SQL mirror — Spark-specific hashing / porter chain /
     # seeded-numpy LSH planes / binary media payloads):
     "minhash_pairs": q_minhash_pairs,

@@ -133,6 +133,36 @@ class InvertedIndex:
                 pass
 
 
+def write_index_stats(spark: SparkSession, path: str) -> None:
+    """Derive + write term_stats/ and stats/ from the written segments'
+    METADATA columns (per-group df/sum_tf; the ``_dl`` meta rows carry
+    doc_count/sum_dl as df/sum_tf) — MBs of metadata instead of two more
+    full passes over the postings table. Shared by the one-shot build
+    (SegmentIndex.from_postings) and generation compaction
+    (streaming/incremental.py compact_generations)."""
+    from fuzzy_wiki_spark.operators.segment_query import META_DL
+    from fuzzy_wiki_spark.operators.segments import META_TERMS
+
+    segs_r = spark.read.parquet(f"{path}/segments")
+    (
+        segs_r.where(~F.col("term").isin(META_TERMS))
+        .groupBy("field", "term")
+        .agg(F.sum("df").alias("df"), F.sum("sum_tf").alias("sum_tf"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/term_stats")
+    )
+    (
+        segs_r.where(F.col("term") == META_DL)
+        .groupBy("field")
+        .agg(
+            F.sum("df").alias("doc_count"),
+            F.sum("sum_tf").alias("sum_dl"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats")
+    )
+
+
 class SegmentIndex:
     """v2 engine: compressed, bucket-partitioned on-disk segments
     (operators/segments.py) queried via per-bucket DAAT + MaxScore
@@ -155,6 +185,25 @@ class SegmentIndex:
             r["field"]: (r["doc_count"], float(r["sum_dl"]) / r["doc_count"])
             for r in spark.read.parquet(f"{path}/stats").collect()
         }
+
+    @classmethod
+    def from_parts(
+        cls,
+        spark: SparkSession,
+        segments: DataFrame,
+        term_stats: DataFrame,
+        field_stats: dict[str, tuple[int, float]],
+    ) -> "SegmentIndex":
+        """Wrap already-materialized parts (e.g. the union of incremental
+        generations with cross-generation re-aggregated stats —
+        streaming/incremental.py open_incremental) without touching disk."""
+        idx = cls.__new__(cls)
+        idx.spark = spark
+        idx.path = None
+        idx.segments = segments
+        idx.term_stats = term_stats
+        idx.field_stats = field_stats
+        return idx
 
     @classmethod
     def build(
@@ -197,9 +246,7 @@ class SegmentIndex:
         metadata columns (per-group df/sum_tf; the ``_dl`` meta rows carry
         doc_count/sum_dl as df/sum_tf) — MBs of metadata instead of two
         more full passes over the postings table."""
-        from fuzzy_wiki_spark.operators.segment_query import META_DL
         from fuzzy_wiki_spark.operators.segments import (
-            META_TERMS,
             build_index_segments,
             write_segments,
         )
@@ -211,24 +258,7 @@ class SegmentIndex:
         segs = build_index_segments(postings, docs_meta, n_buckets=n_buckets)
         write_segments(segs, f"{path}/segments", n_buckets=n_buckets)
         postings.unpersist()
-        segs_r = spark.read.parquet(f"{path}/segments")
-        (
-            segs_r.where(~F.col("term").isin(META_TERMS))
-            .groupBy("field", "term")
-            .agg(F.sum("df").alias("df"), F.sum("sum_tf").alias("sum_tf"))
-            .write.mode("overwrite")
-            .parquet(f"{path}/term_stats")
-        )
-        (
-            segs_r.where(F.col("term") == META_DL)
-            .groupBy("field")
-            .agg(
-                F.sum("df").alias("doc_count"),
-                F.sum("sum_tf").alias("sum_dl"),
-            )
-            .write.mode("overwrite")
-            .parquet(f"{path}/stats")
-        )
+        write_index_stats(spark, path)
         return cls(spark, path)
 
     def _term_df(self, terms: list[str]) -> dict[tuple[str, str], int]:

@@ -101,40 +101,102 @@ def bucket_topk(
     """
     # decode meta rows: per-field dl maps and redirect set. ``cache`` (one
     # per bucket in batch replay) memoizes decodes across the query set.
+    #
+    # Multi-generation input: a (bucket, field, term) key may map to SEVERAL
+    # segment rows — one per generation of an incremental index
+    # (streaming/incremental.py load_generations) — so every key holds a
+    # LIST of rows and decode paths k-way-merge them by doc_id. Generations
+    # are append-only (a doc_id lives in exactly one generation — the
+    # contract append_batch enforces), so the merge is a sort of disjoint
+    # runs and per-doc stats never need combining across rows.
     if cache is None:
         cache = {}
     if "meta" in cache:
         dl_map, redirect_ids, rows = cache["meta"]
     else:
-        dl_map: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        redirect_ids = np.empty(0, dtype=np.int64)
-        rows: dict[tuple[str, str], pd.Series] = {}
+        dl_parts: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+        red_parts: list[np.ndarray] = []
+        rows: dict[tuple[str, str], list[pd.Series]] = {}
         for _, r in seg_pdf.iterrows():
             if r["term"] == META_DL:
-                dl_map[r["field"]] = (
-                    delta_decode_blocked(r["doc_ids"], BLOCK).astype(np.int64),
-                    decode_tfs(r["tfs"]).astype(np.float64),
+                dl_parts.setdefault(r["field"], []).append(
+                    (
+                        delta_decode_blocked(r["doc_ids"], BLOCK).astype(
+                            np.int64
+                        ),
+                        decode_tfs(r["tfs"]).astype(np.float64),
+                    )
                 )
             elif r["term"] == META_REDIRECT:
-                redirect_ids = delta_decode_blocked(r["doc_ids"], BLOCK).astype(
-                    np.int64
+                red_parts.append(
+                    delta_decode_blocked(r["doc_ids"], BLOCK).astype(np.int64)
                 )
             else:
-                rows[(r["field"], r["term"])] = r
+                rows.setdefault((r["field"], r["term"]), []).append(r)
+        dl_map: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for f, parts in dl_parts.items():
+            if len(parts) == 1:
+                dl_map[f] = parts[0]
+            else:
+                ids = np.concatenate([p[0] for p in parts])
+                dls = np.concatenate([p[1] for p in parts])
+                o = np.argsort(ids, kind="stable")
+                dl_map[f] = (ids[o], dls[o])
+        if not red_parts:
+            redirect_ids = np.empty(0, dtype=np.int64)
+        elif len(red_parts) == 1:
+            redirect_ids = red_parts[0]
+        else:
+            redirect_ids = np.unique(np.concatenate(red_parts))
         cache["meta"] = (dl_map, redirect_ids, rows)
 
     def term_arrays(field: str, term: str):
+        """→ (row_list, merged sorted doc_ids, aligned tfs, merge order)
+        or None. ``order`` is None for the single-row fast path."""
         key = ("arr", field, term)
         if key in cache:
             return cache[key]
-        r = rows.get((field, term))
-        if r is None:
+        rlist = rows.get((field, term))
+        if rlist is None:
             cache[key] = None
             return None
-        ids = delta_decode_blocked(r["doc_ids"], BLOCK).astype(np.int64)
-        tfs = decode_tfs(r["tfs"]).astype(np.float64)
-        cache[key] = (r, ids, tfs)
+        if len(rlist) == 1:
+            r = rlist[0]
+            ids = delta_decode_blocked(r["doc_ids"], BLOCK).astype(np.int64)
+            tfs = decode_tfs(r["tfs"]).astype(np.float64)
+            order = None
+        else:
+            ids = np.concatenate(
+                [
+                    delta_decode_blocked(r["doc_ids"], BLOCK).astype(np.int64)
+                    for r in rlist
+                ]
+            )
+            tfs = np.concatenate(
+                [decode_tfs(r["tfs"]).astype(np.float64) for r in rlist]
+            )
+            order = np.argsort(ids, kind="stable")
+            ids, tfs = ids[order], tfs[order]
+        cache[key] = (rlist, ids, tfs, order)
         return cache[key]
+
+    def term_positions(field: str, term: str) -> list[np.ndarray]:
+        """Per-posting position lists aligned with term_arrays' merged ids
+        (lazy — only the phrase path pays the positions decode)."""
+        key = ("pos", field, term)
+        if key in cache:
+            return cache[key]
+        rlist, _, _, order = term_arrays(field, term)
+        plists: list[np.ndarray] = []
+        for r in rlist:
+            plists.extend(
+                p.astype(np.int64)
+                for p in decode_positions(r["pos_lens"], r["positions"])
+            )
+        if order is not None:
+            plists = [plists[i] for i in order]
+        cache[key] = plists
+        return plists
 
     def dl_for(field: str, ids: np.ndarray) -> np.ndarray:
         all_ids, dls = dl_map[field]
@@ -142,23 +204,29 @@ def bucket_topk(
         return dls[idx]
 
     # ---- pass 1: clause descriptors + upper bounds, NO posting decode ----
-    # each: (ub, clause, row-or-rows)
+    # each: (ub, clause, list-of-rows or per-term lists). A doc lives in
+    # exactly one generation row, so a multi-row key's max_tf bound is the
+    # MAX over rows, not the sum.
     descs: list[tuple[float, Clause, object]] = []
     for cl in clauses:
         w = weights.get(cl.clause_id, 0.0)
         if w == 0.0:
             continue
         if cl.is_phrase and len(cl.terms) > 1:
-            rs = [rows.get((cl.field, t)) for t in cl.terms]
-            if any(r is None for r in rs):
+            rls = [rows.get((cl.field, t)) for t in cl.terms]
+            if any(rl is None for rl in rls):
                 continue
-            ub = _clause_ub(w, int(sum(r["max_tf"] for r in rs)))
-            descs.append((ub, cl, rs))
+            ub = _clause_ub(
+                w, int(sum(max(int(r["max_tf"]) for r in rl) for rl in rls))
+            )
+            descs.append((ub, cl, rls))
         else:
-            r = rows.get((cl.field, cl.terms[0]))
-            if r is None:
+            rl = rows.get((cl.field, cl.terms[0]))
+            if rl is None:
                 continue
-            descs.append((_clause_ub(w, int(r["max_tf"])), cl, r))
+            descs.append(
+                (_clause_ub(w, max(int(r["max_tf"]) for r in rl)), cl, rl)
+            )
     if not descs:
         return _EMPTY.copy()
     descs.sort(key=lambda x: -x[0])
@@ -169,17 +237,17 @@ def bucket_topk(
         if cl.is_phrase and len(cl.terms) > 1:
             arrs = [term_arrays(cl.field, t) for t in cl.terms]
             cand = arrs[0][1]
-            for _, ids, _ in arrs[1:]:
-                cand = cand[np.isin(cand, ids, assume_unique=True)]
+            for a in arrs[1:]:
+                cand = cand[np.isin(cand, a[1], assume_unique=True)]
             if cand.size == 0:
                 return None
             pos_lists = []
             freqs = np.zeros(cand.size)
-            for r, ids, tfs in arrs:
+            for t, (_, ids, tfs, _) in zip(cl.terms, arrs):
                 sel = np.searchsorted(ids, cand)
                 freqs += tfs[sel]
-                plist = decode_positions(r["pos_lens"], r["positions"])
-                pos_lists.append([plist[i].astype(np.int64) for i in sel])
+                plist = term_positions(cl.field, t)
+                pos_lists.append([plist[i] for i in sel])
             matched = np.zeros(cand.size, dtype=bool)
             for j in range(cand.size):
                 lists = [pl[j] for pl in pos_lists]
@@ -196,7 +264,7 @@ def bucket_topk(
             return cand, w * _tf_norm(
                 freqs, dl_for(cl.field, cand), avgdl[cl.field]
             )
-        r, ids, tfs = term_arrays(cl.field, cl.terms[0])
+        _, ids, tfs, _ = term_arrays(cl.field, cl.terms[0])
         return ids, w * _tf_norm(tfs, dl_for(cl.field, ids), avgdl[cl.field])
 
     # ---- pass 2: essential split (MaxScore θ from the top clause) ----
@@ -245,51 +313,60 @@ def bucket_topk(
         # final k-th score (partial ≤ full, and those k docs get fully scored)
         if scores.size > k:
             theta = max(theta, float(np.partition(scores, -k)[-k]))
-        probes = []  # (field, w, bj, bmax_ub, row) aligned to cand_ids
+        # each probe: (field, w, [(bj, ub_r, row) per generation row]);
+        # a candidate's clause upper bound is the element-wise MAX over
+        # rows (its postings live in exactly one generation)
+        probes = []
         upper = scores.copy()
         for i in nonessential:
-            _, cl, r = descs[i]
+            _, cl, rl = descs[i]
             w = weights[cl.clause_id]
-            blast = varint_decode(r["block_last"]).astype(np.int64)
-            bmax = varint_decode(r["block_maxtf"]).astype(np.float64)
-            bj = np.searchsorted(blast, cand_ids)  # candidate → block idx
-            in_range = bj < blast.size
             ub_c = np.zeros(cand_ids.size)
-            mt = bmax[np.minimum(bj, blast.size - 1)]
-            ub_c[in_range] = (
-                w * mt[in_range] / (mt[in_range] + K1 * (1.0 - B))
-            )
+            row_probes = []
+            for r in rl:
+                blast = varint_decode(r["block_last"]).astype(np.int64)
+                bmax = varint_decode(r["block_maxtf"]).astype(np.float64)
+                bj = np.searchsorted(blast, cand_ids)  # cand → block idx
+                in_range = bj < blast.size
+                ub_r = np.zeros(cand_ids.size)
+                mt = bmax[np.minimum(bj, blast.size - 1)]
+                ub_r[in_range] = (
+                    w * mt[in_range] / (mt[in_range] + K1 * (1.0 - B))
+                )
+                np.maximum(ub_c, ub_r, out=ub_c)
+                row_probes.append((bj, ub_r, r))
             upper += ub_c
-            probes.append((cl.field, w, bj, ub_c, r))
+            probes.append((cl.field, w, row_probes))
         alive = upper >= theta  # strict-< skip is safe (see docstring)
         PRUNE_STATS["cands_skipped"] += int((~alive).sum())
-        for field, w, bj, ub_c, r in probes:
-            PRUNE_STATS["blocks_total"] += int(r["n_blocks"])
-            sub = np.flatnonzero(alive & (ub_c > 0))
-            if sub.size == 0:
-                continue
-            doffs = varint_decode(r["block_doc_off"]).astype(np.int64)
-            toffs = varint_decode(r["block_tf_off"]).astype(np.int64)
-            needed = np.unique(bj[sub])
-            PRUNE_STATS["blocks_decoded"] += int(needed.size)
-            for j in needed:
-                in_j = sub[bj[sub] == j]
-                ids_j = decode_doc_block(r["doc_ids"], doffs, int(j)).astype(
-                    np.int64
-                )
-                tfs_j = decode_tf_block(r["tfs"], toffs, int(j)).astype(
-                    np.float64
-                )
-                pos = np.searchsorted(ids_j, cand_ids[in_j])
-                pos_c = np.minimum(pos, ids_j.size - 1)
-                hit = ids_j[pos_c] == cand_ids[in_j]
-                if not hit.any():
+        for field, w, row_probes in probes:
+            for bj, ub_r, r in row_probes:
+                PRUNE_STATS["blocks_total"] += int(r["n_blocks"])
+                sub = np.flatnonzero(alive & (ub_r > 0))
+                if sub.size == 0:
                     continue
-                hit_idx = in_j[hit]
-                freq = tfs_j[pos_c[hit]]
-                scores[hit_idx] += w * _tf_norm(
-                    freq, dl_for(field, cand_ids[hit_idx]), avgdl[field]
-                )
+                doffs = varint_decode(r["block_doc_off"]).astype(np.int64)
+                toffs = varint_decode(r["block_tf_off"]).astype(np.int64)
+                needed = np.unique(bj[sub])
+                PRUNE_STATS["blocks_decoded"] += int(needed.size)
+                for j in needed:
+                    in_j = sub[bj[sub] == j]
+                    ids_j = decode_doc_block(
+                        r["doc_ids"], doffs, int(j)
+                    ).astype(np.int64)
+                    tfs_j = decode_tf_block(r["tfs"], toffs, int(j)).astype(
+                        np.float64
+                    )
+                    pos = np.searchsorted(ids_j, cand_ids[in_j])
+                    pos_c = np.minimum(pos, ids_j.size - 1)
+                    hit = ids_j[pos_c] == cand_ids[in_j]
+                    if not hit.any():
+                        continue
+                    hit_idx = in_j[hit]
+                    freq = tfs_j[pos_c[hit]]
+                    scores[hit_idx] += w * _tf_norm(
+                        freq, dl_for(field, cand_ids[hit_idx]), avgdl[field]
+                    )
         # drop candidates that could never reach θ (their score is partial)
         if scores.size > k:
             cand_ids, scores = cand_ids[alive], scores[alive]

@@ -10,18 +10,27 @@ checkpoint.py's group-wise batch resume.
 Design: ``readStream`` over the docs source → ``foreachBatch``; each
 micro-batch runs the SAME batch operators (build_postings →
 build_index_segments) and appends a new segment *generation* directory.
-Readers union generations; a background compaction (reference O11,
-IndexMerger.java) periodically k-way-merges generations per (bucket, field,
-term) — same codec, same encode_group.
+``open_incremental`` returns a searchable index over the UNION of
+generations (the bucket scorer k-way-merges duplicate (bucket, field, term)
+rows — segment_query.py); ``compact_generations`` merges all generations
+into a fresh single-generation index (reference O11, IndexMerger.java:18-37,
+``addIndexes`` per shard) — decode per group, one re-encode shuffle, same
+codec.
 
 Query-time merge semantics over multiple generations: term_stats/df/avgdl
 are re-aggregated across generations, which is exactly the reference's
-distributed-merge math (DocTermInfoHandler O15) with generations as shards.
+distributed-merge math (DocTermInfoHandler O15) with generations as shards —
+exact here, because generations hold DISJOINT doc sets (append-only
+contract), so df/doc_count/sum_dl are plain sums.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
 from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,9 +74,12 @@ def append_batch(
         .partitionBy("bucket")
         .parquet(gen_dir)
     )
-    term_stats(posts).withColumn("gen", F.lit(epoch_id)).write.mode(
-        "append"
-    ).parquet(str(Path(out_dir) / "term_stats"))
+    # per-generation overwrite (NOT a flat append): epoch replay after a
+    # failure rewrites the same directory, keeping the stats exactly-once
+    # like the segment data itself
+    term_stats(posts).write.mode("overwrite").parquet(
+        str(Path(out_dir) / "term_stats" / f"gen={epoch_id}")
+    )
 
 
 def start_incremental_index(
@@ -103,6 +115,161 @@ def load_generations(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.option("basePath", f"{out_dir}/segments").parquet(
         f"{out_dir}/segments/gen=*"
     )
+
+
+def open_incremental(spark: SparkSession, out_dir: str):
+    """Searchable SegmentIndex over the UNION of all generations.
+
+    term_stats are re-aggregated across the per-generation term_stats
+    appends; field stats (doc_count, avgdl) come from the generations'
+    ``_dl`` meta-row METADATA (df = docs, sum_tf = Σdl — no posting
+    decode). Both are exact because generations hold disjoint doc sets.
+    The returned index's search path handles the duplicate
+    (bucket, field, term) rows by k-way merge (segment_query.bucket_topk),
+    so an incremental index is searchable WITHOUT compaction — compaction
+    is a read-amplification optimization, not a correctness requirement."""
+    from fuzzy_wiki_spark.engine import SegmentIndex
+    from fuzzy_wiki_spark.operators.segment_query import META_DL
+
+    segs = load_generations(spark, out_dir)
+    ts = (
+        spark.read.option("basePath", f"{out_dir}/term_stats")
+        .parquet(f"{out_dir}/term_stats/gen=*")
+        .groupBy("field", "term")
+        .agg(F.sum("df").alias("df"), F.sum("sum_tf").alias("sum_tf"))
+    )
+    field_stats = {
+        r["field"]: (int(r["doc_count"]), float(r["sum_dl"]) / r["doc_count"])
+        for r in (
+            segs.where(F.col("term") == META_DL)
+            .groupBy("field")
+            .agg(
+                F.sum("df").alias("doc_count"),
+                F.sum("sum_tf").alias("sum_dl"),
+            )
+            .collect()
+        )
+    }
+    return SegmentIndex.from_parts(spark, segs, ts, field_stats)
+
+
+DECODED_POSTINGS_DDL = (
+    "doc_id long, field string, term string, tf int, positions array<int>"
+)
+_DECODED_PA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("field", pa.string()),
+        pa.field("term", pa.string()),
+        pa.field("tf", pa.int32()),
+        pa.field("positions", pa.list_(pa.int32())),
+    ]
+)
+
+
+def segments_to_postings(segments_df: DataFrame) -> DataFrame:
+    """Decode segment rows back to posting rows (the encoder's inverse).
+
+    Meta rows decode uniformly: ``_dl`` rows become (doc_id, field, "_dl",
+    dl) and ``_redirect`` rows (doc_id, field, "_redirect", 1) — so feeding
+    the output straight into build_segments() reproduces a full index
+    including its meta rows. Python loops only over segment ROWS (one row =
+    a whole posting list); all per-posting work is numpy/Arrow."""
+    from fuzzy_wiki_spark.codec import decode_tfs, delta_decode_blocked
+    from fuzzy_wiki_spark.operators.segments import (
+        BLOCK,
+        decode_positions_flat,
+    )
+
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        for rb in batches:
+            n_rows = rb.num_rows
+            if n_rows == 0:
+                continue
+            fields = rb.column(rb.schema.get_field_index("field"))
+            terms = rb.column(rb.schema.get_field_index("term"))
+            doc_bufs = rb.column(rb.schema.get_field_index("doc_ids"))
+            tf_bufs = rb.column(rb.schema.get_field_index("tfs"))
+            pl_bufs = rb.column(rb.schema.get_field_index("pos_lens"))
+            pos_bufs = rb.column(rb.schema.get_field_index("positions"))
+            id_parts, tf_parts, plen_parts, flat_parts, glens = (
+                [], [], [], [], np.empty(n_rows, dtype=np.int64),
+            )
+            for i in range(n_rows):
+                ids = delta_decode_blocked(
+                    doc_bufs[i].as_py(), BLOCK
+                ).astype(np.int64)
+                id_parts.append(ids)
+                glens[i] = ids.size
+                tf_parts.append(decode_tfs(tf_bufs[i].as_py()))
+                plens, flat = decode_positions_flat(
+                    pl_bufs[i].as_py(), pos_bufs[i].as_py()
+                )
+                plen_parts.append(plens)
+                flat_parts.append(flat)
+            doc_col = np.concatenate(id_parts)
+            tf_col = np.concatenate(tf_parts).astype(np.int32)
+            plens_all = np.concatenate(plen_parts).astype(np.int32)
+            flat_all = (
+                np.concatenate(flat_parts).astype(np.int32)
+                if flat_parts
+                else np.empty(0, dtype=np.int32)
+            )
+            rep = pa.array(
+                np.repeat(np.arange(n_rows, dtype=np.int64), glens)
+            )
+            offsets = np.empty(plens_all.size + 1, dtype=np.int32)
+            offsets[0] = 0
+            np.cumsum(plens_all, out=offsets[1:], dtype=np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_col, type=pa.int64()),
+                    fields.take(rep),
+                    terms.take(rep),
+                    pa.array(tf_col, type=pa.int32()),
+                    pa.ListArray.from_arrays(
+                        pa.array(offsets, type=pa.int32()),
+                        pa.array(flat_all, type=pa.int32()),
+                    ),
+                ],
+                schema=_DECODED_PA,
+            )
+
+    cols = [
+        "field", "term", "doc_ids", "tfs", "pos_lens", "positions",
+    ]
+    return segments_df.select(*cols).mapInArrow(
+        decode, DECODED_POSTINGS_DDL
+    )
+
+
+def compact_generations(
+    spark: SparkSession, out_dir: str, dst_dir: str, n_buckets: int = 32
+):
+    """Merge ALL segment generations into a fresh single-generation
+    SegmentIndex layout at ``dst_dir`` (reference O11: IndexMerger.java
+    18-37 runs Lucene ``addIndexes`` over the shard directories; here the
+    merge is decode → ONE (bucket, field, term) re-encode shuffle → write,
+    so it also re-buckets: pass a larger ``n_buckets`` as the corpus grows
+    and the layout re-spreads in the same pass).
+
+    Meta rows (``_dl``/``_redirect``) ride the same decode→encode path as
+    ordinary terms, and term_stats/stats are re-derived from the compacted
+    segments' metadata — the compacted index is bit-for-bit a one-shot
+    build's layout, so every search path treats it identically."""
+    from fuzzy_wiki_spark.engine import SegmentIndex, write_index_stats
+    from fuzzy_wiki_spark.operators.segments import (
+        build_segments,
+        write_segments,
+    )
+
+    posts = segments_to_postings(load_generations(spark, out_dir))
+    segs = build_segments(posts, n_buckets=n_buckets)
+    write_segments(segs, f"{dst_dir}/segments", n_buckets=n_buckets)
+    write_index_stats(spark, dst_dir)
+    return SegmentIndex(spark, dst_dir)
 
 
 def windowed_event_counts(
