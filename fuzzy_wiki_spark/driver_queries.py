@@ -165,6 +165,40 @@ def q_term_topdocs(spark, sf_dir):
     )
 
 
+def q_validate_docs(spark, sf_dir):
+    """O4: ingest validation + dropped-row counters (Parser.java:23-40,
+    ParserErrors:MissingFields). Nulls are injected deterministically (the
+    corpus is clean); the entry returns the counter row, which rides the
+    validation job itself via observe() — no second pass."""
+    from fuzzy_wiki_spark.sources.catalog import validate_docs
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 3, F.lit(None))
+        .otherwise(F.col("source"))
+        .alias("path"),
+        F.when(F.col("doc_id") % 11 == 5, F.lit(None))
+        .otherwise(F.col("text"))
+        .alias("content"),
+    )
+    clean, obs = validate_docs(d, required=("path", "content"))
+    n_kept = clean.count()  # the action that fills the observation
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_total"]),
+                int(n_kept),
+                int(m["n_dropped"]),
+                int(m["n_dropped_path"]),
+                int(m["n_dropped_content"]),
+            )
+        ],
+        "n_total long, n_kept long, n_dropped long, n_dropped_path long, "
+        "n_dropped_content long",
+    )
+
+
 def q_point_lookup(spark, sf_dir):
     """O21: exact point lookup by id (predicate pushdown)."""
     return _docs(spark, sf_dir).where(F.col("doc_id") == 42).select(
@@ -232,9 +266,32 @@ def q_ann_cosine(spark, sf_dir):
 
 
 def q_embed_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs among vec_id < 200 (exact O(n²)
-    verification variant; LSH path is lsh_cosine_topk)."""
-    res = SIM.cosine_pairs(_emb(spark, sf_dir), threshold=0.35, max_id=200)
+    """Embedding-cosine near-dup pairs over the FULL table — exact, via the
+    grid-partitioned block join (no single-plan cartesian, no broadcast of
+    the whole table, no row cap). Oracle: brute-force all-pairs SQL."""
+    res = SIM.cosine_pairs_blocked(
+        _emb(spark, sf_dir), threshold=0.35, n_blocks=8
+    )
+    return res.select(
+        "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
+    )
+
+
+def q_lsh_neardup(spark, sf_dir):
+    """Banded-LSH embedding near-dup pairs + exact verify: the table is
+    unioned with an id-shifted copy of itself (the corpus has no natural
+    high-cosine pairs), so the planted duplicates — identical vectors,
+    which collide in every LSH table by construction — must ALL be
+    recovered: recall 1 deterministically, precision 1 via the exact
+    cosine filter. Oracle: brute-force all-pairs SQL at the same
+    threshold."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    dup = emb.union(
+        emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    dim = len(emb.select("embedding").head()[0])
+    planes = SIM.random_hyperplanes(dim, bits=32, seed=7)
+    res = SIM.lsh_cosine_pairs(dup, planes, bands=8, threshold=0.95)
     return res.select(
         "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
     )
@@ -251,6 +308,17 @@ def q_minhash_pairs(spark, sf_dir):
 def q_simhash(spark, sf_dir):
     """SimHash fingerprints (rows-only: xxhash64-based)."""
     return DD.simhash(_docs(spark, sf_dir), text_col="text")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Banded SimHash near-dup pairs, Hamming ≤ 3 (rows-only: xxhash64).
+    The corpus is unioned with an id-shifted copy so the 500 exact-dup
+    pairs (Hamming 0) are guaranteed present — pigeonhole banding has
+    recall 1, so every one must appear. Recall==bruteforce is pinned by
+    tests/test_dedup.py."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.union(d.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    return DD.simhash_neardup_pairs(dup, max_hamming=3, text_col="text")
 
 
 def q_merge_compat(spark, sf_dir):
@@ -288,12 +356,19 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_lsh_cosine(spark, sf_dir):
-    """Hyperplane-LSH bucketed ANN top-10 (rows-only: seeded numpy planes
-    have no SQL mirror; recall vs brute force is asserted in tests/)."""
+    """Hyperplane-LSH bucketed ANN top-10 with Hamming-1 multi-probe
+    (rows-only: seeded numpy planes have no SQL mirror; recall vs brute
+    force is asserted in tests/test_similarity.py)."""
     emb = _emb(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     planes = SIM.random_hyperplanes(len(qvec), bits=6, seed=42)
-    res = SIM.lsh_cosine_topk(emb.where(F.col("vec_id") != 0), list(qvec), planes, k=10)
+    res = SIM.lsh_cosine_topk(
+        emb.where(F.col("vec_id") != 0),
+        list(qvec),
+        planes,
+        k=10,
+        probe_hamming=1,
+    )
     return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
@@ -497,6 +572,18 @@ ORACLE_SQL: dict[str, str] = {
         SELECT term, doc_id, tf, rank::INT AS rank FROM r WHERE rank <= 5
     """,
     "point_lookup": "SELECT doc_id, text FROM documents WHERE doc_id = 42",
+    "validate_docs": """
+        WITH d AS (SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 3 THEN NULL ELSE source END AS path,
+                 CASE WHEN doc_id % 11 = 5 THEN NULL ELSE text END AS content
+               FROM documents)
+        SELECT count(*)::BIGINT AS n_total,
+               (count(*) FILTER (path IS NOT NULL AND content IS NOT NULL))::BIGINT AS n_kept,
+               (count(*) FILTER (path IS NULL OR content IS NULL))::BIGINT AS n_dropped,
+               (count(*) FILTER (path IS NULL))::BIGINT AS n_dropped_path,
+               (count(*) FILTER (content IS NULL))::BIGINT AS n_dropped_content
+        FROM d
+    """,
     # incremental/compacted segment search must equal a one-shot build,
     # so their oracle IS the bm25_topk skeleton
     "incremental_search": None,  # filled below (same SQL as bm25_topk)
@@ -624,7 +711,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "embed_neardup": """
         WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
-                   FROM embeddings WHERE vec_id < 200)
+                   FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_dot_product(a.e, b.e)
                      / (sqrt(list_dot_product(a.e, a.e))
@@ -633,6 +720,20 @@ ORACLE_SQL: dict[str, str] = {
         WHERE list_dot_product(a.e, b.e)
               / (sqrt(list_dot_product(a.e, a.e))
                  * sqrt(list_dot_product(b.e, b.e))) >= 0.35
+    """,
+    "lsh_neardup": """
+        WITH u AS (SELECT vec_id, embedding FROM embeddings
+                   UNION ALL SELECT vec_id + 10000, embedding FROM embeddings),
+        v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+              FROM u)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))), 4) AS cos_sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))) >= 0.95
     """,
 }
 
@@ -647,6 +748,7 @@ QUERIES = {
     "bm25_batch": q_bm25_batch,
     "term_topdocs": q_term_topdocs,
     "point_lookup": q_point_lookup,
+    "validate_docs": q_validate_docs,
     "content_sha": q_content_sha,
     "dedup_exact": q_dedup_exact,
     "preview": q_preview,
@@ -656,6 +758,7 @@ QUERIES = {
     "events_window": q_events_window,
     "ann_cosine": q_ann_cosine,
     "embed_neardup": q_embed_neardup,
+    "lsh_neardup": q_lsh_neardup,
     "merge_compat": q_merge_compat,
     "dedup_keep_first": q_dedup_keep_first,
     "ngram_jaccard": q_ngram_jaccard,
@@ -665,6 +768,7 @@ QUERIES = {
     # seeded-numpy LSH planes / binary media payloads):
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "lsh_cosine": q_lsh_cosine,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,

@@ -94,9 +94,15 @@ def minhash_lsh_pairs(
     candidates; the band self-join touches only same-bucket rows (no O(n²))."""
     rows = n_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle)
+    # the signature table feeds the band explode AND the per-pair verify;
+    # persist so the verify branch doesn't recompute the shingle pass
+    sig = sig.persist()
+    # band shuffle carries ONLY (doc_id, band, bucket) — the 64-long
+    # signature (~512 B/row) would otherwise ride the ×bands explode
+    # through the exchange; signatures re-join once per SURVIVING candidate
+    # pair instead (candidates ≪ exploded rows by construction)
     bands_df = sig.select(
         "doc_id",
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -110,7 +116,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a = bands_df.alias("a")
     b = bands_df.alias("b")
@@ -124,10 +130,14 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
     )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -135,7 +145,9 @@ def minhash_lsh_pairs(
         lambda acc, v: acc + v,
     ) / F.lit(n_hashes)
     return (
-        cands.withColumn("est_jaccard", est)
+        cands.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "est_jaccard")
     )
@@ -172,6 +184,71 @@ def simhash(
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp.bitwiseXOR(term)
     return votes.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs_from_fp(
+    fp_df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs from a (doc_id, simhash) table: (doc_a, doc_b,
+    hamming ≤ max_hamming) with RECALL 1 and no O(n²) join.
+
+    Pigeonhole banding: the 64-bit fingerprint splits into d+1 disjoint
+    bands; any pair differing in ≤ d bits must agree EXACTLY on at least
+    one band, so candidates are same-(band, band-value) rows only — the
+    classic rotation/banding scheme. Exact verify = bit_count(a XOR b).
+    All codegen: shifts, masks, one thin (doc_id, band, val, simhash)
+    explode, hash joins on uniform keys."""
+    bands = max_hamming + 1
+    parts = []
+    pos = 0
+    for b in range(bands):
+        w = 64 // bands + (1 if b < 64 % bands else 0)
+        expr = F.shiftrightunsigned("simhash", pos)
+        if pos + w < 64:
+            expr = expr.bitwiseAND(F.lit((1 << w) - 1))
+        parts.append(F.struct(F.lit(b).alias("band"), expr.alias("val")))
+        pos += w
+    bd = fp_df.select(
+        F.col(id_col).alias("doc_id"),
+        "simhash",
+        F.explode(F.array(*parts)).alias("bv"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bv.band").alias("band"),
+        F.col("bv.val").alias("val"),
+    )
+    a, b = bd.alias("a"), bd.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-duplicate pairs over raw text: fingerprint (simhash) →
+    banded candidate pairing (simhash_pairs_from_fp)."""
+    return simhash_pairs_from_fp(
+        simhash(df, text_col, id_col), max_hamming, "doc_id"
+    )
 
 
 def ngram_jaccard_pairs(

@@ -85,6 +85,66 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold via a grid-partitioned block join
+    — the scale path that retires both the single-plan cartesian and the
+    broadcast-one-side nested-loop join.
+
+    Exact all-pairs comparison work is inherently O(n²); the scale question
+    is how it distributes. Rows are hashed into ``n_blocks`` blocks and
+    replicated once per block-PAIR key (B copies/row), so the comparison
+    grid's B(B+1)/2 cells become independent hash-join partitions of
+    ~2n/B rows each: shuffle volume O(n·B), per-task memory O(n/B), no
+    broadcast of the full table, everything whole-stage codegen. Size
+    ``n_blocks`` ≈ √(2·cluster cores) so each grid cell is one task.
+
+    Same-block pairs would meet in all B cells; they are kept only in their
+    diagonal cell (p, p) to emit each pair exactly once."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        .cast("int")
+        .alias("blk"),
+    )
+    pks = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda j: F.concat_ws(
+            "_", F.least(F.col("blk"), j), F.greatest(F.col("blk"), j)
+        ),
+    )
+    rep = v.withColumn("pk", F.explode(pks))
+    a, b = rep.alias("a"), rep.alias("b")
+    diag = F.concat_ws("_", F.col("a.blk"), F.col("a.blk"))
+    return (
+        a.join(
+            b,
+            (F.col("a.pk") == F.col("b.pk"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                (F.col("a.blk") != F.col("b.blk"))
+                | (F.col("a.pk") == diag)
+            ),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim))
@@ -109,6 +169,94 @@ def lsh_bucket(
     return df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
 
 
+def band_buckets(
+    df: DataFrame,
+    planes: np.ndarray,
+    bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, bucket) — multi-table hyperplane LSH: ``planes`` is split
+    into ``bands`` independent tables of rows_per_band planes each; a
+    vector's bucket in table b is the sign-bit signature under that table's
+    planes. Emits ONLY the 3 small columns (no vectors, no signatures) so
+    the band explode + self-join shuffle stays thin — candidates re-join
+    their vectors once per surviving pair."""
+    rows_per_band = len(planes) // bands
+    assert rows_per_band * bands == len(planes), "planes must split evenly"
+    per_band = []
+    for b in range(bands):
+        sig = None
+        for i in range(rows_per_band):
+            p = planes[b * rows_per_band + i]
+            d = _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p]))
+            bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            term = F.shiftleft(bit, i)
+            sig = term if sig is None else sig.bitwiseXOR(term)
+        per_band.append(sig)
+    return df.select(
+        F.col(id_col).alias("id"), F.array(*per_band).alias("bks")
+    ).select("id", F.posexplode("bks").alias("band", "bucket"))
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    planes: np.ndarray,
+    bands: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs via banded LSH + exact cosine verify:
+    (id_a, id_b, cos_sim ≥ threshold).
+
+    The scale path for high-similarity mining: candidates are pairs sharing
+    ANY band bucket (recall for angle θ = 1-(1-p^r)^bands with
+    p = 1-θ/π; IDENTICAL vectors collide in every table, recall 1 by
+    construction), then exact cosine keeps precision at 1. The band
+    self-join touches only same-bucket rows and carries just (id, band,
+    bucket); vectors join back per unique candidate pair — so neither the
+    O(n²) cross product nor the vector payload ever rides the wide
+    shuffle."""
+    bb = band_buckets(df, planes, bands, id_col, vec_col)
+    a, b = bb.alias("a"), bb.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    va = v.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = v.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos_sim"
+            ),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def lsh_cosine_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -116,17 +264,31 @@ def lsh_cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_hamming: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket,
-    exact cosine rerank inside. Recall < 1 by construction; the bench
-    compares it against cosine_topk for recall@k."""
+    """Approximate top-k: score only vectors in the query's LSH bucket(s),
+    exact cosine rerank inside. ``probe_hamming``=d additionally probes all
+    buckets within Hamming distance ≤ d of the query signature (multi-probe
+    LSH: near neighbors most often land just across ONE hyperplane, so d=1
+    recovers most single-probe misses for bits+1 bucket reads instead of a
+    second full hash table). Recall < 1 by construction; tests compare
+    against cosine_topk for recall@k."""
+    from itertools import combinations
+
     qsig = 0
     qv = np.asarray(query_vec, dtype=np.float64)
     for i, p in enumerate(planes):
         if float(np.dot(qv, p)) >= 0:
             qsig |= 1 << i
+    probe_sigs = {qsig}
+    for d in range(1, probe_hamming + 1):
+        for flips in combinations(range(len(planes)), d):
+            s = qsig
+            for i in flips:
+                s ^= 1 << i
+            probe_sigs.add(s)
     bucketed = lsh_bucket(df, planes, id_col, vec_col)
-    cand = bucketed.where(F.col("bucket") == qsig)
+    cand = bucketed.where(F.col("bucket").isin([int(s) for s in probe_sigs]))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cand.select(

@@ -13,11 +13,41 @@ schemas instead of stringly files.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 DOCS_SCHEMA_DDL = (
     "repo string, path string, commit string, lang string, content string"
 )
+
+
+def validate_docs(
+    df: DataFrame,
+    required: tuple[str, ...] = ("path", "content"),
+) -> tuple[DataFrame, Observation]:
+    """Ingest validation with error counters (reference O4: Parser.java
+    23-40 skips records with missing fields and bumps the
+    ``ParserErrors:MissingFields`` Hadoop counter).
+
+    Spark-first: the filter is a plain Column predicate and the counters
+    ride the SAME job via ``observe()`` — no second pass, no accumulator
+    plumbing. Returns (clean_df, observation); read
+    ``observation.get`` AFTER an action on clean_df:
+        {"n_total": ..., "n_dropped": ..., "n_dropped_<col>": ...}
+    (n_dropped counts rows missing ANY required column; the per-column
+    counters count each missing field independently, like one Hadoop
+    counter per error kind)."""
+    ok = F.lit(True)
+    metrics = [F.count(F.lit(1)).alias("n_total")]
+    for c in required:
+        is_null = F.col(c).isNull()
+        ok = ok & ~is_null
+        metrics.append(
+            F.sum(is_null.cast("long")).alias(f"n_dropped_{c}")
+        )
+    metrics.insert(1, F.sum((~ok).cast("long")).alias("n_dropped"))
+    obs = Observation("validate_docs")
+    return df.observe(obs, *metrics).where(ok), obs
 
 
 def iceberg_available(spark: SparkSession) -> bool:

@@ -1,0 +1,76 @@
+"""Dedup operators: banded SimHash pairing recall vs brute force, and the
+slimmed MinHash-LSH candidate path."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.operators import dedup as DD
+
+
+def test_simhash_banding_recall_equals_bruteforce(spark):
+    """Pigeonhole banding is LOSSLESS for Hamming ≤ d: the banded pair set
+    must equal brute-force all-pairs exactly (random fingerprints + planted
+    ≤d-bit flips)."""
+    rng = np.random.default_rng(42)
+    d = 3
+    fps = list(rng.integers(0, 2**63, size=150, dtype=np.int64))
+    # plant 25 near-dups: flip 0..d random bits of existing fingerprints
+    for j in range(25):
+        base = int(fps[j])
+        for bit in rng.choice(64, size=int(rng.integers(0, d + 1)), replace=False):
+            base ^= 1 << int(bit)
+        # python ints > int63 wrap to negative longs like Spark's LongType
+        if base >= 2**63:
+            base -= 2**64
+        fps.append(base)
+    rows = [(i, int(v)) for i, v in enumerate(fps)]
+    fp_df = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"]), int(r["hamming"]))
+        for r in DD.simhash_pairs_from_fp(fp_df, max_hamming=d).collect()
+    }
+    want = set()
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            h = bin((int(fps[i]) ^ int(fps[j])) & (2**64 - 1)).count("1")
+            if h <= d:
+                want.add((i, j, h))
+    assert want  # planted dups make this non-vacuous
+    assert got == want
+
+
+def test_simhash_neardup_pairs_end_to_end(spark):
+    """Text → fingerprint → banded pairs: exact duplicates are Hamming 0;
+    unrelated texts don't pair."""
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs today"),
+        (3, "sphinx of black quartz judge my vow tonight ok"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"]), int(r["hamming"]))
+        for r in DD.simhash_neardup_pairs(df, max_hamming=3).collect()
+    }
+    assert (0, 1, 0) in got
+    assert not any({a, b} == {2, 3} for (a, b, _) in got)
+
+
+def test_minhash_pairs_exact_dup_estimates_one(spark):
+    """After the slim-shuffle restructure (signatures re-joined per pair,
+    not shipped through the band explode), an exact duplicate still
+    estimates Jaccard 1.0 and unrelated docs stay below threshold."""
+    texts = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten eleven"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"])): float(r["est_jaccard"])
+        for r in DD.minhash_lsh_pairs(df, min_jaccard=0.5).collect()
+    }
+    assert got == {(0, 1): 1.0}

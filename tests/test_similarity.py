@@ -1,0 +1,131 @@
+"""Similarity-search operators: exact grid-blocked pairs vs the plain
+cartesian variant, banded-LSH near-dup recall/precision on planted
+duplicates, and multi-probe ANN recall vs brute force."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.operators import similarity as SIM
+
+DIM = 32
+N = 240
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(123)
+    vecs = rng.standard_normal((N, DIM)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(N)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df = df.persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def planted_df(spark):
+    """200 base vectors + 20 noisy near-duplicates (cos ≥ ~0.98)."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((200, DIM))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    for j in range(20):
+        noisy = base[j] + 0.02 * rng.standard_normal(DIM)
+        rows.append((1000 + j, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df = df.persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _pairs_set(df):
+    return {
+        (int(r["id_a"]), int(r["id_b"]), round(float(r["cos_sim"]), 9))
+        for r in df.collect()
+    }
+
+
+def test_blocked_pairs_equal_cartesian(spark, emb_df):
+    """The grid-partitioned block join is EXACT: identical pair set and
+    cosine values as the plain a×b cartesian, at several block counts
+    (including n_blocks > distinct hash values edge)."""
+    want = _pairs_set(SIM.cosine_pairs(emb_df, threshold=0.3))
+    assert want  # non-vacuous at this threshold on random data
+    for nb in (1, 4, 16):
+        got = _pairs_set(
+            SIM.cosine_pairs_blocked(emb_df, threshold=0.3, n_blocks=nb)
+        )
+        assert got == want, f"n_blocks={nb}"
+
+
+def test_blocked_pairs_emit_each_pair_once(spark, emb_df):
+    out = SIM.cosine_pairs_blocked(emb_df, threshold=-1.0, n_blocks=4)
+    n = out.count()
+    assert n == N * (N - 1) // 2  # every unordered pair exactly once
+
+
+def test_lsh_pairs_recall_and_precision_on_planted(spark, planted_df):
+    """All 20 planted near-dup pairs (cos ≥ 0.97) recovered; nothing below
+    the threshold survives the exact verify (precision 1 by construction)."""
+    planes = SIM.random_hyperplanes(DIM, bits=64, seed=42)
+    got = SIM.lsh_cosine_pairs(
+        planted_df, planes, bands=16, threshold=0.9
+    ).collect()
+    found = {(int(r["id_a"]), int(r["id_b"])) for r in got}
+    want = {(j, 1000 + j) for j in range(20)}
+    assert want <= found, f"missed {want - found}"
+    assert all(float(r["cos_sim"]) >= 0.9 for r in got)
+    # random base pairs are far below 0.9 at dim=32 — nothing else sneaks in
+    assert found == want
+
+
+def test_lsh_pairs_identical_vectors_always_recalled(spark, emb_df):
+    """Identical vectors share every band bucket: recall is exactly 1 for
+    exact duplicates regardless of plane draw."""
+    dup = emb_df.union(
+        emb_df.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    planes = SIM.random_hyperplanes(DIM, bits=32, seed=99)
+    got = SIM.lsh_cosine_pairs(dup, planes, bands=8, threshold=0.9999)
+    found = {(int(r["id_a"]), int(r["id_b"])) for r in got.collect()}
+    assert {(i, i + 10000) for i in range(N)} <= found
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, emb_df):
+    """Hamming-1 multi-probe recall@10 ≥ single-probe recall@10, measured
+    against brute force over a set of query vectors."""
+    qvecs = [r["embedding"] for r in emb_df.where(F.col("vec_id") < 5).collect()]
+    planes = SIM.random_hyperplanes(DIM, bits=6, seed=42)
+    single_total, multi_total = 0, 0
+    for qv in qvecs:
+        truth = {
+            int(r["vec_id"])
+            for r in SIM.cosine_topk(emb_df, list(qv), k=10).collect()
+        }
+        single = {
+            int(r["vec_id"])
+            for r in SIM.lsh_cosine_topk(
+                emb_df, list(qv), planes, k=10, probe_hamming=0
+            ).collect()
+        }
+        multi = {
+            int(r["vec_id"])
+            for r in SIM.lsh_cosine_topk(
+                emb_df, list(qv), planes, k=10, probe_hamming=1
+            ).collect()
+        }
+        # widening candidates can only help TRUE hits: a global-top-10 doc
+        # can be outranked by at most 9 candidates in any subset, so every
+        # true hit found single-probe survives the multi-probe top-k (the
+        # raw result sets are NOT monotone — extra candidates may displace
+        # false hits)
+        assert (single & truth) <= (multi & truth)
+        single_total += len(single & truth)
+        multi_total += len(multi & truth)
+    # seeded data + seeded planes → deterministic; measured 7 vs 17 of 50
+    # (iid gaussian corpora are LSH's worst case — no neighbor structure —
+    # so the point pinned here is the multi-probe LIFT, not absolute recall)
+    assert multi_total > single_total
+    assert multi_total >= 15

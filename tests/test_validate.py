@@ -1,0 +1,33 @@
+"""O4 ingest validation: null-field filtering with observe() counters
+(reference Parser.java:23-40, ParserErrors:MissingFields)."""
+
+from fuzzy_wiki_spark.sources.catalog import validate_docs
+
+
+def test_validate_docs_counters_and_filter(spark):
+    rows = [
+        (0, "a/b.py", "def f(): return 1"),
+        (1, None, "no path"),
+        (2, "c/d.py", None),
+        (3, None, None),
+        (4, "e/f.py", "ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, path string, content string")
+    clean, obs = validate_docs(df, required=("path", "content"))
+    kept = sorted(r["doc_id"] for r in clean.collect())
+    assert kept == [0, 4]
+    m = obs.get
+    assert m["n_total"] == 5
+    assert m["n_dropped"] == 3  # any-missing, counted once per row
+    assert m["n_dropped_path"] == 2  # per-field counters count each kind
+    assert m["n_dropped_content"] == 2
+
+
+def test_validate_docs_clean_input_is_passthrough(spark):
+    df = spark.createDataFrame(
+        [(i, f"p{i}", f"c{i}") for i in range(10)],
+        "doc_id long, path string, content string",
+    )
+    clean, obs = validate_docs(df)
+    assert clean.count() == 10
+    assert obs.get["n_dropped"] == 0
