@@ -202,6 +202,56 @@ def decode_tf_block(buf: bytes, offs: np.ndarray, j: int) -> np.ndarray:
     return varint_decode(buf[int(offs[j]) : int(offs[j + 1])])
 
 
+def binary_col(buf, byte_offsets: np.ndarray):
+    """Zero-copy per-group binary column: one big varint buffer + group
+    byte offsets → Arrow BinaryArray (no per-group Python slicing).
+    ``buf`` is anything with the buffer protocol (bytes, memoryview,
+    pa.Buffer)."""
+    import pyarrow as pa
+
+    return pa.BinaryArray.from_buffers(
+        pa.binary(),
+        byte_offsets.size - 1,
+        [
+            None,
+            pa.py_buffer(byte_offsets.astype(np.int32).tobytes()),
+            pa.py_buffer(buf),
+        ],
+    )
+
+
+def encode_position_list(positions) -> bytes:
+    """Encode ONE posting's positions to the wire format (inverse of
+    :func:`decode_position_list`; tests + list-shaped callers — the engine
+    encodes whole batches at once in postings.py)."""
+    a = np.asarray(positions, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    gaps = np.empty_like(a)
+    gaps[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=gaps[1:])
+    return varint_encode(gaps)
+
+
+def decode_position_list(buf: bytes) -> np.ndarray:
+    """Decode ONE posting's positions: varint gaps (first value absolute,
+    delta-encoded after) → absolute positions. The per-posting mirror of
+    the map-side encode in postings.py."""
+    return np.cumsum(varint_decode(buf), dtype=np.uint64)
+
+
+def varint_value_counts(buf, bounds: np.ndarray) -> np.ndarray:
+    """Number of encoded varint VALUES inside each [bounds[i], bounds[i+1])
+    byte range of ``buf`` — one vectorized pass over the continuation bits,
+    no value decode."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    cs = np.concatenate(
+        ([0], np.cumsum((raw & 0x80) == 0, dtype=np.int64))
+    )
+    b = np.asarray(bounds, dtype=np.int64)
+    return cs[b[1:]] - cs[b[:-1]]
+
+
 def encode_tfs(tfs: np.ndarray) -> bytes:
     """Varint-encode term frequencies (raw, not delta — unordered values)."""
     return varint_encode(np.asarray(tfs, dtype=np.uint64))

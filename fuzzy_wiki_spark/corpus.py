@@ -60,7 +60,16 @@ DOCS_SCHEMA_DDL = (
 )
 
 
+_KW_ARR = np.asarray(_KEYWORDS, dtype=object)
+
+
 def _doc_row(seed: int, i: int) -> dict:
+    """One row, a pure function of (seed, i).
+
+    The rng draw SEQUENCE is frozen (fixture identity: goldens + recorded
+    bench corpora depend on byte-identical rows) — any edit here must keep
+    the exact order and shape of rng calls. Per-doc Python is kept to the
+    draws themselves; token assembly is numpy object-array indexing."""
     rng = np.random.default_rng((seed << 32) ^ i)
     lang = _LANGS[i % len(_LANGS)]
     repo = f"org{i % 7}/repo{i % 23}"
@@ -74,14 +83,15 @@ def _doc_row(seed: int, i: int) -> dict:
     ranks = np.minimum(
         rng.geometric(0.08, size=n_tokens) - 1, len(_KEYWORDS) - 1
     )
-    toks = [_KEYWORDS[r] for r in ranks]
-    # hot-term guarantee: 'return' in >=50% of docs
-    if i % 2 == 0 and "return" not in toks:
+    toks = _KW_ARR[ranks]
+    # hot-term guarantee: 'return' in >=50% of docs ('return' is rank 0,
+    # so membership is one vectorized compare, not a list scan)
+    if i % 2 == 0 and not (ranks == 0).any():
         toks[0] = "return"
     # seed multi-word phrases so slop clauses have matches (FIXTURES.md)
     if rng.random() < 0.15:
         pos = int(rng.integers(0, max(1, n_tokens - 3)))
-        toks[pos : pos + 3] = ["binary", "search", "tree"]
+        toks[pos : pos + 3] = ["binary", "search", "tree"]  # pos ≤ n−4 always
     content = " ".join(toks)
     # ~1% REDIRECT docs to exercise the invalid-doc filter (O22,
     # WikiSearcher.java:81-84 analog)

@@ -373,15 +373,30 @@ def q_lsh_cosine(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: image decode → feature vector via mapInPandas
-    (deterministic fake decode; real codec stubbed — no media libs here)."""
+    """Multimodal: REAL image decode (PPM/BMP, pure numpy — no external
+    libs) → resize → pixel-statistics feature vector via mapInPandas.
+    Payloads are deterministic generated images; PNG/JPEG stay stubbed."""
     from fuzzy_wiki_spark.functions.multimodal import (
-        make_fake_media,
         extract_image_features,
+        make_real_media,
     )
 
-    media = spark.createDataFrame(make_fake_media(120))
-    return extract_image_features(media, fake=True).select(
+    media = spark.createDataFrame(make_real_media(120))
+    return extract_image_features(media, fake=False).select(
+        "media_id", "feat_dim", F.round(F.element_at("feat", 1), 4).alias("f0")
+    )
+
+
+def q_audio_features(spark, sf_dir):
+    """Multimodal: REAL WAV decode (stdlib) → per-frame RMS energies via
+    mapInPandas over deterministic generated PCM audio."""
+    from fuzzy_wiki_spark.functions.multimodal import (
+        extract_audio_features,
+        make_real_media,
+    )
+
+    media = spark.createDataFrame(make_real_media(120))
+    return extract_audio_features(media, fake=False).select(
         "media_id", "feat_dim", F.round(F.element_at("feat", 1), 4).alias("f0")
     )
 
@@ -771,6 +786,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "lsh_cosine": q_lsh_cosine,
     "media_features": q_media_features,
+    "audio_features": q_audio_features,
     "frame_sample": q_frame_sample,
     "segment_bm25": q_segment_bm25,
     "flagship_porter": q_flagship_porter,

@@ -2,11 +2,13 @@
 
 Brief requirement for the 100 TB training-data pipeline. The Spark-side
 plumbing is REAL — schemas, partition-preserving ``mapInPandas`` operators,
-Arrow batch shapes, deterministic fake feature extraction for tests — while
-the actual media decoding is STUBBED (the container has no image/audio
-libs): ``decode_image``/``decode_audio`` raise ``NotImplementedError``
-unless ``fake=True``, which produces a deterministic fake decode keyed by
-``sha2(payload)`` so tests exercise the full distributed path.
+Arrow batch shapes — and so are the codecs the container's stdlib/numpy can
+express: **PPM (P6) and BMP (24-bit BI_RGB) image decode, WAV (PCM) audio
+decode**, nearest-neighbor resize, and deterministic feature extraction
+over real pixels/samples. Formats needing external libraries (PNG/JPEG,
+compressed audio, any video codec) raise ``NotImplementedError`` — the
+``fake=True`` path (sha-derived features) remains for exercising the
+distributed plumbing with arbitrary payloads.
 
 Design notes for scale:
 - media bytes stay in an opaque ``binary`` column; metadata (width, height,
@@ -22,6 +24,9 @@ Design notes for scale:
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -66,34 +71,196 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     return (raw % 1000).astype(np.float32) / 1000.0
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Real decode is stubbed: no image libs in this container."""
-    if fake:
-        return _fake_decode(payload, 64)
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv (not in this container); "
-        "pass fake=True for the deterministic test path"
+# ---------------------------------------------------------------------------
+# Real codecs — pure numpy/stdlib, no external media libraries
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary PPM (P6)."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (H, W, 3) uint8 (comments + any whitespace ok)."""
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    vals, pos = [], 2
+    while len(vals) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment to end of line
+            pos = buf.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while not buf[end : end + 1].isspace():
+            end += 1
+        vals.append(int(buf[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    return np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(
+        h, w, 3
     )
 
 
-def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bit uncompressed BMP (BI_RGB, bottom-up)."""
+    h, w, _ = arr.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img = np.zeros((h, row_bytes), dtype=np.uint8)
+    img[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = img.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + data
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (H, W, 3) uint8 RGB."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    w, h = struct.unpack_from("<ii", buf, 18)
+    bpp, compression = struct.unpack_from("<H", buf, 28)[0], struct.unpack_from(
+        "<I", buf, 30
+    )[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit BI_RGB BMP supported")
+    flip = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=h * row_bytes, offset=data_off
+    ).reshape(h, row_bytes)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if flip else img
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """float32 [-1, 1] mono → 16-bit PCM WAV."""
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767).astype("<i2")
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        wv.writeframes(pcm.tobytes())
+    return bio.getvalue()
+
+
+def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
+    """PCM WAV → (sample_rate, float32 mono waveform in [-1, 1])."""
+    with wave.open(io.BytesIO(buf), "rb") as wv:
+        sr = wv.getframerate()
+        n = wv.getnframes()
+        width = wv.getsampwidth()
+        ch = wv.getnchannels()
+        raw = wv.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128) / 128.0
+    else:
+        raise NotImplementedError("only 8/16-bit PCM WAV supported")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return sr, x
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of (H, W, C) → (out_h, out_w, C) — the
+    pixel-side half of the standard decode→resize→featurize pipeline."""
+    h, w = arr.shape[:2]
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[yi][:, xi]
+
+
+def image_feature_vec(arr: np.ndarray, dim: int = 64) -> np.ndarray:
+    """Deterministic feature vector from REAL pixels: per-channel mean/std
+    (6 dims) + a luminance histogram over the remaining dims, L2-ish
+    normalized to [0, 1]. A stand-in for a CNN embedding with the same
+    shape contract."""
+    px = arr.astype(np.float32) / 255.0
+    stats = np.concatenate([px.mean(axis=(0, 1)), px.std(axis=(0, 1))])
+    lum = px @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    hist, _ = np.histogram(lum, bins=dim - stats.size, range=(0.0, 1.0))
+    hist = hist.astype(np.float32) / max(1, lum.size)
+    return np.concatenate([stats, hist]).astype(np.float32)
+
+
+def audio_feature_vec(samples: np.ndarray, dim: int = 128) -> np.ndarray:
+    """Deterministic features from a REAL waveform: per-frame RMS energy
+    over ``dim`` equal frames (zero-padded tail)."""
+    n = samples.size
+    frames = np.zeros(dim, dtype=np.float32)
+    if n:
+        edges = np.linspace(0, n, dim + 1).astype(np.int64)
+        sq = np.concatenate(([0.0], np.cumsum(samples.astype(np.float64) ** 2)))
+        cnt = np.maximum(edges[1:] - edges[:-1], 1)
+        frames = np.sqrt((sq[edges[1:]] - sq[edges[:-1]]) / cnt).astype(
+            np.float32
+        )
+    return frames
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an image payload → feature-ready pixel array, or (fake=True)
+    a sha-derived feature vector for plumbing tests.
+
+    Real paths (pure numpy/stdlib): PPM P6, 24-bit BMP. PNG/JPEG need
+    external libraries absent from this container → NotImplementedError."""
+    if fake:
+        return _fake_decode(payload, 64)
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(b"BM"):
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "only PPM/BMP decode in-container (PNG/JPEG need PIL/opencv); "
+        "pass fake=True for the plumbing-test path"
+    )
+
+
+def decode_audio(payload: bytes, fake: bool = False):
+    """Decode an audio payload → (sample_rate, waveform), or (fake=True) a
+    sha-derived feature vector. Real path: PCM WAV via stdlib ``wave``."""
     if fake:
         return _fake_decode(payload, 128)
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
     raise NotImplementedError(
-        "audio decoding requires soundfile/ffmpeg (not in this container); "
-        "pass fake=True for the deterministic test path"
+        "only PCM WAV decode in-container (compressed audio needs "
+        "soundfile/ffmpeg); pass fake=True for the plumbing-test path"
     )
 
 
 def extract_image_features(media_df, dim: int = 64, fake: bool = True):
     """media table → (media_id, feat array<float>, feat_dim) via mapInPandas.
 
+    ``fake=False`` runs the REAL pipeline per blob: decode (PPM/BMP) →
+    nearest-neighbor resize to 32×32 → feature vector over actual pixels.
     Only image rows are decoded; the ``kind`` filter happens in the Spark
     plan (pushdown) BEFORE bytes reach Python."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_image(p, fake=fake) for p in pdf["payload"]]
+            if fake:
+                feats = [decode_image(p, fake=True) for p in pdf["payload"]]
+            else:
+                feats = [
+                    image_feature_vec(
+                        resize_nearest(decode_image(p), 32, 32), dim
+                    )
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -107,6 +274,83 @@ def extract_image_features(media_df, dim: int = 64, fake: bool = True):
     return media_df.where(F.col("kind") == "image").mapInPandas(
         run, IMAGE_FEATURES_DDL
     )
+
+
+def extract_audio_features(media_df, dim: int = 128, fake: bool = False):
+    """audio rows → (media_id, feat array<float>, feat_dim): REAL WAV
+    decode + per-frame RMS energies (fake path mirrors the image one)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                if fake:
+                    feats.append(_fake_decode(p, dim))
+                else:
+                    _, x = decode_audio(p)
+                    feats.append(audio_feature_vec(x, dim))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feat": [f.tolist() for f in feats],
+                    "feat_dim": [len(f) for f in feats],
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    return media_df.where(F.col("kind") == "audio").mapInPandas(
+        run, IMAGE_FEATURES_DDL
+    )
+
+
+def make_real_media(n: int, seed: int = 42) -> pd.DataFrame:
+    """Deterministic media table whose payloads are REAL in-container
+    codecs: PPM and BMP images (decodable gradients + noise), PCM WAV
+    audio (seeded sine mixes). Video stays a fake payload — no video codec
+    exists in-container (sample_frames documents that stub)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w, h = 16 * (1 + i % 4), 16 * (1 + i % 3)
+            yy, xx = np.mgrid[0:h, 0:w]
+            arr = np.stack(
+                [
+                    (xx * 255 // max(1, w - 1)),
+                    (yy * 255 // max(1, h - 1)),
+                    rng.integers(0, 256, size=(h, w)),
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            payload = encode_ppm(arr) if i % 2 == 0 else encode_bmp(arr)
+            codec = "ppm" if i % 2 == 0 else "bmp"
+            dur = 0.0
+        elif kind == "audio":
+            sr, secs = 8000, 0.5 + (i % 3) * 0.25
+            t = np.arange(int(sr * secs)) / sr
+            f0 = 110.0 * (1 + i % 8)
+            x = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.2 * np.sin(
+                2 * np.pi * 2 * f0 * t
+            )
+            payload, codec, w, h = encode_wav(x, sr), "wav", 0, 0
+            dur = secs
+        else:
+            payload = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
+            codec, w, h, dur = "h264", 64, 64, float(1 + i % 10)
+        rows.append(
+            {
+                "media_id": i,
+                "kind": kind,
+                "payload": payload,
+                "width": int(w if kind == "image" else 0) or (64 if kind == "video" else 0),
+                "height": int(h if kind == "image" else 0) or (64 if kind == "video" else 0),
+                "duration_s": float(dur),
+                "codec": codec,
+            }
+        )
+    return pd.DataFrame(rows)
 
 
 def sample_frames(media_df, every_s: float = 1.0, fake: bool = True):

@@ -31,8 +31,15 @@ import pyarrow.compute as pc
 
 from fuzzy_wiki_spark.analyzer import _analyze_token
 
+# ``positions`` is the posting's occurrence-position list ALREADY in the
+# segment codec's wire format: varint gaps, first value absolute (codec
+# delta encode with a restart at every posting). Encoding at tokenize time
+# — map-side, while the data is cache-hot — means the build shuffle moves
+# ~1-2 B/position instead of a 4 B int + Arrow list overhead, and the
+# segment encoder's reduce side concatenates byte ranges instead of
+# re-encoding. Decode one posting with codec.decode_position_list.
 POSTINGS_SCHEMA_DDL = (
-    "doc_id long, field string, term string, tf int, positions array<int>, dl int"
+    "doc_id long, field string, term string, tf int, positions binary, dl int"
 )
 _POSTINGS_PA = pa.schema(
     [
@@ -40,7 +47,7 @@ _POSTINGS_PA = pa.schema(
         pa.field("field", pa.string()),
         pa.field("term", pa.string()),
         pa.field("tf", pa.int32()),
-        pa.field("positions", pa.list_(pa.int32())),
+        pa.field("positions", pa.binary()),
         pa.field("dl", pa.int32()),
     ]
 )
@@ -130,12 +137,17 @@ def _postings_batch(
     term_col = pa.array(stem_vocab.tolist(), type=pa.string()).take(
         pa.array(t_s[run_starts], type=pa.int64())
     )
-    pos_offsets = np.empty(n_rows + 1, dtype=np.int32)
-    pos_offsets[0] = 0
-    np.cumsum(tf, out=pos_offsets[1:], dtype=np.int32)
-    pos_col = pa.ListArray.from_arrays(
-        pa.array(pos_offsets, type=pa.int32()), pa.array(p_s, type=pa.int32())
-    )
+    # positions → wire format here, map-side: per-run delta gaps (absolute
+    # at run head), ONE varint encode of the whole batch's stream, rows
+    # sliced zero-copy by byte offsets
+    from fuzzy_wiki_spark.codec import binary_col, varint_encode_with_lengths
+
+    gaps = p_s.copy()
+    gaps[1:] -= p_s[:-1]
+    gaps[run_starts] = p_s[run_starts]
+    pos_buf, pos_nb = varint_encode_with_lengths(gaps)
+    pos_cum = np.concatenate(([0], np.cumsum(pos_nb, dtype=np.int64)))
+    pos_col = binary_col(pos_buf, pos_cum[np.append(run_starts, p_s.size)])
     field_col = pa.DictionaryArray.from_arrays(
         pa.array(np.zeros(n_rows, dtype=np.int32)),
         pa.array([field], type=pa.string()),

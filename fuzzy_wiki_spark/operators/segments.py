@@ -50,12 +50,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from fuzzy_wiki_spark.codec import (
+    binary_col as _binary_col,
     block_offsets,
     delta_encode_blocked,
     encode_tfs,
     varint_decode,
     varint_encode,
     varint_encode_with_lengths,
+    varint_value_counts,
 )
 
 BLOCK = 128
@@ -172,20 +174,6 @@ def decode_positions(pos_lens_buf: bytes, pos_buf: bytes) -> list[np.ndarray]:
     return out
 
 
-def _binary_col(buf: bytes, byte_offsets: np.ndarray) -> pa.BinaryArray:
-    """Zero-copy per-group binary column: one big varint buffer + group
-    byte offsets → Arrow BinaryArray (no per-group Python slicing)."""
-    return pa.BinaryArray.from_buffers(
-        pa.binary(),
-        byte_offsets.size - 1,
-        [
-            None,
-            pa.py_buffer(byte_offsets.astype(np.int32).tobytes()),
-            pa.py_buffer(buf),
-        ],
-    )
-
-
 def encode_partition_table(tbl: pa.Table) -> pa.RecordBatch | None:
     """Encode ALL (bucket, field, term) groups of one partition at once.
 
@@ -235,11 +223,19 @@ def encode_partition_table(tbl: pa.Table) -> pa.RecordBatch | None:
     order = pa.array(order_np, type=pa.int64())
     bucket, doc, tf = bucket[order_np], doc[order_np], tf[order_np]
     f_codes, t_codes = f_codes[order_np], t_codes[order_np]
+    # positions arrive PRE-ENCODED per posting (postings.py wire format:
+    # per-posting varint delta stream) — the reduce side never re-encodes:
+    # take() reorders the byte cells, group cells are byte-range slices,
+    # and per-row value counts come from one continuation-bit scan (the
+    # counts can't be read off ``tf``: meta rows carry dl in tf with empty
+    # position streams)
     pos_sorted = pos_col.take(order)
-    row_lens = pc.list_value_length(pos_sorted).fill_null(0).to_numpy(
-        zero_copy_only=False
-    )
-    flat_pos = pc.list_flatten(pos_sorted).to_numpy(zero_copy_only=False)
+    pbufs = pos_sorted.buffers()
+    pos_offs = np.frombuffer(pbufs[1], dtype=np.int32)[
+        pos_sorted.offset : pos_sorted.offset + n + 1
+    ].astype(np.int64)
+    pos_data = pbufs[2] if pbufs[2] is not None else b""
+    row_lens = varint_value_counts(pos_data, pos_offs)
 
     new_group = np.empty(n, dtype=bool)
     new_group[0] = True
@@ -270,21 +266,13 @@ def encode_partition_table(tbl: pa.Table) -> pa.RecordBatch | None:
     tf_cum = np.concatenate(([0], np.cumsum(tf_nb, dtype=np.int64)))
     tf_col = _binary_col(tf_buf, tf_cum[row_bounds])
 
-    # ---- positions: per-row delta restart over the flat value stream ----
-    if flat_pos.size:
-        pgaps = flat_pos.copy()
-        pgaps[1:] -= flat_pos[:-1]
-        row_flat_starts = np.concatenate(
-            ([0], np.cumsum(row_lens, dtype=np.int64))
-        )  # n+1
-        first_idx = row_flat_starts[:-1][row_lens > 0]
-        pgaps[first_idx] = flat_pos[first_idx]
-        pos_buf, pos_nb = varint_encode_with_lengths(pgaps)
-        pos_cum = np.concatenate(([0], np.cumsum(pos_nb, dtype=np.int64)))
-    else:
-        row_flat_starts = np.zeros(n + 1, dtype=np.int64)
-        pos_buf, pos_cum = b"", np.zeros(1, dtype=np.int64)
-    pos_col_out = _binary_col(pos_buf, pos_cum[row_flat_starts[row_bounds]])
+    # ---- positions: group cell = byte-range concat of its rows' streams
+    # (per-posting delta restarts are already in the wire format) ----
+    p0 = int(pos_offs[0])
+    pos_col_out = _binary_col(
+        memoryview(pos_data)[p0 : int(pos_offs[-1])],
+        pos_offs[row_bounds] - p0,
+    )
 
     # pos_lens: varint of per-row list lengths, sliced per group
     rl_buf, rl_nb = varint_encode_with_lengths(row_lens)
@@ -412,7 +400,7 @@ def build_index_segments(postings_df, docs_meta=None, n_buckets: int = 32):
     """
     from pyspark.sql import functions as F
 
-    empty_pos = F.array().cast("array<int>")
+    empty_pos = F.lit(b"").cast("binary")  # meta rows carry no positions
     dl_rows = (
         postings_df.groupBy("doc_id", "field")
         .agg(F.first("dl").alias("dl"))

@@ -71,11 +71,17 @@ def sloppy_match_batch(
     import numpy as np
     from itertools import product as iproduct
 
+    from fuzzy_wiki_spark.codec import decode_position_list
+
     out = []
     for tps, phrase, slop in zip(tp_col, phrase_col, slop_col):
         posmap: dict[str, list[int]] = {}
         for tp in tps:
-            posmap.setdefault(tp["term"], []).extend(tp["positions"])
+            # positions ride the postings schema in wire format (varint
+            # delta bytes, postings.py) — decode per candidate row only
+            posmap.setdefault(tp["term"], []).extend(
+                decode_position_list(tp["positions"]).tolist()
+            )
         lists = [posmap.get(t) for t in phrase]
         if any(not pl for pl in lists):
             out.append(False)

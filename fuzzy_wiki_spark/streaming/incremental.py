@@ -154,7 +154,7 @@ def open_incremental(spark: SparkSession, out_dir: str):
 
 
 DECODED_POSTINGS_DDL = (
-    "doc_id long, field string, term string, tf int, positions array<int>"
+    "doc_id long, field string, term string, tf int, positions binary"
 )
 _DECODED_PA = pa.schema(
     [
@@ -162,7 +162,7 @@ _DECODED_PA = pa.schema(
         pa.field("field", pa.string()),
         pa.field("term", pa.string()),
         pa.field("tf", pa.int32()),
-        pa.field("positions", pa.list_(pa.int32())),
+        pa.field("positions", pa.binary()),
     ]
 )
 
@@ -173,13 +173,17 @@ def segments_to_postings(segments_df: DataFrame) -> DataFrame:
     Meta rows decode uniformly: ``_dl`` rows become (doc_id, field, "_dl",
     dl) and ``_redirect`` rows (doc_id, field, "_redirect", 1) — so feeding
     the output straight into build_segments() reproduces a full index
-    including its meta rows. Python loops only over segment ROWS (one row =
-    a whole posting list); all per-posting work is numpy/Arrow."""
-    from fuzzy_wiki_spark.codec import decode_tfs, delta_decode_blocked
-    from fuzzy_wiki_spark.operators.segments import (
-        BLOCK,
-        decode_positions_flat,
+    including its meta rows. ``positions`` stays in the per-posting varint
+    wire format (postings.py): a group's position stream is SLICED at
+    posting boundaries via one continuation-bit scan — position bytes are
+    never decoded, so compaction moves bytes, not values. Python loops only
+    over segment ROWS (one row = a whole posting list)."""
+    from fuzzy_wiki_spark.codec import (
+        decode_tfs,
+        delta_decode_blocked,
+        varint_decode,
     )
+    from fuzzy_wiki_spark.operators.segments import BLOCK
 
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pa.set_cpu_count(1)
@@ -194,9 +198,9 @@ def segments_to_postings(segments_df: DataFrame) -> DataFrame:
             tf_bufs = rb.column(rb.schema.get_field_index("tfs"))
             pl_bufs = rb.column(rb.schema.get_field_index("pos_lens"))
             pos_bufs = rb.column(rb.schema.get_field_index("positions"))
-            id_parts, tf_parts, plen_parts, flat_parts, glens = (
-                [], [], [], [], np.empty(n_rows, dtype=np.int64),
-            )
+            id_parts, tf_parts = [], []
+            pos_byte_parts, pos_off_parts = [], []
+            glens = np.empty(n_rows, dtype=np.int64)
             for i in range(n_rows):
                 ids = delta_decode_blocked(
                     doc_bufs[i].as_py(), BLOCK
@@ -204,35 +208,38 @@ def segments_to_postings(segments_df: DataFrame) -> DataFrame:
                 id_parts.append(ids)
                 glens[i] = ids.size
                 tf_parts.append(decode_tfs(tf_bufs[i].as_py()))
-                plens, flat = decode_positions_flat(
-                    pl_bufs[i].as_py(), pos_bufs[i].as_py()
-                )
-                plen_parts.append(plens)
-                flat_parts.append(flat)
+                plens = varint_decode(pl_bufs[i].as_py()).astype(np.int64)
+                pb = pos_bufs[i].as_py()
+                raw = np.frombuffer(pb, dtype=np.uint8)
+                ends = np.flatnonzero((raw & 0x80) == 0) + 1
+                vb = np.concatenate(([0], ends))  # byte offset per value
+                cum = np.concatenate(([0], np.cumsum(plens)))
+                pos_byte_parts.append(pb)
+                pos_off_parts.append(vb[cum])  # per-posting byte offsets
             doc_col = np.concatenate(id_parts)
             tf_col = np.concatenate(tf_parts).astype(np.int32)
-            plens_all = np.concatenate(plen_parts).astype(np.int32)
-            flat_all = (
-                np.concatenate(flat_parts).astype(np.int32)
-                if flat_parts
-                else np.empty(0, dtype=np.int32)
-            )
             rep = pa.array(
                 np.repeat(np.arange(n_rows, dtype=np.int64), glens)
             )
-            offsets = np.empty(plens_all.size + 1, dtype=np.int32)
-            offsets[0] = 0
-            np.cumsum(plens_all, out=offsets[1:], dtype=np.int32)
+            bases = np.concatenate(
+                ([0], np.cumsum([len(p) for p in pos_byte_parts]))
+            )
+            all_offs = np.concatenate(
+                [
+                    off[:-1] + base
+                    for off, base in zip(pos_off_parts, bases[:-1])
+                ]
+                + [bases[-1:]]
+            ).astype(np.int32)
+            from fuzzy_wiki_spark.codec import binary_col
+
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(doc_col, type=pa.int64()),
                     fields.take(rep),
                     terms.take(rep),
                     pa.array(tf_col, type=pa.int32()),
-                    pa.ListArray.from_arrays(
-                        pa.array(offsets, type=pa.int32()),
-                        pa.array(flat_all, type=pa.int32()),
-                    ),
+                    binary_col(b"".join(pos_byte_parts), all_offs),
                 ],
                 schema=_DECODED_PA,
             )

@@ -137,5 +137,7 @@ def test_segments_to_postings_roundtrip(spark, corpus_pdf, oneshot):
     pd.testing.assert_frame_equal(
         decoded[key + ["tf"]], orig[key + ["tf"]], check_dtype=False
     )
+    # positions are wire-format varint bytes on both sides — byte identity
+    # is the strongest possible roundtrip check
     for a, b in zip(decoded["positions"], orig["positions"]):
-        assert list(a) == list(b)
+        assert bytes(a) == bytes(b)

@@ -1,12 +1,25 @@
-"""Multimodal plumbing: schemas, mapInPandas batch shape, determinism."""
+"""Multimodal: real PPM/BMP/WAV codecs + mapInPandas plumbing/determinism."""
 
+import numpy as np
 import pytest
 
 from fuzzy_wiki_spark.functions.multimodal import (
     MEDIA_SCHEMA_DDL,
+    audio_feature_vec,
+    decode_audio,
+    decode_bmp,
     decode_image,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    extract_audio_features,
     extract_image_features,
+    image_feature_vec,
     make_fake_media,
+    make_real_media,
+    resize_nearest,
     sample_frames,
 )
 
@@ -16,9 +29,74 @@ def media(spark):
     return spark.createDataFrame(make_fake_media(30, seed=42), MEDIA_SCHEMA_DDL)
 
 
-def test_real_decode_is_stubbed():
+def test_unsupported_codecs_stay_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"OggS....")
+
+
+def test_ppm_roundtrip():
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(arr)), arr)
+    # comments + dispatch through decode_image
+    buf = b"P6\n# a comment\n23 17\n255\n" + arr.tobytes()
+    assert np.array_equal(decode_image(buf), arr)
+
+
+def test_bmp_roundtrip_including_row_padding():
+    rng = np.random.default_rng(4)
+    for w in (10, 11, 12, 13):  # exercise every 4-byte row-pad residue
+        arr = rng.integers(0, 256, size=(9, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(arr)), arr)
+        assert np.array_equal(decode_image(encode_bmp(arr)), arr)
+
+
+def test_wav_roundtrip():
+    sr = 8000
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    sr2, y = decode_wav(encode_wav(x, sr))
+    assert sr2 == sr and y.size == x.size
+    assert np.abs(y - x).max() < 1e-3  # 16-bit quantization only
+    sr3, y2 = decode_audio(encode_wav(x, sr))
+    assert sr3 == sr and np.array_equal(y, y2)
+
+
+def test_resize_and_features_shapes():
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)
+    small = resize_nearest(arr, 32, 32)
+    assert small.shape == (32, 32, 3)
+    f = image_feature_vec(small, dim=64)
+    assert f.shape == (64,) and f.dtype == np.float32
+    a = audio_feature_vec(rng.standard_normal(5000).astype(np.float32), 128)
+    assert a.shape == (128,) and (a >= 0).all()
+
+
+def test_real_image_pipeline_end_to_end(spark):
+    media = spark.createDataFrame(make_real_media(24, seed=42))
+    rows = extract_image_features(media, fake=False).orderBy("media_id").collect()
+    assert len(rows) == 8  # every 3rd row is an image
+    assert all(r["feat_dim"] == 64 for r in rows)
+    # gradient images: mean-R/mean-G features are mid-range, not degenerate
+    assert all(0.1 < r["feat"][0] < 0.9 for r in rows)
+    rows2 = (
+        extract_image_features(media.repartition(5), fake=False)
+        .orderBy("media_id")
+        .collect()
+    )
+    assert [r["feat"] for r in rows] == [r["feat"] for r in rows2]
+
+
+def test_real_audio_pipeline_end_to_end(spark):
+    media = spark.createDataFrame(make_real_media(24, seed=42))
+    rows = extract_audio_features(media, fake=False).orderBy("media_id").collect()
+    assert len(rows) == 8
+    assert all(r["feat_dim"] == 128 for r in rows)
+    # sine mixes: RMS energies are strictly positive and bounded
+    assert all(0.0 < min(r["feat"][:-1]) and max(r["feat"]) < 1.0 for r in rows)
 
 
 def test_image_features_deterministic(spark, media):

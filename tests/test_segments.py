@@ -124,6 +124,8 @@ def test_vectorized_partition_encoder_matches_per_group():
                          pos.astype("int32").tolist(), 100)
                     )
     rng.shuffle(rows)
+    from fuzzy_wiki_spark.codec import encode_position_list
+
     tbl = pa.Table.from_pydict(
         {
             "bucket": [r[0] for r in rows],
@@ -131,7 +133,8 @@ def test_vectorized_partition_encoder_matches_per_group():
             "field": [r[2] for r in rows],
             "term": [r[3] for r in rows],
             "tf": [r[4] for r in rows],
-            "positions": [r[5] for r in rows],
+            # postings carry positions pre-encoded in the wire format
+            "positions": [encode_position_list(r[5]) for r in rows],
             "dl": [r[6] for r in rows],
         },
         schema=pa.schema(
@@ -141,7 +144,7 @@ def test_vectorized_partition_encoder_matches_per_group():
                 pa.field("field", pa.string()),
                 pa.field("term", pa.string()),
                 pa.field("tf", pa.int32()),
-                pa.field("positions", pa.list_(pa.int32())),
+                pa.field("positions", pa.binary()),
                 pa.field("dl", pa.int32()),
             ]
         ),
@@ -153,12 +156,14 @@ def test_vectorized_partition_encoder_matches_per_group():
 
     import pandas as pd
 
+    from fuzzy_wiki_spark.codec import decode_position_list
+
     pdf = tbl.to_pandas()
     for _, g in pdf.groupby(["bucket", "field", "term"], sort=False):
         want = encode_group(
             g["doc_id"].to_numpy(),
             g["tf"].to_numpy(),
-            [np.asarray(p) for p in g["positions"]],
+            [decode_position_list(p) for p in g["positions"]],
         )
         row = got[
             (got["bucket"] == g["bucket"].iloc[0])
