@@ -419,6 +419,17 @@ def q_events_window(spark, sf_dir):
     return windowed_event_counts(ev, window="1 hour")
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) over the events table — the
+    batch mirror of the applyInPandasWithState streaming operator
+    (streaming/incremental.py sessionize_stream; stream ≡ batch is pinned
+    by tests/test_streaming.py)."""
+    from fuzzy_wiki_spark.streaming.incremental import sessionize_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_events(ev, gap_minutes=30)
+
+
 def q_segment_bm25(spark, sf_dir):
     """Index-backed flagship: compressed block-max segments + WAND top-10
     (rows-only — porter chain; rank/score identity with the relational
@@ -503,6 +514,61 @@ def q_compact_search(spark, sf_dir):
     dst = tempfile.mkdtemp(prefix="fw_compq_")
     comp = compact_generations(spark, out, dst, n_buckets=8)
     return _segment_skeleton_topk(spark, comp)
+
+
+def q_resolve_redirects(spark, sf_dir):
+    """O22 second half (WikiSearcher.java:81-117): REDIRECT target
+    resolution — target exists + title-length sanity → valid/dead verdict
+    per redirect. Corpus has no redirects, so they are injected
+    deterministically: ids <40 point at live targets, 40-59 at dead paths,
+    and one target is over the 50-char bound."""
+    from fuzzy_wiki_spark.operators.redirects import resolve_redirects
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("doc/"), F.col("doc_id"), F.lit(".txt")).alias("path"),
+        F.col("text").alias("content"),
+    )
+    live = base.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.lit("r/"), F.col("doc_id")).alias("path"),
+        F.concat(
+            F.lit("REDIRECT doc/"), (F.col("doc_id") * 7) % 500, F.lit(".txt")
+        ).alias("content"),
+    )
+    dead = base.where(
+        (F.col("doc_id") >= 40) & (F.col("doc_id") < 60)
+    ).select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.concat(F.lit("d/"), F.col("doc_id")).alias("path"),
+        F.concat(
+            F.lit("REDIRECT doc/"), F.col("doc_id") + 9000, F.lit(".txt")
+        ).alias("content"),
+    )
+    longt = spark.createDataFrame(
+        [(40000, "l/0", "REDIRECT doc/" + "x" * 60 + ".txt")],
+        "doc_id long, path string, content string",
+    )
+    docs = base.unionByName(live).unionByName(dead).unionByName(longt)
+    return resolve_redirects(docs).select(
+        "doc_id", "target_path", "target_doc_id", "valid"
+    )
+
+
+def q_doc_json(spark, sf_dir):
+    """O29 JSON serialization: one JSON object per doc via to_json(struct)
+    — byte-compatible with DuckDB's to_json(struct_pack(...))."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.col("doc_id"),
+                F.col("lang"),
+                F.col("n_chars"),
+                F.col("text"),
+            )
+        ).alias("js"),
+    )
 
 
 def q_flagship_porter(spark, sf_dir):
@@ -599,6 +665,33 @@ ORACLE_SQL: dict[str, str] = {
                (count(*) FILTER (content IS NULL))::BIGINT AS n_dropped_content
         FROM d
     """,
+    "resolve_redirects": """
+        WITH base AS (SELECT doc_id, 'doc/' || doc_id || '.txt' AS path,
+                             text AS content FROM documents),
+        live AS (SELECT doc_id + 20000 AS doc_id, 'r/' || doc_id AS path,
+                        'REDIRECT doc/' || (doc_id * 7) % 500 || '.txt' AS content
+                 FROM documents WHERE doc_id < 40),
+        dead AS (SELECT doc_id + 30000 AS doc_id, 'd/' || doc_id AS path,
+                        'REDIRECT doc/' || doc_id + 9000 || '.txt' AS content
+                 FROM documents WHERE doc_id >= 40 AND doc_id < 60),
+        longt AS (SELECT 40000::BIGINT AS doc_id, 'l/0' AS path,
+                         'REDIRECT doc/' || repeat('x', 60) || '.txt' AS content),
+        docs AS (SELECT * FROM base UNION ALL SELECT * FROM live
+                 UNION ALL SELECT * FROM dead UNION ALL SELECT * FROM longt),
+        red AS (SELECT doc_id, trim(substring(content, 10)) AS target_path
+                FROM docs WHERE upper(coalesce(content, '')) LIKE 'REDIRECT%'),
+        t AS (SELECT path AS target_path, doc_id AS target_doc_id FROM docs)
+        SELECT red.doc_id, red.target_path, t.target_doc_id,
+               (length(red.target_path) < 50 AND t.target_doc_id IS NOT NULL)
+                 AS valid
+        FROM red LEFT JOIN t USING(target_path)
+    """,
+    "doc_json": """
+        SELECT doc_id,
+               to_json(struct_pack(doc_id := doc_id, lang := lang,
+                                   n_chars := n_chars, text := text))::VARCHAR AS js
+        FROM documents
+    """,
     # incremental/compacted segment search must equal a one-shot build,
     # so their oracle IS the bm25_topk skeleton
     "incremental_search": None,  # filled below (same SQL as bm25_topk)
@@ -652,6 +745,24 @@ ORACLE_SQL: dict[str, str] = {
                  len(list_filter(ts, x -> list_contains(sw, lower(x))))::DOUBLE / len(ts) >= 0.15
                THEN 'en' ELSE 'other' END AS lang_guess
         FROM toks CROSS JOIN stops
+    """,
+    "sessionize": """
+        WITH o AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           > 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, ts, value,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS sid
+              FROM o)
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+               count(*)::BIGINT AS n_events,
+               round(sum(value), 6) AS total_value
+        FROM s GROUP BY user_id, sid
     """,
     "events_window": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
@@ -771,6 +882,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "events_window": q_events_window,
+    "sessionize": q_sessionize,
     "ann_cosine": q_ann_cosine,
     "embed_neardup": q_embed_neardup,
     "lsh_neardup": q_lsh_neardup,
@@ -779,6 +891,8 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "incremental_search": q_incremental_search,
     "compact_search": q_compact_search,
+    "resolve_redirects": q_resolve_redirects,
+    "doc_json": q_doc_json,
     # rows-only (no SQL mirror — Spark-specific hashing / porter chain /
     # seeded-numpy LSH planes / binary media payloads):
     "minhash_pairs": q_minhash_pairs,

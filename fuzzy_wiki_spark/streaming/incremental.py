@@ -279,6 +279,119 @@ def compact_generations(
     return SegmentIndex(spark, dst_dir)
 
 
+def sessionize_events(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Gap-based sessionization, batch form: events within ``gap_minutes``
+    of the previous event of the same user belong to one session →
+    (user_id, session_start, session_end, n_events, total_value).
+
+    Plain window functions (lag → new-session flag → running sum as
+    session id → groupBy), all codegen; one shuffle on user_id. This is
+    the SQL-expressible mirror of :func:`sessionize_stream` — the golden
+    test pins stream ≡ batch."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    # µs precision end-to-end (a long cast would truncate to seconds and
+    # mis-split sessions whose gap straddles the threshold sub-second);
+    # the cast makes TIMESTAMP_NTZ sources work too — gaps are differences,
+    # so the timezone attachment cancels
+    mu = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_sess = mu - F.lag(mu).over(w) > gap_us
+    sess = events.withColumn(
+        "_new", F.coalesce(new_sess, F.lit(True)).cast("int")
+    ).withColumn("_sid", F.sum("_new").over(w))
+    return (
+        sess.groupBy("user_id", "_sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .drop("_sid")
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based sessionization as a CUSTOM STATEFUL streaming operator
+    (``applyInPandasWithState`` + event-time timeout) — the brief's
+    "custom stateful operators" capability, which no built-in windowed agg
+    expresses (session windows have data-dependent extent).
+
+    State per user = the open session (start/end/count/sum as epoch-µs
+    ints). A micro-batch's events merge in event-time order: gaps >
+    ``gap_minutes`` CLOSE the running session (emitted immediately); the
+    trailing open session parks in state with an event-time timeout at
+    session_end + gap, so it closes exactly when the watermark proves no
+    earlier event can still arrive. Semantics ≡ :func:`sessionize_events`
+    on the closed set (pinned by tests/test_streaming.py)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_ddl = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events int, total_value double"
+    )
+    state_ddl = "start long, end long, n int, total double"
+
+    def _emit(user_id: int, s: int, e: int, n: int, total: float):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(s, unit="us")],
+                "session_end": [pd.Timestamp(e, unit="us")],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+            }
+        )
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        if state.hasTimedOut:
+            s, e, n, total = state.get
+            state.remove()
+            yield _emit(user_id, s, e, n, total)
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        ts_us = batch["ts"].astype("int64").to_numpy() // 1000  # ns → µs
+        vals = batch["value"].to_numpy()
+        if state.exists:
+            s, e, n, total = state.get
+        else:
+            s = e = n = total = None
+        for t, v in zip(ts_us, vals):
+            t, v = int(t), float(v)
+            if s is None:
+                s, e, n, total = t, t, 1, v
+            elif t - e > gap_us:
+                yield _emit(user_id, s, e, n, total)
+                s, e, n, total = t, t, 1, v
+            else:
+                e, n, total = t, n + 1, total + v
+        state.update((s, e, n, total))
+        # close when the watermark passes session_end + gap (epoch ms)
+        state.setTimeoutTimestamp((e + gap_us) // 1000 + 1)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_ddl, state_ddl, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
 ) -> DataFrame:

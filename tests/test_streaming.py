@@ -53,6 +53,103 @@ def test_incremental_index_build(spark, tmp_path):
     assert n_stream == n_batch
 
 
+def test_sessionize_stream_equals_batch(spark, tmp_path):
+    """The applyInPandasWithState sessionizer must produce EXACTLY the
+    batch window-function sessionization once the watermark has passed
+    every session (sessions are flushed by event-time timeouts; sentinel
+    events advance the watermark across restarts of an availableNow
+    stream, mirroring a live stream's progress)."""
+    from fuzzy_wiki_spark.streaming.incremental import (
+        sessionize_events,
+        sessionize_stream,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    # 12 users × bursts: events at minute offsets with >30-min gaps
+    # between bursts (deterministic, sub-second jitter included)
+    main = spark.range(0, 600).select(
+        F.col("id").alias("event_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(
+                hours=(F.col("id") % 5).cast("int"),
+                mins=((F.col("id") * 7) % 23).cast("int"),
+                secs=((F.col("id") % 13) + (F.col("id") % 997) / 1000.0),
+            )
+        ).alias("ts"),
+        (F.col("id") % 12).alias("user_id"),
+        ((F.col("id") % 17) / 4.0).alias("value"),
+    )
+    main.coalesce(1).write.mode("append").parquet(str(src))
+
+    want = sorted(
+        (
+            int(r["user_id"]),
+            r["session_start"],
+            r["session_end"],
+            int(r["n_events"]),
+            float(r["total_value"]),
+        )
+        for r in sessionize_events(
+            spark.read.parquet(str(src)), gap_minutes=30
+        ).collect()
+    )
+
+    out_dir = str(tmp_path / "sessions_out")
+
+    def run_once(name):
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        ).parquet(str(src))
+        q = (
+            sessionize_stream(stream, gap_minutes=30, watermark="1 minute")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once("sess1")
+    # sentinel events push the watermark far past every main session;
+    # their own (sentinel) sessions are filtered out of the comparison
+    for i, days in enumerate((10, 20)):
+        sent = spark.createDataFrame(
+            [(100000 + i, 999, 0.0)],
+            "event_id long, user_id long, value double",
+        ).select(
+            "event_id",
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(days=F.lit(days))
+            ).alias("ts"),
+            "user_id",
+            "value",
+        ).select("event_id", "ts", "user_id", "value")
+        sent.coalesce(1).write.mode("append").parquet(str(src))
+        run_once(f"sess{i + 2}")
+
+    got_rows = spark.read.parquet(out_dir).collect()
+    got = sorted(
+        (
+            int(r["user_id"]),
+            r["session_start"],
+            r["session_end"],
+            int(r["n_events"]),
+            float(r["total_value"]),
+        )
+        for r in got_rows
+        if r["user_id"] != 999
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
 def test_windowed_event_counts_streaming_equals_batch(spark, tmp_path):
     ev_dir = str(tmp_path / "events")
     batch_events = spark.range(0, 200).select(
