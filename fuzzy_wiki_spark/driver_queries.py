@@ -250,6 +250,14 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish subword-unit counting (letters / digits / symbol runs) —
+    the tokenizer-cost proxy a training pipeline budgets with."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", TXT.token_count_bpe(F.col("text")).alias("n_bpe")
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-heuristic language ID."""
     return _docs(spark, sf_dir).select(
@@ -368,6 +376,19 @@ def q_lsh_cosine(spark, sf_dir):
         planes,
         k=10,
         probe_hamming=1,
+    )
+    return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def q_ivf_cosine(spark, sf_dir):
+    """IVF-bucketed approximate ANN top-10 (rows-only: seeded k-means
+    centroids have no SQL mirror; the recall ladder + exhaustive-probe
+    exactness are pinned in tests/test_similarity.py)."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    cent = SIM.kmeans_centroids(emb, n_centroids=16, sample=512, seed=42)
+    res = SIM.ivf_cosine_topk(
+        emb.where(F.col("vec_id") != 0), list(qvec), cent, nprobe=4, k=10
     )
     return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
@@ -732,6 +753,12 @@ ORACLE_SQL: dict[str, str] = {
                  ELSE 0 END, 6) AS avg_tok_len
         FROM toks CROSS JOIN stops
     """,
+    "token_count_bpe": """
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]+'))::BIGINT AS n_bpe
+        FROM documents
+    """,
     "lang_id": """
         WITH toks AS (
           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
@@ -881,6 +908,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
+    "token_count_bpe": q_token_count_bpe,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
     "ann_cosine": q_ann_cosine,
@@ -899,6 +927,7 @@ QUERIES = {
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "lsh_cosine": q_lsh_cosine,
+    "ivf_cosine": q_ivf_cosine,
     "media_features": q_media_features,
     "audio_features": q_audio_features,
     "frame_sample": q_frame_sample,

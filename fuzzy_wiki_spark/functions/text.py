@@ -23,6 +23,22 @@ def token_count(text_col) -> Column:
     return F.size(tokens(text_col)).cast("long")
 
 
+# BPE-style pre-tokenization (the GPT-2 pattern's regex-expressible core):
+# a token is a run of letters, a run of digits, OR a run of other
+# non-space symbols — the split a byte-pair encoder applies BEFORE its
+# merges, so this count upper-bounds (and tracks) real BPE token counts.
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(text_col) -> Column:
+    """BPE-ish subword-unit count via one regexp scan (codegen, no UDF).
+    A cheap, deterministic proxy for tokenizer-cost budgeting in a
+    training-data pipeline — exact-mirrored in SQL by regexp_extract_all."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(_BPE_RE), 0)).cast(
+        "long"
+    )
+
+
 def stopword_ratio(text_col) -> Column:
     """Fraction of tokens that are English stop words (quality signal)."""
     toks = tokens(text_col)

@@ -93,6 +93,44 @@ def test_lsh_pairs_identical_vectors_always_recalled(spark, emb_df):
     assert {(i, i + 10000) for i in range(N)} <= found
 
 
+def test_ivf_recall_ladder_and_exhaustive_probe_is_exact(spark, emb_df):
+    """IVF top-k: recall@10 vs brute force is monotone in nprobe, and
+    probing ALL lists must return the exact brute-force top-k (IVF with
+    full probe degenerates to exhaustive search — a correctness anchor)."""
+    C = 8
+    cent = SIM.kmeans_centroids(emb_df, n_centroids=C, sample=N, seed=42)
+    assert cent.shape == (C, DIM)
+    qvecs = [r["embedding"] for r in emb_df.where(F.col("vec_id") < 5).collect()]
+    recalls = {}
+    for nprobe in (1, 2, C):
+        hits = 0
+        for qv in qvecs:
+            truth = {
+                int(r["vec_id"])
+                for r in SIM.cosine_topk(emb_df, list(qv), k=10).collect()
+            }
+            got = {
+                int(r["vec_id"])
+                for r in SIM.ivf_cosine_topk(
+                    emb_df, list(qv), cent, nprobe=nprobe, k=10
+                ).collect()
+            }
+            hits += len(got & truth)
+        recalls[nprobe] = hits / (10 * len(qvecs))
+    assert recalls[1] <= recalls[2] <= recalls[C]
+    assert recalls[C] == 1.0  # full probe == exhaustive
+    assert recalls[2] >= 0.5  # seeded corpus: 2/8 lists find most of top-10
+
+
+def test_ivf_assignment_partitions_cover_all(spark, emb_df):
+    C = 8
+    cent = SIM.kmeans_centroids(emb_df, n_centroids=C, sample=N, seed=42)
+    a = SIM.ivf_assign(emb_df, cent)
+    assert a.count() == N
+    lists = {int(r["list_id"]) for r in a.select("list_id").distinct().collect()}
+    assert lists <= set(range(C)) and len(lists) >= 2
+
+
 def test_multiprobe_recall_dominates_single_probe(spark, emb_df):
     """Hamming-1 multi-probe recall@10 ≥ single-probe recall@10, measured
     against brute force over a set of query vectors."""
