@@ -45,7 +45,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 5000 measured 15-20% faster than the 10000 default for the
+        # tokenize stage on this box (A/B/A/B, BENCH.md §5): smaller
+        # batches keep the per-batch dictionary/unique temporaries in
+        # cache; 65536 was 3.7× SLOWER for the same reason inverted
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")

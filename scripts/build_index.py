@@ -71,7 +71,14 @@ def main() -> None:
     from fuzzy_wiki_spark.engine import SegmentIndex
     from fuzzy_wiki_spark.session import _ship_package
 
-    spark = SparkSession.builder.getOrCreate()  # spark-submit owns master/conf
+    # spark-submit owns master/memory; the Arrow batch size is an engine
+    # tuning (measured: 5000 beats the 10000 default by 15-20% on the
+    # tokenize stage — BENCH.md §5) so the script sets it here
+    spark = (
+        SparkSession.builder.config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "5000"
+        ).getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
     _ship_package(spark)
 

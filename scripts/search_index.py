@@ -39,7 +39,11 @@ def main() -> None:
     from fuzzy_wiki_spark.engine import SegmentIndex
     from fuzzy_wiki_spark.session import _ship_package
 
-    spark = SparkSession.builder.getOrCreate()
+    spark = (
+        SparkSession.builder.config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "5000"
+        ).getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
     _ship_package(spark)
 
