@@ -174,7 +174,27 @@ def test_vectorized_partition_encoder_matches_per_group():
             assert row[k] == v, (g["term"].iloc[0], k)
 
 
-def test_selective_block_decode_matches_full():
+def test_written_segment_files_are_term_sorted(spark, tmp_path):
+    """The on-disk ordering contract (declared via sortWithinPartitions in
+    write_segments): every segment parquet file holds rows sorted by
+    (field, term), which is what lets parquet row-group min/max stats
+    prune term predicates at query time."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from fuzzy_wiki_spark.corpus import generate_docs_pdf
+    from fuzzy_wiki_spark.engine import SegmentIndex
+
+    docs = spark.createDataFrame(generate_docs_pdf(150, seed=42))
+    path = str(tmp_path / "sorted_idx")
+    SegmentIndex.build(spark, docs, path, n_buckets=4)
+    files = sorted(Path(path, "segments").rglob("*.parquet"))
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["field", "term"])
+        keys = list(zip(t.column("field").to_pylist(), t.column("term").to_pylist()))
+        assert keys == sorted(keys), f"unsorted rows in {f}"
     rng = np.random.default_rng(11)
     n = BLOCK * 5 + 3
     doc_ids = np.sort(rng.choice(10**7, size=n, replace=False))
