@@ -363,6 +363,17 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: LSH-pruned exact-Jaccard pairs → connected
+    components (iterative hash-min label propagation; one codegen
+    join+agg per round) → per-doc component + keep/drop verdict. Oracle:
+    DuckDB recursive CTE over the brute-force pair list."""
+    res = DD.dedup_clusters(
+        _docs(spark, sf_dir), text_col="text", shingle=3, min_jaccard=0.8
+    )
+    return res.select("doc_id", "component", "is_representative")
+
+
 def q_lsh_cosine(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN top-10 with Hamming-1 multi-probe
     (rows-only: seeded numpy planes have no SQL mirror; recall vs brute
@@ -862,6 +873,29 @@ ORACLE_SQL: dict[str, str] = {
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
     """,
+    "dedup_clusters": """
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+          FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+                 range(0, greatest(len(ts) - 3, 0) + 1),
+                 i -> array_to_string(list_slice(ts, i + 1, i + 3), ' '))) AS s
+               FROM toks),
+        e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        sym AS (SELECT doc_a AS a, doc_b AS b FROM e
+                UNION SELECT doc_b, doc_a FROM e),
+        reach(node, comp) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+          UNION
+            SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.node
+        )
+        SELECT node AS doc_id, min(comp) AS component,
+               (node = min(comp)) AS is_representative
+        FROM reach GROUP BY node
+    """,
     "embed_neardup": """
         WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
                    FROM embeddings)
@@ -917,6 +951,7 @@ QUERIES = {
     "merge_compat": q_merge_compat,
     "dedup_keep_first": q_dedup_keep_first,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "incremental_search": q_incremental_search,
     "compact_search": q_compact_search,
     "resolve_redirects": q_resolve_redirects,

@@ -284,6 +284,94 @@ def ngram_jaccard_pairs(
     return j
 
 
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup pair list → duplicate CLUSTERS: (node, component) where
+    component = min node id reachable through the pair graph. The step a
+    training-data dedup pipeline runs after pair mining (keep one
+    representative per component, drop the rest).
+
+    Hash-min label propagation: every node starts labeled with its own id;
+    each round replaces a node's label with the min of its own and its
+    neighbors' labels. Converges in O(graph diameter) rounds — near-dup
+    graphs are unions of small cliques/chains, so diameter is tiny. Each
+    round is ONE equi-join + groupBy (all codegen); the driver loop only
+    checks a scalar convergence count (no .collect() of data). Each
+    round's result is materialized with ``localCheckpoint(eager=True)``:
+    plain ``persist`` caches the DATA but Catalyst still re-analyzes the
+    full logical lineage, which references the prior round's plan three
+    times — 3^rounds analysis blow-up; checkpointing truncates the plan
+    to a leaf so every round costs the same. At 10^12-doc scale rounds
+    shuffle |edges| rows — the same cost class as the pair mining
+    itself."""
+    from pyspark.sql import functions as F
+
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels.node == nb_min.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))
+                ).alias("comp"),
+                (F.col("nb_comp") < F.col("comp")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.where(F.col("_changed")).count()
+        labels.unpersist()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", F.col("comp").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidates → exact
+    n-gram Jaccard ≥ threshold → connected components → (doc_id,
+    component, is_representative). Drop rows with is_representative =
+    false to dedup the corpus."""
+    from pyspark.sql import functions as F
+
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle=shingle, min_jaccard=min_jaccard
+    )
+    comps = connected_components(pairs)
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("node") == F.col("component")).alias("is_representative"),
+    )
+
+
 def dedup_keep_first(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -59,6 +59,46 @@ def test_simhash_neardup_pairs_end_to_end(spark):
     assert not any({a, b} == {2, 3} for (a, b, _) in got)
 
 
+def test_connected_components_known_graph(spark):
+    """Chains, triangle, star, isolated pair — every node labeled with its
+    component's min id; the 9-node chain forces multiple propagation
+    rounds (diameter > 1)."""
+    edges = (
+        [(1, 2), (2, 3), (3, 4)]  # chain
+        + [(10, 11), (11, 12), (10, 12)]  # triangle
+        + [(20, 21)]  # pair
+        + [(30, 31), (30, 32), (30, 33)]  # star
+        + [(50 + i, 51 + i) for i in range(8)]  # long chain 50..58
+    )
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        int(r["node"]): int(r["component"])
+        for r in DD.connected_components(df).collect()
+    }
+    want = {}
+    for grp in ([1, 2, 3, 4], [10, 11, 12], [20, 21], [30, 31, 32, 33],
+                list(range(50, 59))):
+        for n in grp:
+            want[n] = grp[0]
+    assert got == want
+
+
+def test_dedup_clusters_end_to_end(spark):
+    """Near-dup texts cluster together; representative = min doc_id."""
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = t1 + " extra"  # high 3-gram jaccard with t1
+    t3 = "one two three four five six seven eight nine ten"
+    rows = [(0, t1), (1, t2), (2, t1), (3, t3), (4, t3 + " more")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (int(r["doc_id"]), int(r["component"]), bool(r["is_representative"]))
+        for r in DD.dedup_clusters(df, min_jaccard=0.5).collect()
+    }
+    assert (0, 0, True) in got
+    assert (1, 0, False) in got and (2, 0, False) in got
+    assert (3, 3, True) in got and (4, 3, False) in got
+
+
 def test_minhash_pairs_exact_dup_estimates_one(spark):
     """After the slim-shuffle restructure (signatures re-joined per pair,
     not shipped through the band explode), an exact duplicate still
