@@ -197,7 +197,10 @@ def encode_partition_table(tbl: pa.Table) -> pa.RecordBatch | None:
         zero_copy_only=False
     ).astype(np.int64, copy=False)
     tf = tbl.column("tf").combine_chunks().to_numpy(zero_copy_only=False)
-    field_d = tbl.column("field").combine_chunks().dictionary_encode()
+    # field may arrive pre-dictionary-encoded (build_segments ships a
+    # tinyint code through the exchange and rebuilds the dictionary)
+    fcol = tbl.column("field").combine_chunks()
+    field_d = fcol if pa.types.is_dictionary(fcol.type) else fcol.dictionary_encode()
     term_d = tbl.column("term").combine_chunks().dictionary_encode()
 
     def _lex_codes(dict_arr: pa.DictionaryArray) -> np.ndarray:
@@ -341,7 +344,14 @@ def encode_partition_table(tbl: pa.Table) -> pa.RecordBatch | None:
     )
 
 
-def build_segments(postings_df, n_buckets: int = 32):
+FIELD_NAMES_DEFAULT = ("content", "path")
+
+
+def build_segments(
+    postings_df,
+    n_buckets: int = 32,
+    field_names: tuple[str, ...] = FIELD_NAMES_DEFAULT,
+):
     """postings (doc_id, field, term, tf, positions, dl) → segments DF.
 
     Hot-term skew (SURVEY.md §4, north rule "salted-key shuffle"): the
@@ -357,15 +367,36 @@ def build_segments(postings_df, n_buckets: int = 32):
     The bucket is ``doc_id % n_buckets``: at 10^12 docs, n_buckets is sized
     so a bucket's postings fit an executor (e.g. 2^14 buckets → ~60M
     docs/bucket).
-    """
+
+    ``field_names`` (the closed set of indexed fields, known at plan time
+    from the tokenizer's field map) lets the exchange carry the field as a
+    TINYINT code instead of a per-row string: a posting row's field is one
+    of ~2 values repeated tens of millions of times, and as an UnsafeRow
+    string it costs an 8-byte offset word + padded bytes through the
+    shuffle AND the Arrow socket on both sides — ~10-16 bytes/row of pure
+    waste at 37 M rows/800 k docs. The encoder rebuilds the string as an
+    Arrow dictionary array (zero-copy indices), so the segment output
+    schema is unchanged. A field value outside ``field_names`` fails the
+    job loudly rather than mis-bucketing."""
     from pyspark.sql import functions as F
+
+    names = sorted(field_names)
+    code_expr = F.lit(None).cast("tinyint")
+    for i in reversed(range(len(names))):
+        code_expr = F.when(
+            F.col("field") == names[i], F.lit(i).cast("tinyint")
+        ).otherwise(code_expr)
 
     # project to exactly what the encoder consumes — `dl` in particular is
     # per-(doc,field) data replicated onto every posting row; letting it
     # ride the exchange + the Arrow socket would add ~8 bytes/row of pure
     # waste (the _dl meta rows carry doc lengths instead)
     with_bucket = postings_df.select(
-        "doc_id", "field", "term", "tf", "positions"
+        "doc_id",
+        code_expr.alias("field_code"),
+        "term",
+        "tf",
+        "positions",
     ).withColumn("bucket", (F.col("doc_id") % n_buckets).cast("int"))
 
     def encode_partition(
@@ -378,17 +409,35 @@ def build_segments(postings_df, n_buckets: int = 32):
         blist = list(batches)
         if not blist:
             return
-        rb = encode_partition_table(pa.Table.from_batches(blist))
+        tbl = pa.Table.from_batches(blist)
+        codes = tbl.column("field_code").combine_chunks()
+        if codes.null_count:
+            raise ValueError(
+                f"posting field outside field_names={names!r}; pass the "
+                "actual field set to build_segments(field_names=...)"
+            )
+        field_col = pa.DictionaryArray.from_arrays(
+            codes, pa.array(names, type=pa.string())
+        )
+        i = tbl.schema.get_field_index("field_code")
+        tbl = tbl.set_column(i, pa.field("field", field_col.type), field_col)
+        rb = encode_partition_table(tbl)
         if rb is not None:
             yield rb
 
-    # exchange on hash(bucket, field, term): skew-bounded because each group
-    # holds at most 1/n_buckets of any term's postings (docstring above)
-    repart = with_bucket.repartition("bucket", "field", "term")
+    # exchange on hash(bucket, field_code, term): skew-bounded because each
+    # group holds at most 1/n_buckets of any term's postings (docstring
+    # above); hashing the code vs the string only relabels reducers
+    repart = with_bucket.repartition("bucket", "field_code", "term")
     return repart.mapInArrow(encode_partition, SEGMENTS_SCHEMA_DDL)
 
 
-def build_index_segments(postings_df, docs_meta=None, n_buckets: int = 32):
+def build_index_segments(
+    postings_df,
+    docs_meta=None,
+    n_buckets: int = 32,
+    field_names: tuple[str, ...] = FIELD_NAMES_DEFAULT,
+):
     """Full segment build: postings + per-bucket meta rows, one pipeline.
 
     Meta rows reuse the posting codec (segment_query.py reads them):
@@ -426,7 +475,7 @@ def build_index_segments(postings_df, docs_meta=None, n_buckets: int = 32):
             F.lit(0).alias("dl"),
         )
         seg_input = seg_input.unionByName(red)
-    return build_segments(seg_input, n_buckets=n_buckets)
+    return build_segments(seg_input, n_buckets=n_buckets, field_names=field_names)
 
 
 def write_segments(segments_df, path: str, n_buckets: int = 32) -> None:
