@@ -106,6 +106,34 @@ def completed_groups(spark: SparkSession, out_dir: str) -> dict[int, int]:
     }
 
 
+def _write_manifest_row(
+    out: Path, gid: int, fp: int, n_docs: int, n_postings: int,
+    nbytes: int, wall_ms: int,
+) -> None:
+    mdir = out / "manifest"
+    mdir.mkdir(parents=True, exist_ok=True)
+    (mdir / f"group-{gid}.json").write_text(
+        json.dumps(
+            {
+                "partition_id": gid,
+                "input_fingerprint": fp,
+                "n_docs": n_docs,
+                "n_postings": n_postings,
+                "bytes": nbytes,
+                "wall_ms": wall_ms,
+                "status": "done",
+            }
+        )
+    )
+
+
+def _group_bytes(out: Path, gid: int) -> int:
+    gdir = out / "postings" / f"group={gid}"
+    if not gdir.exists():
+        return 0
+    return sum(f.stat().st_size for f in gdir.rglob("*.parquet"))
+
+
 def build_index_checkpointed(
     spark: SparkSession,
     docs_df: DataFrame,
@@ -114,25 +142,47 @@ def build_index_checkpointed(
     mode: str = "porter",
     fields: dict[str, str] | None = None,
     fps: dict[int, tuple[int, int]] | None = None,
+    one_job: bool = False,
 ) -> dict:
     """Build postings group-by-group with manifest checkpointing.
 
     Returns {"built": [...], "skipped": [...]} group ids. Output layout:
     ``<out>/postings/group=<id>/*.parquet`` + ``<out>/manifest/``.
     ``fps``: pre-computed group fingerprints (skips the scan).
+
+    ``one_job=True`` tokenizes ALL pending groups in a single Spark job
+    (one corpus scan + one write, dynamic partition overwrite on
+    ``group=``) instead of one job per group. The serial loop decodes the
+    full corpus once per pending group — ``doc_id % n_groups`` can't prune
+    parquet row groups, so every per-group job re-scans everything — and
+    pays a scheduling barrier + task-tail per group. Commit granularity is
+    unchanged ACROSS invocations (per-group manifests, per-group
+    invalidation); within one invocation the job is all-or-nothing, which
+    is Spark's own write-job atomicity. Per-group posting counts ride the
+    write job as one ``observe`` with a count-if per pending group (fine
+    for the coarse group counts this design calls for — see module
+    docstring; groups are hundreds at 10^12-file scale, not millions).
     """
     out = Path(out_dir)
     done = completed_groups(spark, out_dir)
-    built, skipped = [], []
     if fps is None:
         fps, _ = group_fingerprints(docs_df, n_groups)
 
-    for gid in range(n_groups):
+    pending = [g for g in range(n_groups) if done.get(g) != fps.get(g, (0, 0))[0]]
+    skipped = [g for g in range(n_groups) if done.get(g) == fps.get(g, (0, 0))[0]]
+    if not pending:
+        return {"built": [], "skipped": skipped}
+
+    if one_job and len(pending) > 1:
+        built = _build_pending_one_job(
+            spark, docs_df, out, pending, n_groups, mode, fields, fps
+        )
+        return {"built": built, "skipped": skipped}
+
+    built = []
+    for gid in pending:
         group = docs_df.where(F.col("doc_id") % n_groups == gid)
         fp, n_docs = fps.get(gid, (0, 0))
-        if done.get(gid) == fp:
-            skipped.append(gid)
-            continue
         t0 = time.perf_counter()
         posts = build_postings(group, fields=fields, mode=mode)
         gdir = out / "postings" / f"group={gid}"
@@ -144,26 +194,86 @@ def build_index_checkpointed(
             "overwrite"
         ).parquet(str(gdir))
         n_postings = int(obs.get["n"])
-        nbytes = sum(f.stat().st_size for f in gdir.rglob("*.parquet"))
         wall_ms = int((time.perf_counter() - t0) * 1000)
-        mdir = out / "manifest"
-        mdir.mkdir(parents=True, exist_ok=True)
-        (mdir / f"group-{gid}.json").write_text(
-            json.dumps(
-                {
-                    "partition_id": gid,
-                    "input_fingerprint": fp,
-                    "n_docs": n_docs,
-                    "n_postings": n_postings,
-                    "bytes": nbytes,
-                    "wall_ms": wall_ms,
-                    "status": "done",
-                }
-            )
+        _write_manifest_row(
+            out, gid, fp, n_docs, n_postings, _group_bytes(out, gid), wall_ms
         )
         built.append(gid)
 
     return {"built": built, "skipped": skipped}
+
+
+def _build_pending_one_job(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    out: Path,
+    pending: list[int],
+    n_groups: int,
+    mode: str,
+    fields: dict[str, str] | None,
+    fps: dict[int, tuple[int, int]],
+) -> list[int]:
+    """One tokenize job for all pending groups; per-group manifests after.
+
+    Dynamic partition overwrite replaces exactly the partitions the job
+    produces — but a pending group that now tokenizes to ZERO postings
+    would leave its stale on-disk partition untouched, so stale pending
+    partitions (data without a matching manifest: a killed run, or an
+    invalidated group) are removed up front. Removing uncommitted data is
+    safe: the group is pending precisely because its manifest is absent or
+    fingerprint-mismatched, so nothing trusts those files.
+    """
+    import shutil
+
+    for gid in pending:
+        gdir = out / "postings" / f"group={gid}"
+        if gdir.exists():
+            shutil.rmtree(gdir)
+        mfile = out / "manifest" / f"group-{gid}.json"
+        if mfile.exists():
+            mfile.unlink()  # stale fingerprint row; group rebuilds anyway
+
+    t0 = time.perf_counter()
+    docs_sel = (
+        docs_df
+        if len(pending) == n_groups
+        else docs_df.where(
+            (F.col("doc_id") % n_groups).cast("int").isin(pending)
+        )
+    )
+    posts = build_postings(docs_sel, fields=fields, mode=mode).withColumn(
+        "group", (F.col("doc_id") % n_groups).cast("int")
+    )
+    obs = Observation("ckpt_one_job")
+    aggs = [
+        F.count(F.when(F.col("group") == g, F.lit(1))).alias(f"g{g}")
+        for g in pending
+    ]
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        posts.observe(obs, *aggs).write.partitionBy("group").mode(
+            "overwrite"
+        ).parquet(str(out / "postings"))
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    counts = obs.get
+    wall_ms = int((time.perf_counter() - t0) * 1000)
+
+    for gid in pending:
+        fp, n_docs = fps.get(gid, (0, 0))
+        _write_manifest_row(
+            out, gid, fp, n_docs, int(counts[f"g{gid}"]),
+            _group_bytes(out, gid), wall_ms,
+        )
+    return list(pending)
 
 
 def load_checkpointed_postings(spark: SparkSession, out_dir: str) -> DataFrame:

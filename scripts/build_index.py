@@ -60,6 +60,10 @@ def main() -> None:
     ap.add_argument("--fresh", action="store_true", help="wipe --out first")
     ap.add_argument("--skip-segments", action="store_true",
                     help="stop after checkpointed postings (resume drill)")
+    ap.add_argument("--serial-groups", action="store_true",
+                    help="one Spark job per checkpoint group (finer "
+                         "within-invocation commit granularity; default is "
+                         "one job for all pending groups = one corpus scan)")
     args = ap.parse_args()
 
     from fuzzy_wiki_spark.checkpoint import (
@@ -113,7 +117,8 @@ def main() -> None:
 
     # --- checkpointed tokenize (lineage + metrics manifest) ---
     ck = build_index_checkpointed(
-        spark, docs, args.out, n_groups=args.groups, mode=args.mode, fps=fps
+        spark, docs, args.out, n_groups=args.groups, mode=args.mode, fps=fps,
+        one_job=not args.serial_groups,
     )
     t_tok = time.perf_counter()
 

@@ -63,6 +63,66 @@ def test_manifest_metrics(spark, docs, tmp_path):
     assert set(completed_groups(spark, out)) == {0, 1}
 
 
+def test_one_job_matches_serial(spark, docs, tmp_path):
+    """one_job=True (single scan + dynamic-partition write) produces the
+    same postings, manifests, and resume behavior as the serial loop."""
+    serial = str(tmp_path / "serial")
+    onejob = str(tmp_path / "onejob")
+    build_index_checkpointed(spark, docs, serial, n_groups=4)
+    r = build_index_checkpointed(spark, docs, onejob, n_groups=4, one_job=True)
+    assert set(r["built"]) == {0, 1, 2, 3} and r["skipped"] == []
+
+    key = ["doc_id", "field", "term"]
+    a = (
+        load_checkpointed_postings(spark, serial)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    b = (
+        load_checkpointed_postings(spark, onejob)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    cols = ["doc_id", "field", "term", "tf", "dl"]
+    pd.testing.assert_frame_equal(a[cols], b[cols])
+
+    # manifests carry real per-group counts (the one-job observe split)
+    ms = read_manifest(spark, serial).toPandas().sort_values("partition_id")
+    mo = read_manifest(spark, onejob).toPandas().sort_values("partition_id")
+    assert list(ms["n_postings"]) == list(mo["n_postings"])
+    assert list(ms["n_docs"]) == list(mo["n_docs"])
+
+    # resume: a no-op rerun skips everything; a partial invalidation
+    # rebuilds exactly the touched groups in one job
+    r2 = build_index_checkpointed(spark, docs, onejob, n_groups=4, one_job=True)
+    assert r2["built"] == [] and set(r2["skipped"]) == {0, 1, 2, 3}
+    changed = docs.withColumn(
+        "content",
+        F.when(F.col("doc_id") == 1, F.lit("changed body")).otherwise(
+            F.col("content")
+        ),
+    ).withColumn(
+        "content_sha256", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
+    )
+    r3 = build_index_checkpointed(spark, changed, onejob, n_groups=4, one_job=True)
+    assert set(r3["built"]) == {1} and set(r3["skipped"]) == {0, 2, 3}
+
+
+def test_one_job_clears_stale_partition(spark, docs, tmp_path):
+    """A pending group whose rebuild yields ZERO postings must not keep its
+    stale on-disk partition (dynamic overwrite alone would)."""
+    out = str(tmp_path / "stale")
+    build_index_checkpointed(spark, docs, out, n_groups=4, one_job=True)
+    # shrink the input: groups 1 and 2 become empty (two pending groups so
+    # the one-job path — not the single-group serial fallback — runs)
+    shrunk = docs.where("doc_id % 4 not in (1, 2)")
+    r = build_index_checkpointed(spark, shrunk, out, n_groups=4, one_job=True)
+    assert {1, 2} <= set(r["built"])
+    p = load_checkpointed_postings(spark, out).toPandas()
+    assert ((p["doc_id"] % 4).isin([1, 2])).sum() == 0  # stale partitions gone
+    m = read_manifest(spark, out).toPandas()
+    assert int(m.loc[m["partition_id"] == 1, "n_postings"].iloc[0]) == 0
+    assert int(m.loc[m["partition_id"] == 2, "n_postings"].iloc[0]) == 0
+
+
 def test_segment_stage_skip_and_invalidate(spark, docs, tmp_path):
     """The segment encode is checkpointed by postings lineage: same groups
     → skip; any group rebuild → re-encode."""
