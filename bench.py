@@ -125,6 +125,7 @@ def main() -> None:
     timed("pipe_minhash_pairs", lambda: DQ.q_minhash_pairs(spark, sf_dir).count())
     timed("pipe_simhash", lambda: DQ.q_simhash(spark, sf_dir).count())
     timed("pipe_ann_cosine", lambda: DQ.q_ann_cosine(spark, sf_dir).collect())
+    timed("pipe_ann_batch", lambda: DQ.q_ann_batch(spark, sf_dir).collect())
 
     total = round(sum(timings.values()), 4)
     q_sorted = sorted(q_times)

@@ -265,12 +265,69 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_corpus_prep(spark, sf_dir):
+    """End-to-end training-data prep as ONE declarative plan — the
+    composite a 100 TB pipeline actually runs, not isolated operators:
+    plant duplicates + a null row → ingest validation with observe()
+    counters (O4) → keep-first exact dedup → quality gate (drops the
+    bottom ~quartile) → per-doc language tag, BPE token budget and
+    order-insensitive fingerprint. Every stage
+    is a Column expression or window (no Python in the plan); Catalyst
+    fuses the whole chain over a single documents scan + one dedup
+    shuffle. Oracle: the same pipeline in SQL CTEs."""
+    from fuzzy_wiki_spark.sources.catalog import validate_docs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = (
+        d.union(
+            d.where(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+        .union(
+            spark.createDataFrame(
+                [(99999, None)], "doc_id long, text string"
+            )
+        )
+    )
+    clean, _obs = validate_docs(planted, required=("text",))
+    kept = DD.dedup_keep_first(clean, text_col="text")
+    q = TXT.quality_score(F.col("text"))
+    return (
+        kept.where(q >= 0.2)
+        .select(
+            "doc_id",
+            TXT.token_count_bpe(F.col("text")).alias("n_bpe"),
+            F.round(q, 6).alias("quality"),
+            TXT.lang_guess(F.col("text")).alias("lang_guess"),
+            TXT.fingerprint(F.col("text")).alias("fp"),
+        )
+    )
+
+
 def q_ann_cosine(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 embedding."""
     emb = _emb(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     res = SIM.cosine_topk(emb, list(qvec), k=10, exclude_ids=[0])
     return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def q_ann_batch(spark, sf_dir):
+    """Batch ANN: exact cosine top-10 for a query SET (the first 4 corpus
+    embeddings) in ONE job — single scan, per-Arrow-batch gemm against all
+    queries, partition-local partial top-k, thin window-rank finish
+    (operators/similarity.py cosine_topk_batch). Oracle: cross-join +
+    window-rank SQL."""
+    emb = _emb(spark, sf_dir)
+    qrows = (
+        emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    )
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    res = SIM.cosine_topk_batch(emb, queries, k=10, exclude_self=True)
+    return res.select(
+        "qid", "vec_id", F.round("cos_sim", 4).alias("cos_sim")
+    )
 
 
 def q_embed_neardup(spark, sf_dir):
@@ -402,6 +459,24 @@ def q_ivf_cosine(spark, sf_dir):
         emb.where(F.col("vec_id") != 0), list(qvec), cent, nprobe=4, k=10
     )
     return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def q_ivf_batch(spark, sf_dir):
+    """Batch IVF ANN: 4 queries probe their 4 nearest centroid lists in one
+    job (broadcast probe table ⋈ IVF-assigned corpus, JVM-side scoring,
+    partial-top-k finish). Rows-only: seeded k-means centroids have no SQL
+    mirror; exactness at exhaustive probe + the recall ladder are pinned in
+    tests/test_similarity.py."""
+    emb = _emb(spark, sf_dir)
+    cent = SIM.kmeans_centroids(emb, n_centroids=16, sample=512, seed=42)
+    qrows = emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    res = SIM.ivf_cosine_topk_batch(
+        emb, queries, cent, nprobe=4, k=10, exclude_self=True
+    )
+    return res.select(
+        "qid", "vec_id", F.round("cos_sim", 4).alias("cos_sim")
+    )
 
 
 def q_media_features(spark, sf_dir):
@@ -807,6 +882,54 @@ ORACLE_SQL: dict[str, str] = {
                count(*)::BIGINT AS n, round(sum(value), 6) AS total
         FROM events GROUP BY 1, 2
     """,
+    "corpus_prep": """
+        WITH planted AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+            UNION ALL
+            SELECT 99999::BIGINT, NULL::VARCHAR
+        ),
+        clean AS (SELECT * FROM planted WHERE text IS NOT NULL),
+        kept AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM clean) WHERE rn = 1),
+        stops AS (SELECT ['a','an','and','are','as','at','be','but','by','for',
+                 'if','in','into','is','it','no','not','of','on','or','such',
+                 'that','the','their','then','there','these','they','this',
+                 'to','was','will','with'] AS sw),
+        feat AS (
+            SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ts
+            FROM kept),
+        m AS (
+            SELECT doc_id, text, ts, len(ts) AS n_tok,
+                   CASE WHEN len(ts) > 0 THEN
+                     len(list_filter(ts, x -> list_contains(sw, lower(x))))::DOUBLE
+                       / len(ts)
+                     ELSE 0 END AS stop_ratio,
+                   CASE WHEN len(text) > 0 THEN
+                     len(regexp_replace(text, '[A-Za-z0-9[:space:]]', '', 'g'))::DOUBLE
+                       / len(text)
+                     ELSE 0 END AS punct_ratio
+            FROM feat CROSS JOIN stops),
+        sc AS (
+            SELECT doc_id, text, ts, stop_ratio,
+                   least(n_tok::DOUBLE / 100.0, 1.0) * (1 - punct_ratio)
+                     * (1 - abs(stop_ratio - 0.4)) AS quality
+            FROM m)
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]+'))::BIGINT AS n_bpe,
+               round(quality, 6) AS quality,
+               CASE WHEN stop_ratio >= 0.15 THEN 'en' ELSE 'other' END
+                 AS lang_guess,
+               md5(array_to_string(list_sort(list_distinct(ts)), ' ')) AS fp
+        FROM sc WHERE quality >= 0.2
+    """,
     "ann_cosine": """
         WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
                    FROM embeddings WHERE vec_id = 0),
@@ -818,6 +941,22 @@ ORACLE_SQL: dict[str, str] = {
               FROM embeddings CROSS JOIN q WHERE vec_id <> 0)
         SELECT vec_id, round(cos, 4) AS cos_sim FROM s
         ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+    "ann_batch": """
+        WITH q AS (SELECT vec_id AS qid,
+                          list_transform(embedding, x -> x::DOUBLE) AS qe
+                   FROM embeddings WHERE vec_id < 4),
+        s AS (SELECT q.qid, e.vec_id,
+                     list_dot_product(list_transform(e.embedding, x -> x::DOUBLE), q.qe)
+                     / (sqrt(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                                              list_transform(e.embedding, x -> x::DOUBLE)))
+                        * sqrt(list_dot_product(q.qe, q.qe))) AS cos
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+        r AS (SELECT qid, vec_id, cos,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos DESC, vec_id) AS rn
+              FROM s)
+        SELECT qid, vec_id, round(cos, 4) AS cos_sim FROM r WHERE rn <= 10
     """,
     "merge_compat": f"""
         WITH tf AS ({_TF}), dl AS ({_DL}),
@@ -945,7 +1084,10 @@ QUERIES = {
     "token_count_bpe": q_token_count_bpe,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
+    "corpus_prep": q_corpus_prep,
     "ann_cosine": q_ann_cosine,
+    "ann_batch": q_ann_batch,
+    "ivf_batch": q_ivf_batch,
     "embed_neardup": q_embed_neardup,
     "lsh_neardup": q_lsh_neardup,
     "merge_compat": q_merge_compat,

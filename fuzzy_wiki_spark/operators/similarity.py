@@ -257,6 +257,95 @@ def lsh_cosine_pairs(
     )
 
 
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """EXACT batch ANN: per-query cosine top-k for a whole query SET in one
+    job — (qid, vec_id, cos_sim), the batch analog of ``cosine_topk`` and
+    the brute-force baseline a query workload actually runs.
+
+    Scale shape (mirrors the BM25 batch replay in operators/topk.py):
+    one corpus scan; each Arrow batch is scored against ALL queries with a
+    single (batch × dim)·(dim × Q) BLAS matmul inside ``mapInPandas`` — the
+    per-vector work is a fused dot-product row, not Q separate ``zip_with``
+    expression trees — and each task keeps only its partition-local top-k
+    per query under the total order (cos desc, id asc). Only
+    partitions·Q·k thin rows (three scalars) reach the final window rank,
+    so no query's full candidate set ever sorts on one task and the
+    vectors never leave the scan stage. Exact because a global top-k
+    element is necessarily in its partition's top-k under the same total
+    order.
+
+    ``exclude_self`` drops rows whose id equals the query's qid (queries
+    drawn from the corpus itself).
+    """
+    import pandas as pd
+
+    qids = np.asarray([int(q) for q, _ in queries], dtype=np.int64)
+    qmat = np.asarray([v for _, v in queries], dtype=np.float64)
+    qmat = qmat / np.maximum(
+        np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12
+    )
+    nq = len(qids)
+
+    def partial(batches):
+        cand_s: list[list[np.ndarray]] = [[] for _ in range(nq)]
+        cand_i: list[list[np.ndarray]] = [[] for _ in range(nq)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            x = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            scores = x @ qmat.T  # (batch, Q) — one gemm for all queries
+            for j in range(nq):
+                s, bi = scores[:, j], ids
+                if exclude_self:
+                    keep = bi != qids[j]
+                    s, bi = s[keep], bi[keep]
+                if len(s) > k:
+                    sel = np.argpartition(-s, k - 1)[:k]
+                    s, bi = s[sel], bi[sel]
+                cand_s[j].append(s)
+                cand_i[j].append(bi)
+        out = []
+        for j in range(nq):
+            if not cand_s[j]:
+                continue
+            s = np.concatenate(cand_s[j])
+            bi = np.concatenate(cand_i[j])
+            order = np.lexsort((bi, -s))[:k]  # cos desc, id asc
+            out.append(
+                pd.DataFrame(
+                    {
+                        "qid": np.full(len(order), qids[j]),
+                        id_col: bi[order],
+                        "cos_sim": s[order],
+                    }
+                )
+            )
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    pruned = df.select(id_col, vec_col).mapInPandas(
+        partial, f"qid long, {id_col} long, cos_sim double"
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     n_centroids: int = 16,
@@ -347,6 +436,82 @@ def ivf_cosine_topk(
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def ivf_cosine_topk_batch(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    centroids: np.ndarray,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch IVF ANN: per-query approximate cosine top-k for a whole query
+    set in one job — (qid, vec_id, cos_sim).
+
+    The probe table (qid, list_id, qvec) — each query's ``nprobe`` nearest
+    centroid lists, computed driver-side from the KB-sized centroid model —
+    is broadcast-joined to the IVF-assigned corpus on ``list_id``, so with
+    the vector table written ``partitionBy(list_id)`` the scan prunes to
+    the union of probed lists (nprobe/C of the corpus) and Catalyst scores
+    the survivors JVM-side (zip_with dot, whole-stage codegen). Each (qid,
+    vec) meets at most once (ids live in exactly one list). The per-query
+    top-k finish is shuffle-thin: partition-local partial top-k first, then
+    a window rank over the ≤ partitions·Q·k survivors. Exact when
+    nprobe == len(centroids) (pinned in tests); recall grows with nprobe."""
+    import pandas as pd
+
+    qn = np.asarray([v for _, v in queries], dtype=np.float64)
+    qn = qn / np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-12)
+    probes = []
+    for (qid, qv), qu in zip(queries, qn):
+        order = np.argsort(-(centroids @ qu))[:nprobe]
+        probes.extend(
+            (int(qid), int(l), [float(x) for x in qv]) for l in order
+        )
+    probes_df = df.sparkSession.createDataFrame(
+        probes, "qid long, list_id int, qvec array<double>"
+    )
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    scored = (
+        assigned.join(F.broadcast(probes_df), "list_id")
+        .where(
+            F.col(id_col) != F.col("qid") if exclude_self else F.lit(True)
+        )
+        .select(
+            "qid",
+            F.col(id_col),
+            (
+                _dot(F.col(vec_col), F.col("qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("qvec")))
+            ).alias("cos_sim"),
+        )
+    )
+
+    def partial(pdfs):
+        for pdf in pdfs:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(
+                        ["qid", "cos_sim", id_col],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("qid", sort=False)
+                    .head(k)
+                )
+
+    pruned = scored.mapInPandas(partial, scored.schema)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("rank")
     )
 
 

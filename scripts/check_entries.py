@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Driver-contract mimic: run __spark_entry__.queries() entries at a given
+sf_dir and compare against oracle_sql() in DuckDB the same way the round
+driver does — row count, schema (column names sorted), and a value hash
+over column-name-sorted, row-sorted values.
+
+Usage:
+    python scripts/check_entries.py [entry ...]      # default: all with oracles
+    SF_DIR=/root/testdata/sf0.01 python scripts/check_entries.py ann_batch
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _hash_df(pdf) -> str:
+    import hashlib
+
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = sorted(
+        tuple(
+            round(v, 6) if isinstance(v, float) else v
+            for v in rec
+        )
+        for rec in pdf.itertuples(index=False, name=None)
+    )
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(repr(r).encode())
+    return h.hexdigest()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    names = sys.argv[1:] or [n for n in qs if n in oracles]
+
+    from fuzzy_wiki_spark.session import get_spark
+
+    spark = get_spark("check-entries", master="local[8]", shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"create view {t} as select * from read_parquet('{p}')"
+            )
+
+    failures = 0
+    for name in names:
+        try:
+            sdf = qs[name](spark, sf_dir).toPandas()
+            if name not in oracles:
+                print(f"{name}: rows={len(sdf)} (no oracle)")
+                continue
+            odf = con.execute(oracles[name]).fetchdf()
+            ok_rows = len(sdf) == len(odf)
+            ok_schema = sorted(sdf.columns) == sorted(odf.columns)
+            ok_hash = ok_schema and _hash_df(sdf) == _hash_df(odf)
+            status = "OK" if (ok_rows and ok_schema and ok_hash) else "FAIL"
+            if status == "FAIL":
+                failures += 1
+            print(
+                f"{name}: {status} rows={len(sdf)}/{len(odf)} "
+                f"schema={ok_schema} hash={ok_hash}"
+            )
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            print(f"{name}: ERROR {type(e).__name__}: {e}")
+    print(json.dumps({"checked": len(names), "failures": failures}))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Physical-plan shape regressions — the scale properties the engine
+claims are pinned here as plan assertions, not prose: parquet predicate
+pushdown + column pruning, broadcast (not shuffle) joins for KB-sized
+probe/clause tables, no cartesian products in the pair miners, and
+zero Python evaluation nodes in the pure-Column operators.
+
+A plan change that silently reintroduces a full scan, a cross product, or
+a Python UDF in these paths fails CI even while results stay correct."""
+
+import contextlib
+import io
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.functions import text as TXT
+from fuzzy_wiki_spark.operators import similarity as SIM
+
+DIM = 16
+N = 120
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((N, DIM)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(N)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df = df.persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_parquet_pushdown_and_pruning(spark, tmp_path):
+    """A point filter + narrow projection must reach the parquet scan:
+    PushedFilters carries the predicate and ReadSchema carries ONLY the
+    projected/filtered columns (the '2-column projection reads 2 columns'
+    rule)."""
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"t{i}", f"body {i}", i % 3) for i in range(100)],
+        "doc_id long, title string, text string, lang int",
+    ).write.parquet(p)
+    df = (
+        spark.read.parquet(p)
+        .where(F.col("doc_id") == 5)
+        .select("doc_id", "text")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters:" in plan
+    assert "EqualTo(doc_id,5)" in plan
+    # pruning: the scan schema must not include unprojected columns
+    read_schema = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ][0]
+    assert "title" not in read_schema and "lang" not in read_schema
+    assert "doc_id" in read_schema and "text" in read_schema
+
+
+def test_blocked_pairs_no_cartesian(spark, emb_df):
+    """The grid block join compiles to an equi-join — never a cartesian or
+    a broadcast nested loop over the corpus."""
+    plan = plan_of(
+        SIM.cosine_pairs_blocked(emb_df, threshold=0.9, n_blocks=4)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_batch_probe_table_broadcasts(spark, emb_df):
+    """The KB-sized (qid, list_id, qvec) probe table must broadcast —
+    a shuffle join here would shuffle the corpus for a 16-row dim table."""
+    cent = SIM.kmeans_centroids(emb_df, n_centroids=4, sample=64, seed=3)
+    qrows = emb_df.where(F.col("vec_id") < 2).collect()
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    plan = plan_of(
+        SIM.ivf_cosine_topk_batch(emb_df, queries, cent, nprobe=2, k=5)
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_topk_is_take_ordered(spark, emb_df):
+    """Single-query brute force = scan + TakeOrderedAndProject: no global
+    sort, no shuffle of scored rows beyond the top-k gather."""
+    qv = [1.0] + [0.0] * (DIM - 1)
+    plan = plan_of(SIM.cosine_topk(emb_df, qv, k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_text_functions_stay_jvm_side(spark):
+    """Quality/lang/fingerprint/token-count are pure Column expressions:
+    the plan must contain NO Python evaluation node and at least one
+    WholeStageCodegen span."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "int main() { return 0; }")],
+        "doc_id long, text string",
+    ).select(
+        "doc_id",
+        TXT.quality_score(F.col("text")).alias("q"),
+        TXT.lang_guess(F.col("text")).alias("lg"),
+        TXT.fingerprint(F.col("text")).alias("fp"),
+        TXT.token_count_bpe(F.col("text")).alias("n"),
+    )
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # formatted mode marks whole-stage-codegen nodes with [codegen id : N]
+    assert "codegen id" in plan

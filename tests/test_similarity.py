@@ -167,3 +167,85 @@ def test_multiprobe_recall_dominates_single_probe(spark, emb_df):
     # so the point pinned here is the multi-probe LIFT, not absolute recall)
     assert multi_total > single_total
     assert multi_total >= 15
+
+
+def test_batch_topk_matches_per_query(spark, emb_df):
+    """cosine_topk_batch (one job, gemm kernel + partial top-k) is EXACTLY
+    the per-query brute force: identical (vec_id, cos) top-10 lists in
+    identical order for every query. Scores agree to 1e-9 (gemm vs
+    zip_with fold differ only in float summation order)."""
+    qrows = emb_df.where(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    batch = SIM.cosine_topk_batch(emb_df, queries, k=10, exclude_self=True)
+    got = {}
+    for r in batch.orderBy("qid", F.desc("cos_sim"), "vec_id").collect():
+        got.setdefault(int(r["qid"]), []).append(
+            (int(r["vec_id"]), round(float(r["cos_sim"]), 9))
+        )
+    assert set(got) == {0, 1, 2}
+    for qid, qv in queries:
+        want = [
+            (int(r["vec_id"]), round(float(r["cos_sim"]), 9))
+            for r in SIM.cosine_topk(
+                emb_df, qv, k=10, exclude_ids=[qid]
+            ).collect()
+        ]
+        assert got[qid] == want, f"qid={qid}"
+
+
+def test_batch_topk_self_match(spark, emb_df):
+    """Without exclude_self each query's own vector ranks first at cos 1."""
+    qrows = emb_df.where(F.col("vec_id") < 2).orderBy("vec_id").collect()
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    res = SIM.cosine_topk_batch(emb_df, queries, k=3, exclude_self=False)
+    first = {}
+    for r in res.orderBy("qid", F.desc("cos_sim"), "vec_id").collect():
+        first.setdefault(int(r["qid"]), (int(r["vec_id"]), float(r["cos_sim"])))
+    for qid, _ in queries:
+        vid, cs = first[qid]
+        assert vid == qid and abs(cs - 1.0) < 1e-9
+
+
+def test_ivf_batch_exact_at_exhaustive_probe(spark, emb_df):
+    """With nprobe == n_centroids the IVF batch path scores every vector:
+    identical top-10 lists (ids AND cos to 1e-9) as brute-force batch."""
+    C = 8
+    cent = SIM.kmeans_centroids(emb_df, n_centroids=C, sample=128, seed=11)
+    qrows = emb_df.where(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+
+    def lists(df):
+        out = {}
+        for r in df.orderBy("qid", F.desc("cos_sim"), "vec_id").collect():
+            out.setdefault(int(r["qid"]), []).append(
+                (int(r["vec_id"]), round(float(r["cos_sim"]), 9))
+            )
+        return out
+
+    exact = lists(SIM.cosine_topk_batch(emb_df, queries, k=10))
+    ivf = lists(
+        SIM.ivf_cosine_topk_batch(emb_df, queries, cent, nprobe=C, k=10)
+    )
+    assert ivf == exact
+
+
+def test_ivf_batch_recall_ladder(spark, emb_df):
+    """Batch IVF recall@10 vs brute force is monotone in nprobe and hits 1
+    at exhaustive probe."""
+    C = 8
+    cent = SIM.kmeans_centroids(emb_df, n_centroids=C, sample=128, seed=11)
+    qrows = emb_df.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    truth = {}
+    for r in SIM.cosine_topk_batch(emb_df, queries, k=10).collect():
+        truth.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
+    recalls = []
+    for nprobe in (1, 4, C):
+        got = {}
+        for r in SIM.ivf_cosine_topk_batch(
+            emb_df, queries, cent, nprobe=nprobe, k=10
+        ).collect():
+            got.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
+        hit = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        recalls.append(hit / sum(len(t) for t in truth.values()))
+    assert recalls[0] <= recalls[1] <= recalls[2] == 1.0
