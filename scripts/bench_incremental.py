@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Incremental-index scale bench (reference O11 at corpus scale).
+
+Splits ``--input`` docs into ``--epochs`` contiguous doc_id ranges and
+appends each as one segment generation (streaming/incremental.append_batch
+— the foreachBatch body), then:
+
+  1. batch-replays the reference query set over the UN-compacted
+     multi-generation union (open_incremental),
+  2. compacts all generations into a fresh single-generation index
+     (compact_generations: decode → one re-encode shuffle),
+  3. replays over the compacted index,
+  4. checks (query_id, rank, doc_id) parity incremental ≡ compacted
+     (≡ --oneshot index when given — e.g. /tmp/ix_s8/index from
+     scripts/build_index.py over the same corpus).
+
+Prints ONE JSON line with per-stage seconds + parity flags.
+
+    python scripts/bench_incremental.py --input /tmp/fw_corpus800k \
+        --out /tmp/fw_inc --epochs 2 --oneshot /tmp/ix_s8/index
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--n-buckets", type=int, default=32)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--oneshot", default=None,
+                    help="existing one-shot SegmentIndex dir for parity")
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+
+    from fuzzy_wiki_spark.corpus import REFERENCE_QUERIES
+    from fuzzy_wiki_spark.engine import SegmentIndex
+    from fuzzy_wiki_spark.session import get_spark
+    from fuzzy_wiki_spark.streaming.incremental import (
+        append_batch,
+        compact_generations,
+        open_incremental,
+    )
+
+    spark = get_spark(
+        "bench-incremental",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus * 4,
+    )
+
+    if Path(args.out).exists():
+        shutil.rmtree(args.out)
+    docs = spark.read.parquet(args.input)
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    n_docs = docs.count()
+    span = (hi - lo + 1 + args.epochs - 1) // args.epochs
+
+    t: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        t[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    for e in range(args.epochs):
+        batch = docs.where(
+            (F.col("doc_id") >= lo + e * span)
+            & (F.col("doc_id") < lo + (e + 1) * span)
+        )
+        timed(
+            f"append_epoch{e}",
+            lambda b=batch, e=e: append_batch(
+                spark, b, e, args.out, n_buckets=args.n_buckets
+            ),
+        )
+
+    def replay(idx):
+        rows = idx.search_many(REFERENCE_QUERIES, k=args.k).select(
+            "query_id", "rank", "doc_id"
+        ).collect()
+        return {(r["query_id"], r["rank"], r["doc_id"]) for r in rows}
+
+    inc = timed("open_incremental", lambda: open_incremental(spark, args.out))
+    inc_hits = timed("replay_multigen", lambda: replay(inc))
+
+    dst = f"{args.out}_compacted"
+    if Path(dst).exists():
+        shutil.rmtree(dst)
+    comp = timed(
+        "compact",
+        lambda: compact_generations(
+            spark, args.out, dst, n_buckets=args.n_buckets
+        ),
+    )
+    comp_hits = timed("replay_compacted", lambda: replay(comp))
+
+    out = {
+        "n_docs": n_docs,
+        "epochs": args.epochs,
+        "cpus": args.cpus,
+        "timings_sec": t,
+        "n_queries": len(REFERENCE_QUERIES),
+        "multigen_qps": round(len(REFERENCE_QUERIES) / t["replay_multigen"], 3),
+        "compacted_qps": round(
+            len(REFERENCE_QUERIES) / t["replay_compacted"], 3
+        ),
+        "parity_inc_vs_compacted": inc_hits == comp_hits,
+    }
+    if args.oneshot:
+        one = SegmentIndex(spark, args.oneshot)
+        one_hits = timed("replay_oneshot", lambda: replay(one))
+        out["oneshot_qps"] = round(
+            len(REFERENCE_QUERIES) / t["replay_oneshot"], 3
+        )
+        out["parity_inc_vs_oneshot"] = inc_hits == one_hits
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
