@@ -152,6 +152,58 @@ def q_bm25_batch(spark, sf_dir):
     )
 
 
+def q_facet_counts(spark, sf_dir):
+    """Faceted search, counts side: distinct docs matching ANY query term,
+    counted per `lang` facet (operators/facets.py facet_counts — serving
+    addition beyond the reference's flat top-k)."""
+    from fuzzy_wiki_spark.operators.facets import facet_counts
+
+    res = facet_counts(
+        _postings_simple(spark, sf_dir),
+        _docs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        facet_col="lang",
+    )
+    return res.select("lang", "n_docs")
+
+
+def q_facet_topk(spark, sf_dir):
+    """Faceted search, hits side: BM25-scored candidates for the fixed
+    query, top-3 per `lang` facet (score_queries_batch(k=None) → join →
+    window rank per facet; operators/facets.py grouped_topk)."""
+    from fuzzy_wiki_spark.operators.facets import grouped_topk
+
+    posts = _postings_simple(spark, sf_dir)
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    ts = P.term_stats(posts)
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in ts.where(F.col("term").isin(BM25_QUERY_TERMS)).collect()
+    }
+    clauses = [
+        Clause(i, "content", (t,), 1.0, 0, False)
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    ]
+    from fuzzy_wiki_spark.operators.topk import score_queries_batch
+
+    scored = score_queries_batch(
+        spark, posts, {0: clauses}, term_df, fstats, docs_meta=None, k=None
+    ).select("doc_id", "score")
+    scored = scored.join(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+    )
+    res = grouped_topk(scored, facet_col="lang", k=3)
+    return res.select(
+        "lang",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_term_topdocs(spark, sf_dir):
     """Window top-k per group: top-5 docs by tf for each query term."""
     posts = _postings_simple(spark, sf_dir).where(
@@ -752,6 +804,32 @@ ORACLE_SQL: dict[str, str] = {
                rank::INT AS rank
         FROM r WHERE rank <= 10
     """,
+    "facet_counts": f"""
+        WITH tf AS ({_TF}),
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS})
+        SELECT d.lang, count(*)::BIGINT AS n_docs
+        FROM m JOIN documents d USING(doc_id) GROUP BY d.lang
+    """,
+    "facet_topk": f"""
+        WITH tf AS ({_TF}), dl AS ({_DL}),
+        st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+        dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                WHERE term IN {_QTERMS} GROUP BY term),
+        sc AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+                      * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ) AS s
+          FROM tf JOIN dfq ON tf.term = dfq.term
+               JOIN dl USING(doc_id) CROSS JOIN st
+          WHERE tf.term IN {_QTERMS}
+          GROUP BY tf.doc_id),
+        r AS (SELECT d.lang, sc.doc_id, sc.s,
+                     row_number() OVER (PARTITION BY d.lang
+                                        ORDER BY sc.s DESC, sc.doc_id) AS rank
+              FROM sc JOIN documents d USING(doc_id))
+        SELECT lang, doc_id, round(s, 6) AS score, rank::INT AS rank
+        FROM r WHERE rank <= 3
+    """,
     "term_topdocs": f"""
         WITH tf AS ({_TF}),
         r AS (SELECT term, doc_id, tf,
@@ -1072,6 +1150,8 @@ QUERIES = {
     "term_stats": q_term_stats,
     "bm25_topk": q_bm25_topk,
     "bm25_batch": q_bm25_batch,
+    "facet_counts": q_facet_counts,
+    "facet_topk": q_facet_topk,
     "term_topdocs": q_term_topdocs,
     "point_lookup": q_point_lookup,
     "validate_docs": q_validate_docs,

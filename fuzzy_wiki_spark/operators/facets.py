@@ -1,0 +1,64 @@
+"""Faceted search: per-facet match counts and per-facet top-k hits.
+
+Serving-side additions beyond the reference (its WikiSearcher returns a
+flat top-k only): the two aggregations a search UI asks for next — "how
+many hits per language/repo?" and "best k hits within each facet value".
+Both are single declarative plans: the match set never leaves the JVM,
+facet counting is one map-side-combinable groupBy, and the per-facet
+top-k uses a window rank over a set already reduced to candidates, so
+the shapes scale exactly like the engine's other group-by/top-k paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def facet_counts(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    facet_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(facet value, n_docs): how many distinct documents match ANY query
+    term, per facet value — the "refine by" panel.
+
+    Plan: postings filtered to the query terms (predicate reaches the
+    scan), distinct doc_ids (partial agg), equi-join to the docs table on
+    doc_id, then one count per facet value. No collect, no Python; at
+    scale the match set is the small join side and AQE picks the
+    broadcast automatically."""
+    matches = (
+        postings.where(F.col("term").isin(terms))
+        .select(id_col)
+        .distinct()
+    )
+    return (
+        matches.join(docs.select(id_col, facet_col), id_col)
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def grouped_topk(
+    scored: DataFrame,
+    facet_col: str,
+    k: int = 3,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k hits per facet value from a scored candidate set:
+    (facet, doc_id, score, rank). Window rank partitioned by facet —
+    safe here because the input is already a per-query candidate set
+    (bounded by matching docs), not the corpus; ties break on doc_id
+    for determinism."""
+    w = Window.partitionBy(facet_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

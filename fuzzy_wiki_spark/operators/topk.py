@@ -169,9 +169,11 @@ def score_queries_batch(
     term_df: dict[tuple[str, str], int],
     field_stats: dict[str, tuple[int, float]],
     docs_meta: DataFrame | None = None,
-    k: int = 10,
+    k: int | None = 10,
 ) -> DataFrame:
     """Score MANY queries in ONE Spark job → (query_id, doc_id, score, rank).
+    ``k=None`` returns the full scored candidate set (query_id, doc_id,
+    score) without the top-k truncation or rank column.
 
     The per-query path costs a full job's fixed overhead per query; a replay
     of Q queries (the reference's load envelope is 10k, LoadTest.ts:6-14) is
@@ -276,6 +278,12 @@ def score_queries_batch(
             .where(~F.col("is_redirect"))
             .select("query_id", "doc_id", "path", "score")
         )
+
+    if k is None:
+        # full scored candidate set, no truncation — for consumers that
+        # re-aggregate matches (facet counts, per-facet top-k) rather than
+        # taking a flat global top-k
+        return scored
 
     # Per-key TakeOrderedAndProject: window-rank alone would sort each
     # query's FULL candidate set in one partition (a hot query at corpus
