@@ -204,6 +204,21 @@ def q_facet_topk(spark, sf_dir):
     )
 
 
+def q_snippets(spark, sf_dir):
+    """Highlighted snippets for the BM25 top-10: best 10-token window per
+    hit by (distinct query terms, matched tokens, earliest), matches
+    bracket-wrapped (functions/text.py snippet_struct — pure higher-order
+    Column exprs, runs after top-k so it touches k docs, not the corpus)."""
+    hits = q_bm25_topk(spark, sf_dir).select("doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    snip = TXT.snippet_struct(F.col("text"), BM25_QUERY_TERMS, window=10)
+    return (
+        hits.join(docs, "doc_id")
+        .select("doc_id", snip.alias("s"))
+        .select("doc_id", "s.snippet", "s.n_terms", "s.n_matches", "s.start")
+    )
+
+
 def q_term_topdocs(spark, sf_dir):
     """Window top-k per group: top-5 docs by tf for each query term."""
     posts = _postings_simple(spark, sf_dir).where(
@@ -1144,6 +1159,34 @@ ORACLE_SQL: dict[str, str] = {
 ORACLE_SQL["incremental_search"] = ORACLE_SQL["bm25_topk"]
 ORACLE_SQL["compact_search"] = ORACLE_SQL["bm25_topk"]
 
+_QTERMS_LIST = "['" + "','".join(BM25_QUERY_TERMS) + "']"
+ORACLE_SQL["snippets"] = f"""
+    WITH hits AS (SELECT doc_id FROM ({ORACLE_SQL["bm25_topk"]})),
+    tk AS (SELECT d.doc_id,
+                  list_filter(string_split(d.text, ' '), t -> t <> '') AS toks
+           FROM documents d JOIN hits USING(doc_id)),
+    cand AS (SELECT doc_id, toks,
+                    unnest(generate_series(1, greatest(1, len(toks) - 9))) AS s
+             FROM tk),
+    sc AS (SELECT doc_id, toks, s,
+                  list_filter(list_slice(toks, s, s + 9),
+                              t -> list_contains({_QTERMS_LIST}, t)) AS m
+           FROM cand),
+    best AS (SELECT doc_id, toks, s,
+                    len(list_distinct(m)) AS nd, len(m) AS nm,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY len(list_distinct(m)) DESC,
+                                                len(m) DESC, s) AS r
+             FROM sc)
+    SELECT doc_id,
+           array_to_string(
+             list_transform(list_slice(toks, s, s + 9),
+               t -> CASE WHEN list_contains({_QTERMS_LIST}, t)
+                         THEN '[' || t || ']' ELSE t END), ' ') AS snippet,
+           nd::BIGINT AS n_terms, nm::BIGINT AS n_matches, s::INT AS "start"
+    FROM best WHERE r = 1
+"""
+
 QUERIES = {
     "postings": q_postings,
     "doc_lens": q_doc_lens,
@@ -1152,6 +1195,7 @@ QUERIES = {
     "bm25_batch": q_bm25_batch,
     "facet_counts": q_facet_counts,
     "facet_topk": q_facet_topk,
+    "snippets": q_snippets,
     "term_topdocs": q_term_topdocs,
     "point_lookup": q_point_lookup,
     "validate_docs": q_validate_docs,

@@ -99,6 +99,62 @@ def text_brief(text_col) -> Column:
     ).otherwise(first)
 
 
+def snippet_struct(text_col, terms: list[str], window: int = 10) -> Column:
+    """Best-window snippet with match highlighting, as a pure Column expr.
+
+    Serving-side addition next to O28's flat truncation (the reference's
+    MyScoredDoc.textBrief returns the first sentence regardless of where
+    the query matched): pick the ``window``-token span that maximizes
+    (#distinct query terms, #matched tokens, earliest start) and render it
+    with matched tokens wrapped in ``[...]``.
+
+    Everything is JVM-side higher-order functions (sequence → transform →
+    slice/filter → array_sort), so it rides whole-stage codegen with no
+    Python. Cost is O(n_tokens × window) per row — applied AFTER top-k, so
+    per query it touches k documents, never the corpus. Struct fields:
+    (snippet string, n_terms, n_matches, start)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    terms_arr = F.array(*[F.lit(t) for t in sorted(set(terms))])
+
+    def is_match(t):
+        return F.array_contains(terms_arr, t)
+
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), n - F.lit(window - 1)))
+    # candidate = (-distinct_terms, -matches, start): ascending struct sort
+    # puts the best window first, ties broken by earliest start
+    cand = F.transform(
+        starts,
+        lambda s: F.struct(
+            (
+                -F.size(
+                    F.array_distinct(F.filter(F.slice(toks, s, window), is_match))
+                )
+            ).alias("nd"),
+            (-F.size(F.filter(F.slice(toks, s, window), is_match))).alias("nm"),
+            s.alias("start"),
+        ),
+    )
+    best = F.element_at(F.array_sort(cand), 1)
+    start = best["start"]
+    win = F.slice(toks, start, window)
+    rendered = F.concat_ws(
+        " ",
+        F.transform(
+            win,
+            lambda t: F.when(
+                is_match(t), F.concat(F.lit("["), t, F.lit("]"))
+            ).otherwise(t),
+        ),
+    )
+    return F.struct(
+        rendered.alias("snippet"),
+        (-best["nd"]).cast("long").alias("n_terms"),
+        (-best["nm"]).cast("long").alias("n_matches"),
+        start.cast("int").alias("start"),
+    )
+
+
 def fingerprint(text_col) -> Column:
     """Document fingerprint: md5 over the sorted distinct token set —
     word-order-insensitive content identity (near-dup prefilter)."""

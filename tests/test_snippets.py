@@ -1,0 +1,77 @@
+"""Snippet/highlight semantics pinned against an independent brute-force
+oracle (windows enumerated in plain Python, no shared code with the
+Column-expression implementation in functions/text.py)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.functions.text import snippet_struct
+
+QTERMS = ["spark", "merge", "join"]
+W = 4
+
+
+def oracle_snippet(text: str, terms: list[str], window: int):
+    """Brute force: enumerate every start, score (distinct, matches),
+    pick best with earliest-start ties; render with [..] wrapping."""
+    toks = [t for t in text.split(" ") if t]
+    tset = set(terms)
+    n = len(toks)
+    best = None
+    for s in range(1, max(1, n - window + 1) + 1):
+        win = toks[s - 1 : s - 1 + window]
+        m = [t for t in win if t in tset]
+        key = (-len(set(m)), -len(m), s)
+        if best is None or key < best:
+            best = key
+    nd, nm, s = -best[0], -best[1], best[2]
+    win = toks[s - 1 : s - 1 + window]
+    snip = " ".join(f"[{t}]" if t in tset else t for t in win)
+    return snip, nd, nm, s
+
+
+CASES = [
+    "spark merge a b c join spark d e f",          # window must cover cluster
+    "a b c d e f g h",                              # zero matches -> start 1
+    "spark spark spark merge x y z join q r s t",   # distinct beats raw count
+    "x spark y",                                    # shorter than window
+    "spark",                                        # single token
+    "a spark b c a spark b c",                      # exact tie -> earliest
+    "merge join spark",                             # all three, short doc
+    "q w e r t y spark",                            # match at tail
+]
+
+
+@pytest.mark.parametrize("window", [2, 4, 10])
+def test_snippet_matches_bruteforce(spark, window):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CASES)], "doc_id int, text string"
+    )
+    got = (
+        df.select("doc_id", snippet_struct(F.col("text"), QTERMS, window).alias("s"))
+        .select("doc_id", "s.snippet", "s.n_terms", "s.n_matches", "s.start")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        [
+            (i, *oracle_snippet(t, QTERMS, window))
+            for i, t in enumerate(CASES)
+        ],
+        columns=["doc_id", "snippet", "n_terms", "n_matches", "start"],
+    )
+    for col in ["snippet", "n_terms", "n_matches", "start"]:
+        assert list(got[col]) == list(want[col]), (window, col)
+
+
+def test_snippet_plan_has_no_python(spark):
+    df = spark.createDataFrame([(1, "a spark b")], "doc_id int, text string")
+    plan = (
+        df.select(snippet_struct(F.col("text"), QTERMS, W).alias("s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
