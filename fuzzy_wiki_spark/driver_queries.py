@@ -219,6 +219,36 @@ def q_snippets(spark, sf_dir):
     )
 
 
+def q_export_shards(spark, sf_dir):
+    """Deterministic shuffled shard assignment for training export:
+    (doc_id, shard, pos) — md5(doc_id:salt) key, uniform shard, 1-based
+    rank within shard (operators/export.py shard_assign; the only
+    exchange at scale is the hash-partition by shard)."""
+    from fuzzy_wiki_spark.operators.export import shard_assign
+
+    res = shard_assign(_docs(spark, sf_dir), n_shards=8, salt="train")
+    return res.select("doc_id", "shard", F.col("pos").cast("long").alias("pos"))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing: docs in shuffled shard order,
+    sequence = floor(tokens-before / budget) — a pure per-shard prefix
+    sum (operators/export.py pack_sequences), budget 500 whitespace
+    tokens here."""
+    from fuzzy_wiki_spark.operators.export import pack_sequences
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tokens", TXT.token_count(F.col("text"))
+    )
+    res = pack_sequences(docs, budget=500, n_shards=8, salt="train")
+    return res.select(
+        "doc_id",
+        "shard",
+        F.col("seq").cast("long").alias("seq"),
+        "cum_tokens",
+    )
+
+
 def q_term_topdocs(spark, sf_dir):
     """Window top-k per group: top-5 docs by tf for each query term."""
     posts = _postings_simple(spark, sf_dir).where(
@@ -1159,6 +1189,36 @@ ORACLE_SQL: dict[str, str] = {
 ORACLE_SQL["incremental_search"] = ORACLE_SQL["bm25_topk"]
 ORACLE_SQL["compact_search"] = ORACLE_SQL["bm25_topk"]
 
+_SHARDED = """
+    SELECT doc_id, text,
+           (('0x' || substr(md5(doc_id::VARCHAR || ':train'), 1, 8))::UBIGINT
+            % 8)::INT AS shard,
+           md5(doc_id::VARCHAR || ':train') AS k
+    FROM documents
+"""
+ORACLE_SQL["export_shards"] = f"""
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)::BIGINT
+             AS pos
+    FROM ({_SHARDED})
+"""
+ORACLE_SQL["pack_sequences"] = f"""
+    WITH s AS ({_SHARDED}),
+    t AS (SELECT doc_id, shard, k,
+                 len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tokens
+          FROM s),
+    c AS (SELECT doc_id, shard,
+                 sum(n_tokens) OVER (PARTITION BY shard ORDER BY k, doc_id
+                                     ROWS UNBOUNDED PRECEDING)::BIGINT
+                   AS cum_tokens,
+                 n_tokens
+          FROM t)
+    SELECT doc_id, shard,
+           floor((cum_tokens - n_tokens) / 500.0)::BIGINT AS seq, cum_tokens
+    FROM c
+"""
+
 _QTERMS_LIST = "['" + "','".join(BM25_QUERY_TERMS) + "']"
 ORACLE_SQL["snippets"] = f"""
     WITH hits AS (SELECT doc_id FROM ({ORACLE_SQL["bm25_topk"]})),
@@ -1222,6 +1282,8 @@ QUERIES = {
     "compact_search": q_compact_search,
     "resolve_redirects": q_resolve_redirects,
     "doc_json": q_doc_json,
+    "export_shards": q_export_shards,
+    "pack_sequences": q_pack_sequences,
     # rows-only (no SQL mirror — Spark-specific hashing / porter chain /
     # seeded-numpy LSH planes / binary media payloads):
     "minhash_pairs": q_minhash_pairs,

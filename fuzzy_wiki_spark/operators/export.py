@@ -1,0 +1,115 @@
+"""Training-data export: deterministic global shuffle → sharded layout →
+token-budget sequence packing.
+
+What a training pipeline needs downstream of dedup/quality (brief §
+pipeline additions): a REPRODUCIBLE shuffle of the corpus (same salt →
+same order, any cluster size), a fixed shard assignment so the dataset
+can be written/consumed as N independent files, and an assignment of docs
+into fixed-token-budget training sequences.
+
+Scale shape: the shuffle key is a per-row md5 — computing it is
+embarrassingly parallel; the only exchange is the hash-partition by
+shard, and all ordering is sortWithinPartitions / window-per-shard (one
+task per shard, never a global sort). Everything is Column expressions
+(codegen); the md5/conv primitives are bit-identical in DuckDB, so every
+step has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def shuffle_key(id_col, salt: str) -> Column:
+    """Deterministic uniform key: md5(f"{id}:{salt}") hex. Changing the
+    salt reshuffles the corpus; fixing it makes every run reproducible."""
+    return F.md5(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)).cast(
+            "binary"
+        )
+    )
+
+
+def _key_int(key: Column) -> Column:
+    """First 8 hex chars as an int in [0, 2^32) — uniform, cheap, and
+    mirrored exactly by DuckDB's ('0x'||substr(k,1,8))::UBIGINT."""
+    return F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    salt: str = "train",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Add (shard, pos): uniform shard in [0, n_shards) from the shuffle
+    key, pos = 1-based rank within the shard by (key, id).
+
+    The window partitions by shard — n_shards parallel sorts of corpus/N
+    rows each, no global order anywhere. Size n_shards ≈ a few × cluster
+    cores (same guidance as index n_buckets)."""
+    key = shuffle_key(id_col, salt)
+    out = df.withColumn("_k", key).withColumn(
+        "shard", (_key_int(F.col("_k")) % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_k", id_col)
+    return out.withColumn("pos", F.row_number().over(w)).drop("_k")
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    n_shards: int = 8,
+    salt: str = "train",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign docs to fixed-token-budget training sequences:
+    (shard, seq, pos, cum_tokens).
+
+    Pinned offset-packing semantics: within a shard, docs in shuffled
+    (key, id) order; a doc starting at cumulative offset c (tokens before
+    it) belongs to sequence floor(c / budget). A doc may straddle a
+    boundary — the downstream tokenizer splits it; this keeps the
+    assignment a pure prefix-sum (one window per shard, no sequential
+    bin-state), which is what survives a 1000-way cluster. Greedy
+    never-split packing needs per-row sequential state = a single-task
+    scan per shard; the prefix-sum form is the distributed-friendly
+    standard and is exactly SQL-mirrorable."""
+    assigned = shard_assign(df, n_shards, salt, id_col)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return (
+        assigned.withColumn("cum_tokens", cum.cast("long"))
+        .withColumn(
+            "seq",
+            F.floor(
+                (F.col("cum_tokens") - F.col(token_col)) / F.lit(budget)
+            ).cast("int"),
+        )
+    )
+
+
+def write_training_shards(
+    df: DataFrame, path: str, n_shards: int, salt: str = "train",
+    id_col: str = "doc_id", fmt: str = "parquet",
+) -> None:
+    """Materialize the shuffled sharded layout: one exchange
+    (repartition by shard), per-partition sort by the shuffle key, one
+    file tree partitioned by shard — readers get reproducible order via
+    (shard, pos)."""
+    out = shard_assign(df, n_shards, salt, id_col)
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )

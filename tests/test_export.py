@@ -1,0 +1,94 @@
+"""Training-export operators: deterministic shuffle-shard assignment and
+token-budget sequence packing (operators/export.py).
+
+Pins: (a) same salt → bit-identical assignment at any parallelism,
+(b) different salt → different order, (c) shards are usably balanced,
+(d) packing is the offset prefix-sum semantics (doc belongs to
+floor(tokens-before/budget); straddling allowed), (e) the sharded write
+lays out one directory per shard with (shard, pos) reproducible order.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.operators.export import (
+    pack_sequences,
+    shard_assign,
+    write_training_shards,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"word{i} " + "tok " * (i % 37)) for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _key(df):
+    return sorted(
+        (r.doc_id, r.shard, r.pos)
+        for r in df.select("doc_id", "shard", "pos").collect()
+    )
+
+
+def test_deterministic_across_parallelism(spark, docs):
+    a = _key(shard_assign(docs, n_shards=8, salt="s1"))
+    b = _key(shard_assign(docs.repartition(13), n_shards=8, salt="s1"))
+    assert a == b
+
+
+def test_salt_reshuffles(spark, docs):
+    a = _key(shard_assign(docs, n_shards=8, salt="s1"))
+    b = _key(shard_assign(docs, n_shards=8, salt="s2"))
+    assert a != b
+
+
+def test_shard_balance_and_pos_contract(spark, docs):
+    out = shard_assign(docs, n_shards=8, salt="s1")
+    sizes = {
+        r.shard: r.n
+        for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(sizes) == set(range(8))
+    # md5 is uniform: 400 docs over 8 shards → each within [25, 75].
+    assert all(25 <= n <= 75 for n in sizes.values())
+    # pos is a dense 1..n rank within each shard
+    for shard, n in sizes.items():
+        ps = sorted(
+            r.pos for r in out.where(F.col("shard") == shard).collect()
+        )
+        assert ps == list(range(1, n + 1))
+
+
+def test_pack_prefix_sum_semantics(spark, docs):
+    toks = docs.withColumn(
+        "n_tokens", F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    )
+    out = pack_sequences(toks, budget=100, n_shards=4, salt="s1").collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.pos)
+        cum = 0
+        for r in rows:
+            assert r.seq == cum // 100  # offset BEFORE this doc
+            cum += r.n_tokens
+            assert r.cum_tokens == cum
+        # sequences are contiguous from 0
+        seqs = sorted({r.seq for r in rows})
+        assert seqs[0] == 0 and seqs == list(range(seqs[-1] + 1))
+
+
+def test_write_training_shards_layout(spark, docs, tmp_path):
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, n_shards=4, salt="s1")
+    back = spark.read.parquet(path)
+    assert sorted(r.shard for r in back.select("shard").distinct().collect()) == [
+        0,
+        1,
+        2,
+        3,
+    ]
+    # round-trip matches a fresh assignment exactly
+    assert _key(back) == _key(shard_assign(docs, n_shards=4, salt="s1"))
