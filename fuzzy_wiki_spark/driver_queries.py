@@ -152,6 +152,31 @@ def q_bm25_batch(spark, sf_dir):
     )
 
 
+PHRASE_EXACT = ("merge", "join", "key")  # slop 0 — strict adjacency
+PHRASE_SLOPPY = ("merge", "join")  # slop 3 — the reference's text-field slop
+
+
+def q_phrase_exact(spark, sf_dir):
+    """O17 driver surface, exact phrase (slop=0): docs containing the
+    3-term phrase strictly adjacent, ranked by the reference's phrase
+    frequency (Σ member-term tfs; myTermStats.java:56-63). Oracle = a
+    positional self-join in DuckDB over the same token stream."""
+    from fuzzy_wiki_spark.operators.topk import phrase_topdocs
+
+    posts = _postings_simple(spark, sf_dir)
+    return phrase_topdocs(posts, "content", PHRASE_EXACT, slop=0, k=15)
+
+
+def q_phrase_sloppy(spark, sf_dir):
+    """O17 driver surface, sloppy phrase (slop=3, the reference's text-field
+    default — Searcher.java:83): match iff ∃ positions p_i with
+    Σ|p_i − (p_1+i)| ≤ slop; rank by Σ member tfs."""
+    from fuzzy_wiki_spark.operators.topk import phrase_topdocs
+
+    posts = _postings_simple(spark, sf_dir)
+    return phrase_topdocs(posts, "content", PHRASE_SLOPPY, slop=3, k=15)
+
+
 def q_facet_counts(spark, sf_dir):
     """Faceted search, counts side: distinct docs matching ANY query term,
     counted per `lang` facet (operators/facets.py facet_counts — serving
@@ -800,6 +825,54 @@ _TOK = (
     "SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents"
     ") WHERE t <> ''"
 )
+# token stream WITH survivor positions: position = index among non-empty
+# tokens, matching the engine's post-filter position semantics
+# (operators/postings.py: positions of surviving tokens within their doc)
+_TOKPOS = (
+    "SELECT doc_id, t AS term,"
+    " row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos FROM ("
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS t,"
+    " unnest(range(1, len(string_split(text, ' ')) + 1)) AS i"
+    " FROM documents) WHERE t <> ''"
+)
+
+
+def _phrase_sql(phrase: tuple[str, ...], slop: int, k: int) -> str:
+    """DuckDB mirror of operators/topk.py:phrase_topdocs.
+
+    slop == 0 → strict adjacency via a chained positional self-join;
+    slop > 0 (2-term phrases) → |p_2 − (p_1+1)| ≤ slop, the engine's pinned
+    sloppy-cost spec for a single movable member."""
+    aliases = [chr(ord("a") + i) for i in range(len(phrase))]
+    if slop == 0:
+        joins = " ".join(
+            f"JOIN tk {al} ON {al}.doc_id = a.doc_id"
+            f" AND {al}.pos = a.pos + {i}"
+            for i, al in enumerate(aliases)
+            if i > 0
+        )
+    else:
+        if len(phrase) != 2:
+            raise ValueError("sloppy SQL mirror supports 2-term phrases")
+        joins = (
+            f"JOIN tk b ON b.doc_id = a.doc_id"
+            f" AND abs(b.pos - a.pos - 1) <= {slop}"
+        )
+    preds = " AND ".join(
+        f"{al}.term = '{t}'" for al, t in zip(aliases, phrase)
+    )
+    members = "('" + "','".join(phrase) + "')"
+    return f"""
+        WITH tk AS ({_TOKPOS}),
+        m AS (SELECT DISTINCT a.doc_id FROM tk a {joins} WHERE {preds}),
+        f AS (SELECT tk.doc_id, count(*)::BIGINT AS phrase_freq
+              FROM tk JOIN m USING(doc_id)
+              WHERE tk.term IN {members} GROUP BY tk.doc_id)
+        SELECT doc_id, phrase_freq FROM f
+        ORDER BY phrase_freq DESC, doc_id LIMIT {k}
+    """
+
+
 _TF = f"SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({_TOK}) GROUP BY doc_id, term"
 _DL = f"SELECT doc_id, count(*)::BIGINT AS dl FROM ({_TOK}) GROUP BY doc_id"
 _QTERMS = "('" + "','".join(BM25_QUERY_TERMS) + "')"
@@ -849,6 +922,8 @@ ORACLE_SQL: dict[str, str] = {
                rank::INT AS rank
         FROM r WHERE rank <= 10
     """,
+    "phrase_exact": _phrase_sql(PHRASE_EXACT, 0, 15),
+    "phrase_sloppy": _phrase_sql(PHRASE_SLOPPY, 3, 15),
     "facet_counts": f"""
         WITH tf AS ({_TF}),
         m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS})
@@ -1253,6 +1328,8 @@ QUERIES = {
     "term_stats": q_term_stats,
     "bm25_topk": q_bm25_topk,
     "bm25_batch": q_bm25_batch,
+    "phrase_exact": q_phrase_exact,
+    "phrase_sloppy": q_phrase_sloppy,
     "facet_counts": q_facet_counts,
     "facet_topk": q_facet_topk,
     "snippets": q_snippets,

@@ -110,6 +110,60 @@ def sloppy_match_batch(
 _sloppy_udf = F.pandas_udf(sloppy_match_batch, T.BooleanType())
 
 
+def phrase_topdocs(
+    postings: DataFrame,
+    field: str,
+    phrase: tuple[str, ...],
+    slop: int = 0,
+    k: int = 15,
+) -> DataFrame:
+    """Standalone O17 surface: docs matching a sloppy phrase, ranked by the
+    reference's phrase frequency — Σ of the member terms' tfs when the
+    phrase matches, else excluded (``myTermStats.java:28-67``: slop window
+    ``:36-40``, member-tf sum ``:56-63``).
+
+    Plan: one postings scan filtered to the member terms (pushdown-able;
+    segments are term-sorted on disk), one (doc)-keyed partial-agg groupBy
+    collecting ``struct(term, positions)`` pairs (single collect_list — the
+    term↔positions pairing is structural), then the vectorized sloppy
+    matcher over candidates that contain ALL member terms. No shuffle other
+    than the one doc-keyed agg; candidate count ≤ df(rarest member term).
+
+    Returns (doc_id, phrase_freq) — top-k by freq desc, doc_id asc.
+    Requires pairwise-distinct member terms (Σ tf double-counts repeated
+    members; the clause scorer handles those via the combinatorial path).
+    """
+    if len(set(phrase)) != len(phrase):
+        raise ValueError("phrase_topdocs requires pairwise-distinct terms")
+    cand = (
+        postings.where(
+            (F.col("field") == field) & F.col("term").isin(list(phrase))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("term"), F.col("positions"))
+            ).alias("mtps"),
+            F.sum("tf").cast("long").alias("phrase_freq"),
+            F.countDistinct("term").alias("n_found"),
+        )
+        .where(F.col("n_found") == len(set(phrase)))
+    )
+    matched = cand.withColumn(
+        "matched",
+        _sloppy_udf(
+            F.col("mtps"),
+            F.array(*[F.lit(t) for t in phrase]),
+            F.lit(slop),
+        ),
+    ).where(F.col("matched"))
+    return (
+        matched.select("doc_id", "phrase_freq")
+        .orderBy(F.desc("phrase_freq"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def clause_weights(
     clauses: list[Clause],
     term_df: dict[tuple[str, str], int],

@@ -1,0 +1,73 @@
+"""phrase_topdocs (standalone O17 surface) vs the pure-Python oracle.
+
+The clause scorer's sloppy matcher is already golden-pinned
+(tests/test_plans.py / the golden suite); this pins the standalone
+phrase-frequency ranking operator — match set, reference freq semantics
+(Σ member tfs, myTermStats.java:56-63), and ordering — against a brute
+force over the same token streams.
+"""
+
+import pandas as pd
+import pytest
+
+from fuzzy_wiki_spark.operators.postings import build_postings
+from fuzzy_wiki_spark.operators.topk import phrase_topdocs
+from fuzzy_wiki_spark.oracle import sloppy_phrase_match
+
+DOCS = [
+    (0, "merge join key merge join"),  # adjacent exact + repeats
+    (1, "merge fast join slow key"),  # sloppy only (gaps)
+    (2, "join merge key"),  # transposed
+    (3, "merge merge merge"),  # missing member
+    (4, "key join merge join key merge join key"),  # dense repeats
+    (5, ""),  # empty
+    (6, "merge join other key"),  # one gap before key
+]
+
+
+def _brute(phrase, slop):
+    exp = []
+    for doc_id, text in DOCS:
+        toks = [t for t in text.split(" ") if t]
+        posmap = {}
+        for i, t in enumerate(toks):
+            posmap.setdefault(t, []).append(i)
+        if sloppy_phrase_match(posmap, phrase, slop):
+            freq = sum(len(posmap.get(t, [])) for t in phrase)
+            exp.append((doc_id, freq))
+    exp.sort(key=lambda r: (-r[1], r[0]))
+    return exp
+
+
+@pytest.fixture(scope="module")
+def posts(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["doc_id", "text"])
+    )
+    return build_postings(
+        df, fields={"content": "text"}, mode="simple"
+    ).cache()
+
+
+@pytest.mark.parametrize(
+    "phrase,slop",
+    [
+        (("merge", "join"), 0),
+        (("merge", "join"), 3),
+        (("merge", "join", "key"), 0),
+        (("merge", "join", "key"), 2),
+        (("key", "merge"), 1),
+    ],
+)
+def test_phrase_topdocs_matches_oracle(posts, phrase, slop):
+    got = [
+        (r["doc_id"], r["phrase_freq"])
+        for r in phrase_topdocs(posts, "content", phrase, slop=slop, k=15)
+        .collect()
+    ]
+    assert got == _brute(phrase, slop)
+
+
+def test_phrase_topdocs_rejects_repeated_members(posts):
+    with pytest.raises(ValueError):
+        phrase_topdocs(posts, "content", ("merge", "merge"), slop=0)
