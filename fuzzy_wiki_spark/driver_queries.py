@@ -177,6 +177,46 @@ def q_phrase_sloppy(spark, sf_dir):
     return phrase_topdocs(posts, "content", PHRASE_SLOPPY, slop=3, k=15)
 
 
+def q_query_4clause(spark, sf_dir):
+    """O12+O17+O19 end-to-end: the reference's FULL query shape — title
+    phrase ^1.5 slop 1, content phrase ^1.2 slop 3, per-term title ^1.1 and
+    content ^0.8 clauses (Searcher.java:79-97; title⇔path per SURVEY §2) —
+    scored in one job over a two-field corpus. `title` is synthesized as the
+    first 8 tokens of text (both sides use the same definition; the corpus
+    is single-space tokenized so raw-token and survivor-token prefixes
+    coincide). This gives the golden-suite query shape a driver-contract
+    hash check against DuckDB."""
+    terms = PHRASE_SLOPPY  # ("merge", "join")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).alias("title"),
+        F.col("text").alias("content"),
+    )
+    posts = P.build_postings(
+        docs, fields={"title": "title", "content": "content"}, mode="simple"
+    )
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    ts = P.term_stats(posts)
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in ts.where(F.col("term").isin(list(terms))).collect()
+    }
+    clauses = [
+        Clause(0, "title", terms, 1.5, 1, True),
+        Clause(1, "content", terms, 1.2, 3, True),
+    ]
+    cid = 2
+    for t in dict.fromkeys(terms):
+        clauses.append(Clause(cid, "title", (t,), 1.1, 0, False))
+        clauses.append(Clause(cid + 1, "content", (t,), 0.8, 0, False))
+        cid += 2
+    res = score_query(spark, posts, clauses, term_df, fstats, k=10)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_facet_counts(spark, sf_dir):
     """Faceted search, counts side: distinct docs matching ANY query term,
     counted per `lang` facet (operators/facets.py facet_counts — serving
@@ -873,6 +913,70 @@ def _phrase_sql(phrase: tuple[str, ...], slop: int, k: int) -> str:
     """
 
 
+def _four_clause_sql(t1: str, t2: str, k: int = 10) -> str:
+    """DuckDB mirror of q_query_4clause: full reference query shape over
+    (title = first-8-token prefix, content = text). Clause math matches
+    operators/topk.py:score_queries_batch exactly: weight = boost·Σ idf,
+    phrase freq = Σ member tfs gated by the sloppy match, per-term clauses
+    idf·tf_norm, per-field dl/avgdl/doc_count."""
+    return f"""
+        WITH tk AS ({_TOKPOS}),
+        f AS (
+          SELECT doc_id, term, pos, 'content' AS field FROM tk
+          UNION ALL
+          SELECT doc_id, term, pos, 'title' AS field FROM tk WHERE pos < 8),
+        tf AS (SELECT field, doc_id, term, count(*)::BIGINT AS tf
+               FROM f GROUP BY field, doc_id, term),
+        dl AS (SELECT field, doc_id, count(*)::BIGINT AS dl
+               FROM f GROUP BY field, doc_id),
+        st AS (SELECT field, count(*)::BIGINT AS doc_count,
+                      sum(dl)::DOUBLE / count(*) AS avgdl
+               FROM dl GROUP BY field),
+        dfq AS (SELECT field, term, count(*)::BIGINT AS df FROM tf
+                WHERE term IN ('{t1}', '{t2}') GROUP BY field, term),
+        idf AS (SELECT dfq.field, dfq.term,
+                       ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+                         AS idf
+                FROM dfq JOIN st USING(field)),
+        pm AS (  -- sloppy phrase match per field: slop 1 title / 3 content
+          SELECT DISTINCT a.field, a.doc_id FROM f a JOIN f b
+            ON b.doc_id = a.doc_id AND b.field = a.field
+           AND abs(b.pos - a.pos - 1)
+                 <= CASE WHEN a.field = 'title' THEN 1 ELSE 3 END
+          WHERE a.term = '{t1}' AND b.term = '{t2}'),
+        pc AS (  -- phrase contrib: boost · Σidf · tf_norm(Σ member tfs)
+          SELECT tf.field, tf.doc_id,
+                 CASE WHEN tf.field = 'title' THEN 1.5 ELSE 1.2 END
+                   * (SELECT sum(idf) FROM idf WHERE idf.field = tf.field)
+                   * sum(tf.tf) / (sum(tf.tf)
+                       + {K1}*(1 - {B} + {B}*any_value(dl.dl)/any_value(st.avgdl)))
+                   AS contrib
+          FROM tf
+          JOIN pm ON pm.field = tf.field AND pm.doc_id = tf.doc_id
+          JOIN dl ON dl.field = tf.field AND dl.doc_id = tf.doc_id
+          JOIN st ON st.field = tf.field
+          WHERE tf.term IN ('{t1}', '{t2}')
+          GROUP BY tf.field, tf.doc_id
+          HAVING count(DISTINCT tf.term) = 2),
+        tc AS (  -- per-term clauses: boost · idf(t) · tf_norm(tf)
+          SELECT tf.field, tf.doc_id,
+                 CASE WHEN tf.field = 'title' THEN 1.1 ELSE 0.8 END
+                   * idf.idf
+                   * tf.tf / (tf.tf
+                       + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) AS contrib
+          FROM tf
+          JOIN idf ON idf.field = tf.field AND idf.term = tf.term
+          JOIN dl ON dl.field = tf.field AND dl.doc_id = tf.doc_id
+          JOIN st ON st.field = tf.field
+          WHERE tf.term IN ('{t1}', '{t2}')),
+        sc AS (SELECT doc_id, sum(contrib) AS s
+               FROM (SELECT * FROM pc UNION ALL SELECT * FROM tc)
+               GROUP BY doc_id)
+        SELECT doc_id, round(s, 6) AS score FROM sc
+        ORDER BY s DESC, doc_id LIMIT {k}
+    """
+
+
 _TF = f"SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({_TOK}) GROUP BY doc_id, term"
 _DL = f"SELECT doc_id, count(*)::BIGINT AS dl FROM ({_TOK}) GROUP BY doc_id"
 _QTERMS = "('" + "','".join(BM25_QUERY_TERMS) + "')"
@@ -924,6 +1028,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "phrase_exact": _phrase_sql(PHRASE_EXACT, 0, 15),
     "phrase_sloppy": _phrase_sql(PHRASE_SLOPPY, 3, 15),
+    "query_4clause": _four_clause_sql(*PHRASE_SLOPPY),
     "facet_counts": f"""
         WITH tf AS ({_TF}),
         m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS})
@@ -1330,6 +1435,7 @@ QUERIES = {
     "bm25_batch": q_bm25_batch,
     "phrase_exact": q_phrase_exact,
     "phrase_sloppy": q_phrase_sloppy,
+    "query_4clause": q_query_4clause,
     "facet_counts": q_facet_counts,
     "facet_topk": q_facet_topk,
     "snippets": q_snippets,
