@@ -217,6 +217,42 @@ def q_query_4clause(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+SUBSTRING_NEEDLE = "merge join"
+REGEX_PATTERN = "merge [a-z]+ key"  # RE2/Java-common subset
+
+
+def q_trigram_postings(spark, sf_dir):
+    """Code-search index build (operators/trigram.py): distinct character
+    trigrams per doc — pure Column exprs, shuffle-free narrow stage."""
+    from fuzzy_wiki_spark.operators.trigram import doc_trigrams
+
+    return doc_trigrams(_docs(spark, sf_dir))
+
+
+def q_substring_search(spark, sf_dir):
+    """grep-style exact substring search: trigram-pruned candidate
+    intersection + JVM `contains` verify + non-overlapping occurrence
+    count."""
+    from fuzzy_wiki_spark.operators.trigram import (
+        doc_trigrams,
+        substring_search,
+    )
+
+    docs = _docs(spark, sf_dir)
+    idx = doc_trigrams(docs)
+    return substring_search(docs, idx, SUBSTRING_NEEDLE)
+
+
+def q_regex_search(spark, sf_dir):
+    """Regex code search: mandatory-literal-run trigram pruning (Cox 2012 /
+    Zoekt) + `rlike` verify over candidates only."""
+    from fuzzy_wiki_spark.operators.trigram import doc_trigrams, regex_search
+
+    docs = _docs(spark, sf_dir)
+    idx = doc_trigrams(docs)
+    return regex_search(docs, idx, REGEX_PATTERN)
+
+
 def q_facet_counts(spark, sf_dir):
     """Faceted search, counts side: distinct docs matching ANY query term,
     counted per `lang` facet (operators/facets.py facet_counts — serving
@@ -1029,6 +1065,23 @@ ORACLE_SQL: dict[str, str] = {
     "phrase_exact": _phrase_sql(PHRASE_EXACT, 0, 15),
     "phrase_sloppy": _phrase_sql(PHRASE_SLOPPY, 3, 15),
     "query_4clause": _four_clause_sql(*PHRASE_SLOPPY),
+    "trigram_postings": """
+        SELECT doc_id,
+               unnest(list_distinct(
+                   [text[i:i+2] for i in range(1, greatest(len(text)-1, 1))]
+               )) AS gram
+        FROM documents WHERE len(text) >= 3
+    """,
+    "substring_search": f"""
+        SELECT doc_id,
+               ((len(text) - len(replace(text, '{SUBSTRING_NEEDLE}', '')))
+                 / {len(SUBSTRING_NEEDLE)})::BIGINT AS n_hits
+        FROM documents WHERE contains(text, '{SUBSTRING_NEEDLE}')
+    """,
+    "regex_search": f"""
+        SELECT doc_id FROM documents
+        WHERE regexp_matches(text, '{REGEX_PATTERN}')
+    """,
     "facet_counts": f"""
         WITH tf AS ({_TF}),
         m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS})
@@ -1436,6 +1489,9 @@ QUERIES = {
     "phrase_exact": q_phrase_exact,
     "phrase_sloppy": q_phrase_sloppy,
     "query_4clause": q_query_4clause,
+    "trigram_postings": q_trigram_postings,
+    "substring_search": q_substring_search,
+    "regex_search": q_regex_search,
     "facet_counts": q_facet_counts,
     "facet_topk": q_facet_topk,
     "snippets": q_snippets,

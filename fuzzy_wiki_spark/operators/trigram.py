@@ -1,0 +1,226 @@
+"""Trigram-indexed substring & regex search over a code corpus.
+
+The reference engine is term-based (Lucene analyzer chain); code search in
+practice also needs *substring* and *regex* queries — `grep` over 10^12
+files. The public design this follows is the trigram-index approach of
+Google Code Search (R. Cox, "Regular Expression Matching with a Trigram
+Index", 2012) and Zoekt: index every character 3-gram of each document,
+convert a query into a conjunction of required trigrams, intersect posting
+lists to get a candidate set, then run the exact matcher only over
+candidates.
+
+Spark-first plan:
+
+    docs ──select(explode(array_distinct(transform(sequence…))))──> index
+        (pure Column exprs — whole-stage codegen, NO shuffle, NO Python;
+         the index is (gram, doc_id) distinct pairs)
+
+    query ──required grams (driver-side, ≤ len(q) tiny)──>
+    index.where(gram ∈ req)            [pushdown: gram-sorted parquet]
+         .groupBy(doc_id).count == |req|   [map-side-combinable agg]
+         ──join(docs)──> exact verify (contains / rlike — JVM-side)
+
+Scale notes (10^12 files):
+- The index build is embarrassingly parallel (narrow ops only). Persist it
+  bucket-partitioned BY GRAM (`write_trigram_index`) so a query's
+  `gram.isin(req)` prunes partitions/row-groups instead of scanning the
+  full index; posting lists for one gram are co-located.
+- Candidate intersection is one doc_id-keyed partial agg; its input is
+  Σ df(req grams) rows, not the corpus. Rare trigrams (code identifiers)
+  make this tiny; the worst case (all-common grams) degrades to a bounded
+  scan of |req| posting lists, never a full-corpus regex.
+- The exact verify touches candidate docs only; `contains`/`rlike` are
+  codegen'd JVM expressions (no Python). With AQE the candidate side
+  broadcasts when small.
+- Unindexable queries (needle < 3 chars, regex with no mandatory literal
+  run ≥ 3) fall back to a full verify scan — correct, explicitly chosen,
+  and reported via `required_grams_for_*` returning [].
+"""
+
+from __future__ import annotations
+
+import re
+import string
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GRAM_N = 3
+
+
+def doc_trigrams(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, gram) — the DISTINCT character trigrams of each document.
+
+    Pure Column expressions: substring enumeration via
+    transform(sequence(...)), per-row dedup via array_distinct, then one
+    explode. No shuffle, no Python — the build is a single narrow stage.
+    Documents shorter than 3 chars contribute no rows.
+    """
+    grams = F.expr(
+        f"CASE WHEN length({text_col}) < {GRAM_N} THEN array() "
+        f"ELSE array_distinct(transform("
+        f"sequence(1, length({text_col}) - {GRAM_N - 1}), "
+        f"i -> substring({text_col}, i, {GRAM_N}))) END"
+    )
+    return docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
+def write_trigram_index(
+    index: DataFrame, out_dir: str, n_buckets: int = 64
+) -> None:
+    """Persist gram-bucketed + gram-sorted so query-time `gram.isin(...)`
+    prunes buckets via partition pruning and row-groups via min/max stats
+    (same layout contract as the term segments, operators/segments.py)."""
+    (
+        index.withColumn(
+            "bucket", F.pmod(F.xxhash64("gram"), F.lit(n_buckets))
+        )
+        .repartition("bucket")
+        .sortWithinPartitions("gram")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+
+
+def required_grams_for_literal(needle: str) -> list[str]:
+    """All distinct trigrams a document must contain to contain `needle`.
+    Empty when the needle is too short to index (caller falls back to a
+    full verify scan)."""
+    if len(needle) < GRAM_N:
+        return []
+    return sorted(
+        {needle[i : i + GRAM_N] for i in range(len(needle) - GRAM_N + 1)}
+    )
+
+
+# characters that terminate a mandatory literal run in a regex. Anything
+# fancier (groups, alternation, classes) conservatively breaks the run AND
+# poisons the run immediately before a quantifier (its last char may repeat
+# or vanish).
+_META = set("\\^$.|?*+()[]{}")
+
+
+def literal_runs(pattern: str) -> list[str]:
+    """Mandatory literal substrings of a regex — conservative extraction.
+
+    Splits the pattern on metacharacters; a run followed by `?`, `*`, or
+    `{` loses its final character (`ab?` does not require 'b'; `ab*`
+    likewise). Any run inside/after an alternation or group is NOT provably
+    mandatory, so patterns containing '|' or '(' yield no runs at all
+    (correctness first — the verify scan still answers the query). Returns
+    runs of length >= GRAM_N only.
+    """
+    if "|" in pattern or "(" in pattern:
+        return []
+    runs: list[str] = []
+    cur: list[str] = []
+
+    def flush() -> None:
+        if len(cur) >= GRAM_N:
+            runs.append("".join(cur))
+        cur.clear()
+
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            # escaped char: could be a literal (\.) or a class (\d) —
+            # conservatively end the current run and skip it
+            flush()
+            i += 2
+            continue
+        if c == "[":
+            # character class: matches one arbitrary char — breaks the run;
+            # skip to the closing ']' ('[]...]' / leading '^]' edge: a ']'
+            # first in the class is a literal member)
+            flush()
+            i += 1
+            if i < len(pattern) and pattern[i] == "^":
+                i += 1
+            if i < len(pattern) and pattern[i] == "]":
+                i += 1
+            while i < len(pattern) and pattern[i] != "]":
+                i += 2 if pattern[i] == "\\" else 1
+            i += 1
+            continue
+        if c in _META:
+            if c in "?*{" and cur:
+                cur.pop()  # last char optional/repeated — not mandatory
+            flush()
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    flush()
+    return runs
+
+
+def required_grams_for_regex(pattern: str) -> list[str]:
+    """Union of trigrams over every mandatory literal run (all runs are
+    conjunctive in a linear pattern). Empty → no pruning possible."""
+    req: set[str] = set()
+    for run in literal_runs(pattern):
+        req.update(required_grams_for_literal(run))
+    return sorted(req)
+
+
+def _candidates(
+    index: DataFrame, req: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """doc_ids whose trigram set contains ALL required grams: filter to the
+    required posting lists, doc-keyed count == |req| (index rows are
+    distinct per (doc, gram), so count(*) is the per-doc hit count)."""
+    return (
+        index.where(F.col("gram").isin(req))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_ng"))
+        .where(F.col("_ng") == len(req))
+        .select(id_col)
+    )
+
+
+def substring_search(
+    docs: DataFrame,
+    index: DataFrame,
+    needle: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring search: trigram-pruned candidates, then a JVM-side
+    `contains` verify. Returns (doc_id, n_hits) for matching docs, with
+    n_hits = occurrence count (overlapping occurrences counted at distinct
+    start offsets is NOT what replace-counting gives — this is the
+    non-overlapping count, the grep -c convention)."""
+    req = required_grams_for_literal(needle)
+    scope = docs if not req else docs.join(
+        _candidates(index, req, id_col), id_col
+    )
+    n_hits = (
+        (F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit(needle), F.lit(""))))
+        / F.length(F.lit(needle))
+    ).cast("long")
+    return (
+        scope.where(F.col(text_col).contains(needle))
+        .select(F.col(id_col), n_hits.alias("n_hits"))
+    )
+
+
+def regex_search(
+    docs: DataFrame,
+    index: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Regex search: mandatory-literal trigram pruning + `rlike` verify.
+    Returns matching (doc_id,) rows. Patterns must use the common
+    RE2/Java-compatible subset for cross-engine reproducibility (the SQL
+    oracle runs the same pattern under DuckDB's RE2)."""
+    req = required_grams_for_regex(pattern)
+    scope = docs if not req else docs.join(
+        _candidates(index, req, id_col), id_col
+    )
+    return scope.where(F.col(text_col).rlike(pattern)).select(F.col(id_col))

@@ -1,0 +1,123 @@
+"""Trigram-index substring/regex search (operators/trigram.py) vs brute
+force, plus pruning-safety and plan-shape pins."""
+
+import re
+
+import pandas as pd
+import pytest
+
+from fuzzy_wiki_spark.operators.trigram import (
+    _candidates,
+    doc_trigrams,
+    literal_runs,
+    regex_search,
+    required_grams_for_literal,
+    required_grams_for_regex,
+    substring_search,
+)
+
+DOCS = [
+    (0, "merge join key merge join"),
+    (1, "merge fast join slow key"),
+    (2, "ab"),  # too short for any trigram
+    (3, ""),
+    (4, "xmerge joinx and merge join again"),
+    (5, "aaaaaa"),  # repeated gram — dedup in index
+    (6, "the quick brown fox"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["doc_id", "text"])
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs):
+    return doc_trigrams(docs).cache()
+
+
+def test_index_is_distinct_grams(index):
+    pdf = index.toPandas()
+    # per-doc dedup: doc 5 ("aaaaaa") has exactly one gram
+    assert list(pdf[pdf.doc_id == 5].gram) == ["aaa"]
+    assert not pdf.duplicated(["doc_id", "gram"]).any()
+    # docs shorter than 3 chars contribute nothing
+    assert set(pdf.doc_id) == {0, 1, 4, 5, 6}
+    # brute-force parity on one doc
+    text = DOCS[0][1]
+    want = sorted({text[i : i + 3] for i in range(len(text) - 2)})
+    assert sorted(pdf[pdf.doc_id == 0].gram) == want
+
+
+@pytest.mark.parametrize(
+    "needle", ["merge join", "join key", "aaa", "zzz", "e q", "ab"]
+)
+def test_substring_matches_brute_force(docs, index, needle):
+    got = {
+        (r.doc_id, r.n_hits)
+        for r in substring_search(docs, index, needle).collect()
+    }
+    want = {
+        (did, t.count(needle)) for did, t in DOCS if needle in t and t
+    }
+    assert got == want
+
+
+def test_candidates_superset_of_matches(docs, index):
+    # pruning safety: every true match must survive candidate pruning
+    needle = "merge join"
+    req = required_grams_for_literal(needle)
+    cand = {r.doc_id for r in _candidates(index, req).collect()}
+    true = {did for did, t in DOCS if needle in t}
+    assert true <= cand
+
+
+@pytest.mark.parametrize(
+    "pattern,runs",
+    [
+        ("merge [a-z]+ key", ["merge ", " key"]),
+        ("abcd?efg", ["abc", "efg"]),
+        (r"foo\.bar", ["foo", "bar"]),
+        ("a(b)c", []),  # group → no provable runs
+        ("cat|dog", []),  # alternation → no provable runs
+        ("abc*", []),  # 'c' optional, "ab" too short
+        ("quick [a-z]{4,} fox", ["quick ", " fox"]),
+        ("[^x]abc", ["abc"]),
+    ],
+)
+def test_literal_runs(pattern, runs):
+    assert literal_runs(pattern) == runs
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    ["merge [a-z]+ key", "quick.*fox", "jo(in|ke)", "a.c", "merge (join)"],
+)
+def test_regex_matches_brute_force(docs, index, pattern):
+    got = {r.doc_id for r in regex_search(docs, index, pattern).collect()}
+    want = {did for did, t in DOCS if re.search(pattern, t)}
+    assert got == want
+
+
+def test_regex_pruning_uses_grams_when_available():
+    assert required_grams_for_regex("merge [a-z]+ key")  # prunes
+    assert required_grams_for_regex("a.c") == []  # falls back to scan
+
+
+def test_index_build_plan_is_shuffle_free(docs):
+    plan = doc_trigrams(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_search_plan_has_no_cartesian(docs, index):
+    plan = (
+        substring_search(docs, index, "merge join")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
