@@ -217,6 +217,42 @@ def q_query_4clause(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+BOOL_MUST = ("merge", "join")
+BOOL_SHOULD = ("fast",)
+BOOL_MUST_NOT = ("stream",)
+
+
+def q_boolean_search(spark, sf_dir):
+    """Boolean retrieval (operators/boolean.py): docs with ALL must terms,
+    NO must_not terms, BM25-scored over must+should — one scan, one agg,
+    veto evaluated inside the aggregate (no anti-join)."""
+    from fuzzy_wiki_spark.operators.boolean import boolean_topk
+
+    posts = _postings_simple(spark, sf_dir)
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    scoring = list(BOOL_MUST + BOOL_SHOULD)
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in P.term_stats(posts)
+        .where(F.col("term").isin(scoring))
+        .collect()
+    }
+    res = boolean_topk(
+        posts,
+        "content",
+        BOOL_MUST,
+        BOOL_SHOULD,
+        BOOL_MUST_NOT,
+        term_df,
+        fstats,
+        k=10,
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 SUBSTRING_NEEDLE = "merge join"
 REGEX_PATTERN = "merge [a-z]+ key"  # RE2/Java-common subset
 
@@ -1065,6 +1101,28 @@ ORACLE_SQL: dict[str, str] = {
     "phrase_exact": _phrase_sql(PHRASE_EXACT, 0, 15),
     "phrase_sloppy": _phrase_sql(PHRASE_SLOPPY, 3, 15),
     "query_4clause": _four_clause_sql(*PHRASE_SLOPPY),
+    "boolean_search": f"""
+        WITH tf AS ({_TF}), dl AS ({_DL}),
+        st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+        dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                WHERE term IN ('merge','join','fast') GROUP BY term),
+        sc AS (
+          SELECT tf.doc_id,
+                 sum(CASE WHEN tf.term IN ('merge','join','fast')
+                     THEN ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+                          * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl))
+                     ELSE 0 END) AS s,
+                 count(DISTINCT CASE WHEN tf.term IN ('merge','join')
+                                     THEN tf.term END) AS n_must,
+                 max(tf.term IN ('stream')) AS vetoed
+          FROM tf LEFT JOIN dfq ON tf.term = dfq.term
+               JOIN dl USING(doc_id) CROSS JOIN st
+          WHERE tf.term IN ('merge','join','fast','stream')
+          GROUP BY tf.doc_id)
+        SELECT doc_id, round(s, 6) AS score FROM sc
+        WHERE n_must = 2 AND NOT vetoed
+        ORDER BY s DESC, doc_id LIMIT 10
+    """,
     "trigram_postings": """
         SELECT doc_id,
                unnest(list_distinct(
@@ -1489,6 +1547,7 @@ QUERIES = {
     "phrase_exact": q_phrase_exact,
     "phrase_sloppy": q_phrase_sloppy,
     "query_4clause": q_query_4clause,
+    "boolean_search": q_boolean_search,
     "trigram_postings": q_trigram_postings,
     "substring_search": q_substring_search,
     "regex_search": q_regex_search,

@@ -1,0 +1,89 @@
+"""Boolean retrieval: MUST / SHOULD / MUST_NOT over the postings table.
+
+Lucene's BooleanQuery surface (the reference uses only its OR form —
+``Searcher.java:88-96`` builds a BooleanQuery of SHOULD clauses; MUST /
+MUST_NOT are the same public operator family). Semantics: a document
+qualifies iff it contains EVERY must term and NO must_not term; its score
+is the BM25 sum over the must+should terms it contains (must_not terms
+never contribute).
+
+Spark-first plan — ONE postings scan, ONE doc-keyed partial agg:
+
+    postings.where(term ∈ must ∪ should ∪ must_not)     [pushdown-able]
+      → groupBy(doc_id).agg(
+            Σ contrib·[term ∉ must_not],                 (conditional agg)
+            count(distinct term ∈ must),                 (gate)
+            max(term ∈ must_not))                        (veto)
+      → where(gate == |must| AND NOT veto)
+      → top-k (TakeOrderedAndProject)
+
+The veto is evaluated inside the same aggregate — no anti-join, no second
+scan. Candidate rows ≤ Σ df(query terms); the agg is map-side combinable.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.plans.query import B, K1
+
+
+def boolean_topk(
+    postings: DataFrame,
+    field: str,
+    must: tuple[str, ...],
+    should: tuple[str, ...],
+    must_not: tuple[str, ...],
+    term_df: dict[tuple[str, str], int],
+    field_stats: dict[str, tuple[int, float]],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k (doc_id, score) under MUST/SHOULD/MUST_NOT semantics.
+
+    ``term_df`` / ``field_stats`` are the driver-side stats side-channel
+    (reference O20), as in operators/topk.py.
+    """
+    must, should, must_not = tuple(must), tuple(should), tuple(must_not)
+    if set(must) & set(must_not) or set(should) & set(must_not):
+        raise ValueError("must_not overlaps scoring terms")
+    doc_count, avgdl = field_stats[field]
+    scoring = list(dict.fromkeys(must + should))
+    all_terms = list(dict.fromkeys(scoring + list(must_not)))
+
+    def idf(t: str) -> float:
+        df = term_df.get((field, t), 0)
+        return math.log(1.0 + (doc_count - df + 0.5) / (df + 0.5))
+
+    idf_map = F.create_map(
+        *[x for t in scoring for x in (F.lit(t), F.lit(idf(t)))]
+    )
+    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
+    contrib = F.when(
+        F.col("term").isin(list(scoring)),
+        idf_map[F.col("term")]
+        * tf
+        / (tf + K1 * (1 - B + B * dl / F.lit(avgdl))),
+    ).otherwise(F.lit(0.0))
+
+    agg = (
+        postings.where(
+            (F.col("field") == field) & F.col("term").isin(all_terms)
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib).alias("score"),
+            F.count_distinct(
+                F.when(F.col("term").isin(list(must)), F.col("term"))
+            ).alias("_n_must"),
+            F.max(F.col("term").isin(list(must_not))).alias("_vetoed"),
+        )
+        .where((F.col("_n_must") == len(set(must))) & ~F.col("_vetoed"))
+    )
+    return (
+        agg.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1,0 +1,108 @@
+"""boolean_topk (operators/boolean.py) vs a brute-force pandas oracle."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from fuzzy_wiki_spark.operators.boolean import boolean_topk
+from fuzzy_wiki_spark.operators.postings import (
+    build_postings,
+    field_stats,
+    term_stats,
+)
+from pyspark.sql import functions as F
+
+K1, B = 1.2, 0.75
+
+DOCS = [
+    (0, "merge join fast fast"),  # all must + should, no veto
+    (1, "merge join stream"),  # vetoed
+    (2, "merge fast"),  # missing a must term
+    (3, "merge join"),  # musts only
+    (4, "fast fast fast"),  # should only — fails must gate
+    (5, "join merge join"),  # musts with repeats
+    (6, ""),
+]
+
+
+def _brute(must, should, must_not, k=10):
+    toks = {d: [t for t in s.split() if t] for d, s in DOCS}
+    dls = {d: len(ts) for d, ts in toks.items()}
+    n = sum(1 for ts in toks.values() if ts)
+    avgdl = sum(dls.values()) / n
+    scoring = list(dict.fromkeys(must + should))
+    df = {
+        t: sum(1 for ts in toks.values() if t in ts) for t in scoring
+    }
+    out = []
+    for d, ts in toks.items():
+        if not ts:
+            continue
+        if any(t not in ts for t in must):
+            continue
+        if any(t in ts for t in must_not):
+            continue
+        s = 0.0
+        for t in scoring:
+            tf = ts.count(t)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf / (tf + K1 * (1 - B + B * dls[d] / avgdl))
+        out.append((d, round(s, 6)))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:k]
+
+
+@pytest.fixture(scope="module")
+def posts(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["doc_id", "text"])
+    )
+    return build_postings(
+        df, fields={"content": "text"}, mode="simple"
+    ).cache()
+
+
+def _stats(posts, terms):
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in field_stats(posts).collect()
+    }
+    tdf = {
+        (r["field"], r["term"]): r["df"]
+        for r in term_stats(posts)
+        .where(F.col("term").isin(list(terms)))
+        .collect()
+    }
+    return tdf, fstats
+
+
+@pytest.mark.parametrize(
+    "must,should,must_not",
+    [
+        (("merge", "join"), ("fast",), ("stream",)),
+        (("merge",), (), ()),
+        ((), ("fast", "merge"), ("stream",)),  # pure OR with veto
+        (("merge", "join"), (), ("fast",)),  # veto on a common term
+        (("zzz",), (), ()),  # unmatched must → empty
+    ],
+)
+def test_boolean_matches_brute_force(posts, must, should, must_not):
+    tdf, fstats = _stats(posts, must + should)
+    got = [
+        (r.doc_id, round(r.score, 6))
+        for r in boolean_topk(
+            posts, "content", must, should, must_not, tdf, fstats
+        ).collect()
+    ]
+    assert got == _brute(must, should, must_not)
+
+
+def test_boolean_rejects_conflicting_terms(posts):
+    tdf, fstats = _stats(posts, ("merge",))
+    with pytest.raises(ValueError):
+        boolean_topk(
+            posts, "content", ("merge",), (), ("merge",), tdf, fstats
+        )
