@@ -126,6 +126,31 @@ def main() -> None:
     timed("pipe_simhash", lambda: DQ.q_simhash(spark, sf_dir).count())
     timed("pipe_ann_cosine", lambda: DQ.q_ann_cosine(spark, sf_dir).collect())
     timed("pipe_ann_batch", lambda: DQ.q_ann_batch(spark, sf_dir).collect())
+    timed(
+        "pipe_phrase_sloppy",
+        lambda: DQ.q_phrase_sloppy(spark, sf_dir).collect(),
+    )
+
+    # 3b) trigram code search: index build (narrow stage) + pruned substring
+    # + pruned regex over the same in-memory index
+    from fuzzy_wiki_spark.operators.trigram import (
+        doc_trigrams,
+        regex_search,
+        substring_search,
+    )
+
+    raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tri = doc_trigrams(raw_docs).persist()
+    timed("trigram_build", lambda: tri.count())
+    timed(
+        "trigram_substring",
+        lambda: substring_search(raw_docs, tri, DQ.SUBSTRING_NEEDLE).count(),
+    )
+    timed(
+        "trigram_regex",
+        lambda: regex_search(raw_docs, tri, DQ.REGEX_PATTERN).count(),
+    )
+    tri.unpersist()
 
     total = round(sum(timings.values()), 4)
     q_sorted = sorted(q_times)
