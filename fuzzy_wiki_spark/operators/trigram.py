@@ -83,6 +83,52 @@ def write_trigram_index(
         .partitionBy("bucket")
         .parquet(out_dir)
     )
+    import json
+    from pathlib import Path
+
+    (Path(out_dir) / "_meta.json").write_text(
+        json.dumps({"n_buckets": n_buckets, "gram_n": GRAM_N})
+    )
+
+
+def load_trigram_index(spark, index_dir: str, req: list[str]) -> DataFrame:
+    """Open a persisted trigram index pre-filtered to the required grams —
+    WITH static partition pruning.
+
+    `gram.isin(req)` alone cannot prune the bucket partitions (the bucket is
+    a hash of the gram, a relationship the optimizer does not know), so this
+    computes each required gram's bucket with the SAME expression the writer
+    used (xxhash64 — evaluated here on a literal column, never collected
+    from data) and adds `bucket.isin(...)` explicitly. The scan then reads
+    |distinct buckets(req)| partitions instead of all n_buckets — at
+    10^12-file scale the difference between touching a few hundred files
+    and the whole index.
+
+    n_buckets is read from the sidecar `_meta.json` the writer left (never
+    inferred from data — no scan, and callers cannot pass a mismatch).
+    """
+    import json
+    from pathlib import Path
+
+    n_buckets = json.loads(
+        (Path(index_dir) / "_meta.json").read_text()
+    )["n_buckets"]
+    probe = spark.read.parquet(index_dir)
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(g,) for g in req], "gram string"
+            )
+            .select(
+                F.pmod(F.xxhash64("gram"), F.lit(n_buckets)).alias("b")
+            )
+            .collect()
+        }
+    )
+    return probe.where(
+        F.col("bucket").isin(buckets) & F.col("gram").isin(req)
+    )
 
 
 def required_grams_for_literal(needle: str) -> list[str]:

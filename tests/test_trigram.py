@@ -112,6 +112,34 @@ def test_index_build_plan_is_shuffle_free(docs):
     assert "Exchange" not in plan
 
 
+def test_disk_index_bucket_pruning(spark, docs, index, tmp_path):
+    from fuzzy_wiki_spark.operators.trigram import (
+        load_trigram_index,
+        write_trigram_index,
+    )
+
+    out = str(tmp_path / "tri")
+    write_trigram_index(index, out, n_buckets=8)
+    needle = "merge join"
+    req = required_grams_for_literal(needle)
+    disk = load_trigram_index(spark, out, req)
+    # correctness: same matches as the in-memory index
+    got = {
+        (r.doc_id, r.n_hits)
+        for r in substring_search(docs, disk, needle).collect()
+    }
+    want = {(did, t.count(needle)) for did, t in DOCS if needle in t}
+    assert got == want
+    # scale: the scan must carry a static bucket partition filter — gram
+    # pushdown alone cannot prune hash-partitioned buckets
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1) and m.group(1).strip()
+
+
 def test_search_plan_has_no_cartesian(docs, index):
     plan = (
         substring_search(docs, index, "merge join")
