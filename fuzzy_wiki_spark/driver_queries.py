@@ -217,6 +217,47 @@ def q_query_4clause(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+TERM_PREFIX = "s"  # matches sort/slow/small/spark/scan/stream/...
+MLT_DOC_ID = 0
+MLT_M = 10
+
+
+def q_prefix_search(spark, sf_dir):
+    """Prefix term query (Lucene PrefixQuery analog): term-dictionary range
+    scan — `startswith` compiles to a parquet-prunable range predicate on
+    the term-sorted layout — then one doc-keyed agg."""
+    from fuzzy_wiki_spark.operators.topk import prefix_topdocs
+
+    posts = _postings_simple(spark, sf_dir)
+    res = prefix_topdocs(posts, "content", TERM_PREFIX, k=20)
+    return res.select(
+        "doc_id", F.col("n_terms").cast("long").alias("n_terms"), "total_tf"
+    )
+
+
+def q_more_like_this(spark, sf_dir):
+    """Related docs (Lucene MoreLikeThis analog): source doc's top-m tf·idf
+    terms → OR query → BM25 top-10, source excluded."""
+    from fuzzy_wiki_spark.operators.topk import more_like_this
+
+    posts = _postings_simple(spark, sf_dir)
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    res = more_like_this(
+        spark,
+        posts,
+        P.term_stats(posts),
+        fstats,
+        "content",
+        MLT_DOC_ID,
+        m=MLT_M,
+        k=10,
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 BOOL_MUST = ("merge", "join")
 BOOL_SHOULD = ("fast",)
 BOOL_MUST_NOT = ("stream",)
@@ -1101,6 +1142,37 @@ ORACLE_SQL: dict[str, str] = {
     "phrase_exact": _phrase_sql(PHRASE_EXACT, 0, 15),
     "phrase_sloppy": _phrase_sql(PHRASE_SLOPPY, 3, 15),
     "query_4clause": _four_clause_sql(*PHRASE_SLOPPY),
+    "prefix_search": f"""
+        WITH tf AS ({_TF})
+        SELECT doc_id, count(DISTINCT term)::BIGINT AS n_terms,
+               sum(tf)::BIGINT AS total_tf
+        FROM tf WHERE term LIKE '{TERM_PREFIX}%'
+        GROUP BY doc_id
+        ORDER BY total_tf DESC, doc_id LIMIT 20
+    """,
+    "more_like_this": f"""
+        WITH tf AS ({_TF}), dl AS ({_DL}),
+        st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+        d0 AS (SELECT term, tf FROM tf WHERE doc_id = {MLT_DOC_ID}),
+        dfa AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                WHERE term IN (SELECT term FROM d0) GROUP BY term),
+        intr AS (SELECT d0.term
+                 FROM d0 JOIN dfa USING(term) CROSS JOIN st
+                 ORDER BY d0.tf * ln(1 + (st.doc_count - dfa.df + 0.5)
+                                       /(dfa.df + 0.5)) DESC, d0.term
+                 LIMIT {MLT_M}),
+        sc AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (st.doc_count - dfa.df + 0.5)/(dfa.df + 0.5))
+                      * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ) AS s
+          FROM tf JOIN intr ON tf.term = intr.term
+               JOIN dfa ON tf.term = dfa.term
+               JOIN dl USING(doc_id) CROSS JOIN st
+          WHERE tf.doc_id <> {MLT_DOC_ID}
+          GROUP BY tf.doc_id)
+        SELECT doc_id, round(s, 6) AS score FROM sc
+        ORDER BY s DESC, doc_id LIMIT 10
+    """,
     "boolean_search": f"""
         WITH tf AS ({_TF}), dl AS ({_DL}),
         st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
@@ -1548,6 +1620,8 @@ QUERIES = {
     "phrase_sloppy": q_phrase_sloppy,
     "query_4clause": q_query_4clause,
     "boolean_search": q_boolean_search,
+    "prefix_search": q_prefix_search,
+    "more_like_this": q_more_like_this,
     "trigram_postings": q_trigram_postings,
     "substring_search": q_substring_search,
     "regex_search": q_regex_search,

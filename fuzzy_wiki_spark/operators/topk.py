@@ -164,6 +164,95 @@ def phrase_topdocs(
     )
 
 
+def prefix_topdocs(
+    postings: DataFrame, field: str, prefix: str, k: int = 20
+) -> DataFrame:
+    """Prefix term query (Lucene PrefixQuery surface — the reference's
+    engine family exposes it even though Searcher.java never builds one).
+    Lucene rewrites prefix queries constant-score over the expanded term
+    set; this returns the doc-level match summary: every doc containing ≥1
+    term with the prefix, with the distinct matched-term count and summed
+    tf, ranked by total_tf.
+
+    Scale: `term.startswith(p)` compiles to a range predicate
+    (StringStartsWith → `term >= p AND term < p⁺`) that parquet row-group
+    stats answer on the term-sorted segment layout — the term-dictionary
+    range scan, not a full postings scan. One doc-keyed partial agg after.
+    """
+    return (
+        postings.where(
+            (F.col("field") == field) & F.col("term").startswith(prefix)
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .orderBy(F.desc("total_tf"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def more_like_this(
+    spark: SparkSession,
+    postings: DataFrame,
+    term_stats_df: DataFrame,
+    field_stats: dict[str, tuple[int, float]],
+    field: str,
+    doc_id: int,
+    m: int = 10,
+    k: int = 10,
+) -> DataFrame:
+    """Related-document retrieval — Lucene's MoreLikeThis surface, rebuilt
+    on the batch scorer.
+
+    MLT's public algorithm: pick the source doc's top-m "interesting" terms
+    by tf·idf, build an OR query of them, score the corpus. Driver-side
+    work is two point lookups (the source doc's posting rows and their df
+    from the O20 stats side-channel — both bounded by one doc's vocabulary,
+    never corpus-sized); the corpus-side work is exactly one
+    score_queries_batch run, so the plan is the same single-scan broadcast
+    shape as any other query. Ties in tf·idf break by term (ascending) for
+    cross-engine determinism. The source doc is excluded from the result.
+    """
+    doc_count, _ = field_stats[field]
+    d0 = {
+        r["term"]: r["tf"]
+        for r in postings.where(
+            (F.col("field") == field) & (F.col("doc_id") == doc_id)
+        )
+        .select("term", "tf")
+        .collect()
+    }
+    if not d0:
+        return spark.createDataFrame([], "doc_id long, score double")
+    dfm = {
+        r["term"]: r["df"]
+        for r in term_stats_df.where(
+            (F.col("field") == field) & F.col("term").isin(list(d0))
+        )
+        .select("term", "df")
+        .collect()
+    }
+    interesting = sorted(
+        d0, key=lambda t: (-d0[t] * idf(dfm.get(t, 0), doc_count), t)
+    )[:m]
+    clauses = [
+        Clause(i, field, (t,), 1.0, 0, False)
+        for i, t in enumerate(interesting)
+    ]
+    term_df = {(field, t): dfm.get(t, 0) for t in interesting}
+    res = score_queries_batch(
+        spark, postings, {0: clauses}, term_df, field_stats, k=k + 1
+    )
+    return (
+        res.where(F.col("doc_id") != doc_id)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
 def clause_weights(
     clauses: list[Clause],
     term_df: dict[tuple[str, str], int],

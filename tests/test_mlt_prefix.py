@@ -1,0 +1,116 @@
+"""prefix_topdocs + more_like_this vs brute-force pandas oracles."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.operators.postings import (
+    build_postings,
+    field_stats,
+    term_stats,
+)
+from fuzzy_wiki_spark.operators.topk import more_like_this, prefix_topdocs
+
+K1, B = 1.2, 0.75
+
+DOCS = [
+    (0, "sort sort scan merge join fast"),
+    (1, "sort scan slow"),
+    (2, "merge join fast fast"),
+    (3, "big table row"),
+    (4, "scan scan scan sort"),
+    (5, ""),
+]
+TOKS = {d: [t for t in s.split() if t] for d, s in DOCS}
+
+
+@pytest.fixture(scope="module")
+def posts(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["doc_id", "text"])
+    )
+    return build_postings(
+        df, fields={"content": "text"}, mode="simple"
+    ).cache()
+
+
+@pytest.mark.parametrize("prefix", ["s", "sc", "merge", "zz"])
+def test_prefix_topdocs(posts, prefix):
+    got = [
+        (r.doc_id, r.n_terms, r.total_tf)
+        for r in prefix_topdocs(posts, "content", prefix, k=20).collect()
+    ]
+    want = []
+    for d, ts in TOKS.items():
+        hit = [t for t in ts if t.startswith(prefix)]
+        if hit:
+            want.append((d, len(set(hit)), len(hit)))
+    want.sort(key=lambda r: (-r[2], r[0]))
+    assert got == want
+
+
+def test_prefix_pushdown_is_range_predicate(posts):
+    plan = (
+        prefix_topdocs(posts, "content", "s")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "StartsWith" in plan or "startswith" in plan
+
+
+def _brute_mlt(doc_id, m, k):
+    n = sum(1 for ts in TOKS.values() if ts)
+    dls = {d: len(ts) for d, ts in TOKS.items() if ts}
+    avgdl = sum(dls.values()) / n
+
+    def idf(t):
+        df = sum(1 for ts in TOKS.values() if t in ts)
+        return math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+    d0 = TOKS[doc_id]
+    interesting = sorted(
+        set(d0), key=lambda t: (-d0.count(t) * idf(t), t)
+    )[:m]
+    out = []
+    for d, ts in TOKS.items():
+        if d == doc_id or not ts:
+            continue
+        s = 0.0
+        for t in interesting:
+            tf = ts.count(t)
+            if tf:
+                s += idf(t) * tf / (tf + K1 * (1 - B + B * dls[d] / avgdl))
+        if s > 0:
+            out.append((d, round(s, 6)))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("doc_id,m", [(0, 3), (0, 10), (4, 1), (3, 2)])
+def test_more_like_this(spark, posts, doc_id, m):
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in field_stats(posts).collect()
+    }
+    got = [
+        (r.doc_id, round(r.score, 6))
+        for r in more_like_this(
+            spark, posts, term_stats(posts), fstats, "content", doc_id, m=m
+        ).collect()
+    ]
+    assert got == _brute_mlt(doc_id, m, 10)
+
+
+def test_more_like_this_empty_doc(spark, posts):
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in field_stats(posts).collect()
+    }
+    res = more_like_this(
+        spark, posts, term_stats(posts), fstats, "content", 5
+    )
+    assert res.count() == 0
