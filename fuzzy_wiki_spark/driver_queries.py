@@ -217,6 +217,53 @@ def q_query_4clause(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+EXTRACT_PATTERNS = {
+    # symbol-extraction shape: capture the identifier after a keyword
+    "after_table": "table ([a-z]+)",
+    "after_scan": "scan ([a-z]+)",
+}
+
+
+def q_extract_patterns(spark, sf_dir):
+    """Regex capture-group extraction (ctags-lite surface for code):
+    (doc_id, kind, match) rows — one regexp_extract_all per kind, all
+    JVM-side (functions/text.py:extract_patterns)."""
+    return TXT.extract_patterns(_docs(spark, sf_dir), EXTRACT_PATTERNS)
+
+
+FUZZY_TERM, FUZZY_DIST = "part", 2  # expands to part/sort/fast/spark
+WILDCARD_PATTERN = "%or%"  # matches sort/order
+
+
+def q_fuzzy_search(spark, sf_dir):
+    """Fuzzy term query (Lucene FuzzyQuery analog): levenshtein-expand
+    against the vocabulary-sized term dictionary, then one broadcast
+    semi-join + doc agg (operators/term_expansion.py)."""
+    from fuzzy_wiki_spark.operators.term_expansion import fuzzy_topdocs
+
+    posts = _postings_simple(spark, sf_dir)
+    res = fuzzy_topdocs(
+        posts, P.term_stats(posts), "content", FUZZY_TERM, FUZZY_DIST, k=20
+    )
+    return res.select(
+        "doc_id", F.col("n_terms").cast("long").alias("n_terms"), "total_tf"
+    )
+
+
+def q_wildcard_search(spark, sf_dir):
+    """Wildcard term query (Lucene WildcardQuery analog) — SQL-LIKE
+    pattern over the term dictionary, constant-score match summary."""
+    from fuzzy_wiki_spark.operators.term_expansion import wildcard_topdocs
+
+    posts = _postings_simple(spark, sf_dir)
+    res = wildcard_topdocs(
+        posts, P.term_stats(posts), "content", WILDCARD_PATTERN, k=20
+    )
+    return res.select(
+        "doc_id", F.col("n_terms").cast("long").alias("n_terms"), "total_tf"
+    )
+
+
 TERM_PREFIX = "s"  # matches sort/slow/small/spark/scan/stream/...
 MLT_DOC_ID = 0
 MLT_M = 10
@@ -1142,6 +1189,36 @@ ORACLE_SQL: dict[str, str] = {
     "phrase_exact": _phrase_sql(PHRASE_EXACT, 0, 15),
     "phrase_sloppy": _phrase_sql(PHRASE_SLOPPY, 3, 15),
     "query_4clause": _four_clause_sql(*PHRASE_SLOPPY),
+    "extract_patterns": f"""
+        SELECT doc_id, kind, unnest(matches) AS match FROM (
+          SELECT doc_id, 'after_scan' AS kind,
+                 regexp_extract_all(text, 'scan ([a-z]+)', 1) AS matches
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 'after_table' AS kind,
+                 regexp_extract_all(text, 'table ([a-z]+)', 1) AS matches
+          FROM documents)
+    """,
+    "fuzzy_search": f"""
+        WITH tf AS ({_TF}),
+        ex AS (SELECT DISTINCT term FROM tf
+               WHERE levenshtein(term, '{FUZZY_TERM}') <= {FUZZY_DIST})
+        SELECT doc_id, count(DISTINCT tf.term)::BIGINT AS n_terms,
+               sum(tf)::BIGINT AS total_tf
+        FROM tf JOIN ex ON tf.term = ex.term
+        GROUP BY doc_id
+        ORDER BY total_tf DESC, doc_id LIMIT 20
+    """,
+    "wildcard_search": f"""
+        WITH tf AS ({_TF}),
+        ex AS (SELECT DISTINCT term FROM tf
+               WHERE term LIKE '{WILDCARD_PATTERN}')
+        SELECT doc_id, count(DISTINCT tf.term)::BIGINT AS n_terms,
+               sum(tf)::BIGINT AS total_tf
+        FROM tf JOIN ex ON tf.term = ex.term
+        GROUP BY doc_id
+        ORDER BY total_tf DESC, doc_id LIMIT 20
+    """,
     "prefix_search": f"""
         WITH tf AS ({_TF})
         SELECT doc_id, count(DISTINCT term)::BIGINT AS n_terms,
@@ -1621,6 +1698,9 @@ QUERIES = {
     "query_4clause": q_query_4clause,
     "boolean_search": q_boolean_search,
     "prefix_search": q_prefix_search,
+    "extract_patterns": q_extract_patterns,
+    "fuzzy_search": q_fuzzy_search,
+    "wildcard_search": q_wildcard_search,
     "more_like_this": q_more_like_this,
     "trigram_postings": q_trigram_postings,
     "substring_search": q_substring_search,

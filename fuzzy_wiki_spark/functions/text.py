@@ -155,6 +155,34 @@ def snippet_struct(text_col, terms: list[str], window: int = 10) -> Column:
     )
 
 
+def extract_patterns(
+    docs, patterns: dict[str, str], text_col: str = "text",
+    id_col: str = "doc_id"
+):
+    """Regex capture-group extraction — the ctags/symbol-extraction shape
+    for a code corpus: for each (kind, pattern-with-one-group), emit one
+    row per non-overlapping match: (doc_id, kind, match).
+
+    Pure Column exprs: one regexp_extract_all per kind (JVM regex, codegen)
+    + explode; kinds are unioned as a literal inline table so the plan is
+    one scan per kind over the same cached input, no Python anywhere.
+    Patterns must use the RE2/Java-common subset when a DuckDB oracle
+    mirrors the extraction."""
+    from functools import reduce
+
+    parts = [
+        docs.select(
+            F.col(id_col),
+            F.lit(kind).alias("kind"),
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), 1)
+            ).alias("match"),
+        )
+        for kind, pat in sorted(patterns.items())
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def fingerprint(text_col) -> Column:
     """Document fingerprint: md5 over the sorted distinct token set —
     word-order-insensitive content identity (near-dup prefilter)."""

@@ -1,0 +1,105 @@
+"""Multi-term (expanded) queries: fuzzy and wildcard — Lucene's
+FuzzyQuery / WildcardQuery surface on the Spark engine.
+
+Lucene answers these by enumerating the term dictionary (an automaton
+intersection over the FST), then running the expanded OR-query. The Spark
+shape mirrors that split exactly:
+
+  1. EXPAND against the term dictionary — the O20 ``term_stats`` table,
+     which is vocabulary-sized (Zipf: tiny vs the corpus; its distinct
+     terms fit comfortably in one broadcast even at 10^12 docs since
+     vocabulary grows sub-linearly). Predicate: levenshtein ≤ d (fuzzy) or
+     contains/like (wildcard). This never touches postings.
+  2. MATCH: broadcast the expanded term set into one postings-scan
+     semi-join + doc-keyed agg (same plan as prefix_topdocs).
+
+Result shape matches prefix_topdocs: (doc_id, n_terms, total_tf) ranked by
+total_tf — Lucene's default rewrite for these queries is constant-score
+over the expanded set, so the match summary (not BM25) is the faithful
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def expand_fuzzy(
+    term_stats_df: DataFrame, field: str, query_term: str, max_dist: int = 1
+) -> DataFrame:
+    """Dictionary terms within levenshtein distance ``max_dist`` of
+    ``query_term`` (Lucene FuzzyQuery expansion). Scan cost = |vocabulary|,
+    never |postings|."""
+    return term_stats_df.where(
+        (F.col("field") == field)
+        & (
+            F.levenshtein(F.col("term"), F.lit(query_term))
+            <= max_dist
+        )
+    ).select("term")
+
+
+def expand_wildcard(
+    term_stats_df: DataFrame, field: str, pattern: str
+) -> DataFrame:
+    """Dictionary terms matching a SQL-LIKE wildcard pattern (% / _ —
+    Lucene's * / ? map 1:1). Leading-wildcard patterns are allowed (the
+    scan is vocabulary-sized, so the Lucene reverse-term trick is
+    unnecessary here)."""
+    return term_stats_df.where(
+        (F.col("field") == field) & F.col("term").like(pattern)
+    ).select("term")
+
+
+def expanded_topdocs(
+    postings: DataFrame,
+    field: str,
+    expanded_terms: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """Constant-score match summary over an expanded term set: broadcast
+    the (small) term set into the postings scan, one doc-keyed agg →
+    (doc_id, n_terms, total_tf) top-k by total_tf, doc_id."""
+    return (
+        postings.where(F.col("field") == field)
+        .join(F.broadcast(expanded_terms), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .orderBy(F.desc("total_tf"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def fuzzy_topdocs(
+    postings: DataFrame,
+    term_stats_df: DataFrame,
+    field: str,
+    query_term: str,
+    max_dist: int = 1,
+    k: int = 20,
+) -> DataFrame:
+    return expanded_topdocs(
+        postings,
+        field,
+        expand_fuzzy(term_stats_df, field, query_term, max_dist),
+        k,
+    )
+
+
+def wildcard_topdocs(
+    postings: DataFrame,
+    term_stats_df: DataFrame,
+    field: str,
+    pattern: str,
+    k: int = 20,
+) -> DataFrame:
+    return expanded_topdocs(
+        postings,
+        field,
+        expand_wildcard(term_stats_df, field, pattern),
+        k,
+    )

@@ -1,0 +1,105 @@
+"""fuzzy/wildcard term expansion (operators/term_expansion.py) vs brute
+force, plus the broadcast-plan pin."""
+
+import pandas as pd
+import pytest
+
+from fuzzy_wiki_spark.operators.postings import build_postings, term_stats
+from fuzzy_wiki_spark.operators.term_expansion import (
+    expand_fuzzy,
+    expand_wildcard,
+    fuzzy_topdocs,
+    wildcard_topdocs,
+)
+
+DOCS = [
+    (0, "sort sore part spark"),
+    (1, "fast hash part"),
+    (2, "merge join"),
+    (3, "sort sort sorts"),
+    (4, ""),
+]
+TOKS = {d: [t for t in s.split() if t] for d, s in DOCS}
+VOCAB = sorted({t for ts in TOKS.values() for t in ts})
+
+
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(
+                dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+            )
+    return dp[len(b)]
+
+
+@pytest.fixture(scope="module")
+def posts(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["doc_id", "text"])
+    )
+    return build_postings(
+        df, fields={"content": "text"}, mode="simple"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def ts(posts):
+    return term_stats(posts).cache()
+
+
+@pytest.mark.parametrize("q,d", [("sort", 1), ("part", 2), ("zzz", 1)])
+def test_fuzzy_expansion(ts, q, d):
+    got = sorted(r.term for r in expand_fuzzy(ts, "content", q, d).collect())
+    assert got == sorted(t for t in VOCAB if _lev(t, q) <= d)
+
+
+@pytest.mark.parametrize("pat,pyf", [
+    ("sor%", lambda t: t.startswith("sor")),
+    ("%or%", lambda t: "or" in t),
+    ("%t", lambda t: t.endswith("t")),
+    ("s_rt", lambda t: len(t) == 4 and t[0] == "s" and t[2:] == "rt"),
+])
+def test_wildcard_expansion(ts, pat, pyf):
+    got = sorted(
+        r.term for r in expand_wildcard(ts, "content", pat).collect()
+    )
+    assert got == sorted(t for t in VOCAB if pyf(t))
+
+
+def _summary(terms, k=20):
+    want = []
+    for d, toks in TOKS.items():
+        hit = [t for t in toks if t in terms]
+        if hit:
+            want.append((d, len(set(hit)), len(hit)))
+    want.sort(key=lambda r: (-r[2], r[0]))
+    return want[:k]
+
+
+def test_fuzzy_topdocs(spark, posts, ts):
+    got = [
+        (r.doc_id, r.n_terms, r.total_tf)
+        for r in fuzzy_topdocs(posts, ts, "content", "sort", 1).collect()
+    ]
+    assert got == _summary({t for t in VOCAB if _lev(t, "sort") <= 1})
+
+
+def test_wildcard_topdocs(spark, posts, ts):
+    got = [
+        (r.doc_id, r.n_terms, r.total_tf)
+        for r in wildcard_topdocs(posts, ts, "content", "%ar%").collect()
+    ]
+    assert got == _summary({t for t in VOCAB if "ar" in t})
+
+
+def test_expanded_join_is_broadcast(posts, ts):
+    plan = (
+        fuzzy_topdocs(posts, ts, "content", "sort", 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
