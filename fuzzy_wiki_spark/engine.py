@@ -301,3 +301,132 @@ class SegmentIndex:
             self.field_stats,
             k=k,
         )
+
+    # -- term-pruned decode adapter: every postings-level query operator
+    #    (boolean / phrase / prefix / fuzzy / wildcard) serves straight
+    #    from the compressed on-disk segments ------------------------------
+
+    def term_postings(
+        self,
+        field: str,
+        terms: "list[str] | DataFrame",
+        with_dl: bool = True,
+    ) -> DataFrame:
+        """Postings-DataFrame view of the compressed index, decoded ONLY
+        for the given terms.
+
+        The segment files are term-sorted within each bucket partition
+        (operators/segments.py write contract), so the term predicate —
+        `isin` for a literal list, a broadcast join for a DataFrame of
+        expanded terms — prunes parquet row-groups before any byte is
+        decoded; decode cost is Σ|posting list(term)|, never the corpus.
+        Positions stay in wire format, so phrase matching works unchanged.
+        Multi-generation segment unions (streaming/incremental.py) decode
+        to the plain union of their disjoint doc sets — correct by the
+        append-only contract.
+
+        ``with_dl`` joins each row's field length from the ``_dl`` meta
+        rows (needed by BM25-scoring consumers; the join is doc_id-keyed
+        against a doc_count-sized side — the same cost profile as the
+        relational engine's doc_lens join).
+        """
+        from fuzzy_wiki_spark.streaming.incremental import (
+            segments_to_postings,
+        )
+
+        seg_f = self.segments.where(F.col("field") == field)
+        if isinstance(terms, DataFrame):
+            matched = seg_f.join(F.broadcast(terms), "term")
+        else:
+            matched = seg_f.where(F.col("term").isin(list(terms)))
+        posts = segments_to_postings(matched)
+        if not with_dl:
+            return posts
+        dls = segments_to_postings(
+            seg_f.where(F.col("term") == "_dl")
+        ).select("doc_id", F.col("tf").cast("int").alias("dl"))
+        return posts.join(dls, "doc_id")
+
+    def boolean(
+        self,
+        must: tuple[str, ...],
+        should: tuple[str, ...] = (),
+        must_not: tuple[str, ...] = (),
+        field: str = "content",
+        k: int = 10,
+    ) -> DataFrame:
+        """MUST/SHOULD/MUST_NOT retrieval over the compressed segments
+        (operators/boolean.py on the term-pruned decode)."""
+        from fuzzy_wiki_spark.operators.boolean import boolean_topk
+
+        all_terms = list(dict.fromkeys(must + should + must_not))
+        posts = self.term_postings(field, all_terms)
+        term_df = self._term_df(list(dict.fromkeys(must + should)))
+        return boolean_topk(
+            posts, field, must, should, must_not, term_df,
+            self.field_stats, k=k,
+        )
+
+    def phrase(
+        self,
+        phrase: tuple[str, ...],
+        field: str = "content",
+        slop: int = 0,
+        k: int = 15,
+    ) -> DataFrame:
+        """Sloppy/exact phrase top-docs over the compressed segments —
+        positions decode straight from the wire format."""
+        from fuzzy_wiki_spark.operators.topk import phrase_topdocs
+
+        posts = self.term_postings(field, list(phrase), with_dl=False)
+        return phrase_topdocs(posts, field, phrase, slop=slop, k=k)
+
+    def prefix(
+        self, prefix: str, field: str = "content", k: int = 20
+    ) -> DataFrame:
+        """Prefix term query: dictionary range scan on term_stats, then
+        term-pruned decode + doc agg."""
+        from fuzzy_wiki_spark.operators.term_expansion import (
+            expanded_topdocs,
+        )
+
+        ex = self.term_stats.where(
+            (F.col("field") == field) & F.col("term").startswith(prefix)
+        ).select("term")
+        return expanded_topdocs(
+            self.term_postings(field, ex, with_dl=False), field, ex, k
+        )
+
+    def fuzzy(
+        self,
+        query_term: str,
+        max_dist: int = 1,
+        field: str = "content",
+        k: int = 20,
+    ) -> DataFrame:
+        """Fuzzy term query (levenshtein dictionary expansion) over the
+        compressed segments."""
+        from fuzzy_wiki_spark.operators.term_expansion import (
+            expand_fuzzy,
+            expanded_topdocs,
+        )
+
+        ex = expand_fuzzy(self.term_stats, field, query_term, max_dist)
+        return expanded_topdocs(
+            self.term_postings(field, ex, with_dl=False), field, ex, k
+        )
+
+    def wildcard(
+        self, pattern: str, field: str = "content", k: int = 20
+    ) -> DataFrame:
+        """Wildcard term query (SQL-LIKE dictionary expansion) over the
+        compressed segments."""
+        from fuzzy_wiki_spark.operators.term_expansion import (
+            expand_wildcard,
+            expanded_topdocs,
+        )
+
+        ex = expand_wildcard(self.term_stats, field, pattern)
+        return expanded_topdocs(
+            self.term_postings(field, ex, with_dl=False), field, ex, k
+        )

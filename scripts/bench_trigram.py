@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Trigram code-search scale bench (substring/regex subsystem).
+
+Over an existing generated corpus (--input, scripts/build_index.py's
+--gen-corpus output or any docs parquet with a `content` column):
+
+  1. trigram index build (doc_trigrams → write_trigram_index, bucketed)
+  2. substring query via bucket-pruned on-disk lookup (load_trigram_index)
+  3. regex query via mandatory-literal pruning
+  4. control: un-indexed full-scan contains/rlike over the corpus
+     (what the pruned path saves)
+
+Prints ONE JSON line with per-stage seconds. Run at two parallelism levels
+for the scaling table:
+
+    python scripts/bench_trigram.py --input /tmp/fw_corpus800k --cpus 8
+    python scripts/bench_trigram.py --input /tmp/fw_corpus800k --cpus 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--needle", default="binary search tree")
+    ap.add_argument("--pattern", default="binary [a-z]+ tree")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from fuzzy_wiki_spark.operators.trigram import (
+        doc_trigrams,
+        load_trigram_index,
+        regex_search,
+        required_grams_for_literal,
+        required_grams_for_regex,
+        substring_search,
+    )
+    from fuzzy_wiki_spark.session import get_spark
+
+    spark = get_spark(
+        "bench-trigram",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus,
+    )
+    out = args.out or tempfile.mkdtemp(prefix="fw_tri_")
+    t: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        r = fn()
+        t[name] = round(time.perf_counter() - t0, 4)
+        return r
+
+    docs = spark.read.parquet(args.input).select("doc_id", "content")
+    n_docs = docs.count()
+
+    from fuzzy_wiki_spark.operators.trigram import write_trigram_index
+
+    timed(
+        "index_build_write",
+        lambda: write_trigram_index(
+            doc_trigrams(docs, text_col="content"), out, args.n_buckets
+        ),
+    )
+
+    req_sub = required_grams_for_literal(args.needle)
+    n_sub = timed(
+        "substring_pruned",
+        lambda: substring_search(
+            docs,
+            load_trigram_index(spark, out, req_sub),
+            args.needle,
+            text_col="content",
+        ).count(),
+    )
+    req_re = required_grams_for_regex(args.pattern)
+    n_re = timed(
+        "regex_pruned",
+        lambda: regex_search(
+            docs,
+            load_trigram_index(spark, out, req_re),
+            args.pattern,
+            text_col="content",
+        ).count(),
+    )
+    # control: what the same queries cost without the index
+    from pyspark.sql import functions as F
+
+    n_sub_scan = timed(
+        "substring_fullscan",
+        lambda: docs.where(F.col("content").contains(args.needle)).count(),
+    )
+    n_re_scan = timed(
+        "regex_fullscan",
+        lambda: docs.where(F.col("content").rlike(args.pattern)).count(),
+    )
+    assert n_sub == n_sub_scan and n_re == n_re_scan, (
+        n_sub, n_sub_scan, n_re, n_re_scan,
+    )
+
+    print(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                "cpus": args.cpus,
+                "n_buckets": args.n_buckets,
+                "timings_sec": t,
+                "n_substring_hits": n_sub,
+                "n_regex_hits": n_re,
+                "index_docs_per_sec": round(
+                    n_docs / t["index_build_write"], 1
+                ),
+            }
+        )
+    )
+    if args.out is None:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
