@@ -231,6 +231,19 @@ def q_extract_patterns(spark, sf_dir):
     return TXT.extract_patterns(_docs(spark, sf_dir), EXTRACT_PATTERNS)
 
 
+def q_index_stats(spark, sf_dir):
+    """Ops-observability rollup: one row per field with doc_count, sum_dl,
+    vocabulary size and posting count — the numbers an operator watches
+    when an index build lands (all from one postings aggregation)."""
+    posts = _postings_simple(spark, sf_dir)
+    return posts.groupBy("field").agg(
+        F.countDistinct("doc_id").cast("long").alias("doc_count"),
+        F.countDistinct("term").cast("long").alias("n_terms"),
+        F.count("*").cast("long").alias("n_postings"),
+        F.sum("tf").cast("long").alias("sum_dl"),
+    )
+
+
 FUZZY_TERM, FUZZY_DIST = "part", 2  # expands to part/sort/fast/spark
 WILDCARD_PATTERN = "%or%"  # matches sort/order
 
@@ -1199,6 +1212,12 @@ ORACLE_SQL: dict[str, str] = {
                  regexp_extract_all(text, 'table ([a-z]+)', 1) AS matches
           FROM documents)
     """,
+    "index_stats": f"""
+        SELECT 'content' AS field, count(DISTINCT doc_id)::BIGINT AS doc_count,
+               count(DISTINCT term)::BIGINT AS n_terms,
+               count(*)::BIGINT AS n_postings, sum(tf)::BIGINT AS sum_dl
+        FROM ({_TF})
+    """,
     "fuzzy_search": f"""
         WITH tf AS ({_TF}),
         ex AS (SELECT DISTINCT term FROM tf
@@ -1699,6 +1718,7 @@ QUERIES = {
     "boolean_search": q_boolean_search,
     "prefix_search": q_prefix_search,
     "extract_patterns": q_extract_patterns,
+    "index_stats": q_index_stats,
     "fuzzy_search": q_fuzzy_search,
     "wildcard_search": q_wildcard_search,
     "more_like_this": q_more_like_this,
