@@ -244,6 +244,27 @@ def q_index_stats(spark, sf_dir):
     )
 
 
+EXTENDED_QUERY = '+merge -stream "merge join"~3 fast s* part~2'
+
+
+def q_extended_query(spark, sf_dir):
+    """The extended query language end-to-end (plans/qlang.py — Lucene
+    QueryParser subset): must/veto gating + BM25 term & phrase scoring +
+    constant-score prefix/fuzzy expansion, one query string."""
+    from fuzzy_wiki_spark.plans.qlang import execute_extended, parse_extended
+
+    posts = _postings_simple(spark, sf_dir)
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    eq = parse_extended(EXTENDED_QUERY, analyze=str.split)
+    res = execute_extended(
+        spark, posts, P.term_stats(posts), fstats, eq, k=10
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 FUZZY_TERM, FUZZY_DIST = "part", 2  # expands to part/sort/fast/spark
 WILDCARD_PATTERN = "%or%"  # matches sort/order
 
@@ -1212,6 +1233,51 @@ ORACLE_SQL: dict[str, str] = {
                  regexp_extract_all(text, 'table ([a-z]+)', 1) AS matches
           FROM documents)
     """,
+    "extended_query": f"""
+        WITH tk AS ({_TOKPOS}),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+               FROM tk GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tk GROUP BY doc_id),
+        st AS (SELECT count(*) AS doc_count,
+                      sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+        dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                WHERE term IN ('merge','join','fast') GROUP BY term),
+        idfq AS (SELECT dfq.term,
+                        ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+                          AS idf
+                 FROM dfq CROSS JOIN st),
+        pm AS (SELECT DISTINCT a.doc_id FROM tk a JOIN tk b
+                 ON b.doc_id = a.doc_id AND abs(b.pos - a.pos - 1) <= 3
+               WHERE a.term = 'merge' AND b.term = 'join'),
+        contrib AS (
+          SELECT tf.doc_id,
+                 idfq.idf * tf.tf
+                   / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) AS c
+          FROM tf JOIN idfq ON tf.term = idfq.term
+               JOIN dl USING(doc_id) CROSS JOIN st
+          WHERE tf.term IN ('merge','fast')
+          UNION ALL
+          SELECT tf.doc_id,
+                 (SELECT sum(idf) FROM idfq WHERE term IN ('merge','join'))
+                   * sum(tf.tf)
+                   / (sum(tf.tf) + {K1}*(1 - {B}
+                        + {B}*any_value(dl.dl)/any_value(st.avgdl))) AS c
+          FROM tf JOIN pm USING(doc_id) JOIN dl USING(doc_id) CROSS JOIN st
+          WHERE tf.term IN ('merge','join')
+          GROUP BY tf.doc_id
+          UNION ALL
+          SELECT DISTINCT doc_id, 1.0 AS c FROM tf WHERE term LIKE 's%'
+          UNION ALL
+          SELECT DISTINCT doc_id, 1.0 AS c FROM tf
+          WHERE levenshtein(term, 'part') <= 2),
+        sc AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id)
+        SELECT sc.doc_id, round(sc.s, 6) AS score FROM sc
+        JOIN (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge') mu
+          USING(doc_id)
+        WHERE sc.doc_id NOT IN
+          (SELECT doc_id FROM tf WHERE term = 'stream')
+        ORDER BY sc.s DESC, sc.doc_id LIMIT 10
+    """,
     "index_stats": f"""
         SELECT 'content' AS field, count(DISTINCT doc_id)::BIGINT AS doc_count,
                count(DISTINCT term)::BIGINT AS n_terms,
@@ -1719,6 +1785,7 @@ QUERIES = {
     "prefix_search": q_prefix_search,
     "extract_patterns": q_extract_patterns,
     "index_stats": q_index_stats,
+    "extended_query": q_extended_query,
     "fuzzy_search": q_fuzzy_search,
     "wildcard_search": q_wildcard_search,
     "more_like_this": q_more_like_this,

@@ -1,0 +1,187 @@
+"""Extended query language (plans/qlang.py): parser unit tests + execution
+vs a brute-force pandas oracle implementing the documented semantics."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from fuzzy_wiki_spark.operators.postings import (
+    build_postings,
+    field_stats,
+    term_stats,
+)
+from fuzzy_wiki_spark.plans.qlang import (
+    Atom,
+    execute_extended,
+    parse_extended,
+)
+
+K1, B = 1.2, 0.75
+
+DOCS = [
+    (0, "merge join key merge join fast"),
+    (1, "merge fast join slow key stream"),
+    (2, "sort sore part spark merge join"),
+    (3, "sort sort scan"),
+    (4, "fast hash part merge"),
+    (5, "key join merge join key"),
+    (6, ""),
+]
+TOKS = {d: [t for t in s.split() if t] for d, s in DOCS}
+VOCAB = sorted({t for ts in TOKS.values() for t in ts})
+
+
+# ---------------- parser ----------------
+
+
+def test_parse_kinds():
+    eq = parse_extended(
+        '+merge -stream "merge join"~3 fast s* or?er part~ part~1 /me.ge/',
+        analyze=str.split,
+    )
+    assert [a.kind for a in eq.must] == ["term"]
+    assert [a.kind for a in eq.must_not] == ["term"]
+    kinds = [a.kind for a in eq.should]
+    assert kinds == [
+        "phrase", "term", "prefix", "wildcard", "fuzzy", "fuzzy", "regexp",
+    ]
+    ph = eq.should[0]
+    assert ph.terms == ("merge", "join") and ph.slop == 3
+    assert eq.should[2].terms == ("s",)  # prefix value
+    assert eq.should[4].dist == 2 and eq.should[5].dist == 1
+
+
+def test_parse_field_selector_and_single_word_phrase():
+    eq = parse_extended('path:merge "fast"', analyze=str.split)
+    assert eq.should[0].field == "path" and eq.should[0].kind == "term"
+    assert eq.should[1].kind == "term"  # 1-word phrase degrades to term
+
+
+def test_parse_drops_empty_atoms():
+    eq = parse_extended('"" merge', analyze=str.split)
+    assert len(eq.should) == 1
+
+
+# ---------------- execution ----------------
+
+
+@pytest.fixture(scope="module")
+def posts(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["doc_id", "text"])
+    )
+    return build_postings(
+        df, fields={"content": "text"}, mode="simple"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def ts(posts):
+    return term_stats(posts).cache()
+
+
+@pytest.fixture(scope="module")
+def fstats(posts):
+    return {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in field_stats(posts).collect()
+    }
+
+
+def _idf(t):
+    n = sum(1 for ts_ in TOKS.values() if ts_)
+    df = sum(1 for ts_ in TOKS.values() if t in ts_)
+    return math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+
+def _tfn(tf, d):
+    n = sum(1 for ts_ in TOKS.values() if ts_)
+    avgdl = sum(len(ts_) for ts_ in TOKS.values()) / n
+    return tf / (tf + K1 * (1 - B + B * len(TOKS[d]) / avgdl))
+
+
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+def _matches(atom, d):
+    toks = TOKS[d]
+    if atom.kind == "term":
+        return atom.terms[0] in toks
+    if atom.kind == "phrase":
+        from fuzzy_wiki_spark.oracle import sloppy_phrase_match
+
+        posmap = {}
+        for i, t in enumerate(toks):
+            posmap.setdefault(t, []).append(i)
+        return sloppy_phrase_match(posmap, atom.terms, atom.slop)
+    import re as _re
+
+    v = atom.terms[0]
+    if atom.kind == "prefix":
+        return any(t.startswith(v) for t in toks)
+    if atom.kind == "wildcard":
+        pat = "^" + _re.escape(v).replace("\\*", ".*").replace("\\?", ".") + "$"
+        return any(_re.match(pat, t) for t in toks)
+    if atom.kind == "fuzzy":
+        return any(_lev(t, v) <= atom.dist for t in toks)
+    if atom.kind == "regexp":
+        return any(_re.fullmatch(v, t) for t in toks)
+    raise ValueError(atom.kind)
+
+
+def _contrib(atom, d):
+    toks = TOKS[d]
+    if not _matches(atom, d):
+        return 0.0
+    if atom.kind == "term":
+        return _idf(atom.terms[0]) * _tfn(toks.count(atom.terms[0]), d)
+    if atom.kind == "phrase":
+        w = sum(_idf(t) for t in atom.terms)
+        freq = sum(toks.count(t) for t in set(atom.terms))
+        return w * _tfn(freq, d)
+    return 1.0
+
+
+def _brute(eq, k=10):
+    out = []
+    for d, toks in TOKS.items():
+        if not toks:
+            continue
+        if any(not _matches(a, d) for a in eq.must):
+            continue
+        if any(_matches(a, d) for a in eq.must_not):
+            continue
+        s = sum(_contrib(a, d) for a in eq.must + eq.should)
+        if eq.must or s > 0:
+            out.append((d, round(s, 6)))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:k]
+
+
+QUERIES = [
+    "merge join",
+    '+merge +join -stream fast',
+    '"merge join"~3 fast',
+    '"merge join" s*',
+    "part~2 or?er",
+    '+merge "key merge"~1 /s.rt/',
+    "-merge sort",
+    '+"merge join" -"sort sore"',
+]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_execute_matches_brute_force(spark, posts, ts, fstats, q):
+    eq = parse_extended(q, analyze=str.split)
+    got = [
+        (r.doc_id, round(r.score, 6))
+        for r in execute_extended(spark, posts, ts, fstats, eq).collect()
+    ]
+    assert got == _brute(eq), q
