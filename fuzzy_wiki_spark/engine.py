@@ -416,6 +416,57 @@ class SegmentIndex:
             self.term_postings(field, ex, with_dl=False), field, ex, k
         )
 
+    def extended(
+        self, query: str, k: int = 10, analyze=None
+    ) -> DataFrame:
+        """Run an extended-language query (plans/qlang.py — the Lucene
+        QueryParser subset) over the compressed segments.
+
+        Every atom's term set is resolved FIRST (literal terms, plus
+        dictionary expansions against the vocabulary-sized term_stats), the
+        union is decoded once through the term-pruned adapter, and
+        execute_extended runs its per-atom frames over that decoded base —
+        so decode cost is Σ|posting lists(query terms)|, never the index.
+        """
+        from functools import reduce
+
+        from fuzzy_wiki_spark.plans.qlang import (
+            _expansion,
+            atom_terms,
+            execute_extended,
+            parse_extended,
+        )
+
+        eq = parse_extended(query, analyze=analyze)
+        atoms = eq.must + eq.should + eq.must_not
+        if not atoms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        parts = []
+        for fld in sorted({a.field for a in atoms}):
+            lit = sorted(atom_terms(eq).get(fld, ()))
+            term_dfs = [
+                _expansion(self.term_stats, a)
+                for a in atoms
+                if a.field == fld
+                and a.kind in ("prefix", "wildcard", "fuzzy", "regexp")
+            ]
+            if lit:
+                term_dfs.append(
+                    self.spark.createDataFrame(
+                        [(t,) for t in lit], "term string"
+                    )
+                )
+            terms = reduce(
+                lambda a, b: a.unionByName(b), term_dfs
+            ).distinct()
+            parts.append(self.term_postings(fld, terms))
+        posts = reduce(lambda a, b: a.unionByName(b), parts)
+        return execute_extended(
+            self.spark, posts, self.term_stats, self.field_stats, eq, k=k
+        )
+
     def wildcard(
         self, pattern: str, field: str = "content", k: int = 20
     ) -> DataFrame:

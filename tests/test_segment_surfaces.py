@@ -155,6 +155,37 @@ def test_expanded_parity(request, posts, index_fix):
     assert rows(idx.wildcard("%ar%")) == want
 
 
+@pytest.mark.parametrize("index_fix", ["seg", "inc"])
+@pytest.mark.parametrize(
+    "q",
+    [
+        '+merge +join -stream fast',
+        '"merge join"~3 s* part~2',
+        '+"merge join" /s.rt/ key',
+    ],
+)
+def test_extended_language_parity(request, spark, posts, stats, index_fix, q):
+    from fuzzy_wiki_spark.operators.postings import term_stats as TS
+    from fuzzy_wiki_spark.plans.qlang import (
+        execute_extended,
+        parse_extended,
+    )
+
+    idx = request.getfixturevalue(index_fix)
+    eq = parse_extended(q, analyze=str.split)
+    want = rows(
+        execute_extended(spark, posts, TS(posts), stats, eq).select(
+            "doc_id", F.round("score", 6).alias("s")
+        )
+    )
+    got = rows(
+        idx.extended(q, analyze=str.split).select(
+            "doc_id", F.round("score", 6).alias("s")
+        )
+    )
+    assert got == want, q
+
+
 def test_term_postings_prunes_before_decode(seg):
     # the adapter's decode input must carry the term predicate (pruned
     # scan), not the whole segments table
