@@ -70,9 +70,19 @@ def doc_trigrams(
 def write_trigram_index(
     index: DataFrame, out_dir: str, n_buckets: int = 64
 ) -> None:
-    """Persist gram-bucketed + gram-sorted so query-time `gram.isin(...)`
-    prunes buckets via partition pruning and row-groups via min/max stats
-    (same layout contract as the term segments, operators/segments.py)."""
+    """Persist the trigram index:
+
+      out_dir/grams/    gram-bucketed (hash partitions) + gram-sorted data
+                        — query-time `gram.isin(...)` prunes buckets via
+                        partition pruning and row-groups via min/max stats
+                        (same layout contract as the term segments)
+      out_dir/stats/    (gram, df) document frequencies — the query
+                        planner's cost statistics. Map-side-combinable agg;
+                        gram-vocabulary-sized (≤ |Σ|³ in practice), MBs
+                        where the index is TBs.
+      out_dir/_meta.json  n_buckets (the reader must hash with the same
+                        modulus; never inferred from data)
+    """
     (
         index.withColumn(
             "bucket", F.pmod(F.xxhash64("gram"), F.lit(n_buckets))
@@ -81,7 +91,14 @@ def write_trigram_index(
         .sortWithinPartitions("gram")
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(out_dir)
+        .parquet(f"{out_dir}/grams")
+    )
+    (
+        index.groupBy("gram")
+        .agg(F.count("*").cast("long").alias("df"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/stats")
     )
     import json
     from pathlib import Path
@@ -113,7 +130,7 @@ def load_trigram_index(spark, index_dir: str, req: list[str]) -> DataFrame:
     n_buckets = json.loads(
         (Path(index_dir) / "_meta.json").read_text()
     )["n_buckets"]
-    probe = spark.read.parquet(index_dir)
+    probe = spark.read.parquet(f"{index_dir}/grams")
     buckets = sorted(
         {
             r["b"]
@@ -251,6 +268,71 @@ def substring_search(
     return (
         scope.where(F.col(text_col).contains(needle))
         .select(F.col(id_col), n_hits.alias("n_hits"))
+    )
+
+
+def gram_selectivity(
+    spark, index_dir: str, req: list[str]
+) -> float:
+    """Upper-bound candidate fraction for a required-gram conjunction:
+    min(df(g)) over the required grams (the true candidate count is the
+    intersection, ≤ the rarest gram's posting list), normalized by
+    max(df) over ALL grams — a corpus-size proxy that needs no extra
+    metadata and errs toward OVERestimating selectivity (max df ≤ N), i.e.
+    toward the always-correct full-scan path. Point lookups on the (tiny)
+    stats sidecar; a gram absent from stats has df 0 → 0.0."""
+    stats = spark.read.parquet(f"{index_dir}/stats")
+    n_total = stats.agg(F.max("df")).collect()[0][0] or 1
+    rows = {
+        r["gram"]: r["df"]
+        for r in stats.where(F.col("gram").isin(req)).collect()
+    }
+    if len(rows) < len(req):
+        return 0.0  # some required gram never occurs → no candidates
+    return min(rows.values()) / n_total
+
+
+def substring_search_auto(
+    spark,
+    docs: DataFrame,
+    index_dir: str,
+    needle: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scan_threshold: float = 0.10,
+) -> tuple[DataFrame, str]:
+    """Cost-based substring search: consult the gram-df statistics and pick
+    the index-pruned path only when the rarest required gram bounds the
+    candidate set under ``scan_threshold`` of the corpus; otherwise run the
+    straight full-scan verify (measured: on low-entropy corpora where every
+    trigram is common, the pruned path's index read + intersection costs
+    more than the scan it is meant to save — BENCH.md trigram section).
+
+    Returns (result_df, "pruned" | "scan") so callers/benches can record
+    the decision.
+    """
+    req = required_grams_for_literal(needle)
+    sel = gram_selectivity(spark, index_dir, req) if req else 1.0
+    if req and sel <= scan_threshold:
+        idx = load_trigram_index(spark, index_dir, req)
+        return (
+            substring_search(docs, idx, needle, text_col, id_col),
+            "pruned",
+        )
+    n_hits = (
+        (
+            F.length(text_col)
+            - F.length(
+                F.replace(F.col(text_col), F.lit(needle), F.lit(""))
+            )
+        )
+        / F.length(F.lit(needle))
+    ).cast("long")
+    return (
+        docs.where(F.col(text_col).contains(needle)).select(
+            F.col(id_col), n_hits.alias("n_hits")
+        ),
+        "scan",
     )
 
 

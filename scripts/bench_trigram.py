@@ -76,16 +76,50 @@ def main() -> None:
         ),
     )
 
-    req_sub = required_grams_for_literal(args.needle)
-    n_sub = timed(
-        "substring_pruned",
-        lambda: substring_search(
-            docs,
-            load_trigram_index(spark, out, req_sub),
-            args.needle,
-            text_col="content",
-        ).count(),
+    from pyspark.sql import functions as F
+
+    from fuzzy_wiki_spark.operators.trigram import (
+        gram_selectivity,
+        substring_search_auto,
     )
+
+    # two selectivity regimes: the common-gram needle (low-entropy corpus
+    # text — scan should win) and the rare-gram needle (REDIRECT docs are
+    # ~1% of the corpus and the only uppercase text — pruning should win)
+    needles = {"common": args.needle, "rare": "REDIRECT src/"}
+    decisions: dict[str, str] = {}
+    selectivity: dict[str, float] = {}
+    hits: dict[str, int] = {}
+    for label, needle in needles.items():
+        req = required_grams_for_literal(needle)
+        selectivity[label] = round(gram_selectivity(spark, out, req), 4)
+        hits[f"{label}_pruned"] = timed(
+            f"substring_pruned_{label}",
+            lambda: substring_search(
+                docs,
+                load_trigram_index(spark, out, req),
+                needle,
+                text_col="content",
+            ).count(),
+        )
+        hits[f"{label}_scan"] = timed(
+            f"substring_fullscan_{label}",
+            lambda: docs.where(
+                F.col("content").contains(needle)
+            ).count(),
+        )
+        assert hits[f"{label}_pruned"] == hits[f"{label}_scan"]
+
+        def _auto():
+            df, path = substring_search_auto(
+                spark, docs, out, needle, text_col="content"
+            )
+            decisions[label] = path
+            return df.count()
+
+        hits[f"{label}_auto"] = timed(f"substring_auto_{label}", _auto)
+        assert hits[f"{label}_auto"] == hits[f"{label}_scan"]
+
     req_re = required_grams_for_regex(args.pattern)
     n_re = timed(
         "regex_pruned",
@@ -96,20 +130,12 @@ def main() -> None:
             text_col="content",
         ).count(),
     )
-    # control: what the same queries cost without the index
-    from pyspark.sql import functions as F
-
-    n_sub_scan = timed(
-        "substring_fullscan",
-        lambda: docs.where(F.col("content").contains(args.needle)).count(),
-    )
     n_re_scan = timed(
         "regex_fullscan",
         lambda: docs.where(F.col("content").rlike(args.pattern)).count(),
     )
-    assert n_sub == n_sub_scan and n_re == n_re_scan, (
-        n_sub, n_sub_scan, n_re, n_re_scan,
-    )
+    assert n_re == n_re_scan, (n_re, n_re_scan)
+    n_sub = hits["common_scan"]
 
     print(
         json.dumps(
@@ -118,6 +144,8 @@ def main() -> None:
                 "cpus": args.cpus,
                 "n_buckets": args.n_buckets,
                 "timings_sec": t,
+                "planner_decisions": decisions,
+                "gram_selectivity": selectivity,
                 "n_substring_hits": n_sub,
                 "n_regex_hits": n_re,
                 "index_docs_per_sec": round(

@@ -140,6 +140,40 @@ def test_disk_index_bucket_pruning(spark, docs, index, tmp_path):
     assert m and "bucket" in m.group(1) and m.group(1).strip()
 
 
+def test_planner_routes_by_selectivity(spark, docs, index, tmp_path):
+    from fuzzy_wiki_spark.operators.trigram import (
+        gram_selectivity,
+        substring_search_auto,
+        write_trigram_index,
+    )
+
+    out = str(tmp_path / "tri")
+    write_trigram_index(index, out, n_buckets=4)
+    # "merge join" grams are common in this corpus → planner prefers scan
+    common = required_grams_for_literal("merge join")
+    assert gram_selectivity(spark, index_dir=out, req=common) > 0.10
+    df, path = substring_search_auto(
+        spark, docs, out, "merge join", scan_threshold=0.10
+    )
+    assert path == "scan"
+    got = {(r.doc_id, r.n_hits) for r in df.collect()}
+    assert got == {
+        (d, t.count("merge join")) for d, t in DOCS if "merge join" in t
+    }
+    # an absent needle has zero-df grams → selectivity 0 → pruned path
+    df, path = substring_search_auto(
+        spark, docs, out, "zzzneverzzz", scan_threshold=0.10
+    )
+    assert path == "pruned"
+    assert df.count() == 0
+    # a selective needle routes pruned and stays correct
+    df, path = substring_search_auto(
+        spark, docs, out, "quick brown", scan_threshold=0.999
+    )
+    assert path == "pruned"
+    assert {r.doc_id for r in df.collect()} == {6}
+
+
 def test_search_plan_has_no_cartesian(docs, index):
     plan = (
         substring_search(docs, index, "merge join")
