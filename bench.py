@@ -130,6 +130,14 @@ def main() -> None:
         "pipe_phrase_sloppy",
         lambda: DQ.q_phrase_sloppy(spark, sf_dir).collect(),
     )
+    timed(
+        "pipe_extended_query",
+        lambda: DQ.q_extended_query(spark, sf_dir).collect(),
+    )
+    timed(
+        "pipe_more_like_this",
+        lambda: DQ.q_more_like_this(spark, sf_dir).collect(),
+    )
 
     # 3b) trigram code search: index build (narrow stage) + pruned substring
     # + pruned regex over the same in-memory index

@@ -35,12 +35,18 @@ Scale notes (10^12 files):
 - Unindexable queries (needle < 3 chars, regex with no mandatory literal
   run ≥ 3) fall back to a full verify scan — correct, explicitly chosen,
   and reported via `required_grams_for_*` returning [].
+- The index only pays when the required grams are SELECTIVE. On
+  low-entropy corpora (small vocabularies, generated text) every trigram
+  is common and the pruned path costs more than the scan it saves
+  (measured at 800k docs — BENCH.md). `substring_search_auto` is the
+  planner: it reads the gram-df statistics sidecar the writer leaves and
+  routes each query to pruned vs scan by the rarest-gram selectivity
+  bound.
 """
 
 from __future__ import annotations
 
 import re
-import string
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
