@@ -99,8 +99,14 @@ def write_trigram_index(
         .partitionBy("bucket")
         .parquet(f"{out_dir}/grams")
     )
+    # derive stats from the files just written, NOT from `index`: re-running
+    # the upstream explode would double the build (measured +50% at 800k);
+    # reading back only the dictionary-encoded gram column is a cheap
+    # column scan, and rows per (bucket-dir, gram) are already co-located
+    spark = index.sparkSession
     (
-        index.groupBy("gram")
+        spark.read.parquet(f"{out_dir}/grams")
+        .groupBy("gram")
         .agg(F.count("*").cast("long").alias("df"))
         .coalesce(1)
         .write.mode("overwrite")
