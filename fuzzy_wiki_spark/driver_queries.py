@@ -253,7 +253,9 @@ def q_extended_query(spark, sf_dir):
     constant-score prefix/fuzzy expansion, one query string."""
     from fuzzy_wiki_spark.plans.qlang import execute_extended, parse_extended
 
-    posts = _postings_simple(spark, sf_dir)
+    # per-atom frames re-scan postings; persist the tokenize output once
+    # (the documented caller contract in plans/qlang.py)
+    posts = _postings_simple(spark, sf_dir).persist()
     fstats = {
         r["field"]: (r["doc_count"], float(r["avgdl"]))
         for r in P.field_stats(posts).collect()
@@ -263,6 +265,32 @@ def q_extended_query(spark, sf_dir):
         spark, posts, P.term_stats(posts), fstats, eq, k=10
     )
     return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+SUGGEST_TYPO = "merg"  # a typo'd query term for did-you-mean
+RELATED_SEED = "merge"
+
+
+def q_suggest_terms(spark, sf_dir):
+    """Did-you-mean spell suggestion: closest dictionary terms by
+    (levenshtein, df) — operators/term_expansion.py:suggest_terms."""
+    from fuzzy_wiki_spark.operators.term_expansion import suggest_terms
+
+    posts = _postings_simple(spark, sf_dir)
+    return suggest_terms(
+        P.term_stats(posts), "content", SUGGEST_TYPO, max_dist=2, k=5
+    )
+
+
+def q_related_terms(spark, sf_dir):
+    """Related-searches analytics: terms concentrated in the seed term's
+    documents, ranked by lift = co_df/df."""
+    from fuzzy_wiki_spark.operators.term_expansion import related_terms
+
+    posts = _postings_simple(spark, sf_dir).persist()
+    return related_terms(
+        posts, P.term_stats(posts), "content", RELATED_SEED, k=10
+    )
 
 
 FUZZY_TERM, FUZZY_DIST = "part", 2  # expands to part/sort/fast/spark
@@ -321,7 +349,8 @@ def q_more_like_this(spark, sf_dir):
     terms → OR query → BM25 top-10, source excluded."""
     from fuzzy_wiki_spark.operators.topk import more_like_this
 
-    posts = _postings_simple(spark, sf_dir)
+    # three consumers (d0 lookup, df lookup, scoring) — persist tokenize
+    posts = _postings_simple(spark, sf_dir).persist()
     fstats = {
         r["field"]: (r["doc_count"], float(r["avgdl"]))
         for r in P.field_stats(posts).collect()
@@ -1284,6 +1313,26 @@ ORACLE_SQL: dict[str, str] = {
                count(*)::BIGINT AS n_postings, sum(tf)::BIGINT AS sum_dl
         FROM ({_TF})
     """,
+    "suggest_terms": f"""
+        WITH tf AS ({_TF}),
+        vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+        SELECT term, df, levenshtein(term, '{SUGGEST_TYPO}')::BIGINT AS dist
+        FROM vocab WHERE levenshtein(term, '{SUGGEST_TYPO}') <= 2
+        ORDER BY dist, df DESC, term LIMIT 5
+    """,
+    "related_terms": f"""
+        WITH tf AS ({_TF}),
+        sd AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{RELATED_SEED}'),
+        co AS (SELECT term, count(DISTINCT tf.doc_id)::BIGINT AS co_df
+               FROM tf JOIN sd USING(doc_id)
+               WHERE term <> '{RELATED_SEED}' GROUP BY term
+               HAVING count(DISTINCT tf.doc_id) >= 2),
+        v AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+        SELECT co.term, co.co_df, v.df,
+               round(co.co_df::DOUBLE / v.df, 6) AS lift
+        FROM co JOIN v USING(term)
+        ORDER BY lift DESC, co_df DESC, term LIMIT 10
+    """,
     "fuzzy_search": f"""
         WITH tf AS ({_TF}),
         ex AS (SELECT DISTINCT term FROM tf
@@ -1786,6 +1835,8 @@ QUERIES = {
     "extract_patterns": q_extract_patterns,
     "index_stats": q_index_stats,
     "extended_query": q_extended_query,
+    "suggest_terms": q_suggest_terms,
+    "related_terms": q_related_terms,
     "fuzzy_search": q_fuzzy_search,
     "wildcard_search": q_wildcard_search,
     "more_like_this": q_more_like_this,

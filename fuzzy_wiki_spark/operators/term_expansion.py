@@ -74,6 +74,74 @@ def expanded_topdocs(
     )
 
 
+def suggest_terms(
+    term_stats_df: DataFrame,
+    field: str,
+    query_term: str,
+    max_dist: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Did-you-mean spell suggestion (Lucene's DirectSpellChecker shape):
+    dictionary terms ranked by (edit distance asc, df desc, term asc) —
+    closer corrections first, popular corrections break ties. Vocabulary-
+    sized scan, returns (term, df, dist)."""
+    return (
+        term_stats_df.where(F.col("field") == field)
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("term"), F.lit(query_term.lower())),
+        )
+        .where(F.col("dist") <= max_dist)
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .select("term", "df", F.col("dist").cast("long").alias("dist"))
+        .limit(k)
+    )
+
+
+def related_terms(
+    postings: DataFrame,
+    term_stats_df: DataFrame,
+    field: str,
+    seed: str,
+    k: int = 10,
+    min_co: int = 2,
+) -> DataFrame:
+    """Search-analytics co-occurrence: terms that appear in the seed
+    term's documents, ranked by lift = co_df / df (how concentrated the
+    term is in the seed's doc set vs the corpus) — the "related searches"
+    primitive.
+
+    Plan: seed posting list → distinct doc set (≤ df(seed) rows) →
+    semi-join back into the postings scan → one term-keyed partial agg →
+    broadcast-join df from the O20 stats table. No full self-join: the
+    co-occurrence space is bounded by the seed's documents."""
+    base = postings.where(F.col("field") == field)
+    seed_docs = (
+        base.where(F.col("term") == seed).select("doc_id").distinct()
+    )
+    co = (
+        base.where(F.col("term") != seed)
+        .join(seed_docs, "doc_id")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("co_df"))
+        .where(F.col("co_df") >= min_co)
+    )
+    stats = term_stats_df.where(F.col("field") == field).select(
+        "term", "df"
+    )
+    return (
+        co.join(stats, "term")
+        .select(
+            "term",
+            "co_df",
+            F.col("df").cast("long").alias("df"),
+            F.round(F.col("co_df") / F.col("df"), 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.desc("co_df"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def fuzzy_topdocs(
     postings: DataFrame,
     term_stats_df: DataFrame,

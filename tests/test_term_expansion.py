@@ -94,6 +94,45 @@ def test_wildcard_topdocs(spark, posts, ts):
     assert got == _summary({t for t in VOCAB if "ar" in t})
 
 
+def test_suggest_terms(ts):
+    from fuzzy_wiki_spark.operators.term_expansion import suggest_terms
+
+    got = [
+        (r.term, r.df, r.dist)
+        for r in suggest_terms(ts, "content", "sorr", max_dist=2).collect()
+    ]
+    want = []
+    for t in VOCAB:
+        d = _lev(t, "sorr")
+        if d <= 2:
+            df = sum(1 for ts_ in TOKS.values() if t in ts_)
+            want.append((t, df, d))
+    want.sort(key=lambda r: (r[2], -r[1], r[0]))
+    assert got == want[:5]
+
+
+def test_related_terms(posts, ts):
+    from fuzzy_wiki_spark.operators.term_expansion import related_terms
+
+    got = [
+        (r.term, r.co_df, r.df, r.lift)
+        for r in related_terms(
+            posts, ts, "content", "part", min_co=1
+        ).collect()
+    ]
+    seed_docs = {d for d, t in TOKS.items() if "part" in t}
+    want = []
+    for t in VOCAB:
+        if t == "part":
+            continue
+        co = sum(1 for d in seed_docs if t in TOKS[d])
+        df = sum(1 for ts_ in TOKS.values() if t in ts_)
+        if co >= 1:
+            want.append((t, co, df, round(co / df, 6)))
+    want.sort(key=lambda r: (-r[3], -r[1], r[0]))
+    assert got == want[:10]
+
+
 def test_expanded_join_is_broadcast(posts, ts):
     plan = (
         fuzzy_topdocs(posts, ts, "content", "sort", 1)
