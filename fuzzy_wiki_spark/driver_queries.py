@@ -994,6 +994,54 @@ def q_incremental_search(spark, sf_dir):
     return _segment_skeleton_topk(spark, open_incremental(spark, out))
 
 
+DELETE_PRED = "doc_id % 7 = 0"  # the tombstoned set, mirrored in SQL
+
+
+def q_delete_search(spark, sf_dir):
+    """Tombstone deletes, query-time semantics: 2-epoch incremental index,
+    docs with doc_id%7==0 tombstoned (delete_docs), searched UNcompacted.
+    Lucene deletes-until-merge: stats still count the deleted docs, so the
+    oracle is the FULL-corpus BM25 skeleton with deleted ids excluded only
+    from the final candidate set."""
+    from fuzzy_wiki_spark.streaming.incremental import (
+        delete_docs,
+        open_incremental,
+    )
+
+    out = _build_incremental(spark, sf_dir)
+    doomed = (
+        _docs(spark, sf_dir)
+        .where(F.expr(DELETE_PRED))
+        .select("doc_id")
+    )
+    delete_docs(spark, doomed, "del-0", out, n_buckets=8)
+    return _segment_skeleton_topk(spark, open_incremental(spark, out))
+
+
+def q_delete_compact_search(spark, sf_dir):
+    """Tombstone deletes, post-compaction semantics: same index compacted
+    after the deletes — postings physically purged AND stats recomputed
+    over live docs only, so the oracle is the BM25 skeleton over the
+    corpus WITHOUT the deleted documents."""
+    import tempfile
+
+    from fuzzy_wiki_spark.streaming.incremental import (
+        compact_generations,
+        delete_docs,
+    )
+
+    out = _build_incremental(spark, sf_dir)
+    doomed = (
+        _docs(spark, sf_dir)
+        .where(F.expr(DELETE_PRED))
+        .select("doc_id")
+    )
+    delete_docs(spark, doomed, "del-0", out, n_buckets=8)
+    dst = tempfile.mkdtemp(prefix="fw_delcq_")
+    comp = compact_generations(spark, out, dst, n_buckets=8)
+    return _segment_skeleton_topk(spark, comp)
+
+
 def q_compact_search(spark, sf_dir):
     """Generation compaction (reference O11, IndexMerger.java:18-37):
     2 epochs → decode → one re-encode shuffle → single-generation index,
@@ -1763,6 +1811,45 @@ ORACLE_SQL: dict[str, str] = {
 ORACLE_SQL["incremental_search"] = ORACLE_SQL["bm25_topk"]
 ORACLE_SQL["compact_search"] = ORACLE_SQL["bm25_topk"]
 
+
+def _bm25_skeleton_sql(doc_filter: str = "TRUE", result_filter: str = "TRUE") -> str:
+    """The bm25_topk skeleton, parametrized for delete semantics:
+    ``doc_filter`` restricts the corpus the stats are computed over
+    (post-compaction: stats see live docs only); ``result_filter``
+    restricts only the final candidates (deletes-until-merge: stats still
+    count tombstoned docs)."""
+    tok = (
+        "SELECT doc_id, t AS term FROM ("
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+        f"FROM documents WHERE {doc_filter}"
+        ") WHERE t <> ''"
+    )
+    tf = f"SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({tok}) GROUP BY doc_id, term"
+    dl = f"SELECT doc_id, count(*)::BIGINT AS dl FROM ({tok}) GROUP BY doc_id"
+    return f"""
+        WITH tf AS ({tf}), dl AS ({dl}),
+        st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+        dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                WHERE term IN {_QTERMS} GROUP BY term),
+        sc AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+                      * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ) AS s
+          FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+          GROUP BY tf.doc_id)
+        SELECT doc_id, round(s, 6) AS score FROM sc
+        WHERE {result_filter}
+        ORDER BY s DESC, doc_id LIMIT 10
+    """
+
+
+ORACLE_SQL["delete_search"] = _bm25_skeleton_sql(
+    result_filter=f"NOT ({DELETE_PRED})"
+)
+ORACLE_SQL["delete_compact_search"] = _bm25_skeleton_sql(
+    doc_filter=f"NOT ({DELETE_PRED})"
+)
+
 _SHARDED = """
     SELECT doc_id, text,
            (('0x' || substr(md5(doc_id::VARCHAR || ':train'), 1, 8))::UBIGINT
@@ -1870,6 +1957,8 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "incremental_search": q_incremental_search,
     "compact_search": q_compact_search,
+    "delete_search": q_delete_search,
+    "delete_compact_search": q_delete_compact_search,
     "resolve_redirects": q_resolve_redirects,
     "doc_json": q_doc_json,
     "export_shards": q_export_shards,

@@ -330,6 +330,7 @@ class SegmentIndex:
         against a doc_count-sized side — the same cost profile as the
         relational engine's doc_lens join).
         """
+        from fuzzy_wiki_spark.operators.segment_query import META_DELETED
         from fuzzy_wiki_spark.streaming.incremental import (
             segments_to_postings,
         )
@@ -340,6 +341,13 @@ class SegmentIndex:
         else:
             matched = seg_f.where(F.col("term").isin(list(terms)))
         posts = segments_to_postings(matched)
+        # tombstoned docs (incremental deletes) never reach consumers;
+        # redirect docs stay — indexed-but-filtered is the searcher's
+        # policy (O22), not the adapter's
+        tombs = segments_to_postings(
+            self.segments.where(F.col("term") == META_DELETED)
+        ).select("doc_id")
+        posts = posts.join(tombs, "doc_id", "left_anti")
         if not with_dl:
             return posts
         dls = segments_to_postings(

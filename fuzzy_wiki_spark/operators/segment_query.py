@@ -51,6 +51,12 @@ from fuzzy_wiki_spark.plans.query import B, K1, Clause
 
 META_DL = "_dl"
 META_REDIRECT = "_redirect"
+# tombstone marker (streaming/incremental.py delete_docs): excluded from
+# results exactly like redirects, but physically dropped — postings and
+# marker both — at compaction. Stats (df/doc_count/avgdl) keep counting
+# tombstoned docs until compaction, which is Lucene's deletes-until-merge
+# semantics.
+META_DELETED = "_deleted"
 
 
 def _tf_norm(freq: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
@@ -127,7 +133,8 @@ def bucket_topk(
                         decode_tfs(r["tfs"]).astype(np.float64),
                     )
                 )
-            elif r["term"] == META_REDIRECT:
+            elif r["term"] in (META_REDIRECT, META_DELETED):
+                # one exclusion set: redirects (O22 policy) + tombstones
                 red_parts.append(
                     delta_decode_blocked(r["doc_ids"], BLOCK).astype(np.int64)
                 )
@@ -451,7 +458,7 @@ def search_segments_batch(
     }
     all_terms = sorted(
         {t for cls in queries.values() for c in cls for t in c.terms}
-    ) + [META_DL, META_REDIRECT]
+    ) + [META_DL, META_REDIRECT, META_DELETED]
 
     pruned = segments_df.where(F.col("term").isin(all_terms))
 

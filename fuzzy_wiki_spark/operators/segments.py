@@ -61,7 +61,7 @@ from fuzzy_wiki_spark.codec import (
 )
 
 BLOCK = 128
-META_TERMS = ["_dl", "_redirect"]  # segment meta rows (segment_query.py)
+META_TERMS = ["_dl", "_redirect", "_deleted"]  # meta rows (segment_query.py)
 
 SEGMENTS_SCHEMA_DDL = (
     "bucket int, field string, term string, df int, sum_tf long, "

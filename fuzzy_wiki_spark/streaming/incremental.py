@@ -110,6 +110,56 @@ def start_incremental_index(
     )
 
 
+def delete_docs(
+    spark: SparkSession,
+    doc_ids,
+    gen: str,
+    out_dir: str,
+    n_buckets: int = 32,
+) -> None:
+    """Tombstone-delete documents from an incremental index — no rewrite
+    of existing generations.
+
+    Writes a generation containing ONLY ``_deleted`` meta rows (the same
+    encoded segment layout; ``bucket = doc_id % n_buckets`` must match the
+    index's bucketing so the marker lands with its doc's postings). The
+    scorer unions tombstones into its exclusion set at decode time
+    (segment_query.py META_DELETED), so deletes take effect at the next
+    query with zero query-path cost beyond the marker rows. Stats keep
+    counting deleted docs until compaction — Lucene's deletes-until-merge
+    semantics — and ``compact_generations`` physically drops both the
+    postings and the markers.
+
+    ``doc_ids``: list[int] or a single-column DataFrame. ``gen`` names the
+    tombstone generation directory (must not collide with append epochs,
+    e.g. ``"del-0"``); rewriting the same ``gen`` is idempotent, like
+    epoch replay in append_batch.
+    """
+    from fuzzy_wiki_spark.operators.segment_query import META_DELETED
+    from fuzzy_wiki_spark.operators.segments import build_segments
+
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame(
+            [(int(d),) for d in doc_ids], "doc_id long"
+        )
+    rows = doc_ids.select(
+        F.col(doc_ids.columns[0]).cast("long").alias("doc_id"),
+        F.lit("content").alias("field"),
+        F.lit(META_DELETED).alias("term"),
+        F.lit(1).alias("tf"),
+        F.lit(b"").cast("binary").alias("positions"),
+        F.lit(0).alias("dl"),
+    )
+    segs = build_segments(rows, n_buckets=n_buckets)
+    (
+        segs.repartition("bucket")
+        .sortWithinPartitions("field", "term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(str(Path(out_dir) / "segments" / f"gen={gen}"))
+    )
+
+
 def load_generations(spark: SparkSession, out_dir: str) -> DataFrame:
     """Union of all segment generations (readers see one logical table)."""
     return spark.read.option("basePath", f"{out_dir}/segments").parquet(
@@ -272,7 +322,19 @@ def compact_generations(
         write_segments,
     )
 
+    from fuzzy_wiki_spark.operators.segment_query import META_DELETED
+
     posts = segments_to_postings(load_generations(spark, out_dir))
+    # physically purge tombstoned docs: their postings, their _dl rows,
+    # and the _deleted markers themselves — the compacted index is clean
+    deleted = (
+        posts.where(F.col("term") == META_DELETED)
+        .select("doc_id")
+        .distinct()
+    )
+    posts = posts.where(F.col("term") != META_DELETED).join(
+        deleted, "doc_id", "left_anti"
+    )
     segs = build_segments(posts, n_buckets=n_buckets)
     write_segments(segs, f"{dst_dir}/segments", n_buckets=n_buckets)
     write_index_stats(spark, dst_dir)
