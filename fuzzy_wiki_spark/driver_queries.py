@@ -440,6 +440,21 @@ def q_regex_search(spark, sf_dir):
     return regex_search(docs, idx, REGEX_PATTERN)
 
 
+SPAN_TERMS, SPAN_SLOP = ("merge", "key"), 5
+
+
+def q_span_near(spark, sf_dir):
+    """Ordered proximity (Lucene SpanNearQuery in_order=true): 'merge'
+    before 'key' within 5 positions, ranked by tightness
+    (operators/topk.py:span_near_topdocs)."""
+    from fuzzy_wiki_spark.operators.topk import span_near_topdocs
+
+    posts = _postings_simple(spark, sf_dir)
+    return span_near_topdocs(
+        posts, "content", SPAN_TERMS, slop=SPAN_SLOP, k=15
+    )
+
+
 def q_facet_counts(spark, sf_dir):
     """Faceted search, counts side: distinct docs matching ANY query term,
     counted per `lang` facet (operators/facets.py facet_counts — serving
@@ -1297,6 +1312,16 @@ ORACLE_SQL: dict[str, str] = {
                rank::INT AS rank
         FROM r WHERE rank <= 10
     """,
+    "span_near": f"""
+        WITH tk AS ({_TOKPOS}),
+        g AS (SELECT a.doc_id, min(b.pos - a.pos - 1)::BIGINT AS min_gap
+              FROM tk a JOIN tk b
+                ON b.doc_id = a.doc_id AND b.pos > a.pos
+              WHERE a.term = '{SPAN_TERMS[0]}' AND b.term = '{SPAN_TERMS[1]}'
+              GROUP BY a.doc_id)
+        SELECT doc_id, min_gap FROM g WHERE min_gap <= {SPAN_SLOP}
+        ORDER BY min_gap, doc_id LIMIT 15
+    """,
     "phrase_exact": _phrase_sql(PHRASE_EXACT, 0, 15),
     "phrase_sloppy": _phrase_sql(PHRASE_SLOPPY, 3, 15),
     "query_4clause": _four_clause_sql(*PHRASE_SLOPPY),
@@ -1914,6 +1939,7 @@ QUERIES = {
     "term_stats": q_term_stats,
     "bm25_topk": q_bm25_topk,
     "bm25_batch": q_bm25_batch,
+    "span_near": q_span_near,
     "phrase_exact": q_phrase_exact,
     "phrase_sloppy": q_phrase_sloppy,
     "query_4clause": q_query_4clause,

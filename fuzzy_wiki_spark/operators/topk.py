@@ -164,6 +164,98 @@ def phrase_topdocs(
     )
 
 
+def span_min_gap_batch(
+    tp_col: pd.Series, terms_col: pd.Series
+) -> pd.Series:
+    """Vectorized-batch ORDERED span matcher (Lucene SpanNearQuery with
+    in_order=true). Per row: minimal gap of an ordered occurrence chain
+    p_1 < p_2 < … < p_n of the span terms, where
+    gap = (p_n − p_1) − (n − 1); −1 when no ordered chain exists.
+
+    DP over the position lists (O(Σ|L_i|·log) per doc): for each chain end
+    q ∈ L_i keep the MAXIMAL feasible chain start (prefix-max over earlier
+    ends < q), so the final minimum over ends is the tightest window.
+    Strict ordering makes position-distinctness automatic, so repeated
+    span terms need no special casing (unlike the sloppy matcher)."""
+    import bisect
+
+    from fuzzy_wiki_spark.codec import decode_position_list
+
+    out = []
+    for tps, terms in zip(tp_col, terms_col):
+        posmap: dict[str, list[int]] = {}
+        for tp in tps:
+            posmap.setdefault(tp["term"], []).extend(
+                decode_position_list(tp["positions"]).tolist()
+            )
+        lists = [sorted(posmap.get(t, ())) for t in terms]
+        if any(not pl for pl in lists):
+            out.append(-1)
+            continue
+        cur = {p: p for p in lists[0]}  # chain end -> maximal chain start
+        ok = True
+        for li in lists[1:]:
+            ends = sorted(cur)
+            pmax, m = [], -(1 << 62)
+            for p in ends:
+                m = max(m, cur[p])
+                pmax.append(m)
+            nxt = {}
+            for q in li:
+                i = bisect.bisect_left(ends, q) - 1
+                if i >= 0:
+                    nxt[q] = pmax[i]
+            cur = nxt
+            if not cur:
+                ok = False
+                break
+        if not ok:
+            out.append(-1)
+            continue
+        n = len(terms)
+        out.append(min(q - s - (n - 1) for q, s in cur.items()))
+    return pd.Series(out, dtype="int64")
+
+
+_span_udf = F.pandas_udf(span_min_gap_batch, T.LongType())
+
+
+def span_near_topdocs(
+    postings: DataFrame,
+    field: str,
+    terms: tuple[str, ...],
+    slop: int = 0,
+    k: int = 15,
+) -> DataFrame:
+    """Ordered proximity query: docs where the terms occur IN ORDER within
+    ``slop`` total gap, ranked by tightness (min_gap asc, doc_id asc) —
+    proximity ranking, the piece Lucene exposes as SpanNearQuery that the
+    unordered sloppy phrase (O17) cannot express ("A before B" ≠ "A near
+    B"). Same single-scan + doc-keyed-agg plan as phrase_topdocs."""
+    cand = (
+        postings.where(
+            (F.col("field") == field) & F.col("term").isin(list(set(terms)))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("term"), F.col("positions"))
+            ).alias("mtps"),
+            F.countDistinct("term").alias("n_found"),
+        )
+        .where(F.col("n_found") == len(set(terms)))
+    )
+    gapped = cand.withColumn(
+        "min_gap",
+        _span_udf(F.col("mtps"), F.array(*[F.lit(t) for t in terms])),
+    ).where((F.col("min_gap") >= 0) & (F.col("min_gap") <= slop))
+    return (
+        gapped.select("doc_id", "min_gap")
+        .orderBy(F.asc("min_gap"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def prefix_topdocs(
     postings: DataFrame, field: str, prefix: str, k: int = 20
 ) -> DataFrame:

@@ -71,3 +71,71 @@ def test_phrase_topdocs_matches_oracle(posts, phrase, slop):
 def test_phrase_topdocs_rejects_repeated_members(posts):
     with pytest.raises(ValueError):
         phrase_topdocs(posts, "content", ("merge", "merge"), slop=0)
+
+
+def _brute_span(terms, slop):
+    """Minimal ordered-chain gap per doc; keep docs with gap <= slop."""
+    import itertools
+
+    exp = []
+    for doc_id, text in DOCS:
+        toks = [t for t in text.split(" ") if t]
+        lists = [
+            [i for i, t in enumerate(toks) if t == term] for term in terms
+        ]
+        if any(not pl for pl in lists):
+            continue
+        best = None
+        for chain in itertools.product(*lists):
+            if all(a < b for a, b in zip(chain, chain[1:])):
+                g = chain[-1] - chain[0] - (len(terms) - 1)
+                best = g if best is None else min(best, g)
+        if best is not None and best <= slop:
+            exp.append((doc_id, best))
+    exp.sort(key=lambda r: (r[1], r[0]))
+    return exp
+
+
+@pytest.mark.parametrize(
+    "terms,slop",
+    [
+        (("merge", "join"), 0),
+        (("merge", "key"), 5),
+        (("key", "merge"), 2),  # order matters: != merge..key
+        (("merge", "join", "key"), 0),
+        (("merge", "join", "key"), 4),
+        (("join", "key", "merge"), 3),
+        (("merge", "other", "key"), 1),
+    ],
+)
+def test_span_near_matches_brute_force(posts, terms, slop):
+    from fuzzy_wiki_spark.operators.topk import span_near_topdocs
+
+    got = [
+        (r["doc_id"], r["min_gap"])
+        for r in span_near_topdocs(
+            posts, "content", terms, slop=slop, k=15
+        ).collect()
+    ]
+    assert got == _brute_span(terms, slop)
+
+
+def test_span_near_is_ordered_not_sloppy(posts):
+    """doc 2 = 'join merge key': sloppy ('merge','join') slop=2 matches
+    (transposition costs 2), ordered span never does at any slop."""
+    from fuzzy_wiki_spark.operators.topk import span_near_topdocs
+
+    span = {
+        r["doc_id"]
+        for r in span_near_topdocs(
+            posts, "content", ("merge", "join"), slop=2, k=15
+        ).collect()
+    }
+    assert 2 not in span
+    sloppy = {
+        r["doc_id"]
+        for r in phrase_topdocs(
+            posts, "content", ("merge", "join"), slop=2, k=15
+        ).collect()
+    }
+    assert 2 in sloppy
