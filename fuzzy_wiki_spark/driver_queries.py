@@ -705,6 +705,72 @@ def q_corpus_prep(spark, sf_dir):
     )
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic Bernoulli sample (rate 0.25) keyed on md5(doc_id) —
+    reproducible on any cluster layout, unlike seeded df.sample()."""
+    from fuzzy_wiki_spark.operators import sampling as SMP
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return SMP.hash_sample(d, rate=0.25, key_col="doc_id")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language quota sample: 10 docs per lang, drawn uniformly
+    without replacement via smallest-md5 order (deterministic)."""
+    from fuzzy_wiki_spark.operators import sampling as SMP
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return SMP.stratified_sample(d, strata_col="lang", k=10, key_col="doc_id")
+
+
+def q_temperature_resample(spark, sf_dir):
+    """Temperature resampling toward q_g ∝ n_g^0.5 over the `source`
+    domains — the multilingual-LM imbalance-flattening recipe, as a
+    broadcast-count + narrow hash filter."""
+    from fuzzy_wiki_spark.operators import sampling as SMP
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return SMP.temperature_resample(d, group_col="source", alpha=0.5)
+
+
+def q_bigram_pmi(spark, sf_dir):
+    """Collocation statistics: bigram PMI over the corpus token stream,
+    min_count=5 — classic corpus analytics for phrase mining."""
+    from fuzzy_wiki_spark.operators import corpus_stats as CS
+
+    res = CS.bigram_pmi(_docs(spark, sf_dir), min_count=5)
+    return res.select("w1", "w2", "c_ab", F.round("pmi", 6).alias("pmi"))
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document keyword extraction: top-3 terms by smoothed TF-IDF,
+    term-ascending tie-break."""
+    from fuzzy_wiki_spark.operators import corpus_stats as CS
+
+    res = CS.tfidf_keywords(_docs(spark, sf_dir), k=3)
+    return res.select(
+        "doc_id", "term", "tf", F.round("tfidf", 6).alias("tfidf"), "rank"
+    )
+
+
+def q_contamination(spark, sf_dir):
+    """Test-set contamination check: eval set = every 20th doc; fraction
+    of each eval doc's distinct 3-token shingles present anywhere in the
+    train remainder."""
+    from fuzzy_wiki_spark.operators import corpus_stats as CS
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    ev = d.where(F.col("doc_id") % 20 == 0)
+    tr = d.where(F.col("doc_id") % 20 != 0)
+    res = CS.contamination_overlap(tr, ev, n=3)
+    return res.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round("contamination", 6).alias("contamination"),
+    )
+
+
 def q_ann_cosine(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 embedding."""
     emb = _emb(spark, sf_dir)
@@ -1933,6 +1999,85 @@ ORACLE_SQL["snippets"] = f"""
     FROM best WHERE r = 1
 """
 
+# deterministic md5-prefix coin — the SQL mirror of sampling.hash_frac
+_HF = (
+    "cast(('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8)) AS ubigint)"
+    " / 4294967296.0"
+)
+
+ORACLE_SQL["hash_sample"] = f"""
+    SELECT doc_id, lang FROM documents WHERE {_HF} < 0.25
+"""
+
+ORACLE_SQL["stratified_sample"] = f"""
+    WITH h AS (SELECT doc_id, lang, {_HF} AS hf FROM documents),
+    r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY hf, doc_id) AS rn
+          FROM h)
+    SELECT doc_id, lang FROM r WHERE rn <= 10
+"""
+
+ORACLE_SQL["temperature_resample"] = f"""
+    WITH c AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),
+    m AS (SELECT min(n) AS n_min FROM c)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN c USING(source) CROSS JOIN m
+    WHERE {_HF} < power(m.n_min / c.n, 0.5)
+"""
+
+ORACLE_SQL["bigram_pmi"] = f"""
+    WITH toks AS ({_TOK}),
+    tl AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents),
+    bg AS (SELECT bgp[1] AS w1, bgp[2] AS w2 FROM (
+             SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS bgp
+             FROM tl)),
+    bc AS (SELECT w1, w2, count(*)::BIGINT AS c_ab FROM bg GROUP BY 1, 2
+           HAVING count(*) >= 5),
+    uni AS (SELECT term, count(*)::DOUBLE AS c FROM toks GROUP BY 1),
+    nt AS (SELECT count(*)::DOUBLE AS n_tok FROM toks),
+    nb AS (SELECT count(*)::DOUBLE AS n_big FROM bg)
+    SELECT bc.w1, bc.w2, c_ab,
+           round(ln((c_ab / n_big) / ((u1.c / n_tok) * (u2.c / n_tok))), 6) AS pmi
+    FROM bc JOIN uni u1 ON u1.term = bc.w1
+            JOIN uni u2 ON u2.term = bc.w2, nt, nb
+"""
+
+ORACLE_SQL["tfidf_keywords"] = f"""
+    WITH toks AS ({_TOK}),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+    sc AS (SELECT doc_id, term, tf,
+                  tf * (ln((1 + n) / (1 + df)) + 1) AS tfidf
+           FROM tf JOIN dfq USING(term), nd),
+    r AS (SELECT doc_id, term, tf, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS rank
+          FROM sc)
+    SELECT doc_id, term, tf, round(tfidf, 6) AS tfidf, rank::INT AS rank
+    FROM r WHERE rank <= 3
+"""
+
+ORACLE_SQL["contamination"] = """
+    WITH d AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), t -> t <> '') AS toks
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+           FROM (SELECT doc_id, toks,
+                        unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM d WHERE len(toks) >= 3)),
+    ev AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
+    tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 <> 0),
+    hits AS (SELECT ev.doc_id, count(*)::BIGINT AS n_overlap
+             FROM ev JOIN tr USING(shingle) GROUP BY 1),
+    tot AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM ev GROUP BY 1)
+    SELECT tot.doc_id, n_shingles,
+           coalesce(n_overlap, 0) AS n_overlap,
+           round(coalesce(n_overlap, 0) / n_shingles::DOUBLE, 6) AS contamination
+    FROM tot LEFT JOIN hits USING(doc_id)
+"""
+
 QUERIES = {
     "postings": q_postings,
     "doc_lens": q_doc_lens,
@@ -1972,6 +2117,12 @@ QUERIES = {
     "events_window": q_events_window,
     "sessionize": q_sessionize,
     "corpus_prep": q_corpus_prep,
+    "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
+    "temperature_resample": q_temperature_resample,
+    "bigram_pmi": q_bigram_pmi,
+    "tfidf_keywords": q_tfidf_keywords,
+    "contamination": q_contamination,
     "ann_cosine": q_ann_cosine,
     "ann_batch": q_ann_batch,
     "ivf_batch": q_ivf_batch,

@@ -1,0 +1,191 @@
+"""Corpus-level statistics for training-data pipelines: collocations
+(bigram PMI), per-document TF-IDF keywords, and test-set contamination.
+
+Not in the reference (its only corpus statistic is per-term df for BM25,
+DocTermInfoHandler.java) — these are the brief's training-pipeline
+additions. Everything is a DataFrame composition over the engine's token
+stream: explode → groupBy, all JVM-side codegen, no Python in the plan.
+
+Scale notes (100 TB):
+- ``bigram_pmi``: the bigram explode is the engine's posting explode with a
+  second column; counts are map-side-combinable groupBys on uniform keys.
+  The unigram/bigram total counts are 1-row aggregates broadcast back via
+  crossJoin (Catalyst turns a 1-row cross join into a broadcast nested
+  loop — no shuffle of the big side). ``min_count`` prunes the long tail
+  BEFORE the join with unigram stats, so the surviving collocation table is
+  tiny relative to the corpus.
+- ``tfidf_keywords``: tf is a (doc, term) groupBy; df joins in from the
+  term-level aggregate (vocabulary-sized, broadcast); top-k per doc is one
+  window over the doc key — never materializes more than the doc's own
+  vocabulary per task.
+- ``contamination_overlap``: eval-set shingles (tiny) broadcast-join
+  against the train shingle stream — the train side never shuffles; with a
+  huge eval set, flip to a sort-merge join on the shingle hash instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term) token stream — whitespace split, empties dropped
+    (matches the driver oracle's string_split tokenizer)."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+
+
+def bigrams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, w1, w2) adjacent-token pairs — the collocation stream.
+
+    Built with zip_with over the token array (one pass, no positional
+    self-join): pairs toks[i] with toks[i+1] via a slice-shift."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information per bigram:
+
+        pmi(a,b) = ln( (c_ab / N_bigrams) / ((c_a / N_tok) * (c_b / N_tok)) )
+
+    with c_a/c_b = corpus-wide unigram occurrence counts. Returns
+    (w1, w2, c_ab, pmi) for bigrams with c_ab ≥ min_count."""
+    toks = _tokens(df, text_col, id_col)
+    uni = toks.groupBy(F.col("term")).agg(F.count("*").alias("c"))
+    n_tok = toks.groupBy().agg(F.count("*").alias("n_tok"))
+
+    bg = bigrams(df, text_col, id_col)
+    bg_counts = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    n_big = bg.groupBy().agg(F.count("*").alias("n_big"))
+
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        bg_counts.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.log(
+                (F.col("c_ab") / F.col("n_big"))
+                / (
+                    (F.col("c_a") / F.col("n_tok"))
+                    * (F.col("c_b") / F.col("n_tok"))
+                )
+            ).alias("pmi"),
+        )
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k keywords per document by smoothed TF-IDF:
+
+        idf(t)     = ln((1 + N) / (1 + df_t)) + 1      (never negative)
+        tfidf(d,t) = tf_{d,t} * idf(t)
+
+    Ties break on term ascending → fully deterministic ranking. Returns
+    (doc_id, term, tf, tfidf, rank)."""
+    toks = _tokens(df, text_col, id_col)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    idf = F.log((F.lit(1.0 + n_docs)) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id", "term", "tf", (F.col("tf") * idf).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
+
+
+def shingles(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, shingle) distinct n-token shingles (space-joined)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n_sh = F.size(toks) - (n - 1)
+    # sequence(1, 0) yields a DESCENDING [1, 0] in Spark, so short docs
+    # must take the empty-array branch, never the sequence
+    sh = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def contamination_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Test-set contamination: for each eval doc, the fraction of its
+    distinct n-token shingles that appear anywhere in the train corpus.
+
+    Returns (doc_id, n_shingles, n_overlap, contamination). The train
+    shingle set is deduplicated once; the eval side (small by construction)
+    broadcasts into the probe join, so the train stream is a single
+    narrow scan at any corpus size."""
+    ev = shingles(eval_df, n, text_col, id_col)
+    tr = shingles(train, n, text_col, id_col).select("shingle").distinct()
+    # inner join against the DISTINCT train shingle set ≡ left-semi, but
+    # (unlike left-semi) lets the small eval side be the broadcast build
+    hits = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    totals = ev.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0))
+                / F.col("n_shingles").cast("double")
+            ).alias("contamination"),
+        )
+    )

@@ -1,0 +1,103 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Not in the reference (nearest analog: the load generator's fixed query
+subset, loadGenerator.py:12-24) — these are the brief's training-pipeline
+additions. All sampling here is HASH-deterministic, never `rand()`:
+
+- reproducible across runs, cluster sizes and partitionings (the decision
+  is a pure function of the row key, not of task scheduling);
+- embarrassingly parallel — a narrow filter/window, no global pass;
+- oracle-able — the same md5 arithmetic runs in any SQL engine.
+
+Scale notes (100 TB):
+- ``hash_sample`` is a narrow map-side filter: zero shuffle, prunes at the
+  scan when combined with partition predicates.
+- ``stratified_sample`` shuffles once on the stratum key; per-stratum
+  row_number never materializes more than k rows per stratum past the
+  window, and skewed strata cost is bounded by the window's sort of that
+  stratum (use ``hash_sample`` pre-thinning when strata are huge and k is
+  tiny: filter to ~10k/stratum first, then rank exactly).
+- ``temperature_resample`` is two jobs: a tiny groupBy-count (one row per
+  group, broadcast back) and the same narrow filter as ``hash_sample``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^32 — the md5-prefix fraction denominator. 8 hex chars parse exactly
+# into [0, 2^32); dividing by 2^32 gives a uniform double in [0, 1) with
+# no rounding (every 32-bit int is exact in a double).
+_HEX_DENOM = float(1 << 32)
+
+
+def hash_frac(key, salt: str = "") -> "F.Column":
+    """Uniform [0,1) double from md5(salt || key) — the deterministic
+    coin every sampler here flips. Exact mirror in any SQL engine:
+    ``('0x' || substr(md5(salt || key), 1, 8))::ubigint / 2^32``."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") / F.lit(
+        _HEX_DENOM
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli(rate) sample keyed on md5(key).
+
+    Unlike ``df.sample()`` (seeded per-partition → resample when the
+    partitioning changes), this keeps EXACTLY the same rows on any cluster
+    layout, so a 100 TB pipeline can re-run a stage without resampling the
+    corpus. Narrow filter, no shuffle."""
+    return df.where(hash_frac(F.col(key_col), salt) < F.lit(float(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum quota sample: the k rows with the smallest md5(key)
+    within each stratum — a uniform-without-replacement draw that is
+    identical on every run/layout. Ties (md5 collisions) break on the key
+    itself, so the result is a total order → fully deterministic."""
+    frac = hash_frac(F.col(key_col), salt).alias("_hf")
+    w = Window.partitionBy(strata_col).orderBy("_hf", key_col)
+    return (
+        df.select("*", frac)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_hf", "_rn")
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Downsample toward the tempered distribution q_g ∝ n_g^alpha
+    (alpha < 1 flattens domain imbalance — the multilingual-LM recipe).
+
+    Acceptance probability per group: a_g = (n_min / n_g)^(1-alpha), i.e.
+    the smallest group keeps everything and a group m× larger keeps
+    m^(alpha-1) of its rows, which is exactly proportional to
+    q_g / n_g. Two jobs: a one-row-per-group count (broadcast join back)
+    and a narrow hash filter; no data-sized shuffle."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    n_min = counts.agg(F.min("_n").alias("m")).collect()[0]["m"]
+    accept = F.pow(F.lit(float(n_min)) / F.col("_n"), F.lit(1.0 - alpha))
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .where(hash_frac(F.col(key_col), salt) < accept)
+        .drop("_n")
+    )

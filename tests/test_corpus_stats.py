@@ -1,0 +1,157 @@
+"""Sampling + corpus-stats operators vs brute-force Python oracles."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.operators import corpus_stats as CS
+from fuzzy_wiki_spark.operators import sampling as SMP
+
+DOCS = [
+    (0, "the fast key order sort", "en", "web"),
+    (1, "key order sort merge join", "en", "web"),
+    (2, "spark group query row", "en", "wiki"),
+    (3, "a b", "de", "wiki"),
+    (4, "x", "de", "web"),
+    (5, "", "fr", "books"),
+    (6, "key order sort merge join extra", "en", "web"),
+    (7, "the fast key order sort", "en", "books"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string, source string"
+    ).cache()
+
+
+def _hf(key: int) -> float:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) / 2**32
+
+
+def test_hash_sample_matches_md5_threshold(spark, docs):
+    got = {r["doc_id"] for r in SMP.hash_sample(docs, 0.5).collect()}
+    want = {i for i, *_ in DOCS if _hf(i) < 0.5}
+    assert got == want
+
+
+def test_hash_sample_layout_invariant(spark, docs):
+    a = {r["doc_id"] for r in SMP.hash_sample(docs, 0.3).collect()}
+    b = {
+        r["doc_id"]
+        for r in SMP.hash_sample(docs.repartition(7), 0.3).collect()
+    }
+    assert a == b
+
+
+def test_stratified_sample_quota_and_determinism(spark, docs):
+    res = SMP.stratified_sample(docs, "lang", k=2).collect()
+    by_lang = {}
+    for r in res:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    # quota respected
+    assert all(len(v) <= 2 for v in by_lang.values())
+    # the k smallest md5 fractions per stratum win
+    for lang, got in by_lang.items():
+        ids = [i for i, _t, lg, _s in DOCS if lg == lang]
+        want = set(sorted(ids, key=lambda i: (_hf(i), i))[:2])
+        assert got == want
+
+
+def test_temperature_resample_keeps_smallest_group(spark, docs):
+    res = SMP.temperature_resample(docs, "source", alpha=0.5).collect()
+    kept = {r["doc_id"] for r in res}
+    counts = {}
+    for _i, _t, _lg, s in DOCS:
+        counts[s] = counts.get(s, 0) + 1
+    n_min = min(counts.values())
+    want = {
+        i
+        for i, _t, _lg, s in DOCS
+        if _hf(i) < math.sqrt(n_min / counts[s])
+    }
+    assert kept == want
+    # smallest group's acceptance is 1.0 → all its rows survive
+    smallest = [s for s, n in counts.items() if n == n_min]
+    assert all(
+        i in kept for i, _t, _lg, s in DOCS if s in smallest
+    )
+
+
+def test_bigram_pmi_vs_brute_force(spark, docs):
+    res = {
+        (r["w1"], r["w2"]): (r["c_ab"], r["pmi"])
+        for r in CS.bigram_pmi(docs, min_count=2).collect()
+    }
+    toks = [(i, t.split()) for i, t, *_ in DOCS]
+    uni, big = {}, {}
+    n_tok = 0
+    for _i, ts in toks:
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+            n_tok += 1
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    n_big = sum(big.values())
+    want = {
+        k: (c, math.log((c / n_big) / ((uni[k[0]] / n_tok) * (uni[k[1]] / n_tok))))
+        for k, c in big.items()
+        if c >= 2
+    }
+    assert set(res) == set(want)
+    for k, (c, pmi) in want.items():
+        assert res[k][0] == c
+        assert res[k][1] == pytest.approx(pmi, abs=1e-9)
+
+
+def test_tfidf_keywords_rank_and_values(spark, docs):
+    res = CS.tfidf_keywords(docs, k=2).collect()
+    toks = {i: t.split() for i, t, *_ in DOCS}
+    n = len(DOCS)
+    dfreq = {}
+    for ts in toks.values():
+        for t in set(ts):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    for r in res:
+        ts = toks[r["doc_id"]]
+        tf = ts.count(r["term"])
+        idf = math.log((1 + n) / (1 + dfreq[r["term"]])) + 1
+        assert r["tf"] == tf
+        assert r["tfidf"] == pytest.approx(tf * idf, abs=1e-9)
+    # rank-1 term per doc == brute-force argmax (tfidf desc, term asc)
+    top = {r["doc_id"]: r["term"] for r in res if r["rank"] == 1}
+    for i, ts in toks.items():
+        if not ts:
+            continue
+        scored = sorted(
+            {
+                t: ts.count(t) * (math.log((1 + n) / (1 + dfreq[t])) + 1)
+                for t in set(ts)
+            }.items(),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        assert top[i] == scored[0][0]
+
+
+def test_contamination_overlap(spark, docs):
+    ev = docs.where(F.col("doc_id").isin([0, 1, 4, 5]))
+    tr = docs.where(~F.col("doc_id").isin([0, 1, 4, 5]))
+    res = {
+        r["doc_id"]: (r["n_shingles"], r["n_overlap"], r["contamination"])
+        for r in CS.contamination_overlap(tr, ev, n=3).collect()
+    }
+    # doc 0 duplicates doc 7 (train) → full contamination
+    n0 = len(DOCS[0][1].split()) - 2
+    assert res[0] == (n0, n0, 1.0)
+    # doc 1 shares 'key order sort (merge join)' prefix with train doc 6
+    assert res[1][0] == 3 and res[1][1] == 3
+    # short docs (<3 tokens) produce no shingles → absent from the result
+    assert 4 not in res and 5 not in res
+
+
+def test_shingles_short_doc_empty(spark, docs):
+    sh = CS.shingles(docs.where(F.col("doc_id").isin([3, 4, 5])), 3)
+    assert sh.count() == 0
