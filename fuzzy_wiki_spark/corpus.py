@@ -108,9 +108,48 @@ def _doc_row(seed: int, i: int) -> dict:
     }
 
 
+def _doc_batch(seed: int, ids) -> dict[str, list]:
+    """Columnar batch generation — byte-identical to ``_doc_row`` per id
+    (same per-doc rng streams, same draw order; asserted by
+    tests/test_corpus_gen.py) but ~2× faster: no per-row dicts, no pandas
+    row assembly, hot names bound once per batch. The per-doc rng object
+    is the one cost that cannot batch further — each row owns an
+    independent PCG64 stream so generation stays partition-layout-free."""
+    out: dict[str, list] = {k: [] for k in DOCS_SCHEMA_PA.names}
+    doc_id, repo, path, commit, lang, content, sha = out.values()
+    gen_cls, bitgen = np.random.Generator, np.random.PCG64
+    sha256 = hashlib.sha256
+    n_kw, n_pw, n_lg = len(_KEYWORDS), len(_PATH_WORDS), len(_LANGS)
+    for i in ids:
+        i = int(i)
+        rng = gen_cls(bitgen((seed << 32) ^ i))
+        lg = _LANGS[i % n_lg]
+        w1 = _PATH_WORDS[int(rng.integers(0, n_pw))]
+        w2 = _KEYWORDS[int(rng.integers(0, n_kw))]
+        n_tokens = int(rng.integers(20, 401))
+        ranks = np.minimum(rng.geometric(0.08, size=n_tokens) - 1, n_kw - 1)
+        toks = _KW_ARR[ranks]
+        if i % 2 == 0 and not (ranks == 0).any():
+            toks[0] = "return"
+        if rng.random() < 0.15:
+            pos = int(rng.integers(0, max(1, n_tokens - 3)))
+            toks[pos : pos + 3] = ["binary", "search", "tree"]
+        c = " ".join(toks.tolist())
+        if i % 100 == 99:
+            c = f"REDIRECT src/{w1}/{w2}_{max(0, i - 1)}.{lg}"
+        doc_id.append(i)
+        repo.append(f"org{i % 7}/repo{i % 23}")
+        path.append(f"src/{w1}/{w2}_{i}.{lg}")
+        commit.append(sha256(f"commit-{i}".encode()).hexdigest()[:40])
+        lang.append(lg)
+        content.append(c)
+        sha.append(sha256(c.encode()).hexdigest())
+    return out
+
+
 def generate_docs_pdf(n_docs: int, seed: int = 42, start: int = 0) -> pd.DataFrame:
     """Driver-side generation for tests (small n)."""
-    return pd.DataFrame([_doc_row(seed, i) for i in range(start, start + n_docs)])
+    return pd.DataFrame(_doc_batch(seed, range(start, start + n_docs)))
 
 
 def generate_docs_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
@@ -123,9 +162,8 @@ def generate_docs_df(spark, n_docs: int, seed: int = 42, partitions: int | None 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             ids = batch.column(0).to_numpy()
-            pdf = pd.DataFrame([_doc_row(seed, int(i)) for i in ids])
-            yield pa.RecordBatch.from_pandas(
-                pdf, schema=DOCS_SCHEMA_PA, preserve_index=False
+            yield pa.RecordBatch.from_pydict(
+                _doc_batch(seed, ids), schema=DOCS_SCHEMA_PA
             )
 
     return rng_df.mapInArrow(gen, DOCS_SCHEMA_DDL)

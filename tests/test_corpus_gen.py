@@ -1,0 +1,35 @@
+"""Corpus generator: columnar batch path is byte-identical to the
+one-row spec (fixture identity — goldens and recorded bench corpora
+depend on these exact rows)."""
+
+import pandas as pd
+
+from fuzzy_wiki_spark.corpus import _doc_batch, _doc_row
+
+
+def test_doc_batch_byte_identical_to_doc_row():
+    # spans hot-term (even ids), phrase-seeded, and REDIRECT (i%100==99) rows
+    ids = list(range(0, 260)) + [999, 1000, 4099]
+    old = pd.DataFrame([_doc_row(42, i) for i in ids])
+    new = pd.DataFrame(_doc_batch(42, ids))
+    pd.testing.assert_frame_equal(old, new)
+
+
+def test_doc_batch_seed_sensitivity():
+    a = _doc_batch(42, range(50))
+    b = _doc_batch(43, range(50))
+    assert a["content"] != b["content"]
+    assert a["content_sha256"] != b["content_sha256"]
+
+
+def test_distributed_matches_driver_side(spark):
+    from fuzzy_wiki_spark.corpus import generate_docs_df, generate_docs_pdf
+
+    got = (
+        generate_docs_df(spark, 120, seed=7, partitions=5)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = generate_docs_pdf(120, seed=7)
+    pd.testing.assert_frame_equal(got, want)
