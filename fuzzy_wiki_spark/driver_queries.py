@@ -771,6 +771,21 @@ def q_contamination(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals: distinct-token ratio,
+    duplicated-bigram occurrence fraction, top-bigram fraction."""
+    from fuzzy_wiki_spark.operators import corpus_stats as CS
+
+    res = CS.repetition_stats(_docs(spark, sf_dir))
+    return res.select(
+        "doc_id",
+        "n_tokens",
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        F.round("dup_bigram_frac", 6).alias("dup_bigram_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
 def q_ann_cosine(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 embedding."""
     emb = _emb(spark, sf_dir)
@@ -2078,6 +2093,29 @@ ORACLE_SQL["contamination"] = """
     FROM tot LEFT JOIN hits USING(doc_id)
 """
 
+ORACLE_SQL["repetition_stats"] = f"""
+    WITH toks AS ({_TOK}),
+    ta AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                  count(DISTINCT term)::DOUBLE AS n_distinct
+           FROM toks GROUP BY 1),
+    tl AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents),
+    bg AS (SELECT doc_id, bgp[1] AS w1, bgp[2] AS w2 FROM (
+             SELECT doc_id,
+                    unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS bgp
+             FROM tl)),
+    per AS (SELECT doc_id, w1, w2, count(*)::DOUBLE AS c FROM bg GROUP BY 1, 2, 3),
+    ba AS (SELECT doc_id, sum(c) AS n_bigrams,
+                  sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS n_dup_occ,
+                  max(c) AS top_c
+           FROM per GROUP BY 1)
+    SELECT ta.doc_id, n_tokens,
+           round(n_distinct / n_tokens, 6) AS distinct_ratio,
+           round(coalesce(n_dup_occ / n_bigrams, 0), 6) AS dup_bigram_frac,
+           round(coalesce(top_c / n_bigrams, 0), 6) AS top_bigram_frac
+    FROM ta LEFT JOIN ba USING(doc_id)
+"""
+
 QUERIES = {
     "postings": q_postings,
     "doc_lens": q_doc_lens,
@@ -2123,6 +2161,7 @@ QUERIES = {
     "bigram_pmi": q_bigram_pmi,
     "tfidf_keywords": q_tfidf_keywords,
     "contamination": q_contamination,
+    "repetition_stats": q_repetition_stats,
     "ann_cosine": q_ann_cosine,
     "ann_batch": q_ann_batch,
     "ivf_batch": q_ivf_batch,

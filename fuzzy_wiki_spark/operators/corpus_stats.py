@@ -132,6 +132,53 @@ def tfidf_keywords(
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``distinct_ratio``   distinct tokens / total tokens
+    - ``dup_bigram_frac``  fraction of bigram occurrences whose bigram
+                           repeats (count ≥ 2) within the doc
+    - ``top_bigram_frac``  occurrences of the doc's most frequent bigram
+                           / total bigrams
+
+    The standard repeated-content quality gates for training corpora
+    (line-based rules collapse to n-gram rules here — the corpus text is a
+    single token stream). Two map-side-combinable groupBys on (doc, key)
+    — per-doc cardinality bounds every partial aggregate, no skew risk.
+    Docs with < 2 tokens have no bigrams: fractions coalesce to 0."""
+    toks = _tokens(df, text_col, id_col)
+    tok_agg = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("term").alias("n_distinct"),
+    )
+    per = bigrams(df, text_col, id_col).groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").alias("c")
+    )
+    bg_agg = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias(
+            "n_dup_occ"
+        ),
+        F.max("c").alias("top_c"),
+    )
+    return (
+        tok_agg.join(bg_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_distinct") / F.col("n_tokens")).alias("distinct_ratio"),
+            F.coalesce(
+                F.col("n_dup_occ") / F.col("n_bigrams"), F.lit(0.0)
+            ).alias("dup_bigram_frac"),
+            F.coalesce(
+                F.col("top_c") / F.col("n_bigrams"), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def shingles(
     df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

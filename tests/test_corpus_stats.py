@@ -152,6 +152,39 @@ def test_contamination_overlap(spark, docs):
     assert 4 not in res and 5 not in res
 
 
+def test_repetition_stats_vs_brute_force(spark, docs):
+    extra = spark.createDataFrame(
+        [(100, "a a a a b", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    res = {
+        r["doc_id"]: r for r in CS.repetition_stats(docs.union(extra)).collect()
+    }
+    for i, t, *_ in DOCS + [(100, "a a a a b", "en", "web")]:
+        ts = t.split()
+        if not ts:
+            assert i not in res  # zero-token docs drop out
+            continue
+        r = res[i]
+        assert r["n_tokens"] == len(ts)
+        assert r["distinct_ratio"] == pytest.approx(len(set(ts)) / len(ts))
+        bgs = list(zip(ts, ts[1:]))
+        if not bgs:
+            assert r["dup_bigram_frac"] == 0.0 == r["top_bigram_frac"]
+            continue
+        counts = {}
+        for b in bgs:
+            counts[b] = counts.get(b, 0) + 1
+        dup = sum(c for c in counts.values() if c >= 2)
+        assert r["dup_bigram_frac"] == pytest.approx(dup / len(bgs))
+        assert r["top_bigram_frac"] == pytest.approx(
+            max(counts.values()) / len(bgs)
+        )
+    # the planted repetitive doc is clearly flagged: 'a a' ×3 of 4 bigrams
+    assert res[100]["dup_bigram_frac"] == pytest.approx(0.75)
+    assert res[100]["top_bigram_frac"] == pytest.approx(0.75)
+
+
 def test_shingles_short_doc_empty(spark, docs):
     sh = CS.shingles(docs.where(F.col("doc_id").isin([3, 4, 5])), 3)
     assert sh.count() == 0
