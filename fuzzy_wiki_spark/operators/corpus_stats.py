@@ -69,17 +69,24 @@ def bigram_pmi(
 
     with c_a/c_b = corpus-wide unigram occurrence counts. Returns
     (w1, w2, c_ab, pmi) for bigrams with c_ab ≥ min_count."""
+    # corpus totals roll up from the COUNT tables (vocab- and vocab²-sized),
+    # not from extra corpus scans; the count tables are persisted because
+    # each feeds 2-3 plan subtrees and Catalyst does not reuse the exchange
+    # across the differing projections — with the cache the corpus is
+    # scanned exactly twice (tokens, bigrams) at any scale, and the cached
+    # tables are tiny (bounded by vocabulary size, not corpus size)
     toks = _tokens(df, text_col, id_col)
-    uni = toks.groupBy(F.col("term")).agg(F.count("*").alias("c"))
-    n_tok = toks.groupBy().agg(F.count("*").alias("n_tok"))
+    uni = toks.groupBy(F.col("term")).agg(F.count("*").alias("c")).persist()
+    n_tok = uni.groupBy().agg(F.sum("c").alias("n_tok"))
 
-    bg = bigrams(df, text_col, id_col)
-    bg_counts = (
-        bg.groupBy("w1", "w2")
+    bg_all = (
+        bigrams(df, text_col, id_col)
+        .groupBy("w1", "w2")
         .agg(F.count("*").alias("c_ab"))
-        .where(F.col("c_ab") >= min_count)
+        .persist()
     )
-    n_big = bg.groupBy().agg(F.count("*").alias("n_big"))
+    bg_counts = bg_all.where(F.col("c_ab") >= min_count)
+    n_big = bg_all.groupBy().agg(F.sum("c_ab").alias("n_big"))
 
     u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c_a"))
     u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c_b"))
