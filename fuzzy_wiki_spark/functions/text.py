@@ -183,6 +183,20 @@ def extract_patterns(
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+# Secret/PII detectors for code corpora — the redaction pre-pass a
+# training pipeline runs before export. Patterns stay in the shared
+# Java-regex ∩ RE2 dialect so the DuckDB oracle runs them verbatim;
+# group 1 is the finding (extract_patterns contract). Deliberately
+# high-precision shapes (provider-prefixed keys, strict email, full-width
+# hex) — recall-oriented entropy scanners are a downstream concern.
+SECRET_PATTERNS = {
+    "email": r"([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})",
+    "aws_key": r"(AKIA[0-9A-Z]{16})",
+    "hex40": r"\b([0-9a-f]{40})\b",
+    "private_key": r"(-----BEGIN [A-Z]+ PRIVATE KEY-----)",
+}
+
+
 def fingerprint(text_col) -> Column:
     """Document fingerprint: md5 over the sorted distinct token set —
     word-order-insensitive content identity (near-dup prefilter)."""
