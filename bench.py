@@ -131,6 +131,15 @@ def main() -> None:
     seg_hits = {(r["query_id"], r["doc_id"]) for r in seg_rows}
     seg_mismatched_hits = len(batch_hits ^ seg_hits)
     seg_rows_match = seg_mismatched_hits == 0
+
+    # 2d) extended query language served from the segments (term-pruned
+    # decode — the serving-path shape for the Lucene QueryParser surface)
+    timed(
+        "seg_extended_query",
+        lambda: seg.extended(
+            '+merge -stream "merge join"~3 fast s* part~2', k=10
+        ).collect(),
+    )
     shutil.rmtree(seg_dir, ignore_errors=True)
 
     # 3) heavy pipeline operators (driver-contract implementations)

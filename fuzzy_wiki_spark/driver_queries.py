@@ -277,17 +277,19 @@ def q_extended_query(spark, sf_dir):
     constant-score prefix/fuzzy expansion, one query string."""
     from fuzzy_wiki_spark.plans.qlang import execute_extended, parse_extended
 
-    # per-atom frames re-scan postings; persist the tokenize output once
-    # (the documented caller contract in plans/qlang.py)
+    # per-atom frames re-scan postings, and execute_extended consults
+    # term_stats several times (literal-term df lookup + one dictionary
+    # expansion per multi-term atom) — persist BOTH once (the documented
+    # caller contract in plans/qlang.py); an unpersisted term_stats re-runs
+    # the vocabulary aggregation per consultation
     posts = _postings_simple(spark, sf_dir).persist()
+    tstats = P.term_stats(posts).persist()
     fstats = {
         r["field"]: (r["doc_count"], float(r["avgdl"]))
         for r in P.field_stats(posts).collect()
     }
     eq = parse_extended(EXTENDED_QUERY, analyze=str.split)
-    res = execute_extended(
-        spark, posts, P.term_stats(posts), fstats, eq, k=10
-    )
+    res = execute_extended(spark, posts, tstats, fstats, eq, k=10)
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 

@@ -471,9 +471,21 @@ class SegmentIndex:
             ).distinct()
             parts.append(self.term_postings(fld, terms))
         posts = reduce(lambda a, b: a.unionByName(b), parts)
-        return execute_extended(
-            self.spark, posts, self.term_stats, self.field_stats, eq, k=k
-        )
+        # execute_extended consumes the decoded base once per atom frame
+        # plus once per gating match set (up to 2·atoms scans) — persist it
+        # for the query's duration or every scan re-runs the segment decode.
+        # The result is ≤ k rows, so materialize it eagerly, release the
+        # cache deterministically, and hand back a local-backed DataFrame
+        # (no lineage into the unpersisted plan).
+        posts = posts.persist()
+        try:
+            res = execute_extended(
+                self.spark, posts, self.term_stats, self.field_stats, eq, k=k
+            )
+            rows = res.collect()
+            return self.spark.createDataFrame(rows, res.schema)
+        finally:
+            posts.unpersist()
 
     def wildcard(
         self, pattern: str, field: str = "content", k: int = 20

@@ -247,28 +247,65 @@ def execute_extended(
             .select("doc_id", F.lit(1.0).alias("contrib"))
         )
 
-    def match_set(atom: Atom) -> DataFrame:
-        return scored_frame(atom).select("doc_id").distinct()
-
     scoring = eq.must + eq.should
     if not scoring and not eq.must:
         return spark.createDataFrame([], "doc_id long, score double")
 
-    frames = [scored_frame(a) for a in scoring]
+    # One union of every atom frame — scoring (must + should) AND gating
+    # (must_not) — tagged with (atom_id, role), then a SINGLE groupBy
+    # computes the score, the must-coverage count, and the veto flag
+    # (same single-scan conditional-aggregate shape as operators/boolean.py).
+    # vs the naive plan (groupBy + one semi-join per must atom + one
+    # anti-join for vetoes) this is 1 shuffle instead of 2+|must|: each
+    # frame emits ≤ one row per (doc, atom), so the union is
+    # Σ|posting lists| rows and the aggregate state is O(1) per doc.
+    frames = [
+        scored_frame(a).select(
+            "doc_id",
+            "contrib",
+            F.lit(i).alias("atom_id"),
+            F.lit(True).alias("is_must"),
+            F.lit(False).alias("is_veto"),
+        )
+        for i, a in enumerate(eq.must)
+    ]
+    frames += [
+        scored_frame(a).select(
+            "doc_id",
+            "contrib",
+            F.lit(-1).alias("atom_id"),
+            F.lit(False).alias("is_must"),
+            F.lit(False).alias("is_veto"),
+        )
+        for a in eq.should
+    ]
+    frames += [
+        scored_frame(a).select(
+            "doc_id",
+            F.lit(0.0).alias("contrib"),
+            F.lit(-1).alias("atom_id"),
+            F.lit(False).alias("is_must"),
+            F.lit(True).alias("is_veto"),
+        )
+        for a in eq.must_not
+    ]
     from functools import reduce
 
-    scored = reduce(lambda a, b: a.unionByName(b), frames)
-    scored = scored.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
-
-    # must gate: every + atom must match (semi-joins on small match sets)
-    for atom in eq.must:
-        scored = scored.join(match_set(atom), "doc_id", "left_semi")
-    # must_not veto: one anti-join on the union of - matches
-    if eq.must_not:
-        vetos = reduce(
-            lambda a, b: a.unionByName(b),
-            [match_set(a) for a in eq.must_not],
+    u = reduce(lambda a, b: a.unionByName(b), frames)
+    scored = (
+        u.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(~F.col("is_veto"), F.col("contrib")).otherwise(0.0)).alias(
+                "score"
+            ),
+            F.count_distinct(
+                F.when(F.col("is_must"), F.col("atom_id"))
+            ).alias("n_must"),
+            F.max(F.col("is_veto").cast("int")).alias("veto"),
         )
-        scored = scored.join(vetos, "doc_id", "left_anti")
-
+        .where(
+            (F.col("n_must") == F.lit(len(eq.must))) & (F.col("veto") == 0)
+        )
+        .select("doc_id", "score")
+    )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
