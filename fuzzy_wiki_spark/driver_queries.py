@@ -927,6 +927,43 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking for training context windows: 64-token
+    chunks, stride 48 (operators/export.py:chunk_documents)."""
+    from fuzzy_wiki_spark.operators.export import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), max_tokens=64, stride=48, text_col="text"
+    )
+
+
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing (MOSS) document fingerprints — the positional-guarantee
+    code near-dup primitive (operators/winnow.py; Schleimer et al. SIGMOD
+    2003). Pure higher-order Column exprs, hash-match oracle."""
+    from fuzzy_wiki_spark.operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _docs(spark, sf_dir), text_col="text", k=5, w=4
+    )
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing near-dup pairs: shared-fingerprint containment ≥ 0.3 after
+    dropping boilerplate fingerprints (df > 20) — catches copied code
+    blocks ≥ w+k-1 tokens with certainty."""
+    from fuzzy_wiki_spark.operators.winnow import winnow_pairs
+
+    return winnow_pairs(
+        _docs(spark, sf_dir),
+        text_col="text",
+        k=5,
+        w=4,
+        max_df=20,
+        threshold=0.3,
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING: LSH-pruned exact-Jaccard pairs → connected
     components (iterative hash-min label propagation; one codegen
@@ -1940,6 +1977,76 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+# winnowing (k=5, w=4): exact SQL mirror of operators/winnow.py — same
+# md5-prefix gram hashes, same window-min selection, same containment score
+_WINNOW_FPS = """
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(ts) >= 5 THEN
+      list_transform(range(0, len(ts) - 5 + 1),
+        i -> substr(md5(array_to_string(list_slice(ts, i + 1, i + 5), ' ')), 1, 16))
+    ELSE CAST([] AS VARCHAR[]) END AS gs
+  FROM toks),
+fps AS (
+  SELECT doc_id,
+    CASE WHEN len(gs) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(gs) <= 4 THEN [list_aggregate(gs, 'min')]
+         ELSE list_distinct(list_transform(range(0, len(gs) - 4 + 1),
+              j -> list_aggregate(list_slice(gs, j + 1, j + 4), 'min')))
+    END AS fp_list
+  FROM grams),
+f AS (SELECT doc_id, unnest(fp_list) AS fp FROM fps)
+"""
+
+ORACLE_SQL["winnow_fp"] = f"WITH {_WINNOW_FPS} SELECT doc_id, fp FROM f"
+
+# chunk_documents(max_tokens=64, stride=48): strided starts + tail window,
+# empty docs dropped — exact mirror of operators/export.py:chunk_documents
+ORACLE_SQL["chunk_documents"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents),
+st AS (
+  SELECT doc_id, ts, len(ts) AS n,
+    CASE WHEN len(ts) <= 64 THEN [0]
+    ELSE list_append(
+      list_transform(range(0, CAST(ceil((len(ts) - 64) / CAST(48 AS DOUBLE)) AS INT)),
+                     c -> c * 48),
+      len(ts) - 64) END AS starts
+  FROM toks),
+ch AS (
+  SELECT doc_id, ts, n,
+    unnest(list_transform(range(0, len(starts)), i ->
+      {'chunk_id': i, 's': starts[i + 1]})) AS c
+  FROM st)
+SELECT doc_id, CAST(c.chunk_id AS INT) AS chunk_id,
+       CAST(least(n - c.s, 64) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(ts, c.s + 1, c.s + 64), ' ') AS chunk_text
+FROM ch WHERE least(n - c.s, 64) > 0
+"""
+
+ORACLE_SQL["winnow_pairs"] = f"""
+WITH {_WINNOW_FPS},
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM f GROUP BY doc_id),
+rare AS (
+  SELECT f.doc_id, f.fp FROM f
+  JOIN (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 20) r USING (fp)),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM rare a JOIN rare b USING (fp)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT * FROM (
+  SELECT id_a, id_b, n_shared,
+         round(CAST(n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp), 6) AS overlap
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b)
+WHERE overlap >= 0.3
+"""
+
 ORACLE_SQL["incremental_search"] = ORACLE_SQL["bm25_topk"]
 ORACLE_SQL["compact_search"] = ORACLE_SQL["bm25_topk"]
 
@@ -2232,6 +2339,9 @@ QUERIES = {
     "merge_compat": q_merge_compat,
     "dedup_keep_first": q_dedup_keep_first,
     "ngram_jaccard": q_ngram_jaccard,
+    "winnow_fp": q_winnow_fp,
+    "winnow_pairs": q_winnow_pairs,
+    "chunk_documents": q_chunk_documents,
     "dedup_clusters": q_dedup_clusters,
     "incremental_search": q_incremental_search,
     "compact_search": q_compact_search,

@@ -113,3 +113,69 @@ def write_training_shards(
         .format(fmt)
         .save(path)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into fixed-token-window chunks with overlap:
+    (id, chunk_id, n_tokens, chunk_text).
+
+    The context-window prep step that precedes tokenizer packing: a doc of
+    n tokens yields chunks starting at 0, stride, 2*stride, ... — the last
+    chunk is the final window ending at n (so no trailing tokens are ever
+    dropped and every chunk except a short doc's single chunk has exactly
+    max_tokens tokens). stride defaults to max_tokens (no overlap);
+    stride < max_tokens gives sliding-window overlap for long-context
+    training.
+
+    Chunk starts for n > max_tokens: ceil((n - max_tokens) / stride)
+    strided starts plus the tail window at n - max_tokens; a doc with
+    n <= max_tokens yields one chunk. Pure higher-order Column exprs
+    (sequence/transform/slice) — narrow stage, no shuffle, no UDF."""
+    if stride is None:
+        stride = max_tokens
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    n = F.size(toks)
+    # strided starts strictly before the tail start, then the tail window
+    n_strided = F.ceil((n - max_tokens) / F.lit(stride)).cast("int")
+    starts = F.when(
+        n <= max_tokens, F.array(F.lit(0))
+    ).otherwise(
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(0), n_strided - 1),
+                lambda c: c * stride,
+            ),
+            F.array(n - max_tokens),
+        )
+    )
+    # the tail never collides with a strided start: the last strided start
+    # is (ceil((n-M)/S) - 1) * S, strictly below n - M for every n > M
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_id"),
+            F.least(n - s, F.lit(max_tokens)).alias("n_tokens"),
+            F.concat_ws(" ", F.slice(toks, s + 1, max_tokens)).alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").cast("int").alias("chunk_id"),
+            F.col("c.n_tokens").cast("long").alias("n_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+        # token-less docs contribute nothing to a training corpus
+        .where(F.col("n_tokens") > 0)
+    )

@@ -92,3 +92,40 @@ def test_write_training_shards_layout(spark, docs, tmp_path):
     ]
     # round-trip matches a fresh assignment exactly
     assert _key(back) == _key(shard_assign(docs, n_shards=4, salt="s1"))
+
+
+def test_chunk_documents_windows(spark):
+    from fuzzy_wiki_spark.operators.export import chunk_documents
+
+    docs = [
+        (0, " ".join(f"t{i}" for i in range(10))),   # short: one chunk
+        (1, " ".join(f"t{i}" for i in range(23))),   # strided + tail
+        (2, ""),                                     # empty: dropped
+        (3, " ".join(f"t{i}" for i in range(16))),   # n == 2*stride exactly
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+        for r in chunk_documents(df, max_tokens=10, stride=8).collect()
+    }
+
+    def oracle(n, M=10, S=8):
+        if n == 0:
+            return []
+        if n <= M:
+            return [0]
+        q = -(-(n - M) // S)
+        return [c * S for c in range(q)] + [n - M]
+
+    want = {}
+    for did, text in docs:
+        toks = text.split(" ") if text else []
+        for ci, s in enumerate(oracle(len(toks))):
+            w = toks[s : s + 10]
+            want[(did, ci)] = (len(w), " ".join(w))
+    assert got == want
+    # every non-final chunk of a long doc is exactly max_tokens; coverage
+    # is total (last chunk ends at n)
+    assert got[(1, 0)][0] == 10 and got[(1, 1)][0] == 10
+    assert got[(1, max(ci for d, ci in got if d == 1))][1].endswith("t22")
+    assert (2, 0) not in got

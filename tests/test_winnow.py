@@ -1,0 +1,87 @@
+"""Winnowing fingerprints vs a brute-force Python oracle + the paper's
+local-match guarantee (shared run of >= w + k - 1 tokens => shared fp)."""
+
+import hashlib
+import random
+
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.operators.winnow import (
+    winnow_fingerprints,
+    winnow_pairs,
+)
+
+K, W = 5, 4
+
+
+def _py_fps(text: str, k: int = K, w: int = W) -> set[str]:
+    toks = [t for t in text.split(" ") if t]
+    if len(toks) < k:
+        return set()
+    grams = [
+        hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:16]
+        for i in range(len(toks) - k + 1)
+    ]
+    if len(grams) <= w:
+        return {min(grams)}
+    return {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+
+
+def _rand_doc(rng: random.Random, n: int) -> str:
+    return " ".join(
+        rng.choice(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+        + str(rng.randrange(40))
+        for _ in range(n)
+    )
+
+
+def test_fingerprints_match_python_oracle(spark):
+    rng = random.Random(7)
+    docs = [(i, _rand_doc(rng, rng.choice([0, 3, 5, 8, 30, 120]))) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in winnow_fingerprints(df, k=K, w=W).collect()
+    }
+    want = {(i, fp) for i, t in docs for fp in _py_fps(t)}
+    assert got == want
+
+
+def test_shared_block_guarantee_and_pairs(spark):
+    rng = random.Random(11)
+    block = _rand_doc(rng, W + K - 1 + 10)  # longer than the guarantee run
+    docs = [
+        (0, _rand_doc(rng, 60) + " " + block),
+        (1, block + " " + _rand_doc(rng, 60)),
+        (2, _rand_doc(rng, 60)),  # unrelated
+        (3, block),  # exact block, contained in 0 and 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["overlap"]
+        for r in winnow_pairs(
+            df, k=K, w=W, max_df=10, threshold=0.0
+        ).collect()
+    }
+    # guarantee: every pair sharing the block shares >= 1 fingerprint
+    for p in [(0, 1), (0, 3), (1, 3)]:
+        assert p in pairs, p
+    # containment: the bare block is fully inside docs 0 and 1
+    assert pairs[(0, 3)] == 1.0 and pairs[(1, 3)] == 1.0
+    assert (1, 2) not in pairs and (0, 2) not in pairs
+
+    # brute-force overlap check for one pair
+    f0, f1 = _py_fps(docs[0][1]), _py_fps(docs[1][1])
+    want = round(len(f0 & f1) / min(len(f0), len(f1)), 6)
+    assert abs(pairs[(0, 1)] - want) < 1e-9
+
+
+def test_max_df_drops_boilerplate(spark):
+    rng = random.Random(3)
+    header = _rand_doc(rng, 25)  # "license header" in every doc
+    docs = [(i, header + " " + _rand_doc(rng, 40)) for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    n_all = winnow_pairs(df, k=K, w=W, max_df=100, threshold=0.0).count()
+    n_filt = winnow_pairs(df, k=K, w=W, max_df=4, threshold=0.0).count()
+    assert n_all == 8 * 7 / 2  # header links every pair
+    assert n_filt < n_all  # shared-by-all fingerprints dropped
