@@ -103,7 +103,12 @@ def winnow_pairs(
 
     overlap = shared fingerprints / min(per-doc fingerprint count) —
     containment, computed exactly; ``max_df`` drops boilerplate
-    fingerprints before the join (see module docstring)."""
+    fingerprints before the join (see module docstring).
+
+    The fps frame is consumed three times (sizes, df-filter, join), so it
+    is persisted (MEMORY_AND_DISK — at corpus scale the fingerprint table
+    is ~0.4 rows/token and spills; for a 100 TB run write it to a table
+    once with winnow_fingerprints + write_table and join from there)."""
     fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).persist()
     # per-doc fingerprint counts BEFORE the boilerplate filter: the
     # containment denominator is the document's true sketch size
