@@ -927,6 +927,26 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_vocab(spark, sf_dir):
+    """Frequency-ranked dense vocabulary (term, df, token_id) —
+    operators/vocab.py:build_vocab."""
+    from fuzzy_wiki_spark.operators.vocab import build_vocab
+
+    return build_vocab(_docs(spark, sf_dir), text_col="text")
+
+
+def q_encode_docs(spark, sf_dir):
+    """Token-id encoding of every doc (exploded (doc_id, pos, token_id)
+    rows; vocab min_df=3 so rare terms exercise the OOV path)."""
+    from fuzzy_wiki_spark.operators.vocab import (
+        build_vocab,
+        encode_docs_rows,
+    )
+
+    d = _docs(spark, sf_dir)
+    return encode_docs_rows(d, build_vocab(d, min_df=3), text_col="text")
+
+
 def q_chunk_documents(spark, sf_dir):
     """Sliding-window chunking for training context windows: 64-token
     chunks, stride 48 (operators/export.py:chunk_documents)."""
@@ -2003,6 +2023,28 @@ f AS (SELECT doc_id, unnest(fp_list) AS fp FROM fps)
 
 ORACLE_SQL["winnow_fp"] = f"WITH {_WINNOW_FPS} SELECT doc_id, fp FROM f"
 
+ORACLE_SQL["vocab"] = f"""
+WITH t AS (SELECT DISTINCT doc_id, term FROM ({_TOK})),
+d AS (SELECT term, count(*) AS df FROM t GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS BIGINT)
+         AS token_id
+FROM d
+"""
+
+ORACLE_SQL["encode_docs"] = f"""
+WITH t AS (SELECT DISTINCT doc_id, term FROM ({_TOK})),
+d AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+v AS (SELECT term,
+             CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS BIGINT)
+               AS token_id
+      FROM d WHERE df >= 3),
+tok AS ({_TOKPOS})
+SELECT tok.doc_id, CAST(tok.pos AS BIGINT) AS pos,
+       coalesce(v.token_id, -1) AS token_id
+FROM tok LEFT JOIN v USING (term)
+"""
+
 # chunk_documents(max_tokens=64, stride=48): strided starts + tail window,
 # empty docs dropped — exact mirror of operators/export.py:chunk_documents
 ORACLE_SQL["chunk_documents"] = """
@@ -2342,6 +2384,8 @@ QUERIES = {
     "winnow_fp": q_winnow_fp,
     "winnow_pairs": q_winnow_pairs,
     "chunk_documents": q_chunk_documents,
+    "vocab": q_vocab,
+    "encode_docs": q_encode_docs,
     "dedup_clusters": q_dedup_clusters,
     "incremental_search": q_incremental_search,
     "compact_search": q_compact_search,

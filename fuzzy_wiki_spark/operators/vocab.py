@@ -1,0 +1,108 @@
+"""Vocabulary construction + document encoding (text → token-id arrays).
+
+The step between corpus prep (dedup/quality/chunking) and training export:
+build a frequency-ranked term vocabulary, then map every document to its
+token-id sequence. The analog in the indexing engine is the term dictionary
+(operators/segments.py term rows); here ids must be DENSE and STABLE
+(id = rank by (-df, term)) because they become embedding-matrix rows.
+
+Scale shape: the df aggregation is the same salted-combinable groupBy as
+term_stats (map-side partial agg, one exchange). The final dense-id
+assignment is a row_number over the full vocabulary — a single-task sort,
+which is correct at scale because a vocabulary is millions of rows
+(model-sized), not corpus-sized; the corpus-sized work (tokenize, df
+counts, the encode join) is all distributed, and the vocab broadcast in
+``encode_docs`` is exactly the embedding table every trainer ships to
+every worker anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _doc_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, term): whitespace tokens with positions among survivors
+    (same semantics as the engine's simple analyzer / the _TOKPOS oracle)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    return df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "term")
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """(term, df, token_id): document frequency + dense rank by
+    (-df, term). token_id is contiguous from 0, so it can index an
+    embedding matrix directly; ties broken lexically for determinism."""
+    term_df = (
+        _doc_terms(df, text_col, id_col)
+        .select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    vocab = term_df.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("long")
+    )
+    if max_vocab is not None:
+        vocab = vocab.where(F.col("token_id") < max_vocab)
+    return vocab
+
+
+OOV_ID = -1
+
+
+def encode_docs(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, token_ids): each doc's token-id sequence in text order;
+    out-of-vocabulary tokens map to OOV_ID (-1). The vocab join is a
+    broadcast (model-sized right side); the regroup sorts (pos, id)
+    structs per doc with array_sort — no UDF anywhere."""
+    t = _doc_terms(df, text_col, id_col)
+    joined = t.join(
+        F.broadcast(vocab.select("term", "token_id")), "term", "left"
+    ).select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(OOV_ID)).alias("tid"),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"],
+            ).alias("token_ids")
+        )
+    )
+
+
+def encode_docs_rows(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exploded (id, pos, token_id) form of ``encode_docs`` — scalar
+    columns, used by the driver-contract oracle check."""
+    t = _doc_terms(df, text_col, id_col)
+    return t.join(
+        F.broadcast(vocab.select("term", "token_id")), "term", "left"
+    ).select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        F.coalesce(F.col("token_id"), F.lit(OOV_ID)).alias("token_id"),
+    )

@@ -1,0 +1,69 @@
+"""Vocabulary build + doc encoding vs a pure-Python oracle."""
+
+from fuzzy_wiki_spark.operators.vocab import (
+    OOV_ID,
+    build_vocab,
+    encode_docs,
+)
+
+DOCS = [
+    (0, "b a a c b a"),
+    (1, "c c d b"),
+    (2, ""),
+    (3, "a  b"),  # double space survives filtering
+]
+
+
+def _py_vocab(min_df=1, max_vocab=None):
+    from collections import Counter
+
+    dfc = Counter()
+    for _, t in DOCS:
+        dfc.update(set(x for x in t.split(" ") if x))
+    ranked = sorted(dfc.items(), key=lambda kv: (-kv[1], kv[0]))
+    out = {t: i for i, (t, d) in enumerate(ranked) if d >= min_df}
+    if max_vocab is not None:
+        out = {t: i for t, i in out.items() if i < max_vocab}
+    return out
+
+
+def test_build_vocab_dense_ranked(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r["term"]: (r["df"], r["token_id"])
+        for r in build_vocab(df).collect()
+    }
+    want_ids = _py_vocab()
+    assert set(got) == set(want_ids)
+    for t, i in want_ids.items():
+        assert got[t][1] == i
+    # b=3 docs; a=c=2 (tie → lex: a first); d=1
+    assert got["b"] == (3, 0) and got["a"] == (2, 1)
+    assert got["c"] == (2, 2) and got["d"] == (1, 3)
+
+
+def test_vocab_min_df_and_cap(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    assert {r["term"] for r in build_vocab(df, min_df=2).collect()} == {
+        "a", "b", "c"
+    }
+    assert {r["term"] for r in build_vocab(df, max_vocab=2).collect()} == {
+        "a", "b"
+    }
+
+
+def test_encode_docs_order_and_oov(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    vocab = build_vocab(df, min_df=2)  # drops 'd' → OOV
+    got = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in encode_docs(df, vocab).collect()
+    }
+    ids = _py_vocab(min_df=2)
+    want = {
+        i: [ids.get(t, OOV_ID) for t in txt.split(" ") if t]
+        for i, txt in DOCS
+        if any(x for x in txt.split(" ") if x)
+    }
+    assert got == want
+    assert got[1] == [ids["c"], ids["c"], OOV_ID, ids["b"]]
