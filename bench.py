@@ -145,6 +145,21 @@ def main() -> None:
     seg_mismatched_hits = len(batch_hits ^ seg_hits)
     seg_rows_match = seg_mismatched_hits == 0
 
+    # 2c2) serving-path per-query latency: the compressed segment/WAND
+    # engine is the recommended query path (README §serving path); its
+    # p50/p99 is the headline latency. Batch replay above already warmed
+    # the decode path; best-of-2 per query.
+    seg_q_times = []
+    for i, q in enumerate(BM25_QUERIES):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            seg.search(q, k=10).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        seg_q_times.append(best)
+        timings[f"seg_bm25_q{i}"] = round(best, 4)
+
     # 2d) extended query language served from the segments (term-pruned
     # decode — the serving-path shape for the Lucene QueryParser surface)
     timed(
@@ -222,6 +237,13 @@ def main() -> None:
         "build_files_per_sec": round(n_docs / timings["build_index"], 2),
         "bm25_p50_sec": round(p50, 4),
         "bm25_p99_sec": round(p99, 4),
+        "seg_bm25_p50_sec": round(sorted(seg_q_times)[len(seg_q_times) // 2], 4),
+        "seg_bm25_p99_sec": round(
+            sorted(seg_q_times)[
+                min(len(seg_q_times) - 1, int(len(seg_q_times) * 0.99))
+            ],
+            4,
+        ),
         "bm25_batch_qps": round(len(BM25_QUERIES) / batch_sec, 2),
         "seg_batch_qps": round(len(BM25_QUERIES) / seg_batch_sec, 2),
         "seg_rows_match_relational": seg_rows_match,
