@@ -117,6 +117,45 @@ def q_bm25_topk(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_search_page2(spark, sf_dir):
+    """Cursor pagination (Lucene searchAfter; engine.py search_after):
+    page 2 = the 10 hits strictly after page 1's last (score, doc_id).
+    Oracle: ranks 11-20 of the same BM25 skeleton — identical because
+    (score, doc_id) totally orders results."""
+    from fuzzy_wiki_spark.operators.topk import score_queries_batch
+
+    posts = _postings_simple(spark, sf_dir).persist()
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    ts = P.term_stats(posts)
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in ts.where(F.col("term").isin(BM25_QUERY_TERMS)).collect()
+    }
+    clauses = [
+        Clause(i, "content", (t,), 1.0, 0, False)
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    ]
+    page1 = score_query(
+        spark, posts, clauses, term_df, fstats, docs_meta=None, k=10
+    ).collect()
+    s, d = float(page1[-1]["score"]), int(page1[-1]["doc_id"])
+    full = score_queries_batch(
+        spark, posts, {0: clauses}, term_df, fstats, docs_meta=None, k=None
+    )
+    return (
+        full.where(
+            (F.col("score") < s)
+            | ((F.col("score") == s) & (F.col("doc_id") > d))
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 def q_bm25_batch(spark, sf_dir):
     """Batch query replay: 3 queries scored in ONE job (score_queries_batch)
     → (query_id, doc_id, score, rank). The scale path for query-set
@@ -2124,6 +2163,20 @@ def _bm25_skeleton_sql(doc_filter: str = "TRUE", result_filter: str = "TRUE") ->
     """
 
 
+# search_after page 2 == ranks 11-20 under the same total order
+_PAGE_SQL = _bm25_skeleton_sql()
+ORACLE_SQL["search_page2"] = _PAGE_SQL.replace(
+    """SELECT doc_id, round(s, 6) AS score FROM sc
+        WHERE TRUE
+        ORDER BY s DESC, doc_id LIMIT 10""",
+    """SELECT doc_id, round(s, 6) AS score FROM (
+          SELECT doc_id, s,
+                 row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+          FROM sc)
+        WHERE rnk BETWEEN 11 AND 20""",
+)
+assert "rnk BETWEEN" in ORACLE_SQL["search_page2"], "page SQL splice failed"
+
 ORACLE_SQL["delete_search"] = _bm25_skeleton_sql(
     result_filter=f"NOT ({DELETE_PRED})"
 )
@@ -2332,6 +2385,7 @@ QUERIES = {
     "term_stats": q_term_stats,
     "bm25_topk": q_bm25_topk,
     "bm25_batch": q_bm25_batch,
+    "search_page2": q_search_page2,
     "span_near": q_span_near,
     "phrase_exact": q_phrase_exact,
     "phrase_sloppy": q_phrase_sloppy,

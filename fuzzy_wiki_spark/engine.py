@@ -97,6 +97,40 @@ class InvertedIndex:
             k=k,
         )
 
+    def search_after(
+        self, query: str, after: tuple[float, int], k: int = 10
+    ) -> DataFrame:
+        """Cursor pagination (Lucene IndexSearcher.searchAfter): the next k
+        results strictly after ``after = (score, doc_id)`` in
+        (score desc, doc_id asc) order — page p+1 given page p's last hit.
+        Deep pages stay O(matching docs) per query (stateless cursor, no
+        offset re-collection): the full candidate set is scored once and
+        the cursor predicate filters before the top-k cut."""
+        from fuzzy_wiki_spark.operators.topk import score_queries_batch
+
+        clauses = compile_query(query)
+        terms = sorted({t for c in clauses for t in c.terms})
+        term_df = self.lookup_term_df(terms)
+        full = score_queries_batch(
+            self.spark,
+            self.postings,
+            {0: clauses},
+            term_df,
+            self.field_stats,
+            docs_meta=self.docs_meta,
+            k=None,
+        )
+        s, d = after
+        return (
+            full.where(
+                (F.col("score") < s)
+                | ((F.col("score") == s) & (F.col("doc_id") > d))
+            )
+            .select("doc_id", "path", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_many(self, queries: list[str], k: int = 10) -> DataFrame:
         """Batch query replay: ALL queries scored in one Spark job →
         (query_id, doc_id, path, score, rank). query_id = index into
@@ -279,6 +313,34 @@ class SegmentIndex:
             term_df,
             self.field_stats,
             k=k,
+        )
+
+    def search_after(
+        self, query: str, after: tuple[float, int], k: int = 10
+    ) -> DataFrame:
+        """Cursor pagination over the compressed segments (Lucene
+        searchAfter): next k hits strictly after (score, doc_id). The
+        cursor filters per bucket BEFORE the local top-k cut (a bucket may
+        hold many pre-cursor docs), and MaxScore is disabled for the page —
+        a θ bound fed by cursor-ineligible docs would over-prune
+        (operators/segment_query.py bucket_topk)."""
+        from fuzzy_wiki_spark.operators.segment_query import (
+            search_segments_batch,
+        )
+
+        clauses = compile_query(query)
+        term_df = self._term_df(sorted({t for c in clauses for t in c.terms}))
+        out = search_segments_batch(
+            self.spark,
+            self.segments,
+            {0: clauses},
+            term_df,
+            self.field_stats,
+            k=k,
+            after=after,
+        )
+        return out.select("doc_id", "score").orderBy(
+            F.desc("score"), F.asc("doc_id")
         )
 
     def search_many(self, queries: list[str], k: int = 10) -> DataFrame:

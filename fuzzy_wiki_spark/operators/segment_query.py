@@ -88,6 +88,7 @@ def bucket_topk(
     k: int,
     use_maxscore: bool = True,
     cache: dict | None = None,
+    after: tuple[float, int] | None = None,
 ) -> pd.DataFrame:
     """Score one bucket's segment rows → local top-k (doc_id, score).
 
@@ -381,6 +382,14 @@ def bucket_topk(
     if redirect_ids.size:
         keep = ~np.isin(cand_ids, redirect_ids, assume_unique=True)
         cand_ids, scores = cand_ids[keep], scores[keep]
+    if after is not None:
+        # search-after cursor: keep only docs strictly after (s, d) in
+        # (score desc, doc_id asc) order. Callers MUST pass
+        # use_maxscore=False with a cursor — θ derived from cursor-
+        # ineligible (higher-scoring) docs would over-prune page-2 docs.
+        s, d = after
+        elig = (scores < s) | ((scores == s) & (cand_ids > d))
+        cand_ids, scores = cand_ids[elig], scores[elig]
     if cand_ids.size == 0:
         return _EMPTY.copy()
     order = np.lexsort((cand_ids, -scores))[:k]
@@ -434,6 +443,7 @@ def search_segments_batch(
     term_df: dict[tuple[str, str], int],
     field_stats: dict[str, tuple[int, float]],
     k: int = 10,
+    after: tuple[float, int] | None = None,
 ):
     """Batch replay over the segment index → (query_id, doc_id, score, rank).
 
@@ -466,7 +476,18 @@ def search_segments_batch(
         outs = []
         cache: dict = {}  # shared decode across the query set
         for qid, cls in queries.items():
-            r = bucket_topk(g, cls, weights[qid], avgdl, k, cache=cache)
+            r = bucket_topk(
+                g,
+                cls,
+                weights[qid],
+                avgdl,
+                k,
+                # a cursor page must score candidates EXACTLY (see
+                # bucket_topk docstring), so MaxScore is off when paging
+                use_maxscore=after is None,
+                cache=cache,
+                after=after,
+            )
             if len(r):
                 r.insert(0, "query_id", np.int32(qid))
                 outs.append(r)

@@ -1,0 +1,70 @@
+"""search_after cursor pagination (Lucene IndexSearcher.searchAfter):
+page1 + page2-via-cursor must equal top-2k exactly on BOTH engines,
+including across tied scores (cursor splits ties by doc_id)."""
+
+import pytest
+
+from fuzzy_wiki_spark.corpus import generate_docs_pdf
+from fuzzy_wiki_spark.engine import InvertedIndex, SegmentIndex
+
+QUERY = "binary search tree"
+K = 10
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return generate_docs_pdf(150, seed=42)
+
+
+@pytest.fixture(scope="module")
+def rel_index(spark, corpus_pdf):
+    return InvertedIndex.build(spark, spark.createDataFrame(corpus_pdf))
+
+
+@pytest.fixture(scope="module")
+def seg_index(spark, corpus_pdf, tmp_path_factory):
+    docs = spark.createDataFrame(corpus_pdf)
+    return SegmentIndex.build(
+        spark, docs, str(tmp_path_factory.mktemp("safteridx")), n_buckets=4
+    )
+
+
+def _pages_equal_top2k(idx):
+    top2k = [
+        (r["doc_id"], r["score"]) for r in idx.search(QUERY, k=2 * K).collect()
+    ]
+    assert len(top2k) == 2 * K  # corpus large enough for two pages
+    page1 = top2k[:K]
+    cursor = (page1[-1][1], page1[-1][0])  # (score, doc_id) of last hit
+    page2 = [
+        (r["doc_id"], r["score"])
+        for r in idx.search_after(QUERY, cursor, k=K).collect()
+    ]
+    assert page1 + page2 == top2k
+
+
+def test_relational_pages(rel_index):
+    _pages_equal_top2k(rel_index)
+
+
+def test_segment_pages(seg_index):
+    _pages_equal_top2k(seg_index)
+
+
+def test_cursor_splits_ties(spark):
+    # identical docs → identical scores; the cursor must advance through
+    # the tie purely by doc_id
+    docs = [(i, f"p{i}", "alpha beta gamma") for i in range(6)] + [
+        (100, "px", "unrelated words entirely")
+    ]
+    idx = InvertedIndex.build(
+        spark, spark.createDataFrame(docs, "doc_id long, path string, content string")
+    )
+    all6 = [(r["doc_id"], r["score"]) for r in idx.search("alpha", k=6).collect()]
+    assert [d for d, _ in all6] == [0, 1, 2, 3, 4, 5]
+    cursor = (all6[2][1], all6[2][0])  # after doc 2, mid-tie
+    rest = [
+        (r["doc_id"], r["score"])
+        for r in idx.search_after("alpha", cursor, k=6).collect()
+    ]
+    assert [d for d, _ in rest] == [3, 4, 5]
