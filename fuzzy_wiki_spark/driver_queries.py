@@ -770,6 +770,39 @@ def q_corpus_prep(spark, sf_dir):
     )
 
 
+def q_prep_stream(spark, sf_dir):
+    """Streaming corpus prep (streaming/prep.py): two availableNow epochs —
+    epoch 1 = the corpus, epoch 2 = 50 exact duplicates + a null row.
+    Cross-batch dropDuplicates state drops every epoch-2 row, validation
+    drops the null, so the sink holds exactly the batch-prep features of
+    the original corpus (texts are all distinct at oracle scale)."""
+    import tempfile
+    from pathlib import Path
+
+    from fuzzy_wiki_spark.streaming.prep import start_prep_stream
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    root = Path(tempfile.mkdtemp(prefix="fw_prep_stream_"))
+    src, out = root / "src", root / "out"
+    src.mkdir()
+    schema = "doc_id long, text string"
+
+    d.coalesce(1).write.mode("append").parquet(str(src))
+    start_prep_stream(spark, str(src), str(out), schema).awaitTermination(
+        300
+    )
+    dup = d.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    dup.union(
+        spark.createDataFrame([(99999, None)], schema)
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    start_prep_stream(spark, str(src), str(out), schema).awaitTermination(
+        300
+    )
+    return spark.read.parquet(str(out))
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic Bernoulli sample (rate 0.25) keyed on md5(doc_id) —
     reproducible on any cluster layout, unlike seeded df.sample()."""
@@ -1903,6 +1936,44 @@ ORACLE_SQL: dict[str, str] = {
                md5(array_to_string(list_sort(list_distinct(ts)), ' ')) AS fp
         FROM sc WHERE quality >= 0.2
     """,
+    "prep_stream": """
+        WITH kept AS (
+            -- the stream's epoch-2 rows are all duplicates of epoch 1 (or
+            -- null), so the surviving set is exactly the original corpus
+            SELECT doc_id, text FROM documents),
+        stops AS (SELECT ['a','an','and','are','as','at','be','but','by','for',
+                 'if','in','into','is','it','no','not','of','on','or','such',
+                 'that','the','their','then','there','these','they','this',
+                 'to','was','will','with'] AS sw),
+        feat AS (
+            SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ts
+            FROM kept),
+        m AS (
+            SELECT doc_id, text, ts, len(ts) AS n_tok,
+                   CASE WHEN len(ts) > 0 THEN
+                     len(list_filter(ts, x -> list_contains(sw, lower(x))))::DOUBLE
+                       / len(ts)
+                     ELSE 0 END AS stop_ratio,
+                   CASE WHEN len(text) > 0 THEN
+                     len(regexp_replace(text, '[A-Za-z0-9[:space:]]', '', 'g'))::DOUBLE
+                       / len(text)
+                     ELSE 0 END AS punct_ratio
+            FROM feat CROSS JOIN stops),
+        sc AS (
+            SELECT doc_id, text, ts, stop_ratio,
+                   least(n_tok::DOUBLE / 100.0, 1.0) * (1 - punct_ratio)
+                     * (1 - abs(stop_ratio - 0.4)) AS quality
+            FROM m)
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]+'))::BIGINT AS n_bpe,
+               round(quality, 6) AS quality,
+               CASE WHEN stop_ratio >= 0.15 THEN 'en' ELSE 'other' END
+                 AS lang_guess,
+               md5(array_to_string(list_sort(list_distinct(ts)), ' ')) AS fp
+        FROM sc WHERE quality >= 0.2
+    """,
     "ann_cosine": """
         WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
                    FROM embeddings WHERE vec_id = 0),
@@ -2420,6 +2491,7 @@ QUERIES = {
     "events_window": q_events_window,
     "sessionize": q_sessionize,
     "corpus_prep": q_corpus_prep,
+    "prep_stream": q_prep_stream,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
     "temperature_resample": q_temperature_resample,

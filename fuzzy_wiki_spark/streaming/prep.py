@@ -1,0 +1,77 @@
+"""Structured-Streaming training-data prep: the continuous-ingestion analog
+of the batch corpus_prep pipeline (driver_queries.q_corpus_prep).
+
+New corpus files land in a directory (or an Iceberg/Kafka source at scale);
+each micro-batch flows through the SAME Column-expression stages as the
+batch plan — null validation → exact dedup → quality gate → feature
+columns — and appends to a parquet sink with exactly-once semantics via the
+streaming checkpoint.
+
+Dedup state: ``dropDuplicates`` on the text hash WITHOUT a watermark —
+cross-batch state, one 128-bit md5 per distinct text kept indefinitely,
+because an exact duplicate may arrive at any later epoch (the CommonCrawl
+re-crawl case). That state is the streaming equivalent of the batch
+keep-first window and is the documented cost of exactly-once dedup over an
+unbounded stream; if the dedup horizon is bounded (e.g. duplicates only
+arrive within a day), swap in ``withWatermark`` + ``dropDuplicates`` to cap
+state. Keep-FIRST-ARRIVAL replaces the batch keep-lowest-id rule: identical
+when ids grow with arrival order (the append-only ingest contract,
+streaming/incremental.py module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.functions import text as TXT
+
+
+def prep_transform(df, min_quality: float = 0.2):
+    """The shared per-batch plan: validate → dedup → gate → features.
+    Works on a batch OR streaming DataFrame (same Column expressions as
+    q_corpus_prep; parity pinned by tests/test_streaming.py)."""
+    clean = df.where(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    deduped = (
+        clean.withColumn("_h", F.md5(F.col("text")))
+        .dropDuplicates(["_h"])
+        .drop("_h")
+    )
+    q = TXT.quality_score(F.col("text"))
+    return deduped.where(q >= min_quality).select(
+        "doc_id",
+        TXT.token_count_bpe(F.col("text")).alias("n_bpe"),
+        F.round(q, 6).alias("quality"),
+        TXT.lang_guess(F.col("text")).alias("lang_guess"),
+        TXT.fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def start_prep_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    schema: str,
+    checkpoint_dir: str | None = None,
+    min_quality: float = 0.2,
+):
+    """Watch ``source_dir`` for new parquet docs, prep each micro-batch,
+    append features to ``out_dir``. Returns the StreamingQuery
+    (availableNow trigger: drains everything pending, then stops — rerun
+    after more files arrive and the checkpoint resumes incrementally,
+    keeping the dedup state)."""
+    checkpoint_dir = checkpoint_dir or f"{out_dir}/_checkpoint"
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(source_dir)
+    )
+    return (
+        prep_transform(stream, min_quality=min_quality)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

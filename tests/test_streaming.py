@@ -183,3 +183,54 @@ def test_windowed_event_counts_streaming_equals_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM win_out").collect())
     assert got == want
+
+
+def test_prep_stream_equals_batch(spark, tmp_path):
+    """Two-epoch streaming corpus prep == one-shot batch prep: the
+    cross-batch dropDuplicates state drops epoch-2 re-arrivals of epoch-1
+    texts, null rows fall to validation, and the feature columns are the
+    identical Column expressions."""
+    from fuzzy_wiki_spark.streaming.prep import (
+        prep_transform,
+        start_prep_stream,
+    )
+
+    pdf = generate_docs_pdf(80, seed=7)[["doc_id", "content"]].rename(
+        columns={"content": "text"}
+    )
+    assert pdf["text"].nunique() == len(pdf)  # distinct within epoch 1
+    src, out = tmp_path / "src", tmp_path / "out"
+    src.mkdir()
+    schema = "doc_id long, text string"
+
+    # epoch 1: the base corpus
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    start_prep_stream(spark, str(src), str(out), schema).awaitTermination(
+        120
+    )
+    # epoch 2: exact duplicates (higher ids) + a null row -> all dropped
+    dup = pdf.iloc[:30].assign(doc_id=lambda d: d.doc_id + 50_000)
+    epoch2 = spark.createDataFrame(dup).union(
+        spark.createDataFrame([(99999, None)], schema)
+    )
+    epoch2.coalesce(1).write.mode("append").parquet(str(src))
+    start_prep_stream(spark, str(src), str(out), schema).awaitTermination(
+        120
+    )
+
+    got = {
+        tuple(r) for r in spark.read.parquet(str(out)).collect()
+    }
+    # batch reference over the ORIGINALS: epoch-2 rows are exact dups (the
+    # stream's cross-batch state drops them; batch dropDuplicates over the
+    # union would keep a partition-order-dependent representative, so the
+    # originals ARE the deterministic expected set) + the null row, which
+    # validation drops
+    want = {
+        tuple(r)
+        for r in prep_transform(spark.createDataFrame(pdf)).collect()
+    }
+    assert got == want
+    assert all(r[0] < 50_000 for r in got)  # epoch-2 dups never survive
