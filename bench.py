@@ -177,6 +177,11 @@ def main() -> None:
     timed("pipe_dedup_exact", lambda: DQ.q_dedup_exact(spark, sf_dir).count(), reps=2)
     timed("pipe_minhash_pairs", lambda: DQ.q_minhash_pairs(spark, sf_dir).count(), reps=2)
     timed("pipe_simhash", lambda: DQ.q_simhash(spark, sf_dir).count(), reps=2)
+    timed(
+        "pipe_winnow_pairs",
+        lambda: DQ.q_winnow_pairs(spark, sf_dir).count(),
+        reps=2,
+    )
     timed("pipe_ann_cosine", lambda: DQ.q_ann_cosine(spark, sf_dir).collect(), reps=2)
     timed("pipe_ann_batch", lambda: DQ.q_ann_batch(spark, sf_dir).collect(), reps=2)
     timed(

@@ -85,3 +85,27 @@ def test_max_df_drops_boilerplate(spark):
     n_filt = winnow_pairs(df, k=K, w=W, max_df=4, threshold=0.0).count()
     assert n_all == 8 * 7 / 2  # header links every pair
     assert n_filt < n_all  # shared-by-all fingerprints dropped
+
+
+def test_arrow_kernel_matches_column_reference(spark):
+    """The Arrow-batch kernel (default) and the HOF Column expression
+    (the shape the SQL oracle mirrors) must produce identical rows."""
+    from pyspark.sql import functions as F
+
+    from fuzzy_wiki_spark.operators.winnow import winnow_fingerprint_col
+
+    rng = random.Random(19)
+    docs = [(i, _rand_doc(rng, rng.choice([0, 4, 7, 40, 200]))) for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in winnow_fingerprints(df, k=K, w=W).collect()
+    }
+    ref = {
+        (r["doc_id"], r["fp"])
+        for r in df.select(
+            "doc_id",
+            F.explode(winnow_fingerprint_col(F.col("text"), k=K, w=W)).alias("fp"),
+        ).collect()
+    }
+    assert got == ref
