@@ -156,6 +156,58 @@ def q_search_page2(spark, sf_dir):
     )
 
 
+def q_explain_score(spark, sf_dir):
+    """Score explanation (Lucene IndexSearcher.explain; engine.py
+    InvertedIndex.explain): per-term factor rows for the top-1 doc of the
+    skeleton query — (term, weight=idf, freq, dl, tf_norm, contrib),
+    sum(contrib) == the doc's search score."""
+    posts = _postings_simple(spark, sf_dir).persist()
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    ts = P.term_stats(posts)
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in ts.where(F.col("term").isin(BM25_QUERY_TERMS)).collect()
+    }
+    clauses = [
+        Clause(i, "content", (t,), 1.0, 0, False)
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    ]
+    top1 = score_query(
+        spark, posts, clauses, term_df, fstats, docs_meta=None, k=1
+    ).collect()[0]["doc_id"]
+
+    from fuzzy_wiki_spark.operators.topk import idf as _idf
+    from fuzzy_wiki_spark.plans.query import B, K1
+
+    doc_count, avgdl = fstats["content"]
+    hits = {
+        r["term"]: (int(r["tf"]), int(r["dl"]))
+        for r in posts.where(
+            (F.col("doc_id") == top1)
+            & F.col("term").isin(BM25_QUERY_TERMS)
+        ).collect()
+    }
+    dl = next(iter(hits.values()), (0, 0))[1]
+    rows = []
+    for t in BM25_QUERY_TERMS:
+        w = _idf(term_df.get(("content", t), 0), doc_count)
+        freq = float(hits.get(t, (0, 0))[0])
+        tfn = (
+            freq / (freq + K1 * (1 - B + B * dl / avgdl))
+            if freq > 0
+            else 0.0
+        )
+        rows.append((t, round(w, 6), freq, dl, round(tfn, 6), round(w * tfn, 6)))
+    return spark.createDataFrame(
+        rows,
+        "term string, weight double, freq double, dl long,"
+        " tf_norm double, contrib double",
+    )
+
+
 def q_bm25_batch(spark, sf_dir):
     """Batch query replay: 3 queries scored in ONE job (score_queries_batch)
     → (query_id, doc_id, score, rank). The scale path for query-set
@@ -1502,6 +1554,7 @@ def _four_clause_sql(t1: str, t2: str, k: int = 10) -> str:
 _TF = f"SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({_TOK}) GROUP BY doc_id, term"
 _DL = f"SELECT doc_id, count(*)::BIGINT AS dl FROM ({_TOK}) GROUP BY doc_id"
 _QTERMS = "('" + "','".join(BM25_QUERY_TERMS) + "')"
+_QTERMS_LIST = "['" + "','".join(BM25_QUERY_TERMS) + "']"
 
 ORACLE_SQL: dict[str, str] = {
     "postings": _TF,
@@ -2234,6 +2287,43 @@ def _bm25_skeleton_sql(doc_filter: str = "TRUE", result_filter: str = "TRUE") ->
     """
 
 
+# explain: per-term factors of the skeleton query's top-1 doc
+ORACLE_SQL["explain_score"] = f"""
+WITH tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({_TOK})
+            GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM ({_TOK}) GROUP BY doc_id),
+st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN {_QTERMS} GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+              * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ) AS s
+  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id),
+top1 AS (SELECT doc_id FROM sc ORDER BY s DESC, doc_id LIMIT 1),
+qt AS (SELECT unnest({_QTERMS_LIST}) AS term),
+f AS (
+  SELECT qt.term, coalesce(dfq.df, 0) AS df,
+         coalesce(tf2.tf, 0)::DOUBLE AS freq, d.dl AS dl
+  FROM qt
+  LEFT JOIN dfq ON dfq.term = qt.term
+  CROSS JOIN top1
+  LEFT JOIN tf tf2 ON tf2.term = qt.term AND tf2.doc_id = top1.doc_id
+  JOIN dl d ON d.doc_id = top1.doc_id)
+SELECT term,
+  round(ln(1 + (st.doc_count - df + 0.5)/(df + 0.5)), 6) AS weight,
+  freq, dl,
+  round(CASE WHEN freq > 0
+        THEN freq/(freq + {K1}*(1 - {B} + {B}*dl/st.avgdl)) ELSE 0 END,
+        6) AS tf_norm,
+  round(CASE WHEN freq > 0
+        THEN ln(1 + (st.doc_count - df + 0.5)/(df + 0.5))
+             * freq/(freq + {K1}*(1 - {B} + {B}*dl/st.avgdl)) ELSE 0 END,
+        6) AS contrib
+FROM f CROSS JOIN st
+"""
+
 # search_after page 2 == ranks 11-20 under the same total order
 _PAGE_SQL = _bm25_skeleton_sql()
 ORACLE_SQL["search_page2"] = _PAGE_SQL.replace(
@@ -2457,6 +2547,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_batch": q_bm25_batch,
     "search_page2": q_search_page2,
+    "explain_score": q_explain_score,
     "span_near": q_span_near,
     "phrase_exact": q_phrase_exact,
     "phrase_sloppy": q_phrase_sloppy,

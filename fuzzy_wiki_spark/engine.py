@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from fuzzy_wiki_spark.operators import postings as P
 from fuzzy_wiki_spark.operators.topk import score_query
-from fuzzy_wiki_spark.plans.query import compile_query
+from fuzzy_wiki_spark.plans.query import B, K1, compile_query
 
 
 class InvertedIndex:
@@ -129,6 +129,77 @@ class InvertedIndex:
             .select("doc_id", "path", "score")
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
+        )
+
+    def explain(self, query: str, doc_id: int) -> DataFrame:
+        """Score explanation for one (query, doc) — the Lucene
+        IndexSearcher.explain surface: one row per clause with the exact
+        factors the scorer used, (clause_id, field, kind, terms, weight,
+        freq, dl, tf_norm, contrib); sum(contrib) == the doc's score in
+        ``search(query)`` (pinned by tests/test_explain.py).
+
+        The data touched is |query terms| postings rows of ONE doc — a
+        point lookup — so the factor math runs driver-side on the
+        collected rows (phrase freq via the pinned pure-Python sloppy
+        matcher, oracle.py:sloppy_phrase_match — the same spec the
+        distributed scorers reproduce)."""
+        from fuzzy_wiki_spark.operators.topk import idf as _idf
+        from fuzzy_wiki_spark.oracle import sloppy_phrase_match
+
+        clauses = compile_query(query)
+        all_terms = sorted({t for c in clauses for t in c.terms})
+        term_df = self.lookup_term_df(all_terms)
+        rows = self.postings.where(
+            (F.col("doc_id") == doc_id) & F.col("term").isin(all_terms)
+        ).collect()
+        by_ft = {(r["field"], r["term"]): r for r in rows}
+        out = []
+        for cl in clauses:
+            doc_count, avgdl = self.field_stats[cl.field]
+            w = cl.boost * sum(
+                _idf(term_df.get((cl.field, t), 0), doc_count)
+                for t in cl.terms
+            )
+            hit = [by_ft.get((cl.field, t)) for t in cl.terms]
+            dl = next((int(r["dl"]) for r in hit if r is not None), 0)
+            if cl.is_phrase and len(cl.terms) > 1:
+                if any(r is None for r in hit):
+                    freq = 0.0
+                else:
+                    pos = {
+                        t: list(r["positions"])
+                        for t, r in zip(cl.terms, hit)
+                    }
+                    freq = (
+                        float(sum(int(r["tf"]) for r in hit))
+                        if sloppy_phrase_match(pos, cl.terms, cl.slop)
+                        else 0.0
+                    )
+            else:
+                freq = float(hit[0]["tf"]) if hit[0] is not None else 0.0
+            tfn = (
+                freq / (freq + K1 * (1 - B + B * dl / avgdl))
+                if freq > 0
+                else 0.0
+            )
+            out.append(
+                (
+                    cl.clause_id,
+                    cl.field,
+                    "phrase" if cl.is_phrase and len(cl.terms) > 1 else "term",
+                    " ".join(cl.terms),
+                    float(w),
+                    freq,
+                    dl,
+                    float(tfn),
+                    float(w * tfn),
+                )
+            )
+        return self.spark.createDataFrame(
+            out,
+            "clause_id int, field string, kind string, terms string,"
+            " weight double, freq double, dl long, tf_norm double,"
+            " contrib double",
         )
 
     def search_many(self, queries: list[str], k: int = 10) -> DataFrame:

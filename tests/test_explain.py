@@ -1,0 +1,40 @@
+"""IndexSearcher.explain analog: per-clause factors must sum to the
+search score, for every top-k hit of every reference query (the factor
+decomposition can't drift from the scorer)."""
+
+import pytest
+
+from fuzzy_wiki_spark.corpus import REFERENCE_QUERIES, generate_docs_pdf
+from fuzzy_wiki_spark.engine import InvertedIndex
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    return InvertedIndex.build(
+        spark, spark.createDataFrame(generate_docs_pdf(120, seed=42))
+    )
+
+
+@pytest.mark.parametrize("query", REFERENCE_QUERIES[:5])
+def test_explain_sums_to_search_score(idx, query):
+    hits = idx.search(query, k=3).collect()
+    assert hits
+    for h in hits:
+        rows = idx.explain(query, h["doc_id"]).collect()
+        total = sum(r["contrib"] for r in rows)
+        assert total == pytest.approx(h["score"], rel=1e-9), (
+            query,
+            h["doc_id"],
+        )
+        # factors are internally consistent: contrib == weight * tf_norm
+        for r in rows:
+            assert r["contrib"] == pytest.approx(
+                r["weight"] * r["tf_norm"], rel=1e-12
+            )
+
+
+def test_explain_zero_for_nonmatching_doc(idx):
+    # a doc with none of the query terms explains to all-zero contribs
+    q = "zzzznothing qqqqmissing"
+    rows = idx.explain(q, 0).collect()
+    assert all(r["contrib"] == 0.0 for r in rows) or not rows
