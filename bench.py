@@ -74,7 +74,10 @@ def main() -> None:
     )
     n_docs = docs.count()
 
-    # 1) index build (porter chain, postings + stats materialized)
+    # 1) index build (porter chain, postings + stats materialized).
+    # Builds stay SINGLE-SHOT: a second rep reuses the first rep's shuffle
+    # files (exchange reuse survives unpersist), so its time is not a
+    # build time — measured 1.5 s vs ~5 s real.
     idx = timed(
         "build_index",
         lambda: InvertedIndex.build(spark, docs, persist=True),
@@ -253,7 +256,7 @@ def main() -> None:
         "seg_batch_qps": round(len(BM25_QUERIES) / seg_batch_sec, 2),
         "seg_rows_match_relational": seg_rows_match,
         "seg_mismatched_hits": seg_mismatched_hits,
-        "timing": "bm25_q*/pipe_*/seg_extended/trigram search keys are best-of-2 (VM noise)",
+        "timing": "bm25_q*/seg_bm25_q*, pipe_*, seg_extended and trigram search keys are best-of-2 (VM noise); builds single-shot",
         "cpus": cpus,
     }
     print(json.dumps(out))
