@@ -1,0 +1,61 @@
+"""Plan-shape pins for the round-2 pipeline operators: the intended
+physical strategy must survive refactors (same practice as
+tests/test_trigram.py's pins)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark, n=60, seed=5):
+    rng = random.Random(seed)
+    rows = [
+        (i, " ".join(rng.choice("abcdefgh") + str(rng.randrange(30))
+                     for _ in range(40)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_winnow_pairs_no_cartesian(spark):
+    """The pair join must be an equi-join on fp — never a cartesian /
+    nested-loop product over the corpus."""
+    from fuzzy_wiki_spark.operators.winnow import winnow_pairs
+
+    plan = _plan(winnow_pairs(_docs(spark), threshold=0.0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_encode_docs_broadcasts_vocab(spark):
+    """The vocab join is model-sized — it must broadcast, not shuffle the
+    corpus-sized token stream."""
+    from fuzzy_wiki_spark.operators.vocab import (
+        build_vocab,
+        encode_docs_rows,
+    )
+
+    d = _docs(spark)
+    plan = _plan(encode_docs_rows(d, build_vocab(d)))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """Chunking is a narrow map stage: no Exchange anywhere in the plan."""
+    from fuzzy_wiki_spark.operators.export import chunk_documents
+
+    plan = _plan(chunk_documents(_docs(spark), max_tokens=16, stride=8))
+    assert "Exchange" not in plan
+
+
+def test_winnow_fingerprints_no_shuffle(spark):
+    """Fingerprint extraction is a narrow Arrow stage: no Exchange."""
+    from fuzzy_wiki_spark.operators.winnow import winnow_fingerprints
+
+    plan = _plan(winnow_fingerprints(_docs(spark)))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "MapInArrow" in plan or "PythonMapInArrow" in plan
