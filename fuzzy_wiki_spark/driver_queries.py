@@ -156,6 +156,42 @@ def q_search_page2(spark, sf_dir):
     )
 
 
+def q_filtered_search(spark, sf_dir):
+    """Filtered query (Lucene FILTER clause; engine.py search_filtered):
+    top-10 among docs with lang='en' — the filter restricts results only,
+    stats and scores stay corpus-wide."""
+    from fuzzy_wiki_spark.operators.topk import score_queries_batch
+
+    posts = _postings_simple(spark, sf_dir).persist()
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    ts = P.term_stats(posts)
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in ts.where(F.col("term").isin(BM25_QUERY_TERMS)).collect()
+    }
+    clauses = [
+        Clause(i, "content", (t,), 1.0, 0, False)
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    ]
+    full = score_queries_batch(
+        spark, posts, {0: clauses}, term_df, fstats, docs_meta=None, k=None
+    )
+    filt = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("lang") == "en")
+        .select("doc_id")
+    )
+    return (
+        full.join(filt, "doc_id", "left_semi")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 def q_explain_score(spark, sf_dir):
     """Score explanation (Lucene IndexSearcher.explain; engine.py
     InvertedIndex.explain): per-term factor rows for the top-1 doc of the
@@ -2338,6 +2374,10 @@ ORACLE_SQL["search_page2"] = _PAGE_SQL.replace(
 )
 assert "rnk BETWEEN" in ORACLE_SQL["search_page2"], "page SQL splice failed"
 
+ORACLE_SQL["filtered_search"] = _bm25_skeleton_sql(
+    result_filter="doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
+)
+
 ORACLE_SQL["delete_search"] = _bm25_skeleton_sql(
     result_filter=f"NOT ({DELETE_PRED})"
 )
@@ -2548,6 +2588,7 @@ QUERIES = {
     "bm25_batch": q_bm25_batch,
     "search_page2": q_search_page2,
     "explain_score": q_explain_score,
+    "filtered_search": q_filtered_search,
     "span_near": q_span_near,
     "phrase_exact": q_phrase_exact,
     "phrase_sloppy": q_phrase_sloppy,

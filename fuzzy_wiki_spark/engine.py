@@ -131,6 +131,37 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def search_filtered(
+        self, query: str, filter_df: DataFrame, k: int = 10
+    ) -> DataFrame:
+        """Filtered query (Lucene FilteredQuery/BooleanClause.FILTER
+        semantics): top-k among the docs in ``filter_df`` (a one-column
+        doc_id frame from ANY predicate over the docs table). The filter
+        restricts RESULTS only — df/avgdl stats and scores are unchanged.
+        Fully distributed (semi-join before the cut), any selectivity."""
+        from fuzzy_wiki_spark.operators.topk import score_queries_batch
+
+        clauses = compile_query(query)
+        terms = sorted({t for c in clauses for t in c.terms})
+        term_df = self.lookup_term_df(terms)
+        full = score_queries_batch(
+            self.spark,
+            self.postings,
+            {0: clauses},
+            term_df,
+            self.field_stats,
+            docs_meta=self.docs_meta,
+            k=None,
+        )
+        return (
+            full.join(
+                filter_df.select("doc_id").distinct(), "doc_id", "left_semi"
+            )
+            .select("doc_id", "path", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def explain(self, query: str, doc_id: int) -> DataFrame:
         """Score explanation for one (query, doc) — the Lucene
         IndexSearcher.explain surface: one row per clause with the exact
@@ -409,6 +440,38 @@ class SegmentIndex:
             self.field_stats,
             k=k,
             after=after,
+        )
+        return out.select("doc_id", "score").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+
+    def search_filtered(
+        self, query: str, allowed_ids, k: int = 10
+    ) -> DataFrame:
+        """Filtered query over the segments for a SELECTIVE filter:
+        ``allowed_ids`` (an iterable of doc_ids, broadcast to every bucket
+        task) restricts results before each bucket's local top-k cut, with
+        MaxScore disabled (θ fed by filtered-out docs would over-prune).
+        For non-selective predicates use the relational
+        ``InvertedIndex.search_filtered`` (distributed semi-join) or bake
+        the attribute into a meta exclusion row at build time the way
+        redirects/tombstones are."""
+        import numpy as np
+
+        from fuzzy_wiki_spark.operators.segment_query import (
+            search_segments_batch,
+        )
+
+        clauses = compile_query(query)
+        term_df = self._term_df(sorted({t for c in clauses for t in c.terms}))
+        out = search_segments_batch(
+            self.spark,
+            self.segments,
+            {0: clauses},
+            term_df,
+            self.field_stats,
+            k=k,
+            allowed=np.asarray(sorted(allowed_ids), dtype=np.int64),
         )
         return out.select("doc_id", "score").orderBy(
             F.desc("score"), F.asc("doc_id")

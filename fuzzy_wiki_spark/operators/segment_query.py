@@ -89,6 +89,7 @@ def bucket_topk(
     use_maxscore: bool = True,
     cache: dict | None = None,
     after: tuple[float, int] | None = None,
+    allowed: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Score one bucket's segment rows → local top-k (doc_id, score).
 
@@ -390,6 +391,12 @@ def bucket_topk(
         s, d = after
         elig = (scores < s) | ((scores == s) & (cand_ids > d))
         cand_ids, scores = cand_ids[elig], scores[elig]
+    if allowed is not None:
+        # filtered query (Lucene filter semantics: restricts RESULTS, not
+        # stats/scoring). Same θ caveat as `after`: callers pass
+        # use_maxscore=False, since θ fed by filtered-out docs over-prunes.
+        keep = np.isin(cand_ids, allowed)
+        cand_ids, scores = cand_ids[keep], scores[keep]
     if cand_ids.size == 0:
         return _EMPTY.copy()
     order = np.lexsort((cand_ids, -scores))[:k]
@@ -444,6 +451,7 @@ def search_segments_batch(
     field_stats: dict[str, tuple[int, float]],
     k: int = 10,
     after: tuple[float, int] | None = None,
+    allowed: np.ndarray | None = None,
 ):
     """Batch replay over the segment index → (query_id, doc_id, score, rank).
 
@@ -482,11 +490,12 @@ def search_segments_batch(
                 weights[qid],
                 avgdl,
                 k,
-                # a cursor page must score candidates EXACTLY (see
-                # bucket_topk docstring), so MaxScore is off when paging
-                use_maxscore=after is None,
+                # cursor pages and filtered queries must score candidates
+                # EXACTLY (see bucket_topk docstring), so MaxScore is off
+                use_maxscore=after is None and allowed is None,
                 cache=cache,
                 after=after,
+                allowed=allowed,
             )
             if len(r):
                 r.insert(0, "query_id", np.int32(qid))

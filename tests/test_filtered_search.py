@@ -1,0 +1,69 @@
+"""Filtered query (Lucene FILTER clause semantics): results restricted,
+scores unchanged; relational and segment paths agree."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.corpus import generate_docs_pdf
+from fuzzy_wiki_spark.engine import InvertedIndex, SegmentIndex
+
+QUERY = "binary search tree"
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return generate_docs_pdf(150, seed=42)
+
+
+@pytest.fixture(scope="module")
+def rel_index(spark, corpus_pdf):
+    return InvertedIndex.build(spark, spark.createDataFrame(corpus_pdf))
+
+
+@pytest.fixture(scope="module")
+def seg_index(spark, corpus_pdf, tmp_path_factory):
+    return SegmentIndex.build(
+        spark,
+        spark.createDataFrame(corpus_pdf),
+        str(tmp_path_factory.mktemp("filtidx")),
+        n_buckets=4,
+    )
+
+
+def test_filtered_results_subset_scores_unchanged(spark, rel_index):
+    unfiltered = {
+        r["doc_id"]: r["score"]
+        for r in rel_index.search(QUERY, k=150).collect()
+    }
+    filt = spark.range(0, 150, 3).select(F.col("id").alias("doc_id"))
+    got = rel_index.search_filtered(QUERY, filt, k=10).collect()
+    assert got, "filter should leave matches"
+    for r in got:
+        assert r["doc_id"] % 3 == 0
+        # Lucene FILTER semantics: the score is the UNFILTERED score
+        assert r["score"] == pytest.approx(unfiltered[r["doc_id"]], rel=1e-9)
+    # and they are exactly the best-scoring allowed docs
+    want = sorted(
+        ((d, s) for d, s in unfiltered.items() if d % 3 == 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (d, pytest.approx(s, rel=1e-9)) for d, s in want
+    ]
+
+
+def test_segment_matches_relational(spark, rel_index, seg_index):
+    filt = spark.range(0, 150, 3).select(F.col("id").alias("doc_id"))
+    rel = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in rel_index.search_filtered(QUERY, filt, k=10).collect()
+    ]
+    seg = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in seg_index.search_filtered(
+            QUERY, range(0, 150, 3), k=10
+        ).collect()
+    ]
+    assert [d for d, _ in rel] == [d for d, _ in seg]
+    for (_, a), (_, b) in zip(rel, seg):
+        assert a == pytest.approx(b, rel=1e-6)
