@@ -156,6 +156,23 @@ def q_search_page2(spark, sf_dir):
     )
 
 
+def q_boosted_query(spark, sf_dir):
+    """Per-atom ^boost in the extended query language (Lucene QueryParser
+    boost): 'spark^2 merge join^0.5' — boost multiplies the atom's BM25
+    contribution."""
+    from fuzzy_wiki_spark.plans.qlang import execute_extended, parse_extended
+
+    posts = _postings_simple(spark, sf_dir).persist()
+    tstats = P.term_stats(posts).persist()
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    eq = parse_extended("spark^2 merge join^0.5", analyze=str.split)
+    res = execute_extended(spark, posts, tstats, fstats, eq, k=10)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_filtered_search(spark, sf_dir):
     """Filtered query (Lucene FILTER clause; engine.py search_filtered):
     top-10 among docs with lang='en' — the filter restricts results only,
@@ -2374,6 +2391,26 @@ ORACLE_SQL["search_page2"] = _PAGE_SQL.replace(
 )
 assert "rnk BETWEEN" in ORACLE_SQL["search_page2"], "page SQL splice failed"
 
+# boosted query: the skeleton with per-term boost multipliers
+ORACLE_SQL["boosted_query"] = f"""
+WITH tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({_TOK})
+            GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM ({_TOK}) GROUP BY doc_id),
+st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN {_QTERMS} GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum( (CASE tf.term WHEN 'spark' THEN 2.0
+                            WHEN 'join' THEN 0.5 ELSE 1.0 END)
+              * ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+              * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ) AS s
+  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+
 ORACLE_SQL["filtered_search"] = _bm25_skeleton_sql(
     result_filter="doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
 )
@@ -2589,6 +2626,7 @@ QUERIES = {
     "search_page2": q_search_page2,
     "explain_score": q_explain_score,
     "filtered_search": q_filtered_search,
+    "boosted_query": q_boosted_query,
     "span_near": q_span_near,
     "phrase_exact": q_phrase_exact,
     "phrase_sloppy": q_phrase_sloppy,

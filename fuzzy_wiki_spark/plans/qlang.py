@@ -10,6 +10,7 @@ Syntax (all combinable, whitespace-separated; default field ``content``):
     part~  part~2         fuzzy (levenshtein)    dictionary expansion
     /me.ge/               regexp over TERMS      dictionary expansion
     path:merge            field selector
+    merge^2  "a b"~1^0.5  boost                  multiplies the atom score
 
 Semantics follow Lucene's documented defaults:
 - term and phrase atoms score BM25 (idf·tf_norm; phrases use the
@@ -26,11 +27,15 @@ Semantics follow Lucene's documented defaults:
 Execution shape (execute_extended): each atom derives a (doc_id, contrib)
 frame from a term-filtered postings scan (the term predicate pushes down
 per atom; expanded atoms resolve against the vocabulary-sized term_stats
-dictionary first); must-gating is a chain of semi-joins on the per-atom
-match sets and must_not a single anti-join. Queries are a handful of
-atoms, so the plan stays a few scans/joins wide regardless of corpus
-size; callers serving hot query streams should persist the postings (or
-use SegmentIndex.term_postings) so atom scans share one materialization.
+dictionary first). ALL frames — scoring and gating — union into ONE
+groupBy that computes the score, the must-coverage count, and the veto
+flag in a single shuffle (the same single-scan conditional-aggregate
+shape as operators/boolean.py; the naive plan would add one semi-join
+per + atom and an anti-join for -). Queries are a handful of atoms, so
+the plan stays a few scans wide regardless of corpus size; callers
+serving hot query streams should persist the postings AND term_stats (or
+use SegmentIndex.extended, which decodes once) so atom scans share one
+materialization.
 """
 
 from __future__ import annotations
@@ -51,6 +56,7 @@ class Atom:
     terms: tuple[str, ...]  # analyzed terms (term/phrase) or raw value
     slop: int = 0  # phrase only
     dist: int = 2  # fuzzy only (Lucene default max edits)
+    boost: float = 1.0  # ^boost suffix; multiplies the atom score
 
 
 @dataclass
@@ -65,9 +71,9 @@ _TOKEN_RE = re.compile(
     (?P<occur>[+-])?
     (?:(?P<field>[A-Za-z_][A-Za-z0-9_]*):)?
     (?:
-        "(?P<phrase>[^"]*)"(?:~(?P<pslop>\d+))?
-      | /(?P<regex>[^/]*)/
-      | (?P<word>[^\s"/]+)
+        "(?P<phrase>[^"]*)"(?:~(?P<pslop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?
+      | /(?P<regex>[^/]*)/(?:\^(?P<rboost>\d+(?:\.\d+)?))?
+      | (?P<word>[^\s"/^]+)(?:\^(?P<wboost>\d+(?:\.\d+)?))?
     )
     """,
     re.VERBOSE,
@@ -97,39 +103,55 @@ def parse_extended(
             eq.must if occur == "+" else
             eq.must_not if occur == "-" else eq.should
         )
+        boost = float(
+            m.group("pboost") or m.group("rboost") or m.group("wboost")
+            or 1.0
+        )
         if m.group("phrase") is not None:
             terms = tuple(analyze(m.group("phrase")))
             if not terms:
                 continue
             slop = int(m.group("pslop") or 0)
             if len(terms) == 1:
-                dest.append(Atom("term", fld, terms))
+                dest.append(Atom("term", fld, terms, boost=boost))
             else:
-                dest.append(Atom("phrase", fld, terms, slop=slop))
+                dest.append(
+                    Atom("phrase", fld, terms, slop=slop, boost=boost)
+                )
             continue
         if m.group("regex") is not None:
             dest.append(
-                Atom("regexp", fld, (m.group("regex").lower(),))
+                Atom(
+                    "regexp", fld, (m.group("regex").lower(),), boost=boost
+                )
             )
             continue
         word = m.group("word")
         fz = re.fullmatch(r"(.+?)~(\d*)", word)
         if fz:
             dist = int(fz.group(2)) if fz.group(2) else 2
-            dest.append(Atom("fuzzy", fld, (fz.group(1).lower(),), dist=dist))
+            dest.append(
+                Atom(
+                    "fuzzy",
+                    fld,
+                    (fz.group(1).lower(),),
+                    dist=dist,
+                    boost=boost,
+                )
+            )
             continue
         if "*" in word or "?" in word:
             low = word.lower()
             if re.fullmatch(r"[^*?]+\*", low):
-                dest.append(Atom("prefix", fld, (low[:-1],)))
+                dest.append(Atom("prefix", fld, (low[:-1],), boost=boost))
             else:
-                dest.append(Atom("wildcard", fld, (low,)))
+                dest.append(Atom("wildcard", fld, (low,), boost=boost))
             continue
         terms = tuple(analyze(word))
         if not terms:
             continue
         for t in terms:
-            dest.append(Atom("term", fld, (t,)))
+            dest.append(Atom("term", fld, (t,), boost=boost))
     return eq
 
 
@@ -197,12 +219,12 @@ def execute_extended(
         tfn = tf / (tf + K1 * (1 - B + B * dl / F.lit(avgdl)))
         if atom.kind == "term":
             t = atom.terms[0]
-            w = idf(df_map.get((atom.field, t), 0), doc_count)
+            w = atom.boost * idf(df_map.get((atom.field, t), 0), doc_count)
             return base.where(F.col("term") == t).select(
                 "doc_id", (F.lit(w) * tfn).alias("contrib")
             )
         if atom.kind == "phrase":
-            w = sum(
+            w = atom.boost * sum(
                 idf(df_map.get((atom.field, t), 0), doc_count)
                 for t in atom.terms
             )
@@ -238,13 +260,13 @@ def execute_extended(
                 .where(F.col("m"))
                 .select("doc_id", (F.lit(w) * pfn).alias("contrib"))
             )
-        # multi-term atoms: constant-score rewrite
+        # multi-term atoms: constant-score rewrite (boost × 1.0 per doc)
         ex = _expansion(term_stats_df, atom)
         return (
             base.join(F.broadcast(ex), "term")
             .select("doc_id")
             .distinct()
-            .select("doc_id", F.lit(1.0).alias("contrib"))
+            .select("doc_id", F.lit(float(atom.boost)).alias("contrib"))
         )
 
     scoring = eq.must + eq.should

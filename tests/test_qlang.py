@@ -185,3 +185,40 @@ def test_execute_matches_brute_force(spark, posts, ts, fstats, q):
         for r in execute_extended(spark, posts, ts, fstats, eq).collect()
     ]
     assert got == _brute(eq), q
+
+
+def test_boost_parse_and_scoring(spark):
+    """^boost multiplies the atom score (Lucene QueryParser boost): a
+    boosted query's per-doc score must equal the algebraic combination of
+    the unboosted single-term scores."""
+    from fuzzy_wiki_spark.operators import postings as P
+    from fuzzy_wiki_spark.plans.qlang import execute_extended, parse_extended
+
+    eq = parse_extended('merge^2 "a b"~1^0.5 pre*^3 fz~1^1.5', analyze=str.split)
+    atoms = {a.kind: a for a in eq.should}
+    assert atoms["term"].boost == 2.0
+    assert atoms["phrase"].boost == 0.5 and atoms["phrase"].slop == 1
+    assert atoms["prefix"].boost == 3.0
+    assert atoms["fuzzy"].boost == 1.5 and atoms["fuzzy"].dist == 1
+
+    docs = [(0, "p0", "x y x z"), (1, "p1", "x q z q"), (2, "p2", "q y")]
+    df = spark.createDataFrame(docs, "doc_id long, path string, content string")
+    posts = P.build_postings(df, mode="simple").persist()
+    ts = P.term_stats(posts).persist()
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+
+    def scores(q):
+        eq2 = parse_extended(q, analyze=str.split)
+        return {
+            r["doc_id"]: r["score"]
+            for r in execute_extended(spark, posts, ts, fstats, eq2, k=10).collect()
+        }
+
+    sx, sq = scores("x"), scores("q")
+    both = scores("x^2 q^0.5")
+    for d in set(sx) | set(sq):
+        want = 2.0 * sx.get(d, 0.0) + 0.5 * sq.get(d, 0.0)
+        assert both[d] == pytest.approx(want, rel=1e-9), d
