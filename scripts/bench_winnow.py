@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Winnowing (MOSS) near-dup subsystem scale bench.
+
+Over an existing generated corpus (--input, any docs parquet with a
+`content` column):
+
+  1. fingerprint extraction (Arrow kernel, shuffle-free narrow stage) —
+     docs/s and fingerprints produced
+  2. near-dup pairs (df-capped equi-join + containment aggregate)
+
+Prints ONE JSON line with per-stage seconds. Run at two parallelism levels
+for the scaling table:
+
+    python scripts/bench_winnow.py --input /tmp/fw_corpus800k --cpus 8
+    python scripts/bench_winnow.py --input /tmp/fw_corpus800k --cpus 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--w", type=int, default=4)
+    ap.add_argument("--max-df", type=int, default=20)
+    ap.add_argument("--threshold", type=float, default=0.5)
+    args = ap.parse_args()
+
+    from fuzzy_wiki_spark import get_spark
+    from fuzzy_wiki_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    spark = get_spark(
+        "bench-winnow",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus,
+    )
+    docs = spark.read.parquet(args.input).select("doc_id", "content")
+    n_docs = docs.count()
+
+    t0 = time.perf_counter()
+    n_fp = winnow_fingerprints(
+        docs, text_col="content", k=args.k, w=args.w
+    ).count()
+    t_fp = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_pairs = winnow_pairs(
+        docs,
+        text_col="content",
+        k=args.k,
+        w=args.w,
+        max_df=args.max_df,
+        threshold=args.threshold,
+    ).count()
+    t_pairs = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                "cpus": args.cpus,
+                "fp_sec": round(t_fp, 2),
+                "fp_docs_per_sec": round(n_docs / t_fp, 1),
+                "n_fingerprints": n_fp,
+                "pairs_sec": round(t_pairs, 2),
+                "n_pairs": n_pairs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
