@@ -1134,6 +1134,16 @@ def q_chunk_documents(spark, sf_dir):
     )
 
 
+def q_dup_spans(spark, sf_dir):
+    """Top duplicated 10-token spans across ≥2 docs (ExactSubstr-lite;
+    operators/corpus_stats.py:duplicated_spans)."""
+    from fuzzy_wiki_spark.operators.corpus_stats import duplicated_spans
+
+    return duplicated_spans(
+        _docs(spark, sf_dir), n=10, min_docs=2, k=20, text_col="text"
+    )
+
+
 def q_winnow_fp(spark, sf_dir):
     """Winnowing (MOSS) document fingerprints — the positional-guarantee
     code near-dup primitive (operators/winnow.py; Schleimer et al. SIGMOD
@@ -2239,6 +2249,24 @@ f AS (SELECT doc_id, unnest(fp_list) AS fp FROM fps)
 
 ORACLE_SQL["winnow_fp"] = f"WITH {_WINNOW_FPS} SELECT doc_id, fp FROM f"
 
+# duplicated_spans(n=10, min_docs=2, k=20)
+ORACLE_SQL["dup_spans"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ts) >= 10 THEN
+      list_transform(range(0, len(ts) - 10 + 1),
+        i -> array_to_string(list_slice(ts, i + 1, i + 10), ' '))
+    ELSE CAST([] AS VARCHAR[]) END) AS span
+  FROM toks)
+SELECT span, count(*)::BIGINT AS n_occ,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM sh GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_occ DESC, span LIMIT 20
+"""
+
 ORACLE_SQL["vocab"] = f"""
 WITH t AS (SELECT DISTINCT doc_id, term FROM ({_TOK})),
 d AS (SELECT term, count(*) AS df FROM t GROUP BY term)
@@ -2682,6 +2710,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "vocab": q_vocab,
     "encode_docs": q_encode_docs,
+    "dup_spans": q_dup_spans,
     "dedup_clusters": q_dedup_clusters,
     "incremental_search": q_incremental_search,
     "compact_search": q_compact_search,

@@ -187,9 +187,15 @@ def repetition_stats(
 
 
 def shingles(
-    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
 ) -> DataFrame:
-    """(doc_id, shingle) distinct n-token shingles (space-joined)."""
+    """(doc_id, shingle) n-token shingles (space-joined); ``distinct``
+    dedupes per doc (set semantics), ``distinct=False`` keeps every
+    occurrence (frequency semantics — ``duplicated_spans``)."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     n_sh = F.size(toks) - (n - 1)
     # sequence(1, 0) yields a DESCENDING [1, 0] in Spark, so short docs
@@ -201,9 +207,43 @@ def shingles(
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    out = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle")
+    )
+    return out.distinct() if distinct else out
+
+
+def duplicated_spans(
+    df: DataFrame,
+    n: int = 20,
+    min_docs: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top duplicated n-token spans across the corpus — the ExactSubstr
+    signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better") at span granularity: which exact text runs repeat in
+    MULTIPLE documents (license blocks, vendored code, templates), ranked
+    by total occurrences. Doc-pair dedup (winnow/MinHash) says WHO
+    overlaps; this says WHAT repeats — the actionable unit for span-level
+    scrubbing.
+
+    → (span, n_occ, n_docs) top-k by (n_occ desc, span asc). One explode
+    + one map-side-combinable groupBy; ``min_docs`` keeps only cross-doc
+    repetition (a doc repeating its own template is repetition_stats'
+    signal, not this one). At 100 TB scale, group on a hash of the span
+    first and re-join the text for the survivors."""
+    occ = shingles(df, n, text_col, id_col, distinct=False)
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
+        occ.groupBy(F.col("shingle").alias("span"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_occ"), F.asc("span"))
+        .limit(k)
     )
 
 

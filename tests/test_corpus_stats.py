@@ -188,3 +188,25 @@ def test_repetition_stats_vs_brute_force(spark, docs):
 def test_shingles_short_doc_empty(spark, docs):
     sh = CS.shingles(docs.where(F.col("doc_id").isin([3, 4, 5])), 3)
     assert sh.count() == 0
+
+
+def test_duplicated_spans(spark):
+    from fuzzy_wiki_spark.operators.corpus_stats import duplicated_spans
+
+    block = "a b c d e"
+    docs = [
+        (0, f"x y {block} z"),
+        (1, f"{block} q r {block}"),  # two occurrences in one doc
+        (2, "p q r s t u"),
+        (3, block),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["span"]: (r["n_occ"], r["n_docs"])
+        for r in duplicated_spans(df, n=5, min_docs=2, k=10).collect()
+    }
+    # the block occurs 4 times (doc1 twice) across 3 distinct docs
+    assert got[block] == (4, 3)
+    # spans repeated only WITHIN one doc don't qualify (min_docs=2)
+    for span, (_, n_docs) in got.items():
+        assert n_docs >= 2, span
