@@ -27,18 +27,34 @@ from pyspark.sql import functions as F
 from fuzzy_wiki_spark.functions import text as TXT
 
 
-def prep_transform(df, min_quality: float = 0.2):
+def prep_transform(
+    df,
+    min_quality: float = 0.2,
+    dedup_within: str | None = None,
+    ts_col: str = "ingest_ts",
+):
     """The shared per-batch plan: validate → dedup → gate → features.
     Works on a batch OR streaming DataFrame (same Column expressions as
-    q_corpus_prep; parity pinned by tests/test_streaming.py)."""
+    q_corpus_prep; parity pinned by tests/test_streaming.py).
+
+    ``dedup_within`` (streaming only, e.g. ``"1 hour"``): bound the dedup
+    state with ``withWatermark(ts_col) + dropDuplicatesWithinWatermark``
+    — a duplicate arriving within the horizon of the first copy's event
+    time is dropped, state older than the watermark is evicted (so a
+    re-arrival AFTER the horizon is kept). Use when the dedup horizon is
+    bounded; the default (None) keeps exact unbounded dedup state."""
     clean = df.where(
         F.col("text").isNotNull() & F.col("doc_id").isNotNull()
     )
-    deduped = (
-        clean.withColumn("_h", F.md5(F.col("text")))
-        .dropDuplicates(["_h"])
-        .drop("_h")
-    )
+    hashed = clean.withColumn("_h", F.md5(F.col("text")))
+    if dedup_within is not None:
+        deduped = (
+            hashed.withWatermark(ts_col, dedup_within)
+            .dropDuplicatesWithinWatermark(["_h"])
+            .drop("_h")
+        )
+    else:
+        deduped = hashed.dropDuplicates(["_h"]).drop("_h")
     q = TXT.quality_score(F.col("text"))
     return deduped.where(q >= min_quality).select(
         "doc_id",
@@ -56,18 +72,26 @@ def start_prep_stream(
     schema: str,
     checkpoint_dir: str | None = None,
     min_quality: float = 0.2,
+    dedup_within: str | None = None,
+    ts_col: str = "ingest_ts",
 ):
     """Watch ``source_dir`` for new parquet docs, prep each micro-batch,
     append features to ``out_dir``. Returns the StreamingQuery
     (availableNow trigger: drains everything pending, then stops — rerun
     after more files arrive and the checkpoint resumes incrementally,
-    keeping the dedup state)."""
+    keeping the dedup state). ``dedup_within`` bounds that state via a
+    watermark (see prep_transform)."""
     checkpoint_dir = checkpoint_dir or f"{out_dir}/_checkpoint"
     stream = (
         spark.readStream.schema(schema).format("parquet").load(source_dir)
     )
     return (
-        prep_transform(stream, min_quality=min_quality)
+        prep_transform(
+            stream,
+            min_quality=min_quality,
+            dedup_within=dedup_within,
+            ts_col=ts_col,
+        )
         .writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)

@@ -234,3 +234,43 @@ def test_prep_stream_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert all(r[0] < 50_000 for r in got)  # epoch-2 dups never survive
+
+
+def test_prep_stream_watermarked_dedup_state_eviction(spark, tmp_path):
+    """dedup_within bounds the dedup state: a duplicate arriving within
+    the horizon is dropped; after the watermark passes the first copy's
+    event time + delay, its state is evicted and a later re-arrival is
+    kept (the documented trade of bounded-state dedup)."""
+    import datetime as dt
+
+    from fuzzy_wiki_spark.streaming.prep import start_prep_stream
+
+    def ts(h, m=0):
+        return dt.datetime(2026, 1, 1, h, m)
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    src.mkdir()
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    text_a = " ".join(f"a{i}" for i in range(40))
+    text_b = " ".join(f"b{i}" for i in range(40))
+    text_c = " ".join(f"c{i}" for i in range(40))
+
+    def arrive(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        start_prep_stream(
+            spark, str(src), str(out), schema, dedup_within="1 hour"
+        ).awaitTermination(120)
+
+    arrive([(1, text_a, ts(0)), (2, text_b, ts(0))])
+    # dup of A within the horizon -> dropped; C at 06:00 advances the
+    # watermark to 05:00, evicting A's state (expiry 01:00)
+    arrive([(3, text_a, ts(0, 30)), (4, text_c, ts(6))])
+    # dup of A AFTER eviction -> kept
+    arrive([(5, text_a, ts(6, 30))])
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(out)).collect()
+    )
+    assert got == [1, 2, 4, 5]
