@@ -156,6 +156,19 @@ def q_search_page2(spark, sf_dir):
     )
 
 
+def q_count_matches(spark, sf_dir):
+    """Total hit count (Lucene TotalHitCountCollector; engine.py
+    count_matches): distinct docs matching ANY query term, no scoring."""
+    posts = _postings_simple(spark, sf_dir)
+    n = (
+        posts.where(F.col("term").isin(BM25_QUERY_TERMS))
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    return spark.createDataFrame([(n,)], "n_hits long")
+
+
 def q_boosted_query(spark, sf_dir):
     """Per-atom ^boost in the extended query language (Lucene QueryParser
     boost): 'spark^2 merge join^0.5' — boost multiplies the atom's BM25
@@ -2419,6 +2432,11 @@ ORACLE_SQL["search_page2"] = _PAGE_SQL.replace(
 )
 assert "rnk BETWEEN" in ORACLE_SQL["search_page2"], "page SQL splice failed"
 
+ORACLE_SQL["count_matches"] = f"""
+SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_hits
+FROM ({_TOK}) WHERE term IN {_QTERMS}
+"""
+
 # boosted query: the skeleton with per-term boost multipliers
 ORACLE_SQL["boosted_query"] = f"""
 WITH tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({_TOK})
@@ -2655,6 +2673,7 @@ QUERIES = {
     "explain_score": q_explain_score,
     "filtered_search": q_filtered_search,
     "boosted_query": q_boosted_query,
+    "count_matches": q_count_matches,
     "span_near": q_span_near,
     "phrase_exact": q_phrase_exact,
     "phrase_sloppy": q_phrase_sloppy,

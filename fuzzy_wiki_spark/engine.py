@@ -131,6 +131,26 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def count_matches(self, query: str) -> int:
+        """Total hit count (Lucene TotalHitCountCollector): how many docs
+        the query matches, WITHOUT scoring — a distinct-doc count over the
+        term-filtered postings scan, honoring the same redirect exclusion
+        as search(). The result-size probe UIs issue before paginating."""
+        clauses = compile_query(query)
+        pairs = {(c.field, t) for c in clauses for t in c.terms}
+        if not pairs:
+            return 0
+        cond = None
+        for fld, t in sorted(pairs):
+            p = (F.col("field") == fld) & (F.col("term") == t)
+            cond = p if cond is None else (cond | p)
+        hits = self.postings.where(cond).select("doc_id").distinct()
+        if self.docs_meta is not None:
+            hits = hits.join(self.docs_meta, "doc_id").where(
+                ~F.col("is_redirect")
+            )
+        return hits.count()
+
     def search_filtered(
         self, query: str, filter_df: DataFrame, k: int = 10
     ) -> DataFrame:

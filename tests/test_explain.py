@@ -38,3 +38,17 @@ def test_explain_zero_for_nonmatching_doc(idx):
     q = "zzzznothing qqqqmissing"
     rows = idx.explain(q, 0).collect()
     assert all(r["contrib"] == 0.0 for r in rows) or not rows
+
+
+@pytest.mark.parametrize("query", REFERENCE_QUERIES[:4])
+def test_count_matches_equals_search_cardinality(idx, query):
+    """TotalHitCount == the scored candidate-set size: the 4-clause query
+    always includes per-term clauses and BM25 idf/tf_norm are strictly
+    positive, so every doc containing >= 1 query term scores > 0."""
+    n = idx.count_matches(query)
+    assert n == idx.search(query, k=10_000).count()
+    assert n > 0
+
+
+def test_count_matches_empty(idx):
+    assert idx.count_matches("zzzznothing") == 0
