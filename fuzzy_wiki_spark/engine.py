@@ -105,7 +105,16 @@ class InvertedIndex:
         (score desc, doc_id asc) order — page p+1 given page p's last hit.
         Deep pages stay O(matching docs) per query (stateless cursor, no
         offset re-collection): the full candidate set is scored once and
-        the cursor predicate filters before the top-k cut."""
+        the cursor predicate filters before the top-k cut.
+
+        Cursor comparison uses a 1e-9 tie band, not exact float equality:
+        the cursor score comes from a PREVIOUS job, and double-sum
+        aggregation order across partitions is not guaranteed stable
+        between jobs, so a last-ulp difference under ``==`` could drop or
+        duplicate a hit at the page boundary. Scores within the band are
+        treated as the cursor tie and ordered by doc_id (the same
+        deterministic tiebreak search() uses); the band is ~1000x finer
+        than the 6-dp rounding the driver oracle applies."""
         from fuzzy_wiki_spark.operators.topk import score_queries_batch
 
         clauses = compile_query(query)
@@ -121,10 +130,12 @@ class InvertedIndex:
             k=None,
         )
         s, d = after
+        eps = 1e-9
+        is_tie = (F.col("score") >= s - eps) & (F.col("score") <= s + eps)
         return (
             full.where(
-                (F.col("score") < s)
-                | ((F.col("score") == s) & (F.col("doc_id") > d))
+                (F.col("score") < s - eps)
+                | (is_tie & (F.col("doc_id") > d))
             )
             .select("doc_id", "path", "score")
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -194,6 +205,7 @@ class InvertedIndex:
         collected rows (phrase freq via the pinned pure-Python sloppy
         matcher, oracle.py:sloppy_phrase_match — the same spec the
         distributed scorers reproduce)."""
+        from fuzzy_wiki_spark.codec import decode_position_list
         from fuzzy_wiki_spark.operators.topk import idf as _idf
         from fuzzy_wiki_spark.oracle import sloppy_phrase_match
 
@@ -217,8 +229,12 @@ class InvertedIndex:
                 if any(r is None for r in hit):
                     freq = 0.0
                 else:
+                    # positions ride the postings schema in WIRE format
+                    # (varint delta-gap bytes, postings.py:140) — decode to
+                    # absolute ints before the matcher, exactly as the
+                    # distributed scorer does (topk.py:83).
                     pos = {
-                        t: list(r["positions"])
+                        t: decode_position_list(r["positions"]).tolist()
                         for t, r in zip(cl.terms, hit)
                     }
                     freq = (
@@ -443,9 +459,11 @@ class SegmentIndex:
         """Cursor pagination over the compressed segments (Lucene
         searchAfter): next k hits strictly after (score, doc_id). The
         cursor filters per bucket BEFORE the local top-k cut (a bucket may
-        hold many pre-cursor docs), and MaxScore is disabled for the page —
-        a θ bound fed by cursor-ineligible docs would over-prune
-        (operators/segment_query.py bucket_topk)."""
+        hold many pre-cursor docs). MaxScore pruning stays ACTIVE for the
+        page: bucket_topk seeds θ exclusively from guaranteed-eligible
+        docs (partial + remaining clause upper bounds < cursor score), the
+        same way Lucene's paging collector keeps WAND live on page N
+        (operators/segment_query.py bucket_topk, tests/test_blockmax.py)."""
         from fuzzy_wiki_spark.operators.segment_query import (
             search_segments_batch,
         )
@@ -470,8 +488,9 @@ class SegmentIndex:
     ) -> DataFrame:
         """Filtered query over the segments for a SELECTIVE filter:
         ``allowed_ids`` (an iterable of doc_ids, broadcast to every bucket
-        task) restricts results before each bucket's local top-k cut, with
-        MaxScore disabled (θ fed by filtered-out docs would over-prune).
+        task) restricts the CANDIDATE SET before scoring — MaxScore stays
+        active with θ seeded from allowed docs only, so a selective filter
+        makes the query cheaper, not exact-scored.
         For non-selective predicates use the relational
         ``InvertedIndex.search_filtered`` (distributed semi-join) or bake
         the attribute into a meta exclusion row at build time the way

@@ -276,52 +276,78 @@ def bucket_topk(
         _, ids, tfs, _ = term_arrays(cl.field, cl.terms[0])
         return ids, w * _tf_norm(tfs, dl_for(cl.field, ids), avgdl[cl.field])
 
-    # ---- pass 2: essential split (MaxScore θ from the top clause) ----
-    if use_maxscore and len(descs) > 1:
-        first = eval_clause(descs[0][1], descs[0][2])
-        theta = 0.0
-        if first is not None and first[1].size > k:
-            theta = float(np.partition(first[1], -k)[-k])
-        ubs = [ub for ub, _, _ in descs]
-        suffix = np.cumsum([0.0] + ubs[::-1])[::-1]  # suffix[i] = Σ ub[i:]
-        m = len(descs)
-        for i in range(1, len(descs)):
-            if suffix[i] < theta:
-                m = i
-                break
-        # phrase clauses need positions anyway → keep them essential
-        order = list(range(len(descs)))
-        essential = [
-            i for i in order if i < m or descs[i][1].is_phrase
-        ]
-        nonessential = [
-            i for i in order if i >= m and not descs[i][1].is_phrase
-        ]
-        evaled: dict[int, tuple[np.ndarray, np.ndarray] | None] = {0: first}
-    else:
-        theta = 0.0
-        essential = list(range(len(descs)))
-        nonessential = []
-        evaled = {}
-
-    contribs = []
-    for i in essential:
-        got = evaled[i] if i in evaled else eval_clause(descs[i][1], descs[i][2])
-        if got is not None:
-            contribs.append(got)
-    if not contribs:
+    # ---- pass 2: progressive essential evaluation + θ-driven split ----
+    #
+    # θ must only ever be fed by docs GUARANTEED eligible for the result
+    # set, or pruning over-prunes:
+    #  - ``allowed`` (filter): eligibility is id-based and known a priori,
+    #    so θ seeding masks to allowed ids (and the candidate set itself is
+    #    restricted below) — standard MaxScore stays exact.
+    #  - ``after`` (cursor): eligibility depends on the FINAL score
+    #    (< cursor s, or tie with doc_id > d), unknowable from a partial.
+    #    But partial + Σ remaining clause ubs < s ⟹ final < s ⟹ eligible,
+    #    so θ = k-th best partial among those guaranteed-eligible docs is a
+    #    valid lower bound on the k-th eligible final score (Lucene's
+    #    paging collector keeps WAND live the same way: the queue only
+    #    admits eligible hits). Tie-band docs (final == s) always survive
+    #    pruning since their upper bound ≥ s > θ.
+    # PROGRESSIVE essential evaluation (MaxScore with θ updated between
+    # clause evaluations): clauses are walked in ub-descending order; after
+    # each full evaluation θ is re-tightened from the accumulated partials,
+    # and as soon as the remaining ub mass suffix[i] drops below θ every
+    # later (non-phrase) clause flips to a block-max probe. Updating θ
+    # mid-walk (not once, from the top clause alone) is what lets a CURSOR
+    # page bootstrap: the eligibility certificate ``partial + suffix < s``
+    # is unsatisfiable while suffix is the full ub mass, but shrinks to
+    # exact as clauses accumulate — so page-N queries still prune.
+    _CURSOR_EPS = 1e-9
+    theta = 0.0
+    nonessential: list[int] = []
+    cand_ids = np.empty(0, dtype=np.int64)
+    scores = np.empty(0, dtype=np.float64)
+    ubs = [ub for ub, _, _ in descs]
+    suffix = np.cumsum([0.0] + ubs[::-1])[::-1]  # suffix[i] = Σ ub[i:]
+    maxscore_on = use_maxscore and len(descs) > 1
+    for i in range(len(descs)):
+        if maxscore_on and suffix[i] < theta and not descs[i][1].is_phrase:
+            # docs found only in clauses i.. can't reach θ; phrase clauses
+            # need positions anyway → keep them essential
+            nonessential.append(i)
+            continue
+        got = eval_clause(descs[i][1], descs[i][2])
+        if got is None:
+            continue
+        ids, c = got
+        if allowed is not None:
+            # id-based eligibility: restrict the candidate set itself —
+            # every downstream θ tighten / probe / cut then operates
+            # eligible-only, and the filter makes the query CHEAPER.
+            keep = np.isin(ids, allowed, assume_unique=True)
+            ids, c = ids[keep], c[keep]
+            if ids.size == 0:
+                continue
+        if cand_ids.size == 0:
+            cand_ids = ids
+            scores = np.asarray(c, dtype=np.float64).copy()
+        else:
+            merged = np.union1d(cand_ids, ids)
+            ns = np.zeros(merged.size)
+            ns[np.searchsorted(merged, cand_ids)] = scores
+            np.add.at(ns, np.searchsorted(merged, ids), c)
+            cand_ids, scores = merged, ns
+        if maxscore_on:
+            th = scores
+            if after is not None:
+                # cursor-safe: only docs GUARANTEED eligible (their final
+                # can't reach the cursor score) may feed θ
+                th = scores[scores + suffix[i + 1] < after[0] - _CURSOR_EPS]
+            if th.size > k:
+                theta = max(theta, float(np.partition(th, -k)[-k]))
+    if cand_ids.size == 0:
         return _EMPTY.copy()
-    cand_ids = np.unique(np.concatenate([ids for ids, _ in contribs]))
-    scores = np.zeros(cand_ids.size)
-    for ids, c in contribs:
-        np.add.at(scores, np.searchsorted(cand_ids, ids), c)
 
     # ---- pass 3: block-max probe of non-essential clauses ----
     if nonessential:
-        # tighten θ: k-th best current partial is a valid lower bound on the
-        # final k-th score (partial ≤ full, and those k docs get fully scored)
-        if scores.size > k:
-            theta = max(theta, float(np.partition(scores, -k)[-k]))
         # each probe: (field, w, [(bj, ub_r, row) per generation row]);
         # a candidate's clause upper bound is the element-wise MAX over
         # rows (its postings live in exactly one generation)
@@ -346,6 +372,15 @@ def bucket_topk(
                 row_probes.append((bj, ub_r, r))
             upper += ub_c
             probes.append((cl.field, w, row_probes))
+        # tighten θ: k-th best current partial is a valid lower bound on the
+        # final k-th score (partial ≤ full, and those k docs get fully
+        # scored). With a cursor, only GUARANTEED-eligible partials may
+        # feed θ: upper < s ⟹ final < s ⟹ the doc lands after the cursor.
+        th_scores = scores
+        if after is not None:
+            th_scores = scores[upper < after[0] - _CURSOR_EPS]
+        if th_scores.size > k:
+            theta = max(theta, float(np.partition(th_scores, -k)[-k]))
         alive = upper >= theta  # strict-< skip is safe (see docstring)
         PRUNE_STATS["cands_skipped"] += int((~alive).sum())
         for field, w, row_probes in probes:
@@ -384,17 +419,19 @@ def bucket_topk(
         keep = ~np.isin(cand_ids, redirect_ids, assume_unique=True)
         cand_ids, scores = cand_ids[keep], scores[keep]
     if after is not None:
-        # search-after cursor: keep only docs strictly after (s, d) in
-        # (score desc, doc_id asc) order. Callers MUST pass
-        # use_maxscore=False with a cursor — θ derived from cursor-
-        # ineligible (higher-scoring) docs would over-prune page-2 docs.
+        # search-after cursor: keep only docs after (s, d) in (score desc,
+        # doc_id asc) order. MaxScore stays ON — θ was seeded exclusively
+        # from guaranteed-eligible docs above, so no page-2 doc was pruned.
+        # The comparison uses a 1e-9 tie band (cursor scores may come from
+        # a different job; see engine.InvertedIndex.search_after).
         s, d = after
-        elig = (scores < s) | ((scores == s) & (cand_ids > d))
+        tie = (scores >= s - _CURSOR_EPS) & (scores <= s + _CURSOR_EPS)
+        elig = (scores < s - _CURSOR_EPS) | (tie & (cand_ids > d))
         cand_ids, scores = cand_ids[elig], scores[elig]
     if allowed is not None:
         # filtered query (Lucene filter semantics: restricts RESULTS, not
-        # stats/scoring). Same θ caveat as `after`: callers pass
-        # use_maxscore=False, since θ fed by filtered-out docs over-prunes.
+        # stats/scoring). On the MaxScore path candidates were already
+        # restricted to ``allowed``; this keeps the non-MaxScore path exact.
         keep = np.isin(cand_ids, allowed)
         cand_ids, scores = cand_ids[keep], scores[keep]
     if cand_ids.size == 0:
@@ -490,9 +527,10 @@ def search_segments_batch(
                 weights[qid],
                 avgdl,
                 k,
-                # cursor pages and filtered queries must score candidates
-                # EXACTLY (see bucket_topk docstring), so MaxScore is off
-                use_maxscore=after is None and allowed is None,
+                # MaxScore stays ON for cursor pages and filtered queries:
+                # bucket_topk seeds θ only from guaranteed-eligible docs
+                # (cursor) / restricts candidates to the filter (allowed)
+                use_maxscore=True,
                 cache=cache,
                 after=after,
                 allowed=allowed,

@@ -99,6 +99,86 @@ def test_theta_candidate_skip_fires_on_dense_candidates():
     assert skipped > 1000, skipped
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("page", [1, 2, 3])
+def test_cursor_page_exact_under_maxscore(seed, page):
+    """WAND-preserving searchAfter: page N with MaxScore ON is identical
+    to the exhaustive page (θ is seeded only from guaranteed-eligible
+    docs, so no post-cursor doc is ever pruned)."""
+    rng = np.random.default_rng(seed)
+    seg, terms = _bucket(rng, n_docs=BLOCK * 20, n_terms=5)
+    clauses = [Clause(i, "content", (t,), 1.0, 0, False) for i, t in enumerate(terms)]
+    weights = {0: 0.05}
+    weights.update({i: 2.0 + 0.3 * i for i in range(1, len(terms))})
+    avgdl = {"content": 200.0}
+    # walk to page N via exhaustive scoring (the trusted cursor source)
+    cursor = None
+    for _ in range(page):
+        prev = bucket_topk(
+            seg, clauses, weights, avgdl, k=10,
+            use_maxscore=False, after=cursor,
+        )
+        assert len(prev)
+        cursor = (float(prev["score"].iloc[-1]), int(prev["doc_id"].iloc[-1]))
+    fast = bucket_topk(
+        seg, clauses, weights, avgdl, k=10, use_maxscore=True, after=cursor
+    )
+    slow = bucket_topk(
+        seg, clauses, weights, avgdl, k=10, use_maxscore=False, after=cursor
+    )
+    assert list(fast["doc_id"]) == list(slow["doc_id"])
+    np.testing.assert_allclose(fast["score"], slow["score"], rtol=1e-12)
+
+
+def test_cursor_page_pruning_actually_fires():
+    """The point of the cursor-safe θ: page-2 queries still SKIP work.
+    rare∧hot shape (the classic WAND win): candidates come from the rare
+    essential clause; the hot clause is probed. θ bootstraps from the
+    progressive eligibility certificate (partial + remaining ub < cursor
+    score), so most rare-clause candidates are dropped before any hot
+    block decode — the cursored query must not fall back to exhaustive."""
+    rng = np.random.default_rng(42)
+    seg, terms = _bucket(rng, n_docs=BLOCK * 200, n_terms=2, hot_df=0.5)
+    clauses = [Clause(i, "content", (t,), 1.0, 0, False) for i, t in enumerate(terms)]
+    weights = {0: 0.05, 1: 3.0}
+    avgdl = {"content": 200.0}
+    page1 = bucket_topk(seg, clauses, weights, avgdl, k=10, use_maxscore=False)
+    cursor = (float(page1["score"].iloc[-1]), int(page1["doc_id"].iloc[-1]))
+    before = dict(PRUNE_STATS)
+    fast = bucket_topk(
+        seg, clauses, weights, avgdl, k=10, use_maxscore=True, after=cursor
+    )
+    assert len(fast) == 10
+    skipped = PRUNE_STATS["cands_skipped"] - before["cands_skipped"]
+    assert skipped > 100, skipped
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_filtered_exact_under_maxscore(seed):
+    """allowed= (filter semantics) with MaxScore ON: identical to the
+    exhaustive filtered result — the filter restricts the candidate set
+    up front, it never changes scores."""
+    rng = np.random.default_rng(seed)
+    seg, terms = _bucket(rng, n_docs=BLOCK * 20, n_terms=5)
+    clauses = [Clause(i, "content", (t,), 1.0, 0, False) for i, t in enumerate(terms)]
+    weights = {0: 0.05}
+    weights.update({i: 2.0 + 0.3 * i for i in range(1, len(terms))})
+    avgdl = {"content": 200.0}
+    all_ids = np.arange(0, BLOCK * 20) * 7 + 3
+    allowed = np.sort(
+        rng.choice(all_ids, size=all_ids.size // 3, replace=False)
+    ).astype(np.int64)
+    fast = bucket_topk(
+        seg, clauses, weights, avgdl, k=10, use_maxscore=True, allowed=allowed
+    )
+    slow = bucket_topk(
+        seg, clauses, weights, avgdl, k=10, use_maxscore=False, allowed=allowed
+    )
+    assert list(fast["doc_id"]) == list(slow["doc_id"])
+    np.testing.assert_allclose(fast["score"], slow["score"], rtol=1e-12)
+    assert set(fast["doc_id"]).issubset(set(allowed.tolist()))
+
+
 def test_k_larger_than_candidates_still_exact():
     rng = np.random.default_rng(9)
     seg, terms = _bucket(rng, n_docs=BLOCK * 4, n_terms=3)

@@ -52,3 +52,64 @@ def test_count_matches_equals_search_cardinality(idx, query):
 
 def test_count_matches_empty(idx):
     assert idx.count_matches("zzzznothing") == 0
+
+
+@pytest.fixture(scope="module")
+def wire_idx(spark):
+    """Docs crafted so the phrase decision depends on CORRECT varint
+    decoding of the postings ``positions`` wire bytes (regression for the
+    explain() bug that fed raw bytes to the matcher):
+
+    - doc 0: 'alpha' only at position 130, 'beta' at 400 — correctly NO
+      phrase match (gap 269 >> slop 3), but the raw BYTE lists are
+      [130,1] / [144,3] whose tails fake a slop-1 alignment.
+    - doc 1: 'alpha' at positions 5 and 300, 'beta' at 301 — the phrase
+      matches only at alpha's NON-FIRST occurrence, both positions >= 128
+      (multi-byte varints).
+    """
+    import pandas as pd
+
+    filler = "gamma "
+
+    def doc(doc_id, content):
+        return dict(
+            doc_id=doc_id,
+            repo="r",
+            path=f"src/file{doc_id}.txt",
+            commit="c",
+            lang="text",
+            content=content,
+            content_sha256=f"sha{doc_id}",
+        )
+
+    docs = pd.DataFrame(
+        [
+            doc(0, filler * 130 + "alpha " + filler * 269 + "beta"),
+            doc(
+                1,
+                filler * 5
+                + "alpha "
+                + filler * 294
+                + "alpha beta",
+            ),
+        ]
+    )
+    return InvertedIndex.build(spark, spark.createDataFrame(docs))
+
+
+def test_explain_phrase_no_match_high_positions(wire_idx):
+    """Wire bytes would fake a match; decoded positions must not."""
+    rows = wire_idx.explain("alpha beta", 0).collect()
+    phrase = [r for r in rows if r["kind"] == "phrase" and r["field"] == "content"]
+    assert phrase and phrase[0]["freq"] == 0.0
+    hit = {h["doc_id"]: h["score"] for h in wire_idx.search("alpha beta", k=10).collect()}
+    assert sum(r["contrib"] for r in rows) == pytest.approx(hit[0], rel=1e-9)
+
+
+def test_explain_phrase_match_non_first_occurrence(wire_idx):
+    """Match aligned at alpha's 2nd occurrence, positions >= 128."""
+    rows = wire_idx.explain("alpha beta", 1).collect()
+    phrase = [r for r in rows if r["kind"] == "phrase" and r["field"] == "content"]
+    assert phrase and phrase[0]["freq"] > 0.0
+    hit = {h["doc_id"]: h["score"] for h in wire_idx.search("alpha beta", k=10).collect()}
+    assert sum(r["contrib"] for r in rows) == pytest.approx(hit[1], rel=1e-9)
