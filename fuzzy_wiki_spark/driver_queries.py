@@ -1060,27 +1060,42 @@ def q_lsh_neardup(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup candidates (no SQL oracle: xxhash64 is
-    Spark-specific → rows-only check)."""
+    """MinHash-LSH near-dup candidates, ORACLE-CHECKED end to end:
+    hash_fn="md5" makes every hash in the pipeline the portable 60-bit
+    md5-prefix, so DuckDB recomputes the full shingle→signature→band→
+    candidate→estimate path bit-identically (ORACLE_SQL["minhash_pairs"],
+    generated below). max_bucket=None so the oracle needs no cap mirror;
+    the hot-bucket guard is pinned by tests/test_dedup.py instead. The
+    xxhash64 fast path stays the library default."""
     return DD.minhash_lsh_pairs(
-        _docs(spark, sf_dir), text_col="text", min_jaccard=0.3
+        _docs(spark, sf_dir),
+        text_col="text",
+        min_jaccard=0.3,
+        max_bucket=None,
+        hash_fn="md5",
     ).select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash fingerprints (rows-only: xxhash64-based)."""
-    return DD.simhash(_docs(spark, sf_dir), text_col="text")
+    """SimHash fingerprints, ORACLE-CHECKED: hash_fn="md5" → 60-bit
+    portable fingerprints DuckDB recomputes bit-identically (tf-weighted
+    per-bit majority vote, ORACLE_SQL["simhash"] generated below). The
+    xxhash64 64-bit fast path stays the library default."""
+    return DD.simhash(_docs(spark, sf_dir), text_col="text", hash_fn="md5")
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """Banded SimHash near-dup pairs, Hamming ≤ 3 (rows-only: xxhash64).
+    """Banded SimHash near-dup pairs, Hamming ≤ 3, ORACLE-CHECKED: the md5
+    portable fingerprints + the fact that pigeonhole banding has RECALL 1
+    make brute-force hamming ≤ 3 the exact oracle — no band mirror needed.
     The corpus is unioned with an id-shifted copy so the 500 exact-dup
-    pairs (Hamming 0) are guaranteed present — pigeonhole banding has
-    recall 1, so every one must appear. Recall==bruteforce is pinned by
-    tests/test_dedup.py."""
+    pairs (Hamming 0) are guaranteed present. max_bucket=None so the
+    oracle needs no cap mirror; the guard is pinned by tests/."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     dup = d.union(d.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
-    return DD.simhash_neardup_pairs(dup, max_hamming=3, text_col="text")
+    return DD.simhash_neardup_pairs(
+        dup, max_hamming=3, text_col="text", max_bucket=None, hash_fn="md5"
+    )
 
 
 def q_merge_compat(spark, sf_dir):
@@ -1196,9 +1211,12 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_lsh_cosine(spark, sf_dir):
-    """Hyperplane-LSH bucketed ANN top-10 with Hamming-1 multi-probe
-    (rows-only: seeded numpy planes have no SQL mirror; recall vs brute
-    force is asserted in tests/test_similarity.py)."""
+    """Hyperplane-LSH bucketed ANN top-10 with Hamming-1 multi-probe,
+    ORACLE-CHECKED: the seeded planes are deterministic, so the oracle
+    inlines them as literals and recomputes signatures, the multi-probe
+    candidate set, and the exact rerank (_lsh_cosine_oracle_sql below);
+    recall vs brute force is additionally asserted in
+    tests/test_similarity.py."""
     emb = _emb(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     planes = SIM.random_hyperplanes(len(qvec), bits=6, seed=42)
@@ -1302,23 +1320,28 @@ def q_sessionize(spark, sf_dir):
 
 
 def q_segment_bm25(spark, sf_dir):
-    """Index-backed flagship: compressed block-max segments + WAND top-10
-    (rows-only — porter chain; rank/score identity with the relational
-    scorer and the pure-Python oracle is pinned by tests/)."""
+    """The SERVING path itself, hash-checked: one-shot compressed block-max
+    segment index + WAND top-10 in mode="simple" so the DuckDB BM25
+    skeleton (ORACLE_SQL["bm25_topk"]) is the exact oracle — the segment
+    scorer's result must be indistinguishable from the relational path.
+    The porter-chain flagship variant stays covered by ``flagship_porter``
+    (rows-only) and the pytest golden suite."""
     import tempfile
 
     from fuzzy_wiki_spark.engine import SegmentIndex
 
     docs = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.col("source").alias("path"),
-        F.col("text").alias("content"),
+        "doc_id", F.col("text").alias("content")
     )
     idx = SegmentIndex.build(
-        spark, docs, tempfile.mkdtemp(prefix="fw_seg_"), n_buckets=8
+        spark,
+        docs,
+        tempfile.mkdtemp(prefix="fw_seg_"),
+        n_buckets=8,
+        mode="simple",
+        fields={"content": "content"},
     )
-    res = idx.search("spark merge join", k=10)
-    return res.select("doc_id", F.round("score", 6).alias("score"))
+    return _segment_skeleton_topk(spark, idx)
 
 
 def _build_incremental(spark, sf_dir, n_epochs=2, n_buckets=8):
@@ -2348,6 +2371,146 @@ WHERE overlap >= 0.3
 
 ORACLE_SQL["incremental_search"] = ORACLE_SQL["bm25_topk"]
 ORACLE_SQL["compact_search"] = ORACLE_SQL["bm25_topk"]
+# the one-shot segment serving path must be indistinguishable from the
+# relational scorer on the same skeleton query (VERDICT r2 #1)
+ORACLE_SQL["segment_bm25"] = ORACLE_SQL["bm25_topk"]
+
+
+def _minhash_oracle_sql(n_hashes=64, bands=16, shingle=3, min_j=0.3) -> str:
+    """Generate the full MinHash-LSH mirror for hash_fn="md5": DuckDB
+    recomputes shingles, the 60-bit md5-prefix signature, band agreement
+    (bucket hash equality ⟺ slice equality), and the estimated Jaccard —
+    the whole candidate pipeline, not just the output shape."""
+    rows = n_hashes // bands
+    mins = ",\n         ".join(
+        f"min(('0x' || substr(md5(sh || ':{i}'), 1, 15))::BIGINT) AS h{i}"
+        for i in range(n_hashes)
+    )
+    agree = " + ".join(f"(a.h{i} = b.h{i})::INT" for i in range(n_hashes))
+    band_preds = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.h{b * rows + r} = b.h{b * rows + r}" for r in range(rows)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents),
+shl AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(0, greatest(len(ts) - {shingle}, 0) + 1),
+           i -> array_to_string(list_slice(ts, i + 1, i + {shingle}), ' '))) AS s
+  FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS sh FROM shl),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM ex GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ({agree}) / {n_hashes}.0 AS est,
+         ({band_preds}) AS cand
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, round(est, 6) AS est_jaccard
+FROM pairs WHERE cand AND est >= {min_j}
+"""
+
+
+ORACLE_SQL["minhash_pairs"] = _minhash_oracle_sql()
+
+
+def _simhash_fp_sql(src: str, nbits: int = 60) -> str:
+    """DuckDB mirror of dedup.simhash(hash_fn="md5"): per-(doc, token) tf,
+    60-bit md5-prefix hash, tf-weighted majority vote per bit, fingerprint
+    = Σ (vote>0) << i. ``src`` is a (doc_id, text) relation expression."""
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
+        for i in range(nbits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(nbits)
+    )
+    return f"""
+WITH toksrc AS ({src}),
+tk AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM toksrc),
+tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM tk GROUP BY doc_id, tok),
+votes AS (SELECT doc_id, {votes} FROM tf GROUP BY doc_id),
+fp AS (SELECT doc_id, ({fp}) AS simhash FROM votes)
+"""
+
+
+ORACLE_SQL["simhash"] = (
+    _simhash_fp_sql("SELECT doc_id, text FROM documents")
+    + "SELECT doc_id, simhash FROM fp"
+)
+
+def _lsh_cosine_oracle_sql(bits=6, seed=42, dim=64, probe_hamming=1, k=10):
+    """DuckDB mirror of q_lsh_cosine: the seeded hyperplanes are
+    DETERMINISTIC (numpy default_rng(seed)), so they inline as SQL double
+    literals — the oracle recomputes every signature bit, the query's
+    multi-probe Hamming ≤ d candidate set, and the exact cosine rerank.
+    Spark's _dot casts each element to double before a sequential fold;
+    list_dot_product over list_transform(x -> x::DOUBLE) is the same
+    IEEE arithmetic."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((bits, dim))
+    lits = [
+        "[" + ", ".join(repr(float(v)) for v in p) + "]" for p in planes
+    ]
+
+    def sig(vec):
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vec}, {lits[i]}) >= 0 "
+            f"THEN (1::BIGINT << {i}) ELSE 0 END)"
+            for i in range(bits)
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qs AS (SELECT ({sig('qv')}) AS qsig, qv FROM q),
+s AS (SELECT vec_id, v, ({sig('v')}) AS sig FROM e WHERE vec_id <> 0),
+cand AS (SELECT s.vec_id, s.v, qs.qv FROM s, qs
+         WHERE bit_count(xor(s.sig, qs.qsig)) <= {probe_hamming}),
+sc AS (SELECT vec_id,
+              list_dot_product(v, qv)
+              / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+              AS cos
+       FROM cand)
+SELECT vec_id, round(cos, 4) AS cos_sim FROM sc
+ORDER BY cos DESC, vec_id LIMIT {k}
+"""
+
+
+ORACLE_SQL["lsh_cosine"] = _lsh_cosine_oracle_sql()
+
+# pigeonhole banding has recall 1 and the hamming verify is exact, so the
+# banded pair miner's output EQUALS brute-force hamming ≤ 3 — the oracle
+# needs no band mirror at all
+ORACLE_SQL["simhash_pairs"] = (
+    _simhash_fp_sql(
+        "SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 10000, text FROM documents"
+    )
+    + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+)
 
 
 def _bm25_skeleton_sql(doc_filter: str = "TRUE", result_filter: str = "TRUE") -> str:

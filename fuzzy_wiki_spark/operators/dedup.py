@@ -59,19 +59,34 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 64,
     shingle: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, sig array<long>) — MinHash over word-shingles.
 
-    xxhash64(shingle, seed_i) per hash function; min per doc per i — all
-    computed as explode → groupBy(doc).agg(min(h_i)...) in codegen."""
+    hash(shingle, seed_i) per hash function; min per doc per i — all
+    computed as explode → groupBy(doc).agg(min(h_i)...) in codegen.
+
+    ``hash_fn="md5"`` uses the 60-bit md5-prefix of ``shingle:i`` instead
+    of xxhash64 — slower, but bit-identical to what any ANSI SQL engine
+    computes (the Spark∩DuckDB portable hash), so the full minhash+LSH
+    pipeline becomes oracle-checkable."""
+
+    def _h(i: int):
+        if hash_fn == "md5":
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("sh"), F.lit(f":{i}"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+        return F.xxhash64(F.col("sh"), F.lit(i))
+
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_shingles(text_col, shingle)).alias("sh"),
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
+    aggs = [F.min(_h(i)).alias(f"h{i}") for i in range(n_hashes)]
     sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
@@ -86,14 +101,32 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle: int = 3,
     min_jaccard: float = 0.5,
+    max_bucket: int | None = 512,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH, verified by estimated
     Jaccard (signature agreement rate): (doc_a, doc_b, est_jaccard).
 
     rows_per_band = n_hashes // bands; docs sharing any band bucket become
-    candidates; the band self-join touches only same-bucket rows (no O(n²))."""
+    candidates; the band self-join touches only same-bucket rows (no O(n²)).
+
+    ``max_bucket`` is the hot-bucket guard (same rationale as winnow's
+    ``max_df``): a bucket holding m near-identical docs yields m² candidate
+    rows ON ONE JOIN KEY — one straggler task at scale. Buckets over the
+    cap are dropped before the self-join, bounding per-key work at
+    max_bucket². A bucket only exceeds a sane cap when the corpus carries
+    mass-duplicated text, which exact dedup (run FIRST — corpus_prep does)
+    removes losslessly; the pairs dropped by the cap are recoverable as
+    exact-dup groups, and recall on non-capped pairs is pinned by
+    tests/test_dedup.py. ``max_bucket=None`` disables the guard.
+
+    ``hash_fn``: "xxhash64" (default — fastest, JVM codegen) or "md5"
+    (60-bit md5-prefix, bit-identical to ANSI SQL / DuckDB ``md5`` — the
+    portable mode the driver oracle checks end-to-end)."""
     rows = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle)
+    sig = minhash_signatures(
+        df, text_col, id_col, n_hashes, shingle, hash_fn=hash_fn
+    )
     # the signature table feeds the band explode AND the per-pair verify;
     # persist so the verify branch doesn't recompute the shingle pass
     sig = sig.persist()
@@ -117,6 +150,17 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    if max_bucket is not None:
+        # hot-bucket guard: a window count over the SAME keys the self-join
+        # shuffles on (Catalyst reuses the exchange), then drop over-cap
+        # buckets — per-key join work is now bounded by max_bucket².
+        wsz = Window.partitionBy("band", "bucket")
+        bands_df = (
+            bands_df.withColumn("_bsz", F.count("*").over(wsz))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
 
     a = bands_df.alias("a")
     b = bands_df.alias("b")
@@ -153,13 +197,26 @@ def minhash_lsh_pairs(
     )
 
 
+# fingerprint width of the md5 portable mode (15 hex chars = 60 bits)
+SIMHASH_MD5_BITS = 60
+
+
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(doc_id, simhash long) — 64-bit SimHash over tokens, tf-weighted.
+    """(doc_id, simhash long) — SimHash over tokens, tf-weighted.
 
     Majority vote per bit: explode tokens → per (doc, token) tf and hash →
-    per bit, sum(tf * (bit ? 1 : -1)) → sign. All bit math in codegen."""
+    per bit, sum(tf * (bit ? 1 : -1)) → sign. All bit math in codegen.
+
+    ``hash_fn="xxhash64"`` (default) → 64-bit fingerprints.
+    ``hash_fn="md5"`` → 60-bit fingerprints from the md5-prefix portable
+    hash (bit-identical in any ANSI SQL engine → the DuckDB oracle mode);
+    pass nbits=SIMHASH_MD5_BITS to the pairing functions."""
+    nbits = SIMHASH_MD5_BITS if hash_fn == "md5" else 64
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -167,17 +224,21 @@ def simhash(
         ).alias("tok"),
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    h = tf.withColumn("h", F.xxhash64("tok"))
+    if hash_fn == "md5":
+        hcol = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        hcol = F.xxhash64("tok")
+    h = tf.withColumn("h", hcol)
     bit_votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
             .otherwise(-F.col("tf"))
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(nbits)
     ]
     votes = h.groupBy("doc_id").agg(*bit_votes)
     fp = None
-    for i in range(64):
+    for i in range(nbits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -187,24 +248,34 @@ def simhash(
 
 
 def simhash_pairs_from_fp(
-    fp_df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+    fp_df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    max_bucket: int | None = 512,
+    nbits: int = 64,
 ) -> DataFrame:
     """Near-dup pairs from a (doc_id, simhash) table: (doc_a, doc_b,
-    hamming ≤ max_hamming) with RECALL 1 and no O(n²) join.
+    hamming ≤ max_hamming) with RECALL 1 (below the cap) and no O(n²) join.
 
     Pigeonhole banding: the 64-bit fingerprint splits into d+1 disjoint
     bands; any pair differing in ≤ d bits must agree EXACTLY on at least
     one band, so candidates are same-(band, band-value) rows only — the
     classic rotation/banding scheme. Exact verify = bit_count(a XOR b).
     All codegen: shifts, masks, one thin (doc_id, band, val, simhash)
-    explode, hash joins on uniform keys."""
+    explode, hash joins on uniform keys.
+
+    ``max_bucket`` is the hot-bucket guard (see minhash_lsh_pairs): a band
+    value shared by m near-identical docs puts m² join work on one key;
+    over-cap (band, val) groups are dropped pre-join. Run exact dedup
+    first (corpus_prep does) so identical texts never reach the miner;
+    ``max_bucket=None`` disables the guard."""
     bands = max_hamming + 1
     parts = []
     pos = 0
     for b in range(bands):
-        w = 64 // bands + (1 if b < 64 % bands else 0)
+        w = nbits // bands + (1 if b < nbits % bands else 0)
         expr = F.shiftrightunsigned("simhash", pos)
-        if pos + w < 64:
+        if pos + w < nbits:
             expr = expr.bitwiseAND(F.lit((1 << w) - 1))
         parts.append(F.struct(F.lit(b).alias("band"), expr.alias("val")))
         pos += w
@@ -218,6 +289,13 @@ def simhash_pairs_from_fp(
         F.col("bv.band").alias("band"),
         F.col("bv.val").alias("val"),
     )
+    if max_bucket is not None:
+        wsz = Window.partitionBy("band", "val")
+        bd = (
+            bd.withColumn("_bsz", F.count("*").over(wsz))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     a, b = bd.alias("a"), bd.alias("b")
     return (
         a.join(
@@ -243,11 +321,15 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = 512,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-duplicate pairs over raw text: fingerprint (simhash) →
     banded candidate pairing (simhash_pairs_from_fp)."""
+    nbits = SIMHASH_MD5_BITS if hash_fn == "md5" else 64
     return simhash_pairs_from_fp(
-        simhash(df, text_col, id_col), max_hamming, "doc_id"
+        simhash(df, text_col, id_col, hash_fn=hash_fn), max_hamming, "doc_id",
+        max_bucket=max_bucket, nbits=nbits,
     )
 
 
