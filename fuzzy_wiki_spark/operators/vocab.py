@@ -70,7 +70,12 @@ def encode_docs(
     """(id, token_ids): each doc's token-id sequence in text order;
     out-of-vocabulary tokens map to OOV_ID (-1). The vocab join is a
     broadcast (model-sized right side); the regroup sorts (pos, id)
-    structs per doc with array_sort — no UDF anywhere."""
+    structs per doc with array_sort — no UDF anywhere.
+
+    EVERY input doc appears in the output: a doc whose text has zero
+    tokens (empty/whitespace-only) yields an empty ``token_ids`` array —
+    the explode sees no rows for it, so the grouped result is left-joined
+    back to the input ids and coalesced to array()."""
     t = _doc_terms(df, text_col, id_col)
     joined = t.join(
         F.broadcast(vocab.select("term", "token_id")), "term", "left"
@@ -79,14 +84,17 @@ def encode_docs(
         "pos",
         F.coalesce(F.col("token_id"), F.lit(OOV_ID)).alias("tid"),
     )
-    return (
-        joined.groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
-                lambda s: s["tid"],
-            ).alias("token_ids")
-        )
+    grouped = joined.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s["tid"],
+        ).alias("token_ids")
+    )
+    return df.select(id_col).join(grouped, id_col, "left").select(
+        id_col,
+        F.coalesce(
+            F.col("token_ids"), F.array().cast("array<long>")
+        ).alias("token_ids"),
     )
 
 

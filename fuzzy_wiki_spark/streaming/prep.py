@@ -21,7 +21,7 @@ streaming/incremental.py module docstring).
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from fuzzy_wiki_spark.functions import text as TXT
@@ -53,8 +53,21 @@ def prep_transform(
             .dropDuplicatesWithinWatermark(["_h"])
             .drop("_h")
         )
-    else:
+    elif hashed.isStreaming:
+        # keep-FIRST-ARRIVAL (identical to keep-lowest-id under the
+        # append-only ingest contract; module docstring)
         deduped = hashed.dropDuplicates(["_h"]).drop("_h")
+    else:
+        # batch input: dropDuplicates keeps an ARBITRARY row per hash —
+        # make the survivor deterministic (keep-lowest-id, the batch
+        # pipeline's rule) so batch ≡ rerun ≡ streaming-parity holds on
+        # corpora that do contain duplicates
+        w = Window.partitionBy("_h")
+        deduped = (
+            hashed.withColumn("_mid", F.min("doc_id").over(w))
+            .where(F.col("doc_id") == F.col("_mid"))
+            .drop("_h", "_mid")
+        )
     q = TXT.quality_score(F.col("text"))
     return deduped.where(q >= min_quality).select(
         "doc_id",

@@ -274,3 +274,20 @@ def test_prep_stream_watermarked_dedup_state_eviction(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(str(out)).collect()
     )
     assert got == [1, 2, 4, 5]
+
+
+def test_prep_batch_dedup_keeps_lowest_id(spark):
+    """ADVICE r2: the batch path of prep_transform must keep the LOWEST
+    doc_id per duplicated text (deterministic survivor), matching the
+    batch pipeline's keep-first rule — not an arbitrary dropDuplicates
+    row."""
+    from fuzzy_wiki_spark.streaming.prep import prep_transform
+
+    t = "a good long document with plenty of ordinary words in it here"
+    rows = [(9, t), (3, t), (7, t), (1, "another fine unique text entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        r["doc_id"]
+        for r in prep_transform(df, min_quality=0.0).select("doc_id").collect()
+    )
+    assert got == [1, 3]

@@ -60,10 +60,24 @@ def test_encode_docs_order_and_oov(spark):
         for r in encode_docs(df, vocab).collect()
     }
     ids = _py_vocab(min_df=2)
+    # every input doc appears; zero-token docs encode to [] (ADVICE r2)
     want = {
         i: [ids.get(t, OOV_ID) for t in txt.split(" ") if t]
         for i, txt in DOCS
-        if any(x for x in txt.split(" ") if x)
     }
     assert got == want
     assert got[1] == [ids["c"], ids["c"], OOV_ID, ids["b"]]
+
+
+def test_encode_docs_empty_doc_yields_empty_array(spark):
+    """ADVICE r2: a doc with zero tokens must still appear in the encoded
+    corpus, as an empty token_ids array — not silently vanish."""
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, ""), (2, "   "), (3, "beta")],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(df)
+    got = {r["doc_id"]: list(r["token_ids"]) for r in encode_docs(df, vocab).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[1] == [] and got[2] == []
+    assert len(got[0]) == 2 and len(got[3]) == 1
