@@ -211,12 +211,29 @@ def _analyze_token(tok: str) -> str | None:
     return porter_stem(low)
 
 
-def tokenize_text(text: str) -> list[str]:
+def tokenize_text(text: str, mode: str = "porter") -> list[str]:
     """Full analyzer chain for one string → list of terms (with positions
     implied by list order). Stop words are REMOVED (positions of survivors
-    are their index in this list — matches how the oracle counts slop)."""
+    are their index in this list — matches how the oracle counts slop).
+
+    ``mode="standard"`` reproduces the reference's ACCIDENTAL query-side
+    analyzer: plain StandardAnalyzer — word-break + lowercase + stop
+    filter, NO ICU normalization, NO Porter (``Searcher.java:80`` builds
+    the query parser with ``new StandardAnalyzer()`` while the index side
+    uses the ICU+Porter chain, ``Parser.java:28``). The engine DEFAULT
+    uses the index chain on both sides (the sane symmetric choice,
+    SURVEY §2.1/§7); the switch makes the documented deviation a TESTED
+    option (tests/test_analyzer.py golden)."""
     if not text:
         return []
+    if mode == "standard":
+        out = []
+        for tok in _WORD_RE.findall(text):
+            low = tok.lower()
+            if low in ENGLISH_STOP_WORDS or len(low) > MAX_TERM_BYTES:
+                continue
+            out.append(low)
+        return out
     norm = unicodedata.normalize("NFKC", text)
     out = []
     for tok in _WORD_RE.findall(norm):

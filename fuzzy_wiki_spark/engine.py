@@ -82,9 +82,15 @@ class InvertedIndex:
         rows = self.term_stats.where(F.col("term").isin(terms)).collect()
         return {(r["field"], r["term"]): r["df"] for r in rows}
 
-    def search(self, query: str, k: int = 10) -> DataFrame:
-        """BM25 top-k → DataFrame (doc_id, path, score)."""
-        clauses = compile_query(query)
+    def search(
+        self, query: str, k: int = 10, query_analyzer: str = "porter"
+    ) -> DataFrame:
+        """BM25 top-k → DataFrame (doc_id, path, score).
+
+        ``query_analyzer="standard"`` reproduces the reference's
+        query-side StandardAnalyzer asymmetry (compile_query docstring;
+        golden in tests/test_analyzer.py pins the ranking difference)."""
+        clauses = compile_query(query, query_analyzer=query_analyzer)
         terms = sorted({t for c in clauses for t in c.terms})
         term_df = self.lookup_term_df(terms)
         return score_query(

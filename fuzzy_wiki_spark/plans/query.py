@@ -37,13 +37,21 @@ class Clause:
     is_phrase: bool
 
 
-def compile_query(query: str) -> list[Clause]:
+def compile_query(query: str, query_analyzer: str = "porter") -> list[Clause]:
     """Analyze with the pinned chain, emit weighted clauses.
 
     Multi-word detection uses the ANALYZED token count (the reference checks
     ``query.contains(" ")`` on the raw string, Searcher.java:89 — we pin the
-    saner post-analysis check; goldens encode this choice)."""
-    terms = tuple(tokenize_text(query))
+    saner post-analysis check; goldens encode this choice).
+
+    ``query_analyzer="standard"`` reproduces the reference's index/query
+    ASYMMETRY: the query side analyzed with plain StandardAnalyzer (no
+    ICU/Porter, ``Searcher.java:80``) while the index keeps the Porter
+    chain — so a query term like "searching" stays unstemmed and misses
+    the indexed stem "search". Default is the symmetric Porter chain (the
+    sane choice, SURVEY §2.1/§7); the golden in tests/test_analyzer.py
+    pins exactly how rankings differ between the two."""
+    terms = tuple(tokenize_text(query, mode=query_analyzer))
     if not terms:
         return []
     out = [

@@ -118,3 +118,41 @@ def test_series_modes():
     assert porter == [["quick", "run"], [], ["b"]]
     simple = tokenize_series(s, "simple").tolist()
     assert simple == [["the", "quick", "running"], [], ["a", "b"]]
+
+
+def test_standard_mode_no_stem_no_nfkc():
+    """query_analyzer="standard" = the reference's accidental query-side
+    StandardAnalyzer (Searcher.java:80): lowercase + stop filter, NO
+    Porter, NO NFKC."""
+    assert tokenize_text("The running parsers", mode="standard") == [
+        "running",
+        "parsers",
+    ]
+    # no NFKC: full-width latin does NOT fold (lowercase only)
+    assert tokenize_text("ＳＰＡＲＫ", mode="standard") == ["ｓｐａｒｋ"]
+    assert tokenize_text("a the of", mode="standard") == []
+
+
+def test_standard_query_mode_golden_ranking_difference(spark):
+    """GOLDEN for the index/query analyzer asymmetry: an index built with
+    the Porter chain stores the stem 'search'; the symmetric default finds
+    the seeded docs for the query 'searching', while
+    query_analyzer='standard' leaves the query term unstemmed and misses
+    them entirely — exactly the reference's Searcher.java:80 behavior.
+    A stem-invariant query ranks IDENTICALLY under both modes."""
+    from fuzzy_wiki_spark.corpus import generate_docs_pdf
+    from fuzzy_wiki_spark.engine import InvertedIndex
+
+    idx = InvertedIndex.build(
+        spark, spark.createDataFrame(generate_docs_pdf(120, seed=42))
+    )
+    porter_hits = idx.search("searching", k=5).collect()
+    std_hits = idx.search("searching", k=5, query_analyzer="standard").collect()
+    assert porter_hits, "the corpus seeds 'search' docs"
+    assert std_hits == [], "unstemmed 'searching' must miss the stemmed index"
+    # a query whose terms are stem-fixpoints ranks identically either way
+    sym = idx.search("hash sort", k=5).collect()
+    std = idx.search("hash sort", k=5, query_analyzer="standard").collect()
+    assert [(r.doc_id, r.score) for r in sym] == [
+        (r.doc_id, r.score) for r in std
+    ]
