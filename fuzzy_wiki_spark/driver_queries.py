@@ -1368,6 +1368,33 @@ def _build_incremental(spark, sf_dir, n_epochs=2, n_buckets=8):
     return out
 
 
+def q_seg_extended(spark, sf_dir):
+    """The segment-NATIVE extended-query executor, hash-checked: the same
+    Lucene-QueryParser-subset query as ``extended_query`` (must/veto gating,
+    BM25 term + sloppy-phrase scoring, constant-score prefix/fuzzy
+    expansion) served from the compressed segments in ONE pruned-scan
+    applyInPandas job (operators/segment_query.py:search_segments_extended)
+    instead of the relational per-atom union — oracle is the identical
+    DuckDB SQL (ORACLE_SQL["extended_query"])."""
+    import tempfile
+
+    from fuzzy_wiki_spark.engine import SegmentIndex
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    idx = SegmentIndex.build(
+        spark,
+        docs,
+        tempfile.mkdtemp(prefix="fw_seg_"),
+        n_buckets=8,
+        mode="simple",
+        fields={"content": "content"},
+    )
+    res = idx.extended(EXTENDED_QUERY, k=10, analyze=str.split)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _segment_skeleton_topk(spark, idx):
     """Term-clause BM25 top-10 over a SegmentIndex — the SQL-expressible
     skeleton (same clauses as q_bm25_topk) on the segment/WAND path."""
@@ -2374,6 +2401,9 @@ ORACLE_SQL["compact_search"] = ORACLE_SQL["bm25_topk"]
 # the one-shot segment serving path must be indistinguishable from the
 # relational scorer on the same skeleton query (VERDICT r2 #1)
 ORACLE_SQL["segment_bm25"] = ORACLE_SQL["bm25_topk"]
+# the segment-native extended executor must be indistinguishable from the
+# relational qlang path, so it shares extended_query's DuckDB oracle
+ORACLE_SQL["seg_extended"] = ORACLE_SQL["extended_query"]
 
 
 def _minhash_oracle_sql(n_hashes=64, bands=16, shingle=3, min_j=0.3) -> str:
@@ -2913,5 +2943,6 @@ QUERIES = {
     "audio_features": q_audio_features,
     "frame_sample": q_frame_sample,
     "segment_bm25": q_segment_bm25,
+    "seg_extended": q_seg_extended,
     "flagship_porter": q_flagship_porter,
 }

@@ -584,17 +584,55 @@ class SegmentIndex:
         posts = segments_to_postings(matched)
         # tombstoned docs (incremental deletes) never reach consumers;
         # redirect docs stay — indexed-but-filtered is the searcher's
-        # policy (O22), not the adapter's
-        tombs = segments_to_postings(
-            self.segments.where(F.col("term") == META_DELETED)
-        ).select("doc_id")
-        posts = posts.join(tombs, "doc_id", "left_anti")
+        # policy (O22), not the adapter's. The tombstone set is decoded
+        # ONCE per index instance (persisted, usually empty → the anti-join
+        # is skipped entirely), not once per term_postings call.
+        tombs = self._tombstones()
+        if tombs is not None:
+            posts = posts.join(tombs, "doc_id", "left_anti")
         if not with_dl:
             return posts
-        dls = segments_to_postings(
-            seg_f.where(F.col("term") == "_dl")
-        ).select("doc_id", F.col("tf").cast("int").alias("dl"))
-        return posts.join(dls, "doc_id")
+        return posts.join(self._dls(field), "doc_id")
+
+    def _tombstones(self):
+        """Decoded tombstone doc_ids, cached per instance (segments are an
+        immutable snapshot per SegmentIndex). None when the index has no
+        deletes — the common case, which then costs zero scans/joins on
+        every query instead of a pruned scan + anti-join per call."""
+        from fuzzy_wiki_spark.operators.segment_query import META_DELETED
+        from fuzzy_wiki_spark.streaming.incremental import (
+            segments_to_postings,
+        )
+
+        if not hasattr(self, "_tombs_cache"):
+            t = segments_to_postings(
+                self.segments.where(F.col("term") == META_DELETED)
+            ).select("doc_id").persist()
+            self._tombs_cache = t if t.count() else None
+            if self._tombs_cache is None:
+                t.unpersist()
+        return self._tombs_cache
+
+    def _dls(self, field: str):
+        """(doc_id, dl) for one field, decoded once per instance and
+        persisted — a doc_count-sized frame every with_dl consumer joins."""
+        from fuzzy_wiki_spark.streaming.incremental import (
+            segments_to_postings,
+        )
+
+        if not hasattr(self, "_dls_cache"):
+            self._dls_cache = {}
+        if field not in self._dls_cache:
+            self._dls_cache[field] = (
+                segments_to_postings(
+                    self.segments.where(
+                        (F.col("field") == field) & (F.col("term") == "_dl")
+                    )
+                )
+                .select("doc_id", F.col("tf").cast("int").alias("dl"))
+                .persist()
+            )
+        return self._dls_cache[field]
 
     def boolean(
         self,
@@ -666,19 +704,30 @@ class SegmentIndex:
         )
 
     def extended(
-        self, query: str, k: int = 10, analyze=None
+        self, query: str, k: int = 10, analyze=None, relational: bool = False
     ) -> DataFrame:
         """Run an extended-language query (plans/qlang.py — the Lucene
         QueryParser subset) over the compressed segments.
 
-        Every atom's term set is resolved FIRST (literal terms, plus
-        dictionary expansions against the vocabulary-sized term_stats), the
-        union is decoded once through the term-pruned adapter, and
-        execute_extended runs its per-atom frames over that decoded base —
-        so decode cost is Σ|posting lists(query terms)|, never the index.
+        Serving path (default): atoms are compiled driver-side into
+        AtomSpecs (idf weights from a term_stats point lookup, dictionary
+        expansions from the vocabulary-sized term_stats scan), then ONE
+        applyInPandas job evaluates every atom in numpy inside each bucket
+        (a doc's postings live entirely in its bucket, so per-bucket scores
+        are final) — the same single-pruned-scan shape that makes seg BM25
+        fast. Decode cost is Σ|posting lists(query terms)|, never the index.
+
+        ``relational=True`` routes through the decoded-postings adapter +
+        plans/qlang.execute_extended instead — the SQL-comparable
+        differential path; parity between the two is pinned by
+        tests/test_segment_surfaces.py.
         """
         from functools import reduce
 
+        from fuzzy_wiki_spark.operators.segment_query import (
+            compile_extended,
+            search_segments_extended,
+        )
         from fuzzy_wiki_spark.plans.qlang import (
             _expansion,
             atom_terms,
@@ -691,6 +740,11 @@ class SegmentIndex:
         if not atoms:
             return self.spark.createDataFrame(
                 [], "doc_id long, score double"
+            )
+        if not relational:
+            specs = compile_extended(eq, self.term_stats, self.field_stats)
+            return search_segments_extended(
+                self.spark, self.segments, specs, self.field_stats, k=k
             )
         parts = []
         for fld in sorted({a.field for a in atoms}):
@@ -720,6 +774,12 @@ class SegmentIndex:
         # (no lineage into the unpersisted plan).
         posts = posts.persist()
         try:
+            # populate the cache BEFORE the multi-scan aggregate job: the
+            # atom frames all scan `posts`, and scans racing inside one
+            # not-yet-cached job each re-run the segment decode — one
+            # cheap count() turns those into cache reads (bench: the
+            # seg_extended section dropped ~2× at sf0.1)
+            posts.count()
             res = execute_extended(
                 self.spark, posts, self.term_stats, self.field_stats, eq, k=k
             )

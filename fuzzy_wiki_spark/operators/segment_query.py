@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import math
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -517,7 +518,7 @@ def search_segments_batch(
 
     pruned = segments_df.where(F.col("term").isin(all_terms))
 
-    def per_bucket(_, g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(_, g):
         outs = []
         cache: dict = {}  # shared decode across the query set
         for qid, cls in queries.items():
@@ -552,4 +553,316 @@ def search_segments_batch(
     return (
         local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extended-query (Lucene QueryParser subset) segment-native execution.
+#
+# plans/qlang.execute_extended runs the same semantics over the relational
+# postings DataFrame (one frame per atom unioned into a single aggregate) —
+# that stays as the SQL-comparable differential path. This executor is the
+# SERVING path: one applyInPandas job over the bucket-partitioned segments,
+# every atom evaluated in numpy inside the bucket (a doc's postings live
+# entirely in its bucket, so per-bucket scores are final), local top-k,
+# thin global window — the same shape that makes bucket_topk fast.
+# Parity with execute_extended is pinned by tests/test_segment_surfaces.py.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AtomSpec:
+    """One compiled extended-query atom, fully resolved driver-side:
+    dictionary expansions (prefix/wildcard/fuzzy/regexp) arrive as a
+    ``const`` spec whose ``terms`` is the expanded term tuple; weights are
+    precomputed (boost × idf for term/phrase, plain boost for const —
+    Lucene's constant-score rewrite, qlang.py)."""
+
+    atom_id: int
+    role: str  # "must" | "should" | "veto"
+    field: str
+    kind: str  # "term" | "phrase" | "const"
+    terms: tuple
+    weight: float
+    slop: int = 0
+
+
+def compile_extended(
+    eq, term_stats_df, field_stats: dict[str, tuple[int, float]]
+) -> list[AtomSpec]:
+    """Resolve an ExtendedQuery (plans/qlang.py) into executor-ready
+    AtomSpecs, driver-side: literal-term idf weights from one point lookup
+    on term_stats, dictionary expansions (prefix/wildcard/fuzzy/regexp)
+    collected from the vocabulary-sized term_stats scan — the SAME
+    ``_expansion`` predicate execute_extended broadcasts, so both paths see
+    identical term sets. Weights mirror execute_extended exactly:
+    boost·idf (term), boost·Σ-member-idf (phrase), plain boost (const —
+    Lucene's constant-score rewrite)."""
+    from pyspark.sql import functions as F
+
+    from fuzzy_wiki_spark.operators.topk import idf
+    from fuzzy_wiki_spark.plans.qlang import _expansion, atom_terms
+
+    lit = atom_terms(eq)
+    all_lit = sorted({t for ts in lit.values() for t in ts})
+    df_map = {
+        (r["field"], r["term"]): r["df"]
+        for r in term_stats_df.where(
+            F.col("term").isin(all_lit)
+        ).collect()
+    } if all_lit else {}
+
+    specs: list[AtomSpec] = []
+    aid = 0
+    for role, atoms in (
+        ("must", eq.must), ("should", eq.should), ("veto", eq.must_not)
+    ):
+        for a in atoms:
+            doc_count, _ = field_stats[a.field]
+            if a.kind == "term":
+                w = a.boost * idf(
+                    df_map.get((a.field, a.terms[0]), 0), doc_count
+                )
+                specs.append(
+                    AtomSpec(aid, role, a.field, "term", a.terms, w)
+                )
+            elif a.kind == "phrase":
+                w = a.boost * sum(
+                    idf(df_map.get((a.field, t), 0), doc_count)
+                    for t in a.terms
+                )
+                specs.append(
+                    AtomSpec(
+                        aid, role, a.field, "phrase", a.terms, w, a.slop
+                    )
+                )
+            else:
+                terms = tuple(
+                    sorted(
+                        r["term"]
+                        for r in _expansion(term_stats_df, a).collect()
+                    )
+                )
+                specs.append(
+                    AtomSpec(
+                        aid, role, a.field, "const", terms, float(a.boost)
+                    )
+                )
+            aid += 1
+    return specs
+
+
+def extended_bucket_topk(
+    seg_pdf: pd.DataFrame,
+    specs: list[AtomSpec],
+    avgdl: dict[str, float],
+    k: int,
+    n_must: int,
+) -> pd.DataFrame:
+    """Evaluate every atom against one bucket's segment rows → local top-k
+    (doc_id, score). Tombstoned docs (META_DELETED) are excluded; redirect
+    docs are NOT (matching the relational term_postings adapter policy —
+    indexed-but-filtered is the searcher's O22 concern, not the query
+    language's)."""
+    from fuzzy_wiki_spark.oracle import sloppy_phrase_match
+
+    rows: dict[tuple[str, str], list[pd.Series]] = {}
+    dl_parts: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+    del_parts: list[np.ndarray] = []
+    for _, r in seg_pdf.iterrows():
+        if r["term"] == META_DL:
+            dl_parts.setdefault(r["field"], []).append(
+                (
+                    delta_decode_blocked(r["doc_ids"], BLOCK).astype(np.int64),
+                    decode_tfs(r["tfs"]).astype(np.float64),
+                )
+            )
+        elif r["term"] == META_DELETED:
+            del_parts.append(
+                delta_decode_blocked(r["doc_ids"], BLOCK).astype(np.int64)
+            )
+        elif r["term"] == META_REDIRECT:
+            continue
+        else:
+            rows.setdefault((r["field"], r["term"]), []).append(r)
+    dl_map: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for f, parts in dl_parts.items():
+        if len(parts) == 1:
+            dl_map[f] = parts[0]
+        else:
+            ids = np.concatenate([p[0] for p in parts])
+            dls = np.concatenate([p[1] for p in parts])
+            o = np.argsort(ids, kind="stable")
+            dl_map[f] = (ids[o], dls[o])
+    deleted = (
+        np.unique(np.concatenate(del_parts))
+        if del_parts
+        else np.empty(0, dtype=np.int64)
+    )
+
+    arr_cache: dict = {}
+
+    def term_arrays(field, term):
+        key = (field, term)
+        if key in arr_cache:
+            return arr_cache[key]
+        rlist = rows.get(key)
+        if rlist is None:
+            arr_cache[key] = None
+            return None
+        ids = np.concatenate(
+            [
+                delta_decode_blocked(r["doc_ids"], BLOCK).astype(np.int64)
+                for r in rlist
+            ]
+        )
+        tfs = np.concatenate(
+            [decode_tfs(r["tfs"]).astype(np.float64) for r in rlist]
+        )
+        order = np.argsort(ids, kind="stable") if len(rlist) > 1 else None
+        if order is not None:
+            ids, tfs = ids[order], tfs[order]
+        arr_cache[key] = (rlist, ids, tfs, order)
+        return arr_cache[key]
+
+    def term_positions(field, term):
+        rlist, _, _, order = term_arrays(field, term)
+        plists: list[np.ndarray] = []
+        for r in rlist:
+            plists.extend(
+                p.astype(np.int64)
+                for p in decode_positions(r["pos_lens"], r["positions"])
+            )
+        if order is not None:
+            plists = [plists[i] for i in order]
+        return plists
+
+    def dl_for(field, ids):
+        all_ids, dls = dl_map[field]
+        return dls[np.searchsorted(all_ids, ids)]
+
+    def eval_atom(spec: AtomSpec):
+        """→ (sorted unique doc_ids, contrib array) or None (no match)."""
+        if spec.kind == "term":
+            got = term_arrays(spec.field, spec.terms[0])
+            if got is None:
+                return None
+            _, ids, tfs, _ = got
+            return ids, spec.weight * _tf_norm(
+                tfs, dl_for(spec.field, ids), avgdl[spec.field]
+            )
+        if spec.kind == "const":
+            parts = []
+            for t in spec.terms:
+                got = term_arrays(spec.field, t)
+                if got is not None:
+                    parts.append(got[1])
+            if not parts:
+                return None
+            ids = np.unique(np.concatenate(parts))
+            return ids, np.full(ids.size, spec.weight)
+        # phrase: docs containing ALL distinct terms; freq = Σ tf over the
+        # distinct terms; match via the pinned pure-python sloppy matcher
+        # (identical spec to execute_extended's _sloppy_udf)
+        distinct = tuple(dict.fromkeys(spec.terms))
+        arrs = [term_arrays(spec.field, t) for t in distinct]
+        if any(a is None for a in arrs):
+            return None
+        cand = arrs[0][1]
+        for a in arrs[1:]:
+            cand = cand[np.isin(cand, a[1], assume_unique=True)]
+        if cand.size == 0:
+            return None
+        freqs = np.zeros(cand.size)
+        posmaps: list[tuple[str, list]] = []
+        for t, (_, ids, tfs, _) in zip(distinct, arrs):
+            sel = np.searchsorted(ids, cand)
+            freqs += tfs[sel]
+            plist = term_positions(spec.field, t)
+            posmaps.append((t, [plist[i] for i in sel]))
+        matched = np.zeros(cand.size, dtype=bool)
+        for j in range(cand.size):
+            pos = {t: pl[j].tolist() for t, pl in posmaps}
+            matched[j] = sloppy_phrase_match(pos, list(spec.terms), spec.slop)
+        cand, freqs = cand[matched], freqs[matched]
+        if cand.size == 0:
+            return None
+        pfn = _tf_norm(freqs, dl_for(spec.field, cand), avgdl[spec.field])
+        return cand, spec.weight * pfn
+
+    results = [(s, eval_atom(s)) for s in specs]
+    # candidate set: docs matching EVERY must atom (or any scoring atom
+    # when there are no musts)
+    cand = None
+    if n_must:
+        for s, got in results:
+            if s.role != "must":
+                continue
+            if got is None:
+                return _EMPTY.copy()
+            cand = (
+                got[0]
+                if cand is None
+                else cand[np.isin(cand, got[0], assume_unique=True)]
+            )
+            if cand.size == 0:
+                return _EMPTY.copy()
+    else:
+        parts = [got[0] for s, got in results if s.role == "should" and got]
+        if not parts:
+            return _EMPTY.copy()
+        cand = np.unique(np.concatenate(parts))
+    # vetoes + tombstones
+    for s, got in results:
+        if s.role == "veto" and got is not None:
+            cand = cand[~np.isin(cand, got[0], assume_unique=True)]
+    if deleted.size:
+        cand = cand[~np.isin(cand, deleted, assume_unique=True)]
+    if cand.size == 0:
+        return _EMPTY.copy()
+    scores = np.zeros(cand.size)
+    for s, got in results:
+        if s.role == "veto" or got is None:
+            continue
+        ids, contrib = got
+        sel = np.searchsorted(ids, cand)
+        sel_c = np.minimum(sel, ids.size - 1)
+        hit = ids[sel_c] == cand
+        scores[hit] += contrib[sel_c[hit]]
+    order = np.lexsort((cand, -scores))[:k]
+    return pd.DataFrame({"doc_id": cand[order], "score": scores[order]})
+
+
+def search_segments_extended(
+    spark,
+    segments_df,
+    specs: list[AtomSpec],
+    field_stats: dict[str, tuple[int, float]],
+    k: int = 10,
+):
+    """Distributed extended query over the segment layout: ONE job — prune
+    the scan to the union of every atom's terms (+ meta rows), per-bucket
+    numpy evaluation (extended_bucket_topk), thin global window finish."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    schema = "doc_id long, score double"
+    if not specs:
+        return spark.createDataFrame([], schema)
+    avgdl = {f: a for f, (_, a) in field_stats.items()}
+    n_must = sum(1 for s in specs if s.role == "must")
+    all_terms = sorted(
+        {t for s in specs for t in s.terms}
+    ) + [META_DL, META_DELETED]
+    pruned = segments_df.where(F.col("term").isin(all_terms))
+
+    def per_bucket(_, g):
+        return extended_bucket_topk(g, specs, avgdl, k, n_must)
+
+    local = pruned.groupBy("bucket").applyInPandas(per_bucket, schema)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "score")
     )
