@@ -371,6 +371,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pair list → duplicate CLUSTERS: (node, component) where
     component = min node id reachable through the pair graph. The step a
@@ -389,20 +390,38 @@ def connected_components(
     times — 3^rounds analysis blow-up; checkpointing truncates the plan
     to a leaf so every round costs the same. At 10^12-doc scale rounds
     shuffle |edges| rows — the same cost class as the pair mining
-    itself."""
+    itself.
+
+    Durability trade-off: the default ``localCheckpoint`` stores each
+    round's blocks on executors — cheapest, but a lost executor loses
+    blocks no surviving lineage can rebuild, killing the job. For cluster
+    runs at real scale pass ``checkpoint_dir`` (an HDFS/object-store path):
+    rounds then use RELIABLE ``checkpoint()`` — each round's frame is
+    written to the shared store, so executor loss only re-runs the current
+    round's join. Costs one distributed write per round; checkpoint files
+    persist until the Spark context is stopped (or are GC'd with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``)."""
     from pyspark.sql import functions as F
 
-    sym = (
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def mat(df):
+            return df.checkpoint(eager=True)
+    else:
+
+        def mat(df):
+            return df.localCheckpoint(eager=True)
+
+    sym = mat(
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = mat(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nb_min = (
@@ -419,8 +438,8 @@ def connected_components(
                 ).alias("comp"),
                 (F.col("nb_comp") < F.col("comp")).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = mat(new_labels)
         changed = new_labels.where(F.col("_changed")).count()
         labels.unpersist()
         labels = new_labels.drop("_changed")

@@ -83,6 +83,25 @@ def test_connected_components_known_graph(spark):
     assert got == want
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir mode (reliable HDFS-style checkpoints for cluster
+    runs — survives executor loss, unlike the default localCheckpoint)
+    produces identical components and actually writes checkpoint files."""
+    import os
+
+    edges = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        int(r["node"]): int(r["component"])
+        for r in DD.connected_components(df, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # reliable mode must have materialized rounds to the shared store
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "no checkpoint files written in reliable mode"
+
+
 def test_dedup_clusters_end_to_end(spark):
     """Near-dup texts cluster together; representative = min doc_id."""
     t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
