@@ -169,6 +169,98 @@ def generate_docs_df(spark, n_docs: int, seed: int = 42, partitions: int | None 
     return rng_df.mapInArrow(gen, DOCS_SCHEMA_DDL)
 
 
+# ---------------------------------------------------------------------------
+# High-entropy identifier corpus (trigram-planner evidence mode).
+#
+# The word corpus above draws from an ~90-word vocabulary, so EVERY trigram
+# is common and the trigram planner's pruned path can never beat a full
+# scan — its win was argued, not shown (BENCH.md §3c round-2 note). This
+# mode synthesizes code-like text whose identifiers come from a
+# combinatorial syllable space (48³ ≈ 110k stems × numeric suffixes), the
+# trigram profile of real source code: most grams are rare, a handful
+# (``def ``, ``retu``, ``self``) are ubiquitous. A probe identifier
+# (CODE_RARE_NEEDLE) is planted in ~1/10,000 docs so the rare-needle
+# selectivity regime is pinned and assertable.
+# Deterministic per (seed, i), partition-layout-free, same input_hint
+# schema as generate_docs_df.
+# ---------------------------------------------------------------------------
+
+_SYL = [
+    c + v for c in "brcdflmnpqstvz" for v in ("ar", "en", "il", "od")
+][:48]
+_SYL_ARR = np.asarray(_SYL, dtype=object)
+CODE_RARE_NEEDLE = "qzvx_probe_handle"  # planted; never syllable-formable
+CODE_RARE_EVERY = 9973  # prime stride: ~80 planted docs at 800k
+
+
+def _code_batch(seed: int, ids) -> dict[str, list]:
+    """Columnar batch of identifier-rich synthetic source files."""
+    out: dict[str, list] = {k: [] for k in DOCS_SCHEMA_PA.names}
+    doc_id, repo, path, commit, lang, content, sha = out.values()
+    sha256 = hashlib.sha256
+    n_lg = len(_LANGS)
+    for i in ids:
+        i = int(i)
+        rng = np.random.Generator(np.random.PCG64((seed << 32) ^ i ^ 0xC0DE))
+        lg = _LANGS[i % n_lg]
+        n_idents = int(rng.integers(60, 241))  # ≈15-60 lines ≈ 1-4 KB/file
+        # identifiers: 2-3 syllables + occasional numeric suffix — the
+        # whole batch of draws is vectorized, only assembly loops
+        syl = _SYL_ARR[rng.integers(0, len(_SYL_ARR), size=(n_idents, 3))]
+        three = rng.random(n_idents) < 0.5
+        sufs = rng.integers(0, 100, size=n_idents)
+        has_suf = rng.random(n_idents) < 0.3
+        idents = [
+            (f"{a}{b}_{c}" if t else f"{a}_{b}")
+            + (str(s) if hs else "")
+            for (a, b, c), t, s, hs in zip(syl, three, sufs, has_suf)
+        ]
+        lines = []
+        for j in range(0, n_idents - 3, 4):
+            a, b, c, d = idents[j : j + 4]
+            k = (i + j) % 5
+            if k == 0:
+                lines.append(f"def {a}({b}, {c}): return {d}")
+            elif k == 1:
+                lines.append(f"    {a} = {b}.{c}({d})")
+            elif k == 2:
+                lines.append(f"class {a.title()}({b.title()}): pass")
+            elif k == 3:
+                lines.append(f"if {a} == {b}: raise ValueError({c})")
+            else:
+                lines.append(f"for {a} in {b}: {c}.append({d})")
+        if i % CODE_RARE_EVERY == 0:
+            lines.append(f"{CODE_RARE_NEEDLE} = qzvx_probe(cache)")
+        c_txt = "\n".join(lines)
+        doc_id.append(i)
+        repo.append(f"org{i % 7}/repo{i % 23}")
+        path.append(f"src/{_PATH_WORDS[i % len(_PATH_WORDS)]}/m_{i}.{lg}")
+        commit.append(sha256(f"commit-{i}".encode()).hexdigest()[:40])
+        lang.append(lg)
+        content.append(c_txt)
+        sha.append(sha256(c_txt.encode()).hexdigest())
+    return out
+
+
+def generate_code_docs_df(
+    spark, n_docs: int, seed: int = 42, partitions: int | None = None
+):
+    """Distributed high-entropy identifier corpus (same contract as
+    generate_docs_df: every row a pure function of (seed, i))."""
+    if partitions is None:
+        partitions = max(1, min(256, n_docs // 2000 or 1))
+    rng_df = spark.range(0, n_docs, 1, partitions)
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_numpy()
+            yield pa.RecordBatch.from_pydict(
+                _code_batch(seed, ids), schema=DOCS_SCHEMA_PA
+            )
+
+    return rng_df.mapInArrow(gen, DOCS_SCHEMA_DDL)
+
+
 # Reference query set (FIXTURES.md §2): single terms, stemmed variants,
 # stop-word-containing, multi-word slop-hitting phrases, path-field hits,
 # absent terms, REDIRECT targets.

@@ -36,7 +36,19 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--needle", default="binary search tree")
+    ap.add_argument("--rare-needle", default="REDIRECT src/")
     ap.add_argument("--pattern", default="binary [a-z]+ tree")
+    ap.add_argument(
+        "--gen-code",
+        type=int,
+        default=None,
+        metavar="N",
+        help="generate the high-entropy identifier corpus "
+        "(corpus.generate_code_docs_df, N docs) at --input if missing — "
+        "the code-like trigram profile where the pruned path should win; "
+        "pair with --rare-needle qzvx_probe_handle --pattern "
+        "'qzvx_[a-z]+\\(cache\\)'",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -64,6 +76,13 @@ def main() -> None:
         t[name] = round(time.perf_counter() - t0, 4)
         return r
 
+    if args.gen_code is not None and not Path(args.input).exists():
+        from fuzzy_wiki_spark.corpus import generate_code_docs_df
+
+        generate_code_docs_df(spark, args.gen_code).write.mode(
+            "overwrite"
+        ).parquet(args.input)
+
     docs = spark.read.parquet(args.input).select("doc_id", "content")
     n_docs = docs.count()
 
@@ -86,7 +105,7 @@ def main() -> None:
     # two selectivity regimes: the common-gram needle (low-entropy corpus
     # text — scan should win) and the rare-gram needle (REDIRECT docs are
     # ~1% of the corpus and the only uppercase text — pruning should win)
-    needles = {"common": args.needle, "rare": "REDIRECT src/"}
+    needles = {"common": args.needle, "rare": args.rare_needle}
     decisions: dict[str, str] = {}
     selectivity: dict[str, float] = {}
     hits: dict[str, int] = {}
