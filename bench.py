@@ -44,27 +44,13 @@ BM25_QUERIES = [
 
 
 def _phase_control(reps: int = 3) -> float:
-    """Engine-independent VM-phase probe (VERDICT r2 'What's wrong #1'):
-    a FIXED single-thread memory-bound numpy kernel (~1 GB streamed per
-    rep: multiply-add reduce + a sort of a strided slice), best-of-reps.
+    """Engine-independent VM-phase probe (VERDICT r2 'What's wrong #1'),
+    shared definition in fuzzy_wiki_spark/phase.py so every bench script's
+    control_sec is the same kernel. Emitted as control_sec_start /
+    control_sec_end (the phase can shift mid-suite) in every BENCH JSON."""
+    from fuzzy_wiki_spark.phase import phase_control
 
-    This box's absolute speed swings ~2× between phases (noisy neighbor,
-    BENCH.md §2); because the kernel never changes, its time measures the
-    phase, not the engine — cross-round suite numbers are comparable as
-    ratios against it. Emitted as control_sec_start / control_sec_end
-    (the phase can shift mid-suite) in every BENCH JSON."""
-    import numpy as np
-
-    a = np.arange(64_000_000, dtype=np.int64)  # 512 MB
-    best = None
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        s = int((a * 3 + 1).sum())  # streamed read+ALU, bus-bound
-        x = np.sort(a[::7])  # cache-unfriendly gather + sort
-        dt = time.perf_counter() - t0
-        assert s != 0 and x.size  # keep the work live
-        best = dt if best is None else min(best, dt)
-    return round(best, 4)
+    return phase_control(reps)
 
 
 def main() -> None:

@@ -1,0 +1,30 @@
+"""VM-phase control probe shared by every bench script.
+
+This box's absolute speed swings ~2x between phases (noisy neighbor,
+BENCH.md §2). ``phase_control()`` times a FIXED single-thread memory-bound
+numpy kernel (~1 GB streamed per rep: multiply-add reduce + a sort of a
+strided slice), best-of-reps. Because the kernel never changes, its time
+measures the phase, not the engine — numbers from different runs/rounds are
+comparable as ratios against it (VERDICT r2 'What's wrong #1'). Every bench
+JSON should carry ``control_sec`` via this one function so the ratios share
+a definition.
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def phase_control(reps: int = 3) -> float:
+    import numpy as np
+
+    a = np.arange(64_000_000, dtype=np.int64)  # 512 MB
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        s = int((a * 3 + 1).sum())  # streamed read+ALU, bus-bound
+        x = np.sort(a[::7])  # cache-unfriendly gather + sort
+        dt = time.perf_counter() - t0
+        assert s != 0 and x.size  # keep the work live
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)

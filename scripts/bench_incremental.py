@@ -55,6 +55,9 @@ def main() -> None:
         open_incremental,
     )
 
+    from fuzzy_wiki_spark.phase import phase_control
+
+    control_start = phase_control()
     spark = get_spark(
         "bench-incremental",
         master=f"local[{args.cpus}]",
@@ -127,6 +130,9 @@ def main() -> None:
             len(REFERENCE_QUERIES) / t["replay_oneshot"], 3
         )
         out["parity_inc_vs_oneshot"] = inc_hits == one_hits
+    # VM-phase control (fuzzy_wiki_spark/phase.py): compare runs as
+    # value/control ratios, not raw seconds
+    out["control_sec"] = round((control_start + phase_control()) / 2, 4)
     print(json.dumps(out))
 
 

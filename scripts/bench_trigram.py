@@ -61,7 +61,9 @@ def main() -> None:
         substring_search,
     )
     from fuzzy_wiki_spark.session import get_spark
+    from fuzzy_wiki_spark.phase import phase_control
 
+    control_start = phase_control()
     spark = get_spark(
         "bench-trigram",
         master=f"local[{args.cpus}]",
@@ -156,12 +158,16 @@ def main() -> None:
     assert n_re == n_re_scan, (n_re, n_re_scan)
     n_sub = hits["common_scan"]
 
+    control_end = phase_control()
     print(
         json.dumps(
             {
                 "n_docs": n_docs,
                 "cpus": args.cpus,
                 "n_buckets": args.n_buckets,
+                # VM-phase control (fuzzy_wiki_spark/phase.py): compare
+                # runs as value/control ratios, not raw seconds
+                "control_sec": round((control_start + control_end) / 2, 4),
                 "timings_sec": t,
                 "planner_decisions": decisions,
                 "gram_selectivity": selectivity,

@@ -41,7 +41,9 @@ def main() -> None:
         winnow_fingerprints,
         winnow_pairs,
     )
+    from fuzzy_wiki_spark.phase import phase_control
 
+    control_start = phase_control()
     spark = get_spark(
         "bench-winnow",
         master=f"local[{args.cpus}]",
@@ -66,12 +68,18 @@ def main() -> None:
         threshold=args.threshold,
     ).count()
     t_pairs = time.perf_counter() - t0
+    control_end = phase_control()
 
     print(
         json.dumps(
             {
                 "n_docs": n_docs,
                 "cpus": args.cpus,
+                # VM-phase control (fuzzy_wiki_spark/phase.py): compare
+                # runs as value/control ratios, not raw seconds
+                "control_sec": round((control_start + control_end) / 2, 4),
+                "control_sec_start": control_start,
+                "control_sec_end": control_end,
                 "fp_sec": round(t_fp, 2),
                 "fp_docs_per_sec": round(n_docs / t_fp, 1),
                 "n_fingerprints": n_fp,
