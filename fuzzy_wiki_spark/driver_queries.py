@@ -1262,9 +1262,9 @@ def q_ivf_batch(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal: REAL image decode (PPM/BMP, pure numpy — no external
-    libs) → resize → pixel-statistics feature vector via mapInPandas.
-    Payloads are deterministic generated images; PNG/JPEG stay stubbed."""
+    """Multimodal: REAL image decode (PPM/BMP/PNG/baseline JPEG, pure
+    numpy+stdlib — no external libs) → resize → pixel-statistics feature
+    vector via mapInPandas over deterministic generated images."""
     from fuzzy_wiki_spark.functions.multimodal import (
         extract_image_features,
         make_real_media,
@@ -1291,12 +1291,15 @@ def q_audio_features(spark, sf_dir):
 
 
 def q_frame_sample(spark, sf_dir):
-    """Multimodal plumbing: video frame sampling (row-multiplying
-    mapInPandas; deterministic fake frames keyed by sha256(payload))."""
-    from fuzzy_wiki_spark.functions.multimodal import make_fake_media, sample_frames
+    """Multimodal: REAL video frame sampling — AVI (RIFF) demux, fps-driven
+    frame selection, then decode of ONLY the sampled frames (MJPEG via the
+    from-scratch T.81 JPEG codec, raw DIB) inside mapInPandas; frame_sha
+    fingerprints decoded pixels. Demux-before-decode is the shape that
+    matters at 100 TB: the sampler never pays for frames it skips."""
+    from fuzzy_wiki_spark.functions.multimodal import make_real_media, sample_frames
 
-    media = spark.createDataFrame(make_fake_media(120))
-    return sample_frames(media, every_s=1.0, fake=True)
+    media = spark.createDataFrame(make_real_media(120))
+    return sample_frames(media, every_s=1.0, fake=False)
 
 
 def q_events_window(spark, sf_dir):

@@ -2,14 +2,16 @@
 
 Brief requirement for the 100 TB training-data pipeline. The Spark-side
 plumbing is REAL — schemas, partition-preserving ``mapInPandas`` operators,
-Arrow batch shapes — and so are the codecs the container's stdlib/numpy can
-express: **PPM (P6), BMP (24-bit BI_RGB) and PNG (8-bit, zlib + the full
-five-filter spec) image decode, WAV (PCM) audio decode**, nearest-neighbor
-resize, and deterministic feature extraction over real pixels/samples.
-Formats genuinely needing external libraries (JPEG, 16-bit/interlaced PNG,
-compressed audio, any video codec) raise ``NotImplementedError`` — the
-``fake=True`` path (sha-derived features) remains for exercising the
-distributed plumbing with arbitrary payloads.
+Arrow batch shapes — and so are the codecs stdlib/numpy can
+express: **PPM (P6), BMP (24-bit BI_RGB), PNG (8-bit, zlib + the full
+five-filter spec) and baseline JPEG (from-scratch T.81 codec,
+functions/jpeg.py) image decode, WAV (PCM) audio decode, and AVI video
+(RIFF demux + MJPEG/raw-DIB frame decode)**, nearest-neighbor resize, and
+deterministic feature extraction over real pixels/samples. Formats
+genuinely needing external libraries (progressive JPEG, 16-bit/interlaced
+PNG, compressed audio, inter-frame video codecs like H.264) raise
+``NotImplementedError`` — the ``fake=True`` path (sha-derived features)
+remains for exercising the distributed plumbing with arbitrary payloads.
 
 Design notes for scale:
 - media bytes stay in an opaque ``binary`` column; metadata (width, height,
@@ -324,6 +326,159 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
     return sr, x
 
 
+# ---------------------------------------------------------------------------
+# Video: AVI (RIFF) container + MJPEG / raw-DIB frame codecs.
+#
+# Pure stdlib/numpy: the RIFF chunk grammar is struct-parsed, MJPEG frames
+# decode through the from-scratch baseline JPEG codec (functions/jpeg.py),
+# DIB frames are bottom-up BGR rows padded to 4 bytes (the BMP pixel
+# layout). This retires the round-2 'video decode is a stub' gap for the
+# two codecs expressible without external libraries; H.264 etc. still
+# raise NotImplementedError.
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return tag + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(kind: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + body)
+
+
+def encode_avi(
+    frames: list[np.ndarray], fps: float = 10.0, codec: str = "MJPG",
+    quality: int = 85,
+) -> bytes:
+    """List of (H, W, 3) uint8 RGB frames → AVI bytes.
+
+    ``codec``: 'MJPG' (each frame a baseline JPEG) or 'DIB ' (uncompressed
+    bottom-up BGR, BI_RGB)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = frames[0].shape
+    codec = codec.upper().ljust(4)[:4]
+    payloads = []
+    for fr in frames:
+        if fr.shape != (h, w, 3):
+            raise ValueError("all frames must share one shape")
+        if codec == "MJPG":
+            from .jpeg import encode_jpeg
+
+            payloads.append(encode_jpeg(fr, quality=quality))
+        elif codec == "DIB ":
+            row_bytes = (w * 3 + 3) & ~3
+            img = np.zeros((h, row_bytes), dtype=np.uint8)
+            img[:, : w * 3] = fr[::-1, :, ::-1].reshape(h, w * 3)
+            payloads.append(img.tobytes())
+        else:
+            raise NotImplementedError(f"AVI codec {codec!r}")
+
+    scale, rate = 1000, int(round(fps * 1000))
+    max_size = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<14I",
+        int(1_000_000 * scale / rate),  # usec per frame
+        max_size * int(fps) + 1, 0, 0x10,  # maxbytes/s, padding, HASINDEX
+        len(frames), 0, 1, max_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids"
+        + (b"MJPG" if codec == "MJPG" else b"\x00\x00\x00\x00")
+        + struct.pack("<IHHIIIIIIii", 0, 0, 0, 0, scale, rate, 0,
+                      len(frames), max_size, -1, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24,
+        b"MJPG" if codec == "MJPG" else b"\x00\x00\x00\x00",
+        h * ((w * 3 + 3) & ~3), 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b"movi"
+    idx = b""
+    off = 4  # idx1 offsets are relative to the start of 'movi' data
+    for p in payloads:
+        chunk = _riff_chunk(b"00dc", p)
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(p))
+        off += len(chunk)
+        movi_body += chunk
+    movi = _riff_chunk(b"LIST", movi_body)
+    idx1 = _riff_chunk(b"idx1", idx)
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def demux_avi(buf: bytes) -> dict:
+    """AVI bytes → {'fps', 'width', 'height', 'codec', 'frames': [bytes]}.
+
+    Demux only — frame payloads come back undecoded, so callers can sample
+    WHICH frames to decode before paying any decode cost (the sampled-
+    decode pattern sample_frames uses)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    fps = 0.0
+    w = h = 0
+    codec = ""
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps, w, h, codec
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", buf, pos + 4)
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(body_start + 4, body_start + ln)
+            elif tag == b"strh" and buf[body_start : body_start + 4] == b"vids":
+                scale, rate = struct.unpack_from("<II", buf, body_start + 20)
+                if scale:
+                    fps = rate / scale
+            elif tag == b"strf" and ln >= 40:
+                w, h = struct.unpack_from("<ii", buf, body_start + 4)
+                h = abs(h)
+                four = buf[body_start + 16 : body_start + 20]
+                codec = "DIB " if four == b"\x00\x00\x00\x00" else four.decode(
+                    "ascii", "replace"
+                )
+            elif tag[2:4] in (b"dc", b"db"):
+                frames.append(buf[body_start : body_start + ln])
+            pos = body_start + ln + (ln % 2)
+
+    walk(12, 12 + struct.unpack_from("<I", buf, 4)[0] - 4)
+    return {"fps": fps, "width": w, "height": h, "codec": codec, "frames": frames}
+
+
+def decode_avi_frame(payload: bytes, codec: str, w: int, h: int) -> np.ndarray:
+    """One demuxed frame chunk → (H, W, 3) uint8 RGB."""
+    if codec == "MJPG":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    if codec == "DIB ":
+        row_bytes = (w * 3 + 3) & ~3
+        rows = np.frombuffer(payload, np.uint8, h * row_bytes).reshape(h, row_bytes)
+        return rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+    raise NotImplementedError(f"AVI codec {codec!r} needs external libraries")
+
+
+def decode_video(payload: bytes):
+    """Video payload → (fps, iterator of (frame_idx, RGB array)). Real path:
+    AVI/MJPEG + AVI/DIB via the in-container codecs."""
+    meta = demux_avi(payload)
+
+    def gen():
+        for i, chunk in enumerate(meta["frames"]):
+            yield i, decode_avi_frame(chunk, meta["codec"], meta["width"], meta["height"])
+
+    return meta["fps"], gen()
+
+
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize of (H, W, C) → (out_h, out_w, C) — the
     pixel-side half of the standard decode→resize→featurize pipeline."""
@@ -366,8 +521,8 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     a sha-derived feature vector for plumbing tests.
 
     Real paths (pure numpy/stdlib): PPM P6, 24-bit BMP, 8-bit
-    non-interlaced PNG (zlib + full filter spec, decode_png). JPEG needs
-    external libraries absent from this container → NotImplementedError."""
+    non-interlaced PNG (zlib + full filter spec, decode_png), baseline
+    JPEG (from-scratch T.81 codec, functions/jpeg.py)."""
     if fake:
         return _fake_decode(payload, 64)
     if payload.startswith(b"P6"):
@@ -376,9 +531,13 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return decode_bmp(payload)
     if payload.startswith(_PNG_SIG):
         return decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PPM/BMP/PNG decode in-container (JPEG needs PIL/opencv); "
-        "pass fake=True for the plumbing-test path"
+        "unrecognized image format (PPM/BMP/PNG/baseline JPEG decode "
+        "in-container); pass fake=True for the plumbing-test path"
     )
 
 
@@ -459,10 +618,10 @@ def extract_audio_features(media_df, dim: int = 128, fake: bool = False):
 
 def make_real_media(n: int, seed: int = 42) -> pd.DataFrame:
     """Deterministic media table whose payloads are REAL in-container
-    codecs: PPM, BMP and PNG images (decodable gradients + noise; PNG
-    rotates through all five scanline filters), PCM WAV audio (seeded
-    sine mixes). Video stays a fake payload — no video codec exists
-    in-container (sample_frames documents that stub)."""
+    codecs: PPM, BMP, PNG and baseline JPEG images (decodable gradients +
+    noise; PNG rotates through all five scanline filters; JPEG through
+    4:4:4 and 4:2:0), PCM WAV audio (seeded sine mixes), and AVI video
+    with MJPEG or raw-DIB frames."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
@@ -478,15 +637,22 @@ def make_real_media(n: int, seed: int = 42) -> pd.DataFrame:
                 ],
                 axis=-1,
             ).astype(np.uint8)
-            which = i % 3
+            which = i % 4
             if which == 0:
                 payload, codec = encode_ppm(arr), "ppm"
             elif which == 1:
                 payload, codec = encode_bmp(arr), "bmp"
-            else:
+            elif which == 2:
                 # every filter type gets coverage across the table
-                payload = encode_png(arr, filter_type=(i // 3) % 5)
+                payload = encode_png(arr, filter_type=(i // 4) % 5)
                 codec = "png"
+            else:
+                from .jpeg import encode_jpeg
+
+                payload = encode_jpeg(
+                    arr, quality=85, subsampling="420" if i % 8 else "444"
+                )
+                codec = "jpeg"
             dur = 0.0
         elif kind == "audio":
             sr, secs = 8000, 0.5 + (i % 3) * 0.25
@@ -498,15 +664,31 @@ def make_real_media(n: int, seed: int = 42) -> pd.DataFrame:
             payload, codec, w, h = encode_wav(x, sr), "wav", 0, 0
             dur = secs
         else:
-            payload = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
-            codec, w, h, dur = "h264", 64, 64, float(1 + i % 10)
+            w = h = 16 * (1 + i % 2)
+            n_frames = 4 + i % 5
+            fps = 2.0
+            yy, xx = np.mgrid[0:h, 0:w]
+            frames = [
+                np.stack(
+                    [
+                        (xx * 255 // max(1, w - 1) + 13 * j) % 256,
+                        (yy * 255 // max(1, h - 1)),
+                        np.full((h, w), (37 * j) % 256),
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                for j in range(n_frames)
+            ]
+            codec = "MJPG" if i % 2 else "DIB "
+            payload = encode_avi(frames, fps=fps, codec=codec)
+            dur = n_frames / fps
         rows.append(
             {
                 "media_id": i,
                 "kind": kind,
                 "payload": payload,
-                "width": int(w if kind == "image" else 0) or (64 if kind == "video" else 0),
-                "height": int(h if kind == "image" else 0) or (64 if kind == "video" else 0),
+                "width": int(w) if kind != "audio" else 0,
+                "height": int(h) if kind != "audio" else 0,
                 "duration_s": float(dur),
                 "codec": codec,
             }
@@ -515,11 +697,15 @@ def make_real_media(n: int, seed: int = 42) -> pd.DataFrame:
 
 
 def sample_frames(media_df, every_s: float = 1.0, fake: bool = True):
-    """video table → one row per sampled frame (frame-sample plumbing).
+    """video table → one row per sampled frame.
 
-    Real frame extraction is stubbed: the fake path emits
-    ceil(duration/every_s) frames with sha-derived ids, preserving the
-    explode-like row multiplication a real sampler produces."""
+    ``fake=False`` runs REAL demux + decode: the AVI is struct-parsed
+    (demux_avi), a frame index every ``every_s`` seconds is chosen from
+    fps metadata, and ONLY the chosen chunks decode (MJPEG via the
+    from-scratch JPEG codec, DIB raw) — the demux-then-sampled-decode
+    shape a 100 TB frame sampler needs, since decode is the dominant
+    cost. frame_sha fingerprints the decoded RGB pixels. The fake path
+    (sha-derived frames, no decode) remains for arbitrary payloads."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -527,15 +713,28 @@ def sample_frames(media_df, every_s: float = 1.0, fake: bool = True):
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_s"]
             ):
-                if not fake:
-                    raise NotImplementedError("video decode not available")
-                n_frames = max(1, int(float(dur) / every_s))
-                base = hashlib.sha256(payload).hexdigest()
-                for j in range(n_frames):
+                if fake:
+                    n_frames = max(1, int(float(dur) / every_s))
+                    base = hashlib.sha256(payload).hexdigest()
+                    for j in range(n_frames):
+                        out_id.append(mid)
+                        out_idx.append(j)
+                        out_sha.append(
+                            hashlib.sha256(f"{base}:{j}".encode()).hexdigest()[:16]
+                        )
+                    continue
+                meta = demux_avi(bytes(payload))
+                n = len(meta["frames"])
+                step = max(1, int(round(meta["fps"] * every_s)))
+                for j in range(0, n, step):
+                    rgb = decode_avi_frame(
+                        meta["frames"][j], meta["codec"],
+                        meta["width"], meta["height"],
+                    )
                     out_id.append(mid)
                     out_idx.append(j)
                     out_sha.append(
-                        hashlib.sha256(f"{base}:{j}".encode()).hexdigest()[:16]
+                        hashlib.sha256(rgb.tobytes()).hexdigest()[:16]
                     )
             yield pd.DataFrame(
                 {"media_id": out_id, "frame_idx": out_idx, "frame_sha": out_sha}

@@ -1,0 +1,181 @@
+"""From-scratch baseline JPEG (T.81) codec + AVI (RIFF) video container.
+
+The encoder and decoder are independent implementations of a public spec
+sharing only the tables the stream itself carries (DQT/DHT), so a
+round-trip checks real work; orientation/color tests rule out the classic
+transpose/plane-swap cancel-bugs a shared-helper round-trip could hide.
+"""
+
+import numpy as np
+import pytest
+
+from fuzzy_wiki_spark.functions.jpeg import (
+    ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+)
+from fuzzy_wiki_spark.functions.multimodal import (
+    decode_avi_frame,
+    decode_image,
+    decode_video,
+    demux_avi,
+    encode_avi,
+    make_real_media,
+    sample_frames,
+)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            xx * 255 // max(1, w - 1),
+            yy * 255 // max(1, h - 1),
+            (xx + yy) * 255 // max(1, w + h - 2),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_zigzag_matches_spec_prefix():
+    # first 10 entries of the published T.81 scan order, typed
+    # independently of the diagonal-walk generator
+    assert ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("quality", [95, 75])
+def test_jpeg_roundtrip_gradient(sub, quality):
+    img = _gradient(40, 56)
+    out = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=sub))
+    assert out.shape == img.shape
+    assert _psnr(img, out) > (34 if sub == "420" else 38)
+
+
+def test_jpeg_odd_dimensions_and_noise_q100():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (17, 23, 3), np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert out.shape == img.shape
+    assert _psnr(img, out) > 45  # q100 noise: near-lossless
+
+
+def test_jpeg_orientation_not_transposed():
+    # left half dark, right half bright — a transposed decode would fail
+    img = np.zeros((24, 48, 3), np.uint8)
+    img[:, 24:] = 220
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out[:, :20].mean() < 60 and out[:, 28:].mean() > 170
+
+
+def test_jpeg_color_planes_not_swapped():
+    solid = np.zeros((16, 16, 3), np.uint8)
+    solid[:] = (200, 30, 40)
+    mean = decode_jpeg(encode_jpeg(solid, quality=95)).reshape(-1, 3).mean(0)
+    np.testing.assert_allclose(mean, [200, 30, 40], atol=3)
+
+
+def test_jpeg_grayscale_single_component():
+    rng = np.random.default_rng(8)
+    g = rng.integers(0, 256, (16, 16), np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=95))
+    assert out.shape == (16, 16, 3)
+    assert _psnr(np.repeat(g[:, :, None], 3, 2), out) > 35
+
+
+@pytest.mark.parametrize("sub,dri", [("444", 3), ("420", 2)])
+def test_jpeg_restart_intervals(sub, dri):
+    img = _gradient(40, 56)
+    buf = encode_jpeg(img, quality=85, subsampling=sub, restart_interval=dri)
+    assert b"\xff\xdd" in buf and b"\xff\xd0" in buf  # DRI + RST0 present
+    assert _psnr(img, decode_jpeg(buf)) > 34
+
+
+def test_jpeg_progressive_stays_stubbed():
+    img = _gradient(16, 16)
+    buf = bytearray(encode_jpeg(img))
+    i = buf.index(b"\xff\xc0")
+    buf[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(buf))
+
+
+def test_jpeg_dispatched_from_decode_image():
+    img = _gradient(16, 24)
+    out = decode_image(encode_jpeg(img, quality=95))
+    assert out.shape == img.shape and _psnr(img, out) > 38
+
+
+# ---------------------------------------------------------------------------
+# AVI container
+# ---------------------------------------------------------------------------
+
+
+def test_avi_dib_roundtrip_exact():
+    rng = np.random.default_rng(1)
+    frames = [rng.integers(0, 256, (9, 13, 3), np.uint8) for _ in range(5)]
+    meta = demux_avi(encode_avi(frames, fps=2.5, codec="DIB "))
+    assert (meta["fps"], meta["width"], meta["height"]) == (2.5, 13, 9)
+    assert meta["codec"] == "DIB " and len(meta["frames"]) == 5
+    for fr, chunk in zip(frames, meta["frames"]):
+        np.testing.assert_array_equal(decode_avi_frame(chunk, "DIB ", 13, 9), fr)
+
+
+def test_avi_mjpeg_roundtrip_close():
+    frames = [np.roll(_gradient(24, 32), 5 * j, axis=1) for j in range(4)]
+    fps, gen = decode_video(encode_avi(frames, fps=4.0, codec="MJPG", quality=92))
+    assert fps == 4.0
+    decoded = list(gen)
+    assert [i for i, _ in decoded] == [0, 1, 2, 3]
+    for (_, out), fr in zip(decoded, frames):
+        assert _psnr(fr, out) > 30
+
+
+def test_avi_unknown_codec_stays_stubbed():
+    frames = [_gradient(8, 8)]
+    meta = demux_avi(encode_avi(frames, codec="DIB "))
+    with pytest.raises(NotImplementedError):
+        decode_avi_frame(meta["frames"][0], "H264", 8, 8)
+
+
+def test_sample_frames_real_decode(spark):
+    """fake=False demuxes the AVI, samples by fps metadata, decodes only
+    the sampled frames, and is partition-layout invariant."""
+    media = spark.createDataFrame(make_real_media(30))
+    out = sample_frames(media, every_s=1.0, fake=False).orderBy(
+        "media_id", "frame_idx"
+    )
+    rows = out.collect()
+    assert rows, "no video rows sampled"
+    per = {}
+    for r in rows:
+        per.setdefault(r["media_id"], []).append((r["frame_idx"], r["frame_sha"]))
+    pdf = make_real_media(30)
+    vids = pdf[pdf["kind"] == "video"]
+    assert set(per) == set(vids["media_id"])
+    for _, vr in vids.iterrows():
+        meta = demux_avi(bytes(vr["payload"]))
+        step = max(1, int(round(meta["fps"] * 1.0)))
+        want_idx = list(range(0, len(meta["frames"]), step))
+        got = per[vr["media_id"]]
+        assert [i for i, _ in got] == want_idx
+        # frame_sha is a fingerprint of DECODED pixels
+        import hashlib
+
+        rgb = decode_avi_frame(
+            meta["frames"][0], meta["codec"], meta["width"], meta["height"]
+        )
+        assert got[0][1] == hashlib.sha256(rgb.tobytes()).hexdigest()[:16]
+    # layout invariance
+    rows2 = (
+        sample_frames(media.repartition(7), every_s=1.0, fake=False)
+        .orderBy("media_id", "frame_idx")
+        .collect()
+    )
+    assert [tuple(r) for r in rows2] == [tuple(r) for r in rows]

@@ -33,7 +33,7 @@ def media(spark):
 
 def test_unsupported_codecs_stay_stubbed():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0JFIF....")  # JPEG
+        decode_image(b"GIF89a......")  # GIF has no in-container decoder
     with pytest.raises(NotImplementedError):
         decode_audio(b"OggS....")
 
