@@ -118,6 +118,7 @@ def write_trigram_index(
     (Path(out_dir) / "_meta.json").write_text(
         json.dumps({"n_buckets": n_buckets, "gram_n": GRAM_N})
     )
+    _STATS_CACHE.pop(out_dir, None)  # rewritten index → stale stats
 
 
 def load_trigram_index(spark, index_dir: str, req: list[str]) -> DataFrame:
@@ -283,6 +284,40 @@ def substring_search(
     )
 
 
+# Per-index-dir driver-side statistics cache: one job loads the (gram →
+# (df, bucket)) dict + max df, then every query plans with ZERO Spark jobs
+# (the stats sidecar is gram-vocabulary-sized — |Σ|³ worst case, MBs where
+# the index is TBs — exactly what a query node keeps resident; Zoekt holds
+# the same shard metadata in memory). bucket is computed IN the load job
+# with the writer's own hash expression, so query planning never needs the
+# per-query bucket-hash job load_trigram_index otherwise runs.
+_STATS_CACHE: dict[str, tuple[int, dict[str, tuple[int, int]]]] = {}
+
+
+def _load_stats(spark, index_dir: str) -> tuple[int, dict[str, tuple[int, int]]]:
+    if index_dir in _STATS_CACHE:
+        return _STATS_CACHE[index_dir]
+    import json
+    from pathlib import Path
+
+    n_buckets = json.loads(
+        (Path(index_dir) / "_meta.json").read_text()
+    )["n_buckets"]
+    rows = (
+        spark.read.parquet(f"{index_dir}/stats")
+        .select(
+            "gram",
+            "df",
+            F.pmod(F.xxhash64("gram"), F.lit(n_buckets)).alias("bucket"),
+        )
+        .collect()
+    )
+    stats = {r["gram"]: (r["df"], r["bucket"]) for r in rows}
+    n_total = max((df for df, _ in stats.values()), default=1)
+    _STATS_CACHE[index_dir] = (n_total, stats)
+    return _STATS_CACHE[index_dir]
+
+
 def gram_selectivity(
     spark, index_dir: str, req: list[str]
 ) -> float:
@@ -291,17 +326,56 @@ def gram_selectivity(
     intersection, ≤ the rarest gram's posting list), normalized by
     max(df) over ALL grams — a corpus-size proxy that needs no extra
     metadata and errs toward OVERestimating selectivity (max df ≤ N), i.e.
-    toward the always-correct full-scan path. Point lookups on the (tiny)
-    stats sidecar; a gram absent from stats has df 0 → 0.0."""
-    stats = spark.read.parquet(f"{index_dir}/stats")
-    n_total = stats.agg(F.max("df")).collect()[0][0] or 1
-    rows = {
-        r["gram"]: r["df"]
-        for r in stats.where(F.col("gram").isin(req)).collect()
-    }
-    if len(rows) < len(req):
+    toward the always-correct full-scan path. Point lookups on the cached
+    driver-side stats; a gram absent from stats has df 0 → 0.0."""
+    n_total, stats = _load_stats(spark, index_dir)
+    dfs = [stats.get(g, (0, 0))[0] for g in req]
+    if not all(dfs):
         return 0.0  # some required gram never occurs → no candidates
-    return min(rows.values()) / n_total
+    return min(dfs) / n_total
+
+
+def _pruned_scope(
+    spark,
+    docs: DataFrame,
+    index_dir: str,
+    req: list[str],
+    id_col: str,
+    rarest_k: int,
+    collect_cap: int,
+) -> DataFrame:
+    """Candidate-doc scope for a required-gram conjunction, engineered so
+    the pruned path beats the scan it replaces (measured at 800k docs the
+    naive form LOST to a 1.3 GB scan — BENCH.md trigram section):
+
+    - intersect only the ``rarest_k`` grams by cached df (a SUBSET of the
+      conjunction is still a candidate SUPERSET — the verify stays exact);
+      reading all |req| posting lists multiplied index bytes read ~10× for
+      zero extra pruning power.
+    - buckets come from the stats cache — no per-query hash job.
+    - the candidate ids are collected when they fit ``collect_cap`` and
+      pushed into the docs scan as an IN filter: with a doc_id-sorted
+      corpus, parquet column-index (page-level min/max) skipping means the
+      verify reads ~|candidates| content PAGES, not the whole content
+      column — the join form re-read every content byte, costing exactly
+      one full scan. The collect is bounded: above the cap (planner
+      mis-estimate) it falls back to the shuffle join, never to the driver.
+    """
+    n_total, stats = _load_stats(spark, index_dir)
+    probe = sorted(req, key=lambda g: stats.get(g, (0, 0))[0])[:rarest_k]
+    if any(stats.get(g, (0, 0))[0] == 0 for g in probe):
+        return docs.where(F.lit(False))  # an absent gram → no matches
+    buckets = sorted({stats[g][1] for g in probe})
+    idx = spark.read.parquet(f"{index_dir}/grams").where(
+        F.col("bucket").isin(buckets) & F.col("gram").isin(probe)
+    )
+    cand = _candidates(idx, probe, id_col)
+    ids = [r[0] for r in cand.limit(collect_cap + 1).collect()]
+    if len(ids) > collect_cap:
+        return docs.join(cand, id_col)
+    if not ids:
+        return docs.where(F.lit(False))
+    return docs.where(F.col(id_col).isin(ids))
 
 
 def substring_search_auto(
@@ -312,6 +386,8 @@ def substring_search_auto(
     text_col: str = "text",
     id_col: str = "doc_id",
     scan_threshold: float = 0.10,
+    rarest_k: int = 2,
+    collect_cap: int = 65536,
 ) -> tuple[DataFrame, str]:
     """Cost-based substring search: consult the gram-df statistics and pick
     the index-pruned path only when the rarest required gram bounds the
@@ -325,12 +401,6 @@ def substring_search_auto(
     """
     req = required_grams_for_literal(needle)
     sel = gram_selectivity(spark, index_dir, req) if req else 1.0
-    if req and sel <= scan_threshold:
-        idx = load_trigram_index(spark, index_dir, req)
-        return (
-            substring_search(docs, idx, needle, text_col, id_col),
-            "pruned",
-        )
     n_hits = (
         (
             F.length(text_col)
@@ -340,10 +410,51 @@ def substring_search_auto(
         )
         / F.length(F.lit(needle))
     ).cast("long")
+    if req and sel <= scan_threshold:
+        scope = _pruned_scope(
+            spark, docs, index_dir, req, id_col, rarest_k, collect_cap
+        )
+        return (
+            scope.where(F.col(text_col).contains(needle)).select(
+                F.col(id_col), n_hits.alias("n_hits")
+            ),
+            "pruned",
+        )
     return (
         docs.where(F.col(text_col).contains(needle)).select(
             F.col(id_col), n_hits.alias("n_hits")
         ),
+        "scan",
+    )
+
+
+def regex_search_auto(
+    spark,
+    docs: DataFrame,
+    index_dir: str,
+    pattern: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scan_threshold: float = 0.10,
+    rarest_k: int = 2,
+    collect_cap: int = 65536,
+) -> tuple[DataFrame, str]:
+    """Cost-based regex search: mandatory-literal trigram pruning through
+    the same planner/scope machinery as substring_search_auto, `rlike`
+    verify. Falls back to the full scan when no mandatory literal exists
+    or its grams are common."""
+    req = required_grams_for_regex(pattern)
+    sel = gram_selectivity(spark, index_dir, req) if req else 1.0
+    if req and sel <= scan_threshold:
+        scope = _pruned_scope(
+            spark, docs, index_dir, req, id_col, rarest_k, collect_cap
+        )
+        return (
+            scope.where(F.col(text_col).rlike(pattern)).select(F.col(id_col)),
+            "pruned",
+        )
+    return (
+        docs.where(F.col(text_col).rlike(pattern)).select(F.col(id_col)),
         "scan",
     )
 

@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # IN predicates up to this many values push down as real parquet
+        # eq-filters (beyond it Spark degrades them to a min/max range,
+        # useless for scattered ids). The trigram verify relies on this:
+        # candidate doc_ids push into the scan and parquet column-index
+        # page skipping reads only the candidate pages of a sorted corpus.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "100000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -50,6 +50,12 @@ def main() -> None:
         "'qzvx_[a-z]+\\(cache\\)'",
     )
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--reuse-index",
+        action="store_true",
+        help="skip the build when --out already holds an index "
+        "(query-side reruns without paying the build again)",
+    )
     args = ap.parse_args()
 
     from fuzzy_wiki_spark.operators.trigram import (
@@ -90,19 +96,28 @@ def main() -> None:
 
     from fuzzy_wiki_spark.operators.trigram import write_trigram_index
 
-    timed(
-        "index_build_write",
-        lambda: write_trigram_index(
-            doc_trigrams(docs, text_col="content"), out, args.n_buckets
-        ),
-    )
+    if args.reuse_index and Path(out, "_meta.json").exists():
+        pass  # reused index; no build timing key emitted
+    else:
+        timed(
+            "index_build_write",
+            lambda: write_trigram_index(
+                doc_trigrams(docs, text_col="content"), out, args.n_buckets
+            ),
+        )
 
     from pyspark.sql import functions as F
 
     from fuzzy_wiki_spark.operators.trigram import (
+        _load_stats,
         gram_selectivity,
+        regex_search_auto,
         substring_search_auto,
     )
+
+    # one-off driver-side stats load (a query server does this at open);
+    # timed separately so per-query numbers reflect steady state
+    timed("stats_load", lambda: _load_stats(spark, out))
 
     # two selectivity regimes: the common-gram needle (low-entropy corpus
     # text — scan should win) and the rare-gram needle (REDIRECT docs are
@@ -156,6 +171,16 @@ def main() -> None:
         lambda: docs.where(F.col("content").rlike(args.pattern)).count(),
     )
     assert n_re == n_re_scan, (n_re, n_re_scan)
+
+    def _re_auto():
+        df, path = regex_search_auto(
+            spark, docs, out, args.pattern, text_col="content"
+        )
+        decisions["regex"] = path
+        return df.count()
+
+    n_re_auto = timed("regex_auto", _re_auto)
+    assert n_re_auto == n_re_scan, (n_re_auto, n_re_scan)
     n_sub = hits["common_scan"]
 
     control_end = phase_control()
@@ -175,7 +200,9 @@ def main() -> None:
                 "n_regex_hits": n_re,
                 "index_docs_per_sec": round(
                     n_docs / t["index_build_write"], 1
-                ),
+                )
+                if "index_build_write" in t
+                else None,
             }
         )
     )

@@ -183,3 +183,70 @@ def test_search_plan_has_no_cartesian(docs, index):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pruned_scope_rarest_k_and_cap(spark, docs, index, tmp_path):
+    """The fast pruned path: rarest-k gram subset stays a candidate
+    SUPERSET (verify exact), the bounded collect pushes ids into the scan,
+    and a cap overflow falls back to the join — never a driver blowup."""
+    from fuzzy_wiki_spark.operators.trigram import (
+        substring_search_auto,
+        write_trigram_index,
+    )
+
+    out = str(tmp_path / "tri")
+    write_trigram_index(index, out, n_buckets=4)
+    want = {(d, t.count("quick brown")) for d, t in DOCS if "quick brown" in t}
+    # rarest_k=1: one gram's postings only — still exact after verify
+    df, path = substring_search_auto(
+        spark, docs, out, "quick brown", scan_threshold=0.999, rarest_k=1
+    )
+    assert path == "pruned"
+    assert {(r.doc_id, r.n_hits) for r in df.collect()} == want
+    # collect_cap=0 forces the join fallback — same result
+    df, path = substring_search_auto(
+        spark, docs, out, "quick brown", scan_threshold=0.999, collect_cap=0
+    )
+    assert path == "pruned"
+    assert {(r.doc_id, r.n_hits) for r in df.collect()} == want
+
+
+def test_regex_search_auto_routes_and_matches(spark, docs, index, tmp_path):
+    from fuzzy_wiki_spark.operators.trigram import (
+        regex_search_auto,
+        write_trigram_index,
+    )
+
+    out = str(tmp_path / "tri")
+    write_trigram_index(index, out, n_buckets=4)
+    pat = r"quick [a-z]+ fox"
+    df, path = regex_search_auto(
+        spark, docs, out, pat, scan_threshold=0.999
+    )
+    assert path == "pruned"
+    assert {r.doc_id for r in df.collect()} == {
+        d for d, t in DOCS if __import__("re").search(pat, t)
+    }
+    # no mandatory literal (alternation) → scan fallback, still correct
+    df, path = regex_search_auto(
+        spark, docs, out, r"(quick|slow)", scan_threshold=0.999
+    )
+    assert path == "scan"
+    assert {r.doc_id for r in df.collect()} == {
+        d for d, t in DOCS if __import__("re").search(r"(quick|slow)", t)
+    }
+
+
+def test_stats_cache_invalidated_on_rewrite(spark, docs, index, tmp_path):
+    from fuzzy_wiki_spark.operators.trigram import (
+        _load_stats,
+        write_trigram_index,
+    )
+
+    out = str(tmp_path / "tri")
+    write_trigram_index(index, out, n_buckets=4)
+    n1, stats1 = _load_stats(spark, out)
+    # rewrite with a different corpus slice → cache must refresh
+    write_trigram_index(index.limit(3), out, n_buckets=4)
+    n2, stats2 = _load_stats(spark, out)
+    assert len(stats2) <= 3 and stats1 != stats2
