@@ -623,6 +623,29 @@ def q_regex_search(spark, sf_dir):
     return regex_search(docs, idx, REGEX_PATTERN)
 
 
+def q_substring_auto(spark, sf_dir):
+    """Cost-based substring router (operators/trigram.substring_search_auto)
+    with the routing DECISION pinned in the oracle: the documents corpus is
+    low-entropy (~40-word vocabulary), every trigram is common, so the
+    planner must pick the full scan — the result carries the chosen path as
+    a column and the DuckDB oracle hard-codes 'scan', so a mis-route
+    hash-fails the driver check (the pruned-routing regime is pinned by
+    pytest on a high-entropy corpus, tests/test_trigram.py)."""
+    import tempfile
+
+    from fuzzy_wiki_spark.operators.trigram import (
+        doc_trigrams,
+        substring_search_auto,
+        write_trigram_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="fw_tri_auto_")
+    write_trigram_index(doc_trigrams(docs), out, n_buckets=8)
+    df, path = substring_search_auto(spark, docs, out, SUBSTRING_NEEDLE)
+    return df.withColumn("path", F.lit(path))
+
+
 SPAN_TERMS, SPAN_SLOP = ("merge", "key"), 5
 
 
@@ -1910,6 +1933,13 @@ ORACLE_SQL: dict[str, str] = {
                  / {len(SUBSTRING_NEEDLE)})::BIGINT AS n_hits
         FROM documents WHERE contains(text, '{SUBSTRING_NEEDLE}')
     """,
+    "substring_auto": f"""
+        SELECT doc_id,
+               ((len(text) - len(replace(text, '{SUBSTRING_NEEDLE}', '')))
+                 / {len(SUBSTRING_NEEDLE)})::BIGINT AS n_hits,
+               'scan' AS path
+        FROM documents WHERE contains(text, '{SUBSTRING_NEEDLE}')
+    """,
     "regex_search": f"""
         SELECT doc_id FROM documents
         WHERE regexp_matches(text, '{REGEX_PATTERN}')
@@ -2887,6 +2917,7 @@ QUERIES = {
     "more_like_this": q_more_like_this,
     "trigram_postings": q_trigram_postings,
     "substring_search": q_substring_search,
+    "substring_auto": q_substring_auto,
     "regex_search": q_regex_search,
     "facet_counts": q_facet_counts,
     "facet_topk": q_facet_topk,
