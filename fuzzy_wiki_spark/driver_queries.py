@@ -1313,6 +1313,23 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+def q_video_features(spark, sf_dir):
+    """Multimodal: REAL video feature extraction — AVI demux + sampled
+    MJPEG/DIB frame decode → temporal pixel statistics (luminance, color,
+    inter-frame motion energy) via mapInPandas."""
+    from fuzzy_wiki_spark.functions.multimodal import (
+        extract_video_features,
+        make_real_media,
+    )
+
+    media = spark.createDataFrame(make_real_media(120))
+    return extract_video_features(media, every_s=1.0, fake=False).select(
+        "media_id",
+        "feat_dim",
+        F.round(F.element_at("feat", 7), 4).alias("motion"),
+    )
+
+
 def q_frame_sample(spark, sf_dir):
     """Multimodal: REAL video frame sampling — AVI (RIFF) demux, fps-driven
     frame selection, then decode of ONLY the sampled frames (MJPEG via the
@@ -2976,6 +2993,7 @@ QUERIES = {
     "media_features": q_media_features,
     "audio_features": q_audio_features,
     "frame_sample": q_frame_sample,
+    "video_features": q_video_features,
     "segment_bm25": q_segment_bm25,
     "seg_extended": q_seg_extended,
     "flagship_porter": q_flagship_porter,

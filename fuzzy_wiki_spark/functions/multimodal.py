@@ -616,6 +616,79 @@ def extract_audio_features(media_df, dim: int = 128, fake: bool = False):
     )
 
 
+def extract_video_features(media_df, every_s: float = 1.0, fake: bool = False):
+    """video rows → (media_id, feat array<float>, feat_dim): REAL demux +
+    sampled-frame decode, then temporal statistics over the decoded pixels —
+    per-video mean/std luminance, mean per-channel color, and mean absolute
+    inter-frame luminance difference (motion energy) over the sampled
+    frames. 8 dims: [n_sampled, lum_mean, lum_std, r_mean, g_mean, b_mean,
+    motion, fps]. The same demux-then-sampled-decode shape as
+    sample_frames; kind filtering prunes in the Spark plan before payloads
+    reach Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                if fake:
+                    feats.append(_fake_decode(p, 8))
+                    continue
+                meta = demux_avi(bytes(p))
+                step = max(1, int(round(meta["fps"] * every_s)))
+                frames = [
+                    decode_avi_frame(
+                        meta["frames"][j], meta["codec"],
+                        meta["width"], meta["height"],
+                    ).astype(np.float32)
+                    for j in range(0, len(meta["frames"]), step)
+                ]
+                lum = [
+                    f @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+                    for f in frames
+                ]
+                motion = (
+                    float(
+                        np.mean(
+                            [
+                                np.abs(a - b).mean()
+                                for a, b in zip(lum[1:], lum[:-1])
+                            ]
+                        )
+                    )
+                    if len(lum) > 1
+                    else 0.0
+                )
+                rgb_mean = np.mean([f.mean(axis=(0, 1)) for f in frames], axis=0)
+                feats.append(
+                    np.array(
+                        [
+                            float(len(frames)),
+                            float(np.mean([x.mean() for x in lum])),
+                            float(np.mean([x.std() for x in lum])),
+                            float(rgb_mean[0]),
+                            float(rgb_mean[1]),
+                            float(rgb_mean[2]),
+                            motion,
+                            float(meta["fps"]),
+                        ],
+                        dtype=np.float32,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feat": [f.tolist() for f in feats],
+                    "feat_dim": [len(f) for f in feats],
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    return media_df.where(F.col("kind") == "video").mapInPandas(
+        run, IMAGE_FEATURES_DDL
+    )
+
+
 def make_real_media(n: int, seed: int = 42) -> pd.DataFrame:
     """Deterministic media table whose payloads are REAL in-container
     codecs: PPM, BMP, PNG and baseline JPEG images (decodable gradients +

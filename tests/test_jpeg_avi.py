@@ -179,3 +179,29 @@ def test_sample_frames_real_decode(spark):
         .collect()
     )
     assert [tuple(r) for r in rows2] == [tuple(r) for r in rows]
+
+
+def test_extract_video_features_real(spark):
+    from fuzzy_wiki_spark.functions.multimodal import (
+        extract_video_features,
+        make_real_media,
+    )
+
+    media = spark.createDataFrame(make_real_media(18))
+    rows = extract_video_features(media, every_s=0.5, fake=False).collect()
+    pdf = make_real_media(18)
+    assert len(rows) == (pdf["kind"] == "video").sum()
+    for r in rows:
+        assert r["feat_dim"] == 8
+        n_sampled, lum_mean, lum_std, rm, gm, bm, motion, fps = r["feat"]
+        assert n_sampled >= 1 and fps == 2.0
+        assert 0 <= lum_mean <= 255 and motion >= 0
+    # generated frames shift hue per frame index → motion must be nonzero
+    # for any video with >1 sampled frame
+    moving = [r for r in rows if r["feat"][0] > 1]
+    assert moving and all(r["feat"][6] > 0 for r in moving)
+    # layout invariance
+    rows2 = extract_video_features(
+        media.repartition(5), every_s=0.5, fake=False
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
