@@ -185,12 +185,19 @@ def literal_runs(pattern: str) -> list[str]:
     Splits the pattern on metacharacters; a run followed by `?`, `*`, or
     `{` loses its final character (`ab?` does not require 'b'; `ab*`
     likewise). Any run inside/after an alternation or group is NOT provably
-    mandatory, so patterns containing '|' or '(' yield no runs at all
-    (correctness first — the verify scan still answers the query). Returns
-    runs of length >= GRAM_N only.
+    mandatory, so patterns containing an UNESCAPED '|' or '(' yield no runs
+    at all (correctness first — the verify scan still answers the query);
+    escaped literals (`\\(cache\\)`) keep pruning available. Returns runs
+    of length >= GRAM_N only.
     """
-    if "|" in pattern or "(" in pattern:
-        return []
+    i = 0
+    while i < len(pattern):
+        if pattern[i] == "\\":
+            i += 2
+            continue
+        if pattern[i] in "|(":
+            return []
+        i += 1
     runs: list[str] = []
     cur: list[str] = []
 
