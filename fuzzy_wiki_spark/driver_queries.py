@@ -646,6 +646,34 @@ def q_substring_auto(spark, sf_dir):
     return df.withColumn("path", F.lit(path))
 
 
+def q_substring_docstore(spark, sf_dir):
+    """The docstore verify path end-to-end: an index WITH an attached
+    docstore (operators/trigram.write_docstore — hash-of-id blocks, the
+    Zoekt stored-fields layout) serves the candidate verify via exact
+    block partition pruning instead of a corpus scan. scan_threshold=1.0
+    forces the pruned route so the docstore is exercised even on this
+    low-entropy corpus; the oracle hard-codes the expected
+    'pruned+docstore' decision, so a silent fallback to the corpus path
+    hash-fails the driver check."""
+    import tempfile
+
+    from fuzzy_wiki_spark.operators.trigram import (
+        doc_trigrams,
+        substring_search_auto,
+        write_docstore,
+        write_trigram_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="fw_tri_ds_")
+    write_trigram_index(doc_trigrams(docs), out, n_buckets=8)
+    write_docstore(docs.select("doc_id", "text"), out, block_docs=64)
+    df, path = substring_search_auto(
+        spark, docs, out, SUBSTRING_NEEDLE, scan_threshold=1.0
+    )
+    return df.withColumn("path", F.lit(path))
+
+
 SPAN_TERMS, SPAN_SLOP = ("merge", "key"), 5
 
 
@@ -979,6 +1007,22 @@ def q_bigram_pmi(spark, sf_dir):
 
     res = CS.bigram_pmi(_docs(spark, sf_dir), min_count=5)
     return res.select("w1", "w2", "c_ab", F.round("pmi", 6).alias("pmi"))
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """LM quality scoring (CCNet, Wenzek et al. 2020): per-doc
+    cross-entropy under a self-trained interpolated bigram/unigram LM,
+    plus the head/middle/tail ntile bucket."""
+    from fuzzy_wiki_spark.operators import corpus_stats as CS
+
+    res = CS.ppl_buckets(CS.lm_perplexity(_docs(spark, sf_dir)), 3)
+    return res.select(
+        "doc_id",
+        "n_tokens",
+        F.round("cross_entropy", 6).alias("cross_entropy"),
+        F.round("ppl", 6).alias("ppl"),
+        "bucket",
+    )
 
 
 def q_tfidf_keywords(spark, sf_dir):
@@ -1957,6 +2001,13 @@ ORACLE_SQL: dict[str, str] = {
                'scan' AS path
         FROM documents WHERE contains(text, '{SUBSTRING_NEEDLE}')
     """,
+    "substring_docstore": f"""
+        SELECT doc_id,
+               ((len(text) - len(replace(text, '{SUBSTRING_NEEDLE}', '')))
+                 / {len(SUBSTRING_NEEDLE)})::BIGINT AS n_hits,
+               'pruned+docstore' AS path
+        FROM documents WHERE contains(text, '{SUBSTRING_NEEDLE}')
+    """,
     "regex_search": f"""
         SELECT doc_id FROM documents
         WHERE regexp_matches(text, '{REGEX_PATTERN}')
@@ -2813,6 +2864,46 @@ ORACLE_SQL["bigram_pmi"] = f"""
             JOIN uni u2 ON u2.term = bc.w2, nt, nb
 """
 
+# lm_perplexity: self-trained interpolated bigram/unigram LM. Shared-IEEE
+# gotchas mirrored deliberately: (1 - 0.7) is COMPUTED in both engines (a
+# 0.3 literal parses to a different double than Python's 1-0.7); unigram
+# counts come from the transition stream (same multiset as the token
+# stream — each token appears exactly once as a transition target).
+ORACLE_SQL["lm_perplexity"] = """
+    WITH tl AS (SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS toks
+                FROM documents),
+    tr AS (SELECT doc_id, pr[1] AS prev, pr[2] AS term FROM (
+             SELECT doc_id,
+                    unnest(list_zip(
+                      list_prepend('<s>', toks[1:greatest(len(toks) - 1, 0)]),
+                      toks)) AS pr
+             FROM tl)
+           WHERE pr[2] IS NOT NULL),
+    uni AS (SELECT term, count(*)::DOUBLE AS c_w FROM tr GROUP BY 1),
+    tot AS (SELECT sum(c_w)::DOUBLE AS t_tok, count(*)::DOUBLE AS v FROM uni),
+    bgc AS (SELECT prev, term, count(*)::BIGINT AS c_vw FROM tr GROUP BY 1, 2),
+    pfx AS (SELECT prev, sum(c_vw)::DOUBLE AS c_v FROM bgc GROUP BY 1),
+    lm AS (SELECT bgc.prev, bgc.term, c_vw / c_v AS p_bg
+           FROM bgc JOIN pfx USING(prev) WHERE c_vw >= 2),
+    sc AS (SELECT tr.doc_id, count(*)::BIGINT AS n_tokens,
+                  avg(-ln(0.7 * coalesce(lm.p_bg, 0)
+                          + (1 - 0.7) * ((coalesce(uni.c_w, 0) + 0.5)
+                                         / (t_tok + 0.5 * (v + 1))))) AS ce
+           FROM tr LEFT JOIN uni USING(term)
+                   LEFT JOIN lm ON lm.prev = tr.prev AND lm.term = tr.term,
+                tot
+           GROUP BY 1),
+    alld AS (SELECT d.doc_id, coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+                    sc.ce
+             FROM documents d LEFT JOIN sc USING(doc_id))
+    SELECT doc_id, n_tokens,
+           round(ce, 6) AS cross_entropy,
+           round(exp(ce), 6) AS ppl,
+           ntile(3) OVER (ORDER BY ce ASC NULLS LAST, doc_id)::INT AS bucket
+    FROM alld
+"""
+
 ORACLE_SQL["tfidf_keywords"] = f"""
     WITH toks AS ({_TOK}),
     tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
@@ -2935,6 +3026,7 @@ QUERIES = {
     "trigram_postings": q_trigram_postings,
     "substring_search": q_substring_search,
     "substring_auto": q_substring_auto,
+    "substring_docstore": q_substring_docstore,
     "regex_search": q_regex_search,
     "facet_counts": q_facet_counts,
     "facet_topk": q_facet_topk,
@@ -2957,6 +3049,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "temperature_resample": q_temperature_resample,
     "bigram_pmi": q_bigram_pmi,
+    "lm_perplexity": q_lm_perplexity,
     "tfidf_keywords": q_tfidf_keywords,
     "contamination": q_contamination,
     "repetition_stats": q_repetition_stats,

@@ -283,3 +283,138 @@ def contamination_overlap(
             ).alias("contamination"),
         )
     )
+
+
+BOS = "<s>"
+
+
+def lm_transitions(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, prev, term) token transitions with a BOS sentinel before
+    the first token — every token is scored exactly once as a transition
+    from its predecessor (``prev = '<s>'`` for the first). Built like
+    ``bigrams``: one zip_with over the token array, no positional
+    self-join. Zero-token docs contribute no rows."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    prevs = F.concat(
+        F.array(F.lit(BOS)),
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+    )
+    pairs = F.zip_with(
+        prevs, toks, lambda a, b: F.struct(a.alias("prev"), b.alias("term"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("tr"))
+        .select("doc_id", F.col("tr.prev").alias("prev"), F.col("tr.term").alias("term"))
+        # zip_with pads to the longer side: an empty doc yields one
+        # (BOS, null) pad row — drop it
+        .where(F.col("term").isNotNull())
+    )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    ref_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    add_k: float = 0.5,
+    bigram_min_count: int = 2,
+) -> DataFrame:
+    """Language-model quality scoring for training-data curation (the
+    CCNet recipe, Wenzek et al. 2020: score documents by cross-entropy
+    under a reference-corpus LM, keep/bucket by perplexity). The paper's
+    5-gram KenLM is replaced by an interpolated bigram/unigram LM with
+    add-k smoothing — trainable and scoreable entirely as DataFrame
+    aggregations, no external model artifacts:
+
+        p(w | v)  = lam * c(v,w)/c(v,·) + (1 - lam) * p_uni(w)
+        p_uni(w)  = (c(w) + add_k) / (T + add_k * (V + 1))      # +1: OOV
+        CE(doc)   = -mean_i ln p(w_i | w_{i-1})   (w_0 = BOS)
+        ppl(doc)  = exp(CE)
+
+    The LM trains on ``ref_df`` (a curated/clean slice in the CCNet
+    setup); default is self-scoring on ``df``. Bigrams rarer than
+    ``bigram_min_count`` are dropped from the LM (their mass backs off to
+    the unigram floor), keeping the transition table compact.
+
+    Returns (doc_id, n_tokens, cross_entropy, ppl) — one row per input
+    doc; zero-token docs carry n_tokens=0 and null CE/ppl rather than
+    vanishing.
+
+    Scale (100 TB): unigram table is vocabulary-sized (broadcast); the
+    pruned bigram LM is the only possibly-large build artifact — the
+    score-side join on (prev, term) broadcasts when it fits and falls
+    back to a hash join on the pair key otherwise (uniform keys: real
+    bigram skew is capped by the prune). Training totals are 1-row
+    aggregates broadcast via crossJoin. Everything is codegen'd Column
+    algebra — no Python, no window, no global sort.
+    """
+    ref = ref_df if ref_df is not None else df
+    uni = (
+        _tokens(ref, text_col, id_col)
+        .groupBy("term")
+        .agg(F.count("*").alias("c_w"))
+        .persist()
+    )
+    totals = uni.groupBy().agg(
+        F.sum("c_w").cast("double").alias("t_tok"),
+        F.count("*").cast("double").alias("v"),
+    )
+    bg = (
+        lm_transitions(ref, text_col, id_col)
+        .groupBy("prev", "term")
+        .agg(F.count("*").alias("c_vw"))
+        .persist()
+    )
+    # prefix totals BEFORE the prune: the true denominator of c(v,w)/c(v,·)
+    prefix = bg.groupBy("prev").agg(F.sum("c_vw").cast("double").alias("c_v"))
+    lm_bg = (
+        bg.where(F.col("c_vw") >= bigram_min_count)
+        .join(prefix, "prev")
+        .select("prev", "term", (F.col("c_vw") / F.col("c_v")).alias("p_bg"))
+    )
+
+    tr = lm_transitions(df, text_col, id_col)
+    p_uni = (F.coalesce(F.col("c_w"), F.lit(0)) + F.lit(add_k)) / (
+        F.col("t_tok") + F.lit(add_k) * (F.col("v") + 1)
+    )
+    p = F.lit(lam) * F.coalesce(F.col("p_bg"), F.lit(0.0)) + F.lit(
+        1 - lam
+    ) * p_uni
+    scored = (
+        tr.join(F.broadcast(uni), "term", "left")
+        .join(F.broadcast(lm_bg), ["prev", "term"], "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(-F.log(p)).alias("cross_entropy"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "cross_entropy",
+            F.exp("cross_entropy").alias("ppl"),
+        )
+    )
+
+
+def ppl_buckets(
+    scored: DataFrame, n_buckets: int = 3, ce_col: str = "cross_entropy"
+) -> DataFrame:
+    """CCNet's head/middle/tail split: ntile buckets over ascending
+    cross-entropy (bucket 1 = most-fluent head). Deterministic tie-break
+    on doc_id. Null-CE (empty) docs sort last, landing in the tail.
+
+    Scale note: ntile is a single global sort — exact and fine up to
+    ~10^9 rows; at 10^12 switch to bucketing against approx CE quantiles
+    (approxQuantile / t-digest sketch) computed in one pass, which this
+    exact form also serves to verify at small scale."""
+    w = Window.orderBy(F.col(ce_col).asc_nulls_last(), F.col("doc_id"))
+    return scored.withColumn("bucket", F.ntile(n_buckets).over(w))

@@ -73,6 +73,18 @@ def doc_trigrams(
     return docs.select(F.col(id_col), F.explode(grams).alias("gram"))
 
 
+# Row-group size for the gram buckets. The default parquet block (128 MB)
+# makes a whole 50+ MB bucket file ONE row group, so a rare-gram lookup
+# decodes the entire bucket even though the data is gram-sorted (measured
+# at 3.2M docs: the 2-gram candidates job cost ~2 s, all of it decode).
+# 8 MB row groups restore the sorted layout's point: rg min/max stats on
+# `gram` prune the lookup to the row groups actually holding the gram.
+GRAMS_ROWGROUP_BYTES = 8 * 1024 * 1024
+
+# Row-group size for the docstore blocks (small blocks, point-read layout).
+DOCSTORE_ROWGROUP_BYTES = 4 * 1024 * 1024
+
+
 def write_trigram_index(
     index: DataFrame, out_dir: str, n_buckets: int = 64
 ) -> None:
@@ -88,6 +100,10 @@ def write_trigram_index(
                         where the index is TBs.
       out_dir/_meta.json  n_buckets (the reader must hash with the same
                         modulus; never inferred from data)
+
+    A verify-side docstore is attached separately (`write_docstore`) — the
+    candidate-verify scan needs a point-read layout the source corpus
+    usually lacks.
     """
     (
         index.withColumn(
@@ -96,6 +112,7 @@ def write_trigram_index(
         .repartition("bucket")
         .sortWithinPartitions("gram")
         .write.mode("overwrite")
+        .option("parquet.block.size", str(GRAMS_ROWGROUP_BYTES))
         .partitionBy("bucket")
         .parquet(f"{out_dir}/grams")
     )
@@ -112,13 +129,84 @@ def write_trigram_index(
         .write.mode("overwrite")
         .parquet(f"{out_dir}/stats")
     )
+    _merge_meta(out_dir, {"n_buckets": n_buckets, "gram_n": GRAM_N})
+    _STATS_CACHE.pop(out_dir, None)  # rewritten index → stale stats
+
+
+def _merge_meta(index_dir: str, update: dict) -> None:
+    """Merge keys into the index sidecar `_meta.json` (grams and docstore
+    are written by separate calls; each owns its keys)."""
     import json
     from pathlib import Path
 
-    (Path(out_dir) / "_meta.json").write_text(
-        json.dumps({"n_buckets": n_buckets, "gram_n": GRAM_N})
+    p = Path(index_dir) / "_meta.json"
+    meta = json.loads(p.read_text()) if p.exists() else {}
+    meta.update(update)
+    p.write_text(json.dumps(meta))
+    _META_CACHE.pop(index_dir, None)
+
+
+_META_CACHE: dict[str, dict] = {}
+
+
+def _load_meta(index_dir: str) -> dict:
+    if index_dir not in _META_CACHE:
+        import json
+        from pathlib import Path
+
+        _META_CACHE[index_dir] = json.loads(
+            (Path(index_dir) / "_meta.json").read_text()
+        )
+    return _META_CACHE[index_dir]
+
+
+def write_docstore(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    block_docs: int = 1024,
+    n_blocks: int | None = None,
+) -> int:
+    """Attach a verify-side document store to a trigram index:
+    `index_dir/docstore/block=*/` — the corpus copied into hash-of-id
+    blocks of ~``block_docs`` docs, id-sorted, small row groups.
+
+    Why the index owns a content copy (the Zoekt/Lucene stored-fields
+    design): the pruned query path ends with "fetch these |candidates|
+    docs and run the exact matcher" — a POINT-READ pattern. The source
+    corpus is laid out for scans (measured at 3.2M docs / 256 files /
+    one 16 MB row group per file: a 321-candidate verify decodes the
+    whole corpus because parquet's pruning granularity — row groups, and
+    pages of the one-page doc_id column — never gets below "everything",
+    BENCH.md trigram section). Blocks make the verify read
+    |distinct blocks(candidates)| ≤ |candidates| partitions via exact
+    driver-side partition pruning, independent of corpus layout.
+
+    Scale (10^12 docs): raise ``block_docs`` so a block is a few hundred
+    MB; the partition count stays catalog-manageable (Iceberg manifests)
+    and a k-candidate verify still reads ≤ k blocks, not the corpus.
+    Doubles index storage (grams + content) — exactly the trade Zoekt
+    ships with, and why this is a separate opt-in call.
+
+    Returns the block count (also recorded in `_meta.json`; readers must
+    hash with the same modulus — never inferred from data).
+    """
+    n = n_blocks or max(1, -(-docs.count() // block_docs))
+    (
+        docs.withColumn(
+            "block", F.pmod(F.xxhash64(id_col), F.lit(n))
+        )
+        # repartition-by-block + block-sorted rows → exactly one file per
+        # block, written sequentially (no concurrent-writer fanout)
+        .repartition("block")
+        .sortWithinPartitions("block", id_col)
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(DOCSTORE_ROWGROUP_BYTES))
+        .partitionBy("block")
+        .parquet(f"{index_dir}/docstore")
     )
-    _STATS_CACHE.pop(out_dir, None)  # rewritten index → stale stats
+    _merge_meta(index_dir, {"docstore": {"n_blocks": n, "id_col": id_col}})
+    return n
 
 
 def load_trigram_index(spark, index_dir: str, req: list[str]) -> DataFrame:
@@ -350,7 +438,7 @@ def _pruned_scope(
     id_col: str,
     rarest_k: int,
     collect_cap: int,
-) -> DataFrame:
+) -> tuple[DataFrame, bool]:
     """Candidate-doc scope for a required-gram conjunction, engineered so
     the pruned path beats the scan it replaces (measured at 800k docs the
     naive form LOST to a 1.3 GB scan — BENCH.md trigram section):
@@ -361,28 +449,47 @@ def _pruned_scope(
       zero extra pruning power.
     - buckets come from the stats cache — no per-query hash job.
     - the candidate ids are collected when they fit ``collect_cap`` and
-      pushed into the docs scan as an IN filter: with a doc_id-sorted
-      corpus, parquet column-index (page-level min/max) skipping means the
-      verify reads ~|candidates| content PAGES, not the whole content
-      column — the join form re-read every content byte, costing exactly
-      one full scan. The collect is bounded: above the cap (planner
-      mis-estimate) it falls back to the shuffle join, never to the driver.
+      the verify reads the index's DOCSTORE when one is attached
+      (`write_docstore`): blocks come for free from the candidates job
+      (same xxhash64 the writer used, one extra column, no extra job) and
+      exact partition pruning reads ≤ |candidates| blocks. Without a
+      docstore the ids push into the corpus scan as an IN filter — better
+      than the scan only as far as the corpus' own row-group/page layout
+      allows (measured: a scan-layout corpus gives back almost nothing).
+      The collect is bounded: above the cap (planner mis-estimate) it
+      falls back to the shuffle join, never to the driver.
+
+    Returns (scope_df, used_docstore).
     """
     n_total, stats = _load_stats(spark, index_dir)
     probe = sorted(req, key=lambda g: stats.get(g, (0, 0))[0])[:rarest_k]
     if any(stats.get(g, (0, 0))[0] == 0 for g in probe):
-        return docs.where(F.lit(False))  # an absent gram → no matches
+        return docs.where(F.lit(False)), False  # absent gram → no matches
     buckets = sorted({stats[g][1] for g in probe})
     idx = spark.read.parquet(f"{index_dir}/grams").where(
         F.col("bucket").isin(buckets) & F.col("gram").isin(probe)
     )
     cand = _candidates(idx, probe, id_col)
-    ids = [r[0] for r in cand.limit(collect_cap + 1).collect()]
+    store = _load_meta(index_dir).get("docstore")
+    if store:
+        cand = cand.withColumn(
+            "_blk", F.pmod(F.xxhash64(id_col), F.lit(store["n_blocks"]))
+        )
+    rows = cand.limit(collect_cap + 1).collect()
+    ids = [r[0] for r in rows]
     if len(ids) > collect_cap:
-        return docs.join(cand, id_col)
+        return docs.join(cand.select(id_col), id_col), False
     if not ids:
-        return docs.where(F.lit(False))
-    return docs.where(F.col(id_col).isin(ids))
+        return docs.where(F.lit(False)), False
+    if store:
+        blocks = sorted({r["_blk"] for r in rows})
+        scope = (
+            spark.read.parquet(f"{index_dir}/docstore")
+            .where(F.col("block").isin(blocks) & F.col(id_col).isin(ids))
+            .drop("block")
+        )
+        return scope, True
+    return docs.where(F.col(id_col).isin(ids)), False
 
 
 def substring_search_auto(
@@ -418,14 +525,14 @@ def substring_search_auto(
         / F.length(F.lit(needle))
     ).cast("long")
     if req and sel <= scan_threshold:
-        scope = _pruned_scope(
+        scope, via_store = _pruned_scope(
             spark, docs, index_dir, req, id_col, rarest_k, collect_cap
         )
         return (
             scope.where(F.col(text_col).contains(needle)).select(
                 F.col(id_col), n_hits.alias("n_hits")
             ),
-            "pruned",
+            "pruned+docstore" if via_store else "pruned",
         )
     return (
         docs.where(F.col(text_col).contains(needle)).select(
@@ -453,12 +560,12 @@ def regex_search_auto(
     req = required_grams_for_regex(pattern)
     sel = gram_selectivity(spark, index_dir, req) if req else 1.0
     if req and sel <= scan_threshold:
-        scope = _pruned_scope(
+        scope, via_store = _pruned_scope(
             spark, docs, index_dir, req, id_col, rarest_k, collect_cap
         )
         return (
             scope.where(F.col(text_col).rlike(pattern)).select(F.col(id_col)),
-            "pruned",
+            "pruned+docstore" if via_store else "pruned",
         )
     return (
         docs.where(F.col(text_col).rlike(pattern)).select(F.col(id_col)),

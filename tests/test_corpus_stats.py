@@ -210,3 +210,75 @@ def test_duplicated_spans(spark):
     # spans repeated only WITHIN one doc don't qualify (min_docs=2)
     for span, (_, n_docs) in got.items():
         assert n_docs >= 2, span
+
+
+def _brute_lm(texts, lam=0.7, add_k=0.5, min_count=2):
+    """Pure-Python mirror of lm_perplexity (self-scored)."""
+    toks = {d: [t for t in txt.split(" ") if t] for d, txt in texts}
+    uni: dict = {}
+    for ts in toks.values():
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+    T, V = sum(uni.values()), len(uni)
+    bg: dict = {}
+    for ts in toks.values():
+        prev = CS.BOS
+        for t in ts:
+            bg[(prev, t)] = bg.get((prev, t), 0) + 1
+            prev = t
+    cv: dict = {}
+    for (v, _), c in bg.items():
+        cv[v] = cv.get(v, 0) + c
+    out = {}
+    for d, ts in toks.items():
+        if not ts:
+            out[d] = (0, None)
+            continue
+        ce = 0.0
+        prev = CS.BOS
+        for t in ts:
+            p_bg = bg[(prev, t)] / cv[prev] if bg.get((prev, t), 0) >= min_count else 0.0
+            p_uni = (uni.get(t, 0) + add_k) / (T + add_k * (V + 1))
+            ce -= math.log(lam * p_bg + (1 - lam) * p_uni)
+            prev = t
+        out[d] = (len(ts), ce / len(ts))
+    return out
+
+
+def test_lm_perplexity_vs_brute_force(spark, docs):
+    got = {
+        r.doc_id: (r.n_tokens, r.cross_entropy, r.ppl)
+        for r in CS.lm_perplexity(docs).collect()
+    }
+    want = _brute_lm([(d, t) for d, t, _, _ in DOCS])
+    assert set(got) == set(want)  # empty doc 5 present, not dropped
+    for d, (n, ce) in want.items():
+        gn, gce, gppl = got[d]
+        assert gn == n
+        if ce is None:
+            assert gce is None and gppl is None
+        else:
+            assert gce == pytest.approx(ce, rel=1e-9)
+            assert gppl == pytest.approx(math.exp(ce), rel=1e-9)
+
+
+def test_lm_perplexity_ref_corpus_and_oov(spark, docs):
+    """Train on a clean slice, score everything: OOV tokens get the add-k
+    floor (finite CE, no nulls/inf), and docs fluent under the reference
+    score lower than alien ones."""
+    ref = docs.where(F.col("doc_id").isin([0, 1, 6, 7]))
+    scored = CS.lm_perplexity(docs, ref_df=ref).collect()
+    by_id = {r.doc_id: r for r in scored}
+    assert all(
+        r.cross_entropy is not None for r in scored if r.n_tokens > 0
+    )
+    # doc 1 is in-reference; doc 2 is fully OOV under the reference LM
+    assert by_id[1].cross_entropy < by_id[2].cross_entropy
+
+
+def test_ppl_buckets_head_middle_tail(spark, docs):
+    scored = CS.lm_perplexity(docs)
+    b = {r.doc_id: r.bucket for r in CS.ppl_buckets(scored, 3).collect()}
+    assert set(b.values()) == {1, 2, 3}
+    # the empty doc (null CE) must land in the tail bucket
+    assert b[5] == 3

@@ -250,3 +250,81 @@ def test_stats_cache_invalidated_on_rewrite(spark, docs, index, tmp_path):
     write_trigram_index(index.limit(3), out, n_buckets=4)
     n2, stats2 = _load_stats(spark, out)
     assert len(stats2) <= 3 and stats1 != stats2
+
+
+def test_docstore_verify_path(spark, docs, index, tmp_path):
+    """With a docstore attached, the pruned verify reads index-owned
+    blocks (exact partition pruning) instead of the corpus — identical
+    results, decision string records the source."""
+    from fuzzy_wiki_spark.operators.trigram import (
+        regex_search_auto,
+        substring_search_auto,
+        write_docstore,
+        write_trigram_index,
+    )
+
+    out = str(tmp_path / "tri")
+    write_trigram_index(index, out, n_buckets=4)
+    n_blocks = write_docstore(docs, out, block_docs=2)
+    assert n_blocks == 4  # ceil(7 docs / 2) — hash blocks, not ranges
+
+    want = {(d, t.count("quick brown")) for d, t in DOCS if "quick brown" in t}
+    df, path = substring_search_auto(
+        spark, docs, out, "quick brown", scan_threshold=0.999
+    )
+    assert path == "pruned+docstore"
+    assert {(r.doc_id, r.n_hits) for r in df.collect()} == want
+
+    # regex routes through the same scope
+    df, path = regex_search_auto(
+        spark, docs, out, r"quick [a-z]+ fox", scan_threshold=0.999
+    )
+    assert path == "pruned+docstore"
+    assert {r.doc_id for r in df.collect()} == {
+        d for d, t in DOCS if re.search(r"quick [a-z]+ fox", t)
+    }
+
+    # zero candidates short-circuits before touching the store
+    df, path = substring_search_auto(
+        spark, docs, out, "zzzneverzzz", scan_threshold=0.999
+    )
+    assert path == "pruned" and df.count() == 0
+
+    # cap overflow falls back to the corpus join even with a store
+    df, path = substring_search_auto(
+        spark, docs, out, "quick brown", scan_threshold=0.999, collect_cap=0
+    )
+    assert path == "pruned"
+    assert {(r.doc_id, r.n_hits) for r in df.collect()} == want
+
+
+def test_docstore_block_pruning_is_static(spark, docs, index, tmp_path):
+    """The docstore scan's partition filter must be in the plan (driver-
+    side block pruning), and the writer/reader block hash must agree:
+    every doc is findable through its computed block."""
+    from pyspark.sql import functions as F
+
+    from fuzzy_wiki_spark.operators.trigram import (
+        _load_meta,
+        write_docstore,
+        write_trigram_index,
+    )
+
+    out = str(tmp_path / "tri")
+    write_trigram_index(index, out, n_buckets=4)
+    write_docstore(docs, out, block_docs=2)
+    n = _load_meta(out)["docstore"]["n_blocks"]
+    store = spark.read.parquet(f"{out}/docstore")
+    # writer hash == reader hash for every stored doc
+    bad = store.where(
+        F.col("block") != F.pmod(F.xxhash64("doc_id"), F.lit(n))
+    ).count()
+    assert bad == 0
+    # all docs present exactly once
+    assert store.count() == docs.count()
+    # partition filter appears as a static PartitionFilters entry
+    plan = (
+        store.where(F.col("block").isin([0]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "block" in plan
