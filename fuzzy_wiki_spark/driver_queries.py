@@ -669,7 +669,14 @@ def q_substring_docstore(spark, sf_dir):
     write_trigram_index(doc_trigrams(docs), out, n_buckets=8)
     write_docstore(docs.select("doc_id", "text"), out, block_docs=64)
     df, path = substring_search_auto(
-        spark, docs, out, SUBSTRING_NEEDLE, scan_threshold=1.0
+        spark,
+        docs,
+        out,
+        SUBSTRING_NEEDLE,
+        scan_threshold=1.0,
+        # force both routing gates open: this entry exists to exercise the
+        # docstore verify, not the cost model (which is pinned by pytest)
+        docstore_max_fraction=1.0,
     )
     return df.withColumn("path", F.lit(path))
 

@@ -55,10 +55,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # IN predicates up to this many values push down as real parquet
         # eq-filters (beyond it Spark degrades them to a min/max range,
-        # useless for scattered ids). The trigram verify relies on this:
-        # candidate doc_ids push into the scan and parquet column-index
-        # page skipping reads only the candidate pages of a sorted corpus.
-        .config("spark.sql.parquet.pushdown.inFilterThreshold", "100000")
+        # useless for scattered ids). 256 and not more: the pushed In is
+        # expanded into a recursive filter tree whose evaluation
+        # StackOverflows the executor JVM at roughly 1000 values (measured
+        # on 4.1.2 at any corpus size; just-above-threshold unpushed InSet
+        # works fine) — large candidate sets must use InSet row filtering
+        # or a broadcast join, which the trigram verify routing does.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "256")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

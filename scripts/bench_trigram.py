@@ -119,10 +119,22 @@ def main() -> None:
     # timed separately so per-query numbers reflect steady state
     timed("stats_load", lambda: _load_stats(spark, out))
 
-    # two selectivity regimes: the common-gram needle (low-entropy corpus
-    # text — scan should win) and the rare-gram needle (REDIRECT docs are
-    # ~1% of the corpus and the only uppercase text — pruning should win)
-    needles = {"common": args.needle, "rare": args.rare_needle}
+    # three selectivity regimes: the common-gram needle (low-entropy corpus
+    # text — scan should win), the rare-gram needle (planted probe docs,
+    # fixed ~1e-4 density — pruning should win), and a unique needle (one
+    # full line lifted from a single document — the interactive
+    # grep-for-this-identifier case, a handful of hits regardless of
+    # corpus size)
+    uniq = (
+        docs.where(F.col("doc_id") == n_docs // 2)
+        .select(F.split("content", "\n").getItem(1).alias("l"))
+        .collect()[0]["l"]
+    )
+    needles = {
+        "common": args.needle,
+        "rare": args.rare_needle,
+        "unique": uniq,
+    }
     decisions: dict[str, str] = {}
     selectivity: dict[str, float] = {}
     hits: dict[str, int] = {}

@@ -270,14 +270,24 @@ def test_docstore_verify_path(spark, docs, index, tmp_path):
 
     want = {(d, t.count("quick brown")) for d, t in DOCS if "quick brown" in t}
     df, path = substring_search_auto(
-        spark, docs, out, "quick brown", scan_threshold=0.999
+        spark, docs, out, "quick brown", scan_threshold=0.999,
+        docstore_max_fraction=1.0,
     )
     assert path == "pruned+docstore"
     assert {(r.doc_id, r.n_hits) for r in df.collect()} == want
 
+    # the DEFAULT fraction bar (1/8) routes a tiny 4-block store back to
+    # the corpus: reading 1 of 4 blocks is not a win worth the fanout
+    df, path = substring_search_auto(
+        spark, docs, out, "quick brown", scan_threshold=0.999
+    )
+    assert path == "pruned"
+    assert {(r.doc_id, r.n_hits) for r in df.collect()} == want
+
     # regex routes through the same scope
     df, path = regex_search_auto(
-        spark, docs, out, r"quick [a-z]+ fox", scan_threshold=0.999
+        spark, docs, out, r"quick [a-z]+ fox", scan_threshold=0.999,
+        docstore_max_fraction=1.0,
     )
     assert path == "pruned+docstore"
     assert {r.doc_id for r in df.collect()} == {
@@ -292,7 +302,8 @@ def test_docstore_verify_path(spark, docs, index, tmp_path):
 
     # cap overflow falls back to the corpus join even with a store
     df, path = substring_search_auto(
-        spark, docs, out, "quick brown", scan_threshold=0.999, collect_cap=0
+        spark, docs, out, "quick brown", scan_threshold=0.999,
+        collect_cap=0, docstore_max_fraction=1.0,
     )
     assert path == "pruned"
     assert {(r.doc_id, r.n_hits) for r in df.collect()} == want
