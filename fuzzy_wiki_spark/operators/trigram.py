@@ -87,11 +87,22 @@ DOCSTORE_ROWGROUP_BYTES = 4 * 1024 * 1024
 # Candidate-generation tuning (see _pruned_scope): grow the probe-gram set
 # until the estimated intersection is under _TARGET_CANDIDATES (also the
 # isin-vs-broadcast-join verify switch), never past _MAX_PROBE_GRAMS.
-# Probe posting lists totalling ≤ _DRIVER_INTERSECT_ROWS rows are collected
-# and intersected driver-side in one job instead of a shuffle.
+# Probe posting lists totalling ≤ _DRIVER_INTERSECT_ROWS rows are Arrow-
+# collected and intersected driver-side in one narrow job instead of a
+# shuffle + second stage (566k posting rows collect in ~2.5 s vs 3.3 s for
+# the groupBy form, and rare-gram probes are sub-second).
 _TARGET_CANDIDATES = 1024
 _MAX_PROBE_GRAMS = 8
-_DRIVER_INTERSECT_ROWS = 65536
+_DRIVER_INTERSECT_ROWS = 4_194_304
+# Candidate-id sets at or under this size push into the parquet scan as a
+# REAL In filter (row-group stats + column-index page skipping: 0.47 s vs
+# the 1.9 s corpus scan at 3.2M docs). MUST match session.py's
+# spark.sql.parquet.pushdown.inFilterThreshold — larger pushed In trees
+# StackOverflow the executor JVM (~1000 values), and an unpushed InSet row
+# filter reads every page anyway (measured SLOWER than the plain scan it
+# was meant to save: 2.9 s vs 1.9 s — the probe costs more per row than a
+# failed contains()).
+_PUSHED_IN_LIMIT = 256
 
 
 def write_trigram_index(
@@ -439,6 +450,49 @@ def gram_selectivity(
     return min(dfs) / n_total
 
 
+def _plan_probe(
+    n_total: int, stats: dict, req: list[str], rarest_k: int
+) -> tuple[list[str], float]:
+    """Driver-side probe plan (zero Spark jobs): pick the grams to
+    intersect and estimate the candidate count.
+
+    Adaptive probe width: start from the ``rarest_k`` floor and keep
+    adding next-rarest grams while the independence estimate of the
+    intersection (N · Π df_i/N — within ~4× on the code corpus, where
+    gram co-occurrence is correlated) says the candidate set is still
+    large. Long needles of individually common grams (a full source
+    line: 50+ grams, each df ≈ 4% of docs) need 4-6 grams to shrink the
+    candidate set 1000×; reading two more rare posting lists is far
+    cheaper than verifying 6k extra docs. Returns ([], 0.0) when a
+    required gram is absent from the corpus (no candidates possible)."""
+    ordered = sorted(req, key=lambda g: stats.get(g, (0, 0))[0])
+    if stats.get(ordered[0], (0, 0))[0] == 0:
+        return [], 0.0
+    probe: list[str] = []
+    est = float(n_total)
+    for g in ordered[: max(rarest_k, _MAX_PROBE_GRAMS)]:
+        if len(probe) >= rarest_k and est <= _TARGET_CANDIDATES:
+            break
+        probe.append(g)
+        est *= stats[g][0] / n_total
+    return probe, est
+
+
+def _docstore_viable(
+    store: dict | None, est_candidates: float, max_fraction: float
+) -> bool:
+    """Predict whether the docstore point-read verify pays for an
+    estimated candidate count: expected distinct blocks touched under
+    uniform hashing, B·(1-(1-1/B)^n), at or under ``max_fraction`` of the
+    store. Above that the docstore read approaches a corpus scan and the
+    corpus routes win."""
+    if not store:
+        return False
+    b = store["n_blocks"]
+    est_blocks = b * (1.0 - (1.0 - 1.0 / b) ** est_candidates)
+    return est_blocks <= b * max_fraction
+
+
 def _pruned_scope(
     spark,
     docs: DataFrame,
@@ -448,6 +502,7 @@ def _pruned_scope(
     rarest_k: int,
     collect_cap: int,
     docstore_max_fraction: float = 0.125,
+    cheap_verify: bool = False,
 ) -> tuple[DataFrame, bool]:
     """Candidate-doc scope for a required-gram conjunction, engineered so
     the pruned path beats the scan it replaces (measured at 800k docs the
@@ -467,28 +522,24 @@ def _pruned_scope(
       than the scan only as far as the corpus' own row-group/page layout
       allows (measured: a scan-layout corpus gives back almost nothing).
       The collect is bounded: above the cap (planner mis-estimate) it
-      falls back to the shuffle join, never to the driver.
+      falls back to the shuffle join (or, for a cheap verify predicate,
+      the plain corpus scan), never to the driver.
+    - ``cheap_verify=True`` (substring contains) makes the no-docstore
+      fallbacks honest about measured costs: an InSet row filter or a
+      broadcast join reads every corpus page anyway AND costs more per
+      row than a failed contains() (2.9 s / 4.4 s vs the 1.9 s plain
+      scan at 3.2M docs), so candidate sets too big for a PUSHED In
+      (≤ _PUSHED_IN_LIMIT values → real page skipping, 0.47 s) return
+      the unfiltered corpus. Expensive verifies (rlike: 8 s over the
+      same corpus) keep the id prefilter at any size — same I/O, 4×
+      less CPU.
 
     Returns (scope_df, used_docstore).
     """
     n_total, stats = _load_stats(spark, index_dir)
-    ordered = sorted(req, key=lambda g: stats.get(g, (0, 0))[0])
-    if stats.get(ordered[0], (0, 0))[0] == 0:
+    probe, _est = _plan_probe(n_total, stats, req, rarest_k)
+    if not probe:
         return docs.where(F.lit(False)), False  # absent gram → no matches
-    # adaptive probe width: start from the ``rarest_k`` floor and keep
-    # adding next-rarest grams while the independence estimate of the
-    # intersection (N · Π df_i/N — measured within 15% on the code corpus)
-    # says the candidate set is still large. Long needles of individually
-    # common grams (a full source line: 50+ grams, each df ≈ 4% of docs)
-    # need 4-6 grams to shrink the candidate set 1000×; reading two more
-    # rare posting lists is far cheaper than verifying 6k extra docs.
-    probe: list[str] = []
-    est = float(n_total)
-    for g in ordered[: max(rarest_k, _MAX_PROBE_GRAMS)]:
-        if len(probe) >= rarest_k and est <= _TARGET_CANDIDATES:
-            break
-        probe.append(g)
-        est *= stats[g][0] / n_total
     buckets = sorted({stats[g][1] for g in probe})
     idx = spark.read.parquet(f"{index_dir}/grams").where(
         F.col("bucket").isin(buckets) & F.col("gram").isin(probe)
@@ -499,27 +550,37 @@ def _pruned_scope(
         if store
         else F.lit(0).alias("_blk")
     )
-    if sum(stats[g][0] for g in probe) <= min(
-        _DRIVER_INTERSECT_ROWS, collect_cap
-    ):
-        # rare probes: the posting lists fit in driver memory, so collect
-        # them in ONE narrow job (rg-pruned scan, no shuffle) and
-        # intersect here — what Zoekt does with shard-resident postings.
-        # The distributed groupBy path below costs a shuffle + second
-        # stage; for a df≈300 gram that was most of the query's latency.
-        # The block id rides the same collect (Spark-side xxhash64 — it
-        # is never recomputed outside Spark).
-        post = idx.select(F.col(id_col), F.col("gram"), blk_col).collect()
-        per_gram: dict[str, set] = {g: set() for g in probe}
-        blk_of: dict = {}
-        for r in post:
-            per_gram[r["gram"]].add(r[0])
-            blk_of[r[0]] = r["_blk"]
-        inter = set.intersection(*per_gram.values()) if per_gram else set()
-        ids = sorted(inter)
+    blocks: list[int] = []
+    if sum(stats[g][0] for g in probe) <= _DRIVER_INTERSECT_ROWS:
+        # the posting lists fit in driver memory: Arrow-collect them in
+        # ONE narrow job (rg-pruned scan, no shuffle) and intersect here —
+        # what Zoekt does with shard-resident postings. The distributed
+        # groupBy path below costs a shuffle + second stage; for a df≈300
+        # gram that was most of the query's latency. The block id rides
+        # the same collect (Spark-side xxhash64 — never recomputed
+        # outside Spark).
+        import numpy as np
+
+        pdf = idx.select(F.col(id_col), F.col("gram"), blk_col).toPandas()
+        inter = None
+        for g in probe:
+            a = pdf.loc[pdf["gram"] == g, id_col].to_numpy()
+            inter = a if inter is None else np.intersect1d(inter, a)
+        ids = inter.tolist() if inter is not None else []
         if not ids:
             return docs.where(F.lit(False)), False
-        blocks = sorted({blk_of[i] for i in ids})
+        if len(ids) > collect_cap:
+            # the cap bounds how many ids we are willing to put in a
+            # filter, not the (already bounded) collect above
+            if cheap_verify:
+                return docs, False
+            return (
+                docs.join(_candidates(idx, probe, id_col), id_col),
+                False,
+            )
+        if store:
+            mask = pdf[id_col].isin(set(ids))
+            blocks = sorted(pdf.loc[mask, "_blk"].unique().tolist())
     else:
         cand = _candidates(idx, probe, id_col)
         if store:
@@ -531,6 +592,8 @@ def _pruned_scope(
         if not ids:
             return docs.where(F.lit(False)), False
         if len(ids) > collect_cap:
+            if cheap_verify:
+                return docs, False
             return docs.join(cand.select(id_col), id_col), False
         blocks = sorted({r["_blk"] for r in rows}) if store else []
     if store:
@@ -554,13 +617,24 @@ def _pruned_scope(
                 .drop("block")
             )
             return scope, True
-    if len(ids) <= _TARGET_CANDIDATES:
-        # small set: InSet row filter on the corpus scan. NOT pushed to
-        # parquet beyond the session's inFilterThreshold — pushed In
-        # trees StackOverflow the executor at ~1000 values (session.py).
+    if len(ids) <= _PUSHED_IN_LIMIT:
+        # small set: REAL pushed parquet In filter — row-group stats +
+        # column-index page skipping read only candidate pages (0.47 s vs
+        # the 1.9 s scan at 3.2M docs)
         return docs.where(F.col(id_col).isin(ids)), False
-    # large set: broadcast-join the already-collected ids (a local
-    # relation — no recompute of the candidates job, no giant In expr)
+    if cheap_verify:
+        # beyond the pushed-In limit a row-level id filter reads every
+        # page anyway and costs MORE than the cheap verify it would save
+        # (measured: InSet 2.9 s, broadcast join 4.4 s, plain scan 1.9 s)
+        return docs, False
+    if len(ids) <= _TARGET_CANDIDATES:
+        # mid set, expensive verify: InSet row filter (not pushed —
+        # pushed In trees StackOverflow the executor at ~1000 values,
+        # session.py)
+        return docs.where(F.col(id_col).isin(ids)), False
+    # large set, expensive verify: broadcast-join the already-collected
+    # ids (a local relation — no recompute of the candidates job, no
+    # giant In expr)
     cand_local = spark.createDataFrame(
         [(i,) for i in ids], schema=docs.select(id_col).schema
     )
@@ -600,10 +674,27 @@ def substring_search_auto(
         )
         / F.length(F.lit(needle))
     ).cast("long")
-    if req and sel <= scan_threshold:
+    go_pruned = bool(req) and sel <= scan_threshold
+    if go_pruned:
+        # second cost gate, still zero Spark jobs: even a selective gram
+        # set only pays if the predicted candidate set can be verified
+        # WITHOUT a full corpus read — via docstore point reads or a
+        # pushed parquet In filter. contains() is so cheap per row that
+        # any row-level prefilter (InSet, broadcast join) LOSES to the
+        # plain scan it runs on top of (BENCH.md §3c'), so when neither
+        # applies, skip candidate generation entirely. A probe of [] means
+        # a required gram is absent — prune to empty, never scan.
+        n_total, stats = _load_stats(spark, index_dir)
+        probe, est = _plan_probe(n_total, stats, req, rarest_k)
+        store = _load_meta(index_dir).get("docstore")
+        if probe and est > _PUSHED_IN_LIMIT and not _docstore_viable(
+            store, est, docstore_max_fraction
+        ):
+            go_pruned = False
+    if go_pruned:
         scope, via_store = _pruned_scope(
             spark, docs, index_dir, req, id_col, rarest_k, collect_cap,
-            docstore_max_fraction,
+            docstore_max_fraction, cheap_verify=True,
         )
         return (
             scope.where(F.col(text_col).contains(needle)).select(
@@ -638,6 +729,9 @@ def regex_search_auto(
     req = required_grams_for_regex(pattern)
     sel = gram_selectivity(spark, index_dir, req) if req else 1.0
     if req and sel <= scan_threshold:
+        # no second gate here (cheap_verify=False): rlike is ~4× the CPU
+        # of the corpus read (8 s vs 1.9 s at 3.2M docs), so an id
+        # prefilter pays even when it can't reduce I/O
         scope, via_store = _pruned_scope(
             spark, docs, index_dir, req, id_col, rarest_k, collect_cap,
             docstore_max_fraction,
