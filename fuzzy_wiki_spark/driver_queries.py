@@ -681,6 +681,45 @@ def q_substring_docstore(spark, sf_dir):
     return df.withColumn("path", F.lit(path))
 
 
+# mixed-case needle over a deterministically mixed-case corpus (the
+# driver's documents table is all-lowercase, so every 10th doc is
+# upper-cased IN the entry and its oracle): a case-SENSITIVE search finds
+# this needle nowhere, so the entry hash-matches only if folding works
+NOCASE_NEEDLE = "Merge Join"
+
+
+def q_substring_nocase(spark, sf_dir):
+    """Case-insensitive substring code search — the Zoekt case-folding
+    design: ONE lower()-folded trigram index serves both case modes
+    (folded-needle grams are a candidate superset for sensitive queries,
+    exact for insensitive ones; an UNfolded index refuses to prune
+    insensitive queries — tests/test_trigram.py pins both)."""
+    import tempfile
+
+    from fuzzy_wiki_spark.operators.trigram import (
+        doc_trigrams,
+        substring_search_auto,
+        write_trigram_index,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 0, F.upper("text")).otherwise(
+            F.col("text")
+        ),
+    )
+    out = tempfile.mkdtemp(prefix="fw_tri_fold_")
+    write_trigram_index(
+        doc_trigrams(docs, fold_case=True), out, n_buckets=8,
+        fold_case=True,
+    )
+    df, _path = substring_search_auto(
+        spark, docs, out, NOCASE_NEEDLE,
+        scan_threshold=1.0, case_sensitive=False,
+    )
+    return df
+
+
 SPAN_TERMS, SPAN_SLOP = ("merge", "key"), 5
 
 
@@ -2008,6 +2047,19 @@ ORACLE_SQL: dict[str, str] = {
                'scan' AS path
         FROM documents WHERE contains(text, '{SUBSTRING_NEEDLE}')
     """,
+    "substring_nocase": f"""
+        WITH mixed AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0 THEN upper(text) ELSE text END
+                   AS text
+          FROM documents)
+        SELECT doc_id,
+               ((len(lower(text))
+                 - len(replace(lower(text), '{NOCASE_NEEDLE.lower()}', '')))
+                 / {len(NOCASE_NEEDLE)})::BIGINT AS n_hits
+        FROM mixed
+        WHERE contains(lower(text), '{NOCASE_NEEDLE.lower()}')
+    """,
     "substring_docstore": f"""
         SELECT doc_id,
                ((len(text) - len(replace(text, '{SUBSTRING_NEEDLE}', '')))
@@ -3034,6 +3086,7 @@ QUERIES = {
     "substring_search": q_substring_search,
     "substring_auto": q_substring_auto,
     "substring_docstore": q_substring_docstore,
+    "substring_nocase": q_substring_nocase,
     "regex_search": q_regex_search,
     "facet_counts": q_facet_counts,
     "facet_topk": q_facet_topk,

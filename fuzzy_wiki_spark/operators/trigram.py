@@ -55,7 +55,10 @@ GRAM_N = 3
 
 
 def doc_trigrams(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fold_case: bool = False,
 ) -> DataFrame:
     """(doc_id, gram) — the DISTINCT character trigrams of each document.
 
@@ -63,12 +66,20 @@ def doc_trigrams(
     transform(sequence(...)), per-row dedup via array_distinct, then one
     explode. No shuffle, no Python — the build is a single narrow stage.
     Documents shorter than 3 chars contribute no rows.
-    """
+
+    ``fold_case=True`` extracts grams from ``lower(text)`` — the Zoekt
+    case-folding design: ONE folded index serves both case modes, because
+    folded-needle grams give a candidate SUPERSET for a case-sensitive
+    query (the exact verify restores sensitivity) and the exact set for an
+    insensitive one. Pass the same flag to ``write_trigram_index`` so the
+    query router knows (an UNfolded index cannot serve insensitive queries
+    — it routes them to the scan)."""
+    src = f"lower({text_col})" if fold_case else text_col
     grams = F.expr(
-        f"CASE WHEN length({text_col}) < {GRAM_N} THEN array() "
+        f"CASE WHEN length({src}) < {GRAM_N} THEN array() "
         f"ELSE array_distinct(transform("
-        f"sequence(1, length({text_col}) - {GRAM_N - 1}), "
-        f"i -> substring({text_col}, i, {GRAM_N}))) END"
+        f"sequence(1, length({src}) - {GRAM_N - 1}), "
+        f"i -> substring({src}, i, {GRAM_N}))) END"
     )
     return docs.select(F.col(id_col), F.explode(grams).alias("gram"))
 
@@ -106,7 +117,10 @@ _PUSHED_IN_LIMIT = 256
 
 
 def write_trigram_index(
-    index: DataFrame, out_dir: str, n_buckets: int = 64
+    index: DataFrame,
+    out_dir: str,
+    n_buckets: int = 64,
+    fold_case: bool = False,
 ) -> None:
     """Persist the trigram index:
 
@@ -149,7 +163,13 @@ def write_trigram_index(
         .write.mode("overwrite")
         .parquet(f"{out_dir}/stats")
     )
-    _merge_meta(out_dir, {"n_buckets": n_buckets, "gram_n": GRAM_N})
+    _merge_meta(
+        out_dir,
+        # fold_case records how the grams were EXTRACTED (doc_trigrams'
+        # flag) — the query router folds needles to match and refuses to
+        # serve case-insensitive queries from an unfolded index
+        {"n_buckets": n_buckets, "gram_n": GRAM_N, "fold_case": fold_case},
+    )
     _STATS_CACHE.pop(out_dir, None)  # rewritten index → stale stats
 
 
@@ -652,6 +672,7 @@ def substring_search_auto(
     rarest_k: int = 2,
     collect_cap: int = 65536,
     docstore_max_fraction: float = 0.125,
+    case_sensitive: bool = True,
 ) -> tuple[DataFrame, str]:
     """Cost-based substring search: consult the gram-df statistics and pick
     the index-pruned path only when the rarest required gram bounds the
@@ -660,19 +681,29 @@ def substring_search_auto(
     trigram is common, the pruned path's index read + intersection costs
     more than the scan it is meant to save — BENCH.md trigram section).
 
+    ``case_sensitive=False`` matches ignoring case. A FOLDED index
+    (``write_trigram_index(..., fold_case=True)``) serves both modes —
+    folded-needle grams are a candidate superset for the sensitive verify
+    and exact for the insensitive one. An unfolded index cannot prune an
+    insensitive query soundly (original-case grams ≠ folded grams), so
+    those route to the scan.
+
     Returns (result_df, "pruned" | "scan") so callers/benches can record
     the decision.
     """
-    req = required_grams_for_literal(needle)
-    sel = gram_selectivity(spark, index_dir, req) if req else 1.0
-    n_hits = (
-        (
-            F.length(text_col)
-            - F.length(
-                F.replace(F.col(text_col), F.lit(needle), F.lit(""))
-            )
+    folded = _load_meta(index_dir).get("fold_case", False)
+    if not case_sensitive and not folded:
+        req: list[str] = []  # unsound to prune — scan below
+    else:
+        req = required_grams_for_literal(
+            needle.lower() if folded else needle
         )
-        / F.length(F.lit(needle))
+    sel = gram_selectivity(spark, index_dir, req) if req else 1.0
+    vt = F.col(text_col) if case_sensitive else F.lower(F.col(text_col))
+    vn = needle if case_sensitive else needle.lower()
+    n_hits = (
+        (F.length(vt) - F.length(F.replace(vt, F.lit(vn), F.lit(""))))
+        / F.length(F.lit(vn))
     ).cast("long")
     go_pruned = bool(req) and sel <= scan_threshold
     if go_pruned:
@@ -697,13 +728,13 @@ def substring_search_auto(
             docstore_max_fraction, cheap_verify=True,
         )
         return (
-            scope.where(F.col(text_col).contains(needle)).select(
+            scope.where(vt.contains(vn)).select(
                 F.col(id_col), n_hits.alias("n_hits")
             ),
             "pruned+docstore" if via_store else "pruned",
         )
     return (
-        docs.where(F.col(text_col).contains(needle)).select(
+        docs.where(vt.contains(vn)).select(
             F.col(id_col), n_hits.alias("n_hits")
         ),
         "scan",
@@ -721,12 +752,25 @@ def regex_search_auto(
     rarest_k: int = 2,
     collect_cap: int = 65536,
     docstore_max_fraction: float = 0.125,
+    case_sensitive: bool = True,
 ) -> tuple[DataFrame, str]:
     """Cost-based regex search: mandatory-literal trigram pruning through
     the same planner/scope machinery as substring_search_auto, `rlike`
     verify. Falls back to the full scan when no mandatory literal exists
-    or its grams are common."""
+    or its grams are common. ``case_sensitive=False`` prepends `(?i)`
+    (same inline flag in Java regex and the oracle's RE2) and requires a
+    FOLDED index to prune — see substring_search_auto."""
+    folded = _load_meta(index_dir).get("fold_case", False)
     req = required_grams_for_regex(pattern)
+    if folded:
+        # index grams are lowercased: fold the probe grams (char-wise
+        # lower == grams of the lowered literal runs); a sensitive verify
+        # still restores exactness over the candidate superset
+        req = sorted({g.lower() for g in req})
+    elif not case_sensitive:
+        req = []  # unfolded index cannot prune an insensitive query
+    if not case_sensitive:
+        pattern = "(?i)" + pattern
     sel = gram_selectivity(spark, index_dir, req) if req else 1.0
     if req and sel <= scan_threshold:
         # no second gate here (cheap_verify=False): rlike is ~4× the CPU

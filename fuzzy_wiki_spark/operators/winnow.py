@@ -121,6 +121,7 @@ def winnow_fingerprints(
     k: int = 5,
     w: int = 4,
     with_size: bool = False,
+    raw_keys: bool = False,
 ) -> DataFrame:
     """(id, fp) rows: one row per distinct selected fingerprint per doc.
     Arrow-batch kernel (see module docstring); identical output to the
@@ -129,7 +130,13 @@ def winnow_fingerprints(
     ``with_size=True`` adds an ``n_fp`` column (the doc's total distinct
     fingerprint count, constant across its rows) — the kernel knows it
     for free, which lets ``winnow_pairs`` skip a whole per-doc counting
-    pass + join."""
+    pass + join.
+
+    ``raw_keys=True`` emits ``fp`` as the uint64 digest key bit-cast to
+    long instead of the 16-hex-char string — same equality classes
+    (the hex form IS those 8 bytes), 8 shuffle bytes instead of ~20, and
+    numpy-sortable downstream. The pairs kernel consumes this; the
+    string form stays the public/oracle-facing default."""
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -149,7 +156,11 @@ def winnow_fingerprints(
                 "doc_id": pa.array(
                     np.concatenate(out_ids), type=pa.int64()
                 ),
-                "fp": pa.array([format(v, "016x") for v in allk]),
+                "fp": (
+                    pa.array(allk.view(np.int64), type=pa.int64())
+                    if raw_keys
+                    else pa.array([format(v, "016x") for v in allk])
+                ),
             }
             if with_size:
                 cols["n_fp"] = pa.array(
@@ -167,7 +178,10 @@ def winnow_fingerprints(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("text"),
     )
-    schema = "doc_id long, fp string" + (", n_fp long" if with_size else "")
+    fp_t = "long" if raw_keys else "string"
+    schema = f"doc_id long, fp {fp_t}" + (
+        ", n_fp long" if with_size else ""
+    )
     out = src.mapInArrow(gen, schema)
     return out if id_col == "doc_id" else out.withColumnRenamed(
         "doc_id", id_col
@@ -191,47 +205,83 @@ def winnow_pairs(
 
     Plan shape — ONE pass over the fingerprint stream, ONE wide shuffle:
     the kernel emits each doc's sketch size alongside every row
-    (``with_size``), the groupBy(fp) collects (id, n_fp) structs, the
-    per-group combination expansion emits candidate pairs carrying both
-    denominators, and a small groupBy on the pairs finishes. The naive
-    alternatives each cost a corpus-scale extra: an fp-keyed SELF-JOIN
-    shuffles two full copies and probes every singleton fingerprint
-    (measured 433 s at 800 k docs / 65 M fps, local[32]); a separate
-    per-doc counting pass + two joins re-reads the 65 M-row stream and
-    needs it persisted (spill). This shape ran the same input in ~150 s
-    (extraction 28 s + one grouped shuffle). Singleton fingerprints — the overwhelming majority — die in the
-    group-size filter before any pair is emitted; per-group work is
+    (``with_size``) and the fp as a raw uint64 key (``raw_keys``: 8
+    shuffle bytes, not a 16-char string); ``repartition(fp)`` co-locates
+    each fingerprint's rows; a partition-local Arrow kernel sorts by
+    (fp, id), detects runs, filters 2 ≤ df ≤ max_df, and expands
+    combinations VECTORIZED (per-run-length triu-index templates — no
+    per-group Python); a small groupBy on the pairs finishes.
+
+    Evolution, all measured at 800 k docs / 65 M fps: fp-keyed SELF-JOIN
+    433 s (two full shuffled copies, probes every singleton);
+    groupBy(fp).collect_list(struct) + HOF combination explode ~150 s at
+    local[32] but 8→32-core scaling 1.7× — the full-row exchange itself
+    scales 2.8× (measured floor: 49 s → 17 s), so the sort-based
+    object-agg was the non-scaling part; this kernel replaces exactly
+    that piece. Singleton fingerprints — the overwhelming majority — die
+    at the run-length filter before any pair exists; per-run work is
     bounded by max_df ids → ≤ max_df²/2 pairs (the skew AND memory
-    bound)."""
+    bound). Per-task state is the partition's (fp, id, n_fp) arrays
+    (~24 B/row — a 2 M-row task holds ~50 MB)."""
     fps = winnow_fingerprints(
-        df, text_col, id_col, k=k, w=w, with_size=True
+        df, text_col, id_col, k=k, w=w, with_size=True, raw_keys=True
     )
-    groups = (
-        fps.groupBy("fp")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col(id_col).alias("id"), "n_fp"))
-            ).alias("ids")
-        )
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_df))
-    )
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + 2, max_df),
-                lambda b: F.struct(
-                    a["id"].alias("id_a"),
-                    b["id"].alias("id_b"),
-                    F.least(a["n_fp"], b["n_fp"]).alias("n_min"),
-                ),
-            ),
-        )
+
+    def pair_gen(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        fp_l: list = []
+        id_l: list = []
+        nf_l: list = []
+        for b in batches:
+            fp_l.append(b.column("fp").to_numpy(zero_copy_only=False))
+            id_l.append(b.column(id_col).to_numpy(zero_copy_only=False))
+            nf_l.append(b.column("n_fp").to_numpy(zero_copy_only=False))
+        if not fp_l:
+            return
+        fp = np.concatenate(fp_l)
+        did = np.concatenate(id_l)
+        nf = np.concatenate(nf_l)
+        order = np.lexsort((did, fp))
+        fp, did, nf = fp[order], did[order], nf[order]
+        change = np.empty(fp.size, dtype=bool)
+        change[0] = True
+        np.not_equal(fp[1:], fp[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, fp.size))
+        keep = (lens >= 2) & (lens <= max_df)
+        gs, gl = starts[keep], lens[keep]
+        if gs.size == 0:
+            return
+        out_a: list = []
+        out_b: list = []
+        out_m: list = []
+        for length in np.unique(gl):
+            ti, tj = np.triu_indices(int(length), k=1)
+            s = gs[gl == length]
+            ai = (s[:, None] + ti[None, :]).ravel()
+            bj = (s[:, None] + tj[None, :]).ravel()
+            out_a.append(did[ai])  # run sorted by id → id_a < id_b
+            out_b.append(did[bj])
+            out_m.append(np.minimum(nf[ai], nf[bj]))
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        m = np.concatenate(out_m)
+        step = 1 << 20
+        for i in range(0, a.size, step):
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "id_a": pa.array(a[i : i + step], type=pa.int64()),
+                    "id_b": pa.array(b[i : i + step], type=pa.int64()),
+                    "n_min": pa.array(m[i : i + step], type=pa.int64()),
+                }
+            )
+
+    pairs = fps.repartition("fp").mapInArrow(
+        pair_gen, "id_a long, id_b long, n_min long"
     )
     return (
-        groups.select(F.explode(combos).alias("p"))
-        .select("p.id_a", "p.id_b", "p.n_min")
-        .groupBy("id_a", "id_b")
+        pairs.groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("n_shared"),
             F.first("n_min").alias("n_min"),

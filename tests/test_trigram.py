@@ -339,3 +339,127 @@ def test_docstore_block_pruning_is_static(spark, docs, index, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "block" in plan
+
+
+# ---------------------------------------------------------------------------
+# Case folding (Zoekt design: ONE folded index serves both case modes)
+
+CASE_DOCS = [
+    (0, "Merge Join key MERGE JOIN"),
+    (1, "merge join lower only"),
+    (2, "MERGE join MiXeD"),
+    (3, "nothing relevant here"),
+    (4, "REDIRECT src/target"),
+]
+
+
+def _brute_nocase(needle):
+    n = needle.lower()
+    return {
+        (d, t.lower().count(n)) for d, t in CASE_DOCS if n in t.lower()
+    }
+
+
+def _brute_case(needle):
+    return {(d, t.count(needle)) for d, t in CASE_DOCS if needle in t}
+
+
+def test_case_folded_index_both_modes(spark, tmp_path):
+    from fuzzy_wiki_spark.operators.trigram import (
+        substring_search_auto,
+        write_trigram_index,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(CASE_DOCS, columns=["doc_id", "text"])
+    )
+    out = str(tmp_path / "folded")
+    write_trigram_index(
+        doc_trigrams(docs, fold_case=True), out, n_buckets=4, fold_case=True
+    )
+
+    # insensitive query on the folded index: pruned AND matches all cases
+    df, path = substring_search_auto(
+        spark, docs, out, "merge join",
+        scan_threshold=0.999, case_sensitive=False,
+    )
+    assert path == "pruned"
+    assert {(r.doc_id, r.n_hits) for r in df.collect()} == _brute_nocase(
+        "merge join"
+    )
+
+    # SENSITIVE query on the same folded index: folded grams are a
+    # candidate superset; the verify restores exactness
+    df, path = substring_search_auto(
+        spark, docs, out, "Merge Join", scan_threshold=0.999,
+    )
+    assert path == "pruned"
+    assert {(r.doc_id, r.n_hits) for r in df.collect()} == _brute_case(
+        "Merge Join"
+    )
+
+    # needle whose original case appears nowhere still resolves
+    df, _ = substring_search_auto(
+        spark, docs, out, "mErGe JoIn",
+        scan_threshold=0.999, case_sensitive=False,
+    )
+    assert {(r.doc_id, r.n_hits) for r in df.collect()} == _brute_nocase(
+        "mErGe JoIn"
+    )
+
+
+def test_case_insensitive_unfolded_index_scans(spark, tmp_path):
+    from fuzzy_wiki_spark.operators.trigram import (
+        substring_search_auto,
+        write_trigram_index,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(CASE_DOCS, columns=["doc_id", "text"])
+    )
+    out = str(tmp_path / "unfolded")
+    write_trigram_index(doc_trigrams(docs), out, n_buckets=4)
+
+    # pruning an insensitive query from original-case grams is unsound —
+    # the router must scan, and the result is still exact
+    df, path = substring_search_auto(
+        spark, docs, out, "merge join",
+        scan_threshold=0.999, case_sensitive=False,
+    )
+    assert path == "scan"
+    assert {(r.doc_id, r.n_hits) for r in df.collect()} == _brute_nocase(
+        "merge join"
+    )
+
+
+def test_case_insensitive_regex(spark, tmp_path):
+    from fuzzy_wiki_spark.operators.trigram import (
+        regex_search_auto,
+        write_trigram_index,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(CASE_DOCS, columns=["doc_id", "text"])
+    )
+    out = str(tmp_path / "folded_re")
+    write_trigram_index(
+        doc_trigrams(docs, fold_case=True), out, n_buckets=4, fold_case=True
+    )
+
+    pat = r"merge [a-z]+"
+    df, path = regex_search_auto(
+        spark, docs, out, pat, scan_threshold=0.999, case_sensitive=False,
+    )
+    assert path == "pruned"
+    want = {
+        d for d, t in CASE_DOCS if re.search("(?i)" + pat, t)
+    }
+    assert {r.doc_id for r in df.collect()} == want
+
+    # sensitive regex on the folded index stays exact
+    df, path = regex_search_auto(
+        spark, docs, out, r"MERGE [A-Z]+", scan_threshold=0.999,
+    )
+    assert path == "pruned"
+    want = {d for d, t in CASE_DOCS if re.search(r"MERGE [A-Z]+", t)}
+    assert {r.doc_id for r in df.collect()} == want
