@@ -26,6 +26,35 @@ from fuzzy_wiki_spark.operators.topk import score_query
 from fuzzy_wiki_spark.plans.query import B, K1, compile_query
 
 
+def _memo_term_df(
+    owner, term_stats: DataFrame, terms: list[str]
+) -> dict[tuple[str, str], int]:
+    """Per-index-instance memoized (field, term) → df lookup.
+
+    Both engines' stats are an immutable snapshot per instance
+    (InvertedIndex assigns term_stats once at build; SegmentIndex docs its
+    segments as an immutable snapshot — same contract as its tombstone
+    cache), so a term's df never changes under the cache. One filtered
+    collect fetches ONLY never-seen terms; terms absent from the corpus
+    are remembered too (absence is an answer — repeat misses must not
+    re-scan). This is the in-memory term dictionary a Lucene/Zoekt
+    searcher holds per open index: per-query cost drops from one Spark
+    job to a dict probe for every repeated term, and the cache holds only
+    the QUERIED vocabulary subset."""
+    cache: dict[tuple[str, str], int] = getattr(owner, "_tdf_cache", None)
+    if cache is None:
+        cache = owner._tdf_cache = {}
+        owner._tdf_seen = set()
+    seen: set[str] = owner._tdf_seen
+    missing = sorted(set(terms) - seen)
+    if missing:
+        for r in term_stats.where(F.col("term").isin(missing)).collect():
+            cache[(r["field"], r["term"])] = r["df"]
+        seen.update(missing)
+    want = set(terms)
+    return {ft: df for ft, df in cache.items() if ft[1] in want}
+
+
 class InvertedIndex:
     def __init__(
         self,
@@ -76,11 +105,14 @@ class InvertedIndex:
 
     def lookup_term_df(self, terms: list[str]) -> dict[tuple[str, str], int]:
         """Point-lookup df for the query's few terms (the O20 stats
-        side-channel as a plain filtered collect)."""
-        if not terms:
-            return {}
-        rows = self.term_stats.where(F.col("term").isin(terms)).collect()
-        return {(r["field"], r["term"]): r["df"] for r in rows}
+        side-channel), memoized driver-side per index instance — the
+        in-memory term-dictionary a Lucene searcher keeps open. Stats are
+        immutable for an instance (term_stats is assigned once at build),
+        so repeat terms cost ZERO jobs; only never-seen terms run the
+        filtered collect. Entries are df ints keyed by (field, term):
+        even a 100 M-term vocabulary's QUERIED subset stays trivially
+        driver-sized."""
+        return _memo_term_df(self, self.term_stats, terms)
 
     def search(
         self, query: str, k: int = 10, query_analyzer: str = "porter"
@@ -442,8 +474,7 @@ class SegmentIndex:
     def _term_df(self, terms: list[str]) -> dict[tuple[str, str], int]:
         if not terms:
             return {}
-        rows = self.term_stats.where(F.col("term").isin(terms)).collect()
-        return {(r["field"], r["term"]): r["df"] for r in rows}
+        return _memo_term_df(self, self.term_stats, terms)
 
     def search(self, query: str, k: int = 10) -> DataFrame:
         from fuzzy_wiki_spark.operators.segment_query import search_segments
