@@ -117,6 +117,35 @@ def q_bm25_topk(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+# two synonym groups: each scores as ONE pseudo-term (max-df blended idf,
+# summed member tf — Lucene SynonymQuery semantics)
+SYN_GROUPS = [["merge", "batch"], ["join", "group"]]
+
+
+def q_synonym_search(spark, sf_dir):
+    """Query-time synonym expansion (operators/topk.py:synonym_search —
+    the Lucene SynonymQuery contract: df = max over group members, tf =
+    sum of member tfs, idf once per group; NOT an OR of term clauses,
+    which would add idf per member and double-count multi-spelling docs).
+    Same SQL-expressible skeleton as bm25_topk: simple tokenizer, single
+    content field, boost 1.0."""
+    from fuzzy_wiki_spark.operators.topk import synonym_search
+
+    posts = _postings_simple(spark, sf_dir)
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    all_terms = sorted({t for g in SYN_GROUPS for t in g})
+    ts = P.term_stats(posts)
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in ts.where(F.col("term").isin(all_terms)).collect()
+    }
+    res = synonym_search(spark, posts, SYN_GROUPS, term_df, fstats, k=10)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_search_page2(spark, sf_dir):
     """Cursor pagination (Lucene searchAfter; engine.py search_after):
     page 2 = the 10 hits strictly after page 1's last (score, doc_id).
@@ -1838,6 +1867,26 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, round(s, 6) AS score FROM sc
         ORDER BY s DESC, doc_id LIMIT 10
     """,
+    "synonym_search": f"""
+        WITH tf AS ({_TF}), dl AS ({_DL}),
+        st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+        syn(term, group_id) AS (VALUES
+            ('merge', 0), ('batch', 0), ('join', 1), ('group', 1)),
+        dfm AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                WHERE term IN ('merge','batch','join','group') GROUP BY term),
+        gdf AS (SELECT s.group_id, max(coalesce(dfm.df, 0)) AS df_g
+                FROM syn s LEFT JOIN dfm USING(term) GROUP BY s.group_id),
+        gtf AS (SELECT s.group_id, tf.doc_id, sum(tf.tf)::BIGINT AS tf_g
+                FROM tf JOIN syn s USING(term) GROUP BY s.group_id, tf.doc_id),
+        sc AS (
+          SELECT gtf.doc_id,
+                 sum( ln(1 + (st.doc_count - gdf.df_g + 0.5)/(gdf.df_g + 0.5))
+                      * gtf.tf_g / (gtf.tf_g + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ) AS s
+          FROM gtf JOIN gdf USING(group_id) JOIN dl USING(doc_id) CROSS JOIN st
+          GROUP BY gtf.doc_id)
+        SELECT doc_id, round(s, 6) AS score FROM sc
+        ORDER BY s DESC, doc_id LIMIT 10
+    """,
     "bm25_batch": f"""
         WITH tf AS ({_TF}), dl AS ({_DL}),
         st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
@@ -3061,6 +3110,7 @@ QUERIES = {
     "doc_lens": q_doc_lens,
     "term_stats": q_term_stats,
     "bm25_topk": q_bm25_topk,
+    "synonym_search": q_synonym_search,
     "bm25_batch": q_bm25_batch,
     "search_page2": q_search_page2,
     "explain_score": q_explain_score,

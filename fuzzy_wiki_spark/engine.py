@@ -180,6 +180,58 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def search_synonyms(
+        self, query: str, synonyms: dict[str, list[str]], k: int = 10
+    ) -> DataFrame:
+        """Query-time synonym expansion with Lucene SynonymQuery
+        semantics (operators/topk.py:synonym_search — blended max-df idf,
+        summed member tf). ``synonyms`` maps raw words to raw synonym
+        words; BOTH sides pass through the index analyzer chain first
+        (Lucene's SynonymGraphFilter likewise operates on the analyzed
+        stream), so {"merging": ["joining"]} lands on the stemmed
+        vocabulary. Expansion applies to the per-term clauses (the
+        reference's path ^1.1 / content ^0.8); phrase clauses don't
+        compose with synonym groups (Lucene's QueryBuilder likewise
+        abandons the plain phrase when a term has synonyms)."""
+        from fuzzy_wiki_spark.analyzer import tokenize_text
+        from fuzzy_wiki_spark.operators.topk import synonym_search
+        from fuzzy_wiki_spark.plans.query import (
+            BOOST_CONTENT_TERM,
+            BOOST_PATH_TERM,
+        )
+
+        q_terms = tokenize_text(query)
+        if not q_terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, path string, score double"
+            )
+        norm: dict[str, list[str]] = {}
+        for kraw, vals in synonyms.items():
+            kt = tokenize_text(kraw)
+            if len(kt) != 1:
+                raise ValueError(
+                    f"synonym key must analyze to one term: {kraw!r} -> {kt}"
+                )
+            mem: list[str] = []
+            for v in vals:
+                mem.extend(tokenize_text(v))
+            norm[kt[0]] = mem
+        groups = [[t, *norm.get(t, [])] for t in q_terms]
+        all_terms = sorted({t for g in groups for t in g})
+        return synonym_search(
+            self.spark,
+            self.postings,
+            groups,
+            self.lookup_term_df(all_terms),
+            self.field_stats,
+            field_boosts=[
+                ("path", BOOST_PATH_TERM),
+                ("content", BOOST_CONTENT_TERM),
+            ],
+            docs_meta=self.docs_meta,
+            k=k,
+        )
+
     def count_matches(self, query: str) -> int:
         """Total hit count (Lucene TotalHitCountCollector): how many docs
         the query matches, WITHOUT scoring — a distinct-doc count over the

@@ -551,3 +551,93 @@ def score_queries_batch(
         pruned.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def synonym_search(
+    spark: SparkSession,
+    postings: DataFrame,
+    groups: list[list[str]],  # analyzed terms; groups[i][0] is the query term
+    term_df: dict[tuple[str, str], int],
+    field_stats: dict[str, tuple[int, float]],
+    field_boosts: list[tuple[str, float]] | None = None,
+    docs_meta: DataFrame | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Query-time synonym expansion with Lucene SynonymQuery semantics
+    (the scoring contract SynonymQuery documents publicly): a synonym
+    group scores as ONE pseudo-term — its df is the MAX over the members'
+    dfs (Lucene's docFreq blend, so a rare synonym cannot inflate idf),
+    its per-doc tf is the SUM of member tfs, and idf is computed once
+    from the blended df. This is NOT an OR of term clauses: an OR would
+    add idf(t) per member and double-count documents matching several
+    spellings of the same concept.
+
+    Plan: one postings scan filtered to the union of all member terms
+    (pushdown-able), broadcast join to the (field, term → group, weight)
+    mapping, ONE combinable groupBy (field, group, doc) summing member
+    tfs, BM25 norm as Column math, then the doc-level sum + top-k. Adding
+    synonyms widens only the scan's IN filter — the shuffled rows stay
+    ≤ Σ df(members), exactly like adding a query term."""
+    doc_counts = {f: dc for f, (dc, _) in field_stats.items()}
+    boosts = field_boosts or [("content", 1.0)]
+    rows = []
+    for fld, boost in boosts:
+        for gid, members in enumerate(groups):
+            df_g = max(term_df.get((fld, t), 0) for t in members)
+            w = boost * idf(df_g, doc_counts.get(fld, 0))
+            for t in dict.fromkeys(members):  # dedup, keep order
+                rows.append(
+                    {
+                        "field": fld,
+                        "term": t,
+                        "group_id": gid,
+                        "weight": w,
+                    }
+                )
+    if not rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    mapping = spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="field string, term string, group_id int, weight double",
+    )
+    avgdl_expr = F.create_map(
+        *[
+            x
+            for f, (_, a) in field_stats.items()
+            for x in (F.lit(f), F.lit(a))
+        ]
+    )
+    all_terms = sorted({r["term"] for r in rows})
+    grouped = (
+        postings.where(F.col("term").isin(all_terms))
+        .join(F.broadcast(mapping), ["field", "term"])
+        .groupBy("field", "group_id", "doc_id")
+        .agg(
+            F.sum("tf").alias("tf_g"),
+            F.first("dl").alias("dl"),
+            F.first("weight").alias("weight"),
+        )
+        .withColumn("avgdl", avgdl_expr[F.col("field")])
+    )
+    contrib = grouped.select(
+        "doc_id",
+        (
+            F.col("weight")
+            * (
+                F.col("tf_g").cast("double")
+                / (
+                    F.col("tf_g").cast("double")
+                    + K1
+                    * (1 - B + B * F.col("dl").cast("double") / F.col("avgdl"))
+                )
+            )
+        ).alias("contrib"),
+    )
+    scored = contrib.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+    if docs_meta is not None:
+        scored = (
+            scored.join(docs_meta, "doc_id")
+            .where(~F.col("is_redirect"))
+            .select("doc_id", "path", "score")
+        )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,125 @@
+"""Query-time synonym expansion (operators/topk.py:synonym_search) vs an
+independent pandas mirror of the Lucene SynonymQuery contract: per group
+df = max over member dfs, per-doc tf = sum of member tfs, idf once per
+group. The mirror recomputes from the engine's own postings table, so it
+is independent of the Spark scoring plan."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from fuzzy_wiki_spark.analyzer import tokenize_text
+from fuzzy_wiki_spark.engine import InvertedIndex
+from fuzzy_wiki_spark.plans.query import (
+    B,
+    BOOST_CONTENT_TERM,
+    BOOST_PATH_TERM,
+    K1,
+)
+
+DOCS = [
+    (0, "src/merge.py", "merge the batch of rows then merge again"),
+    (1, "src/join.py", "join tables on key then join results"),
+    (2, "src/batch.py", "batch processing of grouped rows"),
+    (3, "src/misc.py", "unrelated content about sorting"),
+    (4, "src/both.py", "merge and batch and join all at once"),
+    (99, "src/redir.py", "REDIRECT src/merge.py"),  # excluded by meta
+]
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["doc_id", "path", "content"])
+    )
+    return InvertedIndex.build(spark, docs, persist=False)
+
+
+def _mirror(idx, groups, k):
+    posts = idx.postings.toPandas()
+    meta = idx.docs_meta.toPandas()
+    scores: dict[int, float] = {}
+    for field, boost in (
+        ("path", BOOST_PATH_TERM),
+        ("content", BOOST_CONTENT_TERM),
+    ):
+        doc_count, avgdl = idx.field_stats[field]
+        fp = posts[posts["field"] == field]
+        for members in groups:
+            mdf = fp[fp["term"].isin(members)]
+            df_g = 0
+            for t in members:
+                df_g = max(df_g, fp[fp["term"] == t]["doc_id"].nunique())
+            w = boost * math.log(
+                1.0 + (doc_count - df_g + 0.5) / (df_g + 0.5)
+            )
+            for doc_id, g in mdf.groupby("doc_id"):
+                tf_g = float(g["tf"].sum())
+                dl = float(g["dl"].iloc[0])
+                norm = tf_g / (tf_g + K1 * (1 - B + B * dl / avgdl))
+                scores[doc_id] = scores.get(doc_id, 0.0) + w * norm
+    redirects = set(meta[meta["is_redirect"]]["doc_id"])
+    ranked = sorted(
+        ((d, s) for d, s in scores.items() if d not in redirects),
+        key=lambda x: (-x[1], x[0]),
+    )
+    return ranked[:k]
+
+
+def test_synonym_search_matches_mirror(idx):
+    got = [
+        (r.doc_id, r.score)
+        for r in idx.search_synonyms(
+            "merge join", {"merge": ["batch"]}, k=10
+        ).collect()
+    ]
+    q_terms = tokenize_text("merge join")
+    syn = tokenize_text("batch")
+    groups = [[q_terms[0], *syn], [q_terms[1]]]
+    want = _mirror(idx, groups, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def test_blend_not_or(idx):
+    """A doc with both spellings is scored via ONE blended group: its
+    group contribution must use tf = tf(merge)+tf(batch) under a single
+    max-df idf, which differs from OR-of-terms (two idf terms)."""
+    got = {
+        r.doc_id: r.score
+        for r in idx.search_synonyms(
+            "merge", {"merge": ["batch"]}, k=10
+        ).collect()
+    }
+    # doc 4 contains both members once each; doc 0 has merge twice +
+    # batch once => higher group tf => strictly higher score
+    assert got[0] > got[4] > 0
+    # OR-scoring would give doc 4 two idf contributions; the blend gives
+    # one. Verify against the mirror exactly.
+    want = dict(
+        _mirror(idx, [[*tokenize_text("merge"), *tokenize_text("batch")]], 10)
+    )
+    for d, s in got.items():
+        assert s == pytest.approx(want[d], rel=1e-9)
+
+
+def test_unknown_synonyms_are_harmless(idx):
+    base = [
+        (r.doc_id, round(r.score, 9))
+        for r in idx.search_synonyms("join", {}, k=10).collect()
+    ]
+    with_absent = [
+        (r.doc_id, round(r.score, 9))
+        for r in idx.search_synonyms(
+            "join", {"join": ["zzzmissing"]}, k=10
+        ).collect()
+    ]
+    # an absent synonym cannot change df (max with 0) or tf (no rows)
+    assert base == with_absent
+
+
+def test_multiword_key_rejected(idx):
+    with pytest.raises(ValueError):
+        idx.search_synonyms("join", {"two words": ["x"]})
