@@ -1385,6 +1385,22 @@ def q_ivf_cosine(spark, sf_dir):
     return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def q_ivf_exact(spark, sf_dir):
+    """IVF at exhaustive probe (nprobe == n_centroids): the SAME routing +
+    scoring machinery as q_ivf_cosine (k-means assignment, list pruning,
+    JVM-side cosine, partial-top-k finish) but probing every list — which
+    makes the result EXACT, so the brute-force cosine SQL oracle applies
+    and the driver hash-verifies the IVF scoring path end-to-end. The
+    approximate recall ladder stays pinned in tests/test_similarity.py."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    cent = SIM.kmeans_centroids(emb, n_centroids=16, sample=512, seed=42)
+    res = SIM.ivf_cosine_topk(
+        emb.where(F.col("vec_id") != 0), list(qvec), cent, nprobe=16, k=10
+    )
+    return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 def q_ivf_batch(spark, sf_dir):
     """Batch IVF ANN: 4 queries probe their 4 nearest centroid lists in one
     job (broadcast probe table ⋈ IVF-assigned corpus, JVM-side scoring,
@@ -2374,6 +2390,20 @@ ORACLE_SQL: dict[str, str] = {
         SELECT vec_id, round(cos, 4) AS cos_sim FROM s
         ORDER BY cos DESC, vec_id LIMIT 10
     """,
+    # ivf_exact: exhaustive probe makes IVF exact, so the brute-force
+    # cosine oracle verifies the IVF assignment+scoring path end-to-end
+    "ivf_exact": """
+        WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+                   FROM embeddings WHERE vec_id = 0),
+        s AS (SELECT vec_id,
+                     list_dot_product(list_transform(embedding, x -> x::DOUBLE), qe)
+                     / (sqrt(list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+                                              list_transform(embedding, x -> x::DOUBLE)))
+                        * sqrt(list_dot_product(qe, qe))) AS cos
+              FROM embeddings CROSS JOIN q WHERE vec_id <> 0)
+        SELECT vec_id, round(cos, 4) AS cos_sim FROM s
+        ORDER BY cos DESC, vec_id LIMIT 10
+    """,
     "ann_batch": """
         WITH q AS (SELECT vec_id AS qid,
                           list_transform(embedding, x -> x::DOUBLE) AS qe
@@ -3193,6 +3223,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "lsh_cosine": q_lsh_cosine,
     "ivf_cosine": q_ivf_cosine,
+    "ivf_exact": q_ivf_exact,
     "media_features": q_media_features,
     "audio_features": q_audio_features,
     "frame_sample": q_frame_sample,
