@@ -283,6 +283,38 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def search_collapse(
+        self, query: str, group_df: DataFrame, k: int = 10,
+        group_col: str = "group",
+    ) -> DataFrame:
+        """Field-collapsed top-k (Lucene CollapsingTopDocsCollector /
+        Elasticsearch ``collapse``): at most ONE hit per group —
+        ``group_df`` maps doc_id → group (e.g. best file per repo).
+        Scores and stats stay corpus-wide (collapse prunes results, not
+        stats); docs without a group row are dropped. Returns
+        (group, doc_id, path, score) in (score desc, doc_id asc) order."""
+        from fuzzy_wiki_spark.operators.collapse import collapse_topk
+        from fuzzy_wiki_spark.operators.topk import score_queries_batch
+
+        clauses = compile_query(query)
+        terms = sorted({t for c in clauses for t in c.terms})
+        term_df = self.lookup_term_df(terms)
+        full = score_queries_batch(
+            self.spark,
+            self.postings,
+            {0: clauses},
+            term_df,
+            self.field_stats,
+            docs_meta=self.docs_meta,
+            k=None,
+        )
+        return collapse_topk(
+            full.select("doc_id", "path", "score"),
+            group_df,
+            k=k,
+            group_col=group_col,
+        )
+
     def explain(self, query: str, doc_id: int) -> DataFrame:
         """Score explanation for one (query, doc) — the Lucene
         IndexSearcher.explain surface: one row per clause with the exact

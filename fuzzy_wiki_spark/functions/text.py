@@ -197,6 +197,27 @@ SECRET_PATTERNS = {
 }
 
 
+def redact_secrets(text_col, patterns: dict[str, str] | None = None) -> Column:
+    """Secret/PII REDACTION — the transform that pairs with the
+    ``secret_scan`` detector: every match of every pattern is replaced
+    in-place with a ``<KIND>`` tag, yielding text safe to export.
+
+    Patterns apply sequentially in sorted-name order (deterministic);
+    each pass is one global, left-to-right, non-overlapping
+    regexp_replace — identical semantics in Java regex and RE2, so a SQL
+    oracle chains the same replaces verbatim. A span already rewritten by
+    an earlier pattern is whatever the tag text is for later patterns
+    (tags contain no pattern-matchable characters by construction).
+
+    Pure Column expr (JVM regex, whole-stage codegen) — at 100 TB this is
+    a map-only pass with zero shuffle."""
+    pats = SECRET_PATTERNS if patterns is None else patterns
+    col = text_col if isinstance(text_col, Column) else F.col(text_col)
+    for name in sorted(pats):
+        col = F.regexp_replace(col, pats[name], f"<{name.upper()}>")
+    return col
+
+
 def fingerprint(text_col) -> Column:
     """Document fingerprint: md5 over the sorted distinct token set —
     word-order-insensitive content identity (near-dup prefilter)."""

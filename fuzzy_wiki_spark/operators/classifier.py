@@ -1,0 +1,126 @@
+"""Linear document-quality classifier SCORING at corpus scale.
+
+The CCNet / GPT-3 / LLaMA pipelines all gate web documents with a cheap
+linear classifier (fastText against a high-quality reference corpus);
+the at-scale step is SCORING every document with a trained weight
+vector, which is what this module distributes. Training happens offline
+on a driver-sized labeled sample (any library — ``train_logistic`` below
+is a dependency-free numpy reference used by the tests); the weights
+then broadcast-join the token stream.
+
+Not in the reference (its only per-doc signal is BM25); this is a
+brief-mandated training-pipeline addition.
+
+Scale notes (100 TB): one token explode → one map-side-combinable
+(doc, term) groupBy → ONE broadcast join against the weight table
+(vocabulary-sized, ≤ a few M rows) → one doc-level groupBy. No Python in
+the plan; the sigmoid is a Column expr. Docs never drop: all-OOV or
+empty docs score sigmoid(intercept).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def classifier_score(
+    df: DataFrame,
+    weights_df: DataFrame,
+    intercept: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """p(doc) = sigmoid(intercept + Σ_t tf_t·w_t / Σ_t tf_t) — the
+    fastText bag-of-words document probability with mean pooling.
+
+    ``weights_df``: (term, weight double). Out-of-vocabulary terms weigh
+    0 but still count in the pooling denominator (fastText semantics:
+    the mean is over ALL tokens). Returns (doc_id, score) for EVERY
+    input doc; empty docs score sigmoid(intercept)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    joined = tf.join(
+        F.broadcast(weights_df.select("term", "weight")), "term", "left"
+    )
+    pooled = joined.groupBy("doc_id").agg(
+        (
+            F.sum(F.col("tf") * F.coalesce(F.col("weight"), F.lit(0.0)))
+            / F.sum("tf")
+        ).alias("_m")
+    )
+    z = F.lit(float(intercept)) + F.coalesce(F.col("_m"), F.lit(0.0))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(pooled, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"),
+        )
+    )
+
+
+def hash_weights(vocab_df: DataFrame, seed: str = "qc", scale: float = 1.0) -> DataFrame:
+    """Deterministic per-term weights from the portable md5-prefix hash:
+    weight(term) = scale · ((md5_60bit(seed:term) mod 2001)/1000 − 1)
+    ∈ [−scale, scale]. Bit-identical in any ANSI SQL engine (the
+    Spark∩DuckDB portable hash) — the oracle-checkable stand-in for a
+    trained weight table; real deployments pass trained weights to
+    ``classifier_score`` instead."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("term"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return vocab_df.select(
+        "term",
+        (((h % 2001) / F.lit(1000.0) - 1.0) * F.lit(float(scale))).alias(
+            "weight"
+        ),
+    )
+
+
+def train_logistic(
+    texts: list[str],
+    labels: list[int],
+    lr: float = 0.5,
+    epochs: int = 200,
+    l2: float = 1e-3,
+) -> tuple[dict[str, float], float]:
+    """Dependency-free logistic-regression trainer over mean-pooled
+    bag-of-words features — the offline half of the pipeline, sized for
+    a driver-local labeled sample (CCNet trains on ~10^5 docs; the
+    corpus being SCORED is the 100 TB side). Batch gradient descent with
+    L2; returns ({term: weight}, intercept) ready for
+    ``spark.createDataFrame`` + ``classifier_score``."""
+    import numpy as np
+
+    vocab: dict[str, int] = {}
+    rows = []
+    for t in texts:
+        toks = [w for w in t.split(" ") if w]
+        idx: dict[int, float] = {}
+        for w in toks:
+            j = vocab.setdefault(w, len(vocab))
+            idx[j] = idx.get(j, 0.0) + 1.0
+        tot = sum(idx.values()) or 1.0
+        rows.append({j: v / tot for j, v in idx.items()})
+    X = np.zeros((len(rows), len(vocab)))
+    for i, r in enumerate(rows):
+        for j, v in r.items():
+            X[i, j] = v
+    y = np.asarray(labels, dtype=float)
+    w = np.zeros(len(vocab))
+    b = 0.0
+    for _ in range(epochs):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        g = X.T @ (p - y) / len(y) + l2 * w
+        w -= lr * g
+        b -= lr * float(np.mean(p - y))
+    names = sorted(vocab, key=vocab.get)
+    return dict(zip(names, w.tolist())), b

@@ -1,0 +1,63 @@
+"""Field collapsing — the Lucene CollapsingTopDocsCollector surface.
+
+Top-k search results with at most ONE hit per group (e.g. the best file
+per repo, the best page per site): the diversity cut every search UI
+applies when a single source would otherwise dominate the page. Not in
+the reference (its merge keeps every doc, DocTermInfoHandler.java:34-53);
+this is the standard Lucene/Elasticsearch `collapse` extension of the
+same top-k surface.
+
+Scale notes (100 TB): the collapse is ONE map-side-combinable
+groupBy(group) picking max(struct(score, -doc_id, payload)) — partial
+aggregation reduces each partition to |groups| rows before the exchange,
+so the shuffle carries at most one candidate per (partition, group).
+A window/rank formulation would shuffle the FULL candidate set on the
+group key and sort inside each group; the struct-max groupBy does the
+same selection with combiners and no sort. The final k cut is the usual
+TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def collapse_topk(
+    scored: DataFrame,
+    group_df: DataFrame,
+    k: int = 10,
+    group_col: str = "group",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse a scored candidate set to its best hit per group, then
+    take the global top-k.
+
+    ``scored``: any (doc_id, score, ...payload) frame (typically the
+    full scored set of a query, k=None). ``group_df``: (doc_id, group)
+    mapping — docs with no group row are dropped (ungrouped docs can't
+    collapse; pass a total mapping to keep everything).
+
+    Returns (group, ...scored columns): per group the row with the
+    highest score (ties → lowest doc_id, the engine-wide tiebreak),
+    globally ordered (score desc, doc_id asc), limit k. Scores are
+    untouched — collapsing prunes RESULTS, never stats (Lucene collapse
+    likewise scores against corpus-wide stats)."""
+    payload_cols = list(scored.columns)
+    joined = scored.join(group_df.select(id_col, group_col), id_col)
+    # struct comparison is lexicographic: score, then -doc_id (unique) —
+    # payload fields after the unique key never influence the max
+    best = joined.groupBy(group_col).agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("_s"),
+                (-F.col(id_col)).alias("_nid"),
+                *[F.col(c).alias(c) for c in payload_cols],
+            )
+        ).alias("_b")
+    )
+    out = best.select(
+        group_col, *[F.col(f"_b.{c}").alias(c) for c in payload_cols]
+    )
+    return out.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)

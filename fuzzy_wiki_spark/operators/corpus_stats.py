@@ -247,6 +247,94 @@ def duplicated_spans(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    n: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated-span REMOVAL — the ExactSubstr dedup transform (Lee et
+    al. 2022): ``duplicated_spans`` says WHAT repeats; this rewrites the
+    corpus with the repeats cut out. Every occurrence of an n-token span
+    appearing ≥ ``min_count`` times corpus-wide is deleted EXCEPT the
+    canonical occurrence — the one with the smallest (doc_id, pos) — so
+    exactly one copy of each duplicated run survives, mirroring the
+    paper's keep-one-byte-range policy.
+
+    One-pass semantics: spans are matched against the ORIGINAL token
+    stream; removal does not re-trigger matching on newly adjacent tokens
+    (the suffix-array implementation removes byte ranges of the original
+    text the same way). Overlapping duplicated occurrences union their
+    covered positions.
+
+    → (doc_id, clean_text, n_removed) — EVERY input doc appears; a doc
+    whose tokens are all removed (or that had none) keeps clean_text ''.
+
+    Scale notes (100 TB): the occurrence table is one shingle explode
+    (n× the token stream); canonicalization is a window over the span key
+    — at real scale group on xxhash64(span) instead of the text to keep
+    the exchange thin. Covered positions explode only from DUPLICATED
+    occurrences (bounded by n × dup rows, a corpus-quality signal, not a
+    corpus-sized blowup after exact dedup has run); the rebuild is one
+    groupBy(doc_id) over surviving tokens with an array_sort — per-task
+    memory is the document's own length."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("arr"))
+    tok = base.select(
+        "doc_id", F.posexplode("arr").alias("pos", "term")
+    )
+    n_sp = F.size("arr") - (n - 1)
+    span_structs = F.when(
+        n_sp >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_sp),
+            lambda i: F.struct(
+                (i - 1).cast("int").alias("pos"),
+                F.array_join(F.slice("arr", i, n), " ").alias("span"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,span:string>>"))
+    occ = base.select(
+        "doc_id", F.explode(span_structs).alias("o")
+    ).select("doc_id", F.col("o.pos").alias("pos"), F.col("o.span").alias("span"))
+    w_rn = Window.partitionBy("span").orderBy("doc_id", "pos")
+    w_cnt = Window.partitionBy("span")
+    dup = (
+        occ.withColumn("rn", F.row_number().over(w_rn))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
+        .where((F.col("cnt") >= min_count) & (F.col("rn") >= 2))
+    )
+    covered = dup.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos"),
+    ).distinct()
+    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s["term"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_dl"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(dl, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.coalesce("_dl", F.lit(0)) - F.coalesce("_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def contamination_overlap(
     train: DataFrame,
     eval_df: DataFrame,

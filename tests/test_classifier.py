@@ -1,0 +1,87 @@
+"""Linear quality-classifier scoring (operators/classifier.py): the Spark
+scorer must reproduce the numpy reference model bit-for-bit (same pooling,
+same sigmoid), including trained weights — the offline-train / at-scale-
+score split the CCNet-style pipelines use."""
+
+import math
+
+import pytest
+
+from fuzzy_wiki_spark.operators.classifier import (
+    classifier_score,
+    hash_weights,
+    train_logistic,
+)
+
+GOOD = [
+    "clean prose with varied words and steady structure",
+    "another well formed sentence with useful content here",
+    "informative text describing the algorithm step by step",
+    "clear explanation of the merge join strategy in detail",
+]
+BAD = [
+    "spam spam spam spam spam spam spam",
+    "buy buy buy now now now click click",
+    "zzz zzz zzz zzz zzz zzz zzz zzz",
+    "click here buy now spam spam zzz",
+]
+
+
+def _np_score(text: str, w: dict[str, float], b: float) -> float:
+    toks = [t for t in text.split(" ") if t]
+    if not toks:
+        return 1.0 / (1.0 + math.exp(-b))
+    m = sum(w.get(t, 0.0) for t in toks) / len(toks)
+    return 1.0 / (1.0 + math.exp(-(b + m)))
+
+
+def test_trained_weights_separate_and_spark_matches_reference(spark):
+    texts = GOOD + BAD
+    labels = [1] * len(GOOD) + [0] * len(BAD)
+    w, b = train_logistic(texts, labels)
+    # the trainer actually learns: every good doc above every bad doc
+    good_scores = [_np_score(t, w, b) for t in GOOD]
+    bad_scores = [_np_score(t, w, b) for t in BAD]
+    assert min(good_scores) > max(bad_scores)
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    wdf = spark.createDataFrame(list(w.items()), "term string, weight double")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in classifier_score(df, wdf, intercept=b).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == pytest.approx(_np_score(t, w, b), rel=1e-12)
+
+
+def test_empty_and_oov_docs_score_intercept(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "unseen tokens only"), (2, "known")],
+        "doc_id long, text string",
+    )
+    wdf = spark.createDataFrame([("known", 2.0)], "term string, weight double")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in classifier_score(df, wdf, intercept=0.5).collect()
+    }
+    assert len(got) == 3, "every input doc must appear"
+    base = 1.0 / (1.0 + math.exp(-0.5))
+    assert got[0] == pytest.approx(base)
+    # OOV terms weigh 0 but still pool: mean is 0 -> intercept only
+    assert got[1] == pytest.approx(base)
+    assert got[2] == pytest.approx(1.0 / (1.0 + math.exp(-2.5)))
+
+
+def test_hash_weights_deterministic_and_bounded(spark):
+    vocab = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",)], "term string"
+    )
+    w1 = {r["term"]: r["weight"] for r in hash_weights(vocab).collect()}
+    w2 = {r["term"]: r["weight"] for r in hash_weights(vocab).collect()}
+    assert w1 == w2
+    assert all(-1.0 <= v <= 1.0 for v in w1.values())
+    # different seed -> different table
+    w3 = {r["term"]: r["weight"] for r in hash_weights(vocab, seed="x").collect()}
+    assert w3 != w1

@@ -1,0 +1,78 @@
+"""Field collapsing (operators/collapse.py, engine.search_collapse)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from fuzzy_wiki_spark.engine import InvertedIndex
+from fuzzy_wiki_spark.operators.collapse import collapse_topk
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    rows = [
+        # (doc_id, score) with groups: doc 1,2,3 -> g1; 4,5 -> g2; 6 -> g3
+        (1, 9.0), (2, 7.0), (3, 9.0),  # g1: tie at 9.0 -> doc 1 wins
+        (4, 8.0), (5, 3.0),            # g2: doc 4
+        (6, 1.0),                      # g3: doc 6
+        (7, 99.0),                     # no group row -> dropped
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+@pytest.fixture(scope="module")
+def groups(spark):
+    rows = [(1, "g1"), (2, "g1"), (3, "g1"), (4, "g2"), (5, "g2"), (6, "g3")]
+    return spark.createDataFrame(rows, "doc_id long, group string")
+
+
+def test_one_hit_per_group_best_score_tie_by_doc_id(scored, groups):
+    out = collapse_topk(scored, groups, k=10).collect()
+    assert [(r["group"], r["doc_id"], r["score"]) for r in out] == [
+        ("g1", 1, 9.0),  # tie 9.0 between docs 1 and 3 -> lowest doc_id
+        ("g2", 4, 8.0),
+        ("g3", 6, 1.0),
+    ]
+
+
+def test_k_cut_applies_after_collapse(scored, groups):
+    out = collapse_topk(scored, groups, k=2).collect()
+    assert [r["doc_id"] for r in out] == [1, 4]
+
+
+def test_payload_columns_ride_through(spark, groups):
+    scored = spark.createDataFrame(
+        [(1, 5.0, "p1"), (4, 6.0, "p4")],
+        "doc_id long, score double, path string",
+    )
+    out = collapse_topk(scored, groups, k=10).collect()
+    assert [(r["group"], r["path"]) for r in out] == [("g2", "p4"), ("g1", "p1")]
+
+
+def test_engine_search_collapse_scores_match_search(spark):
+    """Collapse prunes results, never scores: every collapsed hit's score
+    equals the same doc's score in the plain search, and each group
+    appears at most once with its best-scoring doc."""
+    from fuzzy_wiki_spark.corpus import generate_docs_pdf
+
+    docs = spark.createDataFrame(generate_docs_pdf(120, seed=7))
+    idx = InvertedIndex.build(spark, docs)
+    group_df = docs.select(
+        "doc_id", (F.col("doc_id") % 4).cast("string").alias("group")
+    )
+    q = "binary search tree"
+    plain = {r["doc_id"]: r["score"] for r in idx.search(q, k=200).collect()}
+    col = idx.search_collapse(q, group_df, k=10).collect()
+    assert len(col) > 0
+    seen_groups = [r["group"] for r in col]
+    assert len(seen_groups) == len(set(seen_groups))
+    for r in col:
+        assert r["score"] == pytest.approx(plain[r["doc_id"]], rel=1e-12)
+    # best-per-group: no plain hit in the same group outscores the pick
+    gmap = {r["doc_id"]: r["group"] for r in group_df.collect()}
+    best = {}
+    for d, s in plain.items():
+        g = gmap[d]
+        if g not in best or (s, -d) > (best[g][0], -best[g][1]):
+            best[g] = (s, d)
+    for r in col:
+        assert best[r["group"]][1] == r["doc_id"]

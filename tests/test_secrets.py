@@ -38,3 +38,21 @@ def test_secret_scan_clean_corpus_is_silent(spark):
         "doc_id", F.col("content").alias("text")
     )
     assert extract_patterns(docs, SECRET_PATTERNS).count() == 0
+
+
+def test_redaction_leaves_nothing_for_the_scanner(spark):
+    """redact_secrets(x) must produce text the detector finds NOTHING in
+    (the closure property the export gate relies on), replacing each
+    match with its <KIND> tag and leaving clean docs untouched."""
+    from fuzzy_wiki_spark.functions.text import redact_secrets
+
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    red = df.select("doc_id", redact_secrets(F.col("text")).alias("text"))
+    assert extract_patterns(red, SECRET_PATTERNS).count() == 0
+    got = {r["doc_id"]: r["text"] for r in red.collect()}
+    assert got[0] == "reach me at <EMAIL> for review"
+    assert got[1] == "aws_access_key_id = <AWS_KEY> done"
+    assert got[2] == "sha = <HEX40> checked in"
+    assert got[3] == "<PRIVATE_KEY> MIIEow..."
+    assert got[4] == ROWS[4][1]  # clean doc untouched
+    assert got[5] == "two hits <EMAIL> and <EMAIL> plus deadbeef not 40 hex"

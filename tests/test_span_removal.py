@@ -1,0 +1,69 @@
+"""ExactSubstr span-removal transform (corpus_stats.remove_dup_spans):
+pinned against a brute-force pure-Python implementation of the same spec
+(canonical = min (doc_id, pos); one-pass matching on the ORIGINAL stream;
+overlapping covered positions union)."""
+
+import pytest
+
+from fuzzy_wiki_spark.operators.corpus_stats import remove_dup_spans
+
+
+def _brute(docs: list[tuple[int, str]], n: int, min_count: int):
+    toks = {d: [t for t in txt.split(" ") if t] for d, txt in docs}
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d, ts in sorted(toks.items()):
+        for p in range(len(ts) - n + 1):
+            occ.setdefault(" ".join(ts[p : p + n]), []).append((d, p))
+    covered: dict[int, set[int]] = {d: set() for d, _ in docs}
+    for span, places in occ.items():
+        if len(places) < min_count:
+            continue
+        for d, p in sorted(places)[1:]:  # all but canonical
+            covered[d].update(range(p, p + n))
+    out = {}
+    for d, ts in toks.items():
+        kept = [t for i, t in enumerate(ts) if i not in covered[d]]
+        out[d] = (" ".join(kept), len(ts) - len(kept))
+    return out
+
+
+@pytest.mark.parametrize("n,min_count", [(3, 2), (4, 3), (2, 2)])
+def test_matches_brute_force(spark, n, min_count):
+    dup = "x y z w q"  # 5-token run planted in several docs
+    docs = [
+        (0, f"a b {dup} c d"),
+        (1, f"e f g {dup} h"),
+        (2, f"{dup} {dup} tail"),  # self-overlapping occurrences
+        (3, "no duplicated content at all here"),
+        (4, ""),  # empty doc must survive as ''
+        (5, "a b c d e f g h"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_dup_spans(df, n=n, min_count=min_count).collect()
+    }
+    want = _brute(docs, n, min_count)
+    assert got == want
+
+
+def test_canonical_occurrence_survives_exactly_once(spark):
+    dup = "p q r"
+    docs = [(0, f"{dup} a"), (1, f"b {dup}"), (2, f"c {dup} d")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_dup_spans(df, n=3, min_count=2).collect()
+    }
+    # doc 0 holds the canonical (smallest doc_id, pos) occurrence
+    assert got[0] == f"{dup} a"
+    assert dup not in got[1] and dup not in got[2]
+    assert got[1] == "b" and got[2] == "c d"
+
+
+def test_every_doc_appears_even_fully_removed(spark):
+    docs = [(0, "s t u"), (1, "s t u"), (2, "s t u")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = remove_dup_spans(df, n=3, min_count=2).collect()
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"]) for r in rows}
+    assert got == {0: ("s t u", 0), 1: ("", 3), 2: ("", 3)}
