@@ -35,6 +35,7 @@ BATCH_QUERIES: list[list[str]] = [
     ["window", "batch", "stream"],
 ]
 K1, B = 1.2, 0.75
+BPE_MERGES = 8
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3252,6 +3253,88 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN pooled ON d.doc_id = pooled.doc_id
 """
 
+def _bpe_ctes(n_merges: int) -> str:
+    """The BPE training loop UNROLLED as SQL CTEs (w0..wN words, b0..bN-1
+    argmax merges) — DuckDB replays the whole iterative trainer: initial
+    char+</w> symbol strings in the \\x1f-delimited encoding, per-iteration
+    pair counts weighted by word freq, the (cnt desc, pair asc) argmax,
+    and the greedy left-to-right merge as the same delimiter-anchored
+    replace() the Spark engine runs (operators/bpe.py module docstring:
+    replace scans left-to-right and resumes after each replacement, which
+    IS BPE's greedy pass)."""
+    from fuzzy_wiki_spark.operators.bpe import DSEP, EOW, SEP
+
+    parts = [
+        f"""w0 AS (
+  SELECT word, count(*)::BIGINT AS freq,
+         '{SEP}' || array_to_string(
+           list_append(
+             list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)),
+             '{EOW}'),
+           '{DSEP}') || '{SEP}' AS syms
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' AND NOT contains(word, '{SEP}')
+  GROUP BY word)"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""p{i} AS (
+  SELECT s.a AS a, s.b AS b, sum(freq)::BIGINT AS cnt FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(arr)),
+                  j -> struct_pack(a := arr[j], b := arr[j + 1]))) AS s
+    FROM (SELECT freq,
+                 string_split(trim(syms, '{SEP}'), '{DSEP}') AS arr
+          FROM w{i}))
+  GROUP BY s.a, s.b),
+b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+w{i + 1} AS (
+  SELECT word, freq,
+         replace(syms,
+                 '{SEP}' || b{i}.a || '{DSEP}' || b{i}.b || '{SEP}',
+                 '{SEP}' || b{i}.a || b{i}.b || '{SEP}') AS syms
+  FROM w{i}, b{i})"""
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_train_oracle_sql(n_merges: int) -> str:
+    union = "\n  UNION ALL ".join(
+        f"SELECT {i + 1} AS merge_rank, a AS lhs, b AS rhs, cnt FROM b{i}"
+        for i in range(n_merges)
+    )
+    return f"WITH {_bpe_ctes(n_merges)}\n{union}"
+
+
+def _bpe_encode_oracle_sql(n_merges: int) -> str:
+    from fuzzy_wiki_spark.operators.bpe import DSEP, EOW, SEP
+
+    enc = (
+        f"'{SEP}' || array_to_string(list_append("
+        f"list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)),"
+        f" '{EOW}'), '{DSEP}') || '{SEP}'"
+    )
+    for i in range(n_merges):
+        enc = (
+            f"replace({enc},\n"
+            f"  (SELECT '{SEP}' || a || '{DSEP}' || b || '{SEP}' FROM b{i}),\n"
+            f"  (SELECT '{SEP}' || a || b || '{SEP}' FROM b{i}))"
+        )
+    return f"""WITH {_bpe_ctes(n_merges)},
+tok AS ({_TOKPOS.replace("term", "word")}),
+uniq AS (SELECT DISTINCT word FROM tok),
+enc AS (SELECT word,
+               array_to_string(
+                 string_split(trim({enc}, '{SEP}'), '{DSEP}'), ' ') AS bpe_text
+        FROM uniq)
+SELECT t.doc_id, t.pos::INT AS pos, t.word, e.bpe_text
+FROM tok t JOIN enc e USING(word)
+"""
+
+
+ORACLE_SQL["bpe_train"] = _bpe_train_oracle_sql(BPE_MERGES)
+ORACLE_SQL["bpe_encode"] = _bpe_encode_oracle_sql(BPE_MERGES)
+
 ORACLE_SQL["repetition_stats"] = f"""
     WITH toks AS ({_TOK}),
     ta AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
@@ -3344,6 +3427,42 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_bpe_train(spark, sf_dir):
+    """BPE tokenizer training (operators/bpe.py — Sennrich 2016): the
+    8-merge chain learned from the documents corpus, (merge_rank, lhs,
+    rhs, cnt). The ORACLE replays the full iterative training loop by
+    unrolling iterations in SQL (_bpe_oracle_sql) — pair counting, the
+    (cnt desc, pair asc) argmax, and the greedy left-to-right merge as a
+    delimited-string replace, all bit-identical on both engines."""
+    from fuzzy_wiki_spark.operators.bpe import bpe_train
+
+    merges, _ = bpe_train(
+        _docs(spark, sf_dir).select("doc_id", "text"), n_merges=BPE_MERGES
+    )
+    rows = [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_rank int, lhs string, rhs string, cnt long"
+    )
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE corpus encoding with the trained chain: every token of every
+    doc → its subword split, (doc_id, pos, word, bpe_text). The merge
+    chain applies to DISTINCT words only (one join back to the token
+    stream); the oracle re-derives the same 8 merges and chains the same
+    replaces."""
+    from fuzzy_wiki_spark.operators.bpe import bpe_encode, bpe_train
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    merges, _ = bpe_train(d, n_merges=BPE_MERGES)
+    return bpe_encode(d, merges).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        "word",
+        F.array_join("bpe", " ").alias("bpe_text"),
+    )
+
+
 QUERIES = {
     "postings": q_postings,
     "doc_lens": q_doc_lens,
@@ -3429,6 +3548,8 @@ QUERIES = {
     "redact_secrets": q_redact_secrets,
     "remove_dup_spans": q_remove_dup_spans,
     "quality_classifier": q_quality_classifier,
+    "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
     # rows-only (no SQL mirror — Spark-specific hashing / porter chain /
     # seeded-numpy LSH planes / binary media payloads):
     "minhash_pairs": q_minhash_pairs,

@@ -1,0 +1,240 @@
+"""Distributed BPE (byte-pair encoding) tokenizer training + encoding.
+
+The real "tokenizer" step of an LLM training-data pipeline: learn a
+subword merge table from the corpus (Sennrich, Haddow & Birch 2016,
+"Neural Machine Translation of Rare Words with Subword Units"), then
+encode every document with it. Not in the reference (its analyzer is a
+fixed word-level chain); this is a brief-mandated training-pipeline
+addition.
+
+Spark-first design
+------------------
+BPE training iterates: count adjacent symbol pairs → pick the most
+frequent → merge it everywhere. The distributed cost lives in the WORD
+FREQUENCY table, not the corpus: one corpus-sized groupBy(word) up
+front, after which every iteration runs over the distinct-word table
+(vocabulary-sized — ~√corpus; a 100 TB corpus has a ~10^8-row word
+table that fits comfortably across executors). Each iteration is one
+map-side-combinable pair-count aggregation (a vocabulary-sized job) +
+one driver-side 1-row collect (the argmax) + one string-replace map.
+
+The symbol sequence of a word rides as a DELIMITED STRING, not an array:
+``SEP sym SEP SEP sym SEP …`` with SEP = ``\\x1f`` (unit separator).
+Merging pair (a,b) into ``ab`` is then exactly
+``replace(s, SEP+a+SEP+SEP+b+SEP, SEP+ab+SEP)`` — and because standard
+``replace`` scans left-to-right, replaces non-overlapping occurrences,
+and resumes AFTER each replacement, it implements BPE's greedy
+left-to-right merge (``a a a`` + merge (a,a) → ``aa a``) as a single
+JVM string op with byte-identical semantics in any SQL engine — which is
+what makes the ITERATIVE trainer oracle-checkable by unrolling
+iterations in SQL (driver_queries._bpe_oracle_sql). The delimiters make
+false sub-symbol matches impossible (symbols never contain SEP; words
+containing SEP are dropped with a warning count — they cannot be
+encoded).
+
+Merge-application order: each learned merge is applied exhaustively, in
+rank order — Sennrich's reference ``learn_bpe``/``apply_bpe`` behavior.
+The expression tree grows one ``replace`` per merge; the words frame is
+localCheckpoint'ed every ``checkpoint_every`` iterations so the
+pair-count job's plan stays flat.
+
+Scale notes (100 TB): corpus → word-freq is the only corpus-sized
+shuffle; n_merges iterations each shuffle the vocabulary-sized pair
+table (uniform keys, combinable). Encoding applies the merge chain to
+DISTINCT words only (one broadcast-join back to the token stream) —
+the per-token work at corpus scale is a hash lookup, not BPE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1f"
+DSEP = SEP + SEP
+EOW = "</w>"
+
+
+def word_freqs(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, freq) over the whitespace token stream — the corpus-sized
+    step; everything after runs on this vocabulary-sized table. Words
+    containing SEP are dropped (cannot be symbol-encoded)."""
+    return (
+        df.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+            ).alias("word")
+        )
+        .where(~F.col("word").contains(SEP))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_syms(word_col) -> F.Column:
+    """Delimited initial symbol string: each character, then the
+    end-of-word marker. 'low' → SEP l SEPSEP o SEPSEP w SEPSEP </w> SEP."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word_col)),
+        lambda i: word_col.substr(i, F.lit(1)),
+    )
+    syms = F.concat(chars, F.array(F.lit(EOW)))
+    return F.concat(F.lit(SEP), F.array_join(syms, DSEP), F.lit(SEP))
+
+
+def _syms_array(col) -> F.Column:
+    """Delimited string → array of symbols."""
+    return F.split(F.btrim(col, F.lit(SEP)), DSEP)
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent-symbol pair counts weighted by word freq —
+    one explode + one combinable groupBy per iteration."""
+    arr = _syms_array(F.col("syms"))
+    pairs = F.zip_with(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    return (
+        words.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def merge_expr(col, a: str, b: str):
+    """The greedy left-to-right merge of (a,b) → a+b as ONE string
+    replace on the delimited encoding (module docstring)."""
+    return F.replace(
+        col,
+        F.lit(f"{SEP}{a}{DSEP}{b}{SEP}"),
+        F.lit(f"{SEP}{a}{b}{SEP}"),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    checkpoint_every: int = 16,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges from the corpus.
+
+    Returns (merges, words): ``merges`` = [(left, right, count)] in rank
+    order (argmax tie-break: count desc, then (left, right) lexicographic
+    — deterministic and oracle-reproducible); ``words`` = the final
+    (word, freq, syms) frame (syms in the delimited encoding). Training
+    stops early when the best pair's count falls below
+    ``min_pair_count``."""
+    words = word_freqs(df, text_col).withColumn(
+        "syms", _initial_syms(F.col("word"))
+    )
+    words = words.localCheckpoint(eager=False)
+    merges: list[tuple[str, str, int]] = []
+    for it in range(n_merges):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((a, b, cnt))
+        words = words.withColumn("syms", merge_expr(F.col("syms"), a, b))
+        if (it + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=False)
+    return merges, words
+
+
+def encode_words(
+    words: DataFrame, merges: list[tuple[str, str, int]], word_col: str = "word"
+) -> DataFrame:
+    """Apply a learned merge chain to a (word, ...) frame → adds
+    ``bpe array<string>``. Chained JVM replaces over the delimited
+    encoding — rank order, each merge exhaustively (module docstring)."""
+    col = _initial_syms(F.col(word_col))
+    for a, b, _ in merges:
+        col = merge_expr(col, a, b)
+    return words.withColumn("bpe", _syms_array(col))
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode every document: (doc_id, pos, word, bpe array<string>) —
+    one row per token, in order. The merge chain runs over DISTINCT
+    words only; the token stream gets its encoding by a broadcast-ish
+    join on the word (at 100 TB the distinct-word side is vocabulary-
+    sized; Spark picks broadcast vs shuffle join by its stats)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("pos", "word"),
+    ).where(~F.col("word").contains(SEP))
+    uniq = encode_words(toks.select("word").distinct(), merges)
+    return toks.join(uniq, "word").select("doc_id", "pos", "word", "bpe")
+
+
+# ---------------------------------------------------------------------------
+# Sequential pure-Python reference (the pytest oracle) — same spec:
+# greedy left-to-right pass per merge, rank-order application,
+# (count desc, pair asc) argmax.
+# ---------------------------------------------------------------------------
+
+
+def ref_train(
+    texts: list[str], n_merges: int, min_pair_count: int = 2
+) -> list[tuple[str, str, int]]:
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w and SEP not in w:
+                freqs[w] = freqs.get(w, 0) + 1
+    words = {w: list(w) + [EOW] for w in freqs}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freqs[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b, cnt))
+        for w, syms in words.items():
+            words[w] = ref_merge_pass(syms, a, b)
+    return merges
+
+
+def ref_merge_pass(syms: list[str], a: str, b: str) -> list[str]:
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def ref_encode(word: str, merges: list[tuple[str, str, int]]) -> list[str]:
+    syms = list(word) + [EOW]
+    for a, b, _ in merges:
+        syms = ref_merge_pass(syms, a, b)
+    return syms

@@ -1,0 +1,78 @@
+"""BPE training/encoding (operators/bpe.py) pinned against the
+sequential pure-Python reference (same Sennrich-2016 spec: rank-order
+merges, greedy left-to-right passes, (count desc, pair asc) argmax)."""
+
+import pytest
+
+from fuzzy_wiki_spark.operators import bpe
+
+TEXTS = [
+    "low low low lower lower lowest",
+    "new newer newest wider wide widest",
+    "low wide new low newer",
+    "a ab abc abcd aaaa",
+    "",  # empty doc
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+
+
+def test_train_matches_reference(spark, docs):
+    want = bpe.ref_train(TEXTS, n_merges=12)
+    got, _ = bpe.bpe_train(docs, n_merges=12)
+    assert got == want
+    assert len(got) > 5, "corpus should yield a real merge chain"
+
+
+def test_greedy_overlap_chain(spark):
+    """'aaaa' with merge (a,a): greedy left-to-right gives [aa, aa, </w>],
+    never the overlapping [a, aa, a] split — the replace-resumes-after
+    property the delimited string encoding relies on."""
+    df = spark.createDataFrame([(0, "aaaa aaaa aa")], "doc_id long, text string")
+    merges, words = bpe.bpe_train(df, n_merges=1, min_pair_count=1)
+    assert merges[0][:2] == ("a", "a")
+    got = {
+        r["word"]: r["bpe"]
+        for r in bpe.encode_words(
+            words.select("word"), merges
+        ).collect()
+    }
+    assert got["aaaa"] == ["aa", "aa", "</w>"]
+    assert got["aa"] == ["aa", "</w>"]
+
+
+def test_encode_matches_reference(spark, docs):
+    merges = bpe.ref_train(TEXTS, n_merges=12)
+    got = {
+        (r["doc_id"], r["pos"]): (r["word"], r["bpe"])
+        for r in bpe.bpe_encode(docs, merges).collect()
+    }
+    for d, t in enumerate(TEXTS):
+        toks = [w for w in t.split(" ") if w]
+        for p, w in enumerate(toks):
+            assert got[(d, p)] == (w, bpe.ref_encode(w, merges))
+    # coverage: every (doc, pos) accounted for, nothing extra
+    assert len(got) == sum(len([w for w in t.split(" ") if w]) for t in TEXTS)
+
+
+def test_early_stop_on_min_pair_count(spark):
+    df = spark.createDataFrame([(0, "xy zq")], "doc_id long, text string")
+    merges, _ = bpe.bpe_train(df, n_merges=10, min_pair_count=2)
+    assert merges == []  # every pair occurs once
+
+
+def test_encoding_roundtrip_reconstructs_words(spark, docs):
+    """Concatenating a word's BPE symbols (minus the end marker) must
+    reproduce the word — merges only ever concatenate."""
+    merges, _ = bpe.bpe_train(docs, n_merges=12)
+    enc = bpe.bpe_encode(docs, merges).collect()
+    assert enc
+    for r in enc:
+        syms = r["bpe"]
+        assert syms[-1] == "</w>" or syms[-1].endswith("</w>")
+        assert "".join(syms).replace("</w>", "") == r["word"]
