@@ -3335,6 +3335,35 @@ FROM tok t JOIN enc e USING(word)
 ORACLE_SQL["bpe_train"] = _bpe_train_oracle_sql(BPE_MERGES)
 ORACLE_SQL["bpe_encode"] = _bpe_encode_oracle_sql(BPE_MERGES)
 
+# two-phase rescore: skeleton top-100 window (rounded-score order — the
+# Spark entry rounds before the cut, so ties at the window edge resolve
+# identically), exact-phrase occurrences via one positional self-join,
+# combine at weight 0.5
+ORACLE_SQL["rescore"] = f"""
+WITH tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({_TOK})
+            GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM ({_TOK}) GROUP BY doc_id),
+st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN {_QTERMS} GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+              * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ), 6) AS s
+  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id),
+win AS (SELECT doc_id, s FROM sc ORDER BY s DESC, doc_id LIMIT 100),
+tp AS ({_TOKPOS}),
+occ AS (SELECT a.doc_id, count(*)::BIGINT AS n
+        FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = 'merge' AND b.term = 'join'
+        GROUP BY a.doc_id)
+SELECT w.doc_id, w.s AS first_score, coalesce(occ.n, 0) AS n_occ,
+       round(w.s + 0.5 * coalesce(occ.n, 0), 6) AS score
+FROM win w LEFT JOIN occ USING(doc_id)
+ORDER BY score DESC, w.doc_id LIMIT 10
+"""
+
 ORACLE_SQL["repetition_stats"] = f"""
     WITH toks AS ({_TOK}),
     ta AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
@@ -3424,6 +3453,48 @@ def q_quality_classifier(spark, sf_dir):
     w = hash_weights(vocab, seed="qc")
     return classifier_score(d, w, intercept=0.25).select(
         "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_rescore(spark, sf_dir):
+    """Two-phase retrieval (operators/rescore.py; engine.py
+    rescore_phrase — the Lucene QueryRescorer surface): BM25 skeleton
+    top-100 window, exact-phrase "merge join" occurrence counts computed
+    for the window only, final score = bm25 + 0.5·occurrences, top-10."""
+    from fuzzy_wiki_spark.operators.rescore import (
+        phrase_occurrences,
+        rescore_topk,
+    )
+    from fuzzy_wiki_spark.operators.topk import score_queries_batch
+
+    posts = _postings_simple(spark, sf_dir).persist()
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in P.term_stats(posts)
+        .where(F.col("term").isin(BM25_QUERY_TERMS))
+        .collect()
+    }
+    clauses = [
+        Clause(i, "content", (t,), 1.0, 0, False)
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    ]
+    full = score_queries_batch(
+        spark, posts, {0: clauses}, term_df, fstats, docs_meta=None, k=None
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    window = full.orderBy(F.desc("score"), F.asc("doc_id")).limit(100)
+    sig = phrase_occurrences(
+        posts, "content", ("merge", "join"), candidates=window
+    )
+    out = rescore_topk(full, sig, first_k=100, k=10, weight=0.5)
+    return out.select(
+        "doc_id",
+        F.round("first_score", 6).alias("first_score"),
+        F.col("signal").cast("long").alias("n_occ"),
+        F.round("score", 6).alias("score"),
     )
 
 
@@ -3550,6 +3621,7 @@ QUERIES = {
     "quality_classifier": q_quality_classifier,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
+    "rescore": q_rescore,
     # rows-only (no SQL mirror — Spark-specific hashing / porter chain /
     # seeded-numpy LSH planes / binary media payloads):
     "minhash_pairs": q_minhash_pairs,

@@ -315,6 +315,57 @@ class InvertedIndex:
             group_col=group_col,
         )
 
+    def rescore_phrase(
+        self,
+        query: str,
+        phrase: tuple[str, ...],
+        k: int = 10,
+        first_k: int = 100,
+        weight: float = 1.0,
+        field: str = "content",
+    ) -> DataFrame:
+        """Two-phase retrieval (Lucene QueryRescorer): BM25 first pass cut
+        to a ``first_k`` window, exact-phrase occurrence counts computed
+        for the WINDOW ONLY (positional postings, semi-join bound), final
+        score = bm25 + weight·occurrences. Returns (doc_id, path,
+        first_score, signal, score) top-k. The expensive proximity signal
+        never touches docs outside the window — O(first_k), not
+        O(corpus). ``phrase`` is RAW words; each passes the index
+        analyzer chain (the stored vocabulary is the analyzed one), like
+        every other query surface."""
+        from fuzzy_wiki_spark.analyzer import tokenize_text
+        from fuzzy_wiki_spark.operators.rescore import (
+            phrase_occurrences,
+            rescore_topk,
+        )
+        from fuzzy_wiki_spark.operators.topk import score_queries_batch
+
+        phrase = tuple(t for w in phrase for t in tokenize_text(w))
+        if not phrase:
+            raise ValueError("rescore phrase analyzed to zero terms")
+
+        clauses = compile_query(query)
+        terms = sorted({t for c in clauses for t in c.terms})
+        term_df = self.lookup_term_df(terms)
+        full = score_queries_batch(
+            self.spark,
+            self.postings,
+            {0: clauses},
+            term_df,
+            self.field_stats,
+            docs_meta=self.docs_meta,
+            k=None,
+        ).select("doc_id", "path", "score")
+        window = full.orderBy(
+            F.desc("score"), F.asc("doc_id")
+        ).limit(first_k)
+        sig = phrase_occurrences(
+            self.postings, field, phrase, candidates=window
+        )
+        return rescore_topk(
+            full, sig, first_k=first_k, k=k, weight=weight
+        )
+
     def explain(self, query: str, doc_id: int) -> DataFrame:
         """Score explanation for one (query, doc) — the Lucene
         IndexSearcher.explain surface: one row per clause with the exact

@@ -1,0 +1,72 @@
+"""Two-phase rescoring (operators/rescore.py, engine.rescore_phrase)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.engine import InvertedIndex
+from fuzzy_wiki_spark.operators.rescore import rescore_topk
+
+
+def test_combine_math_and_window_bound(spark):
+    scored = spark.createDataFrame(
+        [(1, 10.0), (2, 9.0), (3, 8.0), (4, 1.0)],
+        "doc_id long, score double",
+    )
+    sig = spark.createDataFrame(
+        [(3, 5), (4, 100)], "doc_id long, signal int"
+    )
+    # first_k=3: doc 4 is OUTSIDE the window — its huge signal must not
+    # resurrect it (the QueryRescorer window contract)
+    out = rescore_topk(scored, sig, first_k=3, k=10, weight=2.0).collect()
+    got = [(r["doc_id"], r["first_score"], r["signal"], r["score"]) for r in out]
+    assert got == [
+        (3, 8.0, 5.0, 18.0),
+        (1, 10.0, 0.0, 10.0),
+        (2, 9.0, 0.0, 9.0),
+    ]
+
+
+def _brute_phrase_count(text: str, phrase: tuple[str, ...]) -> int:
+    toks = [t for t in text.split(" ") if t]
+    n = 0
+    for i in range(len(toks) - len(phrase) + 1):
+        if tuple(toks[i : i + len(phrase)]) == phrase:
+            n += 1
+    return n
+
+
+def test_engine_rescore_phrase_matches_brute_force(spark):
+    from fuzzy_wiki_spark.corpus import generate_docs_pdf
+
+    pdf = generate_docs_pdf(120, seed=11)
+    docs = spark.createDataFrame(pdf)
+    idx = InvertedIndex.build(spark, docs)
+    q = "binary search tree"
+    phrase = ("binary", "search")
+    plain = {
+        r["doc_id"]: r["score"] for r in idx.search(q, k=200).collect()
+    }
+    out = idx.rescore_phrase(q, phrase, k=10, first_k=50, weight=0.7).collect()
+    assert out
+
+    # brute counts on the ANALYZED stream (the index applies the porter
+    # chain, so count on the same analyzed tokens)
+    from fuzzy_wiki_spark.analyzer import tokenize_text
+
+    analyzed_phrase = tuple(
+        t for w in phrase for t in tokenize_text(w)
+    )
+    texts = {int(r.doc_id): str(r.content) for r in pdf.itertuples()}
+    window = sorted(plain.items(), key=lambda t: (-t[1], t[0]))[:50]
+    win_ids = {d for d, _ in window}
+    for r in out:
+        assert r["doc_id"] in win_ids, "rescore must not leave the window"
+        toks = " ".join(tokenize_text(texts[r["doc_id"]]))
+        cnt = _brute_phrase_count(toks, analyzed_phrase)
+        assert r["signal"] == cnt
+        assert r["score"] == pytest.approx(
+            plain[r["doc_id"]] + 0.7 * cnt, rel=1e-9
+        )
+    # the ranking is by the combined score
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
