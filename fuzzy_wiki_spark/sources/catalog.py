@@ -105,3 +105,48 @@ def read_jsonl_docs(spark: SparkSession, path: str, schema: str | None = None):
     if schema:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+# Generic format round-trip for interchange with external pipelines. The
+# ENGINE layout is parquet/Iceberg (columnar stats, pushdown — the scale
+# path); csv/json exist for ingest/export interchange only. All built-in
+# Spark datasources — no extra jars.
+_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def read_table_as(
+    spark: SparkSession, path: str, fmt: str, schema: str | None = None
+) -> DataFrame:
+    """Read ``path`` in any supported interchange format with an EXPLICIT
+    schema (never inference — inference reads the data twice and can
+    drift between files; the engine's contract is declared schemas).
+    CSV is header-less by convention (schema carries the names); strings
+    containing the delimiter/newlines survive via Spark's default
+    quoting."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    elif fmt in ("json", "csv"):
+        raise ValueError(f"{fmt} requires an explicit schema")
+    if fmt == "csv":
+        return reader.option("header", "false").option("multiLine", "true").csv(path)
+    return getattr(reader, fmt)(path)
+
+
+def write_table_as(
+    df: DataFrame, path: str, fmt: str, mode: str = "overwrite"
+) -> None:
+    """Write ``df`` to ``path`` in any supported interchange format.
+    Column order is the frame's; csv quotes as needed so a read_table_as
+    round-trip is lossless for string/numeric columns (binary and nested
+    columns are parquet/orc-only — csv/json writers reject or mangle
+    them; callers encode first)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        writer.option("header", "false").csv(path)
+        return
+    getattr(writer, fmt)(path)
