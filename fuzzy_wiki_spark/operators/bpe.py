@@ -40,9 +40,17 @@ pair-count job's plan stays flat.
 
 Scale notes (100 TB): corpus → word-freq is the only corpus-sized
 shuffle; n_merges iterations each shuffle the vocabulary-sized pair
-table (uniform keys, combinable). Encoding applies the merge chain to
-DISTINCT words only (one broadcast-join back to the token stream) —
-the per-token work at corpus scale is a hash lookup, not BPE.
+table (uniform keys, combinable). CAVEAT measured on the code corpus:
+natural-language vocabularies are ~√corpus, but code identifiers are
+near-unique, so the distinct-"word" table stays nearly corpus-sized and
+each iteration costs Θ(Σ word lengths) — the same asymptotics every BPE
+trainer pays on code. Production tokenizers therefore TRAIN ON A SAMPLE
+(10-100 GB is standard at any corpus size) and ENCODE the full corpus;
+pair bpe_train with a deterministic hash sample
+(operators/sampling.hash_sample) for the train side — the bench does
+(scripts/bench_pipeline_ops.py). Encoding applies the merge chain to
+DISTINCT words only (one join back to the token stream) — the per-token
+work at corpus scale is a hash lookup, not BPE.
 """
 
 from __future__ import annotations

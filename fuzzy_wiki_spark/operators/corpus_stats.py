@@ -253,6 +253,7 @@ def remove_dup_spans(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_spans: bool = False,
 ) -> DataFrame:
     """Duplicated-span REMOVAL — the ExactSubstr dedup transform (Lee et
     al. 2022): ``duplicated_spans`` says WHAT repeats; this rewrites the
@@ -273,8 +274,11 @@ def remove_dup_spans(
 
     Scale notes (100 TB): the occurrence table is one shingle explode
     (n× the token stream); canonicalization is a window over the span key
-    — at real scale group on xxhash64(span) instead of the text to keep
-    the exchange thin. Covered positions explode only from DUPLICATED
+    — ``hash_spans=True`` keys that exchange by ``xxhash64(span)``
+    instead of the n-token text (≈n·8 bytes/row less shuffle; results
+    identical up to a ~2⁻⁶⁴ collision, so the scale path uses it and the
+    oracle-checked entry keeps the exact text key). Covered positions
+    explode only from DUPLICATED
     occurrences (bounded by n × dup rows, a corpus-quality signal, not a
     corpus-sized blowup after exact dedup has run); the rebuild is one
     groupBy(doc_id) over surviving tokens with an array_sort — per-task
@@ -298,6 +302,8 @@ def remove_dup_spans(
     occ = base.select(
         "doc_id", F.explode(span_structs).alias("o")
     ).select("doc_id", F.col("o.pos").alias("pos"), F.col("o.span").alias("span"))
+    if hash_spans:
+        occ = occ.select("doc_id", "pos", F.xxhash64("span").alias("span"))
     w_rn = Window.partitionBy("span").orderBy("doc_id", "pos")
     w_cnt = Window.partitionBy("span")
     dup = (

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Round-3 pipeline-operator scale bench over an existing docs parquet
+(`--input`, any table with doc_id + content columns):
+
+  1. bpe_train on a deterministic doc sample (--train-docs; tokenizers
+     are trained on samples in practice — on a code corpus the distinct-
+     "word" table is nearly corpus-sized because identifiers are unique,
+     so every real BPE trainer samples) + bpe_encode of the FULL corpus
+     with the learned merges
+  2. remove_dup_spans — ExactSubstr span-removal transform
+     (hash_spans=True thin-shuffle scale path)
+  3. classifier_score — broadcast-weight linear quality scoring over a
+     frequency-capped vocabulary (--vocab-cap; trained classifiers have
+     bounded vocabularies — the broadcast contract)
+  4. redact_secrets — map-only regex redaction pass
+
+Prints ONE JSON line with per-stage seconds + the VM phase control.
+Run at two parallelism levels for the scaling picture:
+
+    python scripts/bench_pipeline_ops.py --input /tmp/fw_code800k --cpus 8
+    python scripts/bench_pipeline_ops.py --input /tmp/fw_code800k --cpus 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--merges", type=int, default=8)
+    ap.add_argument("--span-n", type=int, default=15)
+    ap.add_argument("--train-docs", type=int, default=100_000)
+    ap.add_argument("--vocab-cap", type=int, default=200_000)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from fuzzy_wiki_spark import get_spark
+    from fuzzy_wiki_spark.functions.text import redact_secrets
+    from fuzzy_wiki_spark.operators.bpe import bpe_encode, bpe_train
+    from fuzzy_wiki_spark.operators.classifier import (
+        classifier_score,
+        hash_weights,
+    )
+    from fuzzy_wiki_spark.operators.corpus_stats import remove_dup_spans
+    from fuzzy_wiki_spark.phase import phase_control
+
+    control_start = phase_control()
+    spark = get_spark(
+        "bench-pipeline-ops",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus * 2,
+    )
+    docs = (
+        spark.read.parquet(args.input)
+        .select("doc_id", F.col("content").alias("text"))
+        .persist()
+    )
+    n_docs = docs.count()
+    out: dict = {"cpus": args.cpus, "n_docs": n_docs}
+
+    t0 = time.perf_counter()
+    train_docs = docs.where(
+        F.pmod(F.xxhash64("doc_id"), F.lit(max(1, n_docs // args.train_docs)))
+        == 0
+    )
+    merges, _ = bpe_train(train_docs, n_merges=args.merges)
+    out["bpe_train_sec"] = round(time.perf_counter() - t0, 3)
+    out["bpe_merges"] = len(merges)
+    out["bpe_train_docs"] = args.train_docs
+
+    t0 = time.perf_counter()
+    out["bpe_encode_tokens"] = bpe_encode(docs, merges).count()
+    out["bpe_encode_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    removed = remove_dup_spans(
+        docs, n=args.span_n, min_count=2, hash_spans=True
+    )
+    agg = removed.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_removed").alias("rm")
+    ).collect()[0]
+    out["span_removal_sec"] = round(time.perf_counter() - t0, 3)
+    out["span_tokens_removed"] = int(agg["rm"])
+
+    t0 = time.perf_counter()
+    vocab = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(args.vocab_cap)
+        .select("term")
+    )
+    w = hash_weights(vocab)
+    # force the full scoring plan: a bare count() of the left join lets
+    # Catalyst prune the aggregation away (doc_id is unique), timing
+    # nothing — sum(score) keeps every stage live
+    cs = (
+        classifier_score(docs, w, intercept=0.25)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("score").alias("s"))
+        .collect()[0]
+    )
+    out["classifier_rows"] = int(cs["n"])
+    out["classifier_score_sum"] = round(float(cs["s"]), 3)
+    out["classifier_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    out["redact_changed"] = (
+        docs.select(redact_secrets(F.col("text")).alias("c"), "text")
+        .where(F.col("c") != F.col("text"))
+        .count()
+    )
+    out["redact_sec"] = round(time.perf_counter() - t0, 3)
+
+    out["control_before"] = round(control_start, 4)
+    out["control_after"] = round(phase_control(), 4)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,4 +58,66 @@ def test_winnow_fingerprints_no_shuffle(spark):
 
     plan = _plan(winnow_fingerprints(_docs(spark)))
     assert "Exchange" not in plan
-    assert "ArrowEvalPython" in plan or "MapInArrow" in plan or "PythonMapInArrow" in plan
+    assert (
+        "ArrowEvalPython" in plan
+        or "MapInArrow" in plan
+        or "PythonMapInArrow" in plan
+    )
+
+
+def test_collapse_is_partial_aggregate_not_window(spark):
+    """The collapse must be a combinable groupBy (partial aggregation
+    before the exchange), never a window sort over the full candidate
+    set on the group key."""
+    from fuzzy_wiki_spark.operators.collapse import collapse_topk
+
+    scored = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(50)], "doc_id long, score double"
+    )
+    groups = spark.createDataFrame(
+        [(i, str(i % 5)) for i in range(50)], "doc_id long, group string"
+    )
+    plan = _plan(collapse_topk(scored, groups, k=5))
+    assert "Window" not in plan
+    # partial_max shows the map-side combine of the struct-max agg
+    assert "partial_max" in plan or "partial max" in plan.lower()
+
+
+def test_classifier_broadcasts_weights(spark):
+    """The weight table is model-sized — it must broadcast, never
+    shuffle the corpus-sized (doc, term) stream onto the term key."""
+    from fuzzy_wiki_spark.operators.classifier import (
+        classifier_score,
+        hash_weights,
+    )
+
+    d = _docs(spark)
+    vocab = d.select(
+        F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    plan = _plan(classifier_score(d, hash_weights(vocab)))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_redact_is_map_only(spark):
+    """Redaction is a pure map pass: no Exchange in the plan."""
+    from fuzzy_wiki_spark.functions.text import redact_secrets
+
+    plan = _plan(_docs(spark).select(redact_secrets(F.col("text"))))
+    assert "Exchange" not in plan
+
+
+def test_rescore_signal_join_is_not_cartesian(spark):
+    """The rescore combine joins a first_k-row window with the signal —
+    an equi-join, never a nested-loop product."""
+    from fuzzy_wiki_spark.operators.rescore import rescore_topk
+
+    scored = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "doc_id long, score double"
+    )
+    sig = spark.createDataFrame(
+        [(3, 2), (7, 1)], "doc_id long, signal int"
+    )
+    plan = _plan(rescore_topk(scored, sig, first_k=10, k=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

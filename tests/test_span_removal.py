@@ -61,6 +61,29 @@ def test_canonical_occurrence_survives_exactly_once(spark):
     assert got[1] == "b" and got[2] == "c d"
 
 
+def test_hash_spans_mode_is_identical(spark):
+    """The thin-shuffle scale path (window keyed by xxhash64(span)) must
+    produce the same rewrite as the exact text key."""
+    from fuzzy_wiki_spark.corpus import generate_docs_pdf
+
+    pdf = generate_docs_pdf(80, seed=5)
+    df = (
+        spark.createDataFrame(pdf)
+        .select("doc_id", "content")
+        .withColumnRenamed("content", "text")
+    )
+    exact = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_dup_spans(df, n=4, min_count=2).collect()
+    }
+    hashed = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_dup_spans(df, n=4, min_count=2, hash_spans=True).collect()
+    }
+    assert hashed == exact
+    assert any(v[1] > 0 for v in exact.values()), "fixture must have dups"
+
+
 def test_every_doc_appears_even_fully_removed(spark):
     docs = [(0, "s t u"), (1, "s t u"), (2, "s t u")]
     df = spark.createDataFrame(docs, "doc_id long, text string")
