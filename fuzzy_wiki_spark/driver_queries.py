@@ -3198,6 +3198,10 @@ SELECT grp, doc_id, s AS score FROM ranked
 WHERE rn = 1 ORDER BY s DESC, doc_id LIMIT 10
 """
 
+# the serving path's collapse must be indistinguishable from the
+# relational one — same oracle verbatim
+ORACLE_SQL["seg_collapse"] = ORACLE_SQL["collapse_topk"]
+
 # ExactSubstr span-removal transform: positions covered by any
 # non-canonical occurrence of a duplicated 10-token span are cut;
 # canonical = min (doc_id, pos) per span
@@ -3498,6 +3502,44 @@ def q_rescore(spark, sf_dir):
     )
 
 
+def q_seg_collapse(spark, sf_dir):
+    """Field collapsing on the SEGMENT serving path (engine.py
+    SegmentIndex.search_collapse): full-set bucket scoring (k=None,
+    MaxScore off — a groupless θ bound could prune a group's best), then
+    the same struct-max collapse as the relational entry. Oracle =
+    ORACLE_SQL["collapse_topk"] verbatim: the serving path must be
+    indistinguishable."""
+    import tempfile
+
+    from fuzzy_wiki_spark.engine import SegmentIndex
+    from fuzzy_wiki_spark.operators.collapse import collapse_topk
+    from fuzzy_wiki_spark.operators.segment_query import (
+        search_segments_batch,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    idx = SegmentIndex.build(
+        spark,
+        docs,
+        tempfile.mkdtemp(prefix="fw_segc_"),
+        n_buckets=8,
+        mode="simple",
+        fields={"content": "content"},
+    )
+    term_df = idx._term_df(BM25_QUERY_TERMS)
+    clauses = [
+        Clause(i, "content", (t,), 1.0, 0, False)
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    ]
+    full = search_segments_batch(
+        spark, idx.segments, {0: clauses}, term_df, idx.field_stats, k=None
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    groups = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("grp"))
+    return collapse_topk(full, groups, k=10, group_col="grp")
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training (operators/bpe.py — Sennrich 2016): the
     8-merge chain learned from the documents corpus, (merge_rank, lhs,
@@ -3622,6 +3664,7 @@ QUERIES = {
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
     "rescore": q_rescore,
+    "seg_collapse": q_seg_collapse,
     # rows-only (no SQL mirror — Spark-specific hashing / porter chain /
     # seeded-numpy LSH planes / binary media payloads):
     "minhash_pairs": q_minhash_pairs,

@@ -688,6 +688,36 @@ class SegmentIndex:
             F.desc("score"), F.asc("doc_id")
         )
 
+    def search_collapse(
+        self, query: str, group_df: DataFrame, k: int = 10,
+        group_col: str = "group",
+    ) -> DataFrame:
+        """Field-collapsed top-k over the compressed segments (the same
+        Lucene CollapsingTopDocsCollector surface as the relational
+        engine). Collapse needs EVERY group's best doc, so the bucket
+        scorer runs in full-set mode (k=None: MaxScore off — a θ bound
+        tuned for a groupless top-k could prune some group's best hit);
+        the combinable struct-max groupBy then reduces each partition to
+        ≤|groups| rows before the exchange. Returns (group, doc_id,
+        score). Parity with InvertedIndex.search_collapse is pinned in
+        tests/test_collapse.py."""
+        from fuzzy_wiki_spark.operators.collapse import collapse_topk
+        from fuzzy_wiki_spark.operators.segment_query import (
+            search_segments_batch,
+        )
+
+        clauses = compile_query(query)
+        term_df = self._term_df(sorted({t for c in clauses for t in c.terms}))
+        full = search_segments_batch(
+            self.spark,
+            self.segments,
+            {0: clauses},
+            term_df,
+            self.field_stats,
+            k=None,
+        ).select("doc_id", "score")
+        return collapse_topk(full, group_df, k=k, group_col=group_col)
+
     def search_many(self, queries: list[str], k: int = 10) -> DataFrame:
         """Batch replay over compressed segments: one job for the whole
         query set; per-bucket decode is shared across queries →

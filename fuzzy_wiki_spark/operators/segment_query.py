@@ -490,7 +490,7 @@ def search_segments_batch(
     queries: dict[int, list[Clause]],  # query_id -> compiled clauses
     term_df: dict[tuple[str, str], int],
     field_stats: dict[str, tuple[int, float]],
-    k: int = 10,
+    k: int | None = 10,
     after: tuple[float, int] | None = None,
     allowed: np.ndarray | None = None,
 ):
@@ -500,7 +500,13 @@ def search_segments_batch(
     all queries' segment rows and scores every query against them — a
     bucket's meta rows (dl map) and any shared term's postings are decoded
     ONCE for the set, not once per query. Per-bucket partial top-k per
-    query, then a global window rank (tiny input: ≤ buckets·Q·k rows)."""
+    query, then a global window rank (tiny input: ≤ buckets·Q·k rows).
+
+    ``k=None`` = the FULL scored match set (every matching doc, ranked):
+    MaxScore is disabled (a θ bound tuned for a top-k cut would drop docs
+    a full-set consumer — collapse, export — still needs) and no rank
+    filter applies. A doc's postings live entirely in its bucket, so
+    per-bucket scores are final either way."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -508,6 +514,10 @@ def search_segments_batch(
     queries = {qid: cls for qid, cls in queries.items() if cls}
     if not queries:
         return spark.createDataFrame([], schema + ", rank int")
+    full_set = k is None
+    # a sentinel larger than any bucket's doc count: every size>k guard in
+    # bucket_topk stays False and the final [:k] slice keeps everything
+    eff_k = (1 << 31) if full_set else k
 
     doc_counts = {f: dc for f, (dc, _) in field_stats.items()}
     avgdl = {f: a for f, (_, a) in field_stats.items()}
@@ -530,11 +540,12 @@ def search_segments_batch(
                 cls,
                 weights[qid],
                 avgdl,
-                k,
+                eff_k,
                 # MaxScore stays ON for cursor pages and filtered queries:
                 # bucket_topk seeds θ only from guaranteed-eligible docs
-                # (cursor) / restricts candidates to the filter (allowed)
-                use_maxscore=True,
+                # (cursor) / restricts candidates to the filter (allowed).
+                # OFF for full-set mode (docstring).
+                use_maxscore=not full_set,
                 cache=cache,
                 after=after,
                 allowed=allowed,
@@ -553,10 +564,8 @@ def search_segments_batch(
     # AQE coalesces the tiny post-shuffle partitions.
     local = pruned.groupBy("bucket").applyInPandas(per_bucket, schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    out = local.withColumn("rank", F.row_number().over(w))
+    return out if full_set else out.where(F.col("rank") <= k)
 
 
 # ---------------------------------------------------------------------------

@@ -48,6 +48,34 @@ def test_payload_columns_ride_through(spark, groups):
     assert [(r["group"], r["path"]) for r in out] == [("g2", "p4"), ("g1", "p1")]
 
 
+def test_segment_collapse_matches_relational(spark, tmp_path):
+    """The segment serving path's collapse (full-set bucket scoring,
+    MaxScore off) must agree with the relational engine: same groups,
+    same picked docs, same scores."""
+    from fuzzy_wiki_spark.corpus import generate_docs_pdf
+    from fuzzy_wiki_spark.engine import SegmentIndex
+
+    pdf = generate_docs_pdf(150, seed=9)
+    docs = spark.createDataFrame(pdf)
+    rel = InvertedIndex.build(spark, docs)
+    seg = SegmentIndex.build(spark, docs, str(tmp_path / "colidx"), n_buckets=4)
+    groups = docs.select(
+        "doc_id", (F.col("doc_id") % 6).cast("string").alias("group")
+    )
+    q = "binary search tree"
+    want = [
+        (r["group"], r["doc_id"], r["score"])
+        for r in rel.search_collapse(q, groups, k=8).collect()
+    ]
+    got = [
+        (r["group"], r["doc_id"], r["score"])
+        for r in seg.search_collapse(q, groups, k=8).collect()
+    ]
+    assert [(g, d) for g, d, _ in got] == [(g, d) for g, d, _ in want]
+    for (_, _, sg), (_, _, sw) in zip(got, want):
+        assert sg == pytest.approx(sw, rel=1e-9)
+
+
 def test_engine_search_collapse_scores_match_search(spark):
     """Collapse prunes results, never scores: every collapsed hit's score
     equals the same doc's score in the plain search, and each group
