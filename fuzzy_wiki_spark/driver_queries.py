@@ -3367,6 +3367,8 @@ SELECT w.doc_id, w.s AS first_score, coalesce(occ.n, 0) AS n_occ,
 FROM win w LEFT JOIN occ USING(doc_id)
 ORDER BY score DESC, w.doc_id LIMIT 10
 """
+# serving-path rescore shares the relational oracle verbatim
+ORACLE_SQL["seg_rescore"] = ORACLE_SQL["rescore"]
 
 ORACLE_SQL["repetition_stats"] = f"""
     WITH toks AS ({_TOK}),
@@ -3540,6 +3542,58 @@ def q_seg_collapse(spark, sf_dir):
     return collapse_topk(full, groups, k=10, group_col="grp")
 
 
+def q_seg_rescore(spark, sf_dir):
+    """Two-phase rescore on the SEGMENT serving path (engine.py
+    SegmentIndex.rescore_phrase): full-set bucket scoring → rounded
+    top-100 window (rounded BEFORE the cut, mirroring the oracle's tie
+    handling) → phrase signal from a term-pruned segment decode → combine
+    at weight 0.5. Oracle = ORACLE_SQL["rescore"] verbatim."""
+    import tempfile
+
+    from fuzzy_wiki_spark.engine import SegmentIndex
+    from fuzzy_wiki_spark.operators.rescore import (
+        phrase_occurrences,
+        rescore_topk,
+    )
+    from fuzzy_wiki_spark.operators.segment_query import (
+        search_segments_batch,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    idx = SegmentIndex.build(
+        spark,
+        docs,
+        tempfile.mkdtemp(prefix="fw_segr_"),
+        n_buckets=8,
+        mode="simple",
+        fields={"content": "content"},
+    )
+    term_df = idx._term_df(BM25_QUERY_TERMS)
+    clauses = [
+        Clause(i, "content", (t,), 1.0, 0, False)
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    ]
+    full = search_segments_batch(
+        spark, idx.segments, {0: clauses}, term_df, idx.field_stats, k=None
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    window = full.orderBy(F.desc("score"), F.asc("doc_id")).limit(100)
+    sig = phrase_occurrences(
+        idx.term_postings("content", ["merge", "join"], with_dl=False),
+        "content",
+        ("merge", "join"),
+        candidates=window,
+    )
+    out = rescore_topk(full, sig, first_k=100, k=10, weight=0.5)
+    return out.select(
+        "doc_id",
+        F.round("first_score", 6).alias("first_score"),
+        F.col("signal").cast("long").alias("n_occ"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training (operators/bpe.py — Sennrich 2016): the
     8-merge chain learned from the documents corpus, (merge_rank, lhs,
@@ -3665,6 +3719,7 @@ QUERIES = {
     "bpe_encode": q_bpe_encode,
     "rescore": q_rescore,
     "seg_collapse": q_seg_collapse,
+    "seg_rescore": q_seg_rescore,
     # rows-only (no SQL mirror — Spark-specific hashing / porter chain /
     # seeded-numpy LSH planes / binary media payloads):
     "minhash_pairs": q_minhash_pairs,

@@ -718,6 +718,43 @@ class SegmentIndex:
         ).select("doc_id", "score")
         return collapse_topk(full, group_df, k=k, group_col=group_col)
 
+    def rescore_phrase(
+        self,
+        query: str,
+        phrase: tuple[str, ...],
+        k: int = 10,
+        first_k: int = 100,
+        weight: float = 1.0,
+        field: str = "content",
+    ) -> DataFrame:
+        """Two-phase retrieval on the segment serving path (Lucene
+        QueryRescorer; same semantics as InvertedIndex.rescore_phrase).
+        Unlike collapse, the rescore window IS a plain top-k, so the
+        first pass keeps block-max WAND pruning ON; the phrase signal
+        then decodes ONLY the phrase terms' postings (term-pruned
+        row-group scan, positions stay wire-format) restricted to the
+        window by a broadcast semi-join. Returns (doc_id, first_score,
+        signal, score) top-k."""
+        from fuzzy_wiki_spark.analyzer import tokenize_text
+        from fuzzy_wiki_spark.operators.rescore import (
+            phrase_occurrences,
+            rescore_topk,
+        )
+
+        phrase = tuple(t for w in phrase for t in tokenize_text(w))
+        if not phrase:
+            raise ValueError("rescore phrase analyzed to zero terms")
+        window = self.search(query, k=first_k)
+        sig = phrase_occurrences(
+            self.term_postings(field, sorted(set(phrase)), with_dl=False),
+            field,
+            phrase,
+            candidates=window,
+        )
+        return rescore_topk(
+            window, sig, first_k=first_k, k=k, weight=weight
+        )
+
     def search_many(self, queries: list[str], k: int = 10) -> DataFrame:
         """Batch replay over compressed segments: one job for the whole
         query set; per-bucket decode is shared across queries →

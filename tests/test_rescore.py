@@ -26,6 +26,32 @@ def test_combine_math_and_window_bound(spark):
     ]
 
 
+def test_segment_rescore_matches_relational(spark, tmp_path):
+    """The segment serving path's rescore (WAND-pruned first pass +
+    term-pruned signal decode) must agree with the relational engine."""
+    from fuzzy_wiki_spark.corpus import generate_docs_pdf
+    from fuzzy_wiki_spark.engine import SegmentIndex
+
+    pdf = generate_docs_pdf(150, seed=13)
+    docs = spark.createDataFrame(pdf)
+    rel = InvertedIndex.build(spark, docs)
+    seg = SegmentIndex.build(spark, docs, str(tmp_path / "ridx"), n_buckets=4)
+    q, phrase = "binary search tree", ("binary", "search")
+    want = [
+        (r["doc_id"], r["signal"], r["score"])
+        for r in rel.rescore_phrase(q, phrase, k=8, first_k=40, weight=0.7)
+        .collect()
+    ]
+    got = [
+        (r["doc_id"], r["signal"], r["score"])
+        for r in seg.rescore_phrase(q, phrase, k=8, first_k=40, weight=0.7)
+        .collect()
+    ]
+    assert [(d, s) for d, s, _ in got] == [(d, s) for d, s, _ in want]
+    for (_, _, sg), (_, _, sw) in zip(got, want):
+        assert sg == pytest.approx(sw, rel=1e-9)
+
+
 def _brute_phrase_count(text: str, phrase: tuple[str, ...]) -> int:
     toks = [t for t in text.split(" ") if t]
     n = 0
