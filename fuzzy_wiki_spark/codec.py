@@ -233,6 +233,23 @@ def encode_position_list(positions) -> bytes:
     return varint_encode(gaps)
 
 
+def positions_by_term(tps) -> dict:
+    """{term: [absolute positions]} from one candidate row's
+    ``collect_list(struct(term, positions))`` — the shared decode step of
+    every positional matcher (sloppy phrase, ordered span, phrase-count
+    rescore). Multi-generation inputs may carry SEVERAL rows per term
+    (one per generation, disjoint doc sets per the append-only contract);
+    within one doc that still means one row per (term, generation), and
+    extend() concatenates them. Callers needing sorted positions sort the
+    lists themselves (single-row inputs arrive sorted from the encoder)."""
+    posmap: dict = {}
+    for tp in tps:
+        posmap.setdefault(tp["term"], []).extend(
+            decode_position_list(tp["positions"]).tolist()
+        )
+    return posmap
+
+
 def decode_position_list(buf: bytes) -> np.ndarray:
     """Decode ONE posting's positions: varint gaps (first value absolute,
     delta-encoded after) → absolute positions. The per-posting mirror of

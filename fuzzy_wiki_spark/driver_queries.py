@@ -53,6 +53,70 @@ def _postings_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _skeleton_full_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL (unranked) scored set of the BM25 skeleton query, scores
+    rounded to the oracle's 6 dp — the shared first pass of the
+    collapse/rescore entries."""
+    from fuzzy_wiki_spark.operators.topk import score_queries_batch
+
+    posts = _postings_simple(spark, sf_dir).persist()
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in P.term_stats(posts)
+        .where(F.col("term").isin(BM25_QUERY_TERMS))
+        .collect()
+    }
+    clauses = [
+        Clause(i, "content", (t,), 1.0, 0, False)
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    ]
+    return score_queries_batch(
+        spark, posts, {0: clauses}, term_df, fstats, docs_meta=None, k=None
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _seg_simple_index(spark: SparkSession, sf_dir: str, prefix: str):
+    """documents → one-shot simple-mode SegmentIndex (the oracle-exact
+    serving build shared by the segment entries)."""
+    import tempfile
+
+    from fuzzy_wiki_spark.engine import SegmentIndex
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return SegmentIndex.build(
+        spark,
+        docs,
+        tempfile.mkdtemp(prefix=prefix),
+        n_buckets=8,
+        mode="simple",
+        fields={"content": "content"},
+    )
+
+
+def _seg_skeleton_full_scores(spark, idx) -> DataFrame:
+    """FULL scored set of the skeleton query on a segment index
+    (search_segments_batch k=None), rounded 6 — the segment twin of
+    _skeleton_full_scores."""
+    from fuzzy_wiki_spark.operators.segment_query import (
+        search_segments_batch,
+    )
+
+    term_df = idx._term_df(BM25_QUERY_TERMS)
+    clauses = [
+        Clause(i, "content", (t,), 1.0, 0, False)
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    ]
+    return search_segments_batch(
+        spark, idx.segments, {0: clauses}, term_df, idx.field_stats, k=None
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
 # --------------------------------------------------------------------------
 # queries() callables
 # --------------------------------------------------------------------------
@@ -1530,21 +1594,7 @@ def q_segment_bm25(spark, sf_dir):
     scorer's result must be indistinguishable from the relational path.
     The porter-chain flagship variant stays covered by ``flagship_porter``
     (rows-only) and the pytest golden suite."""
-    import tempfile
-
-    from fuzzy_wiki_spark.engine import SegmentIndex
-
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.col("text").alias("content")
-    )
-    idx = SegmentIndex.build(
-        spark,
-        docs,
-        tempfile.mkdtemp(prefix="fw_seg_"),
-        n_buckets=8,
-        mode="simple",
-        fields={"content": "content"},
-    )
+    idx = _seg_simple_index(spark, sf_dir, "fw_seg_")
     return _segment_skeleton_topk(spark, idx)
 
 
@@ -3324,8 +3374,12 @@ def _bpe_encode_oracle_sql(n_merges: int) -> str:
             f"  (SELECT '{SEP}' || a || '{DSEP}' || b || '{SEP}' FROM b{i}),\n"
             f"  (SELECT '{SEP}' || a || b || '{SEP}' FROM b{i}))"
         )
+    # the SEP filter mirrors bpe_encode's where(~word.contains(SEP)) —
+    # positions keep their pre-filter index on both sides (Spark filters
+    # AFTER posexplode; here AFTER the _TOKPOS row_number)
     return f"""WITH {_bpe_ctes(n_merges)},
-tok AS ({_TOKPOS.replace("term", "word")}),
+tok AS (SELECT * FROM ({_TOKPOS.replace("term", "word")})
+        WHERE NOT contains(word, '{SEP}')),
 uniq AS (SELECT DISTINCT word FROM tok),
 enc AS (SELECT word,
                array_to_string(
@@ -3399,26 +3453,8 @@ def q_collapse_topk(spark, sf_dir):
     the skeleton query's top-10 with at most ONE hit per `source`
     (best doc per source), scores corpus-wide."""
     from fuzzy_wiki_spark.operators.collapse import collapse_topk
-    from fuzzy_wiki_spark.operators.topk import score_queries_batch
 
-    posts = _postings_simple(spark, sf_dir).persist()
-    fstats = {
-        r["field"]: (r["doc_count"], float(r["avgdl"]))
-        for r in P.field_stats(posts).collect()
-    }
-    term_df = {
-        (r["field"], r["term"]): r["df"]
-        for r in P.term_stats(posts)
-        .where(F.col("term").isin(BM25_QUERY_TERMS))
-        .collect()
-    }
-    clauses = [
-        Clause(i, "content", (t,), 1.0, 0, False)
-        for i, t in enumerate(BM25_QUERY_TERMS)
-    ]
-    full = score_queries_batch(
-        spark, posts, {0: clauses}, term_df, fstats, docs_meta=None, k=None
-    ).select("doc_id", F.round("score", 6).alias("score"))
+    full = _skeleton_full_scores(spark, sf_dir)
     groups = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("grp"))
     return collapse_topk(full, groups, k=10, group_col="grp")
 
@@ -3466,36 +3502,26 @@ def q_rescore(spark, sf_dir):
     """Two-phase retrieval (operators/rescore.py; engine.py
     rescore_phrase — the Lucene QueryRescorer surface): BM25 skeleton
     top-100 window, exact-phrase "merge join" occurrence counts computed
-    for the window only, final score = bm25 + 0.5·occurrences, top-10."""
+    for the window only, final score = bm25 + 0.5·occurrences, top-10.
+    The window is materialized ONCE and reused for both the signal bound
+    and the combine (engine.rescore_phrase docstring: re-evaluated
+    windows are float-boundary-unstable)."""
     from fuzzy_wiki_spark.operators.rescore import (
         phrase_occurrences,
         rescore_topk,
     )
-    from fuzzy_wiki_spark.operators.topk import score_queries_batch
 
-    posts = _postings_simple(spark, sf_dir).persist()
-    fstats = {
-        r["field"]: (r["doc_count"], float(r["avgdl"]))
-        for r in P.field_stats(posts).collect()
-    }
-    term_df = {
-        (r["field"], r["term"]): r["df"]
-        for r in P.term_stats(posts)
-        .where(F.col("term").isin(BM25_QUERY_TERMS))
-        .collect()
-    }
-    clauses = [
-        Clause(i, "content", (t,), 1.0, 0, False)
-        for i, t in enumerate(BM25_QUERY_TERMS)
-    ]
-    full = score_queries_batch(
-        spark, posts, {0: clauses}, term_df, fstats, docs_meta=None, k=None
-    ).select("doc_id", F.round("score", 6).alias("score"))
-    window = full.orderBy(F.desc("score"), F.asc("doc_id")).limit(100)
-    sig = phrase_occurrences(
-        posts, "content", ("merge", "join"), candidates=window
+    full = _skeleton_full_scores(spark, sf_dir)
+    window = (
+        full.orderBy(F.desc("score"), F.asc("doc_id")).limit(100).persist()
     )
-    out = rescore_topk(full, sig, first_k=100, k=10, weight=0.5)
+    sig = phrase_occurrences(
+        _postings_simple(spark, sf_dir),
+        "content",
+        ("merge", "join"),
+        candidates=window,
+    )
+    out = rescore_topk(window, sig, first_k=100, k=10, weight=0.5)
     return out.select(
         "doc_id",
         F.round("first_score", 6).alias("first_score"),
@@ -3511,33 +3537,10 @@ def q_seg_collapse(spark, sf_dir):
     the same struct-max collapse as the relational entry. Oracle =
     ORACLE_SQL["collapse_topk"] verbatim: the serving path must be
     indistinguishable."""
-    import tempfile
-
-    from fuzzy_wiki_spark.engine import SegmentIndex
     from fuzzy_wiki_spark.operators.collapse import collapse_topk
-    from fuzzy_wiki_spark.operators.segment_query import (
-        search_segments_batch,
-    )
 
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.col("text").alias("content")
-    )
-    idx = SegmentIndex.build(
-        spark,
-        docs,
-        tempfile.mkdtemp(prefix="fw_segc_"),
-        n_buckets=8,
-        mode="simple",
-        fields={"content": "content"},
-    )
-    term_df = idx._term_df(BM25_QUERY_TERMS)
-    clauses = [
-        Clause(i, "content", (t,), 1.0, 0, False)
-        for i, t in enumerate(BM25_QUERY_TERMS)
-    ]
-    full = search_segments_batch(
-        spark, idx.segments, {0: clauses}, term_df, idx.field_stats, k=None
-    ).select("doc_id", F.round("score", 6).alias("score"))
+    idx = _seg_simple_index(spark, sf_dir, "fw_segc_")
+    full = _seg_skeleton_full_scores(spark, idx)
     groups = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("grp"))
     return collapse_topk(full, groups, k=10, group_col="grp")
 
@@ -3546,46 +3549,26 @@ def q_seg_rescore(spark, sf_dir):
     """Two-phase rescore on the SEGMENT serving path (engine.py
     SegmentIndex.rescore_phrase): full-set bucket scoring → rounded
     top-100 window (rounded BEFORE the cut, mirroring the oracle's tie
-    handling) → phrase signal from a term-pruned segment decode → combine
-    at weight 0.5. Oracle = ORACLE_SQL["rescore"] verbatim."""
-    import tempfile
-
-    from fuzzy_wiki_spark.engine import SegmentIndex
+    handling; materialized once — see q_rescore) → phrase signal from a
+    term-pruned segment decode → combine at weight 0.5. Oracle =
+    ORACLE_SQL["rescore"] verbatim."""
     from fuzzy_wiki_spark.operators.rescore import (
         phrase_occurrences,
         rescore_topk,
     )
-    from fuzzy_wiki_spark.operators.segment_query import (
-        search_segments_batch,
-    )
 
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.col("text").alias("content")
+    idx = _seg_simple_index(spark, sf_dir, "fw_segr_")
+    full = _seg_skeleton_full_scores(spark, idx)
+    window = (
+        full.orderBy(F.desc("score"), F.asc("doc_id")).limit(100).persist()
     )
-    idx = SegmentIndex.build(
-        spark,
-        docs,
-        tempfile.mkdtemp(prefix="fw_segr_"),
-        n_buckets=8,
-        mode="simple",
-        fields={"content": "content"},
-    )
-    term_df = idx._term_df(BM25_QUERY_TERMS)
-    clauses = [
-        Clause(i, "content", (t,), 1.0, 0, False)
-        for i, t in enumerate(BM25_QUERY_TERMS)
-    ]
-    full = search_segments_batch(
-        spark, idx.segments, {0: clauses}, term_df, idx.field_stats, k=None
-    ).select("doc_id", F.round("score", 6).alias("score"))
-    window = full.orderBy(F.desc("score"), F.asc("doc_id")).limit(100)
     sig = phrase_occurrences(
         idx.term_postings("content", ["merge", "join"], with_dl=False),
         "content",
         ("merge", "join"),
         candidates=window,
     )
-    out = rescore_topk(full, sig, first_k=100, k=10, weight=0.5)
+    out = rescore_topk(window, sig, first_k=100, k=10, weight=0.5)
     return out.select(
         "doc_id",
         F.round("first_score", 6).alias("first_score"),
@@ -3603,8 +3586,17 @@ def q_bpe_train(spark, sf_dir):
     delimited-string replace, all bit-identical on both engines."""
     from fuzzy_wiki_spark.operators.bpe import bpe_train
 
+    # min_pair_count=1: the unrolled oracle has no early-stop, so the
+    # Spark side must not stop early either; assert loudly (rather than a
+    # mysterious hash mismatch) if the corpus can't sustain the chain
     merges, _ = bpe_train(
-        _docs(spark, sf_dir).select("doc_id", "text"), n_merges=BPE_MERGES
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        n_merges=BPE_MERGES,
+        min_pair_count=1,
+    )
+    assert len(merges) == BPE_MERGES, (
+        f"corpus sustains only {len(merges)}/{BPE_MERGES} merges — the "
+        "unrolled oracle assumes the full chain"
     )
     rows = [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)]
     return spark.createDataFrame(
@@ -3621,7 +3613,8 @@ def q_bpe_encode(spark, sf_dir):
     from fuzzy_wiki_spark.operators.bpe import bpe_encode, bpe_train
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    merges, _ = bpe_train(d, n_merges=BPE_MERGES)
+    merges, _ = bpe_train(d, n_merges=BPE_MERGES, min_pair_count=1)
+    assert len(merges) == BPE_MERGES, "oracle assumes the full chain"
     return bpe_encode(d, merges).select(
         "doc_id",
         F.col("pos").cast("int").alias("pos"),

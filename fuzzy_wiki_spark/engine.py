@@ -356,14 +356,23 @@ class InvertedIndex:
             docs_meta=self.docs_meta,
             k=None,
         ).select("doc_id", "path", "score")
-        window = full.orderBy(
-            F.desc("score"), F.asc("doc_id")
-        ).limit(first_k)
+        # materialize the window ONCE and feed the same frame to both the
+        # signal's candidate bound and the combine: the scoring groupBy
+        # sums float partials in shuffle-fetch order, so two separate
+        # evaluations could disagree at the first_k boundary (a doc inside
+        # one window but outside the other would combine with a silently
+        # missing signal); persist also avoids paying the corpus-scale
+        # first pass twice
+        window = (
+            full.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(first_k)
+            .persist()
+        )
         sig = phrase_occurrences(
             self.postings, field, phrase, candidates=window
         )
         return rescore_topk(
-            full, sig, first_k=first_k, k=k, weight=weight
+            window, sig, first_k=first_k, k=k, weight=weight
         )
 
     def explain(self, query: str, doc_id: int) -> DataFrame:
@@ -744,7 +753,11 @@ class SegmentIndex:
         phrase = tuple(t for w in phrase for t in tokenize_text(w))
         if not phrase:
             raise ValueError("rescore phrase analyzed to zero terms")
-        window = self.search(query, k=first_k)
+        # one materialized window for both the signal bound and the
+        # combine (see InvertedIndex.rescore_phrase: float-partial sums
+        # make re-evaluated windows boundary-unstable, and the first pass
+        # shouldn't run twice)
+        window = self.search(query, k=first_k).persist()
         sig = phrase_occurrences(
             self.term_postings(field, sorted(set(phrase)), with_dl=False),
             field,

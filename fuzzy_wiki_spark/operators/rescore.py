@@ -68,15 +68,11 @@ def phrase_count_batch(tp_col: pd.Series, phrase_col: pd.Series) -> pd.Series:
     member-tf-sum (O17) semantics."""
     import numpy as np
 
-    from fuzzy_wiki_spark.codec import decode_position_list
+    from fuzzy_wiki_spark.codec import positions_by_term
 
     out = []
     for tps, phrase in zip(tp_col, phrase_col):
-        posmap: dict[str, list[int]] = {}
-        for tp in tps:
-            posmap.setdefault(tp["term"], []).extend(
-                decode_position_list(tp["positions"]).tolist()
-            )
+        posmap = positions_by_term(tps)
         lists = [posmap.get(t) for t in phrase]
         if any(not pl for pl in lists):
             out.append(0)

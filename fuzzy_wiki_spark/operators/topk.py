@@ -71,17 +71,13 @@ def sloppy_match_batch(
     import numpy as np
     from itertools import product as iproduct
 
-    from fuzzy_wiki_spark.codec import decode_position_list
+    from fuzzy_wiki_spark.codec import positions_by_term
 
     out = []
     for tps, phrase, slop in zip(tp_col, phrase_col, slop_col):
-        posmap: dict[str, list[int]] = {}
-        for tp in tps:
-            # positions ride the postings schema in wire format (varint
-            # delta bytes, postings.py) — decode per candidate row only
-            posmap.setdefault(tp["term"], []).extend(
-                decode_position_list(tp["positions"]).tolist()
-            )
+        # positions ride the postings schema in wire format (varint
+        # delta bytes, postings.py) — decode per candidate row only
+        posmap = positions_by_term(tps)
         lists = [posmap.get(t) for t in phrase]
         if any(not pl for pl in lists):
             out.append(False)
@@ -179,15 +175,11 @@ def span_min_gap_batch(
     span terms need no special casing (unlike the sloppy matcher)."""
     import bisect
 
-    from fuzzy_wiki_spark.codec import decode_position_list
+    from fuzzy_wiki_spark.codec import positions_by_term
 
     out = []
     for tps, terms in zip(tp_col, terms_col):
-        posmap: dict[str, list[int]] = {}
-        for tp in tps:
-            posmap.setdefault(tp["term"], []).extend(
-                decode_position_list(tp["positions"]).tolist()
-            )
+        posmap = positions_by_term(tps)
         lists = [sorted(posmap.get(t, ())) for t in terms]
         if any(not pl for pl in lists):
             out.append(-1)
