@@ -36,6 +36,13 @@ BATCH_QUERIES: list[list[str]] = [
 ]
 K1, B = 1.2, 0.75
 BPE_MERGES = 8
+# stored percolation rules: (query_id, terms, min_match) — AND, OR and
+# 2-of-3 shapes; mirrored as inline VALUES in the oracle
+PERCOLATE_RULES = [
+    (1, ["spark", "merge"], 2),
+    (2, ["customer", "order", "window"], 1),
+    (3, ["batch", "stream", "join"], 2),
+]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3424,6 +3431,20 @@ ORDER BY score DESC, w.doc_id LIMIT 10
 # serving-path rescore shares the relational oracle verbatim
 ORACLE_SQL["seg_rescore"] = ORACLE_SQL["rescore"]
 
+_PERC_VALUES = ", ".join(
+    f"({qid}, '{t}', {mm})"
+    for qid, terms, mm in PERCOLATE_RULES
+    for t in terms
+)
+ORACLE_SQL["percolate"] = f"""
+WITH dt AS (SELECT DISTINCT doc_id, term FROM ({_TOK})),
+rules(query_id, term, min_match) AS (VALUES {_PERC_VALUES})
+SELECT dt.doc_id, rules.query_id, count(*)::BIGINT AS n_matched
+FROM dt JOIN rules USING(term)
+GROUP BY dt.doc_id, rules.query_id, rules.min_match
+HAVING count(*) >= rules.min_match
+"""
+
 ORACLE_SQL["repetition_stats"] = f"""
     WITH toks AS ({_TOK}),
     ta AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
@@ -3577,6 +3598,19 @@ def q_seg_rescore(spark, sf_dir):
     )
 
 
+def q_percolate(spark, sf_dir):
+    """Percolation / reverse search (operators/percolate.py — the
+    Elasticsearch percolator surface): every document matched against
+    three stored term rules with minimum_should_match thresholds;
+    (doc_id, query_id, n_matched) for satisfying pairs."""
+    from fuzzy_wiki_spark.operators.percolate import percolate
+
+    rules = spark.createDataFrame(
+        PERCOLATE_RULES, "query_id int, terms array<string>, min_match int"
+    )
+    return percolate(_docs(spark, sf_dir).select("doc_id", "text"), rules)
+
+
 def q_bpe_train(spark, sf_dir):
     """BPE tokenizer training (operators/bpe.py — Sennrich 2016): the
     8-merge chain learned from the documents corpus, (merge_rank, lhs,
@@ -3713,6 +3747,7 @@ QUERIES = {
     "rescore": q_rescore,
     "seg_collapse": q_seg_collapse,
     "seg_rescore": q_seg_rescore,
+    "percolate": q_percolate,
     # rows-only (no SQL mirror — Spark-specific hashing / porter chain /
     # seeded-numpy LSH planes / binary media payloads):
     "minhash_pairs": q_minhash_pairs,

@@ -1,0 +1,73 @@
+"""Percolation — reverse search (the Elasticsearch percolator surface).
+
+Normal search matches one query against an indexed corpus; percolation
+matches INCOMING DOCUMENTS against a table of STORED QUERIES — the
+alerting/routing primitive an ingestion pipeline runs on every batch
+("which saved searches / routing rules / topic subscriptions does this
+new document satisfy?"). Lucene implements it with a per-doc
+MemoryIndex; the Spark-first shape is a broadcast join: stored queries
+are rule-sized (10⁴–10⁶ rows — they exist because humans wrote them),
+so the query table broadcasts and the document stream NEVER shuffles on
+anything but the final combinable (doc, query) aggregate.
+
+Semantics: a stored query is a bag of analyzed terms plus a
+``min_match`` threshold (Lucene's minimum_should_match); a document
+matches when it contains at least ``min_match`` DISTINCT terms of the
+query. ``min_match = size(terms)`` gives pure-AND rules, ``1`` gives
+pure-OR. Phrase rules percolate as their term set here (the standard
+candidate-prefilter; exact-phrase confirmation composes with
+operators/rescore.phrase_occurrences when needed).
+
+Streaming: run it inside ``foreachBatch`` (one stateless percolate per
+micro-batch — each document arrives whole, so its matches depend only
+on itself and cross-batch aggregation STATE would be pure overhead;
+a direct streaming groupBy would needlessly accumulate per-doc state
+and force watermark/output-mode gymnastics). Batch ≡ streaming is
+pinned in tests/test_percolate.py.
+
+Scale notes (100 TB): one distinct-(doc, term) explode of the incoming
+batch, one BroadcastHashJoin against the exploded rules, one map-side-
+combinable groupBy(doc, query). No shuffle carries more than the
+matched (doc, term) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def percolate(
+    docs: DataFrame,
+    queries_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Match documents against stored queries.
+
+    ``queries_df``: (query_id, terms array<string>, min_match int) —
+    terms must already be analyzed with the same chain as the document
+    text. Returns (doc_id, query_id, n_matched) for every (document,
+    stored query) pair with n_matched ≥ min_match; a doc matching no
+    rule is absent (the common case — rules are selective)."""
+    doc_terms = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    rule_terms = queries_df.select(
+        "query_id",
+        "min_match",
+        F.explode(F.array_distinct("terms")).alias("term"),
+    )
+    return (
+        doc_terms.join(F.broadcast(rule_terms), "term")
+        .groupBy("doc_id", "query_id", "min_match")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+        .where(F.col("n_matched") >= F.col("min_match"))
+        .select("doc_id", "query_id", "n_matched")
+    )

@@ -1,0 +1,79 @@
+"""Percolation / reverse search (operators/percolate.py): brute-force
+parity and the stateless-streaming property."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.operators.percolate import percolate
+
+RULES = [
+    (1, ["a", "b"], 2),        # AND
+    (2, ["c", "d", "e"], 1),   # OR
+    (3, ["a", "c", "f"], 2),   # 2-of-3
+]
+DOCS = [
+    (0, "a b x y"),        # rule 1 (a,b); rule 3 only 'a' -> no
+    (1, "a c q"),          # rule 3 (a,c); rule 2 via c
+    (2, "d d d"),          # rule 2 via d (distinct terms count once)
+    (3, "z z z"),          # nothing
+    (4, "a a b c f"),      # rules 1, 2(c), 3(a,c,f)
+    (5, ""),               # empty
+]
+
+
+def _brute():
+    out = set()
+    for did, text in DOCS:
+        toks = set(t for t in text.split(" ") if t)
+        for qid, terms, mm in RULES:
+            n = len(toks & set(terms))
+            if n >= mm:
+                out.add((did, qid, n))
+    return out
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    rules = spark.createDataFrame(
+        RULES, "query_id int, terms array<string>, min_match int"
+    )
+    return docs, rules
+
+
+def test_matches_brute_force(frames):
+    docs, rules = frames
+    got = {
+        (r["doc_id"], r["query_id"], r["n_matched"])
+        for r in percolate(docs, rules).collect()
+    }
+    assert got == _brute()
+    assert (2, 2, 1) in got  # distinct-term counting: 'd d d' matches once
+    assert all(d != 3 and d != 5 for d, _, _ in got)
+
+
+def test_streaming_batch_parity(spark, frames, tmp_path):
+    """Percolating a STREAM of the same docs (the documented
+    foreachBatch pattern — stateless per micro-batch, since every doc
+    arrives whole) must emit exactly the batch result."""
+    docs, rules = frames
+    src = str(tmp_path / "in")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    sink = str(tmp_path / "out")
+
+    def handle(batch_df, _batch_id):
+        percolate(batch_df, rules).write.mode("append").parquet(sink)
+
+    (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["doc_id"], r["query_id"], r["n_matched"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == _brute()
