@@ -3445,6 +3445,39 @@ GROUP BY dt.doc_id, rules.query_id, rules.min_match
 HAVING count(*) >= rules.min_match
 """
 
+# scalar-quantized ANN: the oracle replays grid → codes → dequant →
+# cosine. floor(t*255 + 0.5) is the explicit half-up rule shared with
+# Spark (plain round() tie-breaks differ between engines).
+ORACLE_SQL["quantized_ann"] = """
+WITH dims AS (
+  SELECT unnest(list_transform(embedding, x -> x::DOUBLE)) AS x,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings),
+grid AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim),
+pts AS (
+  SELECT vec_id,
+         unnest(list_transform(embedding, x -> x::DOUBLE)) AS x,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings),
+deq AS (
+  SELECT p.vec_id, p.dim,
+         g.mn + least(255, greatest(0,
+                 floor(CASE WHEN g.mx > g.mn
+                       THEN (p.x - g.mn)/(g.mx - g.mn)*255.0
+                       ELSE 0.0 END + 0.5)))
+               * (g.mx - g.mn) / 255.0 AS xh
+  FROM pts p JOIN grid g USING(dim)),
+v AS (SELECT vec_id, list(xh ORDER BY dim) AS e FROM deq GROUP BY vec_id),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+s AS (SELECT vec_id,
+             list_dot_product(e, qe)
+             / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))
+             AS cos
+      FROM v CROSS JOIN q WHERE vec_id <> 0)
+SELECT vec_id, round(cos, 4) AS cos_sim FROM s
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
 ORACLE_SQL["repetition_stats"] = f"""
     WITH toks AS ({_TOK}),
     ta AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
@@ -3598,6 +3631,19 @@ def q_seg_rescore(spark, sf_dir):
     )
 
 
+def q_quantized_ann(spark, sf_dir):
+    """Scalar-quantized ANN (operators/similarity.py
+    quantized_cosine_topk — the int8 memory-reduction path of a 100 TB
+    embedding store): per-dim min/max grid over the corpus, both sides
+    quantized with the explicit half-up rule, cosine of the
+    reconstructed vectors, top-10 vs the vec_id=0 embedding. The oracle
+    replays the whole pipeline (grid, codes, dequant, score)."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    res = SIM.quantized_cosine_topk(emb, list(qvec), k=10, exclude_ids=[0])
+    return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 def q_percolate(spark, sf_dir):
     """Percolation / reverse search (operators/percolate.py — the
     Elasticsearch percolator surface): every document matched against
@@ -3748,6 +3794,7 @@ QUERIES = {
     "seg_collapse": q_seg_collapse,
     "seg_rescore": q_seg_rescore,
     "percolate": q_percolate,
+    "quantized_ann": q_quantized_ann,
     # rows-only (no SQL mirror — Spark-specific hashing / porter chain /
     # seeded-numpy LSH planes / binary media payloads):
     "minhash_pairs": q_minhash_pairs,

@@ -11,6 +11,8 @@ exactly within buckets, turning O(Q·N) into O(Q·N/2^bits · collision)."""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -50,6 +52,117 @@ def cosine_topk(
     if exclude_ids:
         out = out.where(~F.col(id_col).isin(exclude_ids))
     return out.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def quantization_grid(
+    df: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) over the corpus — the scalar-quantization
+    codebook. One posexplode + combinable groupBy(dim) (corpus-sized scan,
+    dimension-sized result), collected driver-side: the grid is dim-many
+    rows regardless of corpus size."""
+    g = (
+        df.select(F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .orderBy("dim")
+        .collect()
+    )
+    return [r["mn"] for r in g], [r["mx"] for r in g]
+
+
+def _quant_code(x, mn, mx, levels: int):
+    """floor(t·levels + 0.5) clamped — explicit half-up so Spark and any
+    SQL oracle agree regardless of their round() tie-break modes."""
+    t = F.when(mx > mn, (x - mn) / (mx - mn)).otherwise(F.lit(0.0))
+    code = F.floor(t * float(levels) + 0.5)
+    return F.least(F.lit(levels), F.greatest(F.lit(0), code)).cast("int")
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """int8-style scalar quantization: embedding → ``codes array<int>``
+    in [0, levels] per the broadcast grid — the 4× (float32) / 8×
+    (float64) memory-reduction path a 100 TB embedding store runs before
+    ANN. The grid rides as literal arrays (dim-sized), so encoding is a
+    pure map stage: no shuffle, no UDF, whole-stage codegen."""
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    mx = F.array(*[F.lit(float(v)) for v in maxs])
+    codes = F.zip_with(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            mn,
+            lambda x, a: F.struct(x.alias("x"), a.alias("mn")),
+        ),
+        mx,
+        lambda s, b: _quant_code(s["x"], s["mn"], b, levels),
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def dequantize(codes_col, mins, maxs, levels: int = 255):
+    """codes array<int> → reconstructed array<double> on the same grid."""
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    mx = F.array(*[F.lit(float(v)) for v in maxs])
+    return F.zip_with(
+        F.zip_with(
+            codes_col.cast("array<double>"),
+            mn,
+            lambda c, a: F.struct(c.alias("c"), a.alias("mn")),
+        ),
+        mx,
+        lambda s, b: s["mn"]
+        + s["c"] * (b - s["mn"]) / F.lit(float(levels)),
+    )
+
+
+def quantized_cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+    levels: int = 255,
+    grid: tuple[list[float], list[float]] | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k over SCALAR-QUANTIZED embeddings:
+    corpus and query both quantize to the same per-dimension grid, the
+    score is exact cosine of the RECONSTRUCTED vectors (asymmetric
+    distance computation would keep the raw query; reconstructing both
+    keeps the math SQL-mirrorable and the recall difference at 255
+    levels is negligible — pinned in tests/test_similarity_quant.py).
+    Same plan shape as cosine_topk: scan + codegen score +
+    TakeOrderedAndProject, zero shuffle; the quantized store reads
+    levels≤255 → 1 byte/dim instead of 4."""
+    if grid is None:
+        grid = quantization_grid(df, vec_col)
+    mins, maxs = grid
+    q = [float(x) for x in query_vec]
+    # quantize/reconstruct the query driver-side with the same half-up rule
+    qhat = []
+    for x, mn, mx in zip(q, mins, maxs):
+        t = (x - mn) / (mx - mn) if mx > mn else 0.0
+        c = min(levels, max(0, math.floor(t * levels + 0.5)))
+        qhat.append(mn + c * (mx - mn) / levels)
+    codes = quantize_embeddings(
+        df, mins, maxs, id_col=id_col, vec_col=vec_col, levels=levels
+    )
+    deq = codes.select(
+        id_col, dequantize(F.col("codes"), mins, maxs, levels).alias("deq")
+    )
+    return cosine_topk(
+        deq, qhat, k=k, id_col=id_col, vec_col="deq", exclude_ids=exclude_ids
+    )
 
 
 def cosine_pairs(

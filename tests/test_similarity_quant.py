@@ -1,0 +1,73 @@
+"""Scalar quantization for the embedding/ANN stack
+(operators/similarity.py: quantization_grid / quantize_embeddings /
+dequantize / quantized_cosine_topk)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)]) for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_codes_bounded_and_reconstruction_error(emb):
+    mins, maxs = SIM.quantization_grid(emb)
+    codes = SIM.quantize_embeddings(emb, mins, maxs).collect()
+    for r in codes:
+        assert all(0 <= c <= 255 for c in r["codes"])
+    deq = {
+        r["vec_id"]: r["d"]
+        for r in SIM.quantize_embeddings(emb, mins, maxs)
+        .select("vec_id", SIM.dequantize(F.col("codes"), mins, maxs).alias("d"))
+        .collect()
+    }
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    # per-dim error bounded by half a quantization step
+    for vid, xs in orig.items():
+        for x, xh, mn, mx in zip(xs, deq[vid], mins, maxs):
+            step = (mx - mn) / 255.0
+            assert abs(x - xh) <= step / 2 + 1e-12
+
+
+def test_quantized_topk_recall_vs_exact(emb):
+    q = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    exact = [
+        r["vec_id"]
+        for r in SIM.cosine_topk(emb, list(q), k=10, exclude_ids=[0]).collect()
+    ]
+    approx = [
+        r["vec_id"]
+        for r in SIM.quantized_cosine_topk(
+            emb, list(q), k=10, exclude_ids=[0]
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, f"255-level quantization recall collapsed: {recall}"
+
+
+def test_query_quantization_matches_engine_rule(emb):
+    """The driver-side query quantization must use the exact same
+    half-up rule as the engine's Column expression — encode the query
+    through BOTH paths and compare."""
+    mins, maxs = SIM.quantization_grid(emb)
+    q = emb.where(F.col("vec_id") == 3).head()["embedding"]
+    spark_codes = (
+        SIM.quantize_embeddings(
+            emb.where(F.col("vec_id") == 3), mins, maxs
+        ).head()["codes"]
+    )
+    py_codes = []
+    for x, mn, mx in zip(q, mins, maxs):
+        t = (x - mn) / (mx - mn) if mx > mn else 0.0
+        py_codes.append(min(255, max(0, math.floor(t * 255 + 0.5))))
+    assert list(spark_codes) == py_codes
