@@ -43,6 +43,8 @@ PERCOLATE_RULES = [
     (2, ["customer", "order", "window"], 1),
     (3, ["batch", "stream", "join"], 2),
 ]
+# the auto-correct entry's query: two misspellings + one valid term
+CORRECTED_QUERY_WORDS = ["sparkk", "merge", "joinn"]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3259,6 +3261,68 @@ WHERE rn = 1 ORDER BY s DESC, doc_id LIMIT 10
 # relational one — same oracle verbatim
 ORACLE_SQL["seg_collapse"] = ORACLE_SQL["collapse_topk"]
 
+# auto-corrected search: the oracle replays the correction rule
+# (levenshtein ≤ 2; dist asc, df desc, term asc) then the skeleton over
+# the corrected term set
+ORACLE_SQL["corrected_search"] = f"""
+WITH tok AS ({_TOK}),
+vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+          FROM tok GROUP BY term),
+miss(w) AS (VALUES {", ".join(f"('{w}')" for w in CORRECTED_QUERY_WORDS)}),
+corr AS (
+  SELECT m.w,
+         CASE WHEN EXISTS (SELECT 1 FROM vocab v WHERE v.term = m.w)
+              THEN m.w
+              ELSE (SELECT v.term FROM vocab v
+                    WHERE levenshtein(v.term, m.w) <= 2
+                    ORDER BY levenshtein(v.term, m.w), v.df DESC, v.term
+                    LIMIT 1)
+         END AS term
+  FROM miss m),
+qt AS (SELECT DISTINCT term FROM corr WHERE term IS NOT NULL),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+              * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ) AS s
+  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+# grouped results: top-2 per source, best-5 groups by their lead hit
+ORACLE_SQL["grouped_topk"] = f"""
+WITH tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({_TOK})
+            GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM ({_TOK}) GROUP BY doc_id),
+st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN {_QTERMS} GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+              * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ), 6) AS s
+  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id),
+h AS (
+  SELECT d.source AS grp, sc.doc_id, sc.s,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY sc.s DESC, sc.doc_id) AS hit_rank
+  FROM sc JOIN documents d USING(doc_id)),
+hm AS (SELECT * FROM h WHERE hit_rank <= 2),
+g AS (SELECT grp, row_number() OVER (ORDER BY s DESC, doc_id) AS group_rank
+      FROM hm WHERE hit_rank = 1),
+gk AS (SELECT grp, group_rank FROM g WHERE group_rank <= 5)
+SELECT hm.grp, gk.group_rank, hm.hit_rank, hm.doc_id, hm.s AS score
+FROM hm JOIN gk USING(grp)
+"""
+
 # ExactSubstr span-removal transform: positions covered by any
 # non-canonical occurrence of a duplicated 10-token span are cut;
 # canonical = min (doc_id, pos) per span
@@ -3631,6 +3695,68 @@ def q_seg_rescore(spark, sf_dir):
     )
 
 
+def q_corrected_search(spark, sf_dir):
+    """Auto-correcting search (engine.py InvertedIndex.search_corrected
+    — the suggest-and-retry UX in one call): zero-df terms replaced by
+    the top spell suggestion (dist asc, df desc, term asc, ≤2 edits),
+    in-vocabulary terms untouched, then the usual skeleton scoring. The
+    oracle replays the correction rule with DuckDB's levenshtein()."""
+    from fuzzy_wiki_spark.operators.term_expansion import correct_term
+    from fuzzy_wiki_spark.operators.topk import score_queries_batch
+
+    posts = _postings_simple(spark, sf_dir).persist()
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    ts = P.term_stats(posts).persist()
+    df_map = {
+        r["term"]: r["df"]
+        for r in ts.where(F.col("term").isin(CORRECTED_QUERY_WORDS)).collect()
+    }
+    corrected = []
+    for w in CORRECTED_QUERY_WORDS:
+        if df_map.get(w, 0) > 0:
+            corrected.append(w)
+        else:
+            fix = correct_term(ts, "content", w, max_dist=2)
+            if fix is not None:
+                corrected.append(fix)
+    # two misspellings may correct to the same term — one clause each
+    # (the oracle's qt is DISTINCT)
+    corrected = list(dict.fromkeys(corrected))
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in ts.where(F.col("term").isin(corrected)).collect()
+    }
+    clauses = [
+        Clause(i, "content", (t,), 1.0, 0, False)
+        for i, t in enumerate(corrected)
+    ]
+    res = score_queries_batch(
+        spark, posts, {0: clauses}, term_df, fstats, docs_meta=None, k=10
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_grouped_topk(spark, sf_dir):
+    """Grouped results (operators/collapse.py:grouped_topk — the Lucene
+    TopGroups / collapse-with-inner_hits surface): top-2 hits per
+    `source`, the 5 best groups ranked by their best hit."""
+    from fuzzy_wiki_spark.operators.collapse import grouped_topk
+
+    full = _skeleton_full_scores(spark, sf_dir)
+    groups = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("grp"))
+    out = grouped_topk(full, groups, m=2, k=5, group_col="grp")
+    return out.select(
+        "grp",
+        F.col("group_rank").cast("long").alias("group_rank"),
+        F.col("hit_rank").cast("long").alias("hit_rank"),
+        "doc_id",
+        "score",
+    )
+
+
 def q_quantized_ann(spark, sf_dir):
     """Scalar-quantized ANN (operators/similarity.py
     quantized_cosine_topk — the int8 memory-reduction path of a 100 TB
@@ -3795,6 +3921,8 @@ QUERIES = {
     "seg_rescore": q_seg_rescore,
     "percolate": q_percolate,
     "quantized_ann": q_quantized_ann,
+    "grouped_topk": q_grouped_topk,
+    "corrected_search": q_corrected_search,
     # rows-only (no SQL mirror — Spark-specific hashing / porter chain /
     # seeded-numpy LSH planes / binary media payloads):
     "minhash_pairs": q_minhash_pairs,

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from fuzzy_wiki_spark.operators import postings as P
 from fuzzy_wiki_spark.operators.topk import score_query
-from fuzzy_wiki_spark.plans.query import B, K1, compile_query
+from fuzzy_wiki_spark.plans.query import B, K1, Clause, compile_query
 
 
 def _memo_term_df(
@@ -313,6 +313,59 @@ class InvertedIndex:
             group_df,
             k=k,
             group_col=group_col,
+        )
+
+    def search_corrected(
+        self, query: str, k: int = 10, max_dist: int = 2
+    ) -> DataFrame:
+        """Auto-correcting search — the suggest-and-retry UX fused into
+        one call (Elasticsearch's "search with suggest" flow): every
+        query term with ZERO document frequency is replaced by its top
+        spell suggestion (suggest_terms rule: edit distance asc, df
+        desc, term asc, within ``max_dist``) before scoring; terms that
+        hit the index are untouched; unfixable terms (nothing within
+        max_dist) drop from their clause like analyzed-away stopwords.
+        Phrase clauses correct member-wise. Result shape == search()."""
+        from fuzzy_wiki_spark.operators.term_expansion import correct_term
+
+        clauses = compile_query(query)
+        terms = sorted({(c.field, t) for c in clauses for t in c.terms})
+        term_df = self.lookup_term_df(sorted({t for _, t in terms}))
+        fixed: dict[tuple[str, str], str | None] = {}
+        for fld, t in terms:
+            if term_df.get((fld, t), 0) > 0:
+                fixed[(fld, t)] = t
+            else:
+                fixed[(fld, t)] = correct_term(
+                    self.term_stats, fld, t, max_dist=max_dist
+                )
+        new_clauses = []
+        for c in clauses:
+            nt = tuple(
+                fixed[(c.field, t)]
+                for t in c.terms
+                if fixed[(c.field, t)] is not None
+            )
+            if not nt or (c.is_phrase and len(nt) < len(c.terms)):
+                continue  # an unfixable member breaks a phrase entirely
+            new_clauses.append(
+                Clause(
+                    c.clause_id, c.field, nt, c.boost, c.slop, c.is_phrase
+                )
+            )
+        if not new_clauses:
+            return self.spark.createDataFrame(
+                [], "doc_id long, path string, score double"
+            )
+        all_terms = sorted({t for c in new_clauses for t in c.terms})
+        return score_query(
+            self.spark,
+            self.postings,
+            new_clauses,
+            self.lookup_term_df(all_terms),
+            self.field_stats,
+            docs_meta=self.docs_meta,
+            k=k,
         )
 
     def rescore_phrase(

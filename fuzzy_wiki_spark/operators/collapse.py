@@ -61,3 +61,57 @@ def collapse_topk(
         group_col, *[F.col(f"_b.{c}").alias(c) for c in payload_cols]
     )
     return out.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+
+
+def grouped_topk(
+    scored: DataFrame,
+    group_df: DataFrame,
+    m: int = 3,
+    k: int = 10,
+    group_col: str = "group",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Grouped search results — the Lucene grouping/TopGroups surface
+    (Elasticsearch ``collapse`` with ``inner_hits``): the top-``m`` hits
+    WITHIN each group, groups ranked by their best hit, ``k`` groups
+    kept. Returns (group, group_rank, hit_rank, doc_id, ..., score).
+
+    ``m=1`` degenerates to collapse_topk's result (use collapse_topk
+    then — its struct-max groupBy partial-aggregates map-side, while
+    this operator is a window rank: the full candidate set shuffles ON
+    THE GROUP KEY once and sorts within groups, the unavoidable cost of
+    keeping m>1 ranked hits per group). Spark's WindowGroupLimit
+    pushdown prunes each group to m rows BEFORE the final exchange on
+    recent Sparks, so the shuffle tail is ≤ m·|groups| rows."""
+    from pyspark.sql import Window
+
+    joined = scored.join(group_df.select(id_col, group_col), id_col)
+    w_in = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    hits = joined.withColumn("hit_rank", F.row_number().over(w_in)).where(
+        F.col("hit_rank") <= m
+    )
+    # groups ranked by their best (hit_rank=1) score
+    best = hits.where(F.col("hit_rank") == 1).select(
+        group_col,
+        F.col(score_col).alias("_gs"),
+        F.col(id_col).alias("_gid"),
+    )
+    w_g = Window.orderBy(F.desc("_gs"), F.asc("_gid"))
+    top_groups = (
+        best.withColumn("group_rank", F.row_number().over(w_g))
+        .where(F.col("group_rank") <= k)
+        .select(group_col, "group_rank")
+    )
+    return (
+        hits.join(F.broadcast(top_groups), group_col)
+        .orderBy(F.asc("group_rank"), F.asc("hit_rank"))
+        .select(
+            group_col,
+            "group_rank",
+            "hit_rank",
+            *[c for c in scored.columns],
+        )
+    )

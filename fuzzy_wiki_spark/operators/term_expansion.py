@@ -98,6 +98,22 @@ def suggest_terms(
     )
 
 
+def correct_term(
+    term_stats_df: DataFrame,
+    field: str,
+    query_term: str,
+    max_dist: int = 2,
+) -> str | None:
+    """Top spell correction for one term, or None when nothing lies
+    within ``max_dist`` — the (dist asc, df desc, term asc) head of
+    suggest_terms; the deterministic rule an auto-correcting search and
+    its SQL oracle both replay."""
+    row = suggest_terms(
+        term_stats_df, field, query_term, max_dist=max_dist, k=1
+    ).head(1)
+    return row[0]["term"] if row else None
+
+
 def related_terms(
     postings: DataFrame,
     term_stats_df: DataFrame,

@@ -48,6 +48,39 @@ def test_payload_columns_ride_through(spark, groups):
     assert [(r["group"], r["path"]) for r in out] == [("g2", "p4"), ("g1", "p1")]
 
 
+def test_grouped_topk_ranks_and_membership(scored, groups):
+    """Top-m per group, groups ranked by their lead hit; m=1 case must
+    agree with collapse_topk's picks."""
+    from fuzzy_wiki_spark.operators.collapse import grouped_topk
+
+    out = grouped_topk(scored, groups, m=2, k=10).collect()
+    got = [
+        (r["group"], r["group_rank"], r["hit_rank"], r["doc_id"], r["score"])
+        for r in out
+    ]
+    assert got == [
+        ("g1", 1, 1, 1, 9.0),  # tie at 9.0 → doc 1 leads g1
+        ("g1", 1, 2, 3, 9.0),
+        ("g2", 2, 1, 4, 8.0),
+        ("g2", 2, 2, 5, 3.0),
+        ("g3", 3, 1, 6, 1.0),
+    ]
+    # m=1 reduces to the collapse picks
+    m1 = grouped_topk(scored, groups, m=1, k=10).collect()
+    c = collapse_topk(scored, groups, k=10).collect()
+    assert [(r["group"], r["doc_id"]) for r in m1] == [
+        (r["group"], r["doc_id"]) for r in c
+    ]
+
+
+def test_grouped_topk_k_cuts_groups_not_hits(scored, groups):
+    from fuzzy_wiki_spark.operators.collapse import grouped_topk
+
+    out = grouped_topk(scored, groups, m=2, k=1).collect()
+    assert {r["group"] for r in out} == {"g1"}
+    assert len(out) == 2  # both of g1's hits survive
+
+
 def test_segment_collapse_matches_relational(spark, tmp_path):
     """The segment serving path's collapse (full-set bucket scoring,
     MaxScore off) must agree with the relational engine: same groups,

@@ -1,0 +1,49 @@
+"""Auto-correcting search (engine.InvertedIndex.search_corrected)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.engine import InvertedIndex
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    from fuzzy_wiki_spark.corpus import generate_docs_pdf
+
+    return InvertedIndex.build(
+        spark, spark.createDataFrame(generate_docs_pdf(120, seed=21))
+    )
+
+
+def test_misspelled_query_matches_corrected_query(idx):
+    """'binarry searche' must rank exactly like 'binary search' (both
+    misspellings are ≤2 edits from in-vocabulary terms)."""
+    want = [
+        (r["doc_id"], r["score"])
+        for r in idx.search("binary search", k=10).collect()
+    ]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in idx.search_corrected("binarry searche", k=10).collect()
+    ]
+    assert len(got) == len(want) > 0
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, sg), (_, sw) in zip(got, want):
+        assert sg == pytest.approx(sw, rel=1e-9)
+
+
+def test_valid_terms_pass_through_untouched(idx):
+    want = idx.search("binary search", k=10).collect()
+    got = idx.search_corrected("binary search", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_unfixable_terms_drop_and_all_unfixable_is_empty(idx):
+    # a garbage term >2 edits from everything drops; the valid term
+    # still searches
+    got = idx.search_corrected("binary zzzzqqqqxxxx", k=10).collect()
+    want = idx.search("binary", k=10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    assert idx.search_corrected("zzzzqqqqxxxx", k=10).count() == 0
