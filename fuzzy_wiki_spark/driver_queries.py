@@ -2725,6 +2725,8 @@ ORACLE_SQL["compact_search"] = ORACLE_SQL["bm25_topk"]
 # the one-shot segment serving path must be indistinguishable from the
 # relational scorer on the same skeleton query (VERDICT r2 #1)
 ORACLE_SQL["segment_bm25"] = ORACLE_SQL["bm25_topk"]
+# exhaustive-rerank PQ is exact → shares the brute-force cosine oracle
+ORACLE_SQL["pq_exact"] = ORACLE_SQL["ivf_exact"]
 # the segment-native extended executor must be indistinguishable from the
 # relational qlang path, so it shares extended_query's DuckDB oracle
 ORACLE_SQL["seg_extended"] = ORACLE_SQL["extended_query"]
@@ -3757,6 +3759,51 @@ def q_grouped_topk(spark, sf_dir):
     )
 
 
+def _pq_setup(spark, sf_dir):
+    import numpy as np
+
+    from fuzzy_wiki_spark.operators import pq as PQ
+
+    emb = _emb(spark, sf_dir).persist()
+    rows = emb.orderBy("vec_id").collect()
+    vecs = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    books = PQ.train_codebooks(vecs[::3], m=8, ks=16, seed=7)
+    return emb, list(vecs[0]), books, len(rows)
+
+
+def q_pq_ann(spark, sf_dir):
+    """Product quantization ANN (operators/pq.py — Jégou et al. 2011):
+    byte-code store + ADC candidate window + exact re-rank of the top
+    200. ROWS-ONLY (k-means codebooks aren't SQL); the ADC identity
+    (score == dot(q̂, reconstruction)) and window-recall/rerank contracts
+    are pinned in tests/test_pq.py; the plumbing itself is hash-verified
+    via pq_exact below."""
+    from fuzzy_wiki_spark.operators import pq as PQ
+
+    emb, q, books, _ = _pq_setup(spark, sf_dir)
+    codes = PQ.encode_pq(emb, books)
+    res = PQ.pq_topk_rerank(
+        codes, emb, q, books, k=10, rerank=200, exclude_ids=[0]
+    )
+    return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def q_pq_exact(spark, sf_dir):
+    """pq_ann at an EXHAUSTIVE re-rank window (rerank = corpus size):
+    the ADC stage passes every vector through and the exact re-rank
+    makes the result identical to brute-force cosine — so the encode →
+    ADC → candidate-join → re-rank plumbing is verified end-to-end
+    against the brute-force oracle (the ivf_exact pattern)."""
+    from fuzzy_wiki_spark.operators import pq as PQ
+
+    emb, q, books, n = _pq_setup(spark, sf_dir)
+    codes = PQ.encode_pq(emb, books)
+    res = PQ.pq_topk_rerank(
+        codes, emb, q, books, k=10, rerank=n, exclude_ids=[0]
+    )
+    return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 def q_quantized_ann(spark, sf_dir):
     """Scalar-quantized ANN (operators/similarity.py
     quantized_cosine_topk — the int8 memory-reduction path of a 100 TB
@@ -3923,6 +3970,7 @@ QUERIES = {
     "quantized_ann": q_quantized_ann,
     "grouped_topk": q_grouped_topk,
     "corrected_search": q_corrected_search,
+    "pq_exact": q_pq_exact,
     # rows-only (no SQL mirror — Spark-specific hashing / porter chain /
     # seeded-numpy LSH planes / binary media payloads):
     "minhash_pairs": q_minhash_pairs,
@@ -3931,6 +3979,7 @@ QUERIES = {
     "lsh_cosine": q_lsh_cosine,
     "ivf_cosine": q_ivf_cosine,
     "ivf_exact": q_ivf_exact,
+    "pq_ann": q_pq_ann,
     "media_features": q_media_features,
     "audio_features": q_audio_features,
     "frame_sample": q_frame_sample,

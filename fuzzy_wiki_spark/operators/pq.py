@@ -1,0 +1,213 @@
+"""Product quantization (PQ) with asymmetric-distance scoring — the
+billion-scale ANN compression standard (Jégou, Douze & Schmid 2011,
+"Product Quantization for Nearest Neighbor Search").
+
+The vector splits into ``m`` subvectors; each subspace gets its own
+``ks``-centroid codebook (k-means); a vector stores only its m centroid
+ids (m bytes at ks≤256 — a 64-dim float32 vector compresses 256 B → 8 B
+at m=8). Query scoring is ADC: the query precomputes one dot-product per
+(subspace, centroid) — an m×ks lookup table — and a database vector's
+approximate inner product is the sum of m table lookups, never touching
+floats.
+
+Spark-first split of the work:
+- TRAIN (driver): k-means per subspace on a driver-sized sample — like
+  BPE and the quality classifier, codebooks train on samples at any
+  corpus scale (faiss does the same); deterministic (seeded numpy,
+  fixed iterations).
+- ENCODE (cluster): one mapInArrow batch kernel — per Arrow batch, a
+  single gemm per subspace against the broadcast codebook, argmin over
+  centroids. No shuffle.
+- SCORE (cluster): the ADC lookup table rides the plan as a LITERAL
+  flat array (m·ks doubles); the score is a pure Column expression —
+  aggregate over the codes array of element_at(lut, j·ks + code + 1) —
+  whole-stage codegen over 1-byte-class codes, zero Python, zero
+  shuffle, then TakeOrderedAndProject.
+
+Cosine: normalize vectors (and the query) first; inner product of unit
+vectors IS cosine. The ADC identity score(q, codes(x)) ==
+dot(q, reconstruct(codes(x))) is pinned exactly in tests/test_pq.py;
+recall vs exact cosine is the lossy part and is pinned with a floor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
+def train_codebooks(
+    sample: np.ndarray,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 20,
+    seed: int = 42,
+    normalize: bool = True,
+) -> np.ndarray:
+    """Per-subspace k-means (Lloyd's, kmeans++-free seeded init by
+    sampling distinct points) → codebooks of shape (m, ks, dim/m).
+    Deterministic for a given (sample, seed). The sample is driver-sized
+    by contract (train on a hash_sample of the corpus)."""
+    n, dim = sample.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if normalize:
+        sample = _normalize(sample.astype(np.float64))
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ks, dsub))
+    for j in range(m):
+        x = sample[:, j * dsub : (j + 1) * dsub]
+        idx = rng.choice(n, size=min(ks, n), replace=False)
+        cent = x[idx].copy()
+        if len(idx) < ks:  # degenerate tiny sample: pad with jitter
+            pad = x[rng.choice(n, size=ks - len(idx))] + rng.normal(
+                scale=1e-6, size=(ks - len(idx), dsub)
+            )
+            cent = np.vstack([cent, pad])
+        for _ in range(iters):
+            d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(ks):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def encode_pq(
+    df: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """(vec_id, codes array<int>) — one mapInArrow stage: per batch, one
+    gemm per subspace against the broadcast codebook, argmin centroid.
+    ||x−c||² = ||x||² − 2x·c + ||c||²; per subspace only the −2x·c + ||c||²
+    terms order the argmin, so the kernel is a single matmul + add."""
+    m, ks, dsub = books.shape
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    cnorm2 = (books**2).sum(axis=2)  # (m, ks)
+
+    def kernel(it):
+        for pdf in it:
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if normalize and len(vecs):
+                vecs = _normalize(vecs)
+            codes = np.empty((len(vecs), m), dtype=np.int32)
+            for j in range(m):
+                x = vecs[:, j * dsub : (j + 1) * dsub]
+                scores = cnorm2[j][None, :] - 2.0 * (x @ books[j].T)
+                codes[:, j] = scores.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].values, "codes": list(codes)}
+            )
+
+    sel = df.select(F.col(id_col).alias(id_col), vec_col)
+    return sel.mapInPandas(lambda it: kernel(it), out_schema)
+
+
+def adc_table(query_vec, books: np.ndarray, normalize: bool = True) -> list:
+    """Flat m·ks inner-product lookup table for one query — the ADC
+    precompute (one small gemm, driver-side)."""
+    m, ks, dsub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if normalize:
+        nq = np.linalg.norm(q)
+        q = q / nq if nq else q
+    lut = np.empty((m, ks))
+    for j in range(m):
+        lut[j] = books[j] @ q[j * dsub : (j + 1) * dsub]
+    return [float(v) for v in lut.ravel()]
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    query_vec,
+    books: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    exclude_ids: list[int] | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """ADC top-k over PQ codes: score = Σ_j lut[j·ks + codes[j]] — a pure
+    Column aggregate over the codes array with the lookup table as a
+    literal; scan + codegen + TakeOrderedAndProject, zero shuffle."""
+    m, ks, _ = books.shape
+    lut = F.array(
+        *[F.lit(v) for v in adc_table(query_vec, books, normalize=normalize)]
+    )
+    idxed = F.zip_with(
+        F.col("codes"),
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda c, j: F.element_at(lut, (j * ks + c + 1).cast("int")),
+    )
+    score = F.aggregate(
+        idxed, F.lit(0.0), lambda acc, v: acc + v
+    )
+    out = codes_df.select(F.col(id_col), score.alias("adc_score"))
+    if exclude_ids:
+        out = out.where(~F.col(id_col).isin(exclude_ids))
+    return out.orderBy(F.desc("adc_score"), F.asc(id_col)).limit(k)
+
+
+def pq_topk_rerank(
+    codes_df: DataFrame,
+    vec_df: DataFrame,
+    query_vec,
+    books: np.ndarray,
+    k: int = 10,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """PQ as a CANDIDATE GENERATOR + exact re-rank — how PQ deploys in
+    practice (faiss IVF-PQ's refine stage): ADC picks ``rerank``
+    candidates from the compressed store (cheap, byte-codes only), then
+    ONLY those candidates' raw vectors load for an exact cosine re-rank.
+    Fine ranks inside a tight cluster are exactly what ADC blurs (codes
+    within a cluster collide), so the window is the contract:
+    tests/test_pq.py pins that the true top-k lives inside the ADC
+    window, and that this re-rank then reproduces the exact ranking.
+    At 100 TB: the raw-vector side is read ONLY for the rerank-sized
+    candidate set (broadcast semi-join → point-ish reads)."""
+    from fuzzy_wiki_spark.operators.similarity import _dot, _norm
+
+    cands = pq_topk(
+        codes_df, query_vec, books, k=rerank,
+        id_col=id_col, exclude_ids=exclude_ids,
+    ).select(id_col)
+    q = F.array(*[F.lit(float(x)) for x in np.asarray(query_vec, float)])
+    exact = vec_df.join(F.broadcast(cands), id_col).select(
+        F.col(id_col),
+        (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))).alias(
+            "cos_sim"
+        ),
+    )
+    return exact.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def reconstruct(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Decode PQ codes back to the centroid-concatenated vector (test
+    oracle for the ADC identity)."""
+    m, ks, dsub = books.shape
+    return np.concatenate([books[j][codes[j]] for j in range(m)])

@@ -1,0 +1,86 @@
+"""Product quantization + ADC (operators/pq.py): the exact ADC identity
+(score == dot(query, reconstruction)), encode determinism, and recall
+vs exact cosine."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.operators import pq as PQ
+from fuzzy_wiki_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    rng = np.random.default_rng(3)
+    # 12 clusters so nearest-neighbor structure exists for recall
+    centers = rng.normal(size=(12, 32)) * 3
+    vecs = np.vstack(
+        [c + rng.normal(scale=0.4, size=(40, 32)) for c in centers]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).persist()
+    books = PQ.train_codebooks(vecs[::3], m=8, ks=16, seed=7)
+    return df, vecs, books
+
+
+def test_adc_identity_exact(data):
+    """For every vector: the distributed ADC score must equal
+    dot(q̂, reconstruct(codes)) to float tolerance — the algebraic
+    identity that separates PQ's lossy ENCODING from its exact SCORING."""
+    df, vecs, books = data
+    q = vecs[5]
+    codes = {
+        r["vec_id"]: np.asarray(r["codes"])
+        for r in PQ.encode_pq(df, books).collect()
+    }
+    got = {
+        r["vec_id"]: r["adc_score"]
+        for r in PQ.pq_topk(
+            PQ.encode_pq(df, books), q, books, k=len(codes)
+        ).collect()
+    }
+    qn = q / np.linalg.norm(q)
+    for vid, c in codes.items():
+        want = float(qn @ PQ.reconstruct(c, books))
+        assert got[vid] == pytest.approx(want, abs=1e-9)
+
+
+def test_encode_deterministic_and_bounded(data):
+    df, _, books = data
+    a = {r["vec_id"]: list(r["codes"]) for r in PQ.encode_pq(df, books).collect()}
+    b = {r["vec_id"]: list(r["codes"]) for r in PQ.encode_pq(df, books).collect()}
+    assert a == b
+    assert all(0 <= c < 16 for cs in a.values() for c in cs)
+    assert all(len(cs) == 8 for cs in a.values())
+
+
+def test_window_recall_and_exact_rerank(data):
+    """The PQ deployment contract: ADC is the candidate generator (the
+    true top-10 must live inside the ADC top-50 window — fine ranks
+    inside a cluster are what codes blur), and the exact re-rank of that
+    window reproduces the exact cosine ranking."""
+    df, vecs, books = data
+    q = vecs[0]
+    exact = [
+        (r["vec_id"], r["cos_sim"])
+        for r in SIM.cosine_topk(df, list(q), k=10, exclude_ids=[0]).collect()
+    ]
+    codes = PQ.encode_pq(df, books).persist()
+    window = {
+        r["vec_id"]
+        for r in PQ.pq_topk(codes, q, books, k=50, exclude_ids=[0]).collect()
+    }
+    window_recall = len({d for d, _ in exact} & window) / 10
+    assert window_recall >= 0.9, f"ADC window recall: {window_recall}"
+    rer = [
+        (r["vec_id"], r["cos_sim"])
+        for r in PQ.pq_topk_rerank(
+            codes, df, q, books, k=10, rerank=50, exclude_ids=[0]
+        ).collect()
+    ]
+    assert [d for d, _ in rer] == [d for d, _ in exact]
+    for (_, sg), (_, sw) in zip(rer, exact):
+        assert sg == pytest.approx(sw, rel=1e-9)
