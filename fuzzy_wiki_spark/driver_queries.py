@@ -2727,6 +2727,12 @@ ORACLE_SQL["compact_search"] = ORACLE_SQL["bm25_topk"]
 ORACLE_SQL["segment_bm25"] = ORACLE_SQL["bm25_topk"]
 # exhaustive-rerank PQ is exact → shares the brute-force cosine oracle
 ORACLE_SQL["pq_exact"] = ORACLE_SQL["ivf_exact"]
+
+ORACLE_SQL["autocomplete"] = f"""
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+FROM ({_TOK}) WHERE term LIKE 's%'
+GROUP BY term ORDER BY df DESC, term LIMIT 8
+"""
 # the segment-native extended executor must be indistinguishable from the
 # relational qlang path, so it shares extended_query's DuckDB oracle
 ORACLE_SQL["seg_extended"] = ORACLE_SQL["extended_query"]
@@ -3741,6 +3747,22 @@ def q_corrected_search(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_autocomplete(spark, sf_dir):
+    """Prefix autocomplete (the Lucene TermsEnum / suggester surface,
+    completing `prefix_search`'s doc-level twin at TERM level): the
+    dictionary terms under a prefix ranked by document frequency — the
+    search-box dropdown. A vocabulary-sized range scan: on the
+    term-sorted segment layout this is a contiguous dictionary slice."""
+    posts = _postings_simple(spark, sf_dir)
+    ts = P.term_stats(posts)
+    return (
+        ts.where(F.col("term").startswith("s"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .select("term", "df")
+        .limit(8)
+    )
+
+
 def q_grouped_topk(spark, sf_dir):
     """Grouped results (operators/collapse.py:grouped_topk — the Lucene
     TopGroups / collapse-with-inner_hits surface): top-2 hits per
@@ -3971,6 +3993,7 @@ QUERIES = {
     "grouped_topk": q_grouped_topk,
     "corrected_search": q_corrected_search,
     "pq_exact": q_pq_exact,
+    "autocomplete": q_autocomplete,
     # rows-only (no SQL mirror — Spark-specific hashing / porter chain /
     # seeded-numpy LSH planes / binary media payloads):
     "minhash_pairs": q_minhash_pairs,

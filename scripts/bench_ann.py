@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""ANN-stack scale bench: 1M synthetic 64-dim vectors (deterministic,
+hash-derived, generated distributed and cached to --data once), timing
+
+  1. brute cosine top-10 (the exact baseline: full float64 array math)
+  2. scalar-quantized cosine top-10 (grid agg + dequantized score)
+  3. PQ encode (mapInPandas gemm kernel over the corpus)
+  4. PQ ADC top-10 over byte codes (literal-LUT Column aggregate)
+  5. PQ ADC window + exact re-rank (the deploy path)
+
+Prints ONE JSON line. Run at two parallelism levels:
+
+    python scripts/bench_ann.py --cpus 8
+    python scripts/bench_ann.py --cpus 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--data", default="/tmp/fw_vec1m")
+    args = ap.parse_args()
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fuzzy_wiki_spark import get_spark
+    from fuzzy_wiki_spark.operators import pq as PQ
+    from fuzzy_wiki_spark.operators import similarity as SIM
+    from fuzzy_wiki_spark.phase import phase_control
+
+    control_start = phase_control()
+    spark = get_spark(
+        "bench-ann",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus,
+    )
+    if not os.path.exists(os.path.join(args.data, "_SUCCESS")):
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(args.dim - 1)),
+            lambda d: (
+                F.pmod(F.xxhash64(F.col("id"), d), F.lit(2001)) - 1000
+            ).cast("double")
+            / 1000.0,
+        )
+        (
+            spark.range(args.n, numPartitions=args.cpus * 4)
+            .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+            .write.mode("overwrite")
+            .parquet(args.data)
+        )
+    emb = spark.read.parquet(args.data).persist()
+    n = emb.count()
+    out: dict = {"cpus": args.cpus, "n_vecs": n, "dim": args.dim}
+
+    sample = np.asarray(
+        [r["embedding"] for r in emb.where(F.col("vec_id") % 101 == 0).collect()]
+    )
+    q = list(sample[0])
+
+    t0 = time.perf_counter()
+    out["brute_top10"] = [
+        int(r["vec_id"]) for r in SIM.cosine_topk(emb, q, k=10).collect()
+    ][:3]
+    out["brute_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    grid = SIM.quantization_grid(emb)
+    out["sq_grid_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    SIM.quantized_cosine_topk(emb, q, k=10, grid=grid).collect()
+    out["sq_topk_sec"] = round(time.perf_counter() - t0, 3)
+
+    books = PQ.train_codebooks(sample, m=8, ks=256, seed=7)
+    t0 = time.perf_counter()
+    codes = PQ.encode_pq(emb, books).persist()
+    n_codes = codes.count()
+    out["pq_encode_sec"] = round(time.perf_counter() - t0, 3)
+    out["pq_encode_vps"] = round(n_codes / out["pq_encode_sec"], 1)
+
+    t0 = time.perf_counter()
+    PQ.pq_topk(codes, q, books, k=10).collect()
+    out["pq_adc_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    PQ.pq_topk_rerank(codes, emb, q, books, k=10, rerank=1000).collect()
+    out["pq_rerank_sec"] = round(time.perf_counter() - t0, 3)
+
+    out["control_before"] = round(control_start, 4)
+    out["control_after"] = round(phase_control(), 4)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
