@@ -780,6 +780,42 @@ class SegmentIndex:
         ).select("doc_id", "score")
         return collapse_topk(full, group_df, k=k, group_col=group_col)
 
+    def count_matches(self, query: str) -> int:
+        """Total hit count on the serving path (Lucene
+        TotalHitCountCollector; parity with InvertedIndex.count_matches
+        pinned in tests/test_segment_surfaces.py): decodes ONLY the query
+        terms' posting doc_ids — a term-pruned row-group scan, no
+        scoring, no dl join — with the same redirect exclusion as
+        search() (tombstones are already excluded inside
+        term_postings)."""
+        from functools import reduce
+
+        from fuzzy_wiki_spark.operators.segment_query import META_REDIRECT
+        from fuzzy_wiki_spark.streaming.incremental import (
+            segments_to_postings,
+        )
+
+        clauses = compile_query(query)
+        by_field: dict[str, set] = {}
+        for c in clauses:
+            for t in c.terms:
+                by_field.setdefault(c.field, set()).add(t)
+        if not by_field:
+            return 0
+        frames = [
+            self.term_postings(f, sorted(ts), with_dl=False).select("doc_id")
+            for f, ts in sorted(by_field.items())
+        ]
+        hits = reduce(lambda a, b: a.unionByName(b), frames).distinct()
+        red = (
+            segments_to_postings(
+                self.segments.where(F.col("term") == META_REDIRECT)
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        return hits.join(red, "doc_id", "left_anti").count()
+
     def rescore_phrase(
         self,
         query: str,

@@ -186,6 +186,21 @@ def test_extended_language_parity(request, spark, posts, stats, index_fix, q):
     assert got == want, q
 
 
+def test_count_matches_parity_with_redirects(spark, tmp_path):
+    """SegmentIndex.count_matches == InvertedIndex.count_matches on a
+    corpus that contains REDIRECT docs (doc_id % 100 == 99) — the
+    serving-path count must apply the same exclusion as search()."""
+    from fuzzy_wiki_spark.corpus import generate_docs_pdf
+    from fuzzy_wiki_spark.engine import InvertedIndex
+
+    docs = spark.createDataFrame(generate_docs_pdf(150, seed=3))
+    rel = InvertedIndex.build(spark, docs)
+    segi = SegmentIndex.build(spark, docs, str(tmp_path / "cnt"), n_buckets=4)
+    for q in ("binary search tree", "return", "zzznothing", "binary"):
+        assert segi.count_matches(q) == rel.count_matches(q), q
+    assert segi.count_matches("binary") > 0
+
+
 def test_term_postings_prunes_before_decode(seg):
     # the adapter's decode input must carry the term predicate (pruned
     # scan), not the whole segments table
