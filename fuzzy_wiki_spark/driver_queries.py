@@ -3647,13 +3647,19 @@ def q_rescore(spark, sf_dir):
         ("merge", "join"),
         candidates=window,
     )
-    out = rescore_topk(window, sig, first_k=100, k=10, weight=0.5)
-    return out.select(
+    out = rescore_topk(window, sig, first_k=100, k=10, weight=0.5).select(
         "doc_id",
         F.round("first_score", 6).alias("first_score"),
         F.col("signal").cast("long").alias("n_occ"),
         F.round("score", 6).alias("score"),
     )
+    # materialize the ≤10-row result, then drop the window cache (the
+    # rescore window must not outlive the entry — ADVICE r3)
+    try:
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        window.unpersist()
 
 
 def q_seg_collapse(spark, sf_dir):
@@ -3694,13 +3700,19 @@ def q_seg_rescore(spark, sf_dir):
         ("merge", "join"),
         candidates=window,
     )
-    out = rescore_topk(window, sig, first_k=100, k=10, weight=0.5)
-    return out.select(
+    out = rescore_topk(window, sig, first_k=100, k=10, weight=0.5).select(
         "doc_id",
         F.round("first_score", 6).alias("first_score"),
         F.col("signal").cast("long").alias("n_occ"),
         F.round("score", 6).alias("score"),
     )
+    # materialize the ≤10-row result, then drop the window cache (the
+    # rescore window must not outlive the entry — ADVICE r3)
+    try:
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        window.unpersist()
 
 
 def q_corrected_search(spark, sf_dir):

@@ -424,9 +424,20 @@ class InvertedIndex:
         sig = phrase_occurrences(
             self.postings, field, phrase, candidates=window
         )
-        return rescore_topk(
-            window, sig, first_k=first_k, k=k, weight=weight
-        )
+        # the combined result is ≤ k rows: materialize it eagerly and
+        # release the window cache deterministically (a long-lived index
+        # instance would otherwise accumulate one cached window per
+        # rescore call), handing back a local-backed frame with no
+        # lineage into the unpersisted plan — same pattern as
+        # SegmentIndex.extended()
+        try:
+            res = rescore_topk(
+                window, sig, first_k=first_k, k=k, weight=weight
+            )
+            rows = res.collect()
+            return self.spark.createDataFrame(rows, res.schema)
+        finally:
+            window.unpersist()
 
     def explain(self, query: str, doc_id: int) -> DataFrame:
         """Score explanation for one (query, doc) — the Lucene
@@ -853,9 +864,17 @@ class SegmentIndex:
             phrase,
             candidates=window,
         )
-        return rescore_topk(
-            window, sig, first_k=first_k, k=k, weight=weight
-        )
+        # ≤ k rows: materialize, then release the window cache so a
+        # long-lived index never accumulates per-call cached windows
+        # (same pattern as InvertedIndex.rescore_phrase / extended())
+        try:
+            res = rescore_topk(
+                window, sig, first_k=first_k, k=k, weight=weight
+            )
+            rows = res.collect()
+            return self.spark.createDataFrame(rows, res.schema)
+        finally:
+            window.unpersist()
 
     def search_many(self, queries: list[str], k: int = 10) -> DataFrame:
         """Batch replay over compressed segments: one job for the whole

@@ -8,7 +8,7 @@ this is the standard Lucene/Elasticsearch `collapse` extension of the
 same top-k surface.
 
 Scale notes (100 TB): the collapse is ONE map-side-combinable
-groupBy(group) picking max(struct(score, -doc_id, payload)) — partial
+groupBy(group) picking min(struct(-score, doc_id, payload)) — partial
 aggregation reduces each partition to |groups| rows before the exchange,
 so the shuffle carries at most one candidate per (partition, group).
 A window/rank formulation would shuffle the FULL candidate set on the
@@ -46,13 +46,16 @@ def collapse_topk(
     likewise scores against corpus-wide stats)."""
     payload_cols = list(scored.columns)
     joined = scored.join(group_df.select(id_col, group_col), id_col)
-    # struct comparison is lexicographic: score, then -doc_id (unique) —
-    # payload fields after the unique key never influence the max
+    # struct comparison is lexicographic: MIN of (-score, doc_id) picks
+    # the highest score, then the lowest doc_id among ties. Negating the
+    # SCORE (always numeric) rather than the id keeps the tie-break
+    # correct for any orderable id type — string doc ids included.
+    # Payload fields after the unique id never influence the min.
     best = joined.groupBy(group_col).agg(
-        F.max(
+        F.min(
             F.struct(
-                F.col(score_col).alias("_s"),
-                (-F.col(id_col)).alias("_nid"),
+                (-F.col(score_col)).alias("_ns"),
+                F.col(id_col).alias("_id"),
                 *[F.col(c).alias(c) for c in payload_cols],
             )
         ).alias("_b")
@@ -93,7 +96,12 @@ def grouped_topk(
     hits = joined.withColumn("hit_rank", F.row_number().over(w_in)).where(
         F.col("hit_rank") <= m
     )
-    # groups ranked by their best (hit_rank=1) score
+    # groups ranked by their best (hit_rank=1) score. Cut to the k best
+    # groups FIRST with orderBy+limit — Spark plans that as
+    # TakeOrderedAndProject (each partition contributes ≤k rows to the
+    # driver-side merge), so no full group-lead frame ever funnels
+    # through a one-partition sort — then assign group_rank by a window
+    # over the ≤k survivors only (a k-row single partition is free).
     best = hits.where(F.col("hit_rank") == 1).select(
         group_col,
         F.col(score_col).alias("_gs"),
@@ -101,8 +109,9 @@ def grouped_topk(
     )
     w_g = Window.orderBy(F.desc("_gs"), F.asc("_gid"))
     top_groups = (
-        best.withColumn("group_rank", F.row_number().over(w_g))
-        .where(F.col("group_rank") <= k)
+        best.orderBy(F.desc("_gs"), F.asc("_gid"))
+        .limit(k)
+        .withColumn("group_rank", F.row_number().over(w_g))
         .select(group_col, "group_rank")
     )
     return (

@@ -25,10 +25,13 @@ a direct streaming groupBy would needlessly accumulate per-doc state
 and force watermark/output-mode gymnastics). Batch ≡ streaming is
 pinned in tests/test_percolate.py.
 
-Scale notes (100 TB): one distinct-(doc, term) explode of the incoming
-batch, one BroadcastHashJoin against the exploded rules, one map-side-
-combinable groupBy(doc, query). No shuffle carries more than the
-matched (doc, term) pairs.
+Scale notes (100 TB): the token explode BroadcastHashJoins against the
+exploded rules BEFORE any dedup — the rule join is the selective filter,
+so the only shuffle in the plan is the count-distinct aggregate over
+MATCHED (doc, query, term) triples (Catalyst plans countDistinct as a
+partial-agg keyed on the triple, then the count — both stages combine
+map-side). Deduplicating the full token stream first would shuffle every
+distinct (doc, term) of the incoming corpus even when no rule matches.
 """
 
 from __future__ import annotations
@@ -50,24 +53,25 @@ def percolate(
     text. Returns (doc_id, query_id, n_matched) for every (document,
     stored query) pair with n_matched ≥ min_match; a doc matching no
     rule is absent (the common case — rules are selective)."""
-    doc_terms = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
-                F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-            ).alias("term"),
-        )
-        .distinct()
+    doc_tokens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("term"),
     )
     rule_terms = queries_df.select(
         "query_id",
         "min_match",
         F.explode(F.array_distinct("terms")).alias("term"),
     )
+    # join BEFORE dedup: the broadcast rule join is the selective filter,
+    # so the countDistinct aggregate (a partial-agg on the matched
+    # (doc, query, term) triple, then the count) is the plan's only
+    # shuffle — it never carries unmatched tokens
     return (
-        doc_terms.join(F.broadcast(rule_terms), "term")
+        doc_tokens.join(F.broadcast(rule_terms), "term")
         .groupBy("doc_id", "query_id", "min_match")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+        .agg(F.countDistinct("term").cast("long").alias("n_matched"))
         .where(F.col("n_matched") >= F.col("min_match"))
         .select("doc_id", "query_id", "n_matched")
     )

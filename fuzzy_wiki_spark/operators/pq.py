@@ -15,9 +15,9 @@ Spark-first split of the work:
   BPE and the quality classifier, codebooks train on samples at any
   corpus scale (faiss does the same); deterministic (seeded numpy,
   fixed iterations).
-- ENCODE (cluster): one mapInArrow batch kernel — per Arrow batch, a
-  single gemm per subspace against the broadcast codebook, argmin over
-  centroids. No shuffle.
+- ENCODE (cluster): one mapInPandas batch kernel — per Arrow-fed
+  pandas batch, a single gemm per subspace against the broadcast
+  codebook, argmin over centroids. No shuffle.
 - SCORE (cluster): the ADC lookup table rides the plan as a LITERAL
   flat array (m·ks doubles); the score is a pure Column expression —
   aggregate over the codes array of element_at(lut, j·ks + code + 1) —
@@ -92,7 +92,8 @@ def encode_pq(
     vec_col: str = "embedding",
     normalize: bool = True,
 ) -> DataFrame:
-    """(vec_id, codes array<int>) — one mapInArrow stage: per batch, one
+    """(vec_id, codes array<int>) — one mapInPandas stage (Arrow batch
+    transfer): per batch, one
     gemm per subspace against the broadcast codebook, argmin centroid.
     ||x−c||² = ||x||² − 2x·c + ||c||²; per subspace only the −2x·c + ||c||²
     terms order the argmin, so the kernel is a single matmul + add."""

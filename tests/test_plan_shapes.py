@@ -79,8 +79,35 @@ def test_collapse_is_partial_aggregate_not_window(spark):
     )
     plan = _plan(collapse_topk(scored, groups, k=5))
     assert "Window" not in plan
-    # partial_max shows the map-side combine of the struct-max agg
-    assert "partial_max" in plan or "partial max" in plan.lower()
+    # partial_min shows the map-side combine of the struct-min agg
+    # (min of (-score, id) = best score, lowest id — id-type-generic)
+    assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+def test_grouped_topk_ranks_only_k_groups(spark):
+    """Group ranking must be a partial top-k (TakeOrderedAndProject —
+    each partition contributes ≤k group leads), never a row_number
+    window over the FULL group-lead frame: at repo granularity on a
+    10^12-file corpus an unpartitioned ranking window is a one-task
+    sort (ADVICE r3). The only unpartitioned window allowed in the plan
+    is the k-row rank assignment AFTER the limit."""
+    from fuzzy_wiki_spark.operators.collapse import grouped_topk
+
+    scored = spark.createDataFrame(
+        [(i, float(i % 13)) for i in range(80)], "doc_id long, score double"
+    )
+    groups = spark.createDataFrame(
+        [(i, str(i % 17)) for i in range(80)], "doc_id long, group string"
+    )
+    out = grouped_topk(scored, groups, m=2, k=5)
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan
+    # correctness unchanged: 5 groups, ≤2 hits each, ranks contiguous
+    rows = out.collect()
+    assert len({r["group"] for r in rows}) == 5
+    assert sorted({r["group_rank"] for r in rows}) == [1, 2, 3, 4, 5]
+    for r in rows:
+        assert r["hit_rank"] in (1, 2)
 
 
 def test_classifier_broadcasts_weights(spark):
