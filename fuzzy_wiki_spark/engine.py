@@ -55,6 +55,145 @@ def _memo_term_df(
     return {ft: df for ft, df in cache.items() if ft[1] in want}
 
 
+def _synonym_groups(
+    query: str, synonyms: dict[str, list[str]]
+) -> list[list[str]]:
+    """Analyze the query and the synonym map with the index analyzer
+    chain and emit per-query-term synonym groups (groups[i][0] is the
+    query term) — the shared front half of both engines'
+    search_synonyms. Raises on a synonym key that analyzes to ≠1 term
+    (a multi-token key has no single dictionary slot to expand)."""
+    from fuzzy_wiki_spark.analyzer import tokenize_text
+
+    q_terms = tokenize_text(query)
+    if not q_terms:
+        return []
+    norm: dict[str, list[str]] = {}
+    for kraw, vals in synonyms.items():
+        kt = tokenize_text(kraw)
+        if len(kt) != 1:
+            raise ValueError(
+                f"synonym key must analyze to one term: {kraw!r} -> {kt}"
+            )
+        mem: list[str] = []
+        for v in vals:
+            mem.extend(tokenize_text(v))
+        norm[kt[0]] = mem
+    return [[t, *norm.get(t, [])] for t in q_terms]
+
+
+def _corrected_clauses(
+    clauses: list[Clause],
+    term_df: dict[tuple[str, str], int],
+    term_stats: DataFrame,
+    max_dist: int = 2,
+) -> list[Clause]:
+    """Shared auto-correction rewrite (both engines' search_corrected):
+    every zero-df (field, term) is replaced by its top spell suggestion
+    (edit distance asc, df desc, term asc, within ``max_dist`` —
+    operators/term_expansion.correct_term); in-vocabulary terms are
+    untouched; unfixable terms drop from their clause, and a phrase
+    losing any member drops entirely (a phrase with a hole matches
+    nothing sensible)."""
+    from fuzzy_wiki_spark.operators.term_expansion import correct_term
+
+    pairs = sorted({(c.field, t) for c in clauses for t in c.terms})
+    fixed: dict[tuple[str, str], str | None] = {}
+    for fld, t in pairs:
+        if term_df.get((fld, t), 0) > 0:
+            fixed[(fld, t)] = t
+        else:
+            fixed[(fld, t)] = correct_term(
+                term_stats, fld, t, max_dist=max_dist
+            )
+    new_clauses = []
+    for c in clauses:
+        nt = tuple(
+            fixed[(c.field, t)]
+            for t in c.terms
+            if fixed[(c.field, t)] is not None
+        )
+        if not nt or (c.is_phrase and len(nt) < len(c.terms)):
+            continue  # an unfixable member breaks a phrase entirely
+        new_clauses.append(
+            Clause(c.clause_id, c.field, nt, c.boost, c.slop, c.is_phrase)
+        )
+    return new_clauses
+
+
+def _explain_factors(
+    clauses: list[Clause],
+    term_df: dict[tuple[str, str], int],
+    field_stats: dict[str, tuple[int, float]],
+    rows,
+) -> list[tuple]:
+    """Per-clause factor rows for one (query, doc) — the shared back
+    half of both engines' explain(): ``rows`` is the doc's postings
+    restricted to the query terms (any frame with field/term/tf/dl and
+    wire-format positions — the relational postings schema and the
+    term-pruned segment decode both qualify). Returns (clause_id, field,
+    kind, terms, weight, freq, dl, tf_norm, contrib) tuples;
+    sum(contrib) == the doc's search() score."""
+    from fuzzy_wiki_spark.codec import decode_position_list
+    from fuzzy_wiki_spark.operators.topk import idf as _idf
+    from fuzzy_wiki_spark.oracle import sloppy_phrase_match
+
+    by_ft = {(r["field"], r["term"]): r for r in rows}
+    out = []
+    for cl in clauses:
+        doc_count, avgdl = field_stats[cl.field]
+        w = cl.boost * sum(
+            _idf(term_df.get((cl.field, t), 0), doc_count)
+            for t in cl.terms
+        )
+        hit = [by_ft.get((cl.field, t)) for t in cl.terms]
+        dl = next((int(r["dl"]) for r in hit if r is not None), 0)
+        if cl.is_phrase and len(cl.terms) > 1:
+            if any(r is None for r in hit):
+                freq = 0.0
+            else:
+                # positions ride both schemas in WIRE format (varint
+                # delta-gap bytes) — decode to absolute ints before the
+                # matcher, exactly as the distributed scorers do
+                pos = {
+                    t: decode_position_list(r["positions"]).tolist()
+                    for t, r in zip(cl.terms, hit)
+                }
+                freq = (
+                    float(sum(int(r["tf"]) for r in hit))
+                    if sloppy_phrase_match(pos, cl.terms, cl.slop)
+                    else 0.0
+                )
+        else:
+            freq = float(hit[0]["tf"]) if hit[0] is not None else 0.0
+        tfn = (
+            freq / (freq + K1 * (1 - B + B * dl / avgdl))
+            if freq > 0
+            else 0.0
+        )
+        out.append(
+            (
+                cl.clause_id,
+                cl.field,
+                "phrase" if cl.is_phrase and len(cl.terms) > 1 else "term",
+                " ".join(cl.terms),
+                float(w),
+                freq,
+                dl,
+                float(tfn),
+                float(w * tfn),
+            )
+        )
+    return out
+
+
+EXPLAIN_SCHEMA = (
+    "clause_id int, field string, kind string, terms string,"
+    " weight double, freq double, dl long, tf_norm double,"
+    " contrib double"
+)
+
+
 class InvertedIndex:
     def __init__(
         self,
@@ -193,30 +332,17 @@ class InvertedIndex:
         reference's path ^1.1 / content ^0.8); phrase clauses don't
         compose with synonym groups (Lucene's QueryBuilder likewise
         abandons the plain phrase when a term has synonyms)."""
-        from fuzzy_wiki_spark.analyzer import tokenize_text
         from fuzzy_wiki_spark.operators.topk import synonym_search
         from fuzzy_wiki_spark.plans.query import (
             BOOST_CONTENT_TERM,
             BOOST_PATH_TERM,
         )
 
-        q_terms = tokenize_text(query)
-        if not q_terms:
+        groups = _synonym_groups(query, synonyms)
+        if not groups:
             return self.spark.createDataFrame(
                 [], "doc_id long, path string, score double"
             )
-        norm: dict[str, list[str]] = {}
-        for kraw, vals in synonyms.items():
-            kt = tokenize_text(kraw)
-            if len(kt) != 1:
-                raise ValueError(
-                    f"synonym key must analyze to one term: {kraw!r} -> {kt}"
-                )
-            mem: list[str] = []
-            for v in vals:
-                mem.extend(tokenize_text(v))
-            norm[kt[0]] = mem
-        groups = [[t, *norm.get(t, [])] for t in q_terms]
         all_terms = sorted({t for g in groups for t in g})
         return synonym_search(
             self.spark,
@@ -326,33 +452,13 @@ class InvertedIndex:
         hit the index are untouched; unfixable terms (nothing within
         max_dist) drop from their clause like analyzed-away stopwords.
         Phrase clauses correct member-wise. Result shape == search()."""
-        from fuzzy_wiki_spark.operators.term_expansion import correct_term
-
         clauses = compile_query(query)
-        terms = sorted({(c.field, t) for c in clauses for t in c.terms})
-        term_df = self.lookup_term_df(sorted({t for _, t in terms}))
-        fixed: dict[tuple[str, str], str | None] = {}
-        for fld, t in terms:
-            if term_df.get((fld, t), 0) > 0:
-                fixed[(fld, t)] = t
-            else:
-                fixed[(fld, t)] = correct_term(
-                    self.term_stats, fld, t, max_dist=max_dist
-                )
-        new_clauses = []
-        for c in clauses:
-            nt = tuple(
-                fixed[(c.field, t)]
-                for t in c.terms
-                if fixed[(c.field, t)] is not None
-            )
-            if not nt or (c.is_phrase and len(nt) < len(c.terms)):
-                continue  # an unfixable member breaks a phrase entirely
-            new_clauses.append(
-                Clause(
-                    c.clause_id, c.field, nt, c.boost, c.slop, c.is_phrase
-                )
-            )
+        term_df = self.lookup_term_df(
+            sorted({t for c in clauses for t in c.terms})
+        )
+        new_clauses = _corrected_clauses(
+            clauses, term_df, self.term_stats, max_dist=max_dist
+        )
         if not new_clauses:
             return self.spark.createDataFrame(
                 [], "doc_id long, path string, score double"
@@ -448,71 +554,18 @@ class InvertedIndex:
 
         The data touched is |query terms| postings rows of ONE doc — a
         point lookup — so the factor math runs driver-side on the
-        collected rows (phrase freq via the pinned pure-Python sloppy
-        matcher, oracle.py:sloppy_phrase_match — the same spec the
-        distributed scorers reproduce)."""
-        from fuzzy_wiki_spark.codec import decode_position_list
-        from fuzzy_wiki_spark.operators.topk import idf as _idf
-        from fuzzy_wiki_spark.oracle import sloppy_phrase_match
-
+        collected rows (_explain_factors: phrase freq via the pinned
+        pure-Python sloppy matcher, oracle.py:sloppy_phrase_match — the
+        same spec the distributed scorers reproduce)."""
         clauses = compile_query(query)
         all_terms = sorted({t for c in clauses for t in c.terms})
         term_df = self.lookup_term_df(all_terms)
         rows = self.postings.where(
             (F.col("doc_id") == doc_id) & F.col("term").isin(all_terms)
         ).collect()
-        by_ft = {(r["field"], r["term"]): r for r in rows}
-        out = []
-        for cl in clauses:
-            doc_count, avgdl = self.field_stats[cl.field]
-            w = cl.boost * sum(
-                _idf(term_df.get((cl.field, t), 0), doc_count)
-                for t in cl.terms
-            )
-            hit = [by_ft.get((cl.field, t)) for t in cl.terms]
-            dl = next((int(r["dl"]) for r in hit if r is not None), 0)
-            if cl.is_phrase and len(cl.terms) > 1:
-                if any(r is None for r in hit):
-                    freq = 0.0
-                else:
-                    # positions ride the postings schema in WIRE format
-                    # (varint delta-gap bytes, postings.py:140) — decode to
-                    # absolute ints before the matcher, exactly as the
-                    # distributed scorer does (topk.py:83).
-                    pos = {
-                        t: decode_position_list(r["positions"]).tolist()
-                        for t, r in zip(cl.terms, hit)
-                    }
-                    freq = (
-                        float(sum(int(r["tf"]) for r in hit))
-                        if sloppy_phrase_match(pos, cl.terms, cl.slop)
-                        else 0.0
-                    )
-            else:
-                freq = float(hit[0]["tf"]) if hit[0] is not None else 0.0
-            tfn = (
-                freq / (freq + K1 * (1 - B + B * dl / avgdl))
-                if freq > 0
-                else 0.0
-            )
-            out.append(
-                (
-                    cl.clause_id,
-                    cl.field,
-                    "phrase" if cl.is_phrase and len(cl.terms) > 1 else "term",
-                    " ".join(cl.terms),
-                    float(w),
-                    freq,
-                    dl,
-                    float(tfn),
-                    float(w * tfn),
-                )
-            )
         return self.spark.createDataFrame(
-            out,
-            "clause_id int, field string, kind string, terms string,"
-            " weight double, freq double, dl long, tf_norm double,"
-            " contrib double",
+            _explain_factors(clauses, term_df, self.field_stats, rows),
+            EXPLAIN_SCHEMA,
         )
 
     def search_many(self, queries: list[str], k: int = 10) -> DataFrame:
@@ -1155,4 +1208,352 @@ class SegmentIndex:
         ex = expand_wildcard(self.term_stats, field, pattern)
         return expanded_topdocs(
             self.term_postings(field, ex, with_dl=False), field, ex, k
+        )
+
+    # -- round-4 serving surfaces: every remaining relational-only query
+    #    now has a segment-path twin (facets, snippets, synonyms,
+    #    corrected, MLT, span, grouped, explain) ---------------------------
+
+    def _bucket_count(self) -> int:
+        """Observed bucket count (max bucket + 1), probed once per
+        instance from the bucket column — parquet min/max stats answer
+        it without decoding a posting byte. Used only to ROUTE doc-keyed
+        lookups (a doc's postings live entirely in bucket
+        doc_id % n_buckets, operators/segments.py:400); doc_postings
+        falls back to a full decode if the routed bucket misses (only
+        possible when the top buckets are empty — a corpus smaller than
+        its bucket count)."""
+        if not hasattr(self, "_nb_cache"):
+            self._nb_cache = (
+                self.segments.agg(F.max("bucket").alias("b")).first()["b"]
+                + 1
+            )
+        return self._nb_cache
+
+    def doc_postings(
+        self, field: str, doc_id: int, with_dl: bool = True
+    ) -> DataFrame:
+        """ONE document's postings from the compressed segments — the
+        forward-index (Lucene term-vector) lookup MLT needs. The segment
+        layout is doc-bucketed, so the decode prunes to the doc's single
+        bucket (1/n_buckets of the field's index) before filtering
+        doc_id; there is no per-term pruning for a doc-keyed question —
+        exactly why Lucene stores term vectors for MLT. Cost is one
+        bucket's decode, bounded by index_size/n_buckets at any corpus
+        scale (size n_buckets so a bucket fits an executor)."""
+        from fuzzy_wiki_spark.operators.segments import META_TERMS
+        from fuzzy_wiki_spark.streaming.incremental import (
+            segments_to_postings,
+        )
+
+        def _decode(seg):
+            # meta rows (_dl/_redirect/_deleted) ride the same layout —
+            # they are bookkeeping, not document vocabulary
+            seg = seg.where(~F.col("term").isin(META_TERMS))
+            posts = segments_to_postings(seg).where(
+                F.col("doc_id") == doc_id
+            )
+            tombs = self._tombstones()
+            if tombs is not None:
+                posts = posts.join(tombs, "doc_id", "left_anti")
+            if with_dl:
+                posts = posts.join(self._dls(field), "doc_id")
+            return posts
+
+        seg_f = self.segments.where(F.col("field") == field)
+        b = int(doc_id) % self._bucket_count()
+        routed = _decode(seg_f.where(F.col("bucket") == b))
+        if routed.take(1):
+            return routed
+        # tiny-corpus fallback: empty top buckets make the probe
+        # undercount, mis-routing the modulo — scan all buckets
+        return _decode(seg_f)
+
+    def facet_counts(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        facet_col: str,
+        field: str = "content",
+    ) -> DataFrame:
+        """Faceted match counts on the serving path (the "refine by"
+        panel): distinct docs matching ANY query term, counted per facet
+        value. The match set comes from the term-pruned segment decode
+        (no positions/dl needed); the facet attribute joins from the
+        docs table — segments store postings, not stored fields, the
+        same split Lucene makes between the index and doc values."""
+        from fuzzy_wiki_spark.operators.facets import (
+            facet_counts as _facet_counts,
+        )
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return _facet_counts(posts, docs, sorted(set(terms)), facet_col)
+
+    def facet_topk(
+        self,
+        query: str,
+        docs: DataFrame,
+        facet_col: str,
+        k: int = 3,
+    ) -> DataFrame:
+        """Per-facet top-k hits on the serving path: full-set bucket
+        scoring (k=None — every facet needs ITS best hits, a global-k θ
+        bound could prune a small facet's winners), facet attribute
+        joined from the docs table, window rank within each facet
+        (operators/facets.grouped_topk — partitioned by facet, never
+        global)."""
+        from fuzzy_wiki_spark.operators.facets import (
+            grouped_topk as _facet_topk,
+        )
+        from fuzzy_wiki_spark.operators.segment_query import (
+            search_segments_batch,
+        )
+
+        clauses = compile_query(query)
+        term_df = self._term_df(sorted({t for c in clauses for t in c.terms}))
+        full = search_segments_batch(
+            self.spark,
+            self.segments,
+            {0: clauses},
+            term_df,
+            self.field_stats,
+            k=None,
+        ).select("doc_id", "score")
+        scored = full.join(docs.select("doc_id", facet_col), "doc_id")
+        return _facet_topk(scored, facet_col=facet_col, k=k)
+
+    def snippets(
+        self,
+        query: str,
+        docs: DataFrame,
+        k: int = 10,
+        window: int = 10,
+        terms: list[str] | None = None,
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Highlighted snippets for the segment top-k: best ``window``-
+        token span per hit by (distinct query terms, matched tokens,
+        earliest), matches bracket-wrapped (functions/text.snippet_struct
+        — pure higher-order Column exprs). Runs AFTER the top-k cut, so
+        the text join touches k docs, never the corpus (text lives in
+        the docs table — the docstore split). ``terms`` overrides the
+        highlight set when the displayed text's tokens differ from the
+        indexed (analyzed) vocabulary."""
+        from fuzzy_wiki_spark.functions.text import snippet_struct
+
+        clauses = compile_query(query)
+        hl = terms or sorted({t for c in clauses for t in c.terms})
+        hits = self.search(query, k=k).select("doc_id")
+        snip = snippet_struct(F.col(text_col), hl, window=window)
+        return (
+            hits.join(docs.select("doc_id", text_col), "doc_id")
+            .select("doc_id", snip.alias("s"))
+            .select(
+                "doc_id", "s.snippet", "s.n_terms", "s.n_matches", "s.start"
+            )
+        )
+
+    def search_synonyms(
+        self,
+        query: str,
+        synonyms: dict[str, list[str]],
+        k: int = 10,
+        field_boosts: list[tuple[str, float]] | None = None,
+    ) -> DataFrame:
+        """Query-time synonym expansion on the serving path (Lucene
+        SynonymQuery semantics — blended max-df idf, summed member tf;
+        same contract as InvertedIndex.search_synonyms, parity pinned in
+        tests/test_segment_surfaces.py). The group-blended tf aggregate
+        is relational by nature, so the postings come from the
+        term-pruned segment decode: cost is Σ df(member terms), never
+        the index. Default boosts are the reference's path^1.1 /
+        content^0.8, restricted to fields this index actually has."""
+        from fuzzy_wiki_spark.operators.topk import synonym_search
+        from fuzzy_wiki_spark.plans.query import (
+            BOOST_CONTENT_TERM,
+            BOOST_PATH_TERM,
+        )
+
+        groups = _synonym_groups(query, synonyms)
+        if not groups:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        if field_boosts is None:
+            field_boosts = [
+                (f, b)
+                for f, b in (
+                    ("path", BOOST_PATH_TERM),
+                    ("content", BOOST_CONTENT_TERM),
+                )
+                if f in self.field_stats
+            ]
+        all_terms = sorted({t for g in groups for t in g})
+        from functools import reduce
+
+        posts = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                self.term_postings(fld, all_terms)
+                for fld, _ in field_boosts
+            ],
+        )
+        return synonym_search(
+            self.spark,
+            posts,
+            groups,
+            self._term_df(all_terms),
+            self.field_stats,
+            field_boosts=field_boosts,
+            k=k,
+        )
+
+    def search_corrected(
+        self, query: str, k: int = 10, max_dist: int = 2
+    ) -> DataFrame:
+        """Auto-correcting search on the serving path (same rewrite rule
+        as InvertedIndex.search_corrected via _corrected_clauses); the
+        corrected clauses then run the normal block-max segment search —
+        correction changes the query, not the execution strategy."""
+        from fuzzy_wiki_spark.operators.segment_query import search_segments
+
+        clauses = compile_query(query)
+        term_df = self._term_df(sorted({t for c in clauses for t in c.terms}))
+        new_clauses = _corrected_clauses(
+            clauses, term_df, self.term_stats, max_dist=max_dist
+        )
+        if not new_clauses:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return search_segments(
+            self.spark,
+            self.segments,
+            new_clauses,
+            self._term_df(
+                sorted({t for c in new_clauses for t in c.terms})
+            ),
+            self.field_stats,
+            k=k,
+        )
+
+    def more_like_this(
+        self, doc_id: int, field: str = "content", m: int = 10, k: int = 10
+    ) -> DataFrame:
+        """Related-document retrieval on the serving path (Lucene
+        MoreLikeThis): the source doc's top-m tf·idf terms (doc_postings
+        — the bucket-pruned forward lookup) become an OR query served by
+        the normal block-max segment search, source excluded. Selection
+        rule is identical to operators/topk.more_like_this (tf·idf desc,
+        term asc) — parity pinned in tests/test_segment_surfaces.py."""
+        from fuzzy_wiki_spark.operators.segment_query import (
+            search_segments_batch,
+        )
+        from fuzzy_wiki_spark.operators.topk import idf as _idf
+
+        doc_count, _ = self.field_stats[field]
+        d0 = {
+            r["term"]: r["tf"]
+            for r in self.doc_postings(field, doc_id, with_dl=False)
+            .select("term", "tf")
+            .collect()
+        }
+        if not d0:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        tdf = self._term_df(sorted(d0))
+        dfm = {t: tdf.get((field, t), 0) for t in d0}
+        interesting = sorted(
+            d0, key=lambda t: (-d0[t] * _idf(dfm.get(t, 0), doc_count), t)
+        )[:m]
+        clauses = [
+            Clause(i, field, (t,), 1.0, 0, False)
+            for i, t in enumerate(interesting)
+        ]
+        res = search_segments_batch(
+            self.spark,
+            self.segments,
+            {0: clauses},
+            {(field, t): dfm.get(t, 0) for t in interesting},
+            self.field_stats,
+            k=k + 1,
+        )
+        return (
+            res.where(F.col("doc_id") != doc_id)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score")
+        )
+
+    def span_near(
+        self,
+        terms: tuple[str, ...],
+        field: str = "content",
+        slop: int = 0,
+        k: int = 15,
+    ) -> DataFrame:
+        """Ordered proximity (Lucene SpanNearQuery in_order=true) over
+        the compressed segments — positions decode straight from the
+        wire format in the term-pruned scan."""
+        from fuzzy_wiki_spark.operators.topk import span_near_topdocs
+
+        posts = self.term_postings(
+            field, sorted(set(terms)), with_dl=False
+        )
+        return span_near_topdocs(posts, field, terms, slop=slop, k=k)
+
+    def search_grouped(
+        self,
+        query: str,
+        group_df: DataFrame,
+        m: int = 3,
+        k: int = 10,
+        group_col: str = "group",
+    ) -> DataFrame:
+        """Grouped results on the serving path (Lucene TopGroups /
+        collapse-with-inner_hits; the m>1 sibling of search_collapse):
+        full-set bucket scoring (k=None — every group needs its m best,
+        a global θ bound could prune them), then
+        operators/collapse.grouped_topk (per-group window + partial
+        top-k group ranking)."""
+        from fuzzy_wiki_spark.operators.collapse import grouped_topk
+        from fuzzy_wiki_spark.operators.segment_query import (
+            search_segments_batch,
+        )
+
+        clauses = compile_query(query)
+        term_df = self._term_df(sorted({t for c in clauses for t in c.terms}))
+        full = search_segments_batch(
+            self.spark,
+            self.segments,
+            {0: clauses},
+            term_df,
+            self.field_stats,
+            k=None,
+        ).select("doc_id", "score")
+        return grouped_topk(full, group_df, m=m, k=k, group_col=group_col)
+
+    def explain(self, query: str, doc_id: int) -> DataFrame:
+        """Score explanation on the serving path (Lucene
+        IndexSearcher.explain): the term-pruned segment decode filtered
+        to ONE doc — Σ|posting lists(query terms)| rows scanned, |query
+        terms| rows collected — then the shared driver-side factor math
+        (_explain_factors; sum(contrib) == the doc's search() score,
+        parity pinned in tests/test_segment_surfaces.py)."""
+        from functools import reduce
+
+        clauses = compile_query(query)
+        all_terms = sorted({t for c in clauses for t in c.terms})
+        term_df = self._term_df(all_terms)
+        by_field: dict[str, set] = {}
+        for c in clauses:
+            for t in c.terms:
+                by_field.setdefault(c.field, set()).add(t)
+        frames = [
+            self.term_postings(f, sorted(ts)).where(
+                F.col("doc_id") == doc_id
+            )
+            for f, ts in sorted(by_field.items())
+        ]
+        rows = reduce(lambda a, b: a.unionByName(b), frames).collect()
+        return self.spark.createDataFrame(
+            _explain_factors(clauses, term_df, self.field_stats, rows),
+            EXPLAIN_SCHEMA,
         )

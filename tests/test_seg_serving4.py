@@ -1,0 +1,240 @@
+"""Round-4 segment serving surfaces: every query surface that was
+relational-only (facets, snippets, synonyms, corrected, MLT, span_near,
+grouped m>1, explain) must produce the SAME results from the compressed
+segments as from the relational engine on a realistic corpus — including
+redirect docs, which both engines must exclude identically."""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.corpus import generate_docs_pdf
+from fuzzy_wiki_spark.engine import InvertedIndex, SegmentIndex
+
+N_DOCS = 200
+QUERY = "binary search tree"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(generate_docs_pdf(N_DOCS, seed=11)).cache()
+
+
+@pytest.fixture(scope="module")
+def rel(spark, docs):
+    return InvertedIndex.build(spark, docs)
+
+
+@pytest.fixture(scope="module")
+def segi(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("seg4") / "ix")
+    return SegmentIndex.build(spark, docs, out, n_buckets=4)
+
+
+def _r(df, cols=("doc_id", "score")):
+    sel = [
+        F.round(c, 6).alias(c) if c in ("score", "first_score") else c
+        for c in cols
+    ]
+    return [tuple(r) for r in df.select(*sel).collect()]
+
+
+def test_synonyms_parity(rel, segi):
+    syn = {"binary": ["linear"], "tree": ["graph"]}
+    want = _r(rel.search_synonyms(QUERY, syn, k=10))
+    got = _r(segi.search_synonyms(QUERY, syn, k=10))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_corrected_parity(rel, segi):
+    q = "binarry search treee"  # two typos, one valid term
+    want = _r(rel.search_corrected(q, k=10))
+    got = _r(segi.search_corrected(q, k=10))
+    assert got == want
+    assert len(got) > 0
+    # the corrected ranking equals searching the fixed spelling
+    assert got == _r(segi.search(QUERY, k=10), ("doc_id", "score"))
+
+
+def test_explain_parity(spark, rel, segi):
+    top1 = rel.search(QUERY, k=1).collect()[0]["doc_id"]
+    cols = (
+        "clause_id", "field", "kind", "terms",
+        "weight", "freq", "dl", "tf_norm", "contrib",
+    )
+
+    def _rows(df):
+        return sorted(
+            tuple(
+                round(v, 6) if isinstance(v, float) else v for v in r
+            )
+            for r in df.select(*cols).collect()
+        )
+
+    want = _rows(rel.explain(QUERY, top1))
+    got = _rows(segi.explain(QUERY, top1))
+    assert got == want
+    # sum(contrib) == the search score (the explain contract)
+    s = rel.search(QUERY, k=1).collect()[0]["score"]
+    assert abs(sum(r[-1] for r in got) - s) < 1e-6
+
+
+def test_mlt_parity(spark, rel, segi):
+    from fuzzy_wiki_spark.operators.topk import more_like_this
+
+    d0 = rel.search(QUERY, k=1).collect()[0]["doc_id"]
+    want = _r(
+        more_like_this(
+            spark, rel.postings, rel.term_stats, rel.field_stats,
+            "content", d0, m=8, k=10,
+        )
+    )
+    got = _r(segi.more_like_this(d0, field="content", m=8, k=10))
+    assert got == want
+    assert len(got) > 0
+    assert all(r[0] != d0 for r in got)  # source excluded
+
+
+def test_span_near_parity(spark, rel, segi):
+    from fuzzy_wiki_spark.analyzer import tokenize_text
+    from fuzzy_wiki_spark.operators.topk import span_near_topdocs
+
+    # analyzed forms — the indexed vocabulary is the stemmed one, and
+    # "else … return" is a frequent in-order pair in the code corpus
+    terms, slop = tuple(tokenize_text("else return")), 4
+    want = [
+        tuple(r)
+        for r in span_near_topdocs(
+            rel.postings, "content", terms, slop=slop, k=15
+        ).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in segi.span_near(terms, field="content", slop=slop, k=15)
+        .collect()
+    ]
+    assert got == want
+    assert len(got) > 0
+
+
+@pytest.fixture(scope="module")
+def facets_df(spark, docs):
+    return docs.select(
+        "doc_id", (F.col("doc_id") % 3).cast("string").alias("lang")
+    ).cache()
+
+
+def test_facet_counts_parity(spark, rel, segi, facets_df):
+    from fuzzy_wiki_spark.analyzer import tokenize_text
+    from fuzzy_wiki_spark.operators.facets import facet_counts
+
+    terms = tokenize_text(QUERY)
+    want = sorted(
+        tuple(r)
+        for r in facet_counts(
+            rel.postings, facets_df, terms, facet_col="lang"
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in segi.facet_counts(terms, facets_df, facet_col="lang")
+        .collect()
+    )
+    assert got == want
+    assert len(got) == 3
+
+
+def _rel_full_scores(spark, rel, query):
+    from fuzzy_wiki_spark.operators.topk import score_queries_batch
+    from fuzzy_wiki_spark.plans.query import compile_query
+
+    clauses = compile_query(query)
+    term_df = rel.lookup_term_df(
+        sorted({t for c in clauses for t in c.terms})
+    )
+    return score_queries_batch(
+        spark, rel.postings, {0: clauses}, term_df, rel.field_stats,
+        docs_meta=rel.docs_meta, k=None,
+    ).select("doc_id", "score")
+
+
+def test_facet_topk_parity(spark, rel, segi, facets_df):
+    from fuzzy_wiki_spark.operators.facets import grouped_topk
+
+    want = _r(
+        grouped_topk(
+            _rel_full_scores(spark, rel, QUERY).join(facets_df, "doc_id"),
+            facet_col="lang", k=3,
+        ),
+        ("lang", "doc_id", "score", "rank"),
+    )
+    got = _r(
+        segi.facet_topk(QUERY, facets_df, facet_col="lang", k=3),
+        ("lang", "doc_id", "score", "rank"),
+    )
+    assert sorted(got) == sorted(want)
+    assert len(got) == 9  # 3 facets × 3 hits
+
+
+def test_grouped_parity(spark, rel, segi, facets_df):
+    from fuzzy_wiki_spark.operators.collapse import grouped_topk
+
+    groups = facets_df.withColumnRenamed("lang", "group")
+    want = _r(
+        grouped_topk(
+            _rel_full_scores(spark, rel, QUERY), groups, m=2, k=3
+        ),
+        ("group", "group_rank", "hit_rank", "doc_id", "score"),
+    )
+    got = _r(
+        segi.search_grouped(QUERY, groups, m=2, k=3),
+        ("group", "group_rank", "hit_rank", "doc_id", "score"),
+    )
+    assert sorted(got) == sorted(want)
+    assert len({g for g, *_ in got}) == 3
+
+
+def test_snippets_parity(spark, rel, segi, docs):
+    from fuzzy_wiki_spark.analyzer import tokenize_text
+    from fuzzy_wiki_spark.functions.text import snippet_struct
+
+    terms = tokenize_text(QUERY)
+    hits = rel.search(QUERY, k=10).select("doc_id")
+    snip = snippet_struct(F.col("content"), terms, window=10)
+    want = sorted(
+        tuple(r)
+        for r in hits.join(docs.select("doc_id", "content"), "doc_id")
+        .select("doc_id", snip.alias("s"))
+        .select("doc_id", "s.snippet", "s.n_terms", "s.n_matches", "s.start")
+        .collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in segi.snippets(
+            QUERY, docs.select("doc_id", "content"), k=10,
+            text_col="content",
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == 10
+
+
+def test_doc_postings_is_forward_lookup(segi, rel):
+    """doc_postings == the relational postings of that one doc (no meta
+    rows, correct tfs), and the routed decode prunes to one bucket."""
+    doc_id = 42
+    want = sorted(
+        (r["field"], r["term"], int(r["tf"]))
+        for r in rel.postings.where(F.col("doc_id") == doc_id)
+        .select("field", "term", "tf")
+        .collect()
+    )
+    df = segi.doc_postings("content", doc_id, with_dl=False)
+    got = sorted(
+        (r["field"], r["term"], int(r["tf"]))
+        for r in df.select("field", "term", "tf").collect()
+    )
+    assert got == [w for w in want if w[0] == "content"]
+    assert not any(t.startswith("_") for _, t, _tf in got)
