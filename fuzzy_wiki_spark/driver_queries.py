@@ -3838,6 +3838,45 @@ def q_pq_exact(spark, sf_dir):
     return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def q_ivfpq_ann(spark, sf_dir):
+    """Composed IVF-PQ + refine (operators/pq.py ivfpq_topk — faiss
+    IVFPQ,refine; VERDICT r3 "What's missing #3"): the query routes to
+    its 4 nearest centroid lists, ADC scores only those lists' byte
+    codes, exact rerank of the top-200 window. ROWS-ONLY (seeded
+    k-means); the composition is hash-verified via ivfpq_exact below,
+    and the recall ladder over (nprobe, rerank) is pinned in
+    tests/test_pq.py."""
+    from fuzzy_wiki_spark.operators import pq as PQ
+
+    emb, q, books, _ = _pq_setup(spark, sf_dir)
+    cent = SIM.kmeans_centroids(emb, n_centroids=16, sample=512, seed=42)
+    codes = PQ.encode_ivfpq(emb, cent, books)
+    res = PQ.ivfpq_topk(
+        codes, emb, q, cent, books,
+        nprobe=4, k=10, rerank=200, exclude_ids=[0],
+    )
+    return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def q_ivfpq_exact(spark, sf_dir):
+    """ivfpq_ann at EXHAUSTIVE settings (nprobe = n_lists, rerank =
+    corpus size): every list probed, the ADC window passes every vector
+    through, and the exact re-rank makes the result identical to
+    brute-force cosine — so the route → ADC → candidate-join → re-rank
+    COMPOSITION is hash-verified end-to-end against the same brute
+    oracle as ivf_exact/pq_exact."""
+    from fuzzy_wiki_spark.operators import pq as PQ
+
+    emb, q, books, n = _pq_setup(spark, sf_dir)
+    cent = SIM.kmeans_centroids(emb, n_centroids=16, sample=512, seed=42)
+    codes = PQ.encode_ivfpq(emb, cent, books)
+    res = PQ.ivfpq_topk(
+        codes, emb, q, cent, books,
+        nprobe=16, k=10, rerank=n, exclude_ids=[0],
+    )
+    return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 def q_quantized_ann(spark, sf_dir):
     """Scalar-quantized ANN (operators/similarity.py
     quantized_cosine_topk — the int8 memory-reduction path of a 100 TB
@@ -4142,6 +4181,8 @@ QUERIES = {
     "seg_span": q_seg_span,
     "seg_grouped": q_seg_grouped,
     "seg_explain": q_seg_explain,
+    "ivfpq_exact": q_ivfpq_exact,
+    "ivfpq_ann": q_ivfpq_ann,  # rows-only (seeded k-means)
     "postings": q_postings,
     "doc_lens": q_doc_lens,
     "term_stats": q_term_stats,
@@ -4266,3 +4307,5 @@ ORACLE_SQL["seg_mlt"] = ORACLE_SQL["more_like_this"]
 ORACLE_SQL["seg_span"] = ORACLE_SQL["span_near"]
 ORACLE_SQL["seg_grouped"] = ORACLE_SQL["grouped_topk"]
 ORACLE_SQL["seg_explain"] = ORACLE_SQL["explain_score"]
+# exhaustive IVF-PQ == brute-force cosine (the ivf_exact/pq_exact pattern)
+ORACLE_SQL["ivfpq_exact"] = ORACLE_SQL["ivf_exact"]

@@ -207,6 +207,107 @@ def pq_topk_rerank(
     return exact.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def encode_ivfpq(
+    df: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """(vec_id, list_id, codes) — the composed IVF-PQ store (faiss
+    IndexIVFPQ with by_residual=false: PQ codes of the vector itself,
+    not the centroid residual — keeps the PQ codebooks and their
+    hash-verified encode path unchanged): ONE mapInPandas pass computes
+    the coarse list assignment (a gemm against the KB-sized centroid
+    table; argmax dot — scale-invariant, so it matches ivf_assign's
+    unnormalized routing) AND the PQ codes (a gemm per subspace). At
+    scale this frame is written ``partitionBy(list_id)``: a query scans
+    only its probed lists' CODES (1 byte/dim·8/codebits), and raw
+    vectors are touched only by the rerank window."""
+    m, ks, dsub = books.shape
+    cnorm2 = (books**2).sum(axis=2)  # (m, ks)
+    cent = np.asarray(centroids, dtype=np.float64)
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("list_id", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def kernel(it):
+        for pdf in it:
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if not len(vecs):
+                continue
+            lists = (vecs @ cent.T).argmax(axis=1).astype(np.int32)
+            if normalize:
+                vecs = _normalize(vecs)
+            codes = np.empty((len(vecs), m), dtype=np.int32)
+            for j in range(m):
+                x = vecs[:, j * dsub : (j + 1) * dsub]
+                scores = cnorm2[j][None, :] - 2.0 * (x @ books[j].T)
+                codes[:, j] = scores.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].values,
+                    "list_id": lists,
+                    "codes": list(codes),
+                }
+            )
+
+    sel = df.select(F.col(id_col).alias(id_col), vec_col)
+    return sel.mapInPandas(lambda it: kernel(it), out_schema)
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    vec_df: DataFrame,
+    query_vec,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    nprobe: int = 4,
+    k: int = 10,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """IVF-PQ + refine — the billion-scale ANN deployment shape (Jégou
+    et al. 2011 §V; faiss IVFPQ,refine): the query routes to its
+    ``nprobe`` nearest centroid lists, ADC scores ONLY those lists'
+    byte codes (the list predicate prunes a partitionBy(list_id) store
+    before a code is read — nprobe/nlist of the compressed store, which
+    is itself 32-64× smaller than the raw vectors), and the exact
+    cosine re-rank touches raw vectors for the ``rerank`` window alone.
+    Exhaustive settings (nprobe = n_lists, rerank ≥ corpus) make the
+    result provably exact — the driver entry `ivfpq_exact` hash-verifies
+    the whole route→ADC→rerank composition against the brute-force
+    cosine oracle; the recall ladder over (nprobe, rerank) is pinned in
+    tests/test_pq.py."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cent = np.asarray(centroids, dtype=np.float64)
+    order = np.argsort(-(cent @ qn))[:nprobe]
+    pruned = codes_df.where(
+        F.col("list_id").isin([int(i) for i in order])
+    )
+    return pq_topk_rerank(
+        pruned,
+        vec_df,
+        query_vec,
+        books,
+        k=k,
+        rerank=rerank,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_ids=exclude_ids,
+    )
+
+
 def reconstruct(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
     """Decode PQ codes back to the centroid-concatenated vector (test
     oracle for the ADC identity)."""

@@ -84,3 +84,76 @@ def test_window_recall_and_exact_rerank(data):
     assert [d for d, _ in rer] == [d for d, _ in exact]
     for (_, sg), (_, sw) in zip(rer, exact):
         assert sg == pytest.approx(sw, rel=1e-9)
+
+
+def test_ivfpq_recall_ladder_and_exhaustive_exactness(spark, data):
+    """The composed route → ADC → rerank (ivfpq_topk): recall vs exact
+    cosine is monotone-ish in nprobe, the routed scan reads only the
+    probed lists' codes, and exhaustive settings (nprobe = n_lists,
+    rerank = corpus) reproduce the exact ranking — the same provable
+    configuration the ivfpq_exact driver entry hash-verifies."""
+    df, vecs, books = data
+    n = len(vecs)
+    q = vecs[0]
+    cent = SIM.kmeans_centroids(df, n_centroids=12, sample=256, seed=42)
+    codes = PQ.encode_ivfpq(df, cent, books).persist()
+    exact = [
+        (r["vec_id"], r["cos_sim"])
+        for r in SIM.cosine_topk(df, list(q), k=10, exclude_ids=[0]).collect()
+    ]
+    exact_ids = {d for d, _ in exact}
+
+    def recall(nprobe, rerank):
+        got = {
+            r["vec_id"]
+            for r in PQ.ivfpq_topk(
+                codes, df, q, cent, books,
+                nprobe=nprobe, k=10, rerank=rerank, exclude_ids=[0],
+            ).collect()
+        }
+        return len(got & exact_ids) / 10
+
+    r1, r4, rall = recall(1, 50), recall(4, 50), recall(12, n)
+    assert rall == 1.0
+    assert r4 >= r1
+    assert r4 >= 0.8, f"nprobe=4 recall: {r4}"
+
+    # the routed scan touches only the probed lists' codes
+    qn = q / np.linalg.norm(q)
+    probe1 = int(np.argsort(-(cent @ qn))[0])
+    routed = codes.where(F.col("list_id") == probe1).count()
+    assert 0 < routed < codes.count()
+
+    # exhaustive == exact, scores included
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in PQ.ivfpq_topk(
+            codes, df, q, cent, books,
+            nprobe=12, k=10, rerank=n, exclude_ids=[0],
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in exact]
+    for (_, sg), (_, sw) in zip(got, exact):
+        assert sg == pytest.approx(sw, rel=1e-9)
+
+
+def test_encode_ivfpq_matches_halves(data):
+    """The fused encode must equal its two halves: list_id == ivf_assign's
+    routing, codes == encode_pq's codes — the composition adds no new
+    math, so the halves' hash-verified oracles transfer."""
+    df, _, books = data
+    cent = SIM.kmeans_centroids(df, n_centroids=12, sample=256, seed=42)
+    fused = {
+        r["vec_id"]: (r["list_id"], list(r["codes"]))
+        for r in PQ.encode_ivfpq(df, cent, books).collect()
+    }
+    lists = {
+        r["vec_id"]: r["list_id"]
+        for r in SIM.ivf_assign(df, cent).collect()
+    }
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in PQ.encode_pq(df, books).collect()
+    }
+    assert {v: l for v, (l, _) in fused.items()} == lists
+    assert {v: c for v, (_, c) in fused.items()} == codes
