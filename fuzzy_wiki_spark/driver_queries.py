@@ -1674,6 +1674,25 @@ def _segment_skeleton_topk(spark, idx):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_auto_compact_search(spark, sf_dir):
+    """Tiered AUTO-compaction (streaming/incremental.auto_compact —
+    Lucene TieredMergePolicy analog): a 3-epoch incremental index whose
+    generation count crosses the policy bound, compacted IN PLACE by the
+    policy itself (no manual compact call), then searched. Oracle: the
+    same BM25 SQL skeleton — the auto-compacted index must be
+    indistinguishable from a one-shot build."""
+    from fuzzy_wiki_spark.streaming.incremental import (
+        auto_compact,
+        list_generations,
+        open_incremental,
+    )
+
+    out = _build_incremental(spark, sf_dir, n_epochs=3)
+    fired = auto_compact(spark, out, max_generations=2, n_buckets=8)
+    assert fired and len(list_generations(out)) == 1
+    return _segment_skeleton_topk(spark, open_incremental(spark, out))
+
+
 def q_incremental_search(spark, sf_dir):
     """Multi-generation incremental index (streaming O11 path): documents
     indexed in 2 appended epochs, searched as the UNcompacted generation
@@ -4183,6 +4202,7 @@ QUERIES = {
     "seg_explain": q_seg_explain,
     "ivfpq_exact": q_ivfpq_exact,
     "ivfpq_ann": q_ivfpq_ann,  # rows-only (seeded k-means)
+    "auto_compact_search": q_auto_compact_search,
     "postings": q_postings,
     "doc_lens": q_doc_lens,
     "term_stats": q_term_stats,
@@ -4309,3 +4329,5 @@ ORACLE_SQL["seg_grouped"] = ORACLE_SQL["grouped_topk"]
 ORACLE_SQL["seg_explain"] = ORACLE_SQL["explain_score"]
 # exhaustive IVF-PQ == brute-force cosine (the ivf_exact/pq_exact pattern)
 ORACLE_SQL["ivfpq_exact"] = ORACLE_SQL["ivf_exact"]
+# the auto-compacted index must be indistinguishable from a one-shot build
+ORACLE_SQL["auto_compact_search"] = ORACLE_SQL["bm25_topk"]

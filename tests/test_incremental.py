@@ -141,3 +141,73 @@ def test_segments_to_postings_roundtrip(spark, corpus_pdf, oneshot):
     # is the strongest possible roundtrip check
     for a, b in zip(decoded["positions"], orig["positions"]):
         assert bytes(a) == bytes(b)
+
+
+def test_auto_compact_policy(spark, corpus_pdf, oneshot, tmp_path_factory):
+    """Tiered auto-compaction (streaming/incremental.auto_compact): below
+    every threshold it is a no-op; past max_generations it merges all
+    generations into ONE in place; search results stay identical to the
+    one-shot build; read amplification returns to 1.0; appends continue
+    against the compacted index and a later delete-heavy workload trips
+    the tombstone trigger."""
+    from fuzzy_wiki_spark.streaming.incremental import (
+        auto_compact,
+        delete_docs,
+        list_generations,
+        read_amplification,
+        tombstone_fraction,
+    )
+
+    out = str(tmp_path_factory.mktemp("autocomp"))
+    docs = spark.createDataFrame(corpus_pdf)
+    for epoch in range(4):
+        append_batch(
+            spark, docs.where(F.col("doc_id") % 4 == epoch), epoch, out,
+            n_buckets=4,
+        )
+    assert len(list_generations(out)) == 4
+    amp_before = read_amplification(spark, out)
+    assert amp_before > 1.0
+
+    # below thresholds: no-op (the steady-state cheap probe)
+    assert auto_compact(spark, out, max_generations=8, n_buckets=4) is False
+    assert len(list_generations(out)) == 4
+
+    # generation-count trigger fires and folds to one generation
+    assert auto_compact(spark, out, max_generations=3, n_buckets=4) is True
+    gens = list_generations(out)
+    assert len(gens) == 1 and gens[0].startswith("c")
+    assert read_amplification(spark, out) == pytest.approx(1.0)
+    from pathlib import Path
+
+    assert not Path(out, "_trash").exists()
+    assert _replay(open_incremental(spark, out)) == _replay(oneshot)
+
+    # appends continue against the compacted index; read-amp trigger
+    append_batch(
+        spark,
+        docs.where(F.col("doc_id") % 4 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 10_000
+        ),
+        99,
+        out,
+        n_buckets=4,
+    )
+    assert len(list_generations(out)) == 2
+    assert auto_compact(
+        spark, out, max_generations=8, max_read_amp=1.0, n_buckets=4
+    ) is True
+    assert len(list_generations(out)) == 1
+
+    # tombstone trigger: delete >25% of docs, auto_compact purges them
+    doomed = [int(i) for i in range(0, 200, 3)]
+    delete_docs(spark, doomed, "del-0", out, n_buckets=4)
+    assert tombstone_fraction(spark, out) > 0.25
+    assert auto_compact(spark, out, max_generations=8, n_buckets=4) is True
+    idx = open_incremental(spark, out)
+    hits = {
+        int(r["doc_id"])
+        for r in idx.search_many(REFERENCE_QUERIES, k=50).collect()
+    }
+    assert not (hits & set(doomed))
+    assert tombstone_fraction(spark, out) == 0.0
