@@ -3491,6 +3491,84 @@ FROM tok t JOIN enc e USING(word)
 ORACLE_SQL["bpe_train"] = _bpe_train_oracle_sql(BPE_MERGES)
 ORACLE_SQL["bpe_encode"] = _bpe_encode_oracle_sql(BPE_MERGES)
 
+BPE_ROUNDS, BPE_TOP_P = 3, 4
+
+
+def _bpe_batched_ctes(n_rounds: int, top_p: int, min_pair_count: int) -> str:
+    """The BATCHED trainer (operators/bpe.bpe_train_batched) unrolled as
+    SQL CTEs — per round: pair counts (p{i}), the ranked top-p window
+    (t{i}), the compatible-subset selection (sel{i} — the same
+    conflict-with-any-higher-ranked rule as compatible_top_pairs, one
+    NOT EXISTS anti-join), then ALL selected merges applied in one
+    list_reduce fold of delimiter-anchored replaces (order-immaterial by
+    the selection rule's symbol-disjoint + concat-distinct guarantee)."""
+    from fuzzy_wiki_spark.operators.bpe import DSEP, EOW, SEP
+
+    parts = [
+        f"""w0 AS (
+  SELECT word, count(*)::BIGINT AS freq,
+         '{SEP}' || array_to_string(
+           list_append(
+             list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)),
+             '{EOW}'),
+           '{DSEP}') || '{SEP}' AS syms
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' AND NOT contains(word, '{SEP}')
+  GROUP BY word)"""
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f"""p{i} AS (
+  SELECT s.a AS a, s.b AS b, sum(freq)::BIGINT AS cnt FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(arr)),
+                  j -> struct_pack(a := arr[j], b := arr[j + 1]))) AS s
+    FROM (SELECT freq,
+                 string_split(trim(syms, '{SEP}'), '{DSEP}') AS arr
+          FROM w{i}))
+  GROUP BY s.a, s.b),
+t{i} AS (SELECT a, b, cnt,
+                row_number() OVER (ORDER BY cnt DESC, a, b) AS rk
+         FROM p{i} WHERE cnt >= {min_pair_count}
+         ORDER BY cnt DESC, a, b LIMIT {top_p}),
+sel{i} AS (SELECT t.a, t.b, t.cnt, t.rk FROM t{i} t
+           WHERE NOT EXISTS (SELECT 1 FROM t{i} h WHERE h.rk < t.rk AND (
+             h.a IN (t.a, t.b) OR h.b IN (t.a, t.b)
+             OR (h.a || h.b) IN (t.a, t.b, t.a || t.b)
+             OR (t.a || t.b) IN (h.a, h.b)))),
+w{i + 1} AS (
+  SELECT word, freq,
+         list_reduce(
+           list_prepend(syms,
+             (SELECT coalesce(list(
+                  '{SEP}' || a || '{DSEP}' || b || '{SEP}' || chr(2) ||
+                  '{SEP}' || a || b || '{SEP}' ORDER BY rk), [])
+              FROM sel{i})),
+           (acc, p) -> replace(acc, split_part(p, chr(2), 1),
+                               split_part(p, chr(2), 2))) AS syms
+  FROM w{i})"""
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_train_batched_oracle_sql(
+    n_rounds: int, top_p: int, min_pair_count: int = 1
+) -> str:
+    union = "\n  UNION ALL ".join(
+        f"SELECT {i} AS round,"
+        f" row_number() OVER (ORDER BY rk)::INT AS merge_rank,"
+        f" a AS lhs, b AS rhs, cnt FROM sel{i}"
+        for i in range(n_rounds)
+    )
+    return (
+        f"WITH {_bpe_batched_ctes(n_rounds, top_p, min_pair_count)}\n{union}"
+    )
+
+
+ORACLE_SQL["bpe_train_fast"] = _bpe_train_batched_oracle_sql(
+    BPE_ROUNDS, BPE_TOP_P, min_pair_count=1
+)
+
 # two-phase rescore: skeleton top-100 window (rounded-score order — the
 # Spark entry rounds before the cut, so ties at the window edge resolve
 # identically), exact-phrase occurrences via one positional self-join,
@@ -4187,6 +4265,29 @@ def q_seg_explain(spark, sf_dir):
     )
 
 
+def q_bpe_train_fast(spark, sf_dir):
+    """BATCHED BPE training (operators/bpe.bpe_train_batched — the
+    round-trip-cutting batched trainer, VERDICT r3 optional #8): 3
+    rounds, each applying the mutually-compatible subset of its top-4
+    pairs in ONE vocabulary-sized job. The ORACLE unrolls every round in
+    SQL — pair counts, the ranked top-p window, the compatible-subset
+    anti-join, and a list_reduce fold of the selected replaces —
+    so the whole batched trainer replays independently in DuckDB."""
+    from fuzzy_wiki_spark.operators.bpe import bpe_train_batched
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    merges, _ = bpe_train_batched(
+        d, n_rounds=BPE_ROUNDS, top_p=BPE_TOP_P, min_pair_count=1
+    )
+    assert len({r for r, *_ in merges}) == BPE_ROUNDS, (
+        "oracle unrolls the full round chain"
+    )
+    return spark.createDataFrame(
+        merges,
+        "round int, merge_rank int, lhs string, rhs string, cnt long",
+    )
+
+
 QUERIES = {
     # round-4 additions FIRST: the driver samples ~50 entries in
     # insertion order, so round-new entries lead the dict to guarantee
@@ -4203,6 +4304,7 @@ QUERIES = {
     "ivfpq_exact": q_ivfpq_exact,
     "ivfpq_ann": q_ivfpq_ann,  # rows-only (seeded k-means)
     "auto_compact_search": q_auto_compact_search,
+    "bpe_train_fast": q_bpe_train_fast,
     "postings": q_postings,
     "doc_lens": q_doc_lens,
     "term_stats": q_term_stats,

@@ -7,6 +7,7 @@ hash-derived, generated distributed and cached to --data once), timing
   3. PQ encode (mapInPandas gemm kernel over the corpus)
   4. PQ ADC top-10 over byte codes (literal-LUT Column aggregate)
   5. PQ ADC window + exact re-rank (the deploy path)
+  6. IVF-PQ: partition-pruned route to nprobe lists + ADC + re-rank
 
 Prints ONE JSON line. Run at two parallelism levels:
 
@@ -72,9 +73,10 @@ def main() -> None:
     q = list(sample[0])
 
     t0 = time.perf_counter()
-    out["brute_top10"] = [
+    brute_ids = [
         int(r["vec_id"]) for r in SIM.cosine_topk(emb, q, k=10).collect()
-    ][:3]
+    ]
+    out["brute_top10"] = brute_ids[:3]
     out["brute_sec"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
@@ -98,6 +100,49 @@ def main() -> None:
     t0 = time.perf_counter()
     PQ.pq_topk_rerank(codes, emb, q, books, k=10, rerank=1000).collect()
     out["pq_rerank_sec"] = round(time.perf_counter() - t0, 3)
+
+    # 6. IVF-PQ composition (the billion-scale deploy shape): codes
+    # written partitionBy(list_id) so the nprobe route is a real
+    # partition prune on the parquet store, ADC only inside the probed
+    # lists, exact rerank of the window. The routed fraction quantifies
+    # how much of the code store the query scans vs the whole-store ADC
+    # of stage 4.
+    nlists = 64
+    cent = SIM.kmeans_centroids(emb, n_centroids=nlists, sample=4096, seed=42)
+    ivf_store = f"{args.data}_ivfpq{nlists}"
+    if not os.path.exists(os.path.join(ivf_store, "_SUCCESS")):
+        t0 = time.perf_counter()
+        (
+            PQ.encode_ivfpq(emb, cent, books)
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(ivf_store)
+        )
+        out["ivfpq_encode_write_sec"] = round(time.perf_counter() - t0, 3)
+    codes_ivf = spark.read.parquet(ivf_store)
+    qn = np.asarray(q) / max(float(np.linalg.norm(q)), 1e-12)
+    # two operating points: these hash-uniform vectors have NO cluster
+    # structure — the worst case for IVF routing (neighbors of a uniform
+    # query scatter across lists), so recall@nprobe here is the floor;
+    # the clustered-corpus ladder in tests/test_pq.py shows the typical
+    # regime. Exhaustive routing converges to the ADC window's own
+    # recall (the rerank=1000 window on 8x256 codes).
+    for nprobe in (4, 16):
+        probed = [int(i) for i in np.argsort(-(cent @ qn))[:nprobe]]
+        routed = codes_ivf.where(F.col("list_id").isin(probed)).count()
+        out[f"ivfpq_np{nprobe}_routed_fraction"] = round(routed / n, 4)
+        t0 = time.perf_counter()
+        got = [
+            int(r["vec_id"])
+            for r in PQ.ivfpq_topk(
+                codes_ivf, emb, q, cent, books,
+                nprobe=nprobe, k=10, rerank=1000,
+            ).collect()
+        ]
+        out[f"ivfpq_np{nprobe}_sec"] = round(time.perf_counter() - t0, 3)
+        out[f"ivfpq_np{nprobe}_recall_at10"] = round(
+            len(set(got) & set(brute_ids)) / 10, 2
+        )
 
     out["control_before"] = round(control_start, 4)
     out["control_after"] = round(phase_control(), 4)

@@ -76,3 +76,93 @@ def test_encoding_roundtrip_reconstructs_words(spark, docs):
         syms = r["bpe"]
         assert syms[-1] == "</w>" or syms[-1].endswith("</w>")
         assert "".join(syms).replace("</w>", "") == r["word"]
+
+
+def _ref_train_batched(texts, n_rounds, top_p, min_pair_count=2):
+    """Pure-python replay of the batched trainer's spec: per round, rank
+    pairs (cnt desc, pair asc), take top_p above the floor, keep the
+    compatible subset (the SAME compatible_top_pairs rule), apply each
+    exhaustively at pre-round counts."""
+    freqs = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w and bpe.SEP not in w:
+                freqs[w] = freqs.get(w, 0) + 1
+    words = {w: list(w) + [bpe.EOW] for w in freqs}
+    merges = []
+    for rnd in range(n_rounds):
+        counts = {}
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freqs[w]
+        ranked = sorted(
+            ((a, b, c) for (a, b), c in counts.items() if c >= min_pair_count),
+            key=lambda x: (-x[2], x[0], x[1]),
+        )[:top_p]
+        sel = bpe.compatible_top_pairs(ranked)
+        if not sel:
+            break
+        for rk, (a, b, cnt) in enumerate(sel):
+            merges.append((rnd, rk + 1, a, b, cnt))
+        for w in words:
+            for a, b, _ in sel:
+                words[w] = bpe.ref_merge_pass(words[w], a, b)
+    return merges, words
+
+
+def test_batched_train_matches_reference(spark, docs):
+    want, _ = _ref_train_batched(TEXTS, n_rounds=3, top_p=4)
+    got, _ = bpe.bpe_train_batched(docs, n_rounds=3, top_p=4)
+    assert got == want
+    assert len(got) >= 4
+    assert len({r for r, *_ in got}) == 3, "should span all rounds"
+
+
+def test_batched_round_merges_are_order_independent(spark):
+    """compatible_top_pairs' invariant: applying one round's selected
+    merges in ANY order produces the same symbol strings (symbol-disjoint
+    + concat-distinct pairs can't create or destroy each other's
+    occurrences). Uses a corpus with several DISJOINT frequent pairs so
+    the round actually batches."""
+    # intra-word doubled pairs dominate the ranking (mmm: (m,m) counts
+    # twice per word), so the top ranks are three DISJOINT pairs — the
+    # </w> pairs rank below and their shared marker can't veto them
+    texts = [("mmm " * 9 + "qqq " * 8 + "xxx " * 7).strip()]
+    docs2 = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    merges, _ = bpe.bpe_train_batched(docs2, n_rounds=1, top_p=6)
+    sel = [(a, b, c) for _, _, a, b, c in merges]
+    assert len(sel) >= 3, sel
+    _, ref_words = _ref_train_batched(texts, n_rounds=1, top_p=6)
+    for perm in (sel, sel[::-1]):
+        cur = {
+            w: list(w) + [bpe.EOW]
+            for t in texts
+            for w in t.split(" ")
+            if w
+        }
+        for wd in cur:
+            for a, b, _ in perm:
+                cur[wd] = bpe.ref_merge_pass(cur[wd], a, b)
+        assert cur == ref_words
+
+
+def test_batched_encode_composes_with_encode_words(spark, docs):
+    """The flat merge list from the batched trainer feeds encode_words
+    unchanged (triples in list order) and reproduces the python replay."""
+    merges, _ = bpe.bpe_train_batched(docs, n_rounds=2, top_p=4)
+    triples = [(a, b, c) for _, _, a, b, c in merges]
+    uniq = spark.createDataFrame(
+        [(w,) for t in TEXTS for w in t.split(" ") if w], "word string"
+    ).distinct()
+    got = {
+        r["word"]: list(r["bpe"])
+        for r in bpe.encode_words(uniq, triples).collect()
+    }
+    for w, syms in got.items():
+        want = list(w) + [bpe.EOW]
+        for a, b, _ in triples:
+            want = bpe.ref_merge_pass(want, a, b)
+        assert syms == want, w
