@@ -111,7 +111,43 @@ def main() -> None:
     )
     comp_hits = timed("replay_compacted", lambda: replay(comp))
 
+    # round 4: the AUTO-compaction policy on the still-multi-generation
+    # index at args.out — the no-op probe cost (below thresholds), then
+    # the triggered in-place fold, then read-amp before/after
+    from fuzzy_wiki_spark.streaming.incremental import (
+        auto_compact,
+        list_generations,
+        read_amplification,
+    )
+
+    amp_before = timed(
+        "read_amp_probe", lambda: read_amplification(spark, args.out)
+    )
+    timed(
+        "auto_compact_noop",
+        lambda: auto_compact(
+            spark, args.out, max_generations=64, max_read_amp=1e9,
+            max_deleted_frac=1.0, n_buckets=args.n_buckets,
+        ),
+    )
+    fired = timed(
+        "auto_compact_fold",
+        lambda: auto_compact(
+            spark, args.out,
+            max_generations=args.epochs - 1,
+            n_buckets=args.n_buckets,
+        ),
+    )
+    amp_after = read_amplification(spark, args.out)
+    auto = open_incremental(spark, args.out)
+    auto_hits = timed("replay_autocompacted", lambda: replay(auto))
+
     out = {
+        "auto_compact_fired": bool(fired),
+        "generations_after_auto": len(list_generations(args.out)),
+        "read_amp_before": round(amp_before, 3),
+        "read_amp_after": round(amp_after, 3),
+        "parity_auto_vs_compacted": auto_hits == comp_hits,
         "n_docs": n_docs,
         "epochs": args.epochs,
         "cpus": args.cpus,
