@@ -4289,9 +4289,12 @@ def q_bpe_train_fast(spark, sf_dir):
 
 
 QUERIES = {
-    # round-4 additions FIRST: the driver samples ~50 entries in
-    # insertion order, so round-new entries lead the dict to guarantee
-    # they appear in this round's CORRECTNESS sample (VERDICT r3 #7)
+    # The driver samples ~50 entries in INSERTION order, so the dict
+    # rotates each round: round-4 additions first, then every
+    # oracle-backed entry no driver round (r1-r3) has sampled yet —
+    # the first ~51 names below have never been in a CORRECTNESS
+    # round (VERDICT r3 #7). scripts/check_entries.py still sweeps
+    # all entries end-of-round regardless of the sample window.
     "seg_facets": q_seg_facets,
     "seg_facet_topk": q_seg_facet_topk,
     "seg_snippets": q_seg_snippets,
@@ -4305,6 +4308,52 @@ QUERIES = {
     "ivfpq_ann": q_ivfpq_ann,  # rows-only (seeded k-means)
     "auto_compact_search": q_auto_compact_search,
     "bpe_train_fast": q_bpe_train_fast,
+    # -- oracle-backed, never driver-sampled (r1-r3) --
+    "lm_perplexity": q_lm_perplexity,
+    "contamination": q_contamination,
+    "repetition_stats": q_repetition_stats,
+    "ann_batch": q_ann_batch,
+    "lsh_neardup": q_lsh_neardup,
+    "winnow_fp": q_winnow_fp,
+    "winnow_pairs": q_winnow_pairs,
+    "chunk_documents": q_chunk_documents,
+    "vocab": q_vocab,
+    "encode_docs": q_encode_docs,
+    "dup_spans": q_dup_spans,
+    "dedup_clusters": q_dedup_clusters,
+    "incremental_search": q_incremental_search,
+    "compact_search": q_compact_search,
+    "delete_search": q_delete_search,
+    "delete_compact_search": q_delete_compact_search,
+    "resolve_redirects": q_resolve_redirects,
+    "doc_json": q_doc_json,
+    "export_shards": q_export_shards,
+    "pack_sequences": q_pack_sequences,
+    "collapse_topk": q_collapse_topk,
+    "redact_secrets": q_redact_secrets,
+    "remove_dup_spans": q_remove_dup_spans,
+    "quality_classifier": q_quality_classifier,
+    "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
+    "rescore": q_rescore,
+    "seg_collapse": q_seg_collapse,
+    "seg_rescore": q_seg_rescore,
+    "percolate": q_percolate,
+    "quantized_ann": q_quantized_ann,
+    "grouped_topk": q_grouped_topk,
+    "corrected_search": q_corrected_search,
+    "pq_exact": q_pq_exact,
+    "autocomplete": q_autocomplete,
+    "simhash_pairs": q_simhash_pairs,
+    "ivf_exact": q_ivf_exact,
+    "seg_extended": q_seg_extended,
+    # -- rows-only, never driver-sampled --
+    "ivf_batch": q_ivf_batch,
+    "ivf_cosine": q_ivf_cosine,
+    "pq_ann": q_pq_ann,
+    "audio_features": q_audio_features,
+    "video_features": q_video_features,
+    # -- previously driver-sampled (green in r1/r2/r3) --
     "postings": q_postings,
     "doc_lens": q_doc_lens,
     "term_stats": q_term_stats,
@@ -4358,63 +4407,18 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "temperature_resample": q_temperature_resample,
     "bigram_pmi": q_bigram_pmi,
-    "lm_perplexity": q_lm_perplexity,
     "tfidf_keywords": q_tfidf_keywords,
-    "contamination": q_contamination,
-    "repetition_stats": q_repetition_stats,
     "ann_cosine": q_ann_cosine,
-    "ann_batch": q_ann_batch,
-    "ivf_batch": q_ivf_batch,
     "embed_neardup": q_embed_neardup,
-    "lsh_neardup": q_lsh_neardup,
     "merge_compat": q_merge_compat,
     "dedup_keep_first": q_dedup_keep_first,
     "ngram_jaccard": q_ngram_jaccard,
-    "winnow_fp": q_winnow_fp,
-    "winnow_pairs": q_winnow_pairs,
-    "chunk_documents": q_chunk_documents,
-    "vocab": q_vocab,
-    "encode_docs": q_encode_docs,
-    "dup_spans": q_dup_spans,
-    "dedup_clusters": q_dedup_clusters,
-    "incremental_search": q_incremental_search,
-    "compact_search": q_compact_search,
-    "delete_search": q_delete_search,
-    "delete_compact_search": q_delete_compact_search,
-    "resolve_redirects": q_resolve_redirects,
-    "doc_json": q_doc_json,
-    "export_shards": q_export_shards,
-    "pack_sequences": q_pack_sequences,
-    "collapse_topk": q_collapse_topk,
-    "redact_secrets": q_redact_secrets,
-    "remove_dup_spans": q_remove_dup_spans,
-    "quality_classifier": q_quality_classifier,
-    "bpe_train": q_bpe_train,
-    "bpe_encode": q_bpe_encode,
-    "rescore": q_rescore,
-    "seg_collapse": q_seg_collapse,
-    "seg_rescore": q_seg_rescore,
-    "percolate": q_percolate,
-    "quantized_ann": q_quantized_ann,
-    "grouped_topk": q_grouped_topk,
-    "corrected_search": q_corrected_search,
-    "pq_exact": q_pq_exact,
-    "autocomplete": q_autocomplete,
-    # rows-only (no SQL mirror — Spark-specific hashing / porter chain /
-    # seeded-numpy LSH planes / binary media payloads):
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
-    "simhash_pairs": q_simhash_pairs,
     "lsh_cosine": q_lsh_cosine,
-    "ivf_cosine": q_ivf_cosine,
-    "ivf_exact": q_ivf_exact,
-    "pq_ann": q_pq_ann,
     "media_features": q_media_features,
-    "audio_features": q_audio_features,
     "frame_sample": q_frame_sample,
-    "video_features": q_video_features,
     "segment_bm25": q_segment_bm25,
-    "seg_extended": q_seg_extended,
     "flagship_porter": q_flagship_porter,
 }
 
