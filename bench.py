@@ -207,6 +207,41 @@ def main() -> None:
         ).collect(),
         reps=2,
     )
+
+    # 2e) round-4 serving surfaces on the same segment index: facets,
+    # snippets, synonym expansion, more-like-this — the decorations a
+    # real search page adds around the top-k, all served from the
+    # term-pruned segment decode (README §serving path)
+    raw_docs_meta = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed(
+        "seg_facets",
+        lambda: seg.facet_counts(
+            ["merge", "join", "stream"],
+            raw_docs_meta.select("doc_id", "source"),
+            "source",
+        ).collect(),
+        reps=2,
+    )
+    timed(
+        "seg_snippets",
+        lambda: seg.snippets(
+            BM25_QUERIES[0], docs, k=10, text_col="content"
+        ).collect(),
+        reps=2,
+    )
+    timed(
+        "seg_synonym",
+        lambda: seg.search_synonyms(
+            "merge stream", {"merge": ["join"], "stream": ["batch"]}, k=10
+        ).collect(),
+        reps=2,
+    )
+    mlt_seed = int(seg_rows[0]["doc_id"]) if seg_rows else 1
+    timed(
+        "seg_mlt",
+        lambda: seg.more_like_this(mlt_seed, k=10).collect(),
+        reps=2,
+    )
     shutil.rmtree(seg_dir, ignore_errors=True)
 
     # 3) heavy pipeline operators (driver-contract implementations)
@@ -235,6 +270,14 @@ def main() -> None:
     timed(
         "pipe_more_like_this",
         lambda: DQ.q_more_like_this(spark, sf_dir).collect(),
+        reps=2,
+    )
+    # round-4: the composed IVF-PQ ANN path (route -> ADC -> exact rerank)
+    # at this sf's embedding count; the 1M-vector ladder lives in
+    # scripts/bench_ann.py / BENCH.md 3f
+    timed(
+        "pipe_ivfpq_ann",
+        lambda: DQ.q_ivfpq_ann(spark, sf_dir).collect(),
         reps=2,
     )
 
