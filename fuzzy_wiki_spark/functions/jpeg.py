@@ -13,8 +13,10 @@ frame-sampling stub. Decode cost lives inside mapInPandas workers; the
 Spark plan prunes on typed metadata columns before any payload reaches
 this code (multimodal module docstring).
 
-Scope (declared, tested): baseline DCT only. Progressive, arithmetic
-coding, 12-bit precision and lossless modes raise NotImplementedError.
+Scope (declared, tested): baseline sequential (SOF0/1) AND progressive
+(SOF2, spectral selection + successive approximation — T.81 Annex G with
+Huffman coding), both directions. Arithmetic coding, 12-bit precision,
+hierarchical and lossless modes raise NotImplementedError.
 """
 
 from __future__ import annotations
@@ -288,18 +290,13 @@ def _dqt_segment(tq: int, tbl_zz: np.ndarray) -> bytes:
     return struct.pack(">HH", 0xFFDB, len(body) + 2) + body
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quality: int = 85,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """(H, W, 3) uint8 RGB or (H, W) uint8 gray → baseline JFIF JPEG.
+def _prep_jpeg(arr: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front end (baseline + progressive): color transform,
+    chroma subsampling, MCU-grid padding, FDCT, quantization.
 
-    ``subsampling``: '444' (no chroma subsampling) or '420' (2x2 mean).
-    ``restart_interval`` > 0 emits DRI + RSTn markers every that many MCUs
-    (exercises the decoder's restart path; also what a real streaming
-    encoder does for error resilience)."""
+    Returns ``(gray, h, w, sampling, zz_blocks, ql, qc, mcus_x, mcus_y)``
+    where ``zz_blocks[ci]`` is (grid_by, grid_bx, 64) int32 in zigzag order
+    on the MCU-padded grid."""
     gray = arr.ndim == 2
     if gray:
         comps = [arr.astype(np.float64)]
@@ -339,16 +336,35 @@ def encode_jpeg(
         plane = _pad_edge(plane, 8, 8)[: mcus_y * 8 * sv, : mcus_x * 8 * sh]
         plane = _pad_edge(plane, mcus_y * 8 * sv, mcus_x * 8 * sh)
         zz_blocks.append(_fdct_quant(plane, q.reshape(8, 8)))
+    return gray, h, w, sampling, zz_blocks, ql, qc, mcus_x, mcus_y
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W, 3) uint8 RGB or (H, W) uint8 gray → baseline JFIF JPEG.
+
+    ``subsampling``: '444' (no chroma subsampling) or '420' (2x2 mean).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many MCUs
+    (exercises the decoder's restart path; also what a real streaming
+    encoder does for error resilience)."""
+    gray, h, w, sampling, zz_blocks, ql, qc, mcus_x, mcus_y = _prep_jpeg(
+        arr, quality, subsampling
+    )
+    ncomp = len(sampling)
 
     dc_tbls = [_build_huffman(DC_LUMA_BITS, DC_LUMA_VALS)]
     ac_tbls = [_build_huffman(AC_LUMA_BITS, AC_LUMA_VALS)]
     if not gray:
         dc_tbls.append(_build_huffman(DC_CHROMA_BITS, DC_CHROMA_VALS))
         ac_tbls.append(_build_huffman(AC_CHROMA_BITS, AC_CHROMA_VALS))
-    tbl_of = [0] + [1] * (len(comps) - 1)
+    tbl_of = [0] + [1] * (ncomp - 1)
 
     bw = _BitWriter()
-    preds = [0] * len(comps)
+    preds = [0] * ncomp
     mcu_count = 0
     rst = 0
     for my in range(mcus_y):
@@ -357,7 +373,7 @@ def encode_jpeg(
                 bw.pad_to_byte()
                 bw.out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
-                preds = [0] * len(comps)
+                preds = [0] * ncomp
             for ci, (sh, sv) in enumerate(sampling):
                 for byy in range(sv):
                     for bxx in range(sh):
@@ -377,7 +393,6 @@ def encode_jpeg(
     if not gray:
         out += _dqt_segment(1, qc.reshape(-1)[ZIGZAG])
     # SOF0
-    ncomp = len(comps)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci, (sh, sv) in enumerate(sampling):
         sof += bytes([ci + 1, (sh << 4) | sv, tbl_of[ci]])
@@ -487,11 +502,13 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline JPEG → (H, W, 3) uint8 RGB (gray expands to 3 channels).
+    """Baseline or progressive JPEG → (H, W, 3) uint8 RGB (gray expands
+    to 3 channels).
 
-    Handles: SOF0 baseline, any sampling factors (4:4:4, 4:2:0, 4:2:2, …),
-    1- or 3-component scans, restart intervals, byte stuffing. Progressive
-    (SOF2) / arithmetic / 12-bit raise NotImplementedError."""
+    Handles: SOF0/1 baseline and SOF2 progressive (multi-scan, spectral
+    selection + successive approximation), any sampling factors (4:4:4,
+    4:2:0, 4:2:2, …), 1- or 3-component scans, restart intervals, byte
+    stuffing. Arithmetic / 12-bit / lossless raise NotImplementedError."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -500,12 +517,16 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None
+    progressive = False
+    coefs: list[np.ndarray] | None = None  # per-comp (by, bx, 64) zigzag
     while True:
         if buf[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and coefs is not None:
+                return _reconstruct_progressive(frame, coefs, quant)
             raise ValueError("EOI before SOS")
         (seglen,) = struct.unpack_from(">H", buf, pos)
         body = buf[pos + 2 : pos + seglen]
@@ -532,7 +553,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 bp += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline-compatible
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -541,20 +562,35 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential JPEG")
+            raise NotImplementedError(
+                "only baseline sequential / progressive Huffman JPEG"
+            )
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
             scan_tbl = {}
+            scan_cids = []
             for i in range(ns):
                 cid, tt = body[1 + 2 * i], body[2 + 2 * i]
                 scan_tbl[cid] = (tt >> 4, tt & 0xF)
-            return _decode_scan(
-                buf, pos, frame, scan_tbl, quant, huff_dc, huff_ac,
-                restart_interval,
+                scan_cids.append(cid)
+            if not progressive:
+                return _decode_scan(
+                    buf, pos, frame, scan_tbl, quant, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            pos = _prog_scan(
+                buf, pos, frame, scan_cids, scan_tbl, coefs,
+                huff_dc, huff_ac, restart_interval,
+                ss, se, ahal >> 4, ahal & 0xF,
             )
         # else: APPn/COM — skip
 
@@ -621,7 +657,16 @@ def _decode_scan(buf, pos, frame, scan_tbl, quant, huff_dc, huff_ac, dri):
     except _ScanEnd:
         pass  # truncated-but-complete streams: all MCUs already placed
 
-    # upsample to full resolution and crop
+    return _assemble(frame, planes)
+
+
+def _assemble(frame, planes) -> np.ndarray:
+    """Upsample each component plane to full resolution, crop to the frame
+    size, and convert to RGB (a single gray plane expands to 3 channels).
+    Shared by the baseline scan decoder and progressive reconstruction."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     full = []
     for (_, sh, sv, _), plane in zip(comps, planes):
         if sh != hmax or sv != vmax:
@@ -631,3 +676,431 @@ def _decode_scan(buf, pos, frame, scan_tbl, quant, huff_dc, huff_ac, dri):
         g = np.clip(full[0].round(), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
     return _ycbcr_to_rgb(np.stack(full, axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# Progressive DCT (T.81 Annex G, Huffman coding)
+#
+# A progressive stream carries the SAME quantized coefficients as a baseline
+# stream, split across scans: a DC-first scan (coarse, point-transformed by
+# Al), DC-refinement bit scans, AC "first" scans covering a spectral band
+# [Ss, Se] at precision Al, and AC-refinement scans that add one magnitude
+# bit per already-coded coefficient.  The decoder accumulates coefficients
+# per component across scans and reconstructs once, at EOI.
+# ---------------------------------------------------------------------------
+
+
+def _comp_block_dims(fh, fw, sh, sv, hmax, vmax) -> tuple[int, int]:
+    """True block-grid dims of one component (T.81 A.1.1): used by
+    NON-interleaved scans, which walk ceil(comp_samples/8) blocks — one to
+    three blocks fewer per axis than the MCU-padded grid that interleaved
+    scans (and our coefficient buffers) use."""
+    ch = -(-fh * sv // vmax)
+    cw = -(-fw * sh // hmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _alloc_coefs(frame) -> list[np.ndarray]:
+    """Per-component coefficient accumulators on the MCU-padded grid:
+    (grid_by, grid_bx, 64) int32, zigzag order — the superset grid so both
+    interleaved (DC) and non-interleaved (AC) scans index in-bounds."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    return [
+        np.zeros((mcus_y * sv, mcus_x * sh, 64), np.int32)
+        for _, sh, sv, _ in comps
+    ]
+
+
+def _prog_scan(
+    buf, pos, frame, scan_cids, scan_tbl, coefs, huff_dc, huff_ac, dri,
+    ss, se, ah, al,
+) -> int:
+    """Decode ONE progressive scan into the coefficient accumulators and
+    return the offset of the next marker.  Implements all four scan kinds
+    of G.2: DC first (Huffman diff, value << Al), DC refinement (one raw
+    bit per block, OR'd at Al), AC first (run/size with EOBn run-length
+    coding), AC refinement (correction bits for history-nonzero
+    coefficients + newly-significant ±2^Al), with restart-interval
+    resets of both the DC predictors and the EOB run."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    idx_of = {c[0]: i for i, c in enumerate(comps)}
+    br = _BitReader(buf, pos)
+    preds = [0] * len(comps)
+    state = {"eobrun": 0}
+
+    def _restart_check(n: int) -> None:
+        if dri and n and n % dri == 0:
+            try:
+                while True:
+                    br.read_bit()  # drain pad bits up to the marker
+            except _RestartMarker as rm:
+                br.sync_restart(rm.marker)
+                for i in range(len(preds)):
+                    preds[i] = 0
+                state["eobrun"] = 0
+
+    def _dc_block(zz, ci: int, tdc: int) -> None:
+        if ah == 0:
+            size = _read_symbol(br, huff_dc[tdc])
+            preds[ci] += _extend(br.read_bits(size), size)
+            zz[0] = preds[ci] << al
+        elif br.read_bit():
+            zz[0] |= 1 << al  # two's-complement OR == append magnitude bit
+
+    try:
+        if ss == 0:  # DC scan
+            if se != 0:
+                raise ValueError("invalid progressive scan (Ss=0 needs Se=0)")
+            if len(scan_cids) > 1:  # interleaved: MCU walk
+                mcus_x = -(-fw // (8 * hmax))
+                mcus_y = -(-fh // (8 * vmax))
+                n = 0
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        _restart_check(n)
+                        n += 1
+                        for cid in scan_cids:
+                            ci = idx_of[cid]
+                            _, sh, sv, _ = comps[ci]
+                            tdc = scan_tbl[cid][0]
+                            for byy in range(sv):
+                                for bxx in range(sh):
+                                    _dc_block(
+                                        coefs[ci][my * sv + byy, mx * sh + bxx],
+                                        ci, tdc,
+                                    )
+            else:  # single-component scan: true-dims raster
+                ci = idx_of[scan_cids[0]]
+                _, sh, sv, _ = comps[ci]
+                tdc = scan_tbl[scan_cids[0]][0]
+                cby, cbx = _comp_block_dims(fh, fw, sh, sv, hmax, vmax)
+                n = 0
+                for by in range(cby):
+                    for bx in range(cbx):
+                        _restart_check(n)
+                        n += 1
+                        _dc_block(coefs[ci][by, bx], ci, tdc)
+        else:  # AC scan — exactly one component (G.1.1.1.1)
+            if len(scan_cids) != 1 or not (1 <= ss <= se <= 63):
+                raise ValueError("invalid progressive AC scan header")
+            ci = idx_of[scan_cids[0]]
+            _, sh, sv, _ = comps[ci]
+            tree = huff_ac[scan_tbl[scan_cids[0]][1]]
+            cby, cbx = _comp_block_dims(fh, fw, sh, sv, hmax, vmax)
+            p1, m1 = 1 << al, -(1 << al)
+            n = 0
+            for by in range(cby):
+                for bx in range(cbx):
+                    _restart_check(n)
+                    n += 1
+                    zz = coefs[ci][by, bx]
+                    if ah == 0:  # first scan for this band
+                        if state["eobrun"] > 0:
+                            state["eobrun"] -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = _read_symbol(br, tree)
+                            r, s = sym >> 4, sym & 0xF
+                            if s:
+                                k += r
+                                if k > se:
+                                    raise ValueError("AC band overflow")
+                                # sign-magnitude point transform: v * 2^Al
+                                zz[k] = _extend(br.read_bits(s), s) * p1
+                                k += 1
+                            elif r == 15:
+                                k += 16  # ZRL
+                            else:  # EOBn: this block is run member 1
+                                state["eobrun"] = (1 << r) - 1
+                                if r:
+                                    state["eobrun"] += br.read_bits(r)
+                                break
+                    else:  # refinement scan
+                        k = ss
+                        if state["eobrun"] == 0:
+                            while k <= se:
+                                sym = _read_symbol(br, tree)
+                                r, s = sym >> 4, sym & 0xF
+                                if s:  # newly-significant: s must be 1
+                                    val = p1 if br.read_bit() else m1
+                                elif r != 15:  # EOBn
+                                    state["eobrun"] = 1 << r
+                                    if r:
+                                        state["eobrun"] += br.read_bits(r)
+                                    break
+                                else:
+                                    val = 0  # ZRL: 16 zero-history skips
+                                # advance over history-nonzero coefficients,
+                                # appending their correction bits, until the
+                                # r-th zero-history slot (the target)
+                                while k <= se:
+                                    if zz[k] != 0:
+                                        if br.read_bit() and not (zz[k] & p1):
+                                            zz[k] += p1 if zz[k] >= 0 else m1
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val and k <= se:
+                                    zz[k] = val
+                                k += 1
+                        if state["eobrun"] > 0:
+                            # EOB-run member: correction bits only
+                            while k <= se:
+                                if zz[k] != 0:
+                                    if br.read_bit() and not (zz[k] & p1):
+                                        zz[k] += p1 if zz[k] >= 0 else m1
+                                k += 1
+                            state["eobrun"] -= 1
+    except _ScanEnd:
+        pass  # truncated scan: keep the coefficients decoded so far
+
+    # realign to the next marker (skip stuffed FF00 and stray RSTn)
+    p = br.pos
+    while p < len(buf) - 1:
+        if buf[p] == 0xFF and buf[p + 1] != 0x00:
+            if 0xD0 <= buf[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise ValueError("unterminated progressive scan")
+
+
+def _reconstruct_progressive(frame, coefs, quant) -> np.ndarray:
+    """Dequantize + inverse-DCT the accumulated coefficient grids (one
+    vectorized einsum per component) and assemble the RGB image."""
+    fh, fw, comps = frame
+    planes = []
+    for (_, sh, sv, tq), zz in zip(comps, coefs):
+        gby, gbx, _ = zz.shape
+        nat = zz[:, :, UNZIGZAG].reshape(gby, gbx, 8, 8) * quant[tq].astype(
+            np.float64
+        )
+        blk = np.einsum("ux,abuv,vy->abxy", _DCT_M, nat, _DCT_M) + 128.0
+        planes.append(blk.transpose(0, 2, 1, 3).reshape(gby * 8, gbx * 8))
+    return _assemble(frame, planes)
+
+
+# --- progressive encoder ----------------------------------------------------
+
+
+def _progressive_script(ncomp: int):
+    """libjpeg's standard scan script (jpeg_simple_progression): DC first at
+    Al=1, luma AC split 1-5/6-63 at Al=2, chroma AC full-band at Al=1, then
+    one AC refinement step and the final Al=0 refinements.
+    Entries: (component indices, Ss, Se, Ah, Al)."""
+    if ncomp == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([2], 1, 63, 0, 1),
+        ([1], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+
+
+def _enc_prog_dc(bw, zz_blocks, cis, sampling, dims, dc_tbls, tbl_of,
+                 mcus_x, mcus_y, ah, al) -> None:
+    """DC scan: interleaved MCU walk when several components share the scan
+    (the script's case), true-dims raster for a single component.  First
+    pass (Ah=0) Huffman-codes diffs of the ARITHMETIC-shifted DC; refinement
+    emits the next magnitude bit raw."""
+    preds = {ci: 0 for ci in cis}
+
+    def _one(ci: int, by: int, bx: int) -> None:
+        dc = int(zz_blocks[ci][by, bx, 0])
+        if ah == 0:
+            v = dc >> al  # python >> on ints is arithmetic, as the spec asks
+            size, bits = _magnitude(v - preds[ci])
+            code, ln = dc_tbls[tbl_of[ci]][size]
+            bw.write(code, ln)
+            if size:
+                bw.write(bits, size)
+            preds[ci] = v
+        else:
+            bw.write((dc >> al) & 1, 1)
+
+    if len(cis) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in cis:
+                    sh, sv = sampling[ci]
+                    for byy in range(sv):
+                        for bxx in range(sh):
+                            _one(ci, my * sv + byy, mx * sh + bxx)
+    else:
+        cby, cbx = dims[cis[0]]
+        for by in range(cby):
+            for bx in range(cbx):
+                _one(cis[0], by, bx)
+
+
+def _enc_prog_ac_first(bw, blocks, dims, tbl, ss, se, al) -> None:
+    """AC first scan of band [ss, se] at precision Al.  Values take the
+    sign-magnitude point transform (sign * (|v| >> Al), G.1.2.2).  Every
+    block's trailing zeros end with EOB0 rather than accumulating EOBn
+    runs — spec-valid and exactly what the Annex K example tables (which
+    carry no EOBn symbols beyond 0x00) can express."""
+    cby, cbx = dims
+    for by in range(cby):
+        for bx in range(cbx):
+            zz = blocks[by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                c = int(zz[k])
+                v = abs(c) >> al
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = tbl[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    r -= 16
+                if c < 0:
+                    v = -v
+                size, bits = _magnitude(v)
+                code, ln = tbl[(r << 4) | size]
+                bw.write(code, ln)
+                bw.write(bits, size)
+                r = 0
+            if r > 0:
+                code, ln = tbl[0x00]  # EOB0
+                bw.write(code, ln)
+
+
+def _enc_prog_ac_refine(bw, blocks, dims, tbl, ss, se, al) -> None:
+    """AC refinement scan (G.1.2.3, libjpeg's encode_mcu_AC_refine shape):
+    history-nonzero coefficients (|v|>>Al > 1) contribute one buffered
+    correction bit each, emitted right after the next symbol; coefficients
+    becoming significant at this precision (|v|>>Al == 1) emit a
+    run/1 symbol plus a sign bit.  EOB0-only, as in the first scan."""
+    cby, cbx = dims
+    for by in range(cby):
+        for bx in range(cbx):
+            zz = blocks[by, bx]
+            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            last = -1  # band-relative index of the last newly-significant
+            for i, t in enumerate(absv):
+                if t == 1:
+                    last = i
+            r = 0
+            pending: list[int] = []  # correction bits awaiting a symbol
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= last:
+                    code, ln = tbl[0xF0]  # ZRL (never folds past `last`)
+                    bw.write(code, ln)
+                    r -= 16
+                    for b in pending:
+                        bw.write(b, 1)
+                    pending = []
+                if t > 1:  # history-nonzero: correction bit only
+                    pending.append(t & 1)
+                    continue
+                code, ln = tbl[(r << 4) | 1]  # newly significant
+                bw.write(code, ln)
+                bw.write(1 if int(zz[ss + i]) >= 0 else 0, 1)
+                r = 0
+                for b in pending:
+                    bw.write(b, 1)
+                pending = []
+            if r > 0 or pending:
+                code, ln = tbl[0x00]  # EOB0 + the bits its run must carry
+                bw.write(code, ln)
+                for b in pending:
+                    bw.write(b, 1)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """(H, W, 3) uint8 RGB or (H, W) uint8 gray → progressive (SOF2) JFIF
+    JPEG carrying the SAME quantized coefficients as ``encode_jpeg`` at the
+    same settings, split over libjpeg's standard scan script (spectral
+    selection + two-step successive approximation).  Entropy coding stays
+    within the Annex K example tables by ending each block's AC band with
+    EOB0 instead of cross-block EOBn runs (those need optimized tables) —
+    a few percent larger, no two-pass Huffman optimization required."""
+    gray, h, w, sampling, zz_blocks, ql, qc, mcus_x, mcus_y = _prep_jpeg(
+        arr, quality, subsampling
+    )
+    ncomp = len(sampling)
+    tbl_of = [0] + [1] * (ncomp - 1)
+    dc_tbls = [_build_huffman(DC_LUMA_BITS, DC_LUMA_VALS)]
+    ac_tbls = [_build_huffman(AC_LUMA_BITS, AC_LUMA_VALS)]
+    if not gray:
+        dc_tbls.append(_build_huffman(DC_CHROMA_BITS, DC_CHROMA_VALS))
+        ac_tbls.append(_build_huffman(AC_CHROMA_BITS, AC_CHROMA_VALS))
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    dims = [
+        _comp_block_dims(h, w, sh, sv, hmax, vmax) for sh, sv in sampling
+    ]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += struct.pack(  # APP0 JFIF
+        ">HH5sBBBHHBB", 0xFFE0, 16, b"JFIF\0", 1, 1, 0, 1, 1, 0, 0
+    )
+    out += _dqt_segment(0, ql.reshape(-1)[ZIGZAG])
+    if not gray:
+        out += _dqt_segment(1, qc.reshape(-1)[ZIGZAG])
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (sh, sv) in enumerate(sampling):
+        sof += bytes([ci + 1, (sh << 4) | sv, tbl_of[ci]])
+    out += struct.pack(">HH", 0xFFC2, len(sof) + 2) + sof  # SOF2
+    out += _dht_segment(0x00, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht_segment(0x10, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        out += _dht_segment(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += _dht_segment(0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    for cis, ss, se, ah, al in _progressive_script(ncomp):
+        sos = bytes([len(cis)])
+        for ci in cis:
+            sos += bytes([ci + 1, (tbl_of[ci] << 4) | tbl_of[ci]])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += struct.pack(">HH", 0xFFDA, len(sos) + 2) + sos
+        bw = _BitWriter()
+        if ss == 0:
+            _enc_prog_dc(
+                bw, zz_blocks, cis, sampling, dims, dc_tbls, tbl_of,
+                mcus_x, mcus_y, ah, al,
+            )
+        elif ah == 0:
+            _enc_prog_ac_first(
+                bw, zz_blocks[cis[0]], dims[cis[0]],
+                ac_tbls[tbl_of[cis[0]]], ss, se, al,
+            )
+        else:
+            _enc_prog_ac_refine(
+                bw, zz_blocks[cis[0]], dims[cis[0]],
+                ac_tbls[tbl_of[cis[0]]], ss, se, al,
+            )
+        bw.pad_to_byte()
+        out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

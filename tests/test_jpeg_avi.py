@@ -1,4 +1,4 @@
-"""From-scratch baseline JPEG (T.81) codec + AVI (RIFF) video container.
+"""From-scratch JPEG (T.81 baseline + progressive) codec + AVI container.
 
 The encoder and decoder are independent implementations of a public spec
 sharing only the tables the stream itself carries (DQT/DHT), so a
@@ -13,6 +13,7 @@ from fuzzy_wiki_spark.functions.jpeg import (
     ZIGZAG,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
 from fuzzy_wiki_spark.functions.multimodal import (
     decode_avi_frame,
@@ -97,13 +98,78 @@ def test_jpeg_restart_intervals(sub, dri):
     assert _psnr(img, decode_jpeg(buf)) > 34
 
 
-def test_jpeg_progressive_stays_stubbed():
+def test_jpeg_progressive_rejects_baseline_scan_header():
+    """A SOF2 frame whose single scan claims the full band Ss=0..Se=63 is
+    spec-invalid (G.1.1.1.1: a progressive DC scan must have Se=0) — the
+    franken-stream that used to document the stub must now fail loudly,
+    not decode as garbage."""
     img = _gradient(16, 16)
     buf = bytearray(encode_jpeg(img))
     i = buf.index(b"\xff\xc0")
     buf[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(buf))
+
+
+@pytest.mark.parametrize(
+    "shape,sub,quality",
+    [
+        ((32, 32), "444", 75),
+        ((33, 29), "444", 90),  # odd dims: true block grid == MCU grid
+        ((40, 56), "420", 85),
+        ((35, 27), "420", 75),  # odd + 420: Y true grid < MCU-padded grid
+    ],
+)
+def test_jpeg_progressive_matches_baseline_exactly(shape, sub, quality):
+    """encode_jpeg_progressive carries the SAME quantized coefficients as
+    encode_jpeg (shared _prep_jpeg front end), so the multi-scan decode —
+    DC first/refine, AC first/refine, spectral selection — must land on a
+    bit-identical image. Any drift in scan bookkeeping (EOB runs,
+    correction bits, successive approximation) breaks equality."""
+    rng = np.random.default_rng(sum(shape))
+    img = np.clip(
+        _gradient(*shape).astype(int) + rng.integers(-25, 25, (*shape, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=sub))
+    prog_buf = encode_jpeg_progressive(img, quality=quality, subsampling=sub)
+    assert prog_buf[3] != 0xC0 and b"\xff\xc2" in prog_buf  # SOF2 frame
+    assert prog_buf.count(b"\xff\xda") == 10  # libjpeg color scan script
+    np.testing.assert_array_equal(decode_jpeg(prog_buf), base)
+
+
+def test_jpeg_progressive_gray_matches_baseline():
+    g = _gradient(33, 41)[..., 0]
+    prog_buf = encode_jpeg_progressive(g, quality=85)
+    assert prog_buf.count(b"\xff\xda") == 6  # single-component scan script
+    np.testing.assert_array_equal(
+        decode_jpeg(prog_buf), decode_jpeg(encode_jpeg(g, quality=85))
+    )
+
+
+def test_jpeg_progressive_truncated_scans_still_decode():
+    """The point of progressive JPEG: a prefix of the scan sequence is a
+    viewable (coarser) image. Cut the stream after the 4th scan, append
+    EOI, and the accumulated coefficients must reconstruct something
+    recognizably close to the full decode."""
+    img = _gradient(48, 64)
+    buf = encode_jpeg_progressive(img, quality=90)
+    # locate the 5th SOS and truncate just before it
+    idx, found = -1, 0
+    while found < 5:
+        idx = buf.index(b"\xff\xda", idx + 1)
+        found += 1
+    partial = decode_jpeg(buf[:idx] + b"\xff\xd9")
+    assert partial.shape == img.shape
+    assert _psnr(img, partial) > 20  # coarse but clearly the same image
+    assert _psnr(img, decode_jpeg(buf)) > _psnr(img, partial)
+
+
+def test_jpeg_progressive_dispatched_from_decode_image():
+    img = _gradient(24, 24)
+    out = decode_image(encode_jpeg_progressive(img, quality=95))
+    assert out.shape == img.shape and _psnr(img, out) > 38
 
 
 def test_jpeg_dispatched_from_decode_image():
