@@ -1519,9 +1519,10 @@ def q_ivf_batch(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal: REAL image decode (PPM/BMP/PNG/baseline JPEG, pure
-    numpy+stdlib — no external libs) → resize → pixel-statistics feature
-    vector via mapInPandas over deterministic generated images."""
+    """Multimodal: REAL image decode (PPM/BMP, PNG at depths 8/16 +
+    Adam7 interlaced, baseline + progressive JPEG — pure numpy+stdlib,
+    no external libs) → resize → pixel-statistics feature vector via
+    mapInPandas over deterministic generated images."""
     from fuzzy_wiki_spark.functions.multimodal import (
         extract_image_features,
         make_real_media,
@@ -1534,8 +1535,9 @@ def q_media_features(spark, sf_dir):
 
 
 def q_audio_features(spark, sf_dir):
-    """Multimodal: REAL WAV decode (stdlib) → per-frame RMS energies via
-    mapInPandas over deterministic generated PCM audio."""
+    """Multimodal: REAL WAV decode — linear PCM plus the compressed
+    G.711 mu-law/A-law and IMA ADPCM codecs, from scratch — then per-frame
+    RMS energies via mapInPandas over deterministic generated audio."""
     from fuzzy_wiki_spark.functions.multimodal import (
         extract_audio_features,
         make_real_media,

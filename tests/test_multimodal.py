@@ -155,20 +155,128 @@ def test_png_decode_dispatched_from_decode_image():
     np.testing.assert_array_equal(decode_image(encode_png(arr)), arr)
 
 
-def test_png_interlaced_and_16bit_stay_stubbed():
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("depth", [8, 16])
+def test_png_adam7_interlaced_roundtrip(depth, filter_type):
+    """Adam7: every pass defiltered independently, scattered to the output
+    grid — exact for every filter at 8 and 16 bits, odd sizes included."""
+    rng = np.random.default_rng(20 + depth + filter_type)
+    for shape in ((13, 17, 3), (8, 8, 1), (1, 1, 3), (5, 3, 4)):
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        exp = {
+            1: np.repeat(arr, 3, axis=2),
+            3: arr,
+            4: arr[:, :, :3],
+        }[shape[2]]
+        buf = encode_png(arr, filter_type=filter_type, depth=depth, interlace=1)
+        np.testing.assert_array_equal(decode_png(buf), exp)
+
+
+def test_png_16bit_noninterlaced_high_byte_reduction():
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    for ft in range(5):
+        buf = encode_png(arr, filter_type=ft, depth=16)
+        np.testing.assert_array_equal(decode_png(buf), arr)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_gray_depths(depth):
+    """1/2/4-bit grayscale: MSB-first bit unpacking + the exact
+    255/(2^d-1) expansion, with zero-padded row tails (odd widths)."""
+    rng = np.random.default_rng(depth)
+    step = 255 // ((1 << depth) - 1)
+    gray = (rng.integers(0, 1 << depth, size=(11, 13), dtype=np.uint8) * step).astype(
+        np.uint8
+    )
+    for ft in (0, 1, 4):
+        for il in (0, 1):
+            buf = encode_png(gray, filter_type=ft, depth=depth, interlace=il)
+            np.testing.assert_array_equal(
+                decode_png(buf), np.repeat(gray[:, :, None], 3, axis=2)
+            )
+
+
+def test_png_interlaced_dispatched_from_decode_image():
+    rng = np.random.default_rng(8)
+    arr = rng.integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    buf = encode_png(arr, filter_type=3, interlace=1)
+    np.testing.assert_array_equal(decode_image(buf), arr)
+
+
+# ---------------------------------------------------------------------------
+# Compressed audio: G.711 mu-law/A-law + IMA ADPCM
+# ---------------------------------------------------------------------------
+
+
+def _test_signal(sr=8000):
+    t = np.arange(sr) / sr
+    return (
+        0.6 * np.sin(2 * np.pi * 220 * t) + 0.2 * np.sin(2 * np.pi * 1237 * t)
+    ).astype(np.float32)
+
+
+@pytest.mark.parametrize("codec", ["ulaw", "alaw"])
+def test_g711_wav_roundtrip(codec):
+    """G.711 logarithmic codecs: 8 bits/sample, worst-case quantization
+    error bounded by the top segment's step (~1/16 of full scale / 2)."""
+    x = _test_signal()
+    sr, y = decode_wav(encode_wav(x, 8000, codec=codec))
+    assert sr == 8000 and y.size == x.size
+    assert np.abs(y - x).max() < 0.04
+    snr = 10 * np.log10(float((x**2).mean()) / float(((y - x) ** 2).mean()))
+    assert snr > 30  # log-PCM delivers ~35-38 dB on this signal
+
+
+@pytest.mark.parametrize("codec", ["ulaw", "alaw"])
+def test_g711_codeword_fixpoint(codec):
+    """decode→encode→decode is the identity on all 256 codewords (the
+    nearest-codeword encoder maps every decoded value back to a code with
+    the same decoded value — dual-zero codes alias to equal values)."""
+    from fuzzy_wiki_spark.functions.multimodal import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        _g711_encode,
+    )
+
+    table = _ULAW_TABLE if codec == "ulaw" else _ALAW_TABLE
+    again = table[_g711_encode(table.astype(np.int16), table)]
+    np.testing.assert_array_equal(again, table)
+
+
+def test_ima_adpcm_wav_roundtrip():
+    """IMA ADPCM: 4 bits/sample; after the initial step-size adaptation
+    transient the reconstruction tracks within ~3% full scale, the fact
+    chunk trims block padding to the exact sample count, and prediction
+    state carries across the 256-byte block boundary (no seam spikes)."""
+    x = _test_signal()
+    sr, y = decode_wav(encode_wav(x, 8000, codec="adpcm"))
+    assert sr == 8000 and y.size == x.size  # fact-chunk trim
+    assert np.abs(y[200:] - x[200:]).max() < 0.1  # 4-bit slope error
+    snr = 10 * np.log10(
+        float((x[200:] ** 2).mean()) / float(((y - x)[200:] ** 2).mean())
+    )
+    assert snr > 25  # IMA ADPCM delivers ~27-32 dB on this signal
+    # block boundary (mono 256-byte blocks → 505 samples): no seam spike
+    seam = slice(495, 520)
+    assert np.abs(y[seam] - x[seam]).max() < 0.1
+
+
+def test_compressed_audio_dispatched_from_decode_audio():
+    x = _test_signal()
+    for codec in ("ulaw", "alaw", "adpcm"):
+        sr, y = decode_audio(encode_wav(x, 8000, codec=codec))
+        assert sr == 8000 and y.size == x.size
+
+
+def test_perceptual_audio_codecs_stay_stubbed():
     import struct as st
-    import zlib
 
-    from fuzzy_wiki_spark.functions.multimodal import _PNG_SIG, _png_chunk
-
-    # minimal 1x1 headers with interlace=1 / depth=16
-    for depth, interlace in ((8, 1), (16, 0)):
-        ihdr = st.pack(">IIBBBBB", 1, 1, depth, 2, 0, 0, interlace)
-        buf = (
-            _PNG_SIG
-            + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00\x00"))
-            + _png_chunk(b"IEND", b"")
-        )
-        with pytest.raises(NotImplementedError):
-            decode_png(buf)
+    # a WAV whose fmt tag claims MP3 (0x0055) must raise, not mis-decode
+    fmt = st.pack("<HHIIHH", 0x0055, 1, 8000, 8000, 1, 0)
+    body = (
+        b"fmt " + st.pack("<I", len(fmt)) + fmt + b"data" + st.pack("<I", 4) + b"\x00" * 4
+    )
+    buf = b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(NotImplementedError):
+        decode_wav(buf)
