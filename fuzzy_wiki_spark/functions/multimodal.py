@@ -7,10 +7,11 @@ express: **PPM (P6), BMP (24-bit BI_RGB), PNG (bit depths 1-16, all five
 filters, Adam7 interlacing, zlib) and JPEG — baseline AND progressive
 (from-scratch T.81 codec, functions/jpeg.py) — image decode, WAV audio
 decode (linear PCM + G.711 mu-law/A-law + IMA ADPCM), and AVI video
-(RIFF demux + MJPEG/raw-DIB frame decode)**, nearest-neighbor
+(RIFF demux + MJPEG / raw-DIB / INTER-FRAME MS-RLE8 decode with
+keyframe-aware sampling)**, nearest-neighbor
 resize, and deterministic feature extraction over real pixels/samples.
 Formats genuinely needing external libraries (perceptual audio codecs
-like MP3/AAC, inter-frame video codecs like H.264) raise
+like MP3/AAC, motion-compensated transform video like H.264) raise
 ``NotImplementedError`` — the ``fake=True`` path (sha-derived features)
 remains for exercising the distributed plumbing with arbitrary payloads.
 
@@ -658,15 +659,140 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
-# Video: AVI (RIFF) container + MJPEG / raw-DIB frame codecs.
+# Video: AVI (RIFF) container + MJPEG / raw-DIB / MS-RLE8 frame codecs.
 #
 # Pure stdlib/numpy: the RIFF chunk grammar is struct-parsed, MJPEG frames
 # decode through the from-scratch baseline JPEG codec (functions/jpeg.py),
 # DIB frames are bottom-up BGR rows padded to 4 bytes (the BMP pixel
-# layout). This retires the round-2 'video decode is a stub' gap for the
-# two codecs expressible without external libraries; H.264 etc. still
-# raise NotImplementedError.
+# layout), and MS-RLE (BI_RLE8, the Microsoft RLE video codec) is a REAL
+# INTER-FRAME codec: its end-of-line / delta-move escapes leave skipped
+# pixels holding the PREVIOUS frame's values, so P-frames carry only the
+# changed runs and decode depends on the predecessor (temporal
+# prediction). Keyframes are flagged in idx1; samplers decode forward
+# from the nearest keyframe (decode_avi_frames_at). Motion-compensated
+# transform codecs (H.264 etc.) still raise NotImplementedError.
 # ---------------------------------------------------------------------------
+
+
+def _palette_332() -> np.ndarray:
+    """The fixed 3-3-2 RGB palette (256, 3) used by the MRLE encoder:
+    3 bits red, 3 green, 2 blue, each expanded to 8 bits exactly."""
+    i = np.arange(256, dtype=np.uint16)
+    return np.stack(
+        [
+            ((i >> 5) & 7) * 255 // 7,
+            ((i >> 2) & 7) * 255 // 7,
+            (i & 3) * 255 // 3,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+
+
+def _rgb_to_332(arr: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 RGB → (H, W) uint8 3-3-2 palette indices."""
+    return (
+        (arr[..., 0] & 0xE0)
+        | ((arr[..., 1] & 0xE0) >> 3)
+        | (arr[..., 2] >> 6)
+    ).astype(np.uint8)
+
+
+def _rle8_encode_frame(cur: np.ndarray, prev: np.ndarray | None) -> bytes:
+    """One (h, w) bottom-up index frame → BI_RLE8 bytes.
+
+    ``prev=None`` encodes a keyframe (every pixel coded). With ``prev``,
+    unchanged rows collapse to a bare end-of-line and unchanged spans to
+    delta-move escapes — the pixels they skip keep the previous frame's
+    values at decode time, which is what makes this inter-frame coding.
+    Heterogeneous stretches (runs < 3) use absolute mode."""
+    h, w = cur.shape
+    out = bytearray()
+    for y in range(h):
+        row = cur[y]
+        if prev is not None and np.array_equal(row, prev[y]):
+            out += b"\x00\x00"  # EOL only: row carries over from prev
+            continue
+        x = 0
+        while x < w:
+            if prev is not None:
+                same = 0
+                while x + same < w and row[x + same] == prev[y, x + same]:
+                    same += 1
+                if x + same >= w and same:
+                    break  # unchanged suffix: EOL skips it
+                if same >= 4:  # delta escape costs 4 bytes
+                    while same:
+                        dx = min(same, 255)
+                        out += bytes((0, 2, dx, 0))
+                        x += dx
+                        same -= dx
+                    continue
+            v = int(row[x])
+            run = 1
+            while x + run < w and row[x + run] == v and run < 255:
+                run += 1
+            if run >= 3 or x + run >= w:
+                out += bytes((run, v))
+                x += run
+                continue
+            # gather a heterogeneous stretch (all runs < 3) → absolute mode
+            lit = x + run
+            while lit < w and lit - x < 254:
+                v2, r2 = row[lit], 1
+                while lit + r2 < w and row[lit + r2] == v2 and r2 < 3:
+                    r2 += 1
+                if r2 >= 3 or (
+                    prev is not None and np.array_equal(
+                        row[lit : lit + 4], prev[y, lit : lit + 4]
+                    )
+                ):
+                    break
+                lit += r2
+            cnt = lit - x
+            if cnt >= 3:
+                out += bytes((0, cnt)) + row[x:lit].tobytes()
+                if cnt & 1:
+                    out += b"\x00"  # word alignment
+                x = lit
+            else:
+                out += bytes((run, v))
+                x += run
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    return bytes(out)
+
+
+def _rle8_decode_frame(
+    data: bytes, prev: np.ndarray, w: int, h: int
+) -> np.ndarray:
+    """BI_RLE8 bytes + previous (h, w) bottom-up index frame → next frame.
+
+    Implements all four escapes (end-of-line, end-of-bitmap, delta move,
+    absolute mode) plus encoded runs; untouched pixels keep ``prev``'s
+    values — the temporal-prediction half of the codec."""
+    buf = prev.copy()
+    x = y = i = 0
+    n = len(data)
+    while i + 2 <= n and y < h:
+        b0, b1 = data[i], data[i + 1]
+        i += 2
+        if b0:  # encoded run
+            buf[y, x : min(x + b0, w)] = b1
+            x += b0
+        elif b1 == 0:  # end of line
+            x, y = 0, y + 1
+        elif b1 == 1:  # end of bitmap
+            break
+        elif b1 == 2:  # delta: skip right/up (bottom-up rows)
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode, word-aligned
+            end = min(x + b1, w)
+            buf[y, x:end] = np.frombuffer(data, np.uint8, end - x, i)
+            i += b1 + (b1 & 1)
+            x += b1
+    return buf
 
 
 def _riff_chunk(tag: bytes, body: bytes) -> bytes:
@@ -680,32 +806,59 @@ def _riff_list(kind: bytes, body: bytes) -> bytes:
 
 def encode_avi(
     frames: list[np.ndarray], fps: float = 10.0, codec: str = "MJPG",
-    quality: int = 85,
+    quality: int = 85, keyframe_every: int = 8,
 ) -> bytes:
     """List of (H, W, 3) uint8 RGB frames → AVI bytes.
 
-    ``codec``: 'MJPG' (each frame a baseline JPEG) or 'DIB ' (uncompressed
-    bottom-up BGR, BI_RGB)."""
+    ``codec``: 'MJPG' (each frame a baseline JPEG), 'DIB ' (uncompressed
+    bottom-up BGR, BI_RGB), or 'MRLE' (Microsoft RLE8 — INTER-FRAME:
+    pixels a P-frame skips carry over from its predecessor; a keyframe
+    every ``keyframe_every`` frames, flagged in idx1, bounds how far back
+    a seek must decode)."""
     if not frames:
         raise ValueError("need at least one frame")
     h, w, _ = frames[0].shape
     codec = codec.upper().ljust(4)[:4]
     payloads = []
-    for fr in frames:
+    keyflags = []
+    prev_idx = None
+    for fi, fr in enumerate(frames):
         if fr.shape != (h, w, 3):
             raise ValueError("all frames must share one shape")
         if codec == "MJPG":
             from .jpeg import encode_jpeg
 
             payloads.append(encode_jpeg(fr, quality=quality))
+            keyflags.append(True)
         elif codec == "DIB ":
             row_bytes = (w * 3 + 3) & ~3
             img = np.zeros((h, row_bytes), dtype=np.uint8)
             img[:, : w * 3] = fr[::-1, :, ::-1].reshape(h, w * 3)
             payloads.append(img.tobytes())
+            keyflags.append(True)
+        elif codec == "MRLE":
+            cur = _rgb_to_332(fr)[::-1]  # bottom-up rows, palette indices
+            key = keyframe_every > 0 and fi % keyframe_every == 0
+            payloads.append(
+                _rle8_encode_frame(cur, None if key or prev_idx is None else prev_idx)
+            )
+            keyflags.append(key or prev_idx is None)
+            prev_idx = cur
         else:
             raise NotImplementedError(f"AVI codec {codec!r}")
 
+    if codec == "MRLE":
+        bits, fourcc = 8, b"MRLE"
+        compression = struct.pack("<I", 1)  # BI_RLE8
+        pal = _palette_332()
+        palette_quads = np.zeros((256, 4), dtype=np.uint8)
+        palette_quads[:, :3] = pal[:, ::-1]  # RGBQUAD is B,G,R,reserved
+        strf_tail, clr_used = palette_quads.tobytes(), 256
+    else:
+        bits = 24
+        fourcc = b"MJPG" if codec == "MJPG" else b"\x00\x00\x00\x00"
+        compression = fourcc  # biCompression carries the fourcc (or BI_RGB)
+        strf_tail, clr_used = b"", 0
     scale, rate = 1000, int(round(fps * 1000))
     max_size = max(len(p) for p in payloads)
     avih = struct.pack(
@@ -716,16 +869,16 @@ def encode_avi(
     )
     strh = (
         b"vids"
-        + (b"MJPG" if codec == "MJPG" else b"\x00\x00\x00\x00")
+        + (fourcc if codec in ("MJPG", "MRLE") else b"\x00\x00\x00\x00")
         + struct.pack("<IHHIIIIIIii", 0, 0, 0, 0, scale, rate, 0,
                       len(frames), max_size, -1, 0)
         + struct.pack("<4h", 0, 0, w, h)
     )
     strf = struct.pack(
-        "<IiiHH4sIiiII", 40, w, h, 1, 24,
-        b"MJPG" if codec == "MJPG" else b"\x00\x00\x00\x00",
-        h * ((w * 3 + 3) & ~3), 0, 0, 0, 0,
-    )
+        "<IiiHH4sIiiII", 40, w, h, 1, bits,
+        compression,
+        h * ((w * 3 + 3) & ~3), 0, 0, clr_used, 0,
+    ) + strf_tail
     hdrl = _riff_list(
         b"hdrl",
         _riff_chunk(b"avih", avih)
@@ -734,9 +887,9 @@ def encode_avi(
     movi_body = b"movi"
     idx = b""
     off = 4  # idx1 offsets are relative to the start of 'movi' data
-    for p in payloads:
+    for p, key in zip(payloads, keyflags):
         chunk = _riff_chunk(b"00dc", p)
-        idx += b"00dc" + struct.pack("<III", 0x10, off, len(p))
+        idx += b"00dc" + struct.pack("<III", 0x10 if key else 0, off, len(p))
         off += len(chunk)
         movi_body += chunk
     movi = _riff_chunk(b"LIST", movi_body)
@@ -746,20 +899,25 @@ def encode_avi(
 
 
 def demux_avi(buf: bytes) -> dict:
-    """AVI bytes → {'fps', 'width', 'height', 'codec', 'frames': [bytes]}.
+    """AVI bytes → {'fps', 'width', 'height', 'codec', 'frames': [bytes],
+    'palette': (N, 3) RGB or None, 'keyframes': sorted [int]}.
 
     Demux only — frame payloads come back undecoded, so callers can sample
     WHICH frames to decode before paying any decode cost (the sampled-
-    decode pattern sample_frames uses)."""
+    decode pattern sample_frames uses). ``keyframes`` come from the idx1
+    AVIIF_KEYFRAME flags — the seek points an inter-frame codec (RLE8)
+    must decode forward from."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise ValueError("not an AVI")
     fps = 0.0
     w = h = 0
     codec = ""
     frames: list[bytes] = []
+    palette = None
+    keyframes: list[int] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal fps, w, h, codec
+        nonlocal fps, w, h, codec, palette
         while pos + 8 <= end:
             tag = buf[pos : pos + 4]
             (ln,) = struct.unpack_from("<I", buf, pos + 4)
@@ -774,19 +932,50 @@ def demux_avi(buf: bytes) -> dict:
                 w, h = struct.unpack_from("<ii", buf, body_start + 4)
                 h = abs(h)
                 four = buf[body_start + 16 : body_start + 20]
-                codec = "DIB " if four == b"\x00\x00\x00\x00" else four.decode(
-                    "ascii", "replace"
-                )
+                if four == b"\x00\x00\x00\x00":
+                    codec = "DIB "
+                elif four == b"\x01\x00\x00\x00":  # BI_RLE8
+                    codec = "RLE8"
+                else:
+                    codec = four.decode("ascii", "replace")
+                (n_colors,) = struct.unpack_from("<I", buf, body_start + 32)
+                if ln > 40:  # palette as RGBQUADs (B, G, R, reserved)
+                    quads = np.frombuffer(
+                        buf,
+                        np.uint8,
+                        (n_colors or (ln - 40) // 4) * 4,
+                        body_start + 40,
+                    ).reshape(-1, 4)
+                    palette = quads[:, 2::-1].copy()  # → RGB
+            elif tag == b"idx1":
+                fi = 0
+                for off in range(body_start, body_start + ln - 15, 16):
+                    if buf[off + 2 : off + 4] in (b"dc", b"db"):
+                        (flags,) = struct.unpack_from("<I", buf, off + 4)
+                        if flags & 0x10:  # AVIIF_KEYFRAME
+                            keyframes.append(fi)
+                        fi += 1
             elif tag[2:4] in (b"dc", b"db"):
                 frames.append(buf[body_start : body_start + ln])
             pos = body_start + ln + (ln % 2)
 
     walk(12, 12 + struct.unpack_from("<I", buf, 4)[0] - 4)
-    return {"fps": fps, "width": w, "height": h, "codec": codec, "frames": frames}
+    return {
+        "fps": fps,
+        "width": w,
+        "height": h,
+        "codec": codec,
+        "frames": frames,
+        "palette": palette,
+        "keyframes": keyframes,
+    }
 
 
 def decode_avi_frame(payload: bytes, codec: str, w: int, h: int) -> np.ndarray:
-    """One demuxed frame chunk → (H, W, 3) uint8 RGB."""
+    """One demuxed frame chunk → (H, W, 3) uint8 RGB (STATELESS codecs).
+
+    RLE8 frames depend on their predecessor — decode them through
+    decode_avi_frames_at, which walks forward from the nearest keyframe."""
     if codec == "MJPG":
         from .jpeg import decode_jpeg
 
@@ -795,19 +984,54 @@ def decode_avi_frame(payload: bytes, codec: str, w: int, h: int) -> np.ndarray:
         row_bytes = (w * 3 + 3) & ~3
         rows = np.frombuffer(payload, np.uint8, h * row_bytes).reshape(h, row_bytes)
         return rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+    if codec == "RLE8":
+        raise ValueError(
+            "RLE8 is inter-frame; use decode_avi_frames_at for stateful decode"
+        )
     raise NotImplementedError(f"AVI codec {codec!r} needs external libraries")
 
 
+def decode_avi_frames_at(meta: dict, indices) -> Iterator[tuple[int, np.ndarray]]:
+    """Decode ONLY the requested frame indices of a demuxed AVI, yielding
+    (frame_idx, RGB array) in ascending order.
+
+    Stateless codecs (MJPG, DIB) decode exactly the chosen chunks. The
+    inter-frame RLE8 codec decodes forward from the nearest idx1 keyframe
+    at or before the first request (its P-frames predict from their
+    predecessor), still skipping all decode cost after the last request
+    and all featurization cost in between — the honest cost model of
+    sampling any temporally-predicted stream."""
+    want = sorted(set(int(j) for j in indices))
+    if not want:
+        return
+    w, h, codec = meta["width"], meta["height"], meta["codec"]
+    if codec != "RLE8":
+        for j in want:
+            yield j, decode_avi_frame(meta["frames"][j], codec, w, h)
+        return
+    palette = meta["palette"]
+    if palette is None:
+        palette = _palette_332()
+    start = 0
+    for k in meta.get("keyframes", []):
+        if k <= want[0]:
+            start = k
+    buf = np.zeros((h, w), dtype=np.uint8)
+    pos = 0
+    for j in range(start, want[-1] + 1):
+        buf = _rle8_decode_frame(meta["frames"][j], buf, w, h)
+        if j == want[pos]:
+            yield j, palette[buf[::-1]]  # bottom-up indices → top-down RGB
+            pos += 1
+
+
 def decode_video(payload: bytes):
-    """Video payload → (fps, iterator of (frame_idx, RGB array)). Real path:
-    AVI/MJPEG + AVI/DIB via the in-container codecs."""
+    """Video payload → (fps, iterator of (frame_idx, RGB array)). Real
+    path: AVI holding MJPEG, raw DIB, or inter-frame MS-RLE8 via the
+    in-container codecs."""
     meta = demux_avi(payload)
-
-    def gen():
-        for i, chunk in enumerate(meta["frames"]):
-            yield i, decode_avi_frame(chunk, meta["codec"], meta["width"], meta["height"])
-
-    return meta["fps"], gen()
+    n = len(meta["frames"])
+    return meta["fps"], decode_avi_frames_at(meta, range(n))
 
 
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -969,11 +1193,10 @@ def extract_video_features(media_df, every_s: float = 1.0, fake: bool = False):
                 meta = demux_avi(bytes(p))
                 step = max(1, int(round(meta["fps"] * every_s)))
                 frames = [
-                    decode_avi_frame(
-                        meta["frames"][j], meta["codec"],
-                        meta["width"], meta["height"],
-                    ).astype(np.float32)
-                    for j in range(0, len(meta["frames"]), step)
+                    rgb.astype(np.float32)
+                    for _, rgb in decode_avi_frames_at(
+                        meta, range(0, len(meta["frames"]), step)
+                    )
                 ]
                 lum = [
                     f @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
@@ -1028,9 +1251,9 @@ def make_real_media(n: int, seed: int = 42) -> pd.DataFrame:
     PNG rotates through all five scanline filters plus 16-bit and Adam7
     interlaced variants; JPEG through 4:4:4/4:2:0 and baseline/
     progressive), WAV audio (seeded sine mixes rotating linear PCM,
-    G.711 mu-law/A-law and IMA ADPCM), and AVI video with MJPEG or
-    raw-DIB frames — so the mapInPandas feature/frame entries exercise
-    every decoder the package ships."""
+    G.711 mu-law/A-law and IMA ADPCM), and AVI video rotating raw-DIB,
+    MJPEG and inter-frame MS-RLE8 — so the mapInPandas feature/frame
+    entries exercise every decoder the package ships."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
@@ -1096,7 +1319,7 @@ def make_real_media(n: int, seed: int = 42) -> pd.DataFrame:
                 ).astype(np.uint8)
                 for j in range(n_frames)
             ]
-            codec = "MJPG" if i % 2 else "DIB "
+            codec = ["DIB ", "MJPG", "MRLE"][i % 3]
             payload = encode_avi(frames, fps=fps, codec=codec)
             dur = n_frames / fps
         rows.append(
@@ -1118,10 +1341,11 @@ def sample_frames(media_df, every_s: float = 1.0, fake: bool = True):
 
     ``fake=False`` runs REAL demux + decode: the AVI is struct-parsed
     (demux_avi), a frame index every ``every_s`` seconds is chosen from
-    fps metadata, and ONLY the chosen chunks decode (MJPEG via the
-    from-scratch JPEG codec, DIB raw) — the demux-then-sampled-decode
-    shape a 100 TB frame sampler needs, since decode is the dominant
-    cost. frame_sha fingerprints the decoded RGB pixels. The fake path
+    fps metadata, and ONLY the chosen frames decode (MJPEG via the
+    from-scratch JPEG codec, DIB raw; inter-frame MS-RLE8 walks forward
+    from the nearest keyframe — decode_avi_frames_at) — the
+    demux-then-sampled-decode shape a 100 TB frame sampler needs, since
+    decode is the dominant cost. frame_sha fingerprints the decoded RGB pixels. The fake path
     (sha-derived frames, no decode) remains for arbitrary payloads."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1143,11 +1367,7 @@ def sample_frames(media_df, every_s: float = 1.0, fake: bool = True):
                 meta = demux_avi(bytes(payload))
                 n = len(meta["frames"])
                 step = max(1, int(round(meta["fps"] * every_s)))
-                for j in range(0, n, step):
-                    rgb = decode_avi_frame(
-                        meta["frames"][j], meta["codec"],
-                        meta["width"], meta["height"],
-                    )
+                for j, rgb in decode_avi_frames_at(meta, range(0, n, step)):
                     out_id.append(mid)
                     out_idx.append(j)
                     out_sha.append(

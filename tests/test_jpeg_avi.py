@@ -210,6 +210,108 @@ def test_avi_unknown_codec_stays_stubbed():
         decode_avi_frame(meta["frames"][0], "H264", 8, 8)
 
 
+def _moving_box_frames(n=13, h=24, w=32, seed=5):
+    rng = np.random.default_rng(seed)
+    bg = rng.integers(0, 256, (h, w, 3), np.uint8)
+    frames = []
+    for j in range(n):
+        f = bg.copy()
+        f[4:12, (2 * j) % (w - 8) : (2 * j) % (w - 8) + 8] = [255, 0, 0]
+        frames.append(f)
+    return frames
+
+
+def test_avi_mrle_interframe_roundtrip_exact():
+    """MS-RLE8: lossless modulo the 3-3-2 palette quantization — the
+    decoded stream equals the per-frame quantized expectation, including
+    P-frames whose pixels predict from their predecessor."""
+    from fuzzy_wiki_spark.functions.multimodal import (
+        _palette_332,
+        _rgb_to_332,
+        decode_avi_frames_at,
+    )
+
+    frames = _moving_box_frames()
+    meta = demux_avi(encode_avi(frames, fps=4.0, codec="MRLE", keyframe_every=5))
+    assert meta["codec"] == "RLE8"
+    assert meta["keyframes"] == [0, 5, 10]  # idx1 AVIIF_KEYFRAME flags
+    pal = _palette_332()
+    np.testing.assert_array_equal(meta["palette"], pal)  # strf RGBQUADs
+    for j, rgb in decode_avi_frames_at(meta, range(len(frames))):
+        np.testing.assert_array_equal(rgb, pal[_rgb_to_332(frames[j])])
+
+
+def test_avi_mrle_pframes_are_small_and_seekable():
+    """Inter-frame coding pays: P-frames carry only changed runs (much
+    smaller than keyframes), and a sampled decode seeks to the nearest
+    keyframe — never back to frame 0 — yielding identical pixels."""
+    from fuzzy_wiki_spark.functions.multimodal import (
+        _palette_332,
+        _rgb_to_332,
+        decode_avi_frames_at,
+    )
+
+    frames = _moving_box_frames()
+    meta = demux_avi(encode_avi(frames, fps=4.0, codec="MRLE", keyframe_every=5))
+    sizes = [len(c) for c in meta["frames"]]
+    for k in (0, 5, 10):
+        assert sizes[k + 1] < sizes[k] * 0.5  # temporal prediction works
+    pal = _palette_332()
+    out = dict(decode_avi_frames_at(meta, [7, 12]))
+    assert sorted(out) == [7, 12]
+    for j in (7, 12):
+        np.testing.assert_array_equal(out[j], pal[_rgb_to_332(frames[j])])
+
+
+def test_avi_mrle_stateless_decode_refuses():
+    frames = _moving_box_frames(n=3)
+    meta = demux_avi(encode_avi(frames, codec="MRLE"))
+    with pytest.raises(ValueError):
+        decode_avi_frame(meta["frames"][1], "RLE8", 32, 24)
+
+
+def test_avi_mrle_absolute_mode_covered():
+    """Noise frames force the encoder's absolute-mode stretches (runs < 3)
+    through the decoder's word-aligned absolute branch."""
+    from fuzzy_wiki_spark.functions.multimodal import (
+        _rle8_decode_frame,
+        _rle8_encode_frame,
+    )
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 256, (11, 17), np.uint8)
+    b = a.copy()
+    b[3:6, 2:15] = rng.integers(0, 256, (3, 13), np.uint8)
+    key = _rle8_encode_frame(a, None)
+
+    def escapes(data):  # walk opcodes like the decoder does
+        seen, i = set(), 0
+        while i + 2 <= len(data):
+            b0, b1 = data[i], data[i + 1]
+            i += 2
+            if b0:
+                seen.add("run")
+            elif b1 == 0:
+                seen.add("eol")
+            elif b1 == 1:
+                seen.add("eob")
+                break
+            elif b1 == 2:
+                seen.add("delta")
+                i += 2
+            else:
+                seen.add("abs")
+                i += b1 + (b1 & 1)
+        return seen
+
+    assert "abs" in escapes(key)
+    dec_a = _rle8_decode_frame(key, np.zeros_like(a), 17, 11)
+    np.testing.assert_array_equal(dec_a, a)
+    delta = _rle8_encode_frame(b, a)
+    assert len(delta) < len(key)
+    np.testing.assert_array_equal(_rle8_decode_frame(delta, dec_a, 17, 11), b)
+
+
 def test_sample_frames_real_decode(spark):
     """fake=False demuxes the AVI, samples by fps metadata, decodes only
     the sampled frames, and is partition-layout invariant."""
@@ -231,12 +333,13 @@ def test_sample_frames_real_decode(spark):
         want_idx = list(range(0, len(meta["frames"]), step))
         got = per[vr["media_id"]]
         assert [i for i, _ in got] == want_idx
-        # frame_sha is a fingerprint of DECODED pixels
+        # frame_sha is a fingerprint of DECODED pixels (stateful path covers
+        # the inter-frame RLE8 rows; frame 0 is always a keyframe)
         import hashlib
 
-        rgb = decode_avi_frame(
-            meta["frames"][0], meta["codec"], meta["width"], meta["height"]
-        )
+        from fuzzy_wiki_spark.functions.multimodal import decode_avi_frames_at
+
+        (_, rgb), = decode_avi_frames_at(meta, [0])
         assert got[0][1] == hashlib.sha256(rgb.tobytes()).hexdigest()[:16]
     # layout invariance
     rows2 = (
