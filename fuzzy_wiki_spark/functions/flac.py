@@ -1,0 +1,566 @@
+"""From-scratch FLAC codec (RFC 9639) — lossless compressed audio.
+
+Decoder covers the full frame grammar: fixed and LPC subframes (orders
+0-32), constant/verbatim subframes, both Rice residual methods (4- and
+5-bit parameters) with escape-to-raw partitions and any partition order,
+wasted-bits shifting, all four channel assignments (independent,
+left/side, right/side, mid/side — the side channel carries one extra
+bit), UTF-8-coded frame numbers, and the CRC-8 header / CRC-16 frame
+checks. The encoder emits a standard-conforming subset — 16-bit samples,
+per-subframe best of constant / fixed orders 0-4 / quantized
+Levinson-Durbin LPC, single-partition Rice with escape, any stereo
+decorrelation mode — chosen so round-trips exercise every decoder branch
+and, FLAC being lossless, compare EXACTLY.
+
+Like functions/jpeg.py this is pure stdlib/numpy (no libFLAC/soundfile);
+decode cost lives inside mapInPandas workers and Spark prunes on typed
+metadata columns before any payload reaches this code (multimodal module
+docstring). Reference: RFC 9639 / the public FLAC format spec.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+_FIXED_COEFS = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial 0x07, init 0 (frame-header checksum)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial 0x8005, init 0 (whole-frame checksum)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_signed(self, value: int, length: int) -> None:
+        self.write(value & ((1 << length) - 1), length)
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zero bits then a one bit
+
+    def pad_to_byte(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self.acc = (self.acc << 8) | self.buf[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.nbits = 0
+        self.acc = 0
+
+    def byte_pos(self) -> int:
+        assert self.nbits % 8 == 0
+        return self.pos - self.nbits // 8
+
+
+def _utf8_number(bw: _BitWriter, n: int) -> None:
+    """Frame-number coding: the UTF-8 byte pattern extended past U+10FFFF."""
+    if n < 0x80:
+        bw.write(n, 8)
+        return
+    for nbytes, prefix in ((2, 0xC0), (3, 0xE0), (4, 0xF0), (5, 0xF8), (6, 0xFC)):
+        if n < (1 << (5 * nbytes + 1)):
+            bw.write(prefix | (n >> (6 * (nbytes - 1))), 8)
+            for i in range(nbytes - 2, -1, -1):
+                bw.write(0x80 | ((n >> (6 * i)) & 0x3F), 8)
+            return
+    raise ValueError("frame number too large")
+
+
+def _read_utf8_number(br: _BitReader) -> int:
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x40
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    n = b0 & (mask - 1)
+    for _ in range(nbytes):
+        n = (n << 6) | (br.read(8) & 0x3F)
+    return n
+
+
+def _zigzag(res: np.ndarray) -> np.ndarray:
+    return np.where(res >= 0, res << 1, (-res << 1) - 1).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _best_rice_param(uvals: np.ndarray, max_param: int = 14) -> tuple[int, int]:
+    """(param, total bits) minimizing single-partition Rice cost."""
+    best_k, best_bits = 0, None
+    for k in range(max_param + 1):
+        bits = int((uvals >> k).sum()) + uvals.size * (k + 1)
+        if best_bits is None or bits < best_bits:
+            best_k, best_bits = k, bits
+    return best_k, best_bits
+
+
+def _write_residual(bw: _BitWriter, res: np.ndarray) -> None:
+    """Single-partition Rice (method 0), escaping to raw if cheaper."""
+    uvals = _zigzag(res)
+    k, bits = _best_rice_param(uvals)
+    raw_width = int(max(1, int(np.abs(res).max()) if res.size else 0)).bit_length() + 1
+    bw.write(0, 2)  # method: 4-bit Rice parameters
+    bw.write(0, 4)  # partition order 0
+    if res.size and raw_width * res.size < bits:
+        bw.write(0xF, 4)  # escape
+        bw.write(raw_width, 5)
+        for v in res:
+            bw.write_signed(int(v), raw_width)
+        return
+    bw.write(k, 4)
+    for u in uvals:
+        u = int(u)
+        bw.write_unary(u >> k)
+        if k:
+            bw.write(u & ((1 << k) - 1), k)
+
+
+def _lpc_coefs(sig: np.ndarray, order: int, precision: int = 12):
+    """Quantized LPC via autocorrelation + Levinson-Durbin (the standard
+    flac encoder shape). Returns (coefs int list, shift) or None if the
+    signal is degenerate."""
+    x = sig.astype(np.float64)
+    n = x.size
+    if n <= order or not np.any(x):
+        return None
+    ac = np.array(
+        [np.dot(x[: n - lag], x[lag:]) for lag in range(order + 1)]
+    )
+    if ac[0] == 0:
+        return None
+    err = ac[0]
+    a = np.zeros(order)
+    for i in range(order):
+        acc = ac[i + 1] - np.dot(a[:i], ac[i:0:-1][:i])
+        k = acc / err
+        a[: i + 1] = np.concatenate([a[:i] - k * a[:i][::-1], [k]])
+        err *= 1 - k * k
+        if err <= 0:
+            return None
+    cmax = np.abs(a).max()
+    if cmax == 0:
+        return None
+    shift = min(15, max(0, precision - 1 - int(np.floor(np.log2(cmax))) - 1))
+    q = np.clip(
+        np.round(a * (1 << shift)),
+        -(1 << (precision - 1)),
+        (1 << (precision - 1)) - 1,
+    ).astype(np.int64)
+    if not q.any():
+        return None
+    return list(q), shift
+
+
+def _encode_subframe(bw: _BitWriter, sig: np.ndarray, bps: int, lpc_order: int) -> None:
+    """Best of constant / verbatim / fixed 0-4 (+ optional LPC) for one
+    channel's block. ``sig`` is int64."""
+    n = sig.size
+    if n and np.all(sig == sig[0]):
+        bw.write(0, 1)  # pad
+        bw.write(0, 6)  # CONSTANT
+        bw.write(0, 1)  # no wasted bits
+        bw.write_signed(int(sig[0]), bps)
+        return
+    # pick the fixed order with the smallest |residual| sum
+    best = (None, None, None)  # (cost, order, residual)
+    for o in range(min(4, n - 1) + 1):
+        if o:
+            res = sig[o:].astype(np.int64)
+            for j, c in enumerate(_FIXED_COEFS[o]):
+                res = res - c * sig[o - 1 - j : n - 1 - j]
+        else:
+            res = sig.astype(np.int64)
+        cost = int(np.abs(res).sum())
+        if best[0] is None or cost < best[0]:
+            best = (cost, o, res)
+    cost, order, res = best
+    lpc = None
+    if lpc_order and n > lpc_order:
+        got = _lpc_coefs(sig, lpc_order)
+        if got is not None:
+            coefs, shift = got
+            pred = np.zeros(n - lpc_order, dtype=np.int64)
+            for j, c in enumerate(coefs):
+                pred += int(c) * sig[lpc_order - 1 - j : n - 1 - j]
+            lres = sig[lpc_order:] - (pred >> shift)
+            if int(np.abs(lres).sum()) < cost:
+                lpc = (coefs, shift, lres)
+    bw.write(0, 1)  # pad
+    if lpc is not None:
+        coefs, shift, res = lpc
+        bw.write(0x20 | (lpc_order - 1), 6)  # LPC subframe
+        bw.write(0, 1)  # no wasted bits
+        for s in sig[:lpc_order]:
+            bw.write_signed(int(s), bps)
+        bw.write(12 - 1, 4)  # coefficient precision 12
+        bw.write(shift, 5)
+        for c in coefs:
+            bw.write_signed(int(c), 12)
+    else:
+        bw.write(8 | order, 6)  # FIXED subframe
+        bw.write(0, 1)  # no wasted bits
+        for s in sig[:order]:
+            bw.write_signed(int(s), bps)
+    _write_residual(bw, res)
+
+
+_STEREO_MODES = {"independent": None, "left-side": 8, "right-side": 9, "mid-side": 10}
+
+
+def encode_flac(
+    samples: np.ndarray,
+    sample_rate: int = 16000,
+    block_size: int = 4096,
+    stereo_mode: str = "independent",
+    lpc_order: int = 0,
+) -> bytes:
+    """int16 samples, shape (n,) mono or (n, 2) stereo → FLAC bytes.
+
+    ``stereo_mode`` picks the channel assignment (decorrelation is
+    lossless in all four modes); ``lpc_order`` > 0 lets subframes use a
+    quantized Levinson-Durbin predictor of that order when it beats the
+    fixed ones."""
+    pcm = np.asarray(samples, dtype=np.int64)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, ch = pcm.shape
+    if n == 0:
+        raise ValueError("need at least one sample")
+    if ch not in (1, 2):
+        raise ValueError("mono or stereo only")
+    if stereo_mode != "independent" and ch != 2:
+        raise ValueError("stereo_mode needs 2 channels")
+    bps = 16
+    raw = pcm.astype("<i2").tobytes()  # interleaved LE for the md5
+
+    frames = bytearray()
+    for fi, start in enumerate(range(0, max(n, 1), block_size)):
+        blk = pcm[start : start + block_size]
+        bs = blk.shape[0]
+        bw = _BitWriter()
+        bw.write(0b11111111111110, 14)
+        bw.write(0, 1)  # reserved
+        bw.write(0, 1)  # fixed-blocksize stream
+        if bs == 4096:
+            bs_code, bs_extra = 12, None
+        elif bs == 192:
+            bs_code, bs_extra = 1, None
+        else:
+            bs_code, bs_extra = 7, bs - 1  # 16-bit blocksize-1 follows
+        bw.write(bs_code, 4)
+        bw.write(0, 4)  # sample rate: from STREAMINFO
+        assign = _STEREO_MODES[stereo_mode]
+        bw.write(assign if assign is not None else ch - 1, 4)
+        bw.write(4, 3)  # 16 bits per sample
+        bw.write(0, 1)  # reserved
+        _utf8_number(bw, fi)
+        if bs_extra is not None:
+            bw.write(bs_extra, 16)
+        bw.pad_to_byte()
+        header = bw.bytes()
+        bw = _BitWriter()
+        if assign is None:
+            subs = [(blk[:, c], bps) for c in range(ch)]
+        else:
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            if assign == 8:  # left/side
+                subs = [(left, bps), (side, bps + 1)]
+            elif assign == 9:  # right/side
+                subs = [(side, bps + 1), (right, bps)]
+            else:  # mid/side
+                subs = [((left + right) >> 1, bps), (side, bps + 1)]
+        for sig, sbps in subs:
+            _encode_subframe(bw, np.ascontiguousarray(sig), sbps, lpc_order)
+        bw.pad_to_byte()
+        body = header + bytes([_crc8(header)]) + bw.bytes()
+        frames += body + struct.pack(">H", _crc16(body))
+
+    info = _BitWriter()
+    info.write(block_size, 16)  # min block size
+    info.write(block_size, 16)  # max block size
+    info.write(0, 24)
+    info.write(0, 24)
+    info.write(sample_rate, 20)
+    info.write(ch - 1, 3)
+    info.write(bps - 1, 5)
+    info.write(n, 36)
+    streaminfo = info.bytes() + hashlib.md5(raw).digest()
+    return (
+        b"fLaC"
+        + bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:] + streaminfo
+        + bytes(frames)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+_BLOCK_SIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608}
+_BLOCK_SIZES.update({i: 256 << (i - 8) for i in range(8, 16)})
+_SAMPLE_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _read_residual(br: _BitReader, bs: int, order: int) -> np.ndarray:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("reserved residual method")
+    pbits, escape = (4, 0xF) if method == 0 else (5, 0x1F)
+    porder = br.read(4)
+    if bs % (1 << porder):
+        raise ValueError("block size not divisible by partition count")
+    out = np.empty(bs - order, dtype=np.int64)
+    pos = 0
+    for p in range(1 << porder):
+        cnt = (bs >> porder) - (order if p == 0 else 0)
+        param = br.read(pbits)
+        if param == escape:
+            width = br.read(5)
+            for i in range(cnt):
+                out[pos + i] = br.read_signed(width) if width else 0
+        else:
+            for i in range(cnt):
+                q = br.read_unary()
+                u = (q << param) | (br.read(param) if param else 0)
+                out[pos + i] = (u >> 1) ^ -(u & 1)
+        pos += cnt
+    return out
+
+
+def _read_subframe(br: _BitReader, bs: int, bps: int) -> np.ndarray:
+    if br.read(1):
+        raise ValueError("subframe padding bit set")
+    ftype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.read_unary() + 1
+        bps -= wasted
+    if ftype == 0:  # CONSTANT
+        sig = np.full(bs, br.read_signed(bps), dtype=np.int64)
+    elif ftype == 1:  # VERBATIM
+        sig = np.array([br.read_signed(bps) for _ in range(bs)], dtype=np.int64)
+    elif 8 <= ftype <= 12:  # FIXED
+        order = ftype - 8
+        warm = [br.read_signed(bps) for _ in range(order)]
+        res = _read_residual(br, bs, order)
+        sig = np.empty(bs, dtype=np.int64)
+        sig[:order] = warm
+        coefs = _FIXED_COEFS[order]
+        for i in range(order, bs):
+            sig[i] = res[i - order] + sum(
+                c * sig[i - 1 - j] for j, c in enumerate(coefs)
+            )
+    elif ftype >= 0x20:  # LPC
+        order = (ftype & 0x1F) + 1
+        warm = [br.read_signed(bps) for _ in range(order)]
+        precision = br.read(4) + 1
+        if precision == 16:
+            raise ValueError("reserved LPC precision")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift")
+        coefs = [br.read_signed(precision) for _ in range(order)]
+        res = _read_residual(br, bs, order)
+        sig = np.empty(bs, dtype=np.int64)
+        sig[:order] = warm
+        for i in range(order, bs):
+            acc = 0
+            for j, c in enumerate(coefs):
+                acc += c * sig[i - 1 - j]
+            sig[i] = res[i - order] + (acc >> shift)
+    else:
+        raise ValueError(f"reserved subframe type {ftype}")
+    if wasted:
+        sig <<= wasted
+    return sig
+
+
+def decode_flac(buf: bytes, check_crc: bool = True) -> tuple[int, np.ndarray]:
+    """FLAC bytes → (sample_rate, int32 samples of shape (n, channels)).
+
+    Verifies the CRC-8 frame-header and CRC-16 frame checksums and the
+    STREAMINFO md5 of the decoded stream (16-bit streams) unless
+    ``check_crc=False``."""
+    if buf[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    sr = ch = bps = total = None
+    md5 = None
+    while True:  # metadata blocks
+        hdr = buf[pos]
+        (ln,) = struct.unpack(">I", b"\x00" + buf[pos + 1 : pos + 4])
+        body = buf[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+        if hdr & 0x7F == 0:  # STREAMINFO
+            br = _BitReader(body)
+            br.read(16), br.read(16), br.read(24), br.read(24)
+            sr = br.read(20)
+            ch = br.read(3) + 1
+            bps = br.read(5) + 1
+            total = br.read(36)
+            md5 = body[18:34]
+        if hdr & 0x80:
+            break
+    if sr is None:
+        raise ValueError("missing STREAMINFO")
+
+    chans: list[list[np.ndarray]] = [[] for _ in range(ch)]
+    while pos < len(buf):
+        frame_start = pos
+        br = _BitReader(buf, pos)
+        if br.read(14) != 0b11111111111110:
+            raise ValueError("lost frame sync")
+        br.read(1)  # reserved
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        assign = br.read(4)
+        ss_code = br.read(3)
+        br.read(1)  # reserved
+        _read_utf8_number(br)
+        if bs_code == 6:
+            bs = br.read(8) + 1
+        elif bs_code == 7:
+            bs = br.read(16) + 1
+        elif bs_code in _BLOCK_SIZES:
+            bs = _BLOCK_SIZES[bs_code]
+        else:
+            raise ValueError("reserved block size code")
+        if sr_code == 0:
+            fsr = sr
+        elif sr_code in _SAMPLE_RATES:
+            fsr = _SAMPLE_RATES[sr_code]
+        elif sr_code == 12:
+            fsr = br.read(8) * 1000
+        elif sr_code == 13:
+            fsr = br.read(16)
+        elif sr_code == 14:
+            fsr = br.read(16) * 10
+        else:
+            raise ValueError("invalid sample rate code")
+        fbps = bps if ss_code == 0 else _SAMPLE_SIZES[ss_code]
+        hdr_end = br.byte_pos()
+        crc8 = br.read(8)
+        if check_crc and crc8 != _crc8(buf[frame_start:hdr_end]):
+            raise ValueError("frame header CRC-8 mismatch")
+        if assign <= 7:
+            nsub = assign + 1
+            sub_bps = [fbps] * nsub
+        else:
+            nsub = 2
+            sub_bps = {
+                8: [fbps, fbps + 1],   # left/side
+                9: [fbps + 1, fbps],   # side/right
+                10: [fbps, fbps + 1],  # mid/side
+            }[assign]
+        try:
+            subs = [_read_subframe(br, bs, b) for b in sub_bps]
+        except IndexError:  # corruption drove the bit reader off the stream
+            raise ValueError("truncated or corrupt FLAC frame") from None
+        br.align()
+        body_end = br.byte_pos()
+        (crc16,) = struct.unpack_from(">H", buf, body_end)
+        if check_crc and crc16 != _crc16(buf[frame_start:body_end]):
+            raise ValueError("frame CRC-16 mismatch")
+        pos = body_end + 2
+        if assign <= 7:
+            out = subs
+        elif assign == 8:
+            left, side = subs
+            out = [left, left - side]
+        elif assign == 9:
+            side, right = subs
+            out = [right + side, right]
+        else:
+            mid, side = subs
+            left = ((mid << 1) | (side & 1)) + side
+            out = [left >> 1, (left >> 1) - side]
+        for c in range(ch):
+            chans[c].append(out[c])
+        if fsr != sr:
+            sr = fsr
+
+    pcm = np.stack([np.concatenate(c) for c in chans], axis=1).astype(np.int32)
+    if total:
+        pcm = pcm[:total]
+    if check_crc and md5 and md5 != b"\x00" * 16 and bps == 16:
+        if hashlib.md5(pcm.astype("<i2").tobytes()).digest() != md5:
+            raise ValueError("STREAMINFO md5 mismatch")
+    return sr, pcm

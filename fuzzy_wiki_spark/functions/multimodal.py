@@ -6,7 +6,8 @@ Arrow batch shapes — and so are the codecs stdlib/numpy can
 express: **PPM (P6), BMP (24-bit BI_RGB), PNG (bit depths 1-16, all five
 filters, Adam7 interlacing, zlib) and JPEG — baseline AND progressive
 (from-scratch T.81 codec, functions/jpeg.py) — image decode, WAV audio
-decode (linear PCM + G.711 mu-law/A-law + IMA ADPCM), and AVI video
+decode (linear PCM + G.711 mu-law/A-law + IMA ADPCM) plus lossless FLAC
+(RFC 9639, functions/flac.py), and AVI video
 (RIFF demux + MJPEG / raw-DIB / INTER-FRAME MS-RLE8 decode with
 keyframe-aware sampling)**, nearest-neighbor
 resize, and deterministic feature extraction over real pixels/samples.
@@ -1099,15 +1100,22 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 def decode_audio(payload: bytes, fake: bool = False):
     """Decode an audio payload → (sample_rate, waveform), or (fake=True) a
     sha-derived feature vector. Real paths: WAV holding linear PCM,
-    G.711 mu-law/A-law, or IMA ADPCM (decode_wav, from scratch)."""
+    G.711 mu-law/A-law, or IMA ADPCM (decode_wav), and FLAC
+    (functions/flac.py) — all from scratch."""
     if fake:
         return _fake_decode(payload, 128)
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if payload.startswith(b"fLaC"):
+        from .flac import decode_flac
+
+        sr, pcm = decode_flac(payload)
+        x = pcm.astype(np.float32) / 32768.0
+        return sr, x.mean(axis=1) if x.shape[1] > 1 else x[:, 0]
     raise NotImplementedError(
-        "only WAV (PCM/G.711/IMA-ADPCM) decode in-container (perceptual "
-        "codecs need soundfile/ffmpeg); pass fake=True for the "
-        "plumbing-test path"
+        "only WAV (PCM/G.711/IMA-ADPCM) and FLAC decode in-container "
+        "(perceptual codecs need soundfile/ffmpeg); pass fake=True for "
+        "the plumbing-test path"
     )
 
 
@@ -1251,7 +1259,7 @@ def make_real_media(n: int, seed: int = 42) -> pd.DataFrame:
     PNG rotates through all five scanline filters plus 16-bit and Adam7
     interlaced variants; JPEG through 4:4:4/4:2:0 and baseline/
     progressive), WAV audio (seeded sine mixes rotating linear PCM,
-    G.711 mu-law/A-law and IMA ADPCM), and AVI video rotating raw-DIB,
+    G.711 mu-law/A-law, IMA ADPCM and FLAC), and AVI video rotating raw-DIB,
     MJPEG and inter-frame MS-RLE8 — so the mapInPandas feature/frame
     entries exercise every decoder the package ships."""
     rng = np.random.default_rng(seed)
@@ -1299,9 +1307,17 @@ def make_real_media(n: int, seed: int = 42) -> pd.DataFrame:
             x = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.2 * np.sin(
                 2 * np.pi * 2 * f0 * t
             )
-            acodec = ["pcm16", "ulaw", "alaw", "adpcm"][(i // 3) % 4]
-            payload, w, h = encode_wav(x, sr, codec=acodec), 0, 0
-            codec = "wav-" + acodec
+            acodec = ["pcm16", "ulaw", "alaw", "adpcm", "flac"][(i // 3) % 5]
+            if acodec == "flac":
+                from .flac import encode_flac
+
+                pcm16 = (np.clip(x, -1.0, 1.0) * 32767).astype(np.int16)
+                payload = encode_flac(pcm16, sr, lpc_order=4)
+                codec = "flac"
+            else:
+                payload = encode_wav(x, sr, codec=acodec)
+                codec = "wav-" + acodec
+            w = h = 0
             dur = secs
         else:
             w = h = 16 * (1 + i % 2)

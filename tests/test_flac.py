@@ -1,0 +1,138 @@
+"""FLAC codec (functions/flac.py): lossless exact round-trips over every
+stereo mode and subframe family, CRC/md5 integrity, and dispatch through
+decode_audio + the Spark audio-feature entry."""
+
+import numpy as np
+import pytest
+
+from fuzzy_wiki_spark.functions.flac import (
+    _BitReader,
+    _BitWriter,
+    _crc8,
+    _crc16,
+    _read_utf8_number,
+    _utf8_number,
+    decode_flac,
+    encode_flac,
+)
+
+
+def _signal(n=16000, sr=16000):
+    t = np.arange(n) / sr
+    x = 0.6 * np.sin(2 * np.pi * 220 * t) + 0.2 * np.sin(2 * np.pi * 1237 * t)
+    return (x * 32767).astype(np.int16)
+
+
+def test_bit_io_roundtrip():
+    bw = _BitWriter()
+    vals = [(5, 3), (0, 1), (1023, 10), (1, 1), (0x5A5A, 16), (7, 17)]
+    for v, n in vals:
+        bw.write(v, n)
+    bw.pad_to_byte()
+    br = _BitReader(bw.bytes())
+    assert [br.read(n) for _, n in vals] == [v for v, _ in vals]
+    bw = _BitWriter()
+    for q in (0, 1, 7, 40, 100):
+        bw.write_unary(q)
+    bw.pad_to_byte()
+    br = _BitReader(bw.bytes())
+    assert [br.read_unary() for _ in range(5)] == [0, 1, 7, 40, 100]
+
+
+def test_utf8_frame_numbers():
+    for n in (0, 1, 127, 128, 2047, 2048, 65535, 1 << 20, (1 << 31) - 1):
+        bw = _BitWriter()
+        _utf8_number(bw, n)
+        assert _read_utf8_number(_BitReader(bw.bytes())) == n
+
+
+def test_crc_vectors():
+    # CRC-8 poly 0x07 and CRC-16 poly 0x8005 (init 0) check values
+    assert _crc8(b"123456789") == 0xF4
+    assert _crc16(b"123456789") == 0xFEE8  # CRC-16/UMTS a.k.a. BUYPASS
+
+
+@pytest.mark.parametrize(
+    "mode", ["independent", "left-side", "right-side", "mid-side"]
+)
+@pytest.mark.parametrize("lpc", [0, 8])
+def test_flac_stereo_roundtrip_exact(mode, lpc):
+    """Lossless: decode(encode(x)) == x EXACTLY for every channel
+    assignment (side channels carry one extra bit) and predictor family."""
+    left = _signal()
+    right = (left.astype(np.int32) // 2).astype(np.int16)
+    pcm = np.stack([left, right], axis=1)
+    sr, out = decode_flac(encode_flac(pcm, 16000, stereo_mode=mode, lpc_order=lpc))
+    assert sr == 16000
+    np.testing.assert_array_equal(out, pcm.astype(np.int32))
+
+
+def test_flac_mono_roundtrip_and_compression():
+    pcm = _signal()
+    buf = encode_flac(pcm, 16000, lpc_order=8)
+    sr, out = decode_flac(buf)
+    np.testing.assert_array_equal(out[:, 0], pcm.astype(np.int32))
+    assert len(buf) < pcm.size * 2 * 0.6  # LPC genuinely compresses a sine mix
+
+
+def test_flac_subframe_families():
+    rng = np.random.default_rng(4)
+    cases = [
+        np.zeros(5000, np.int16),                      # constant
+        np.full(300, -1234, np.int16),                 # constant, nonzero
+        rng.integers(-32768, 32768, 5000).astype(np.int16),  # noise → escape
+        np.arange(4097, dtype=np.int16),               # order-2-perfect ramp
+        np.array([3], np.int16),                       # single sample
+        rng.integers(-4, 4, 9001).astype(np.int16),    # tiny residuals
+    ]
+    for pcm in cases:
+        for lpc in (0, 4):
+            sr, out = decode_flac(encode_flac(pcm, 8000, lpc_order=lpc))
+            np.testing.assert_array_equal(out[:, 0], pcm.astype(np.int32))
+
+
+def test_flac_multiframe_boundaries():
+    """Streams longer than one block: frame numbers, partial last frame,
+    and the 16-bit blocksize-1 header path."""
+    pcm = _signal(n=4096 * 3 + 123)
+    sr, out = decode_flac(encode_flac(pcm, 16000, block_size=4096, lpc_order=4))
+    np.testing.assert_array_equal(out[:, 0], pcm.astype(np.int32))
+    # non-4096 block size takes the explicit-blocksize header branch
+    sr, out = decode_flac(encode_flac(pcm[:5000], 16000, block_size=1000))
+    np.testing.assert_array_equal(out[:, 0], pcm[:5000].astype(np.int32))
+
+
+def test_flac_integrity_checks_fire():
+    pcm = _signal(n=3000)
+    buf = bytearray(encode_flac(pcm, 8000))
+    buf[60] ^= 0xFF  # corrupt inside the first frame
+    with pytest.raises(ValueError):
+        decode_flac(bytes(buf))
+    # and the same stream decodes when checks are off or byte restored
+    buf[60] ^= 0xFF
+    sr, out = decode_flac(bytes(buf))
+    np.testing.assert_array_equal(out[:, 0], pcm.astype(np.int32))
+    assert not encode_flac(pcm, 8000)[:4] != b"fLaC"
+
+
+def test_flac_dispatched_from_decode_audio():
+    from fuzzy_wiki_spark.functions.multimodal import decode_audio
+
+    pcm = _signal(n=4000)
+    sr, x = decode_audio(encode_flac(pcm, 16000, lpc_order=4))
+    assert sr == 16000 and x.size == 4000
+    np.testing.assert_allclose(x, pcm.astype(np.float32) / 32768.0, atol=1e-6)
+
+
+def test_flac_flows_through_spark_audio_features(spark):
+    from fuzzy_wiki_spark.functions.multimodal import (
+        extract_audio_features,
+        make_real_media,
+    )
+
+    pdf = make_real_media(45)
+    assert (pdf["codec"] == "flac").any()  # rotation includes FLAC rows
+    media = spark.createDataFrame(pdf)
+    rows = extract_audio_features(media, fake=False).orderBy("media_id").collect()
+    assert len(rows) == (pdf["kind"] == "audio").sum()
+    assert all(0.0 < max(r["feat"]) < 1.0 for r in rows)
