@@ -1322,6 +1322,61 @@ class SegmentIndex:
         scored = full.join(docs.select("doc_id", facet_col), "doc_id")
         return _facet_topk(scored, facet_col=facet_col, k=k)
 
+    def range_facets(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        ranges: list[tuple],
+        value,
+        field: str = "content",
+    ) -> DataFrame:
+        """Range-bucket match counts on the serving path (the ES `range`
+        aggregation — e.g. file-size buckets): the match set comes from
+        the term-pruned segment decode, the numeric joins from the docs
+        table (operators/facets.range_facets)."""
+        from fuzzy_wiki_spark.operators.facets import (
+            range_facets as _range_facets,
+        )
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return _range_facets(posts, docs, sorted(set(terms)), ranges, value)
+
+    def histogram_facet(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        interval: int,
+        value,
+        field: str = "content",
+    ) -> DataFrame:
+        """Fixed-interval histogram of a numeric over the match set on
+        the serving path (the ES `histogram` aggregation;
+        operators/facets.histogram_facet)."""
+        from fuzzy_wiki_spark.operators.facets import (
+            histogram_facet as _histogram_facet,
+        )
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return _histogram_facet(posts, docs, sorted(set(terms)), interval, value)
+
+    def facet_stats(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        facet_col: str,
+        value,
+        field: str = "content",
+    ) -> DataFrame:
+        """Per-facet numeric stats over the match set on the serving path
+        (the ES `terms` + `stats` sub-aggregation;
+        operators/facets.facet_stats)."""
+        from fuzzy_wiki_spark.operators.facets import (
+            facet_stats as _facet_stats,
+        )
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return _facet_stats(posts, docs, sorted(set(terms)), facet_col, value)
+
     def snippets(
         self,
         query: str,

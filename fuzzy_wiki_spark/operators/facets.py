@@ -1,12 +1,17 @@
-"""Faceted search: per-facet match counts and per-facet top-k hits.
+"""Faceted search: match counts, top-k hits, and numeric aggregations
+per facet.
 
 Serving-side additions beyond the reference (its WikiSearcher returns a
-flat top-k only): the two aggregations a search UI asks for next — "how
-many hits per language/repo?" and "best k hits within each facet value".
-Both are single declarative plans: the match set never leaves the JVM,
-facet counting is one map-side-combinable groupBy, and the per-facet
-top-k uses a window rank over a set already reduced to candidates, so
-the shapes scale exactly like the engine's other group-by/top-k paths.
+flat top-k only): the aggregations a search UI asks for next — "how many
+hits per language/repo?" (facet_counts), "best k hits within each facet
+value" (grouped_topk), and the Elasticsearch-shaped numeric aggs over
+the match set: `range` buckets (range_facets), fixed-interval
+`histogram` buckets (histogram_facet), and a `terms`+`stats`
+sub-aggregation (facet_stats). All are single declarative plans: the
+match set never leaves the JVM, counting/stats are one
+map-side-combinable groupBy, and the per-facet top-k uses a window rank
+over a set already reduced to candidates, so the shapes scale exactly
+like the engine's other group-by/top-k paths.
 """
 
 from __future__ import annotations
@@ -14,6 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+
+
+def _matching_docs(postings: DataFrame, terms: list[str], id_col: str) -> DataFrame:
+    """Distinct doc ids matching ANY query term: the term predicate
+    reaches the scan, the distinct is a partial agg on a thin column."""
+    return postings.where(F.col("term").isin(terms)).select(id_col).distinct()
 
 
 def facet_counts(
@@ -31,15 +42,100 @@ def facet_counts(
     doc_id, then one count per facet value. No collect, no Python; at
     scale the match set is the small join side and AQE picks the
     broadcast automatically."""
-    matches = (
-        postings.where(F.col("term").isin(terms))
-        .select(id_col)
-        .distinct()
-    )
     return (
-        matches.join(docs.select(id_col, facet_col), id_col)
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(id_col, facet_col), id_col)
         .groupBy(facet_col)
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def range_facets(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    ranges: list[tuple],
+    value,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(bucket, n_docs): matching docs counted per named value range —
+    the Elasticsearch `range` aggregation (e.g. file-size buckets on a
+    code-search page). ``ranges`` is [(name, lo, hi), ...] with half-open
+    [lo, hi) bounds, None = unbounded; first matching range wins (so
+    disjoint ranges behave identically to ES, and the CASE chain mirrors
+    1:1 into the SQL oracle). ``value`` is a column name or Column
+    expression over the docs table (e.g. F.length("text")).
+
+    Same plan shape as facet_counts — the only addition is a CASE
+    projection, so the scan pruning / partial-agg / broadcast-join
+    properties carry over unchanged."""
+    v = F.col(value) if isinstance(value, str) else value
+    bucket = None
+    for name, lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (v >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (v < F.lit(hi))
+        bucket = F.when(cond, name) if bucket is None else bucket.when(cond, name)
+    return (
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(F.col(id_col), bucket.alias("bucket")), id_col)
+        .where(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def histogram_facet(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    interval: int,
+    value,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(bucket, n_docs): matching docs counted in fixed-width value
+    buckets — the Elasticsearch `histogram` aggregation. Bucket key is
+    floor(value / interval) * interval, so keys are stable regardless of
+    the data's range (empty buckets are simply absent, as in ES with
+    min_doc_count=1)."""
+    v = F.col(value) if isinstance(value, str) else value
+    bucket = (F.floor(v / F.lit(interval)) * F.lit(interval)).cast("long")
+    return (
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(F.col(id_col), bucket.alias("bucket")), id_col)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def facet_stats(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    facet_col: str,
+    value,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(facet, n_docs, min/max/avg/sum of a numeric) over the match set —
+    the Elasticsearch `terms` aggregation with a `stats` sub-aggregation
+    (e.g. "per language: how many matching files and how big are they").
+    One map-side-combinable groupBy; every statistic is an algebraic
+    aggregate, so partial aggregation does the heavy lifting before the
+    facet exchange."""
+    v = F.col(value) if isinstance(value, str) else value
+    return (
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(F.col(id_col), F.col(facet_col), v.alias("_v")), id_col)
+        .groupBy(facet_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_v").alias("min_v"),
+            F.max("_v").alias("max_v"),
+            F.round(F.avg("_v"), 6).alias("avg_v"),
+            F.sum("_v").alias("sum_v"),
+        )
     )
 
 

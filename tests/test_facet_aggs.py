@@ -1,0 +1,161 @@
+"""Numeric search aggregations (operators/facets.py range_facets /
+histogram_facet / facet_stats): pandas-mirror correctness, relational ≡
+segment parity, and plan shape (no window/global sort — one combinable
+groupBy over the term-pruned match set)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.corpus import generate_docs_df
+from fuzzy_wiki_spark.engine import SegmentIndex
+from fuzzy_wiki_spark.operators import postings as P
+from fuzzy_wiki_spark.operators.facets import (
+    facet_stats,
+    histogram_facet,
+    range_facets,
+)
+
+TERMS = ["binary", "tree", "return"]
+RANGES = [("small", None, 200), ("medium", 200, 400), ("large", 400, None)]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = generate_docs_df(spark, 250, seed=7).withColumnRenamed(
+        "content", "text"
+    )
+    posts = P.build_postings(
+        docs.withColumnRenamed("text", "content"),
+        fields={"content": "content"},
+        mode="simple",
+    ).persist()
+    posts.count()
+    pdf = docs.select("doc_id", "lang", "text").toPandas()
+    match_ids = set(
+        r["doc_id"]
+        for r in posts.where(F.col("term").isin(TERMS))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    return docs, posts, pdf, match_ids
+
+
+def test_range_facets_matches_pandas(spark, corpus):
+    docs, posts, pdf, match_ids = corpus
+    got = {
+        r["bucket"]: r["n_docs"]
+        for r in range_facets(
+            posts, docs, TERMS, RANGES, F.length("text")
+        ).collect()
+    }
+    m = pdf[pdf["doc_id"].isin(match_ids)]
+    ln = m["text"].str.len()
+    want = {
+        "small": int((ln < 200).sum()),
+        "medium": int(((ln >= 200) & (ln < 400)).sum()),
+        "large": int((ln >= 400).sum()),
+    }
+    assert got == {k: v for k, v in want.items() if v}
+
+
+def test_range_facets_first_match_wins_on_overlap(spark, corpus):
+    docs, posts, pdf, match_ids = corpus
+    # overlapping ranges: every doc satisfies the second range too, but the
+    # CASE chain assigns each doc to its FIRST matching range only
+    overlapping = [("lt300", None, 300), ("all", None, None)]
+    got = {
+        r["bucket"]: r["n_docs"]
+        for r in range_facets(
+            posts, docs, TERMS, overlapping, F.length("text")
+        ).collect()
+    }
+    m = pdf[pdf["doc_id"].isin(match_ids)]
+    ln = m["text"].str.len()
+    assert got["lt300"] == int((ln < 300).sum())
+    assert got.get("all", 0) == int((ln >= 300).sum())
+    assert sum(got.values()) == len(m)  # every match lands in exactly one
+
+
+def test_histogram_facet_matches_pandas(spark, corpus):
+    docs, posts, pdf, match_ids = corpus
+    got = {
+        r["bucket"]: r["n_docs"]
+        for r in histogram_facet(
+            posts, docs, TERMS, 100, F.length("text")
+        ).collect()
+    }
+    m = pdf[pdf["doc_id"].isin(match_ids)]
+    want = (m["text"].str.len() // 100 * 100).value_counts().to_dict()
+    assert got == {int(k): int(v) for k, v in want.items()}
+
+
+def test_facet_stats_matches_pandas(spark, corpus):
+    docs, posts, pdf, match_ids = corpus
+    rows = facet_stats(posts, docs, TERMS, "lang", F.length("text")).collect()
+    m = pdf[pdf["doc_id"].isin(match_ids)].copy()
+    m["ln"] = m["text"].str.len()
+    for r in rows:
+        grp = m[m["lang"] == r["lang"]]["ln"]
+        assert r["n_docs"] == len(grp)
+        assert r["min_v"] == grp.min() and r["max_v"] == grp.max()
+        assert r["sum_v"] == grp.sum()
+        assert abs(r["avg_v"] - round(grp.mean(), 6)) < 1e-9
+    assert {r["lang"] for r in rows} == set(m["lang"])
+
+
+def test_segment_aggs_match_relational(spark, corpus, tmp_path):
+    """The serving-path twins (SegmentIndex.range_facets /
+    histogram_facet / facet_stats) return the exact relational results —
+    the same match set reached through the term-pruned segment decode."""
+    docs, posts, pdf, match_ids = corpus
+    idx = SegmentIndex.build(
+        spark,
+        docs.withColumnRenamed("text", "content"),
+        str(tmp_path / "seg"),
+        n_buckets=4,
+        mode="simple",  # same analyzer as the relational postings above
+    )
+    rel = sorted(
+        tuple(r)
+        for r in range_facets(posts, docs, TERMS, RANGES, F.length("text")).collect()
+    )
+    seg = sorted(
+        tuple(r)
+        for r in idx.range_facets(TERMS, docs, RANGES, F.length("text")).collect()
+    )
+    assert rel == seg
+    rel = sorted(
+        tuple(r)
+        for r in histogram_facet(posts, docs, TERMS, 100, F.length("text")).collect()
+    )
+    seg = sorted(
+        tuple(r)
+        for r in idx.histogram_facet(TERMS, docs, 100, F.length("text")).collect()
+    )
+    assert rel == seg
+    rel = sorted(
+        tuple(r)
+        for r in facet_stats(posts, docs, TERMS, "lang", F.length("text")).collect()
+    )
+    seg = sorted(
+        tuple(r)
+        for r in idx.facet_stats(TERMS, docs, "lang", F.length("text")).collect()
+    )
+    assert rel == seg
+
+
+def test_agg_plan_shape(spark, corpus):
+    """No window, no global sort, term predicate pushed below the agg:
+    the aggs must stay one combinable groupBy over a pruned match set."""
+    docs, posts, _, _ = corpus
+    for df in (
+        range_facets(posts, docs, TERMS, RANGES, F.length("text")),
+        histogram_facet(posts, docs, TERMS, 100, F.length("text")),
+        facet_stats(posts, docs, TERMS, "lang", F.length("text")),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "rangepartitioning" not in plan.lower()  # no global sort
+        assert "partial" in plan.lower()  # map-side combine present
