@@ -223,6 +223,27 @@ def main() -> None:
         reps=2,
     )
     timed(
+        "seg_facet_aggs",
+        lambda: (
+            seg.range_facets(
+                ["merge", "join", "stream"],
+                raw_docs_meta,
+                [("small", None, 200), ("medium", 200, 400), ("large", 400, None)],
+                F.length("text"),
+            ).collect(),
+            seg.histogram_facet(
+                ["merge", "join", "stream"], raw_docs_meta, 100, F.length("text")
+            ).collect(),
+            seg.facet_stats(
+                ["merge", "join", "stream"],
+                raw_docs_meta.select("doc_id", "source", "text"),
+                "source",
+                F.length("text"),
+            ).collect(),
+        ),
+        reps=2,
+    )
+    timed(
         "seg_snippets",
         lambda: seg.snippets(
             BM25_QUERIES[0], docs, k=10, text_col="content"

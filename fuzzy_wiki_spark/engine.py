@@ -1377,6 +1377,30 @@ class SegmentIndex:
         posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
         return _facet_stats(posts, docs, sorted(set(terms)), facet_col, value)
 
+    def facet_percentiles(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        facet_col: str,
+        value,
+        percentiles: tuple = (0.5, 0.9, 0.99),
+        exact: bool = True,
+        field: str = "content",
+    ) -> DataFrame:
+        """Per-facet percentiles over the match set on the serving path
+        (the ES `percentiles` sub-aggregation;
+        operators/facets.facet_percentiles — exact interpolation by
+        default, t-digest via exact=False at corpus scale)."""
+        from fuzzy_wiki_spark.operators.facets import (
+            facet_percentiles as _facet_percentiles,
+        )
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return _facet_percentiles(
+            posts, docs, sorted(set(terms)), facet_col, value,
+            percentiles=percentiles, exact=exact,
+        )
+
     def snippets(
         self,
         query: str,

@@ -110,6 +110,46 @@ def histogram_facet(
     )
 
 
+def facet_percentiles(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    facet_col: str,
+    value,
+    percentiles: tuple = (0.5, 0.9, 0.99),
+    exact: bool = True,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(facet, p<pct>...) — the Elasticsearch `percentiles` sub-aggregation
+    over the match set (e.g. "p99 file size per language").
+
+    ``exact=True`` uses Spark's `percentile` (exact linear interpolation,
+    same definition as DuckDB's quantile_cont, so the oracle mirrors it
+    bit-for-bit after rounding) — it buffers each group's values, which
+    is fine for a term-pruned match set grouped by a low-cardinality
+    facet. At full-corpus scale or with high-cardinality facets pass
+    ``exact=False`` for `percentile_approx` (t-digest — combinable
+    partial aggregation, bounded memory, the same trade ES itself makes
+    with its TDigest default)."""
+    v = F.col(value) if isinstance(value, str) else value
+    fn = "percentile" if exact else "percentile_approx"
+    arr = ", ".join(repr(float(p)) for p in percentiles)
+    pct = F.expr(f"{fn}(_v, array({arr}))")
+    out = (
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(F.col(id_col), F.col(facet_col), v.alias("_v")), id_col)
+        .groupBy(facet_col)
+        .agg(pct.alias("_p"))
+    )
+    cols = [F.col(facet_col)] + [
+        F.round(F.element_at("_p", i + 1), 6).alias(
+            "p" + str(p).replace("0.", "").ljust(2, "0")
+        )
+        for i, p in enumerate(percentiles)
+    ]
+    return out.select(*cols)
+
+
 def facet_stats(
     postings: DataFrame,
     docs: DataFrame,

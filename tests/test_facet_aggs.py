@@ -105,6 +105,31 @@ def test_facet_stats_matches_pandas(spark, corpus):
     assert {r["lang"] for r in rows} == set(m["lang"])
 
 
+def test_facet_percentiles_matches_numpy(spark, corpus):
+    """Exact interpolated percentiles (ES `percentiles` sub-agg) equal
+    numpy's linear-interpolation quantiles per facet; the approx
+    (t-digest) variant stays within each group's value range."""
+    from fuzzy_wiki_spark.operators.facets import facet_percentiles
+
+    docs, posts, pdf, match_ids = corpus
+    rows = facet_percentiles(
+        posts, docs, TERMS, "lang", F.length("text")
+    ).collect()
+    m = pdf[pdf["doc_id"].isin(match_ids)].copy()
+    m["ln"] = m["text"].str.len()
+    for r in rows:
+        grp = m[m["lang"] == r["lang"]]["ln"].to_numpy()
+        for col, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            want = round(float(np.quantile(grp, q)), 6)
+            assert abs(r[col] - want) < 1e-6, (r["lang"], col)
+    approx = facet_percentiles(
+        posts, docs, TERMS, "lang", F.length("text"), exact=False
+    ).collect()
+    for r in approx:
+        grp = m[m["lang"] == r["lang"]]["ln"]
+        assert grp.min() <= r["p50"] <= r["p90"] <= r["p99"] <= grp.max()
+
+
 def test_segment_aggs_match_relational(spark, corpus, tmp_path):
     """The serving-path twins (SegmentIndex.range_facets /
     histogram_facet / facet_stats) return the exact relational results —
