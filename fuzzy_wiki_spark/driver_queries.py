@@ -1007,6 +1007,30 @@ def q_seg_percentiles(spark, sf_dir):
     return res.select("lang", "p50", "p90", "p99")
 
 
+def q_significant_terms(spark, sf_dir):
+    """Significant terms over the match set (operators/facets.py
+    significant_terms — the ES `significant_terms` agg, JLH score):
+    terms unusually common in docs matching the query vs the corpus,
+    doc-frequency based, query terms excluded, top-10 by unrounded
+    score with a term tie-break."""
+    from fuzzy_wiki_spark.operators.facets import significant_terms
+
+    res = significant_terms(
+        _postings_simple(spark, sf_dir), BM25_QUERY_TERMS, k=10
+    )
+    return res.select("term", "fg_count", "bg_count", "score")
+
+
+def q_seg_significant(spark, sf_dir):
+    """Significant terms on the SEGMENT serving path (engine.py
+    SegmentIndex.significant_terms — background from the term_stats
+    side-channel, foreground from the segment decode semi-joined to the
+    matches). Oracle = ORACLE_SQL["significant_terms"] verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segsg_")
+    res = idx.significant_terms(BM25_QUERY_TERMS, k=10)
+    return res.select("term", "fg_count", "bg_count", "score")
+
+
 def q_seg_range_facets(spark, sf_dir):
     """Range aggregation on the SEGMENT serving path (engine.py
     SegmentIndex.range_facets — match set from the term-pruned segment
@@ -2446,6 +2470,23 @@ ORACLE_SQL: dict[str, str] = {
               FROM m JOIN documents d USING(doc_id) GROUP BY d.lang)
         SELECT lang, round(p[1], 6) AS p50, round(p[2], 6) AS p90,
                round(p[3], 6) AS p99 FROM q
+    """,
+    "significant_terms": f"""
+        WITH tf AS ({_TF}),
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+        fg AS (SELECT term, count(DISTINCT tf.doc_id)::BIGINT AS fg_count
+               FROM tf JOIN m USING(doc_id) GROUP BY term),
+        bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_count
+               FROM tf GROUP BY term),
+        tot AS (SELECT (SELECT count(*) FROM m)::DOUBLE AS fgt,
+                       (SELECT count(DISTINCT doc_id) FROM tf)::DOUBLE AS bgt),
+        sc AS (SELECT term, fg_count, bg_count,
+                      ((fg_count / fgt) - (bg_count / bgt))
+                      * ((fg_count / fgt) / (bg_count / bgt)) AS s
+               FROM fg JOIN bg USING(term) CROSS JOIN tot
+               WHERE fg_count >= 3 AND term NOT IN {_QTERMS})
+        SELECT term, fg_count, bg_count, round(s, 6) AS score
+        FROM sc ORDER BY s DESC, term LIMIT 10
     """,
     "term_topdocs": f"""
         WITH tf AS ({_TF}),
@@ -4479,6 +4520,8 @@ QUERIES = {
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
     "range_facets": q_range_facets,
+    "significant_terms": q_significant_terms,
+    "seg_significant": q_seg_significant,
     "facet_percentiles": q_facet_percentiles,
     "seg_percentiles": q_seg_percentiles,
     "histogram_facet": q_histogram_facet,
@@ -4618,6 +4661,7 @@ QUERIES = {
 ORACLE_SQL["seg_facets"] = ORACLE_SQL["facet_counts"]
 ORACLE_SQL["seg_range_facets"] = ORACLE_SQL["range_facets"]
 ORACLE_SQL["seg_percentiles"] = ORACLE_SQL["facet_percentiles"]
+ORACLE_SQL["seg_significant"] = ORACLE_SQL["significant_terms"]
 ORACLE_SQL["seg_histogram"] = ORACLE_SQL["histogram_facet"]
 ORACLE_SQL["seg_facet_stats"] = ORACLE_SQL["facet_stats"]
 ORACLE_SQL["seg_facet_topk"] = ORACLE_SQL["facet_topk"]

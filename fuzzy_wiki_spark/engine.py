@@ -1401,6 +1401,50 @@ class SegmentIndex:
             percentiles=percentiles, exact=exact,
         )
 
+    def significant_terms(
+        self,
+        terms: list[str],
+        k: int = 10,
+        min_doc_count: int = 3,
+        field: str = "content",
+    ) -> DataFrame:
+        """Terms unusually common in the match set vs the corpus on the
+        serving path (the ES `significant_terms` aggregation, JLH score;
+        operators/facets.significant_terms).
+
+        The background side comes free from the term_stats side-channel
+        (df IS the distinct-doc count) and the corpus total from
+        field_stats. The foreground is doc-keyed — every matched doc's
+        full vocabulary — so like MLT it pays a forward lookup; a match
+        set spanning many buckets decodes them all (ES answers this from
+        its inverted index the same way: one lookup per candidate term
+        over the fg doc set). Cost class: one field decode semi-joined
+        to the matches, combinable distinct-count after."""
+        from fuzzy_wiki_spark.operators.facets import (
+            significant_terms as _significant_terms,
+        )
+        from fuzzy_wiki_spark.operators.segments import META_TERMS
+        from fuzzy_wiki_spark.streaming.incremental import (
+            segments_to_postings,
+        )
+
+        seg_f = self.segments.where(
+            (F.col("field") == field) & ~F.col("term").isin(META_TERMS)
+        )
+        posts = segments_to_postings(seg_f)
+        tombs = self._tombstones()
+        if tombs is not None:
+            posts = posts.join(tombs, "doc_id", "left_anti")
+        bg = self.term_stats.where(F.col("field") == field)
+        return _significant_terms(
+            posts,
+            sorted(set(terms)),
+            k=k,
+            min_doc_count=min_doc_count,
+            bg_stats=bg,
+            bg_total=self.field_stats[field][0],
+        )
+
     def snippets(
         self,
         query: str,

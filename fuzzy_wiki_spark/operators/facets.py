@@ -179,6 +179,71 @@ def facet_stats(
     )
 
 
+def significant_terms(
+    postings: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    min_doc_count: int = 3,
+    id_col: str = "doc_id",
+    bg_stats: DataFrame | None = None,
+    bg_total=None,
+) -> DataFrame:
+    """(term, fg_count, bg_count, score): terms unusually common in the
+    match set vs the corpus — the Elasticsearch `significant_terms`
+    aggregation with its JLH score,
+    (fg% - bg%) * (fg% / bg%), doc-frequency based. Query terms are
+    excluded (they are trivially significant) and rare noise is cut by
+    ``min_doc_count``; top-k by unrounded score with a term tie-break, so
+    the ORDER BY is deterministic and the SQL oracle mirrors it.
+
+    ``bg_stats`` (a (term, df) frame — an index's term_stats
+    side-channel) and ``bg_total`` (corpus doc count) replace the
+    postings-derived background when provided; the values are identical
+    either way (df IS the distinct-doc count), the side-channel just
+    skips a corpus-wide aggregation.
+
+    Plan: the foreground is one semi-join of postings against the match
+    set followed by a combinable distinct-count per term; totals ride as
+    broadcast 1-row aggregates; the final top-k is orderBy+limit
+    (TakeOrderedAndProject) — no window, no global sort."""
+    matches = _matching_docs(postings, terms, id_col)
+    fg = (
+        postings.join(matches, id_col, "left_semi")
+        .groupBy("term")
+        .agg(F.countDistinct(id_col).alias("fg_count"))
+    )
+    if bg_stats is None:
+        bg = postings.groupBy("term").agg(
+            F.countDistinct(id_col).alias("bg_count")
+        )
+    else:
+        bg = bg_stats.select("term", F.col("df").alias("bg_count"))
+    fg_tot = matches.agg(F.count(F.lit(1)).cast("double").alias("_fgt"))
+    if bg_total is None:
+        bg_tot = postings.agg(
+            F.countDistinct(id_col).cast("double").alias("_bgt")
+        )
+    else:
+        bg_tot = fg_tot.sparkSession.range(1).select(
+            F.lit(float(bg_total)).alias("_bgt")
+        )
+    fg_pct = F.col("fg_count") / F.col("_fgt")
+    bg_pct = F.col("bg_count") / F.col("_bgt")
+    score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    return (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(fg_tot))
+        .crossJoin(F.broadcast(bg_tot))
+        .where(
+            (F.col("fg_count") >= min_doc_count) & ~F.col("term").isin(terms)
+        )
+        .withColumn("_s", score)
+        .orderBy(F.desc("_s"), F.asc("term"))
+        .limit(k)
+        .select("term", "fg_count", "bg_count", F.round("_s", 6).alias("score"))
+    )
+
+
 def grouped_topk(
     scored: DataFrame,
     facet_col: str,

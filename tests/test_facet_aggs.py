@@ -171,6 +171,46 @@ def test_segment_aggs_match_relational(spark, corpus, tmp_path):
     assert rel == seg
 
 
+def test_significant_terms_matches_numpy(spark, corpus):
+    """ES significant_terms (JLH): mirrors a brute-force numpy scoring of
+    doc frequencies; query terms excluded; deterministic top-k order."""
+    from collections import Counter
+
+    from fuzzy_wiki_spark.operators.facets import significant_terms
+
+    docs, posts, pdf, match_ids = corpus
+    rows = significant_terms(posts, TERMS, k=10, min_doc_count=3).collect()
+    # mirror mode="simple": whitespace split, no analyzer chain
+    doc_terms = {
+        r.doc_id: set(r.text.split()) for r in pdf.itertuples()
+    }
+    bg = Counter(t for ts in doc_terms.values() for t in ts)
+    fg = Counter(
+        t for d, ts in doc_terms.items() if d in match_ids for t in ts
+    )
+    fgt, bgt = float(len(match_ids)), float(len(doc_terms))
+    scored = sorted(
+        (
+            (-((c / fgt - bg[t] / bgt) * ((c / fgt) / (bg[t] / bgt))), t, c)
+            for t, c in fg.items()
+            if c >= 3 and t not in TERMS
+        ),
+    )[:10]
+    assert [(r["term"], r["fg_count"]) for r in rows] == [
+        (t, c) for _, t, c in scored
+    ]
+    for r, (neg_s, _, _) in zip(rows, scored):
+        assert abs(r["score"] - round(-neg_s, 6)) < 1e-9
+    # background side-channel (term_stats df) gives identical results
+    from fuzzy_wiki_spark.operators import postings as P
+
+    ts = P.term_stats(posts).where(F.col("field") == "content")
+    rows2 = significant_terms(
+        posts, TERMS, k=10, min_doc_count=3, bg_stats=ts, bg_total=bgt
+    ).collect()
+    assert [tuple(r) for r in rows2] == [tuple(r) for r in rows]
+
+
 def test_agg_plan_shape(spark, corpus):
     """No window, no global sort, term predicate pushed below the agg:
     the aggs must stay one combinable groupBy over a pruned match set."""
