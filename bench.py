@@ -244,6 +244,13 @@ def main() -> None:
         reps=2,
     )
     timed(
+        "seg_significant",
+        lambda: seg.significant_terms(
+            ["merge", "join", "stream"], k=10
+        ).collect(),
+        reps=2,
+    )
+    timed(
         "seg_snippets",
         lambda: seg.snippets(
             BM25_QUERIES[0], docs, k=10, text_col="content"
