@@ -1031,6 +1031,36 @@ def q_seg_significant(spark, sf_dir):
     return res.select("term", "fg_count", "bg_count", "score")
 
 
+def q_facet_cardinality(spark, sf_dir):
+    """Cardinality sub-aggregation over the match set (operators/
+    facets.py facet_cardinality — the ES `cardinality` agg, exact):
+    distinct sources with matching docs, per language."""
+    from fuzzy_wiki_spark.operators.facets import facet_cardinality
+
+    res = facet_cardinality(
+        _postings_simple(spark, sf_dir),
+        _docs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        facet_col="lang",
+        of_col="source",
+    )
+    return res.select("lang", "n_docs", "cardinality")
+
+
+def q_seg_cardinality(spark, sf_dir):
+    """Cardinality sub-agg on the SEGMENT serving path (engine.py
+    SegmentIndex.facet_cardinality). Oracle = ORACLE_SQL
+    ["facet_cardinality"] verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segcd_")
+    res = idx.facet_cardinality(
+        BM25_QUERY_TERMS,
+        _docs(spark, sf_dir),
+        facet_col="lang",
+        of_col="source",
+    )
+    return res.select("lang", "n_docs", "cardinality")
+
+
 def q_seg_range_facets(spark, sf_dir):
     """Range aggregation on the SEGMENT serving path (engine.py
     SegmentIndex.range_facets — match set from the term-pruned segment
@@ -2487,6 +2517,13 @@ ORACLE_SQL: dict[str, str] = {
                WHERE fg_count >= 3 AND term NOT IN {_QTERMS})
         SELECT term, fg_count, bg_count, round(s, 6) AS score
         FROM sc ORDER BY s DESC, term LIMIT 10
+    """,
+    "facet_cardinality": f"""
+        WITH tf AS ({_TF}),
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS})
+        SELECT d.lang, count(*)::BIGINT AS n_docs,
+               count(DISTINCT d.source)::BIGINT AS cardinality
+        FROM m JOIN documents d USING(doc_id) GROUP BY d.lang
     """,
     "term_topdocs": f"""
         WITH tf AS ({_TF}),
@@ -4521,6 +4558,8 @@ QUERIES = {
     # regardless of the sample window.
     "range_facets": q_range_facets,
     "significant_terms": q_significant_terms,
+    "facet_cardinality": q_facet_cardinality,
+    "seg_cardinality": q_seg_cardinality,
     "seg_significant": q_seg_significant,
     "facet_percentiles": q_facet_percentiles,
     "seg_percentiles": q_seg_percentiles,
@@ -4662,6 +4701,7 @@ ORACLE_SQL["seg_facets"] = ORACLE_SQL["facet_counts"]
 ORACLE_SQL["seg_range_facets"] = ORACLE_SQL["range_facets"]
 ORACLE_SQL["seg_percentiles"] = ORACLE_SQL["facet_percentiles"]
 ORACLE_SQL["seg_significant"] = ORACLE_SQL["significant_terms"]
+ORACLE_SQL["seg_cardinality"] = ORACLE_SQL["facet_cardinality"]
 ORACLE_SQL["seg_histogram"] = ORACLE_SQL["histogram_facet"]
 ORACLE_SQL["seg_facet_stats"] = ORACLE_SQL["facet_stats"]
 ORACLE_SQL["seg_facet_topk"] = ORACLE_SQL["facet_topk"]

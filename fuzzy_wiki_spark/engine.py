@@ -1377,6 +1377,28 @@ class SegmentIndex:
         posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
         return _facet_stats(posts, docs, sorted(set(terms)), facet_col, value)
 
+    def facet_cardinality(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        facet_col: str,
+        of_col: str,
+        exact: bool = True,
+        field: str = "content",
+    ) -> DataFrame:
+        """Distinct-value count per facet over the match set on the
+        serving path (the ES `cardinality` sub-aggregation;
+        operators/facets.facet_cardinality — HyperLogLog++ via
+        exact=False at corpus scale)."""
+        from fuzzy_wiki_spark.operators.facets import (
+            facet_cardinality as _facet_cardinality,
+        )
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return _facet_cardinality(
+            posts, docs, sorted(set(terms)), facet_col, of_col, exact=exact
+        )
+
     def facet_percentiles(
         self,
         terms: list[str],

@@ -110,6 +110,34 @@ def histogram_facet(
     )
 
 
+def facet_cardinality(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    facet_col: str,
+    of_col: str,
+    exact: bool = True,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(facet, n_docs, cardinality): distinct values of ``of_col`` per
+    facet bucket over the match set — the Elasticsearch `cardinality`
+    sub-aggregation (e.g. "how many distinct repos have matching files,
+    per language"). ``exact=True`` is a real distinct count (partial-agg
+    combinable on the (facet, of) pair); ``exact=False`` swaps in
+    approx_count_distinct (HyperLogLog++, fixed-size sketches — the same
+    trade ES makes) for corpus-scale cardinalities."""
+    fn = F.countDistinct if exact else F.approx_count_distinct
+    return (
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(id_col, facet_col, of_col), id_col)
+        .groupBy(facet_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            fn(of_col).alias("cardinality"),
+        )
+    )
+
+
 def facet_percentiles(
     postings: DataFrame,
     docs: DataFrame,

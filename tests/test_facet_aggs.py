@@ -171,6 +171,33 @@ def test_segment_aggs_match_relational(spark, corpus, tmp_path):
     assert rel == seg
 
 
+def test_facet_cardinality_matches_pandas(spark, corpus):
+    """ES cardinality sub-agg: exact distinct counts per facet; the
+    HyperLogLog++ variant stays within its documented error envelope."""
+    from fuzzy_wiki_spark.operators.facets import facet_cardinality
+
+    docs, posts, pdf, match_ids = corpus
+    pdf2 = pdf.copy()
+    pdf2["source"] = "repo" + (pdf2["doc_id"] % 17).astype(str)
+    docs2 = docs.withColumn(
+        "source", F.concat(F.lit("repo"), (F.col("doc_id") % 17).cast("string"))
+    )
+    rows = facet_cardinality(
+        posts, docs2, TERMS, "lang", "source"
+    ).collect()
+    m = pdf2[pdf2["doc_id"].isin(match_ids)]
+    for r in rows:
+        grp = m[m["lang"] == r["lang"]]
+        assert r["n_docs"] == len(grp)
+        assert r["cardinality"] == grp["source"].nunique()
+    approx = facet_cardinality(
+        posts, docs2, TERMS, "lang", "source", exact=False
+    ).collect()
+    for r in approx:
+        exact_card = m[m["lang"] == r["lang"]]["source"].nunique()
+        assert abs(r["cardinality"] - exact_card) <= max(2, 0.1 * exact_card)
+
+
 def test_significant_terms_matches_numpy(spark, corpus):
     """ES significant_terms (JLH): mirrors a brute-force numpy scoring of
     doc frequencies; query terms excluded; deterministic top-k order."""
