@@ -4,7 +4,9 @@ Brief requirement for the 100 TB training-data pipeline. The Spark-side
 plumbing is REAL — schemas, partition-preserving ``mapInPandas`` operators,
 Arrow batch shapes — and so are the codecs stdlib/numpy can
 express: **PPM (P6), BMP (24-bit BI_RGB), PNG (bit depths 1-16, all five
-filters, Adam7 interlacing, zlib) and JPEG — baseline AND progressive
+filters, Adam7 interlacing, zlib), GIF (from-scratch LZW, still +
+animated with transparency/disposal composition, interlacing) and JPEG —
+baseline AND progressive
 (from-scratch T.81 codec, functions/jpeg.py) — image decode, WAV audio
 decode (linear PCM + G.711 mu-law/A-law + IMA ADPCM) plus lossless FLAC
 (RFC 9639, functions/flac.py), and AVI video
@@ -566,6 +568,264 @@ def _ima_encode(pcm: np.ndarray, block_align: int) -> tuple[bytes, int]:
 _WAV_PCM, _WAV_ALAW, _WAV_ULAW, _WAV_IMA = 0x0001, 0x0006, 0x0007, 0x0011
 
 
+# ---------------------------------------------------------------------------
+# GIF (87a/89a) — from-scratch LZW codec, still/animated, pure numpy.
+#
+# LZW is purely algorithmic (variable-width codes, clear/EOI, 12-bit cap —
+# no spec tables), so unlike MP3/H.264 the whole format is expressible
+# in-container. Animated GIFs are ANOTHER inter-frame format: each frame
+# paints a sub-rectangle onto the logical screen, transparency holes show
+# the previous content, and the disposal method (none / restore-background
+# / restore-previous) decides what the NEXT frame composes over.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW: variable code width, CLEAR resets the table,
+    EOI terminates; table capped at 4096 codes."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+    width = min_code_size + 1
+    prev: list[int] | None = None
+    acc = nbits = 0
+    pos = 0
+
+    def reset():
+        nonlocal table, width, prev
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out
+            acc |= data[pos] << nbits  # LSB-first packing
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return out
+        if code < len(table) and (table[code] or code < clear):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (dict-based, emits CLEAR on table wrap)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    seq: tuple = ()
+    for sym in indices:
+        sym = int(sym)
+        cand = seq + (sym,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        seq = (sym,)
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    """Wrap raw bytes into <=255-byte GIF sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(
+    frames, delays_cs: int | list = 10, loop: bool = True,
+    interlace: bool = False,
+) -> bytes:
+    """(H, W, 3) uint8 RGB frame or list of frames → GIF89a bytes.
+
+    Pixels quantize to the fixed 3-3-2 palette (256 colors); multi-frame
+    input writes an animated GIF with per-frame graphic-control delays
+    (centiseconds) and a NETSCAPE loop block. ``interlace`` stores rows
+    in the GIF 4-pass order (the decoder reorders them back)."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = frames[0].shape
+    if isinstance(delays_cs, int):
+        delays_cs = [delays_cs] * len(frames)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries, 8-bit
+    out += _palette_332().tobytes()
+    if len(frames) > 1 and loop:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for fr, delay in zip(frames, delays_cs):
+        if fr.shape != (h, w, 3):
+            raise ValueError("all frames must share one shape")
+        if len(frames) > 1:
+            out += b"\x21\xf9\x04" + struct.pack("<BHB", 0, delay, 0) + b"\x00"
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+        )
+        idx = _rgb_to_332(fr)
+        if interlace:
+            idx = np.concatenate(
+                [idx[start::step] for start, step in _GIF_INTERLACE]
+            )
+        out.append(8)  # LZW min code size
+        out += _gif_subblocks(_lzw_encode(idx.reshape(-1), 8))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(buf: bytes):
+    """GIF bytes → (list of (H, W, 3) uint8 RGB frames, delays_cs list).
+
+    Full 87a/89a decode: LZW, local + global color tables, interlacing,
+    transparency, sub-rectangle frames composed onto the logical screen
+    with disposal methods 0/1 (leave), 2 (restore background) and
+    3 (restore previous) — the inter-frame half of the format."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ = struct.unpack_from("<HHBBB", buf, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    painted = np.zeros((h, w), dtype=bool)  # transparency before 1st paint
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    transparent = None
+    disposal = 0
+    delay = 0
+    while pos < len(buf):
+        block = buf[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = buf[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                sz = buf[pos]
+                gflags, delay, tindex = struct.unpack_from(
+                    "<BHB", buf, pos + 1
+                )
+                disposal = (gflags >> 2) & 7
+                transparent = tindex if gflags & 1 else None
+                pos += 1 + sz
+                while buf[pos]:  # skip residual sub-blocks
+                    pos += 1 + buf[pos]
+                pos += 1
+            else:  # comment/app/plain-text: skip sub-blocks
+                while buf[pos]:
+                    pos += 1 + buf[pos]
+                pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, fw, fh, iflags = struct.unpack_from("<HHHHB", buf, pos)
+        pos += 9
+        pal = gct
+        if iflags & 0x80:  # local color table
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(-1, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF frame without a color table")
+        min_code = buf[pos]
+        pos += 1
+        data = bytearray()
+        while buf[pos]:
+            ln = buf[pos]
+            data += buf[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.asarray(
+            _lzw_decode(bytes(data), min_code)[: fw * fh], dtype=np.int32
+        ).reshape(fh, fw)
+        if iflags & 0x40:  # interlaced: reorder rows into the 4 passes
+            deinter = np.empty_like(idx)
+            src = 0
+            for start, step in _GIF_INTERLACE:
+                rows = range(start, fh, step)
+                deinter[list(rows)] = idx[src : src + len(rows)]
+                src += len(rows)
+            idx = deinter
+        saved = canvas[top : top + fh, left : left + fw].copy()
+        region = canvas[top : top + fh, left : left + fw]
+        mask = (
+            np.ones((fh, fw), dtype=bool)
+            if transparent is None
+            else idx != transparent
+        )
+        region[mask] = pal[idx[mask]]
+        painted[top : top + fh, left : left + fw] |= mask
+        frames.append(canvas.copy())
+        delays.append(delay)
+        if disposal == 2:  # restore background (transparent → black here)
+            canvas[top : top + fh, left : left + fw] = 0
+            painted[top : top + fh, left : left + fw] = False
+        elif disposal == 3:  # restore previous
+            canvas[top : top + fh, left : left + fw] = saved
+        transparent = None
+        disposal = 0
+    return frames, delays
+
+
 def encode_wav(
     samples: np.ndarray, sample_rate: int = 16000, codec: str = "pcm16"
 ) -> bytes:
@@ -1077,7 +1337,8 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     a sha-derived feature vector for plumbing tests.
 
     Real paths (pure numpy/stdlib): PPM P6, 24-bit BMP, PNG at depths
-    1-16 incl. Adam7 (zlib + full filter spec, decode_png), baseline +
+    1-16 incl. Adam7 (zlib + full filter spec, decode_png), GIF (LZW,
+    first frame — decode_gif returns the full animation), baseline +
     progressive JPEG (from-scratch T.81 codec, functions/jpeg.py)."""
     if fake:
         return _fake_decode(payload, 64)
@@ -1091,8 +1352,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)[0][0]  # first frame
     raise NotImplementedError(
-        "unrecognized image format (PPM/BMP/PNG/JPEG decode "
+        "unrecognized image format (PPM/BMP/PNG/JPEG/GIF decode "
         "in-container); pass fake=True for the plumbing-test path"
     )
 
@@ -1258,7 +1521,7 @@ def make_real_media(n: int, seed: int = 42) -> pd.DataFrame:
     codecs: PPM, BMP, PNG and JPEG images (decodable gradients + noise;
     PNG rotates through all five scanline filters plus 16-bit and Adam7
     interlaced variants; JPEG through 4:4:4/4:2:0 and baseline/
-    progressive), WAV audio (seeded sine mixes rotating linear PCM,
+    progressive; GIF through sequential and interlaced), WAV audio (seeded sine mixes rotating linear PCM,
     G.711 mu-law/A-law, IMA ADPCM and FLAC), and AVI video rotating raw-DIB,
     MJPEG and inter-frame MS-RLE8 — so the mapInPandas feature/frame
     entries exercise every decoder the package ships."""
@@ -1277,24 +1540,27 @@ def make_real_media(n: int, seed: int = 42) -> pd.DataFrame:
                 ],
                 axis=-1,
             ).astype(np.uint8)
-            which = i % 4
+            which = i % 5
             if which == 0:
                 payload, codec = encode_ppm(arr), "ppm"
             elif which == 1:
                 payload, codec = encode_bmp(arr), "bmp"
+            elif which == 4:
+                payload = encode_gif(arr, interlace=bool((i // 5) % 2))
+                codec = "gif"
             elif which == 2:
                 # rotate filters, and every third PNG is 16-bit or Adam7
                 payload = encode_png(
                     arr,
-                    filter_type=(i // 4) % 5,
-                    depth=16 if (i // 4) % 3 == 1 else 8,
-                    interlace=1 if (i // 4) % 3 == 2 else 0,
+                    filter_type=(i // 5) % 5,
+                    depth=16 if (i // 5) % 3 == 1 else 8,
+                    interlace=1 if (i // 5) % 3 == 2 else 0,
                 )
                 codec = "png"
             else:
                 from .jpeg import encode_jpeg, encode_jpeg_progressive
 
-                enc = encode_jpeg_progressive if (i // 4) % 2 else encode_jpeg
+                enc = encode_jpeg_progressive if (i // 5) % 2 else encode_jpeg
                 payload = enc(
                     arr, quality=85, subsampling="420" if i % 8 else "444"
                 )

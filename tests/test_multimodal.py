@@ -33,7 +33,7 @@ def media(spark):
 
 def test_unsupported_codecs_stay_stubbed():
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a......")  # GIF has no in-container decoder
+        decode_image(b"II*\x00........")  # TIFF has no in-container decoder
     with pytest.raises(NotImplementedError):
         decode_audio(b"OggS....")
 
@@ -280,3 +280,117 @@ def test_perceptual_audio_codecs_stay_stubbed():
     buf = b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
     with pytest.raises(NotImplementedError):
         decode_wav(buf)
+
+
+# ---------------------------------------------------------------------------
+# GIF: from-scratch LZW, still + animated (inter-frame composition)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_still_roundtrip_palette_exact():
+    from fuzzy_wiki_spark.functions.multimodal import (
+        _palette_332,
+        _rgb_to_332,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(12)
+    arr = rng.integers(0, 256, (37, 53, 3), np.uint8)
+    frames, delays = decode_gif(encode_gif(arr))
+    assert len(frames) == 1
+    np.testing.assert_array_equal(frames[0], _palette_332()[_rgb_to_332(arr)])
+    # dispatch through decode_image (first frame)
+    np.testing.assert_array_equal(
+        decode_image(encode_gif(arr)), _palette_332()[_rgb_to_332(arr)]
+    )
+
+
+def test_gif_interlaced_roundtrip():
+    from fuzzy_wiki_spark.functions.multimodal import (
+        _palette_332,
+        _rgb_to_332,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(13)
+    for h in (1, 4, 7, 23):  # odd heights exercise every pass boundary
+        arr = rng.integers(0, 256, (h, 9, 3), np.uint8)
+        frames, _ = decode_gif(encode_gif(arr, interlace=True))
+        np.testing.assert_array_equal(
+            frames[0], _palette_332()[_rgb_to_332(arr)]
+        )
+
+
+def test_gif_animation_frames_and_delays():
+    from fuzzy_wiki_spark.functions.multimodal import (
+        _palette_332,
+        _rgb_to_332,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(14)
+    bg = rng.integers(0, 256, (24, 32, 3), np.uint8)
+    frs = []
+    for j in range(7):
+        f = bg.copy()
+        f[4:12, 3 * j : 3 * j + 8] = [0, 255, 0]
+        frs.append(f)
+    frames, delays = decode_gif(encode_gif(frs, delays_cs=7))
+    assert len(frames) == 7 and delays == [7] * 7
+    pal = _palette_332()
+    for j in range(7):
+        np.testing.assert_array_equal(frames[j], pal[_rgb_to_332(frs[j])])
+
+
+def test_gif_transparency_and_disposal():
+    """Hand-built 2-frame GIF: frame 2 is a sub-rectangle whose
+    transparent pixels show frame 1's content (the inter-frame hole),
+    with disposal=3 (restore previous) declared on it."""
+    import struct as st
+
+    from fuzzy_wiki_spark.functions.multimodal import (
+        _gif_subblocks,
+        _lzw_encode,
+        decode_gif,
+    )
+
+    # 4x4 canvas, 2-entry color table (black, white), 2-bit min code size
+    gct = bytes([0, 0, 0, 255, 255, 255]) + bytes(6)  # 4 entries padded
+    f1 = [1] * 16  # all white
+    f2 = [0, 3, 3, 0]  # 2x2 sub-rect at (1,1): black, T, T, black (index 3 = transparent)
+    buf = (
+        b"GIF89a"
+        + st.pack("<HHBBB", 4, 4, 0x81, 0, 0)  # GCT, 4 entries
+        + gct
+        + b"\x21\xf9\x04" + st.pack("<BHB", 0, 5, 0) + b"\x00"  # frame 1 GCE
+        + b"\x2c" + st.pack("<HHHHB", 0, 0, 4, 4, 0)
+        + bytes([2]) + _gif_subblocks(_lzw_encode(f1, 2))
+        + b"\x21\xf9\x04" + st.pack("<BHB", (3 << 2) | 1, 5, 3) + b"\x00"
+        + b"\x2c" + st.pack("<HHHHB", 1, 1, 2, 2, 0)
+        + bytes([2]) + _gif_subblocks(_lzw_encode(f2, 2))
+        + b"\x3b"
+    )
+    frames, delays = decode_gif(buf)
+    assert len(frames) == 2 and delays == [5, 5]
+    assert (frames[0] == 255).all()
+    # frame 2: black at (1,1) and (2,2); white shows through the holes
+    assert tuple(frames[1][1, 1]) == (0, 0, 0)
+    assert tuple(frames[1][2, 2]) == (0, 0, 0)
+    assert tuple(frames[1][1, 2]) == (255, 255, 255)
+    assert tuple(frames[1][2, 1]) == (255, 255, 255)
+
+
+def test_gif_flows_through_spark_image_features(spark):
+    from fuzzy_wiki_spark.functions.multimodal import (
+        extract_image_features,
+        make_real_media,
+    )
+
+    pdf = make_real_media(60)
+    assert (pdf["codec"] == "gif").any()  # rotation includes GIF rows
+    media = spark.createDataFrame(pdf)
+    rows = extract_image_features(media, fake=False).collect()
+    assert len(rows) == (pdf["kind"] == "image").sum()
