@@ -1745,9 +1745,10 @@ def q_audio_features(spark, sf_dir):
 
 
 def q_video_features(spark, sf_dir):
-    """Multimodal: REAL video feature extraction — AVI demux + sampled
-    MJPEG/DIB frame decode → temporal pixel statistics (luminance, color,
-    inter-frame motion energy) via mapInPandas."""
+    """Multimodal: REAL video feature extraction — AVI (MJPEG / DIB /
+    inter-frame MS-RLE8) and animated-GIF payloads, sampled frame decode
+    → temporal pixel statistics (luminance, color, inter-frame motion
+    energy) via mapInPandas."""
     from fuzzy_wiki_spark.functions.multimodal import (
         extract_video_features,
         make_real_media,
@@ -1762,11 +1763,13 @@ def q_video_features(spark, sf_dir):
 
 
 def q_frame_sample(spark, sf_dir):
-    """Multimodal: REAL video frame sampling — AVI (RIFF) demux, fps-driven
-    frame selection, then decode of ONLY the sampled frames (MJPEG via the
-    from-scratch T.81 JPEG codec, raw DIB) inside mapInPandas; frame_sha
-    fingerprints decoded pixels. Demux-before-decode is the shape that
-    matters at 100 TB: the sampler never pays for frames it skips."""
+    """Multimodal: REAL video frame sampling — AVI (RIFF) demux or
+    animated GIF, fps-driven frame selection, then decode of ONLY the
+    sampled frames where the codec allows (MJPEG/DIB exactly; inter-frame
+    RLE8 from the nearest keyframe; GIF composes all frames up to the
+    last sample) inside mapInPandas; frame_sha fingerprints decoded
+    pixels. Demux-before-decode is the shape that matters at 100 TB: the
+    sampler never pays decode or featurize cost for frames it skips."""
     from fuzzy_wiki_spark.functions.multimodal import make_real_media, sample_frames
 
     media = spark.createDataFrame(make_real_media(120))

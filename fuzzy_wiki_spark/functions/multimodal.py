@@ -1288,11 +1288,37 @@ def decode_avi_frames_at(meta: dict, indices) -> Iterator[tuple[int, np.ndarray]
 
 def decode_video(payload: bytes):
     """Video payload → (fps, iterator of (frame_idx, RGB array)). Real
-    path: AVI holding MJPEG, raw DIB, or inter-frame MS-RLE8 via the
-    in-container codecs."""
+    paths: AVI holding MJPEG, raw DIB, or inter-frame MS-RLE8, and
+    animated GIF — all via the in-container codecs."""
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        frames, delays = decode_gif(payload)
+        fps = 100.0 / (sum(delays) / len(delays)) if any(delays) else 10.0
+        return fps, enumerate(frames)
     meta = demux_avi(payload)
     n = len(meta["frames"])
     return meta["fps"], decode_avi_frames_at(meta, range(n))
+
+
+def sampled_video_frames(payload: bytes, every_s: float):
+    """(fps, iterator of (frame_idx, RGB)) for a video payload, one frame
+    every ``every_s`` seconds — the shared front end of the distributed
+    frame sampler and video featurizer.
+
+    AVI decodes ONLY the needed frames (stateless codecs exactly, RLE8
+    forward from the nearest keyframe). Animated GIF is fully
+    inter-frame with no keyframes (every frame composes onto the
+    previous canvas), so decode walks every frame up to the last sample
+    and sampling saves the downstream featurize/hash cost — the honest
+    cost model, same as RLE8 with keyframe_every=0."""
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        frames, delays = decode_gif(payload)
+        fps = 100.0 / (sum(delays) / len(delays)) if any(delays) else 10.0
+        step = max(1, int(round(fps * every_s)))
+        return fps, ((j, frames[j]) for j in range(0, len(frames), step))
+    meta = demux_avi(payload)
+    step = max(1, int(round(meta["fps"] * every_s)))
+    wanted = range(0, len(meta["frames"]), step)
+    return meta["fps"], decode_avi_frames_at(meta, wanted)
 
 
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -1461,14 +1487,8 @@ def extract_video_features(media_df, every_s: float = 1.0, fake: bool = False):
                 if fake:
                     feats.append(_fake_decode(p, 8))
                     continue
-                meta = demux_avi(bytes(p))
-                step = max(1, int(round(meta["fps"] * every_s)))
-                frames = [
-                    rgb.astype(np.float32)
-                    for _, rgb in decode_avi_frames_at(
-                        meta, range(0, len(meta["frames"]), step)
-                    )
-                ]
+                fps, sampled = sampled_video_frames(bytes(p), every_s)
+                frames = [rgb.astype(np.float32) for _, rgb in sampled]
                 lum = [
                     f @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
                     for f in frames
@@ -1496,7 +1516,7 @@ def extract_video_features(media_df, every_s: float = 1.0, fake: bool = False):
                             float(rgb_mean[1]),
                             float(rgb_mean[2]),
                             motion,
-                            float(meta["fps"]),
+                            float(fps),
                         ],
                         dtype=np.float32,
                     )
@@ -1601,8 +1621,11 @@ def make_real_media(n: int, seed: int = 42) -> pd.DataFrame:
                 ).astype(np.uint8)
                 for j in range(n_frames)
             ]
-            codec = ["DIB ", "MJPG", "MRLE"][i % 3]
-            payload = encode_avi(frames, fps=fps, codec=codec)
+            codec = ["DIB ", "MJPG", "MRLE", "gif"][i % 4]
+            if codec == "gif":  # animated GIF as a video payload
+                payload = encode_gif(frames, delays_cs=int(round(100 / fps)))
+            else:
+                payload = encode_avi(frames, fps=fps, codec=codec)
             dur = n_frames / fps
         rows.append(
             {
@@ -1646,10 +1669,8 @@ def sample_frames(media_df, every_s: float = 1.0, fake: bool = True):
                             hashlib.sha256(f"{base}:{j}".encode()).hexdigest()[:16]
                         )
                     continue
-                meta = demux_avi(bytes(payload))
-                n = len(meta["frames"])
-                step = max(1, int(round(meta["fps"] * every_s)))
-                for j, rgb in decode_avi_frames_at(meta, range(0, n, step)):
+                _, sampled = sampled_video_frames(bytes(payload), every_s)
+                for j, rgb in sampled:
                     out_id.append(mid)
                     out_idx.append(j)
                     out_sha.append(

@@ -313,8 +313,9 @@ def test_avi_mrle_absolute_mode_covered():
 
 
 def test_sample_frames_real_decode(spark):
-    """fake=False demuxes the AVI, samples by fps metadata, decodes only
-    the sampled frames, and is partition-layout invariant."""
+    """fake=False demuxes/decodes each video payload (AVI with DIB /
+    MJPEG / inter-frame RLE8, animated GIF), samples by time, and is
+    partition-layout invariant."""
     media = spark.createDataFrame(make_real_media(30))
     out = sample_frames(media, every_s=1.0, fake=False).orderBy(
         "media_id", "frame_idx"
@@ -327,18 +328,33 @@ def test_sample_frames_real_decode(spark):
     pdf = make_real_media(30)
     vids = pdf[pdf["kind"] == "video"]
     assert set(per) == set(vids["media_id"])
+    assert (vids["codec"] == "gif").any()  # rotation includes GIF videos
+    import hashlib
+
+    from fuzzy_wiki_spark.functions.multimodal import decode_avi_frames_at
+
     for _, vr in vids.iterrows():
-        meta = demux_avi(bytes(vr["payload"]))
+        payload = bytes(vr["payload"])
+        got = per[vr["media_id"]]
+        if vr["codec"] == "gif":
+            from fuzzy_wiki_spark.functions.multimodal import decode_gif
+
+            frames, delays = decode_gif(payload)
+            fps = 100.0 / (sum(delays) / len(delays))
+            step = max(1, int(round(fps * 1.0)))
+            want_idx = list(range(0, len(frames), step))
+            assert [i for i, _ in got] == want_idx
+            assert (
+                got[0][1]
+                == hashlib.sha256(frames[0].tobytes()).hexdigest()[:16]
+            )
+            continue
+        meta = demux_avi(payload)
         step = max(1, int(round(meta["fps"] * 1.0)))
         want_idx = list(range(0, len(meta["frames"]), step))
-        got = per[vr["media_id"]]
         assert [i for i, _ in got] == want_idx
         # frame_sha is a fingerprint of DECODED pixels (stateful path covers
         # the inter-frame RLE8 rows; frame 0 is always a keyframe)
-        import hashlib
-
-        from fuzzy_wiki_spark.functions.multimodal import decode_avi_frames_at
-
         (_, rgb), = decode_avi_frames_at(meta, [0])
         assert got[0][1] == hashlib.sha256(rgb.tobytes()).hexdigest()[:16]
     # layout invariance
