@@ -1467,6 +1467,116 @@ class SegmentIndex:
             bg_total=self.field_stats[field][0],
         )
 
+    def date_histogram(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        value,
+        interval: str = "month",
+        field: str = "content",
+    ) -> DataFrame:
+        """Calendar-bucket match counts on the serving path (the ES
+        `date_histogram` aggregation — the hits-over-time chart;
+        operators/facets.date_histogram). Match set from the term-pruned
+        segment decode, timestamp joins from the docs table."""
+        from fuzzy_wiki_spark.operators.facets import (
+            date_histogram as _date_histogram,
+        )
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return _date_histogram(
+            posts, docs, sorted(set(terms)), value, interval=interval
+        )
+
+    def filters_agg(
+        self, filters: dict, field: str = "content"
+    ) -> DataFrame:
+        """Named-filter match counts on the serving path (the ES
+        `filters` aggregation; operators/facets.filters_agg). The union
+        of all filter terms prunes the segment decode, then the tiny
+        (name, term) mapping broadcasts."""
+        from fuzzy_wiki_spark.operators.facets import (
+            filters_agg as _filters_agg,
+        )
+
+        all_terms = sorted({t for ts in filters.values() for t in ts})
+        posts = self.term_postings(field, all_terms, with_dl=False)
+        return _filters_agg(posts, filters)
+
+    def adjacency_matrix(
+        self, filters: dict, field: str = "content"
+    ) -> DataFrame:
+        """Filter-intersection counts on the serving path (the ES
+        `adjacency_matrix` aggregation; operators/facets
+        .adjacency_matrix) over the same pruned decode as filters_agg."""
+        from fuzzy_wiki_spark.operators.facets import (
+            adjacency_matrix as _adjacency_matrix,
+        )
+
+        all_terms = sorted({t for ts in filters.values() for t in ts})
+        posts = self.term_postings(field, all_terms, with_dl=False)
+        return _adjacency_matrix(posts, filters)
+
+    def composite_agg(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        sources: list[str],
+        size: int = 10,
+        after: tuple | None = None,
+        field: str = "content",
+    ) -> DataFrame:
+        """Key-ordered composite bucket page on the serving path (the ES
+        `composite` aggregation with after-key pagination;
+        operators/facets.composite_agg)."""
+        from fuzzy_wiki_spark.operators.facets import (
+            composite_agg as _composite_agg,
+        )
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return _composite_agg(
+            posts, docs, sorted(set(terms)), sources, size=size, after=after
+        )
+
+    def top_metrics(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        facet_col: str,
+        sort_col: str,
+        metrics: list[str],
+        field: str = "content",
+    ) -> DataFrame:
+        """Per-bucket metrics from the top-sorted doc on the serving path
+        (the ES `top_metrics` aggregation; operators/facets
+        .top_metrics — one combinable max_by, no per-group sort)."""
+        from fuzzy_wiki_spark.operators.facets import (
+            top_metrics as _top_metrics,
+        )
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return _top_metrics(
+            posts, docs, sorted(set(terms)), facet_col, sort_col, metrics
+        )
+
+    def matrix_stats(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        col_a,
+        col_b,
+        field: str = "content",
+    ) -> DataFrame:
+        """Two-field moment statistics over the match set on the serving
+        path (the ES `matrix_stats` aggregation; operators/facets
+        .matrix_stats — one algebraic aggregation)."""
+        from fuzzy_wiki_spark.operators.facets import (
+            matrix_stats as _matrix_stats,
+        )
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return _matrix_stats(posts, docs, sorted(set(terms)), col_a, col_b)
+
     def snippets(
         self,
         query: str,

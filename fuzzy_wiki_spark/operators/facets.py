@@ -7,8 +7,12 @@ hits per language/repo?" (facet_counts), "best k hits within each facet
 value" (grouped_topk), and the Elasticsearch-shaped numeric aggs over
 the match set: `range` buckets (range_facets), fixed-interval
 `histogram` buckets (histogram_facet), and a `terms`+`stats`
-sub-aggregation (facet_stats). All are single declarative plans: the
-match set never leaves the JVM, counting/stats are one
+sub-aggregation (facet_stats). The second wave completes the ES
+bucket/metric family: calendar date_histogram, named filters,
+adjacency_matrix intersection counts, composite with after-key
+pagination, top_metrics (combinable max_by) and matrix_stats
+(exact-integer moment accumulation). All are single declarative plans:
+the match set never leaves the JVM, counting/stats are one
 map-side-combinable groupBy, and the per-facet top-k uses a window rank
 over a set already reduced to candidates, so the shapes scale exactly
 like the engine's other group-by/top-k paths.
@@ -290,4 +294,234 @@ def grouped_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def date_histogram(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    value,
+    interval: str = "month",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(bucket, n_docs): matching docs counted per calendar bucket — the
+    Elasticsearch `date_histogram` aggregation with a calendar_interval
+    (the "hits over time" chart on every search page). ``value`` is a
+    timestamp column name or Column; bucket = date_trunc(interval, v),
+    so 'month'/'week'/'day'/'hour' behave exactly like ES's calendar
+    intervals (weeks start Monday in both Spark and ISO/ES). Empty
+    buckets are absent (ES min_doc_count=1).
+
+    Plan shape is facet_counts with a date_trunc projection: term
+    predicate reaches the scan, distinct match set is a partial agg,
+    one combinable count per bucket — the bucket count is bounded by
+    the time range, never the corpus."""
+    v = F.col(value) if isinstance(value, str) else value
+    bucket = F.date_trunc(interval, v)
+    return (
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(F.col(id_col), bucket.alias("bucket")), id_col)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def filters_agg(
+    postings: DataFrame,
+    filters: dict,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(filter, n_docs): distinct matching docs per NAMED filter — the
+    Elasticsearch `filters` aggregation (each name is an any-of term
+    set, the "saved filter" counts a dashboard shows). A term may appear
+    in several filters; a doc counts once per filter it matches.
+
+    Plan: postings pruned to the union of all filter terms (one IN
+    predicate at the scan), broadcast-joined to the tiny (name, term)
+    mapping, distinct (name, doc) partial agg, one combinable count per
+    name. Shuffle carries only matched (name, doc) pairs — filters are
+    a handful of names, so the exchange is match-set-sized."""
+    spark = postings.sparkSession
+    mapping = spark.createDataFrame(
+        [(name, t) for name, ts in sorted(filters.items()) for t in ts],
+        "filter string, term string",
+    )
+    all_terms = sorted({t for ts in filters.values() for t in ts})
+    return (
+        postings.where(F.col("term").isin(all_terms))
+        .select("term", id_col)
+        .join(F.broadcast(mapping), "term")
+        .select("filter", id_col)
+        .distinct()
+        .groupBy("filter")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def adjacency_matrix(
+    postings: DataFrame,
+    filters: dict,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, n_docs): intersection counts for every named filter and
+    filter pair — the Elasticsearch `adjacency_matrix` aggregation (the
+    co-occurrence heatmap). Diagonal rows (a == b) are the per-filter
+    counts; off-diagonal (a < b) the pairwise intersections, emitted
+    once like ES's "a&b" buckets. Empty intersections are absent.
+
+    Plan: one distinct (filter, doc) frame (same pruned scan as
+    filters_agg), self-equi-joined on the doc id with a <= b. The join
+    key is the doc — co-partitioned, no skew beyond a doc matching many
+    filters, and ES caps filter count (default 100) for the same
+    quadratic-in-filters reason; rows out are bounded by
+    |filters|² · |match set|."""
+    spark = postings.sparkSession
+    mapping = spark.createDataFrame(
+        [(name, t) for name, ts in sorted(filters.items()) for t in ts],
+        "filter string, term string",
+    )
+    all_terms = sorted({t for ts in filters.values() for t in ts})
+    fd = (
+        postings.where(F.col("term").isin(all_terms))
+        .select("term", id_col)
+        .join(F.broadcast(mapping), "term")
+        .select("filter", id_col)
+        .distinct()
+    )
+    a = fd.select(F.col("filter").alias("a"), id_col)
+    b = fd.select(F.col("filter").alias("b"), id_col)
+    return (
+        a.join(b, id_col)
+        .where(F.col("a") <= F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def composite_agg(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    sources: list[str],
+    size: int = 10,
+    after: tuple | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(source cols..., n_docs): the Elasticsearch `composite`
+    aggregation — key-ordered bucket pages over a tuple of source
+    columns with after-key pagination. THE scalable way to enumerate
+    high-cardinality bucket spaces: each page is an independent query,
+    state lives in the after key the client passes back, and no deep
+    `terms` shard_size blowup ever happens.
+
+    Plan: match set joined to the source columns, one combinable
+    groupBy, the after key applied as a lexicographic tuple predicate
+    ((c1 > a1) OR (c1 = a1 AND c2 > a2) …, which Catalyst pushes below
+    the aggregation's exchange), then orderBy(key)+limit(size) — a
+    TakeOrderedAndProject, never a global sort. At 10^12 docs a page
+    costs one match-set aggregation regardless of how deep into the
+    bucket space the cursor sits."""
+    cols = [F.col(c) for c in sources]
+    out = (
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(id_col, *sources), id_col)
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    if after is not None:
+        pred = None
+        eq = None
+        for c, av in zip(sources, after):
+            gt = F.col(c) > F.lit(av)
+            this = gt if eq is None else eq & gt
+            pred = this if pred is None else pred | this
+            e = F.col(c) == F.lit(av)
+            eq = e if eq is None else eq & e
+        out = out.where(pred)
+    return out.orderBy(*[F.asc(c) for c in sources]).limit(size)
+
+
+def top_metrics(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    facet_col: str,
+    sort_col: str,
+    metrics: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(facet, <metrics...>): per bucket, the metric values from the doc
+    with the LARGEST sort value — the Elasticsearch `top_metrics`
+    aggregation ("per language, the id and size of the biggest matching
+    file"). Ties on the sort value break to the largest doc id —
+    max_by's struct ordering, deterministic for ANY orderable id type
+    (no numeric-negation trick), mirrored in the oracle's ORDER BY.
+
+    Plan: one map-side-combinable max_by groupBy — unlike a top-hits
+    window there is no per-group sort at all, so the shape survives any
+    group cardinality."""
+    ordk = F.struct(F.col(sort_col), F.col(id_col))
+    payload = F.struct(*[F.col(m) for m in metrics])
+    out = (
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(id_col, facet_col, sort_col, *[m for m in metrics if m not in (facet_col, sort_col, id_col)]), id_col)
+        .groupBy(facet_col)
+        .agg(F.max_by(payload, ordk).alias("_m"))
+    )
+    return out.select(F.col(facet_col), *[F.col(f"_m.{m}").alias(m) for m in metrics])
+
+
+def matrix_stats(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    col_a,
+    col_b,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row (n_docs, mean/var per field, covariance, correlation) over
+    two numeric fields of the match set — the Elasticsearch
+    `matrix_stats` aggregation (sample variance/covariance, Pearson
+    correlation, exactly ES's definitions). ``col_a``/``col_b`` are
+    column names or Column expressions over the docs table.
+
+    Plan: every statistic is an algebraic aggregate (sum/count moments),
+    so the whole answer is ONE map-side-combinable aggregation over the
+    match set — no window, no second pass, no Python. The moments are
+    accumulated as EXACT integer sums (inputs are integer-valued; partial
+    sums stay below 2^53 far past 10^9 docs of ~10^3-sized values), then
+    the textbook formulas run once on the final row — so the result is
+    bit-identical across partition counts and merge orders, unlike
+    var_samp/corr whose Welford merges drift in the last ulps."""
+    va = (F.col(col_a) if isinstance(col_a, str) else col_a).cast("long")
+    vb = (F.col(col_b) if isinstance(col_b, str) else col_b).cast("long")
+    m = (
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(F.col(id_col), va.alias("_a"), vb.alias("_b")), id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_a").alias("_sa"),
+            F.sum("_b").alias("_sb"),
+            F.sum(F.col("_a") * F.col("_a")).alias("_saa"),
+            F.sum(F.col("_b") * F.col("_b")).alias("_sbb"),
+            F.sum(F.col("_a") * F.col("_b")).alias("_sab"),
+        )
+    )
+    n = F.col("n_docs").cast("double")
+    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
+    saa = F.col("_saa").cast("double")
+    sbb = F.col("_sbb").cast("double")
+    sab = F.col("_sab").cast("double")
+    var_a = (saa - sa * sa / n) / (n - F.lit(1.0))
+    var_b = (sbb - sb * sb / n) / (n - F.lit(1.0))
+    covar = (sab - sa * sb / n) / (n - F.lit(1.0))
+    return m.select(
+        "n_docs",
+        F.round(sa / n, 6).alias("mean_a"),
+        F.round(sb / n, 6).alias("mean_b"),
+        F.round(var_a, 6).alias("var_a"),
+        F.round(var_b, 6).alias("var_b"),
+        F.round(covar, 6).alias("covar"),
+        F.round(covar / F.sqrt(var_a * var_b), 6).alias("corr"),
     )

@@ -1,0 +1,251 @@
+"""Round-4 search aggregations (operators/facets.py date_histogram /
+filters_agg / adjacency_matrix / composite_agg / top_metrics /
+matrix_stats): pandas/numpy-mirror correctness, relational ≡ segment
+parity, and plan shape (combinable aggs, broadcast filter mapping,
+TakeOrderedAndProject pages — never a global sort or window)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.corpus import generate_docs_df
+from fuzzy_wiki_spark.engine import SegmentIndex
+from fuzzy_wiki_spark.operators import postings as P
+from fuzzy_wiki_spark.operators.facets import (
+    adjacency_matrix,
+    composite_agg,
+    date_histogram,
+    filters_agg,
+    matrix_stats,
+    top_metrics,
+)
+
+TERMS = ["binary", "tree", "return"]
+FILTERS = {
+    "structs": ["binary", "tree"],
+    "flow": ["return"],
+    "other": ["graph", "binary"],
+}
+_TS = "date_add(date'2021-01-01', cast(doc_id % 400 as int))"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = generate_docs_df(spark, 250, seed=7).withColumnRenamed(
+        "content", "text"
+    )
+    posts = P.build_postings(
+        docs.withColumnRenamed("text", "content"),
+        fields={"content": "content"},
+        mode="simple",
+    ).persist()
+    posts.count()
+    pdf = docs.select("doc_id", "lang", "text").toPandas()
+    doc_terms = {r.doc_id: set(r.text.split()) for r in pdf.itertuples()}
+    match_ids = {d for d, ts in doc_terms.items() if ts & set(TERMS)}
+    return docs, posts, pdf, doc_terms, match_ids
+
+
+def test_date_histogram_matches_pandas(spark, corpus):
+    import pandas as pd
+
+    docs, posts, pdf, _, match_ids = corpus
+    got = {
+        r["bucket"].strftime("%Y-%m-%d"): r["n_docs"]
+        for r in date_histogram(
+            posts, docs, TERMS, value=F.expr(_TS), interval="month"
+        ).collect()
+    }
+    m = pdf[pdf["doc_id"].isin(match_ids)]
+    ts = pd.to_datetime("2021-01-01") + pd.to_timedelta(
+        m["doc_id"] % 400, unit="D"
+    )
+    want = ts.dt.to_period("M").dt.start_time.dt.strftime("%Y-%m-%d")
+    assert got == want.value_counts().to_dict()
+
+
+def test_filters_agg_matches_python(spark, corpus):
+    docs, posts, pdf, doc_terms, _ = corpus
+    got = {
+        r["filter"]: r["n_docs"]
+        for r in filters_agg(posts, FILTERS).collect()
+    }
+    want = {
+        name: sum(1 for ts in doc_terms.values() if ts & set(fts))
+        for name, fts in FILTERS.items()
+    }
+    assert got == {k: v for k, v in want.items() if v}
+
+
+def test_adjacency_matrix_matches_python(spark, corpus):
+    docs, posts, pdf, doc_terms, _ = corpus
+    got = {
+        (r["a"], r["b"]): r["n_docs"]
+        for r in adjacency_matrix(posts, FILTERS).collect()
+    }
+    sets = {
+        name: {d for d, ts in doc_terms.items() if ts & set(fts)}
+        for name, fts in FILTERS.items()
+    }
+    names = sorted(FILTERS)
+    want = {}
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            n = len(sets[a] & sets[b])
+            if n:
+                want[(a, b)] = n
+    assert got == want
+    # every key emitted once, a <= b (ES's "a&b" buckets)
+    assert all(a <= b for a, b in got)
+
+
+def test_composite_agg_paginates_the_full_bucket_space(spark, corpus):
+    docs, posts, pdf, _, match_ids = corpus
+    m = pdf[pdf["doc_id"].isin(match_ids)]
+    docs2 = docs.withColumn(
+        "grp", F.concat(F.lit("b"), (F.col("doc_id") % 3).cast("string"))
+    )
+    full = (
+        m.assign(grp=(m["doc_id"] % 3).map(lambda v: f"b{v}"))
+        .groupby(["lang", "grp"])
+        .size()
+    )
+    want_pages = sorted((k[0], k[1], int(v)) for k, v in full.items())
+    # walk the bucket space page by page, threading the after key
+    after, seen = None, []
+    while True:
+        page = composite_agg(
+            posts, docs2, TERMS, ["lang", "grp"], size=4, after=after
+        ).collect()
+        if not page:
+            break
+        keys = [(r["lang"], r["grp"]) for r in page]
+        assert keys == sorted(keys)  # key-ordered within the page
+        if after is not None:
+            assert all(k > after for k in keys)  # cursor excluded
+        seen += [(r["lang"], r["grp"], r["n_docs"]) for r in page]
+        after = keys[-1]
+    assert sorted(seen) == want_pages
+
+
+def test_top_metrics_matches_pandas_with_ties(spark, corpus):
+    docs, posts, pdf, _, match_ids = corpus
+    # a coarse sort key forces ties; max_by's struct order breaks them
+    # to the LARGEST doc_id, deterministically
+    docs2 = docs.withColumn("coarse", (F.length("text") / 100).cast("int"))
+    rows = top_metrics(
+        posts, docs2, TERMS, "lang", "coarse", ["doc_id", "coarse"]
+    ).collect()
+    m = pdf[pdf["doc_id"].isin(match_ids)].copy()
+    m["coarse"] = (m["text"].str.len() / 100).astype(int)
+    for r in rows:
+        grp = m[m["lang"] == r["lang"]]
+        best = grp.sort_values(["coarse", "doc_id"]).iloc[-1]
+        assert (r["doc_id"], r["coarse"]) == (
+            best["doc_id"],
+            best["coarse"],
+        ), r["lang"]
+    assert {r["lang"] for r in rows} == set(m["lang"])
+
+
+def test_matrix_stats_matches_numpy(spark, corpus):
+    docs, posts, pdf, _, match_ids = corpus
+    r = matrix_stats(
+        posts,
+        docs,
+        TERMS,
+        col_a=F.length("text"),
+        col_b=(F.col("doc_id") % 97).cast("long"),
+    ).collect()[0]
+    m = pdf[pdf["doc_id"].isin(match_ids)]
+    a = m["text"].str.len().to_numpy(dtype=np.float64)
+    b = (m["doc_id"] % 97).to_numpy(dtype=np.float64)
+    assert r["n_docs"] == len(a)
+    assert abs(r["mean_a"] - round(float(a.mean()), 6)) < 1e-6
+    assert abs(r["mean_b"] - round(float(b.mean()), 6)) < 1e-6
+    assert abs(r["var_a"] - float(a.var(ddof=1))) < 1e-4
+    assert abs(r["var_b"] - float(b.var(ddof=1))) < 1e-4
+    want_cov = float(np.cov(a, b, ddof=1)[0, 1])
+    assert abs(r["covar"] - want_cov) < 1e-4
+    want_corr = float(np.corrcoef(a, b)[0, 1])
+    assert abs(r["corr"] - want_corr) < 1e-6
+
+
+def test_segment_agg4_parity(spark, corpus, tmp_path):
+    """All six round-4 aggs serve identically from the compressed
+    segments (SegmentIndex twins) and from the relational postings."""
+    docs, posts, pdf, _, _ = corpus
+    idx = SegmentIndex.build(
+        spark,
+        docs.withColumnRenamed("text", "content"),
+        str(tmp_path / "seg"),
+        n_buckets=4,
+        mode="simple",
+    )
+    docs2 = docs.withColumn(
+        "grp", F.concat(F.lit("b"), (F.col("doc_id") % 3).cast("string"))
+    ).withColumn("coarse", (F.length("text") / 100).cast("int"))
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(
+        date_histogram(posts, docs, TERMS, F.expr(_TS), "month")
+    ) == rows(idx.date_histogram(TERMS, docs, F.expr(_TS), "month"))
+    assert rows(filters_agg(posts, FILTERS)) == rows(
+        idx.filters_agg(FILTERS)
+    )
+    assert rows(adjacency_matrix(posts, FILTERS)) == rows(
+        idx.adjacency_matrix(FILTERS)
+    )
+    assert rows(
+        composite_agg(
+            posts, docs2, TERMS, ["lang", "grp"], size=6, after=("en", "b0")
+        )
+    ) == rows(
+        idx.composite_agg(
+            TERMS, docs2, ["lang", "grp"], size=6, after=("en", "b0")
+        )
+    )
+    assert rows(
+        top_metrics(posts, docs2, TERMS, "lang", "coarse", ["doc_id"])
+    ) == rows(
+        idx.top_metrics(TERMS, docs2, "lang", "coarse", ["doc_id"])
+    )
+    assert rows(
+        matrix_stats(posts, docs, TERMS, F.length("text"), "doc_id")
+    ) == rows(idx.matrix_stats(TERMS, docs, F.length("text"), "doc_id"))
+
+
+def test_agg4_plan_shape(spark, corpus):
+    """date_histogram/filters/top_metrics/matrix_stats stay one
+    combinable agg (no window, no global sort); the filter mapping joins
+    as a broadcast; composite pages are TakeOrderedAndProject, never a
+    range-partitioned sort."""
+    docs, posts, _, _, _ = corpus
+    docs = docs.withColumn("n_chars", F.length("text"))
+    for df in (
+        date_histogram(posts, docs, TERMS, F.expr(_TS), "month"),
+        filters_agg(posts, FILTERS),
+        top_metrics(posts, docs, TERMS, "lang", "n_chars", ["doc_id"]),
+        matrix_stats(posts, docs, TERMS, "n_chars", "doc_id"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "rangepartitioning" not in plan.lower()
+        assert "partial" in plan.lower()
+    plan = (
+        filters_agg(posts, FILTERS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    plan = (
+        composite_agg(posts, docs, TERMS, ["lang", "repo"], size=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
