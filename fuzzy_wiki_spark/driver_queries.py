@@ -1312,6 +1312,126 @@ def q_seg_matrix_stats(spark, sf_dir):
     )
 
 
+def _month_buckets(spark, sf_dir):
+    """The shared parent aggregation for the pipeline-agg entries: the
+    monthly date_histogram over the match set (same derived timestamp as
+    the date_histogram entry)."""
+    from fuzzy_wiki_spark.operators.facets import date_histogram
+
+    return date_histogram(
+        _postings_simple(spark, sf_dir),
+        _docs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        value=F.expr(_DOC_TS),
+        interval="month",
+    )
+
+
+def _fmt_bucket(df):
+    return df.withColumn("bucket", F.date_format("bucket", "yyyy-MM-dd"))
+
+
+def q_pipe_deriv(spark, sf_dir):
+    """Parent pipeline aggs over the monthly histogram (operators/
+    pipeline_aggs.py derivative + cumulative_sum — the ES `derivative`
+    and `cumulative_sum` pipelines): month-over-month delta and running
+    total of the match counts. The window runs over the BUCKET frame
+    (calendar-bounded), never the corpus."""
+    from fuzzy_wiki_spark.operators.pipeline_aggs import (
+        cumulative_sum,
+        derivative,
+    )
+
+    b = cumulative_sum(derivative(_month_buckets(spark, sf_dir)))
+    return _fmt_bucket(b).select("bucket", "n_docs", "deriv", "cum_sum")
+
+
+def q_seg_pipe_deriv(spark, sf_dir):
+    """The same pipeline over the SEGMENT serving path's histogram
+    (engine.py SegmentIndex.date_histogram → pipeline_aggs) — pipeline
+    aggs are engine-independent bucket transforms, and this entry pins
+    that the serving-path parent feeds them identically. Oracle =
+    ORACLE_SQL["pipe_deriv"] verbatim."""
+    from fuzzy_wiki_spark.operators.pipeline_aggs import (
+        cumulative_sum,
+        derivative,
+    )
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_segpd_")
+    b = idx.date_histogram(
+        BM25_QUERY_TERMS,
+        _docs(spark, sf_dir),
+        value=F.expr(_DOC_TS),
+        interval="month",
+    )
+    b = cumulative_sum(derivative(b))
+    return _fmt_bucket(b).select("bucket", "n_docs", "deriv", "cum_sum")
+
+
+def q_pipe_moving(spark, sf_dir):
+    """ES `moving_fn` (unweighted avg, trailing window of 3 buckets
+    including the current) and `serial_diff` (lag 2) over the monthly
+    histogram (operators/pipeline_aggs.py moving_fn / serial_diff)."""
+    from fuzzy_wiki_spark.operators.pipeline_aggs import (
+        moving_fn,
+        serial_diff,
+    )
+
+    b = serial_diff(
+        moving_fn(_month_buckets(spark, sf_dir), window=3, out_col="mov_avg"),
+        lag=2,
+    )
+    return _fmt_bucket(b).select("bucket", "n_docs", "mov_avg", "sdiff")
+
+
+def q_bucket_stats(spark, sf_dir):
+    """ES sibling `stats_bucket` over the monthly histogram (operators/
+    pipeline_aggs.py stats_bucket): one row of bucket-count/min/max/
+    avg/sum of the per-month match counts."""
+    from fuzzy_wiki_spark.operators.pipeline_aggs import stats_bucket
+
+    return stats_bucket(_month_buckets(spark, sf_dir)).select(
+        "n_buckets", "min_v", "max_v", "avg_v", "sum_v"
+    )
+
+
+def q_extreme_buckets(spark, sf_dir):
+    """ES sibling `max_bucket` + `min_bucket` over the monthly histogram
+    (operators/pipeline_aggs.py extreme_buckets): every bucket attaining
+    the max ('max' rows) and the min ('min' rows) — ALL tied keys, as ES
+    returns, so no tie-break is needed."""
+    from fuzzy_wiki_spark.operators.pipeline_aggs import extreme_buckets
+
+    b = extreme_buckets(_month_buckets(spark, sf_dir))
+    return b.withColumn(
+        "bucket", F.date_format("bucket", "yyyy-MM-dd")
+    ).select("kind", "bucket", "value")
+
+
+def q_bucket_select(spark, sf_dir):
+    """ES `bucket_script` + `bucket_selector` over the monthly histogram
+    (operators/pipeline_aggs.py bucket_script / bucket_selector): a
+    computed per-bucket daily rate (count / days in that month), then
+    only buckets with at least 25 matches survive."""
+    from fuzzy_wiki_spark.operators.pipeline_aggs import (
+        bucket_script,
+        bucket_selector,
+    )
+
+    b = bucket_script(
+        _month_buckets(spark, sf_dir),
+        {
+            "rate": F.round(
+                F.col("n_docs")
+                / F.dayofmonth(F.last_day("bucket")).cast("double"),
+                6,
+            )
+        },
+    )
+    b = bucket_selector(b, F.col("n_docs") >= 25)
+    return _fmt_bucket(b).select("bucket", "n_docs", "rate")
+
+
 def q_snippets(spark, sf_dir):
     """Highlighted snippets for the BM25 top-10: best 10-token window per
     hit by (distinct query terms, matched tokens, earliest), matches
@@ -2767,6 +2887,72 @@ ORACLE_SQL: dict[str, str] = {
            OR (lang = '{_COMPOSITE_AFTER[0]}'
                AND source > '{_COMPOSITE_AFTER[1]}')
         ORDER BY lang, source LIMIT 8
+    """,
+    "pipe_deriv": f"""
+        WITH tf AS ({_TF}),
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+        b AS (SELECT date_trunc('month',
+                       DATE '2021-01-01' + (doc_id % 1000)::INT) AS bk,
+                     count(*)::BIGINT AS n_docs
+              FROM m GROUP BY bk)
+        SELECT strftime(bk, '%Y-%m-%d') AS bucket, n_docs,
+               (n_docs - lag(n_docs) OVER (ORDER BY bk))::BIGINT AS deriv,
+               (sum(n_docs) OVER (ORDER BY bk
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               )::BIGINT AS cum_sum
+        FROM b
+    """,
+    "pipe_moving": f"""
+        WITH tf AS ({_TF}),
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+        b AS (SELECT date_trunc('month',
+                       DATE '2021-01-01' + (doc_id % 1000)::INT) AS bk,
+                     count(*)::BIGINT AS n_docs
+              FROM m GROUP BY bk)
+        SELECT strftime(bk, '%Y-%m-%d') AS bucket, n_docs,
+               round(avg(n_docs) OVER (ORDER BY bk
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg,
+               (n_docs - lag(n_docs, 2) OVER (ORDER BY bk))::BIGINT AS sdiff
+        FROM b
+    """,
+    "bucket_stats": f"""
+        WITH tf AS ({_TF}),
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+        b AS (SELECT date_trunc('month',
+                       DATE '2021-01-01' + (doc_id % 1000)::INT) AS bk,
+                     count(*)::BIGINT AS n_docs
+              FROM m GROUP BY bk)
+        SELECT count(*)::BIGINT AS n_buckets,
+               min(n_docs)::BIGINT AS min_v, max(n_docs)::BIGINT AS max_v,
+               round(avg(n_docs), 6) AS avg_v, sum(n_docs)::BIGINT AS sum_v
+        FROM b
+    """,
+    "extreme_buckets": f"""
+        WITH tf AS ({_TF}),
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+        b AS (SELECT date_trunc('month',
+                       DATE '2021-01-01' + (doc_id % 1000)::INT) AS bk,
+                     count(*)::BIGINT AS n_docs
+              FROM m GROUP BY bk),
+        ext AS (SELECT max(n_docs) AS mx, min(n_docs) AS mn FROM b)
+        SELECT 'max' AS kind, strftime(bk, '%Y-%m-%d') AS bucket,
+               n_docs::BIGINT AS value
+        FROM b, ext WHERE n_docs = mx
+        UNION ALL
+        SELECT 'min', strftime(bk, '%Y-%m-%d'), n_docs::BIGINT
+        FROM b, ext WHERE n_docs = mn
+    """,
+    "bucket_select": f"""
+        WITH tf AS ({_TF}),
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+        b AS (SELECT date_trunc('month',
+                       DATE '2021-01-01' + (doc_id % 1000)::INT) AS bk,
+                     count(*)::BIGINT AS n_docs
+              FROM m GROUP BY bk)
+        SELECT strftime(bk, '%Y-%m-%d') AS bucket, n_docs,
+               round(n_docs / date_part('day', last_day(bk))::DOUBLE, 6)
+                 AS rate
+        FROM b WHERE n_docs >= 25
     """,
     "top_metrics": f"""
         WITH tf AS ({_TF}),
@@ -4838,6 +5024,12 @@ QUERIES = {
     "composite_agg": q_composite_agg,
     "top_metrics": q_top_metrics,
     "matrix_stats": q_matrix_stats,
+    "pipe_deriv": q_pipe_deriv,
+    "pipe_moving": q_pipe_moving,
+    "bucket_stats": q_bucket_stats,
+    "extreme_buckets": q_extreme_buckets,
+    "bucket_select": q_bucket_select,
+    "seg_pipe_deriv": q_seg_pipe_deriv,
     "seg_date_histogram": q_seg_date_histogram,
     "seg_filters": q_seg_filters,
     "seg_adjacency": q_seg_adjacency,
@@ -4998,6 +5190,7 @@ ORACLE_SQL["seg_adjacency"] = ORACLE_SQL["adjacency_matrix"]
 ORACLE_SQL["seg_composite"] = ORACLE_SQL["composite_agg"]
 ORACLE_SQL["seg_top_metrics"] = ORACLE_SQL["top_metrics"]
 ORACLE_SQL["seg_matrix_stats"] = ORACLE_SQL["matrix_stats"]
+ORACLE_SQL["seg_pipe_deriv"] = ORACLE_SQL["pipe_deriv"]
 ORACLE_SQL["seg_facet_topk"] = ORACLE_SQL["facet_topk"]
 ORACLE_SQL["seg_snippets"] = ORACLE_SQL["snippets"]
 ORACLE_SQL["seg_synonym"] = ORACLE_SQL["synonym_search"]

@@ -1,0 +1,152 @@
+"""Pipeline aggregations: Elasticsearch's second aggregation class —
+transforms over the OUTPUT buckets of a parent aggregation rather than
+over documents (ES parent pipelines `derivative` / `cumulative_sum` /
+`moving_fn` / `serial_diff` / `bucket_script` / `bucket_selector`, and
+sibling pipelines `stats_bucket` / `max_bucket` / `min_bucket`).
+
+All of these consume a bucket frame (typically `facets.date_histogram`
+output: one row per calendar bucket) — NOT the corpus. That distinction
+is the whole scale story: a date_histogram over a decade of hourly
+buckets is ~90k rows no matter whether the corpus is 60k documents or
+10^12, because the bucket count is bounded by the calendar range the
+query asked for, never by the data. ES makes the same bet — pipeline
+aggs run on the coordinating node over the reduced bucket list. So the
+ordered windows below (`Window.orderBy(bucket)`, a single-partition
+sort) are correct AND scale-safe here, unlike a window over a
+corpus-derived grouping (cf. the grouped_topk fix in collapse.py, where
+group count grows with the data and an unpartitioned window was a real
+bottleneck). The expensive part — reducing 10^12 docs to buckets — is
+the parent aggregation's combinable groupBy, which already scales.
+
+Reference parity: the reference engine has no aggregation layer at all
+(its WikiSearcher returns flat top-k; reference/src/search/*.java) —
+this module is part of the beyond-reference serving surface SURVEY.md
+§2 tracks, shaped after the public Elasticsearch pipeline-agg API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _w(bucket_col: str) -> Window:
+    return Window.orderBy(bucket_col)
+
+
+def derivative(
+    buckets: DataFrame,
+    value_col: str = "n_docs",
+    bucket_col: str = "bucket",
+    out_col: str = "deriv",
+) -> DataFrame:
+    """ES `derivative`: bucket-to-bucket delta of a metric, in bucket-key
+    order. The first bucket's derivative is null (ES omits it)."""
+    return buckets.withColumn(
+        out_col, F.col(value_col) - F.lag(value_col).over(_w(bucket_col))
+    )
+
+
+def cumulative_sum(
+    buckets: DataFrame,
+    value_col: str = "n_docs",
+    bucket_col: str = "bucket",
+    out_col: str = "cum_sum",
+) -> DataFrame:
+    """ES `cumulative_sum`: running total of a metric in bucket-key
+    order (never null; the first bucket's value is its own)."""
+    w = _w(bucket_col).rowsBetween(Window.unboundedPreceding, 0)
+    return buckets.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def moving_fn(
+    buckets: DataFrame,
+    value_col: str = "n_docs",
+    window: int = 3,
+    fn: str = "avg",
+    bucket_col: str = "bucket",
+    out_col: str = "moving",
+) -> DataFrame:
+    """ES `moving_fn` (MovingFunctions.unweightedAvg/max/min/sum) over a
+    trailing window of `window` buckets INCLUDING the current one (ES
+    shift=1 semantics). Shorter prefixes aggregate what exists, like
+    ES's unweightedAvg over the partial window."""
+    agg = {"avg": F.avg, "max": F.max, "min": F.min, "sum": F.sum}[fn]
+    w = _w(bucket_col).rowsBetween(-(window - 1), 0)
+    out = agg(value_col).over(w)
+    if fn == "avg":
+        out = F.round(out, 6)
+    return buckets.withColumn(out_col, out)
+
+
+def serial_diff(
+    buckets: DataFrame,
+    lag: int = 1,
+    value_col: str = "n_docs",
+    bucket_col: str = "bucket",
+    out_col: str = "sdiff",
+) -> DataFrame:
+    """ES `serial_diff`: value minus the value `lag` buckets earlier
+    (lag=1 is the derivative; higher lags de-season periodic series).
+    The first `lag` buckets are null, as in ES."""
+    return buckets.withColumn(
+        out_col, F.col(value_col) - F.lag(value_col, lag).over(_w(bucket_col))
+    )
+
+
+def bucket_script(buckets: DataFrame, exprs: dict) -> DataFrame:
+    """ES `bucket_script`: per-bucket computed metrics from the bucket's
+    own values — pure Column projections, zero extra passes."""
+    out = buckets
+    for name, col in exprs.items():
+        out = out.withColumn(name, col)
+    return out
+
+
+def bucket_selector(buckets: DataFrame, condition) -> DataFrame:
+    """ES `bucket_selector`: keep only buckets satisfying a predicate
+    over their metrics — a plain filter on the bucket frame."""
+    return buckets.where(condition)
+
+
+def stats_bucket(
+    buckets: DataFrame, value_col: str = "n_docs"
+) -> DataFrame:
+    """ES sibling `stats_bucket`: one row of count/min/max/avg/sum over
+    a sibling aggregation's metric across all its buckets."""
+    return buckets.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+        F.round(F.avg(value_col), 6).alias("avg_v"),
+        F.sum(value_col).alias("sum_v"),
+    )
+
+
+def extreme_buckets(
+    buckets: DataFrame,
+    value_col: str = "n_docs",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """ES sibling `max_bucket` + `min_bucket` in one frame: (kind, bucket,
+    value) rows for every bucket attaining the maximum ('max' rows) and
+    the minimum ('min' rows) of the metric — ES returns ALL tied keys,
+    so no tie-break is needed and the result is deterministic for any
+    bucket type. The 1-row extremes frame broadcast-joins back against
+    the bucket frame (two combinable aggs + one broadcast join)."""
+    ext = buckets.agg(
+        F.max(value_col).alias("_mx"), F.min(value_col).alias("_mn")
+    )
+    joined = buckets.crossJoin(F.broadcast(ext))
+
+    def _side(kind: str, bound: str) -> DataFrame:
+        return joined.where(F.col(value_col) == F.col(bound)).select(
+            F.lit(kind).alias("kind"),
+            F.col(bucket_col),
+            F.col(value_col).alias("value"),
+        )
+
+    # two sides unioned (not a when-chain) so a constant series reports
+    # its buckets under BOTH kinds, exactly as ES max_bucket+min_bucket do
+    return _side("max", "_mx").unionAll(_side("min", "_mn"))

@@ -1,0 +1,138 @@
+"""Pipeline aggregations (operators/pipeline_aggs.py): pandas-mirror
+correctness over a real date_histogram bucket frame, ES edge semantics
+(null first derivative, partial moving windows, all tied extreme keys),
+and the scale contract (windows run over the calendar-bounded bucket
+frame, not the corpus)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.corpus import generate_docs_df
+from fuzzy_wiki_spark.operators import postings as P
+from fuzzy_wiki_spark.operators.facets import date_histogram
+from fuzzy_wiki_spark.operators.pipeline_aggs import (
+    bucket_script,
+    bucket_selector,
+    cumulative_sum,
+    derivative,
+    extreme_buckets,
+    moving_fn,
+    serial_diff,
+    stats_bucket,
+)
+
+TERMS = ["binary", "tree", "return"]
+_TS = "date_add(date'2021-01-01', cast(doc_id % 300 as int))"
+
+
+@pytest.fixture(scope="module")
+def buckets(spark):
+    docs = generate_docs_df(spark, 250, seed=7).withColumnRenamed(
+        "content", "text"
+    )
+    posts = P.build_postings(
+        docs.withColumnRenamed("text", "content"),
+        fields={"content": "content"},
+        mode="simple",
+    )
+    b = date_histogram(
+        posts, docs, TERMS, value=F.expr(_TS), interval="month"
+    ).persist()
+    pdf = (
+        b.toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert len(pdf) >= 8  # a real multi-bucket series
+    return b, pdf
+
+
+def test_derivative_and_cumsum_match_pandas(spark, buckets):
+    b, pdf = buckets
+    got = (
+        cumulative_sum(derivative(b))
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert got["deriv"].iloc[0] is None or pd.isna(got["deriv"].iloc[0])
+    want_d = pdf["n_docs"].diff()
+    assert got["deriv"].astype("float64").equals(want_d)
+    assert (got["cum_sum"] == pdf["n_docs"].cumsum()).all()
+
+
+def test_moving_fn_matches_pandas(spark, buckets):
+    b, pdf = buckets
+    got = (
+        moving_fn(b, window=3, fn="avg", out_col="mv")
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    want = pdf["n_docs"].rolling(3, min_periods=1).mean().round(6)
+    assert (got["mv"] - want).abs().max() < 1e-9
+    for fn, roll in (("max", "max"), ("min", "min"), ("sum", "sum")):
+        got = (
+            moving_fn(b, window=4, fn=fn, out_col="mv")
+            .toPandas()
+            .sort_values("bucket")
+            .reset_index(drop=True)
+        )
+        want = getattr(pdf["n_docs"].rolling(4, min_periods=1), roll)()
+        assert (got["mv"].astype("float64") == want).all(), fn
+
+
+def test_serial_diff_matches_pandas(spark, buckets):
+    b, pdf = buckets
+    got = (
+        serial_diff(b, lag=2)
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    want = pdf["n_docs"].diff(2)
+    assert got["sdiff"].astype("float64").equals(want)
+    assert got["sdiff"].isna().sum() == 2  # first `lag` buckets null
+
+
+def test_bucket_script_and_selector(spark, buckets):
+    b, pdf = buckets
+    out = bucket_selector(
+        bucket_script(b, {"dbl": F.col("n_docs") * 2}),
+        F.col("n_docs") > int(pdf["n_docs"].median()),
+    ).toPandas()
+    want = pdf[pdf["n_docs"] > int(pdf["n_docs"].median())]
+    assert len(out) == len(want)
+    assert (out["dbl"] == out["n_docs"] * 2).all()
+
+
+def test_stats_and_extreme_buckets(spark, buckets):
+    b, pdf = buckets
+    r = stats_bucket(b).collect()[0]
+    assert r["n_buckets"] == len(pdf)
+    assert r["min_v"] == pdf["n_docs"].min()
+    assert r["max_v"] == pdf["n_docs"].max()
+    assert r["sum_v"] == pdf["n_docs"].sum()
+    assert abs(r["avg_v"] - round(pdf["n_docs"].mean(), 6)) < 1e-9
+    rows = extreme_buckets(b).collect()
+    mx, mn = pdf["n_docs"].max(), pdf["n_docs"].min()
+    want_max = set(pdf[pdf["n_docs"] == mx]["bucket"])
+    want_min = set(pdf[pdf["n_docs"] == mn]["bucket"])
+    assert {r["bucket"] for r in rows if r["kind"] == "max"} == want_max
+    assert {r["bucket"] for r in rows if r["kind"] == "min"} == want_min
+    assert all(
+        r["value"] == (mx if r["kind"] == "max" else mn) for r in rows
+    )
+
+
+def test_constant_series_reports_both_kinds(spark):
+    """A flat series: every bucket is BOTH the max and the min — ES
+    max_bucket/min_bucket each return all keys; the union shape must
+    emit each bucket under both kinds."""
+    b = spark.createDataFrame(
+        [(i, 5) for i in range(4)], "bucket int, n_docs int"
+    )
+    rows = extreme_buckets(b).collect()
+    assert len(rows) == 8
+    assert {r["kind"] for r in rows} == {"max", "min"}
