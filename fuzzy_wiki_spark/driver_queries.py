@@ -1432,6 +1432,96 @@ def q_bucket_select(spark, sf_dir):
     return _fmt_bucket(b).select("bucket", "n_docs", "rate")
 
 
+# function_score decay anchor: "now" for the recency decay is the newest
+# derived doc date (2021-01-01 + 999 days); scale = 2 years of days.
+_FS_ORIGIN = "2023-09-26"
+_FS_SCALE = 730.0
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+vector retrieval fused by reciprocal-rank fusion
+    (operators/hybrid.py rank_topn/rrf_fuse — the ES `rrf` retriever,
+    k=60): BM25 top-50 for the skeleton query and brute-cosine top-50
+    vs the vec_id=0 embedding (the synthetic embeddings key 1:1 to
+    doc_ids), each ranked on its own engine's order, fused by
+    sum 1/(60+rank), top-10. Rank windows only ever see the 50-row
+    cut frames; fusion is one combinable groupBy-sum."""
+    from fuzzy_wiki_spark.operators.hybrid import rank_topn, rrf_fuse
+
+    lex = rank_topn(_skeleton_full_scores(spark, sf_dir), "score", 50)
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    cos = SIM.cosine_topk(emb, list(qvec), k=50, exclude_ids=[0]).select(
+        F.col("vec_id").alias("doc_id"), "cos_sim"
+    )
+    vec = rank_topn(cos, "cos_sim", 50)
+    return rrf_fuse([lex, vec], k=60, topk=10)
+
+
+def q_seg_hybrid(spark, sf_dir):
+    """Hybrid RRF with the lexical list served from the SEGMENT path
+    (engine.py SegmentIndex via _seg_skeleton_full_scores) — fusion is
+    engine-independent, and the serving path must feed it identically.
+    Oracle = ORACLE_SQL["hybrid_rrf"] verbatim."""
+    from fuzzy_wiki_spark.operators.hybrid import rank_topn, rrf_fuse
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_seghy_")
+    lex = rank_topn(_seg_skeleton_full_scores(spark, idx), "score", 50)
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    cos = SIM.cosine_topk(emb, list(qvec), k=50, exclude_ids=[0]).select(
+        F.col("vec_id").alias("doc_id"), "cos_sim"
+    )
+    vec = rank_topn(cos, "cos_sim", 50)
+    return rrf_fuse([lex, vec], k=60, topk=10)
+
+
+def _fs_factors():
+    from fuzzy_wiki_spark.operators.scoring import (
+        decay_linear,
+        field_value_factor,
+    )
+
+    age = F.datediff(
+        F.lit(_FS_ORIGIN).cast("date"), F.expr(_DOC_TS)
+    ).cast("double")
+    return [
+        field_value_factor("n_chars", "ln1p"),
+        decay_linear(age, _FS_SCALE),
+    ]
+
+
+def q_function_score(spark, sf_dir):
+    """ES function_score over the BM25 skeleton hits (operators/
+    scoring.py function_score): relevance × ln1p(file size) × linear
+    recency decay (2-year scale against the newest derived doc date),
+    top-10 by the shaped score rounded to 6 dp before ranking."""
+    from fuzzy_wiki_spark.operators.scoring import function_score
+
+    return function_score(
+        _skeleton_full_scores(spark, sf_dir),
+        _docs(spark, sf_dir),
+        factors=_fs_factors(),
+        doc_cols=["n_chars"],
+        k=10,
+    )
+
+
+def q_seg_function_score(spark, sf_dir):
+    """function_score with the first-pass scores served from the SEGMENT
+    path. Oracle = ORACLE_SQL["function_score"] verbatim."""
+    from fuzzy_wiki_spark.operators.scoring import function_score
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_segfn_")
+    return function_score(
+        _seg_skeleton_full_scores(spark, idx),
+        _docs(spark, sf_dir),
+        factors=_fs_factors(),
+        doc_cols=["n_chars"],
+        k=10,
+    )
+
+
 def q_snippets(spark, sf_dir):
     """Highlighted snippets for the BM25 top-10: best 10-token window per
     hit by (distinct query terms, matched tokens, earliest), matches
@@ -2953,6 +3043,64 @@ ORACLE_SQL: dict[str, str] = {
                round(n_docs / date_part('day', last_day(bk))::DOUBLE, 6)
                  AS rate
         FROM b WHERE n_docs >= 25
+    """,
+    "hybrid_rrf": f"""
+        WITH tf AS ({_TF}), dl AS ({_DL}),
+        st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+        dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                WHERE term IN {_QTERMS} GROUP BY term),
+        sc AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+                      * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ) AS s
+          FROM tf JOIN dfq ON tf.term = dfq.term
+               JOIN dl USING(doc_id) CROSS JOIN st
+          WHERE tf.term IN {_QTERMS}
+          GROUP BY tf.doc_id),
+        lr AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS r
+               FROM sc ORDER BY round(s, 6) DESC, doc_id LIMIT 50),
+        q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+              FROM embeddings WHERE vec_id = 0),
+        vs AS (SELECT vec_id,
+                      list_dot_product(list_transform(embedding, x -> x::DOUBLE), qe)
+                      / (sqrt(list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+                                               list_transform(embedding, x -> x::DOUBLE)))
+                         * sqrt(list_dot_product(qe, qe))) AS cos
+               FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+        vr AS (SELECT vec_id AS doc_id,
+                      row_number() OVER (ORDER BY cos DESC, vec_id) AS r
+               FROM vs ORDER BY cos DESC, vec_id LIMIT 50),
+        u AS (SELECT doc_id, 1.0/(60 + r) AS c FROM lr
+              UNION ALL
+              SELECT doc_id, 1.0/(60 + r) FROM vr)
+        SELECT doc_id, round(sum(c), 6) AS rrf_score
+        FROM u GROUP BY doc_id
+        ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+    "function_score": f"""
+        WITH tf AS ({_TF}), dl AS ({_DL}),
+        st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+        dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                WHERE term IN {_QTERMS} GROUP BY term),
+        sc AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+                      * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ) AS s
+          FROM tf JOIN dfq ON tf.term = dfq.term
+               JOIN dl USING(doc_id) CROSS JOIN st
+          WHERE tf.term IN {_QTERMS}
+          GROUP BY tf.doc_id),
+        j AS (SELECT sc.doc_id, round(sc.s, 6) AS score,
+                     ln(1 + d.n_chars::DOUBLE * 1.0) AS fvf,
+                     greatest(0.0, ({_FS_SCALE} - greatest(0.0,
+                        date_diff('day',
+                          DATE '2021-01-01' + (d.doc_id % 1000)::INT,
+                          DATE '{_FS_ORIGIN}')::DOUBLE - 0.0))
+                        / {_FS_SCALE}) AS dec
+              FROM sc JOIN documents d USING(doc_id))
+        SELECT doc_id, score, round(score * (fvf * dec), 6) AS final
+        FROM j ORDER BY final DESC, doc_id LIMIT 10
     """,
     "top_metrics": f"""
         WITH tf AS ({_TF}),
@@ -5024,6 +5172,10 @@ QUERIES = {
     "composite_agg": q_composite_agg,
     "top_metrics": q_top_metrics,
     "matrix_stats": q_matrix_stats,
+    "hybrid_rrf": q_hybrid_rrf,
+    "seg_hybrid": q_seg_hybrid,
+    "function_score": q_function_score,
+    "seg_function_score": q_seg_function_score,
     "pipe_deriv": q_pipe_deriv,
     "pipe_moving": q_pipe_moving,
     "bucket_stats": q_bucket_stats,
@@ -5191,6 +5343,8 @@ ORACLE_SQL["seg_composite"] = ORACLE_SQL["composite_agg"]
 ORACLE_SQL["seg_top_metrics"] = ORACLE_SQL["top_metrics"]
 ORACLE_SQL["seg_matrix_stats"] = ORACLE_SQL["matrix_stats"]
 ORACLE_SQL["seg_pipe_deriv"] = ORACLE_SQL["pipe_deriv"]
+ORACLE_SQL["seg_hybrid"] = ORACLE_SQL["hybrid_rrf"]
+ORACLE_SQL["seg_function_score"] = ORACLE_SQL["function_score"]
 ORACLE_SQL["seg_facet_topk"] = ORACLE_SQL["facet_topk"]
 ORACLE_SQL["seg_snippets"] = ORACLE_SQL["snippets"]
 ORACLE_SQL["seg_synonym"] = ORACLE_SQL["synonym_search"]

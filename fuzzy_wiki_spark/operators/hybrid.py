@@ -1,0 +1,73 @@
+"""Hybrid retrieval: reciprocal-rank fusion (RRF) of independent ranked
+lists — the modern lexical+vector search page (Elasticsearch/OpenSearch
+`rrf` retriever, Cormack & Clarke SIGIR'09: score(d) = Σ 1/(k + rank_i(d))
+over the systems that returned d, k=60 by default).
+
+Scale shape: each input system produces its own top-n the scalable way
+(BM25 via the WAND/segment paths, vectors via the IVF/PQ ladder — both
+partial top-k, TakeOrderedAndProject finishes). Fusion then touches only
+n-sized lists: ranks are assigned by a window over an ALREADY-LIMITED
+n-row frame (never the corpus), contributions union into one combinable
+groupBy-sum keyed by doc, and the final cut is again orderBy+limit. At
+10^12 docs the fusion stage is O(systems × n) regardless of corpus size.
+
+Reference parity: the reference engine is lexical-only (BM25 top-k,
+reference/src/search/WikiSearcher.java) — hybrid fusion is part of the
+beyond-reference serving surface, shaped after the public ES rrf API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def rank_topn(
+    df: DataFrame,
+    score_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """(id, rank 1..n): the top n rows by (score desc, id asc), ranked.
+
+    The limit runs FIRST (TakeOrderedAndProject — partial per-partition
+    top-n, no global sort), so the row_number window only ever sees n
+    rows. Rank on a ROUNDED score upstream if two engines must agree on
+    near-tie order."""
+    cut = df.orderBy(F.desc(score_col), F.asc(id_col)).limit(n)
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    return cut.select(
+        F.col(id_col), F.row_number().over(w).alias(rank_col)
+    )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 60,
+    topk: int = 10,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Fuse ranked lists by reciprocal-rank fusion: (id, rrf_score),
+    top `topk` by (rrf desc, id asc). A doc absent from a list simply
+    contributes nothing (ES rrf semantics) — no outer joins: each list
+    unions its 1/(k+rank) contributions and one combinable groupBy-sum
+    fuses them."""
+    contribs = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))).alias("_c"),
+        )
+        for r in ranked
+    ]
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionAll(c)
+    return (
+        allc.groupBy(id_col)
+        .agg(F.round(F.sum("_c"), 6).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(topk)
+    )

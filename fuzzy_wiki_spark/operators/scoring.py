@@ -1,0 +1,97 @@
+"""Score shaping: the Elasticsearch `function_score` query — combine a
+query's relevance score with document-signal functions
+(field_value_factor, decay functions, weights) to re-rank hits by
+business signals: boost bigger/better/fresher documents.
+
+Every function is a pure Column expression over the scored frame joined
+to the doc metadata it reads — no Python, no extra shuffle beyond the
+one doc-metadata equi-join, and the final cut is orderBy+limit
+(TakeOrderedAndProject). Scale: the scored frame is the search path's
+output (already corpus-pruned by WAND/term predicates); joining k-ish
+candidates to the docs table broadcasts the candidate side under AQE.
+
+Reference parity: the reference scores BM25 only
+(reference/src/search/WikiSearcher.java); function_score is part of the
+beyond-reference serving surface, shaped after the public ES API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def field_value_factor(
+    col, modifier: str = "log1p", factor: float = 1.0
+) -> Column:
+    """ES field_value_factor: a per-doc multiplier from a numeric field.
+    Modifiers mirror ES: none/log1p/ln1p/sqrt/square/reciprocal."""
+    v = (F.col(col) if isinstance(col, str) else col).cast(
+        "double"
+    ) * F.lit(float(factor))
+    return {
+        "none": lambda: v,
+        "log1p": lambda: F.log(10.0, F.lit(1.0) + v),
+        "ln1p": lambda: F.log(F.lit(1.0) + v),
+        "sqrt": lambda: F.sqrt(v),
+        "square": lambda: v * v,
+        "reciprocal": lambda: F.lit(1.0) / v,
+    }[modifier]()
+
+
+def decay_linear(dist: Column, scale: float, offset: float = 0.0) -> Column:
+    """ES linear decay over a distance (days, meters, …):
+    max(0, (scale - max(0, dist - offset)) / scale)."""
+    d = F.greatest(F.lit(0.0), dist.cast("double") - F.lit(float(offset)))
+    return F.greatest(
+        F.lit(0.0), (F.lit(float(scale)) - d) / F.lit(float(scale))
+    )
+
+
+def decay_gauss(
+    dist: Column, scale: float, decay: float = 0.5, offset: float = 0.0
+) -> Column:
+    """ES gauss decay: exp(-d'^2 / (2 sigma^2)) with sigma^2 =
+    -scale^2 / (2 ln(decay)), d' = max(0, dist - offset)."""
+    import math
+
+    sigma2 = -(float(scale) ** 2) / (2.0 * math.log(float(decay)))
+    d = F.greatest(F.lit(0.0), dist.cast("double") - F.lit(float(offset)))
+    return F.exp(-(d * d) / F.lit(2.0 * sigma2))
+
+
+def function_score(
+    scored: DataFrame,
+    docs: DataFrame,
+    factors: list,
+    doc_cols: list[str],
+    k: int = 10,
+    boost_mode: str = "multiply",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Apply function factors to a scored frame and return the top k by
+    the shaped score: (id, score, final). `factors` are Column
+    expressions over the scored-joined-docs frame (build them with
+    field_value_factor / decay_*); `doc_cols` lists the doc columns they
+    read (pruned to exactly those). boost_mode multiply/sum mirrors ES;
+    multiple factors combine by product (ES score_mode=multiply).
+
+    The shaped score is rounded to 6 dp BEFORE ranking so rank order is
+    reproducible across engines and partitionings."""
+    fs = factors[0]
+    for f in factors[1:]:
+        fs = fs * f
+    joined = scored.join(docs.select(id_col, *doc_cols), id_col)
+    final = (
+        F.col(score_col) * fs
+        if boost_mode == "multiply"
+        else F.col(score_col) + fs
+    )
+    return (
+        joined.select(
+            id_col, score_col, F.round(final, 6).alias("final")
+        )
+        .orderBy(F.desc("final"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,162 @@
+"""Hybrid RRF fusion (operators/hybrid.py) and function_score shaping
+(operators/scoring.py): python-mirror correctness, ES decay contracts
+(multiplier = decay at distance scale), tie determinism, and plan shape
+(rank windows over limited frames, TakeOrderedAndProject finishes)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.operators.hybrid import rank_topn, rrf_fuse
+from fuzzy_wiki_spark.operators.scoring import (
+    decay_gauss,
+    decay_linear,
+    field_value_factor,
+    function_score,
+)
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    # deterministic scores with a deliberate tie at the top
+    rows = [(i, float(100 - (i // 2))) for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+def test_rank_topn_breaks_ties_by_id(spark, scored):
+    got = rank_topn(scored, "score", 6).collect()
+    # pairs (0,1), (2,3), ... share a score; lower id ranks first
+    assert [(r["doc_id"], r["rank"]) for r in got] == [
+        (0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6)
+    ]
+
+
+def test_rrf_fuse_matches_python(spark):
+    lex = spark.createDataFrame(
+        [(d, r) for r, d in enumerate([10, 11, 12, 13], 1)],
+        "doc_id long, rank int",
+    )
+    vec = spark.createDataFrame(
+        [(d, r) for r, d in enumerate([12, 10, 99], 1)],
+        "doc_id long, rank int",
+    )
+    got = {
+        r["doc_id"]: r["rrf_score"]
+        for r in rrf_fuse([lex, vec], k=60, topk=10).collect()
+    }
+    lexr = {10: 1, 11: 2, 12: 3, 13: 4}
+    vecr = {12: 1, 10: 2, 99: 3}
+    want = {
+        d: round(
+            (1.0 / (60 + lexr[d]) if d in lexr else 0.0)
+            + (1.0 / (60 + vecr[d]) if d in vecr else 0.0),
+            6,
+        )
+        for d in set(lexr) | set(vecr)
+    }
+    assert got == want
+    # both-list docs beat single-list docs at comparable ranks
+    assert got[10] > got[11] and got[12] > got[13]
+
+
+def test_rrf_topk_cut_is_deterministic(spark):
+    # many docs with identical fused scores: the cut keeps lowest ids
+    only = spark.createDataFrame(
+        [(d, 1) for d in range(100)], "doc_id long, rank int"
+    )
+    got = [r["doc_id"] for r in rrf_fuse([only], topk=5).collect()]
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_field_value_factor_modifiers(spark):
+    df = spark.createDataFrame([(1, 99.0)], "doc_id long, v double")
+    exprs = {
+        "none": 99.0,
+        "log1p": math.log10(100.0),
+        "ln1p": math.log(100.0),
+        "sqrt": math.sqrt(99.0),
+        "square": 99.0 * 99.0,
+        "reciprocal": 1.0 / 99.0,
+    }
+    for mod, want in exprs.items():
+        got = df.select(
+            field_value_factor("v", mod).alias("f")
+        ).head()["f"]
+        assert abs(got - want) < 1e-12, mod
+
+
+def test_decay_contracts(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (5.0,), (10.0,), (20.0,)], "d double"
+    )
+    lin = [
+        r["x"]
+        for r in df.select(
+            decay_linear(F.col("d"), scale=10.0).alias("x")
+        ).collect()
+    ]
+    assert lin == [1.0, 0.5, 0.0, 0.0]  # clipped at scale
+    gau = {
+        r["d"]: r["x"]
+        for r in df.select(
+            "d", decay_gauss(F.col("d"), scale=10.0, decay=0.5).alias("x")
+        ).collect()
+    }
+    assert gau[0.0] == 1.0
+    assert abs(gau[10.0] - 0.5) < 1e-12  # ES contract: decay at scale
+    assert gau[20.0] < gau[10.0] < gau[5.0] < gau[0.0]
+
+
+def test_function_score_matches_python(spark, scored):
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 10 + 50).cast("double").alias("size"),
+    )
+    got = function_score(
+        scored,
+        docs,
+        factors=[field_value_factor("size", "ln1p")],
+        doc_cols=["size"],
+        k=5,
+    ).collect()
+    want = sorted(
+        (
+            (-round((100 - i // 2) * math.log(1 + (i * 10 + 50)), 6), i)
+            for i in range(40)
+        )
+    )[:5]
+    assert [(r["doc_id"], r["final"]) for r in got] == [
+        (i, -neg) for neg, i in want
+    ]
+
+
+def test_plan_shapes(spark, scored):
+    plan = (
+        rank_topn(scored, "score", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # cut before the rank window
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"), F.lit(1.0).alias("size")
+    )
+    plan = (
+        function_score(
+            scored,
+            docs,
+            factors=[field_value_factor("size", "ln1p")],
+            doc_cols=["size"],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    lex = spark.createDataFrame([(1, 1)], "doc_id long, rank int")
+    plan = (
+        rrf_fuse([lex, lex])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial" in plan.lower()  # combinable fusion sum
