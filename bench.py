@@ -270,6 +270,52 @@ def main() -> None:
         lambda: seg.more_like_this(mlt_seed, k=10).collect(),
         reps=2,
     )
+
+    # 2f) second agg wave + pipeline aggs on the same segment index:
+    # the full ES bucket/metric/pipeline family a dashboard fires per
+    # page load, all from the term-pruned segment decode
+    _AGG_TERMS = ["merge", "join", "stream"]
+    _AGG_TS = F.expr("date_add(date'2021-01-01', cast(doc_id % 1000 as int))")
+    _AGG_FILTERS = {
+        "engine": ["spark"],
+        "relational": ["join", "merge"],
+        "warehouse": ["table", "query"],
+    }
+    timed(
+        "seg_agg_wave2",
+        lambda: (
+            seg.date_histogram(
+                _AGG_TERMS, raw_docs_meta, _AGG_TS, "month"
+            ).collect(),
+            seg.filters_agg(_AGG_FILTERS).collect(),
+            seg.adjacency_matrix(_AGG_FILTERS).collect(),
+            seg.composite_agg(
+                _AGG_TERMS, raw_docs_meta, ["lang", "source"], size=8
+            ).collect(),
+            seg.top_metrics(
+                _AGG_TERMS, raw_docs_meta, "lang", "n_chars",
+                ["doc_id", "n_chars"],
+            ).collect(),
+            seg.matrix_stats(
+                _AGG_TERMS, raw_docs_meta, "n_chars", F.length("text")
+            ).collect(),
+        ),
+        reps=2,
+    )
+
+    def _pipeline_chain():
+        from fuzzy_wiki_spark.operators.pipeline_aggs import (
+            cumulative_sum,
+            derivative,
+            moving_fn,
+            stats_bucket,
+        )
+
+        b = seg.date_histogram(_AGG_TERMS, raw_docs_meta, _AGG_TS, "month")
+        moving_fn(cumulative_sum(derivative(b)), window=3).collect()
+        stats_bucket(b).collect()
+
+    timed("seg_pipeline_aggs", _pipeline_chain, reps=2)
     shutil.rmtree(seg_dir, ignore_errors=True)
 
     # 3) heavy pipeline operators (driver-contract implementations)
@@ -306,6 +352,19 @@ def main() -> None:
     timed(
         "pipe_ivfpq_ann",
         lambda: DQ.q_ivfpq_ann(spark, sf_dir).collect(),
+        reps=2,
+    )
+    # round-4: hybrid lexical+vector RRF fusion and function_score —
+    # each rebuilds its first-pass scored set from the raw tables, like
+    # every pipe_* section (driver-contract implementations end-to-end)
+    timed(
+        "pipe_hybrid_rrf",
+        lambda: DQ.q_hybrid_rrf(spark, sf_dir).collect(),
+        reps=2,
+    )
+    timed(
+        "pipe_function_score",
+        lambda: DQ.q_function_score(spark, sf_dir).collect(),
         reps=2,
     )
 
