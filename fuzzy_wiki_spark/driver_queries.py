@@ -5157,6 +5157,197 @@ def q_bpe_train_fast(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# round-4 wave 2: multi_match / minimum_should_match / boosting / sort —
+# the ES query forms over the two-field (title = first-8-token prefix,
+# content = text) corpus, each on BOTH engines (operators/multi_match.py)
+# --------------------------------------------------------------------------
+
+MM_QUERY_TERMS = ["merge", "join", "search"]
+MM_FIELD_BOOSTS = [("title", 2.0), ("content", 1.0)]
+MM_TIE = 0.3
+BOOSTING_POS = ["merge", "join"]
+BOOSTING_NEG = ["sort"]
+NEGATIVE_BOOST = 0.5
+MSM_N = 2
+
+
+def _two_field_inputs(spark, sf_dir, terms):
+    """(postings, field_stats, term_df) over the two-field corpus —
+    the shared relational input of the multi_match entries (same field
+    synthesis as q_query_4clause)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).alias("title"),
+        F.col("text").alias("content"),
+    )
+    posts = P.build_postings(
+        docs, fields={"title": "title", "content": "content"}, mode="simple"
+    )
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in P.term_stats(posts)
+        .where(F.col("term").isin(terms))
+        .collect()
+    }
+    return posts, fstats, term_df
+
+
+def _mm_entry(spark, sf_dir, mode):
+    from fuzzy_wiki_spark.operators.multi_match import multi_match
+
+    posts, fstats, term_df = _two_field_inputs(spark, sf_dir, MM_QUERY_TERMS)
+    return multi_match(
+        spark,
+        posts,
+        MM_FIELD_BOOSTS,
+        MM_QUERY_TERMS,
+        term_df,
+        fstats,
+        mode=mode,
+        tie_breaker=MM_TIE,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_multi_match_best(spark, sf_dir):
+    """multi_match best_fields (the ES default — dis_max over per-field
+    BM25 with tie_breaker) over title^2.0/content^1.0
+    (operators/multi_match.py pinned spec)."""
+    return _mm_entry(spark, sf_dir, "best_fields")
+
+
+def q_multi_match_most(spark, sf_dir):
+    """multi_match most_fields (every field's evidence sums)."""
+    return _mm_entry(spark, sf_dir, "most_fields")
+
+
+def q_multi_match_cross(spark, sf_dir):
+    """multi_match cross_fields (term-centric: blended max-df idf × a
+    per-term dis_max of boost·tf_norm partials across fields)."""
+    return _mm_entry(spark, sf_dir, "cross_fields")
+
+
+def q_seg_multi_match(spark, sf_dir):
+    """multi_match best_fields on the SERVING path: a two-field segment
+    index (title/content buckets), term-pruned decode per field, same
+    combination math — shares the multi_match_best oracle verbatim."""
+    import tempfile
+
+    from fuzzy_wiki_spark.engine import SegmentIndex
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).alias("title"),
+        F.col("text").alias("content"),
+    )
+    idx = SegmentIndex.build(
+        spark,
+        docs,
+        tempfile.mkdtemp(prefix="seg-mm-"),
+        n_buckets=8,
+        mode="simple",
+        fields={"title": "title", "content": "content"},
+    )
+    return idx.multi_match(
+        MM_QUERY_TERMS, MM_FIELD_BOOSTS, mode="best_fields", tie_breaker=MM_TIE
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_min_should_match(spark, sf_dir):
+    """minimum_should_match=2 OR query: docs matching ≥2 of the three
+    skeleton terms, BM25-sum scored (operators/multi_match.py)."""
+    from fuzzy_wiki_spark.operators.multi_match import min_should_match_topk
+
+    posts = _postings_simple(spark, sf_dir)
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in P.term_stats(posts)
+        .where(F.col("term").isin(BM25_QUERY_TERMS))
+        .collect()
+    }
+    return min_should_match_topk(
+        spark, posts, "content", BM25_QUERY_TERMS, MSM_N, term_df, fstats
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_seg_msm(spark, sf_dir):
+    """minimum_should_match on the serving path (SegmentIndex
+    .min_should_match over the term-pruned decode) — shares the
+    min_should_match oracle verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "seg-msm-")
+    return idx.min_should_match(BM25_QUERY_TERMS, MSM_N).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_boosting_query(spark, sf_dir):
+    """ES boosting query: positive ('merge','join') BM25 score halved
+    when the doc also matches the negative term ('sort') — the soft
+    must_not (operators/multi_match.py:boosting_topk)."""
+    from fuzzy_wiki_spark.operators.multi_match import boosting_topk
+
+    posts = _postings_simple(spark, sf_dir)
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in P.term_stats(posts)
+        .where(F.col("term").isin(BOOSTING_POS))
+        .collect()
+    }
+    return boosting_topk(
+        spark,
+        posts,
+        "content",
+        BOOSTING_POS,
+        BOOSTING_NEG,
+        term_df,
+        fstats,
+        negative_boost=NEGATIVE_BOOST,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_seg_boosting(spark, sf_dir):
+    """Boosting query on the serving path (SegmentIndex.boosting) —
+    shares the boosting_query oracle verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "seg-boost-")
+    return idx.boosting(
+        BOOSTING_POS, BOOSTING_NEG, negative_boost=NEGATIVE_BOOST
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_sort_by_field(spark, sf_dir):
+    """Sort-by-doc-value retrieval (ES sort without _score): docs
+    matching ANY skeleton term, top-10 by n_chars desc — no scoring work
+    at all (operators/multi_match.py:sort_by_field_topk)."""
+    from fuzzy_wiki_spark.operators.multi_match import sort_by_field_topk
+
+    posts = _postings_simple(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return sort_by_field_topk(
+        posts, "content", BM25_QUERY_TERMS, docs, "n_chars"
+    )
+
+
+def q_seg_sort(spark, sf_dir):
+    """Sort-by-field on the serving path (SegmentIndex.sort_by_field:
+    term-pruned decode with no dl join, distinct match set, doc-value
+    top-k) — shares the sort_by_field oracle verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "seg-sort-")
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return idx.sort_by_field(BM25_QUERY_TERMS, docs, "n_chars")
+
+
 QUERIES = {
     # The driver samples ~50 entries in INSERTION order, so the dict
     # rotates each round: round-4 additions first (the numeric facet
@@ -5166,6 +5357,16 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "multi_match_best": q_multi_match_best,
+    "multi_match_most": q_multi_match_most,
+    "multi_match_cross": q_multi_match_cross,
+    "seg_multi_match": q_seg_multi_match,
+    "min_should_match": q_min_should_match,
+    "seg_msm": q_seg_msm,
+    "boosting_query": q_boosting_query,
+    "seg_boosting": q_seg_boosting,
+    "sort_by_field": q_sort_by_field,
+    "seg_sort": q_seg_sort,
     "date_histogram": q_date_histogram,
     "filters_agg": q_filters_agg,
     "adjacency_matrix": q_adjacency_matrix,
@@ -5357,3 +5558,131 @@ ORACLE_SQL["seg_explain"] = ORACLE_SQL["explain_score"]
 ORACLE_SQL["ivfpq_exact"] = ORACLE_SQL["ivf_exact"]
 # the auto-compacted index must be indistinguishable from a one-shot build
 ORACLE_SQL["auto_compact_search"] = ORACLE_SQL["bm25_topk"]
+
+
+# --------------------------------------------------------------------------
+# round-4 wave-2 oracles: multi_match / msm / boosting / sort
+# --------------------------------------------------------------------------
+
+_MM_TERMS = "('" + "','".join(MM_QUERY_TERMS) + "')"
+
+# shared two-field CTE chain (title = first-8-token prefix, content = text;
+# identical field synthesis to _four_clause_sql) ending at per-posting
+# contributions `c` (boost·idf·tf_norm) and partials `p` (boost·tf_norm)
+_MM_BASE = f"""
+tk AS ({_TOKPOS}),
+f AS (
+  SELECT doc_id, term, 'content' AS field FROM tk
+  UNION ALL
+  SELECT doc_id, term, 'title' AS field FROM tk WHERE pos < 8),
+tf AS (SELECT field, doc_id, term, count(*)::BIGINT AS tf
+       FROM f GROUP BY field, doc_id, term),
+dl AS (SELECT field, doc_id, count(*)::BIGINT AS dl
+       FROM f GROUP BY field, doc_id),
+st AS (SELECT field, count(*)::BIGINT AS doc_count,
+              sum(dl)::DOUBLE / count(*) AS avgdl
+       FROM dl GROUP BY field),
+dfq AS (SELECT field, term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN {_MM_TERMS} GROUP BY field, term),
+idf AS (SELECT dfq.field, dfq.term,
+               ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5)) AS idf
+        FROM dfq JOIN st USING(field)),
+c AS (
+  SELECT tf.field, tf.doc_id, tf.term,
+         CASE WHEN tf.field = 'title' THEN 2.0 ELSE 1.0 END * idf.idf
+           * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) AS c
+  FROM tf
+  JOIN idf ON idf.field = tf.field AND idf.term = tf.term
+  JOIN dl ON dl.field = tf.field AND dl.doc_id = tf.doc_id
+  JOIN st ON st.field = tf.field
+  WHERE tf.term IN {_MM_TERMS}),
+s AS (SELECT field, doc_id, sum(c) AS s FROM c GROUP BY field, doc_id)
+"""
+
+ORACLE_SQL["multi_match_best"] = f"""
+WITH {_MM_BASE},
+sc AS (SELECT doc_id, max(s) + {MM_TIE}*(sum(s) - max(s)) AS s
+       FROM s GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+ORACLE_SQL["multi_match_most"] = f"""
+WITH {_MM_BASE},
+sc AS (SELECT doc_id, sum(s) AS s FROM s GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+ORACLE_SQL["multi_match_cross"] = f"""
+WITH {_MM_BASE},
+dfb AS (SELECT term, max(df) AS df FROM dfq GROUP BY term),
+dcb AS (SELECT max(doc_count) AS dc FROM st),
+idfb AS (SELECT term, ln(1 + (dc - df + 0.5)/(df + 0.5)) AS idf
+         FROM dfb CROSS JOIN dcb),
+p AS (
+  SELECT tf.field, tf.doc_id, tf.term,
+         CASE WHEN tf.field = 'title' THEN 2.0 ELSE 1.0 END
+           * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) AS p
+  FROM tf
+  JOIN dl ON dl.field = tf.field AND dl.doc_id = tf.doc_id
+  JOIN st ON st.field = tf.field
+  WHERE tf.term IN {_MM_TERMS}),
+dm AS (SELECT doc_id, term, max(p) + {MM_TIE}*(sum(p) - max(p)) AS dm
+       FROM p GROUP BY doc_id, term),
+sc AS (SELECT dm.doc_id, sum(idfb.idf * dm.dm) AS s
+       FROM dm JOIN idfb USING(term) GROUP BY dm.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+ORACLE_SQL["seg_multi_match"] = ORACLE_SQL["multi_match_best"]
+
+ORACLE_SQL["min_should_match"] = f"""
+WITH tf AS ({_TF}), dl AS ({_DL}),
+st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN {_QTERMS} GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+              * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ) AS s,
+         count(DISTINCT tf.term) AS nm
+  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+WHERE nm >= {MSM_N}
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+ORACLE_SQL["seg_msm"] = ORACLE_SQL["min_should_match"]
+
+_BPOS = "('" + "','".join(BOOSTING_POS) + "')"
+_BNEG = "('" + "','".join(BOOSTING_NEG) + "')"
+ORACLE_SQL["boosting_query"] = f"""
+WITH tf AS ({_TF}), dl AS ({_DL}),
+st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN {_BPOS} GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+              * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ) AS s
+  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id),
+neg AS (SELECT DISTINCT doc_id FROM ({_TOK}) WHERE term IN {_BNEG}),
+b AS (SELECT sc.doc_id,
+             CASE WHEN neg.doc_id IS NOT NULL
+                  THEN sc.s * {NEGATIVE_BOOST} ELSE sc.s END AS s
+      FROM sc LEFT JOIN neg ON neg.doc_id = sc.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM b
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+ORACLE_SQL["seg_boosting"] = ORACLE_SQL["boosting_query"]
+
+ORACLE_SQL["sort_by_field"] = f"""
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM ({_TOK})
+                   WHERE term IN {_QTERMS})
+ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
+"""
+ORACLE_SQL["seg_sort"] = ORACLE_SQL["sort_by_field"]

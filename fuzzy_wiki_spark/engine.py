@@ -693,8 +693,19 @@ class SegmentIndex:
                 "REDIRECT"
             ).alias("is_redirect"),
         )
+        # the closed indexed-field set is known here from the fields
+        # mapping — thread it to the segment encoder so non-default
+        # layouts (e.g. title/content) encode without manual plumbing
+        field_names = (
+            tuple(sorted(fields)) if fields is not None else None
+        )
         idx = cls.from_postings(
-            spark, postings, docs_meta, path, n_buckets=n_buckets
+            spark,
+            postings,
+            docs_meta,
+            path,
+            n_buckets=n_buckets,
+            field_names=field_names,
         )
         postings.unpersist()
         return idx
@@ -707,6 +718,7 @@ class SegmentIndex:
         docs_meta: DataFrame | None,
         path: str,
         n_buckets: int = 32,
+        field_names: tuple[str, ...] | None = None,
     ) -> "SegmentIndex":
         """Materialize the segment layout from an existing postings DF —
         the path the checkpointed build takes (checkpoint.py writes postings
@@ -726,7 +738,15 @@ class SegmentIndex:
         # persist avoids recomputing the upstream scan per branch. At
         # 10^12-doc scale drop this and accept the second scan.
         postings = postings.persist()
-        segs = build_index_segments(postings, docs_meta, n_buckets=n_buckets)
+        if field_names is None:
+            from fuzzy_wiki_spark.operators.segments import (
+                FIELD_NAMES_DEFAULT,
+            )
+
+            field_names = FIELD_NAMES_DEFAULT
+        segs = build_index_segments(
+            postings, docs_meta, n_buckets=n_buckets, field_names=field_names
+        )
         write_segments(segs, f"{path}/segments", n_buckets=n_buckets)
         postings.unpersist()
         write_index_stats(spark, path)
@@ -1811,4 +1831,115 @@ class SegmentIndex:
         return self.spark.createDataFrame(
             _explain_factors(clauses, term_df, self.field_stats, rows),
             EXPLAIN_SCHEMA,
+        )
+
+    def _multi_field_postings(
+        self, fields: list[str], terms: list[str]
+    ) -> DataFrame:
+        """Term-pruned decode unioned across the queried fields — the
+        shared input of every multi-field serving surface; cost is
+        Σ_f Σ_t |posting list(f, t)|, never the index."""
+        from functools import reduce
+
+        return reduce(
+            lambda a, b: a.unionByName(b),
+            [self.term_postings(f, terms) for f in fields],
+        )
+
+    def multi_match(
+        self,
+        words: list[str],
+        field_boosts: list[tuple[str, float]],
+        mode: str = "best_fields",
+        tie_breaker: float = 0.3,
+        k: int = 10,
+    ) -> DataFrame:
+        """Multi-field retrieval on the serving path
+        (operators/multi_match.py semantics — best_fields dis_max /
+        most_fields sum / cross_fields blended-idf term-centric dis_max —
+        over the term-pruned segment decode; relational≡segment parity
+        pinned in tests/test_multi_match.py)."""
+        from fuzzy_wiki_spark.operators.multi_match import multi_match
+
+        posts = self._multi_field_postings(
+            [f for f, _ in field_boosts], sorted(set(words))
+        )
+        return multi_match(
+            self.spark,
+            posts,
+            field_boosts,
+            list(words),
+            self._term_df(sorted(set(words))),
+            self.field_stats,
+            mode=mode,
+            tie_breaker=tie_breaker,
+            k=k,
+        )
+
+    def min_should_match(
+        self, words: list[str], msm: int, field: str = "content", k: int = 10
+    ) -> DataFrame:
+        """minimum_should_match OR retrieval on the serving path — docs
+        matching ≥ msm distinct query terms, BM25-sum scored."""
+        from fuzzy_wiki_spark.operators.multi_match import (
+            min_should_match_topk,
+        )
+
+        posts = self.term_postings(field, sorted(set(words)))
+        return min_should_match_topk(
+            self.spark,
+            posts,
+            field,
+            list(words),
+            msm,
+            self._term_df(sorted(set(words))),
+            self.field_stats,
+            k=k,
+        )
+
+    def boosting(
+        self,
+        positive: list[str],
+        negative: list[str],
+        field: str = "content",
+        negative_boost: float = 0.5,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES boosting query on the serving path: positive BM25 score ×
+        negative_boost when the doc matches any negative term."""
+        from fuzzy_wiki_spark.operators.multi_match import boosting_topk
+
+        all_terms = sorted(set(positive) | set(negative))
+        posts = self.term_postings(field, all_terms)
+        return boosting_topk(
+            self.spark,
+            posts,
+            field,
+            list(positive),
+            list(negative),
+            self._term_df(sorted(set(positive))),
+            self.field_stats,
+            negative_boost=negative_boost,
+            k=k,
+        )
+
+    def sort_by_field(
+        self,
+        words: list[str],
+        docs: DataFrame,
+        sort_col: str,
+        field: str = "content",
+        k: int = 10,
+        ascending: bool = False,
+    ) -> DataFrame:
+        """Sort-by-doc-value retrieval on the serving path (ES sort
+        without _score): term-pruned decode (no dl — no scoring at all) →
+        distinct match set → doc-value join → TakeOrderedAndProject."""
+        from fuzzy_wiki_spark.operators.multi_match import (
+            sort_by_field_topk,
+        )
+
+        posts = self.term_postings(field, sorted(set(words)), with_dl=False)
+        return sort_by_field_topk(
+            posts, field, list(words), docs, sort_col, k=k, ascending=ascending
         )

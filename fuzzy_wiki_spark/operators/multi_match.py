@@ -1,0 +1,324 @@
+"""Multi-field and structured-boolean query shapes: ``multi_match``
+(best_fields / most_fields / cross_fields), ``minimum_should_match``,
+the ``boosting`` query, and sort-by-field retrieval.
+
+These are the Elasticsearch query forms a user of the reference engine
+reaches for the moment their corpus has more than one searchable field
+(Fuzzy-Wiki itself hardcodes one two-field shape, Searcher.java:79-97 —
+title^1.5/content^1.2 phrases + per-term boosts; ``multi_match`` is that
+idea made general). Pinned semantics, mirrored 1:1 by the DuckDB oracles
+in driver_queries.py:
+
+- **best_fields** (the ES default, a dis_max over per-field queries):
+  per (doc, field) BM25 score ``s_f = Σ_t boost_f · idf_f(t) ·
+  tf_norm_f(t)``, combined as ``max_f s_f + tie_breaker · (Σ_f s_f −
+  max_f s_f)``.
+- **most_fields**: the plain sum ``Σ_f s_f`` (every field's evidence
+  counts — ES's bool-should over per-field matches).
+- **cross_fields** (term-centric): for each term, per-field partials
+  ``p_f = boost_f · tf_norm_f`` combine as a per-term dis_max
+  ``max_f p_f + tie_breaker·(Σ−max)``, weighted by a BLENDED idf computed
+  from ``df_blend(t) = max_f df_f(t)`` against ``max_f doc_count`` — so a
+  term that is rare in every field cannot double-dip idf across fields.
+  (ES blends term statistics the same way in spirit; its exact blend is
+  version-dependent, so the rule above is this engine's pinned spec.)
+- **minimum_should_match**: an OR query that keeps only docs matching at
+  least ``msm`` distinct query terms, scored by the standard BM25 sum
+  over the terms they do match.
+- **boosting**: positive-query score, demoted by ``negative_boost``
+  (multiplied) when the doc also matches any negative term — ES's
+  soft-NOT.
+- **sort_by_field**: match (ANY term) then rank by a doc-value column,
+  not by score — ES ``sort`` on a field. No scoring work is done at all
+  (ES likewise skips scoring when ``_score`` isn't in the sort).
+
+Scale notes (100 TB): every shape is one pruned postings scan (the
+``term.isin`` predicate reaches the parquet/segment row-group stats
+before any decode) joined to a broadcast weight table of |query terms| ×
+|fields| rows, followed by map-side-combinable groupBys whose keys are
+(doc), (doc, field) or (doc, term) — never wider than the match set — and
+a final TakeOrderedAndProject top-k. No window over an unbounded set, no
+driver collect, no Python in the hot path. The boosting query's negative
+set is a distinct-doc_id semi-join (AQE broadcasts it when small);
+sort_by_field touches postings only for doc_ids and never computes a
+score.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.plans.query import B, K1
+
+
+def _idf(df_count: int, doc_count: int) -> float:
+    return math.log(1.0 + (doc_count - df_count + 0.5) / (df_count + 0.5))
+
+
+def _tf_norm(tf_col, dl_col, avgdl_col):
+    return tf_col / (tf_col + K1 * (1.0 - B + B * dl_col / avgdl_col))
+
+
+def _matched_contrib(
+    spark,
+    postings: DataFrame,
+    field_boosts: list[tuple[str, float]],
+    words: list[str],
+    term_df: dict[tuple[str, str], int],
+    field_stats: dict[str, tuple[int, float]],
+    weight_of,
+) -> DataFrame:
+    """(doc_id, field, term, c) where ``c = weight_of(field, term) ·
+    tf_norm`` — the shared pruned-scan + broadcast-weights + per-posting
+    contribution stage of every multi_match mode."""
+    import pandas as pd
+
+    rows = [
+        {
+            "field": f,
+            "term": t,
+            "w": float(weight_of(f, t)),
+            "avgdl": float(field_stats[f][1]),
+        }
+        for f, _ in field_boosts
+        for t in words
+    ]
+    wtab = spark.createDataFrame(
+        pd.DataFrame(rows), schema="field string, term string, w double, avgdl double"
+    )
+    fields = [f for f, _ in field_boosts]
+    return (
+        postings.where(
+            F.col("term").isin(list(words)) & F.col("field").isin(fields)
+        )
+        .join(F.broadcast(wtab), ["field", "term"])
+        .select(
+            "doc_id",
+            "field",
+            "term",
+            (
+                F.col("w")
+                * _tf_norm(
+                    F.col("tf").cast("double"),
+                    F.col("dl").cast("double"),
+                    F.col("avgdl"),
+                )
+            ).alias("c"),
+        )
+    )
+
+
+def multi_match(
+    spark,
+    postings: DataFrame,
+    field_boosts: list[tuple[str, float]],
+    words: list[str],
+    term_df: dict[tuple[str, str], int],
+    field_stats: dict[str, tuple[int, float]],
+    mode: str = "best_fields",
+    tie_breaker: float = 0.3,
+    k: int = 10,
+) -> DataFrame:
+    """Multi-field retrieval → top-k ``(doc_id, score)``; see module
+    docstring for the pinned per-mode combination rules."""
+    # The field set and the query's term set are both closed and tiny, so
+    # every mode pivots into per-(field[,term]) CONDITIONAL sums inside ONE
+    # map-side-combinable groupBy(doc_id) — a single doc-keyed exchange —
+    # instead of the naive groupBy(doc,field) → groupBy(doc) two-shuffle
+    # chain. BM25 contributions are ≥ 0, so a doc missing a field pivots to
+    # a 0.0 sum that changes neither max nor Σ.
+    fields = [f for f, _ in field_boosts]
+
+    def _dismax(cols):
+        total = cols[0]
+        for c in cols[1:]:
+            total = total + c
+        mx = F.greatest(*cols) if len(cols) > 1 else cols[0]
+        return mx + F.lit(tie_breaker) * (total - mx), total
+
+    if mode in ("best_fields", "most_fields"):
+
+        def weight_of(f, t):
+            return dict(field_boosts)[f] * _idf(
+                term_df.get((f, t), 0), field_stats[f][0]
+            )
+
+        contrib = _matched_contrib(
+            spark, postings, field_boosts, words, term_df, field_stats, weight_of
+        )
+        aggs = [
+            F.sum(
+                F.when(F.col("field") == f, F.col("c")).otherwise(0.0)
+            ).alias(f"_s{i}")
+            for i, f in enumerate(fields)
+        ]
+        g = contrib.groupBy("doc_id").agg(*aggs)
+        cols = [F.col(f"_s{i}") for i in range(len(fields))]
+        dm, total = _dismax(cols)
+        scored = g.select(
+            "doc_id",
+            (total if mode == "most_fields" else dm).alias("score"),
+        )
+    elif mode == "cross_fields":
+        # blended idf rides per-term (not per weight row): dis_max the
+        # boost·tf_norm partials across fields first, then scale once.
+        doc_count = max(field_stats[f][0] for f, _ in field_boosts)
+        blend = {
+            t: _idf(
+                max(term_df.get((f, t), 0) for f, _ in field_boosts), doc_count
+            )
+            for t in words
+        }
+
+        def weight_of(f, t):
+            return dict(field_boosts)[f]
+
+        contrib = _matched_contrib(
+            spark, postings, field_boosts, words, term_df, field_stats, weight_of
+        )
+        # |terms|×|fields| conditional sums in one groupBy(doc_id)
+        aggs = [
+            F.sum(
+                F.when(
+                    (F.col("term") == t) & (F.col("field") == f), F.col("c")
+                ).otherwise(0.0)
+            ).alias(f"_p{ti}_{fi}")
+            for ti, t in enumerate(words)
+            for fi, f in enumerate(fields)
+        ]
+        g = contrib.groupBy("doc_id").agg(*aggs)
+        score = None
+        for ti, t in enumerate(words):
+            cols = [
+                F.col(f"_p{ti}_{fi}") for fi in range(len(fields))
+            ]
+            dm, _ = _dismax(cols)
+            part = F.lit(blend[t]) * dm
+            score = part if score is None else score + part
+        scored = g.select("doc_id", score.alias("score"))
+    else:
+        raise ValueError(f"unknown multi_match mode: {mode}")
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def min_should_match_topk(
+    spark,
+    postings: DataFrame,
+    field: str,
+    words: list[str],
+    msm: int,
+    term_df: dict[tuple[str, str], int],
+    field_stats: dict[str, tuple[int, float]],
+    k: int = 10,
+) -> DataFrame:
+    """OR query gated by ``minimum_should_match``: keep docs matching at
+    least ``msm`` distinct query terms, score = BM25 sum over matched
+    terms → top-k ``(doc_id, score)``. One pruned scan, one combinable
+    groupBy, one top-k. The distinct-term count pivots to a Σ of per-term
+    max-indicators over the CLOSED query term set — fully map-side
+    combinable, unlike countDistinct's expand + second aggregate."""
+    contrib = _matched_contrib(
+        spark,
+        postings,
+        [(field, 1.0)],
+        words,
+        term_df,
+        field_stats,
+        lambda f, t: _idf(term_df.get((f, t), 0), field_stats[f][0]),
+    )
+    n_matched = None
+    for t in dict.fromkeys(words):
+        ind = F.max(F.when(F.col("term") == t, 1).otherwise(0))
+        n_matched = ind if n_matched is None else n_matched + ind
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c").alias("score"), n_matched.alias("n_matched"))
+        .where(F.col("n_matched") >= msm)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def boosting_topk(
+    spark,
+    postings: DataFrame,
+    field: str,
+    positive: list[str],
+    negative: list[str],
+    term_df: dict[tuple[str, str], int],
+    field_stats: dict[str, tuple[int, float]],
+    negative_boost: float = 0.5,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``boosting`` query: positive-query BM25 score, multiplied by
+    ``negative_boost`` when the doc also matches ANY negative term (a
+    demotion, not an exclusion — must_not's soft sibling). The negative
+    set is a distinct-doc_id frame off the same pruned scan; the demotion
+    is a left join + CASE, so matched-negative docs stay cheap to carry."""
+    contrib = _matched_contrib(
+        spark,
+        postings,
+        [(field, 1.0)],
+        positive,
+        term_df,
+        field_stats,
+        lambda f, t: _idf(term_df.get((f, t), 0), field_stats[f][0]),
+    )
+    pos = contrib.groupBy("doc_id").agg(F.sum("c").alias("s"))
+    neg = (
+        postings.where(
+            F.col("term").isin(list(negative)) & (F.col("field") == field)
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("_neg", F.lit(True))
+    )
+    return (
+        pos.join(neg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_neg"), F.col("s") * F.lit(negative_boost))
+            .otherwise(F.col("s"))
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def sort_by_field_topk(
+    postings: DataFrame,
+    field: str,
+    words: list[str],
+    docs: DataFrame,
+    sort_col: str,
+    k: int = 10,
+    ascending: bool = False,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Match (ANY term) then top-k by a doc-value column instead of by
+    score — ES ``sort: [{field: desc}]``. No scoring math runs at all:
+    the plan is pruned-scan → distinct doc_ids → join doc values →
+    TakeOrderedAndProject, so a sorted page over a 10^12-file corpus
+    costs a thin distinct on the match set and nothing else."""
+    matched = (
+        postings.where(
+            F.col("term").isin(list(words)) & (F.col("field") == field)
+        )
+        .select(id_col)
+        .distinct()
+    )
+    order = (
+        [F.asc(sort_col), F.asc(id_col)]
+        if ascending
+        else [F.desc(sort_col), F.asc(id_col)]
+    )
+    return (
+        matched.join(docs.select(id_col, sort_col), id_col)
+        .orderBy(*order)
+        .limit(k)
+    )

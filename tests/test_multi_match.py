@@ -1,0 +1,241 @@
+"""multi_match / minimum_should_match / boosting / sort_by_field:
+semantics pinned on the relational engine, relational≡segment parity on
+the serving path (operators/multi_match.py + SegmentIndex methods).
+
+The default index is already two-field (content + path), so multi_match
+runs over real per-field statistics with genuinely different df/avgdl
+per field."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.analyzer import tokenize_text
+from fuzzy_wiki_spark.corpus import generate_docs_pdf
+from fuzzy_wiki_spark.engine import InvertedIndex, SegmentIndex
+from fuzzy_wiki_spark.operators.multi_match import (
+    boosting_topk,
+    min_should_match_topk,
+    multi_match,
+    sort_by_field_topk,
+)
+
+N_DOCS = 200
+FIELD_BOOSTS = [("path", 1.5), ("content", 1.0)]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(generate_docs_pdf(N_DOCS, seed=23)).cache()
+
+
+@pytest.fixture(scope="module")
+def rel(spark, docs):
+    return InvertedIndex.build(spark, docs)
+
+
+@pytest.fixture(scope="module")
+def segi(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("segmm") / "ix")
+    return SegmentIndex.build(spark, docs, out, n_buckets=4)
+
+
+@pytest.fixture(scope="module")
+def words():
+    # analyzed index terms ("merge search index" through the porter chain)
+    return tokenize_text("merge search index")
+
+
+def _rows(df):
+    return [
+        (r["doc_id"], round(r["score"], 6))
+        for r in df.select("doc_id", "score").collect()
+    ]
+
+
+def _rel_mm(rel, words, mode, tb=0.3, k=10):
+    term_df = rel.lookup_term_df(list(words))
+    return multi_match(
+        rel.spark,
+        rel.postings,
+        FIELD_BOOSTS,
+        list(words),
+        term_df,
+        rel.field_stats,
+        mode=mode,
+        tie_breaker=tb,
+        k=k,
+    )
+
+
+@pytest.mark.parametrize("mode", ["best_fields", "most_fields", "cross_fields"])
+def test_multi_match_parity(rel, segi, words, mode):
+    want = _rows(_rel_mm(rel, words, mode))
+    got = _rows(
+        segi.multi_match(words, FIELD_BOOSTS, mode=mode, tie_breaker=0.3)
+    )
+    assert len(got) == 10
+    assert got == want
+
+
+def test_best_fields_tiebreaker_bounds(rel, words):
+    """tb=0 → pure dis_max (≤ every tb>0 score); tb=1 → most_fields sum."""
+    tb0 = dict(_rows(_rel_mm(rel, words, "best_fields", tb=0.0, k=200)))
+    tb1 = dict(_rows(_rel_mm(rel, words, "best_fields", tb=1.0, k=200)))
+    most = dict(_rows(_rel_mm(rel, words, "most_fields", k=200)))
+    assert tb1 == pytest.approx(most)
+    for d, s in tb0.items():
+        assert s <= tb1[d] + 1e-9
+
+
+def test_best_fields_is_dismax_of_per_field(rel, words):
+    """tb=0 best_fields score == max over single-field multi_match runs."""
+    full = dict(_rows(_rel_mm(rel, words, "best_fields", tb=0.0, k=200)))
+    per_field = [
+        dict(
+            _rows(
+                multi_match(
+                    rel.spark,
+                    rel.postings,
+                    [(f, b)],
+                    list(words),
+                    rel.lookup_term_df(list(words)),
+                    rel.field_stats,
+                    mode="most_fields",
+                    k=500,
+                )
+            )
+        )
+        for f, b in FIELD_BOOSTS
+    ]
+    for d, s in full.items():
+        want = max(pf.get(d, 0.0) for pf in per_field)
+        assert s == pytest.approx(want, abs=1e-6)
+
+
+def test_cross_fields_blended_idf(rel, words):
+    """cross_fields never double-counts idf across fields: its score for
+    a doc matching one term in BOTH fields is bounded by
+    idf_blend · (max p + tb·sum_other) with p ≤ boost — and the mode
+    differs from most_fields on this corpus (the blend is real)."""
+    cross = dict(_rows(_rel_mm(rel, words, "cross_fields", k=200)))
+    most = dict(_rows(_rel_mm(rel, words, "most_fields", k=200)))
+    assert cross != most
+
+
+def test_min_should_match_gate(rel, words):
+    term_df = rel.lookup_term_df(list(words))
+    all_hits = min_should_match_topk(
+        rel.spark, rel.postings, "content", list(words), 1, term_df,
+        rel.field_stats, k=500,
+    )
+    gated = min_should_match_topk(
+        rel.spark, rel.postings, "content", list(words), 2, term_df,
+        rel.field_stats, k=500,
+    )
+    n_all, n_gated = all_hits.count(), gated.count()
+    assert 0 < n_gated < n_all
+    # every gated doc really matches >= 2 distinct terms in content
+    match_counts = (
+        rel.postings.where(
+            (F.col("field") == "content") & F.col("term").isin(list(words))
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n"))
+    )
+    bad = gated.join(match_counts, "doc_id").where(F.col("n") < 2).count()
+    assert bad == 0
+
+
+def test_msm_parity(rel, segi, words):
+    term_df = rel.lookup_term_df(list(words))
+    want = _rows(
+        min_should_match_topk(
+            rel.spark, rel.postings, "content", list(words), 2, term_df,
+            rel.field_stats,
+        )
+    )
+    got = _rows(segi.min_should_match(words, 2))
+    assert got == want and len(got) > 0
+
+
+def test_boosting_demotes(rel, words):
+    pos, neg = words[:2], [words[2]]
+    term_df = rel.lookup_term_df(list(pos))
+    base = dict(
+        _rows(
+            boosting_topk(
+                rel.spark, rel.postings, "content", list(pos), [], term_df,
+                rel.field_stats, k=500,
+            )
+        )
+    )
+    demoted = dict(
+        _rows(
+            boosting_topk(
+                rel.spark, rel.postings, "content", list(pos), list(neg),
+                term_df, rel.field_stats, negative_boost=0.5, k=500,
+            )
+        )
+    )
+    assert set(base) == set(demoted)  # demotion never removes a hit
+    neg_docs = {
+        r["doc_id"]
+        for r in rel.postings.where(
+            (F.col("field") == "content") & F.col("term").isin(list(neg))
+        )
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    changed = {d for d in base if demoted[d] != base[d]}
+    assert changed  # the negative term does hit some positive matches
+    for d in base:
+        if d in neg_docs:
+            # both sides are independently rounded to 6 dp, so allow the
+            # half-ulp the two roundings can disagree by
+            assert demoted[d] == pytest.approx(base[d] * 0.5, abs=2e-6)
+        else:
+            assert demoted[d] == base[d]
+
+
+def test_boosting_parity(rel, segi, words):
+    pos, neg = words[:2], [words[2]]
+    term_df = rel.lookup_term_df(list(pos))
+    want = _rows(
+        boosting_topk(
+            rel.spark, rel.postings, "content", list(pos), list(neg),
+            term_df, rel.field_stats, negative_boost=0.5,
+        )
+    )
+    got = _rows(segi.boosting(pos, neg, negative_boost=0.5))
+    assert got == want and len(got) > 0
+
+
+def test_sort_by_field(rel, segi, docs, words):
+    dv = docs.select("doc_id", F.length("content").alias("nbytes"))
+    want = [
+        (r["doc_id"], r["nbytes"])
+        for r in sort_by_field_topk(
+            rel.postings, "content", list(words), dv, "nbytes", k=10
+        ).collect()
+    ]
+    got = [
+        (r["doc_id"], r["nbytes"])
+        for r in segi.sort_by_field(words, dv, "nbytes", k=10).collect()
+    ]
+    assert got == want and len(got) == 10
+    # descending by value, doc_id tiebreak
+    vals = [v for _, v in got]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_sort_ascending(rel, docs, words):
+    dv = docs.select("doc_id", F.length("content").alias("nbytes"))
+    up = sort_by_field_topk(
+        rel.postings, "content", list(words), dv, "nbytes", k=10,
+        ascending=True,
+    ).collect()
+    vals = [r["nbytes"] for r in up]
+    assert vals == sorted(vals)

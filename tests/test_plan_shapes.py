@@ -148,3 +148,55 @@ def test_rescore_signal_join_is_not_cartesian(spark):
     plan = _plan(rescore_topk(scored, sig, first_k=10, k=5))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multi_match_single_doc_exchange(spark):
+    """multi_match pivots per-field sums into ONE combinable
+    groupBy(doc_id): exactly one hash exchange keyed by doc_id for the
+    whole scoring aggregation (plus the broadcast of the weight table —
+    never a shuffle), and no Window. The naive shape — groupBy(doc,field)
+    then groupBy(doc) — would show two ENSURE_REQUIREMENTS exchanges."""
+    from fuzzy_wiki_spark.operators.multi_match import multi_match
+
+    posts = spark.createDataFrame(
+        [
+            (i, fld, t, 1 + i % 3, 20 + i % 5)
+            for i in range(40)
+            for fld in ("content", "path")
+            for t in ("a1", "b2")
+        ],
+        "doc_id long, field string, term string, tf int, dl int",
+    )
+    fstats = {"content": (40, 22.0), "path": (40, 22.0)}
+    tdf = {(f, t): 10 for f in fstats for t in ("a1", "b2")}
+    for mode in ("best_fields", "most_fields", "cross_fields"):
+        plan = _plan(
+            multi_match(
+                spark, posts, [("path", 1.5), ("content", 1.0)],
+                ["a1", "b2"], tdf, fstats, mode=mode, k=5,
+            )
+        )
+        assert "Window" not in plan
+        n_shuffles = plan.count("Exchange hashpartitioning")
+        assert n_shuffles == 1, f"{mode}: {n_shuffles} shuffles\n{plan}"
+
+
+def test_msm_no_expand(spark):
+    """minimum_should_match counts distinct matched terms via pivoted
+    max-indicators — no Expand operator (countDistinct's plan) and a
+    single doc_id exchange."""
+    from fuzzy_wiki_spark.operators.multi_match import min_should_match_topk
+
+    posts = spark.createDataFrame(
+        [(i, "content", t, 1, 20) for i in range(40) for t in ("a1", "b2")],
+        "doc_id long, field string, term string, tf int, dl int",
+    )
+    fstats = {"content": (40, 22.0)}
+    tdf = {("content", t): 10 for t in ("a1", "b2")}
+    plan = _plan(
+        min_should_match_topk(
+            spark, posts, "content", ["a1", "b2"], 2, tdf, fstats, k=5
+        )
+    )
+    assert "Expand" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
