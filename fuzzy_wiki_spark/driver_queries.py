@@ -5348,6 +5348,129 @@ def q_seg_sort(spark, sf_dir):
     return idx.sort_by_field(BM25_QUERY_TERMS, docs, "n_chars")
 
 
+# --------------------------------------------------------------------------
+# round-4 wave 2b: sampler / diversified_sampler / nested terms aggs
+# --------------------------------------------------------------------------
+
+SAMPLER_N = 100
+DIVERSIFY_MAX_PER = 3
+NESTED_INNER_K = 2
+
+
+def q_sampler_agg(spark, sf_dir):
+    """ES `sampler` aggregation: lang counts over only the top-100
+    best-scoring matches of the skeleton query
+    (operators/facets.py:sampler_terms — TakeOrderedAndProject cut, then
+    O(sample_n) work)."""
+    from fuzzy_wiki_spark.operators.facets import sampler_terms
+
+    return sampler_terms(
+        _skeleton_full_scores(spark, sf_dir),
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        "lang",
+        sample_n=SAMPLER_N,
+    )
+
+
+def q_seg_sampler(spark, sf_dir):
+    """Sampler agg on the SEGMENT serving path (full-set bucket scoring,
+    same cut + count) — shares the sampler_agg oracle verbatim."""
+    from fuzzy_wiki_spark.operators.facets import sampler_terms
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_segsmp_")
+    return sampler_terms(
+        _seg_skeleton_full_scores(spark, idx),
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        "lang",
+        sample_n=SAMPLER_N,
+    )
+
+
+def q_diversified_agg(spark, sf_dir):
+    """ES `diversified_sampler`: the sampler with ≤3 docs per `source`
+    admitted to the sample (window rank partitioned by the diversity key
+    — no global sort), then lang counts."""
+    from fuzzy_wiki_spark.operators.facets import diversified_terms
+
+    return diversified_terms(
+        _skeleton_full_scores(spark, sf_dir),
+        _docs(spark, sf_dir).select("doc_id", "lang", "source"),
+        "lang",
+        "source",
+        max_per=DIVERSIFY_MAX_PER,
+        sample_n=SAMPLER_N,
+    )
+
+
+def q_seg_diversified(spark, sf_dir):
+    """Diversified sampler on the SEGMENT serving path — shares the
+    diversified_agg oracle verbatim."""
+    from fuzzy_wiki_spark.operators.facets import diversified_terms
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_segdiv_")
+    return diversified_terms(
+        _seg_skeleton_full_scores(spark, idx),
+        _docs(spark, sf_dir).select("doc_id", "lang", "source"),
+        "lang",
+        "source",
+        max_per=DIVERSIFY_MAX_PER,
+        sample_n=SAMPLER_N,
+    )
+
+
+def q_nested_terms(spark, sf_dir):
+    """Two-level terms agg (terms(lang) → top-2 source sub-buckets by
+    count): one combinable (lang, source) groupBy over the match set,
+    window rank over the BUCKET frame only
+    (operators/facets.py:nested_terms)."""
+    from fuzzy_wiki_spark.operators.facets import nested_terms
+
+    return nested_terms(
+        _postings_simple(spark, sf_dir),
+        _docs(spark, sf_dir).select("doc_id", "lang", "source"),
+        BM25_QUERY_TERMS,
+        "lang",
+        "source",
+        inner_k=NESTED_INNER_K,
+    )
+
+
+def q_seg_nested(spark, sf_dir):
+    """Nested terms agg on the SEGMENT serving path
+    (SegmentIndex.nested_terms over the term-pruned decode) — shares the
+    nested_terms oracle verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segnst_")
+    return idx.nested_terms(
+        BM25_QUERY_TERMS,
+        _docs(spark, sf_dir).select("doc_id", "lang", "source"),
+        "lang",
+        "source",
+        inner_k=NESTED_INNER_K,
+    )
+
+
+DSIR_N = 50
+DSIR_BUCKETS = 4096
+
+
+def q_dsir_resample(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    bag-of-buckets importance weights of every doc against the lang='py'
+    target subset, deterministic top-50 selection
+    (operators/sampling.py:dsir_resample; md5 buckets → the oracle
+    replays feature-hash → smoothing → log-ratio → per-doc sum → cut
+    bit-identically)."""
+    from fuzzy_wiki_spark.operators.sampling import dsir_resample
+
+    sel = dsir_resample(
+        _docs(spark, sf_dir),
+        F.col("lang") == "py",
+        DSIR_N,
+        n_buckets=DSIR_BUCKETS,
+    )
+    return sel.select("doc_id", F.round("log_w", 6).alias("log_w"))
+
+
 QUERIES = {
     # The driver samples ~50 entries in INSERTION order, so the dict
     # rotates each round: round-4 additions first (the numeric facet
@@ -5357,6 +5480,13 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "dsir_resample": q_dsir_resample,
+    "sampler_agg": q_sampler_agg,
+    "seg_sampler": q_seg_sampler,
+    "diversified_agg": q_diversified_agg,
+    "seg_diversified": q_seg_diversified,
+    "nested_terms": q_nested_terms,
+    "seg_nested": q_seg_nested,
     "multi_match_best": q_multi_match_best,
     "multi_match_most": q_multi_match_most,
     "multi_match_cross": q_multi_match_cross,
@@ -5686,3 +5816,80 @@ WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM ({_TOK})
 ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
 """
 ORACLE_SQL["seg_sort"] = ORACLE_SQL["sort_by_field"]
+
+
+# --------------------------------------------------------------------------
+# round-4 wave-2b oracles: sampler / diversified / nested terms
+# --------------------------------------------------------------------------
+
+# full scored set of the skeleton query, rounded 6 (the same definition
+# _skeleton_full_scores uses on the Spark side)
+_SC_FULL = f"""
+tf AS ({_TF}), dl AS ({_DL}),
+st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN {_QTERMS} GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+              * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ), 6) AS score
+  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+"""
+
+ORACLE_SQL["sampler_agg"] = f"""
+WITH {_SC_FULL},
+top AS (SELECT doc_id FROM sc ORDER BY score DESC, doc_id LIMIT {SAMPLER_N})
+SELECT d.lang, count(*)::BIGINT AS n_docs
+FROM top JOIN documents d USING(doc_id)
+GROUP BY d.lang
+"""
+ORACLE_SQL["seg_sampler"] = ORACLE_SQL["sampler_agg"]
+
+ORACLE_SQL["diversified_agg"] = f"""
+WITH {_SC_FULL},
+r AS (SELECT sc.doc_id, sc.score, d.lang, d.source,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY sc.score DESC, sc.doc_id) AS rr
+      FROM sc JOIN documents d USING(doc_id)),
+top AS (SELECT lang FROM r WHERE rr <= {DIVERSIFY_MAX_PER}
+        ORDER BY score DESC, doc_id LIMIT {SAMPLER_N})
+SELECT lang, count(*)::BIGINT AS n_docs FROM top GROUP BY lang
+"""
+ORACLE_SQL["seg_diversified"] = ORACLE_SQL["diversified_agg"]
+
+ORACLE_SQL["nested_terms"] = f"""
+WITH m AS (SELECT DISTINCT doc_id FROM ({_TOK}) WHERE term IN {_QTERMS}),
+pairs AS (SELECT d.lang, d.source, count(*)::BIGINT AS n_docs
+          FROM m JOIN documents d USING(doc_id)
+          GROUP BY d.lang, d.source)
+SELECT lang, source, n_docs FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY n_docs DESC, source) AS rr
+  FROM pairs)
+WHERE rr <= {NESTED_INNER_K}
+"""
+ORACLE_SQL["seg_nested"] = ORACLE_SQL["nested_terms"]
+
+
+ORACLE_SQL["dsir_resample"] = f"""
+WITH toks AS (
+  SELECT doc_id, it, t AS w FROM (
+    SELECT doc_id, (lang = 'py') AS it,
+           unnest(string_split(text, ' ')) AS t
+    FROM documents) WHERE t <> ''),
+f AS (SELECT doc_id, it,
+             ('0x' || substr(md5(w), 1, 8))::UBIGINT % {DSIR_BUCKETS} AS b
+      FROM toks),
+c AS (SELECT b, count(*)::BIGINT AS raw,
+             sum(CASE WHEN it THEN 1 ELSE 0 END)::BIGINT AS tgt
+      FROM f GROUP BY b),
+tot AS (SELECT sum(raw) AS traw, sum(tgt) AS ttgt FROM c),
+r AS (SELECT b, ln((tgt + 1.0)/(ttgt + {DSIR_BUCKETS}.0))
+             - ln((raw + 1.0)/(traw + {DSIR_BUCKETS}.0)) AS lr
+      FROM c CROSS JOIN tot),
+w AS (SELECT doc_id, sum(lr) AS log_w FROM f JOIN r USING(b)
+      GROUP BY doc_id)
+SELECT doc_id, round(log_w, 6) AS log_w FROM w
+ORDER BY log_w DESC, doc_id LIMIT {DSIR_N}
+"""

@@ -1943,3 +1943,67 @@ class SegmentIndex:
         return sort_by_field_topk(
             posts, field, list(words), docs, sort_col, k=k, ascending=ascending
         )
+
+    def _full_scores(self, query: str) -> DataFrame:
+        """FULL (unranked) scored match set of a query — the shared first
+        pass of the sampler aggs (k=None: the sample cut happens in the
+        agg, so a global-k θ bound could prune docs the sample needs)."""
+        from fuzzy_wiki_spark.operators.segment_query import (
+            search_segments_batch,
+        )
+
+        clauses = compile_query(query)
+        term_df = self._term_df(sorted({t for c in clauses for t in c.terms}))
+        return search_segments_batch(
+            self.spark, self.segments, {0: clauses}, term_df,
+            self.field_stats, k=None,
+        ).select("doc_id", "score")
+
+    def sampler_terms(
+        self, query: str, docs: DataFrame, facet_col: str,
+        sample_n: int = 100,
+    ) -> DataFrame:
+        """ES sampler agg on the serving path: sub-agg over only the
+        sample_n best-scoring matches (operators/facets.py)."""
+        from fuzzy_wiki_spark.operators.facets import sampler_terms
+
+        return sampler_terms(
+            self._full_scores(query), docs, facet_col, sample_n=sample_n
+        )
+
+    def diversified_terms(
+        self,
+        query: str,
+        docs: DataFrame,
+        facet_col: str,
+        diversify_col: str,
+        max_per: int = 3,
+        sample_n: int = 100,
+    ) -> DataFrame:
+        """ES diversified_sampler agg on the serving path: ≤ max_per docs
+        per diversify_col value enter the sample (operators/facets.py)."""
+        from fuzzy_wiki_spark.operators.facets import diversified_terms
+
+        return diversified_terms(
+            self._full_scores(query), docs, facet_col, diversify_col,
+            max_per=max_per, sample_n=sample_n,
+        )
+
+    def nested_terms(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        outer_col: str,
+        inner_col: str,
+        inner_k: int = 2,
+        field: str = "content",
+    ) -> DataFrame:
+        """Two-level terms agg on the serving path (term-pruned decode →
+        one combinable pair groupBy → bucket-frame window)."""
+        from fuzzy_wiki_spark.operators.facets import nested_terms
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return nested_terms(
+            posts, docs, sorted(set(terms)), outer_col, inner_col,
+            inner_k=inner_k,
+        )

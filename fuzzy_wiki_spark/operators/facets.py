@@ -525,3 +525,99 @@ def matrix_stats(
         F.round(covar, 6).alias("covar"),
         F.round(covar / F.sqrt(var_a * var_b), 6).alias("corr"),
     )
+
+
+def sampler_terms(
+    scored: DataFrame,
+    docs: DataFrame,
+    facet_col: str,
+    sample_n: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `sampler` aggregation: run the sub-agg (a terms count) over only
+    the ``sample_n`` BEST-scoring matches instead of the whole match set —
+    the standard way to keep an expensive sub-agg relevance-focused.
+    Sample membership is deterministic: (score desc, doc_id) order.
+
+    Plan: the top-n cut is a TakeOrderedAndProject over the scored frame
+    (per-partition partial top-n, driver merge of n rows), then an
+    n-row-sized broadcast join to doc values and one combinable count —
+    at any corpus size the post-cut work is O(sample_n)."""
+    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(sample_n)
+    return (
+        top.join(docs.select(id_col, facet_col), id_col)
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def diversified_terms(
+    scored: DataFrame,
+    docs: DataFrame,
+    facet_col: str,
+    diversify_col: str,
+    max_per: int = 3,
+    sample_n: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `diversified_sampler`: like sampler_terms, but no single
+    ``diversify_col`` value may contribute more than ``max_per`` docs to
+    the sample — de-biasing a sub-agg from one dominant source/repo.
+
+    Plan: one window rank PARTITIONED BY the diversity key (each
+    partition sorts only its own candidates — no global sort; skew bounds
+    at the hottest key's match count, the same bound ES's shard-local
+    dedup has), then the same top-n cut + broadcast join + combinable
+    count as sampler_terms."""
+    from pyspark.sql import Window
+
+    ranked = (
+        scored.join(docs.select(id_col, diversify_col, facet_col), id_col)
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy(diversify_col).orderBy(
+                    F.desc("score"), F.asc(id_col)
+                )
+            ),
+        )
+        .where(F.col("_r") <= max_per)
+    )
+    top = ranked.orderBy(F.desc("score"), F.asc(id_col)).limit(sample_n)
+    return top.groupBy(facet_col).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def nested_terms(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    outer_col: str,
+    inner_col: str,
+    inner_k: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Two-level ES `terms` agg: buckets of ``outer_col``, each carrying
+    its own top-``inner_k`` ``inner_col`` sub-buckets by doc count (count
+    desc, value asc — ES's deterministic tiebreak) → rows
+    (outer, inner, n_docs).
+
+    Plan: match set → doc-values join → ONE combinable groupBy on the
+    (outer, inner) pair, then a window rank partitioned by outer over the
+    already-aggregated bucket frame (|outer|×|inner| rows, never docs) —
+    the same post-aggregation window the pipeline aggs use."""
+    from pyspark.sql import Window
+
+    pairs = (
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(id_col, outer_col, inner_col), id_col)
+        .groupBy(outer_col, inner_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy(outer_col).orderBy(
+        F.desc("n_docs"), F.asc(inner_col)
+    )
+    return (
+        pairs.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= inner_k)
+        .select(outer_col, inner_col, "n_docs")
+    )

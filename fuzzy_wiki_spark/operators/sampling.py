@@ -101,3 +101,90 @@ def temperature_resample(
         .where(hash_frac(F.col(key_col), salt) < accept)
         .drop("_n")
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc by
+    how much its hashed-unigram feature distribution looks like a TARGET
+    subset's rather than the raw corpus's.
+
+    - features: words hashed into ``n_buckets`` via the engine's portable
+      md5 prefix (hash_frac's arithmetic — the same bucket ids fall out of
+      any SQL engine, so the whole pipeline is oracle-able);
+    - bag-of-buckets models with Laplace smoothing:
+      ``p(b) = (count(b) + 1) / (total + n_buckets)`` estimated once for
+      the target subset (rows where ``target_pred``) and once for the raw
+      corpus;
+    - ``log_w(doc) = Σ_{words} [ln p_target(b(w)) − ln p_raw(b(w))]``.
+
+    Returns (id_col, log_w). Scale shape (100 TB): token explode is a
+    narrow map; the two feature models are ONE combinable groupBy each
+    over an n_buckets-keyed frame (KBs of state); the per-doc sum joins
+    the token stream to the broadcast n_buckets-row ratio table and
+    reduces by doc — a single doc-keyed combinable exchange. No Python,
+    no window, no driver data."""
+    import math
+
+    toks = docs.select(
+        F.col(id_col),
+        F.col(target_pred).alias("_is_target")
+        if isinstance(target_pred, str)
+        else target_pred.alias("_is_target"),
+        F.explode(F.split(F.col(text_col), " ")).alias("_w"),
+    ).where(F.col("_w") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_w")), 1, 8), 16, 10)
+        .cast("bigint")
+        % F.lit(n_buckets)
+    ).alias("_b")
+    feats = toks.select(id_col, "_is_target", bucket)
+
+    counts = feats.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_raw"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("_tgt"),
+    )
+    # totals ride a 1-row broadcast (the corpus_stats crossJoin pattern)
+    totals = counts.agg(
+        F.sum("_raw").alias("_traw"), F.sum("_tgt").alias("_ttgt")
+    )
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (
+            F.log((F.col("_tgt") + 1.0) / (F.col("_ttgt") + float(n_buckets)))
+            - F.log((F.col("_raw") + 1.0) / (F.col("_traw") + float(n_buckets)))
+        ).alias("_lr"),
+    )
+    return (
+        feats.join(F.broadcast(ratios), "_b")
+        .groupBy(id_col)
+        .agg(F.sum("_lr").alias("log_w"))
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target_pred,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Deterministic DSIR selection: the ``n`` raw docs with the highest
+    importance weight (log_w desc, id asc — the top-weight variant of the
+    paper's Gumbel resample, chosen here because it is reproducible
+    across cluster layouts and exactly SQL-mirrorable). The cut is a
+    TakeOrderedAndProject over the doc-keyed weight frame."""
+    w = dsir_weights(
+        docs, target_pred, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets,
+    )
+    return (
+        w.orderBy(F.desc("log_w"), F.asc(id_col)).limit(n)
+    )

@@ -239,3 +239,43 @@ def test_sort_ascending(rel, docs, words):
     ).collect()
     vals = [r["nbytes"] for r in up]
     assert vals == sorted(vals)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_selects_target_like_docs(spark):
+    from fuzzy_wiki_spark.operators.sampling import dsir_resample, dsir_weights
+
+    # target docs speak "ml" vocabulary; half the raw pool does too
+    ml = "model train loss gradient epoch batch tensor"
+    web = "cookie banner click advert popup tracker consent"
+    rows = (
+        [(i, ml, True) for i in range(10)]
+        + [(100 + i, ml + " extra", False) for i in range(10)]
+        + [(200 + i, web, False) for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    sel = dsir_resample(docs, F.col("is_t"), 10, id_col="doc_id")
+    picked = {r["doc_id"] for r in sel.collect()}
+    # the ml-speaking raw docs (and the targets themselves) outrank web docs
+    assert picked and all(d < 200 for d in picked)
+    # weights: every web doc scores below every ml doc
+    w = {r["doc_id"]: r["log_w"] for r in dsir_weights(docs, F.col("is_t")).collect()}
+    assert max(w[d] for d in w if d >= 200) < min(w[d] for d in w if d < 200)
+
+
+def test_dsir_deterministic_across_partitioning(spark):
+    from fuzzy_wiki_spark.operators.sampling import dsir_resample
+
+    from fuzzy_wiki_spark.corpus import generate_docs_pdf
+
+    pdf = generate_docs_pdf(120, seed=7)
+    docs = spark.createDataFrame(pdf).withColumnRenamed("content", "text")
+    a = dsir_resample(docs, F.col("lang") == "py", 20)
+    b = dsir_resample(docs.repartition(13), F.col("lang") == "py", 20)
+    ra = [(r["doc_id"], round(r["log_w"], 6)) for r in a.collect()]
+    rb = [(r["doc_id"], round(r["log_w"], 6)) for r in b.collect()]
+    assert ra == rb and len(ra) == 20

@@ -1,0 +1,142 @@
+"""sampler / diversified_sampler / nested terms aggregations: semantics
+on the relational frames, relational≡segment parity through the
+SegmentIndex convenience methods."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.corpus import generate_docs_pdf
+from fuzzy_wiki_spark.engine import InvertedIndex, SegmentIndex
+from fuzzy_wiki_spark.operators.facets import (
+    diversified_terms,
+    nested_terms,
+    sampler_terms,
+)
+
+N_DOCS = 200
+QUERY = "binary search tree"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(generate_docs_pdf(N_DOCS, seed=31)).cache()
+
+
+@pytest.fixture(scope="module")
+def dv(docs):
+    # doc values: language + repo as the diversity key
+    return docs.select("doc_id", "lang", "repo").cache()
+
+
+@pytest.fixture(scope="module")
+def rel(spark, docs):
+    return InvertedIndex.build(spark, docs)
+
+
+@pytest.fixture(scope="module")
+def segi(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("segsmp") / "ix")
+    return SegmentIndex.build(spark, docs, out, n_buckets=4)
+
+
+@pytest.fixture(scope="module")
+def rel_scores(rel):
+    # full scored set through the relational engine (compile_query shape)
+    from fuzzy_wiki_spark.operators.topk import score_queries_batch
+    from fuzzy_wiki_spark.plans.query import compile_query
+
+    clauses = compile_query(QUERY)
+    term_df = rel.lookup_term_df(sorted({t for c in clauses for t in c.terms}))
+    return (
+        score_queries_batch(
+            rel.spark, rel.postings, {0: clauses}, term_df, rel.field_stats,
+            docs_meta=rel.docs_meta, k=None,
+        )
+        .select("doc_id", "score")
+        .cache()
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_sampler_parity(rel_scores, segi, dv):
+    want = _rows(sampler_terms(rel_scores, dv, "lang", sample_n=40))
+    got = _rows(segi.sampler_terms(QUERY, dv, "lang", sample_n=40))
+    assert got == want and sum(n for _, n in got) == 40
+
+
+def test_sampler_is_top_n_only(rel_scores, dv):
+    """The sampler counts exactly the top-n docs — nothing outside."""
+    n = 25
+    agg = sampler_terms(rel_scores, dv, "lang", sample_n=n)
+    assert agg.agg(F.sum("n_docs")).collect()[0][0] == n
+    top = {
+        r["doc_id"]
+        for r in rel_scores.orderBy(F.desc("score"), "doc_id").limit(n).collect()
+    }
+    manual = (
+        dv.where(F.col("doc_id").isin(list(top)))
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    assert {(r["lang"], r["count"]) for r in manual} == set(
+        map(tuple, agg.collect())
+    )
+
+
+def test_diversified_parity_and_cap(rel_scores, segi, dv):
+    want = _rows(
+        diversified_terms(
+            rel_scores, dv, "lang", "repo", max_per=2, sample_n=40
+        )
+    )
+    got = _rows(
+        segi.diversified_terms(QUERY, dv, "lang", "repo", max_per=2, sample_n=40)
+    )
+    assert got == want and len(got) > 0
+    # rebuild the sample by hand and check the per-repo cap holds
+    from pyspark.sql import Window
+
+    ranked = rel_scores.join(dv, "doc_id").withColumn(
+        "_r",
+        F.row_number().over(
+            Window.partitionBy("repo").orderBy(F.desc("score"), "doc_id")
+        ),
+    )
+    sample = (
+        ranked.where(F.col("_r") <= 2)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(40)
+    )
+    per_repo = sample.groupBy("repo").count().agg(F.max("count")).collect()[0][0]
+    assert per_repo <= 2
+
+
+def test_diversified_differs_from_plain(rel_scores, dv):
+    """With a hot repo dominating the top ranks, the diversified sample's
+    lang mix must differ from the plain sampler's (the de-bias is real)."""
+    plain = _rows(sampler_terms(rel_scores, dv, "lang", sample_n=30))
+    div = _rows(
+        diversified_terms(rel_scores, dv, "lang", "repo", max_per=1, sample_n=30)
+    )
+    assert plain != div
+
+
+def test_nested_terms_parity(rel, segi, dv):
+    words = ["binari", "search", "tree"]  # analyzed forms
+    want = _rows(
+        nested_terms(
+            rel.postings, dv, words, "lang", "repo", inner_k=2
+        )
+    )
+    got = _rows(segi.nested_terms(words, dv, "lang", "repo", inner_k=2))
+    assert got == want and len(got) > 0
+    # every outer bucket carries at most inner_k rows, ranked by count
+    per_outer = {}
+    for lang, repo, n in got:
+        per_outer.setdefault(lang, []).append(n)
+    for lang, counts in per_outer.items():
+        assert len(counts) <= 2
