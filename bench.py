@@ -367,6 +367,56 @@ def main() -> None:
         lambda: DQ.q_function_score(spark, sf_dir).collect(),
         reps=2,
     )
+    # round-4 wave 2: the ES query forms (multi_match three modes + msm +
+    # boosting + sort-by-field) and the sampler/nested aggs + DSIR — each
+    # the driver-contract entry end-to-end (tokenize → stats → query),
+    # like every pipe_* section
+    timed(
+        "pipe_multi_match",
+        lambda: (
+            DQ.q_multi_match_best(spark, sf_dir).collect(),
+            DQ.q_multi_match_most(spark, sf_dir).collect(),
+            DQ.q_multi_match_cross(spark, sf_dir).collect(),
+        ),
+        reps=2,
+    )
+    timed(
+        "pipe_msm_boost_sort",
+        lambda: (
+            DQ.q_min_should_match(spark, sf_dir).collect(),
+            DQ.q_boosting_query(spark, sf_dir).collect(),
+            DQ.q_sort_by_field(spark, sf_dir).collect(),
+        ),
+        reps=2,
+    )
+    timed(
+        "pipe_sampler_aggs",
+        lambda: (
+            DQ.q_sampler_agg(spark, sf_dir).collect(),
+            DQ.q_diversified_agg(spark, sf_dir).collect(),
+            DQ.q_nested_terms(spark, sf_dir).collect(),
+        ),
+        reps=2,
+    )
+    timed(
+        "pipe_dsir_resample",
+        lambda: DQ.q_dsir_resample(spark, sf_dir).collect(),
+        reps=2,
+    )
+    timed(
+        "pipe_span_mpp",
+        lambda: (
+            DQ.q_span_within(spark, sf_dir).collect(),
+            DQ.q_match_phrase_prefix(spark, sf_dir).collect(),
+            DQ.q_termvectors(spark, sf_dir).collect(),
+        ),
+        reps=2,
+    )
+    timed(
+        "pipe_rank_eval",
+        lambda: DQ.q_rank_eval(spark, sf_dir).collect(),
+        reps=2,
+    )
 
     # 3b) trigram code search: index build (narrow stage) + pruned substring
     # + pruned regex over the same in-memory index

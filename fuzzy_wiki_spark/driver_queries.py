@@ -5449,6 +5449,181 @@ def q_seg_nested(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# round-4 wave 3: span_within / match_phrase_prefix / termvectors /
+# delete_by_query / rank_eval
+# --------------------------------------------------------------------------
+
+SPAN_WITHIN_TERMS = ("merge", "join", "hash")
+SPAN_WINDOW = 12
+MPP_ANCHORS = ("merge",)
+MPP_PREFIX = "s"
+MPP_MAXEXP = 10
+TV_DOC = 7
+DBQ_TERMS = ["sort"]
+
+
+def q_span_within(spark, sf_dir):
+    """Unordered proximity (SpanNearQuery in_order=false / ES intervals
+    `unordered`): docs where all three terms co-occur within a 12-token
+    covering window, tightest first
+    (operators/topk.py:span_within_topdocs)."""
+    from fuzzy_wiki_spark.operators.topk import span_within_topdocs
+
+    return span_within_topdocs(
+        _postings_simple(spark, sf_dir),
+        "content",
+        SPAN_WITHIN_TERMS,
+        SPAN_WINDOW,
+    )
+
+
+def q_seg_span_within(spark, sf_dir):
+    """Unordered proximity on the SEGMENT serving path — shares the
+    span_within oracle verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segsw_")
+    return idx.span_within(SPAN_WITHIN_TERMS, SPAN_WINDOW)
+
+
+def _mpp_expansions(posts) -> list[str]:
+    rows = (
+        P.term_stats(posts)
+        .where(
+            (F.col("field") == "content")
+            & F.col("term").startswith(MPP_PREFIX)
+        )
+        .select("term")
+        .orderBy("term")
+        .limit(MPP_MAXEXP)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def q_match_phrase_prefix(spark, sf_dir):
+    """ES match_phrase_prefix: the phrase ("merge", s*) with the prefix
+    expanded to the first 10 index terms in lexicographic order (the
+    term-dict expansion bound), ranked by summed matched-expansion phrase
+    freq (operators/topk.py:match_phrase_prefix_topdocs)."""
+    from fuzzy_wiki_spark.operators.topk import match_phrase_prefix_topdocs
+
+    posts = _postings_simple(spark, sf_dir)
+    exps = _mpp_expansions(posts)
+    return match_phrase_prefix_topdocs(posts, "content", MPP_ANCHORS, exps)
+
+
+def q_seg_mpp(spark, sf_dir):
+    """match_phrase_prefix on the SEGMENT serving path (prefix resolved
+    against the index's term_stats side-channel, kernel over the pruned
+    decode) — shares the match_phrase_prefix oracle verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segmpp_")
+    return idx.match_phrase_prefix(
+        MPP_ANCHORS, MPP_PREFIX, max_expansions=MPP_MAXEXP
+    )
+
+
+def q_termvectors(spark, sf_dir):
+    """ES _termvectors: one doc's (term, tf, df) — the forward-index
+    lookup joined to the corpus stats side-channel."""
+    posts = _postings_simple(spark, sf_dir)
+    ts = P.term_stats(posts).where(F.col("field") == "content")
+    return (
+        posts.where(
+            (F.col("doc_id") == TV_DOC) & (F.col("field") == "content")
+        )
+        .select("term", F.col("tf").cast("long").alias("tf"))
+        .join(ts.select("term", "df"), "term")
+        .select("term", "tf", F.col("df").cast("long").alias("df"))
+    )
+
+
+def q_seg_termvectors(spark, sf_dir):
+    """_termvectors on the SEGMENT serving path: doc_postings (the
+    bucket-pruned forward lookup MLT uses) joined to the index's
+    term_stats — shares the termvectors oracle verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segtv_")
+    ts = idx.term_stats.where(F.col("field") == "content")
+    return (
+        idx.doc_postings("content", TV_DOC, with_dl=False)
+        .select("term", F.col("tf").cast("long").alias("tf"))
+        .join(ts.select("term", "df"), "term")
+        .select("term", "tf", F.col("df").cast("long").alias("df"))
+    )
+
+
+def q_delete_by_query(spark, sf_dir):
+    """ES _delete_by_query: tombstone every doc matching 'sort' (match
+    set resolved FROM THE INDEX, streaming/incremental.py:
+    delete_by_query), then the skeleton search — deletes-until-merge
+    stats semantics, so the oracle is the full-corpus skeleton with
+    matching docs excluded only from the candidates."""
+    from fuzzy_wiki_spark.streaming.incremental import (
+        delete_by_query,
+        open_incremental,
+    )
+
+    out = _build_incremental(spark, sf_dir)
+    delete_by_query(spark, DBQ_TERMS, "delq-0", out, n_buckets=8)
+    return _segment_skeleton_topk(spark, open_incremental(spark, out))
+
+
+def q_rank_eval(spark, sf_dir):
+    """ES _rank_eval over the 3-query batch run: qrels = docs containing
+    ALL the query's terms (AND semantics), metrics = p@10 / recall@10 /
+    MRR / binary NDCG@10 (operators/rank_eval.py pinned spec; queries
+    with no relevant docs are skipped, as ES does)."""
+    from fuzzy_wiki_spark.operators.rank_eval import rank_eval
+    from fuzzy_wiki_spark.operators.topk import score_queries_batch
+
+    import pandas as pd
+
+    posts = _postings_simple(spark, sf_dir)
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    all_terms = sorted({t for q in BATCH_QUERIES for t in q})
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in P.term_stats(posts)
+        .where(F.col("term").isin(all_terms))
+        .collect()
+    }
+    compiled = {
+        qid: [
+            Clause(i, "content", (t,), 1.0, 0, False)
+            for i, t in enumerate(terms)
+        ]
+        for qid, terms in enumerate(BATCH_QUERIES)
+    }
+    run = score_queries_batch(
+        spark, posts, compiled, term_df, fstats, docs_meta=None, k=10
+    ).select("query_id", "doc_id", "rank")
+
+    qt = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"query_id": qid, "term": t, "n_terms": len(terms)}
+                for qid, terms in enumerate(BATCH_QUERIES)
+                for t in terms
+            ]
+        ),
+        schema="query_id int, term string, n_terms int",
+    )
+    qrels = (
+        posts.where(F.col("term").isin(all_terms))
+        .join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.countDistinct("term").alias("_nm"),
+            F.first("n_terms").alias("_nt"),
+        )
+        .where(F.col("_nm") == F.col("_nt"))
+        .select("query_id", "doc_id")
+    )
+    return rank_eval(run, qrels, k=10)
+
+
 DSIR_N = 50
 DSIR_BUCKETS = 4096
 
@@ -5480,6 +5655,14 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "span_within": q_span_within,
+    "seg_span_within": q_seg_span_within,
+    "match_phrase_prefix": q_match_phrase_prefix,
+    "seg_mpp": q_seg_mpp,
+    "termvectors": q_termvectors,
+    "seg_termvectors": q_seg_termvectors,
+    "delete_by_query": q_delete_by_query,
+    "rank_eval": q_rank_eval,
     "dsir_resample": q_dsir_resample,
     "sampler_agg": q_sampler_agg,
     "seg_sampler": q_seg_sampler,
@@ -5892,4 +6075,105 @@ w AS (SELECT doc_id, sum(lr) AS log_w FROM f JOIN r USING(b)
       GROUP BY doc_id)
 SELECT doc_id, round(log_w, 6) AS log_w FROM w
 ORDER BY log_w DESC, doc_id LIMIT {DSIR_N}
+"""
+
+
+# --------------------------------------------------------------------------
+# round-4 wave-3 oracles
+# --------------------------------------------------------------------------
+
+_SW = SPAN_WITHIN_TERMS
+ORACLE_SQL["span_within"] = f"""
+WITH tk AS ({_TOKPOS}),
+cov AS (SELECT a.doc_id,
+               min(greatest(a.pos, b.pos, c.pos)
+                   - least(a.pos, b.pos, c.pos))::BIGINT AS min_cover
+        FROM tk a JOIN tk b USING(doc_id) JOIN tk c USING(doc_id)
+        WHERE a.term = '{_SW[0]}' AND b.term = '{_SW[1]}'
+          AND c.term = '{_SW[2]}'
+        GROUP BY a.doc_id)
+SELECT doc_id, min_cover FROM cov WHERE min_cover <= {SPAN_WINDOW}
+ORDER BY min_cover, doc_id LIMIT 15
+"""
+ORACLE_SQL["seg_span_within"] = ORACLE_SQL["span_within"]
+
+ORACLE_SQL["match_phrase_prefix"] = f"""
+WITH tk AS ({_TOKPOS}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk
+       GROUP BY doc_id, term),
+exp AS (SELECT DISTINCT term FROM tf WHERE term LIKE '{MPP_PREFIX}%'
+        ORDER BY term LIMIT {MPP_MAXEXP}),
+pm AS (SELECT DISTINCT a.doc_id, b.term AS e
+       FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = '{MPP_ANCHORS[0]}'
+         AND b.term IN (SELECT term FROM exp)),
+fr AS (SELECT pm.doc_id, sum(ta.tf + te.tf)::BIGINT AS phrase_freq
+       FROM pm
+       JOIN tf ta ON ta.doc_id = pm.doc_id AND ta.term = '{MPP_ANCHORS[0]}'
+       JOIN tf te ON te.doc_id = pm.doc_id AND te.term = pm.e
+       GROUP BY pm.doc_id)
+SELECT doc_id, phrase_freq FROM fr
+ORDER BY phrase_freq DESC, doc_id LIMIT 15
+"""
+ORACLE_SQL["seg_mpp"] = ORACLE_SQL["match_phrase_prefix"]
+
+ORACLE_SQL["termvectors"] = f"""
+WITH tf AS ({_TF}),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT tf.term, tf.tf, dfq.df FROM tf JOIN dfq USING(term)
+WHERE tf.doc_id = {TV_DOC}
+"""
+ORACLE_SQL["seg_termvectors"] = ORACLE_SQL["termvectors"]
+
+ORACLE_SQL["delete_by_query"] = _bm25_skeleton_sql(
+    result_filter=(
+        "doc_id NOT IN (SELECT DISTINCT doc_id FROM ("
+        + _TOK.replace('"', "'")
+        + f") WHERE term IN ('{DBQ_TERMS[0]}'))"
+    )
+)
+
+ORACLE_SQL["rank_eval"] = f"""
+WITH tf AS ({_TF}), dl AS ({_DL}),
+st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+qt(query_id, term, n_terms) AS (VALUES
+    {", ".join(f"({qid}, '{t}', {len(terms)})" for qid, terms in enumerate(BATCH_QUERIES) for t in terms)}),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+              * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ) AS s
+  FROM tf JOIN qt USING(term) JOIN dfq ON tf.term = dfq.term
+       JOIN dl USING(doc_id) CROSS JOIN st
+  GROUP BY qt.query_id, tf.doc_id),
+r AS (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id) AS rank
+      FROM sc),
+qr AS (SELECT qt.query_id, tf.doc_id FROM tf JOIN qt USING(term)
+       GROUP BY qt.query_id, tf.doc_id
+       HAVING count(DISTINCT tf.term) = max(qt.n_terms)),
+nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM qr GROUP BY query_id),
+m AS (SELECT r.query_id, r.rank,
+             CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM r LEFT JOIN qr ON qr.query_id = r.query_id
+                         AND qr.doc_id = r.doc_id
+      WHERE r.rank <= 10),
+agg AS (SELECT query_id, sum(rel) AS n_hit,
+               max(CASE WHEN rel = 1 THEN 1.0/rank END) AS mrr0,
+               sum(CASE WHEN rel = 1 THEN 1.0/log2(rank + 1)
+                        ELSE 0 END) AS dcg
+        FROM m GROUP BY query_id),
+ideal AS (SELECT query_id, n_rel,
+                 list_sum([1.0/log2(x + 1)
+                           FOR x IN generate_series(1, least(n_rel, 10))])
+                   AS idcg
+          FROM nrel)
+SELECT a.query_id::INT AS query_id,
+       round(a.n_hit/10.0, 6) AS p_at_10,
+       round(a.n_hit/CAST(i.n_rel AS DOUBLE), 6) AS recall_at_10,
+       round(coalesce(a.mrr0, 0), 6) AS mrr,
+       round(a.dcg/i.idcg, 6) AS ndcg_at_10
+FROM agg a JOIN ideal i USING(query_id)
 """

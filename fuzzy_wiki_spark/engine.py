@@ -2007,3 +2007,68 @@ class SegmentIndex:
             posts, docs, sorted(set(terms)), outer_col, inner_col,
             inner_k=inner_k,
         )
+
+    def span_within(
+        self,
+        terms: tuple[str, ...],
+        window: int,
+        field: str = "content",
+        k: int = 15,
+    ) -> DataFrame:
+        """Unordered proximity on the serving path (SpanNearQuery
+        in_order=false): all terms within a covering window, tightest
+        first (operators/topk.py:span_within_topdocs over the term-pruned
+        decode — positions stay wire-format until the Arrow kernel)."""
+        from fuzzy_wiki_spark.operators.topk import span_within_topdocs
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return span_within_topdocs(posts, field, tuple(terms), window, k=k)
+
+    def resolve_prefix(
+        self, prefix: str, field: str = "content", max_expansions: int = 50
+    ) -> list[str]:
+        """First ``max_expansions`` index terms starting with ``prefix``
+        in lexicographic order (ES's term-dict expansion order) — a
+        bounded collect off the vocabulary-sized term_stats side-channel,
+        never the postings."""
+        rows = (
+            self.term_stats.where(
+                (F.col("field") == field)
+                & F.col("term").startswith(prefix)
+            )
+            .select("term")
+            .orderBy("term")
+            .limit(max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def match_phrase_prefix(
+        self,
+        anchors: tuple[str, ...],
+        prefix: str,
+        field: str = "content",
+        max_expansions: int = 50,
+        k: int = 15,
+    ) -> DataFrame:
+        """ES match_phrase_prefix on the serving path: resolve the prefix
+        against the term dictionary (bounded), then the multi-phrase freq
+        kernel over the anchors∪expansions pruned decode
+        (operators/topk.py:match_phrase_prefix_topdocs)."""
+        from fuzzy_wiki_spark.operators.topk import (
+            match_phrase_prefix_topdocs,
+        )
+
+        exps = self.resolve_prefix(
+            prefix, field=field, max_expansions=max_expansions
+        )
+        if not exps:
+            return self.spark.createDataFrame(
+                [], "doc_id long, phrase_freq long"
+            )
+        posts = self.term_postings(
+            field, sorted(set(list(anchors) + exps)), with_dl=False
+        )
+        return match_phrase_prefix_topdocs(
+            posts, field, tuple(anchors), exps, k=k
+        )

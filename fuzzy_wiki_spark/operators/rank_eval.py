@@ -1,0 +1,71 @@
+"""Ranking-quality evaluation (the ES ``_rank_eval`` API): given a RUN
+(per-query ranked hits) and QRELS (per-query relevant docs), compute
+precision@k, recall@k, MRR and binary-gain NDCG@k per query.
+
+This is the measurement half of a search engine's feedback loop — the
+API a relevance engineer hits after every ranker change. Pinned spec
+(mirrored 1:1 by the DuckDB oracle in driver_queries.py):
+
+- ``p_at_k``      = |relevant ∩ top-k| / k
+- ``recall_at_k`` = |relevant ∩ top-k| / |relevant|
+- ``mrr``         = 1 / rank of the first relevant hit in the top-k
+                    (0 when none) — reciprocal rank @ k
+- ``ndcg_at_k``   = DCG@k / IDCG, DCG = Σ_{relevant hits} 1/log2(rank+1),
+                    IDCG = Σ_{i=1..min(|relevant|,k)} 1/log2(i+1)
+                    (binary gains, the ES default)
+
+Only queries with ≥1 relevant doc are evaluated (ES rejects empty
+ratings the same way).
+
+Scale notes (100 TB / 10k-query eval sets): the run is already ≤ Q·k
+rows; qrels join by (query_id, doc_id) — one equi-join, one combinable
+groupBy(query_id), and the IDCG is a pure Column ``aggregate`` over a
+``sequence(1, min(n_rel, k))`` literal range (no Python, no window, no
+driver math). Nothing in the plan scales with the corpus — only with
+the eval set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def rank_eval(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """``run``: (query_id, doc_id, rank) — rank 1-based, any rows with
+    rank > k are ignored. ``qrels``: (query_id, doc_id) relevant pairs.
+    → (query_id, p_at_k, recall_at_k, mrr, ndcg_at_k), rounded 6 dp."""
+    topk = run.where(F.col("rank") <= k).select("query_id", "doc_id", "rank")
+    marked = topk.join(
+        qrels.select("query_id", "doc_id").withColumn("_rel", F.lit(1)),
+        ["query_id", "doc_id"],
+        "left",
+    ).withColumn("_rel", F.coalesce(F.col("_rel"), F.lit(0)))
+    per_q = marked.groupBy("query_id").agg(
+        F.sum("_rel").alias("n_hit"),
+        F.max(
+            F.when(F.col("_rel") == 1, 1.0 / F.col("rank"))
+        ).alias("_mrr"),
+        F.sum(
+            F.when(
+                F.col("_rel") == 1, 1.0 / F.log2(F.col("rank") + 1)
+            ).otherwise(0.0)
+        ).alias("_dcg"),
+    )
+    n_rel = qrels.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    idcg = F.expr(
+        f"aggregate(sequence(1, int(least(n_rel, {k}))), cast(0 as double),"
+        " (acc, i) -> acc + 1.0/log2(i + 1))"
+    )
+    return (
+        per_q.join(n_rel, "query_id")
+        .select(
+            "query_id",
+            F.round(F.col("n_hit") / float(k), 6).alias(f"p_at_{k}"),
+            F.round(
+                F.col("n_hit") / F.col("n_rel").cast("double"), 6
+            ).alias(f"recall_at_{k}"),
+            F.round(F.coalesce(F.col("_mrr"), F.lit(0.0)), 6).alias("mrr"),
+            F.round(F.col("_dcg") / idcg, 6).alias(f"ndcg_at_{k}"),
+        )
+    )

@@ -633,3 +633,172 @@ def synonym_search(
             .select("doc_id", "path", "score")
         )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def span_cover_batch(tp_col: pd.Series, terms_col: pd.Series) -> pd.Series:
+    """Vectorized-batch UNORDERED proximity matcher (Lucene SpanNearQuery
+    with in_order=false / ES intervals `unordered`): per row, the minimal
+    covering window max(p_i) − min(p_i) over one occurrence choice of
+    EVERY span term, any order; −1 when a term is absent.
+
+    Classic k-sorted-lists minimal-range sweep: one pointer per list,
+    range = max(front) − min(front), advance the minimum's pointer —
+    O(Σ|L_i|·k) per doc with k = |terms| (query-sized)."""
+    from fuzzy_wiki_spark.codec import positions_by_term
+
+    out = []
+    for tps, terms in zip(tp_col, terms_col):
+        posmap = positions_by_term(tps)
+        lists = [sorted(posmap.get(t, ())) for t in dict.fromkeys(terms)]
+        if any(not pl for pl in lists):
+            out.append(-1)
+            continue
+        ptr = [0] * len(lists)
+        best = 1 << 62
+        while True:
+            fronts = [li[p] for li, p in zip(lists, ptr)]
+            lo, hi = min(fronts), max(fronts)
+            if hi - lo < best:
+                best = hi - lo
+            i = fronts.index(lo)
+            ptr[i] += 1
+            if ptr[i] >= len(lists[i]):
+                break
+        out.append(best)
+    return pd.Series(out, dtype="int64")
+
+
+_cover_udf = F.pandas_udf(span_cover_batch, T.LongType())
+
+
+def span_within_topdocs(
+    postings: DataFrame,
+    field: str,
+    terms: tuple[str, ...],
+    window: int,
+    k: int = 15,
+) -> DataFrame:
+    """Unordered proximity query: docs where ALL span terms co-occur
+    within a ``window``-token covering range (any order), ranked by
+    tightness (min_cover asc, doc_id asc). Same single pruned scan +
+    doc-keyed combinable agg + Arrow batch kernel plan as
+    span_near_topdocs; the UDF touches only candidate docs that contain
+    every term."""
+    uniq = list(dict.fromkeys(terms))
+    cand = (
+        postings.where(
+            (F.col("field") == field) & F.col("term").isin(uniq)
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("term"), F.col("positions"))
+            ).alias("mtps"),
+            F.countDistinct("term").alias("n_found"),
+        )
+        .where(F.col("n_found") == len(uniq))
+    )
+    covered = cand.withColumn(
+        "min_cover",
+        _cover_udf(F.col("mtps"), F.array(*[F.lit(t) for t in uniq])),
+    ).where((F.col("min_cover") >= 0) & (F.col("min_cover") <= window))
+    return (
+        covered.select("doc_id", "min_cover")
+        .orderBy(F.asc("min_cover"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def mpp_freq_batch(
+    tp_col: pd.Series, anchors_col: pd.Series, exps_col: pd.Series
+) -> pd.Series:
+    """match_phrase_prefix freq kernel: per candidate row, the summed
+    phrase frequency over all prefix EXPANSIONS whose exact phrase
+    (anchor_1 … anchor_{n−1} expansion) occurs — each matched expansion
+    contributes Σ anchor tfs + tf(expansion), the engine's pinned phrase
+    freq form (Σ member tfs gated by the match, myTermStats.java:56-63
+    semantics); 0 when nothing matches.
+
+    Anchor-chain bases are one set intersection of shifted position
+    lists; each expansion then costs a membership probe per base."""
+    from fuzzy_wiki_spark.codec import positions_by_term
+
+    out = []
+    for tps, anchors, exps in zip(tp_col, anchors_col, exps_col):
+        posmap = positions_by_term(tps)
+        alists = [posmap.get(t) for t in anchors]
+        if any(not pl for pl in alists):
+            out.append(0)
+            continue
+        bases = set(alists[0])
+        for i, li in enumerate(alists[1:], start=1):
+            bases &= {p - i for p in li}
+            if not bases:
+                break
+        if not bases:
+            out.append(0)
+            continue
+        n_anchor = len(anchors)
+        anchor_tf = sum(len(pl) for pl in alists)
+        freq = 0
+        for e in exps:
+            el = posmap.get(e)
+            if not el:
+                continue
+            eset = set(el)
+            if any(b + n_anchor in eset for b in bases):
+                freq += anchor_tf + len(el)
+        out.append(freq)
+    return pd.Series(out, dtype="int64")
+
+
+_mpp_udf = F.pandas_udf(mpp_freq_batch, T.LongType())
+
+
+def match_phrase_prefix_topdocs(
+    postings: DataFrame,
+    field: str,
+    anchors: tuple[str, ...],
+    expansions: list[str],
+    k: int = 15,
+) -> DataFrame:
+    """ES ``match_phrase_prefix`` (Lucene MultiPhraseQuery over a prefix's
+    expansions): docs where the exact phrase (anchors…, e) occurs for any
+    expansion e, ranked by the summed matched-expansion phrase freq
+    (freq desc, doc_id asc) → (doc_id, phrase_freq).
+
+    ``expansions`` is the BOUNDED expansion list (the caller resolves the
+    prefix against term_stats — first ``max_expansions`` index terms in
+    lexicographic order, ES's term-dict order); the scan predicate is
+    anchors ∪ expansions, so decode cost is Σ their posting lists. Docs
+    missing any anchor never reach the kernel."""
+    uniq_anchor = list(dict.fromkeys(anchors))
+    all_terms = list(dict.fromkeys(list(anchors) + list(expansions)))
+    cand = (
+        postings.where(
+            (F.col("field") == field) & F.col("term").isin(all_terms)
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("term"), F.col("positions"))
+            ).alias("mtps"),
+            F.countDistinct(
+                F.when(F.col("term").isin(uniq_anchor), F.col("term"))
+            ).alias("n_anchor"),
+        )
+        .where(F.col("n_anchor") == len(uniq_anchor))
+    )
+    scored = cand.withColumn(
+        "phrase_freq",
+        _mpp_udf(
+            F.col("mtps"),
+            F.array(*[F.lit(t) for t in anchors]),
+            F.array(*[F.lit(e) for e in expansions]),
+        ),
+    ).where(F.col("phrase_freq") > 0)
+    return (
+        scored.select("doc_id", "phrase_freq")
+        .orderBy(F.desc("phrase_freq"), F.asc("doc_id"))
+        .limit(k)
+    )

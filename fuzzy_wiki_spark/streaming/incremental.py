@@ -635,3 +635,30 @@ def windowed_event_counts(
             "total",
         )
     )
+
+
+def delete_by_query(
+    spark: SparkSession,
+    terms: list[str],
+    gen: str,
+    out_dir: str,
+    field: str = "content",
+    n_buckets: int = 32,
+) -> None:
+    """ES _delete_by_query: tombstone every live doc matching ANY of the
+    (analyzed) ``terms`` — the match set is resolved from the INDEX
+    ITSELF (term-pruned segment decode, cost Σ df(terms)), not from a
+    docs table, so the operation needs nothing but the index. The
+    resolved doc_ids feed the same tombstone generation as delete_docs:
+    no rewrite, deletes-until-merge stats semantics, compaction drops
+    both sides."""
+    from fuzzy_wiki_spark.engine import SegmentIndex
+
+    idx = open_incremental(spark, out_dir)
+    assert isinstance(idx, SegmentIndex)
+    doomed = (
+        idx.term_postings(field, sorted(set(terms)), with_dl=False)
+        .select("doc_id")
+        .distinct()
+    )
+    delete_docs(spark, doomed, gen, out_dir, n_buckets=n_buckets)

@@ -1,0 +1,185 @@
+"""span_within (unordered proximity), match_phrase_prefix, termvectors,
+delete_by_query and rank_eval: semantics + relational≡segment parity."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.corpus import generate_docs_pdf
+from fuzzy_wiki_spark.engine import InvertedIndex, SegmentIndex
+from fuzzy_wiki_spark.operators.topk import (
+    match_phrase_prefix_topdocs,
+    span_cover_batch,
+    span_within_topdocs,
+)
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(generate_docs_pdf(N_DOCS, seed=37)).cache()
+
+
+@pytest.fixture(scope="module")
+def rel(spark, docs):
+    return InvertedIndex.build(spark, docs)
+
+
+@pytest.fixture(scope="module")
+def segi(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("segw3") / "ix")
+    return SegmentIndex.build(spark, docs, out, n_buckets=4)
+
+
+def test_span_cover_kernel_brute():
+    """Kernel min-cover == brute force over all occurrence choices."""
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from fuzzy_wiki_spark.codec import encode_position_list
+
+    rng = random.Random(3)
+    for _ in range(50):
+        lists = {
+            t: sorted(rng.sample(range(60), rng.randint(1, 6)))
+            for t in ("x", "y", "z")
+        }
+        tps = [
+            {"term": t, "positions": encode_position_list(ps)}
+            for t, ps in lists.items()
+        ]
+        got = span_cover_batch(
+            pd.Series([tps]), pd.Series([["x", "y", "z"]])
+        ).iloc[0]
+        brute = min(
+            max(c) - min(c)
+            for c in itertools.product(*lists.values())
+        )
+        assert got == brute
+
+
+def test_span_within_vs_ordered(rel, segi):
+    """Unordered ⊇ ordered: every span_near hit is a span_within hit at
+    the same tightness bound; parity holds across engines."""
+    terms = ("binari", "search", "tree")
+    want = [
+        tuple(r)
+        for r in span_within_topdocs(
+            rel.postings, "content", terms, 30, k=50
+        ).collect()
+    ]
+    got = [tuple(r) for r in segi.span_within(terms, 30, k=50).collect()]
+    assert got == want and len(got) > 0
+    # any-order matcher finds at least as many docs as the ordered one
+    from fuzzy_wiki_spark.operators.topk import span_near_topdocs
+
+    ordered = span_near_topdocs(
+        rel.postings, "content", terms, slop=30, k=500
+    ).count()
+    unordered = span_within_topdocs(
+        rel.postings, "content", terms, 30 + len(terms) - 1, k=500
+    ).count()
+    # slop s ordered chain => cover = gap + (n-1) <= s + n - 1
+    assert unordered >= ordered
+
+
+def test_mpp_parity_and_prefix_semantics(rel, segi):
+    anchors = ("binari",)
+    want = [
+        tuple(r)
+        for r in match_phrase_prefix_topdocs(
+            rel.postings,
+            "content",
+            anchors,
+            # resolve expansions the same way the segment engine does
+            segi.resolve_prefix("se", max_expansions=10),
+            k=20,
+        ).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in segi.match_phrase_prefix(
+            anchors, "se", max_expansions=10, k=20
+        ).collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_mpp_single_expansion_is_exact_phrase(rel):
+    """With the expansion list pinned to one full term, every match doc
+    must contain the exact phrase — cross-checked against phrase_topdocs
+    (slop 0) membership."""
+    from fuzzy_wiki_spark.operators.topk import phrase_topdocs
+
+    mpp = match_phrase_prefix_topdocs(
+        rel.postings, "content", ("binari",), ["search"], k=500
+    )
+    exact = phrase_topdocs(
+        rel.postings, "content", ("binari", "search"), slop=0, k=500
+    )
+    assert {r["doc_id"] for r in mpp.collect()} == {
+        r["doc_id"] for r in exact.collect()
+    }
+
+
+def test_delete_by_query_matches_explicit_delete(spark, docs, tmp_path):
+    from fuzzy_wiki_spark.streaming.incremental import (
+        append_batch,
+        delete_by_query,
+        delete_docs,
+        open_incremental,
+    )
+
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    for out in (out_a, out_b):
+        append_batch(spark, docs, "epoch-0", out, n_buckets=4)
+    # b: explicit delete of the docs containing the analyzed term
+    doomed = open_incremental(spark, out_b).term_postings(
+        "content", ["walk"], with_dl=False
+    ).select("doc_id").distinct()
+    doomed_ids = sorted(r["doc_id"] for r in doomed.collect())
+    assert doomed_ids  # the term does hit
+    delete_docs(spark, doomed_ids, "del-0", out_b, n_buckets=4)
+    # a: delete_by_query resolves the same set from the index
+    delete_by_query(spark, ["walk"], "del-0", out_a, n_buckets=4)
+    ra = [tuple(r) for r in open_incremental(spark, out_a).search("binary search tree", k=10).collect()]
+    rb = [tuple(r) for r in open_incremental(spark, out_b).search("binary search tree", k=10).collect()]
+    assert ra == rb and len(ra) > 0
+    hit_docs = {d for d, *_ in ra}
+    assert not (hit_docs & set(doomed_ids))
+
+
+def test_rank_eval_hand_example(spark):
+    from fuzzy_wiki_spark.operators.rank_eval import rank_eval
+
+    # q0: rel docs {1, 3, 9}; run top-5 = [2, 3, 4, 1, 5]
+    run = spark.createDataFrame(
+        [(0, d, r) for r, d in enumerate([2, 3, 4, 1, 5], start=1)],
+        "query_id int, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 1), (0, 3), (0, 9)], "query_id int, doc_id long"
+    )
+    row = rank_eval(run, qrels, k=5).collect()[0]
+    assert row["p_at_5"] == pytest.approx(2 / 5, abs=1e-6)
+    assert row["recall_at_5"] == pytest.approx(2 / 3, abs=1e-6)
+    assert row["mrr"] == pytest.approx(1 / 2, abs=1e-6)
+    dcg = 1 / math.log2(3) + 1 / math.log2(5)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert row["ndcg_at_5"] == pytest.approx(dcg / idcg, abs=1e-6)
+
+
+def test_rank_eval_skips_unrated_queries(spark):
+    from fuzzy_wiki_spark.operators.rank_eval import rank_eval
+
+    run = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1)], "query_id int, doc_id long, rank int"
+    )
+    qrels = spark.createDataFrame([(0, 1)], "query_id int, doc_id long")
+    rows = rank_eval(run, qrels, k=5).collect()
+    assert [r["query_id"] for r in rows] == [0]
+    assert rows[0]["mrr"] == 1.0
