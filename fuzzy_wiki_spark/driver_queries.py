@@ -5450,6 +5450,83 @@ def q_seg_nested(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# round-4 wave 4: filtered ANN / reindex+alias / gopher rules
+# --------------------------------------------------------------------------
+
+FILTERED_ANN_LABEL = 2
+REINDEX_DROP_LANG = "md"
+
+
+def q_filtered_ann(spark, sf_dir):
+    """Filtered vector search (ES knn `filter`): exact cosine top-10 vs
+    the vec_id=0 embedding restricted to label=2 rows — PRE-filter
+    semantics, predicate pushed to the scan
+    (operators/similarity.py:filtered_cosine_topk)."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    res = SIM.filtered_cosine_topk(
+        emb,
+        list(qvec),
+        (F.col("label") == FILTERED_ANN_LABEL) & (F.col("vec_id") != 0),
+        k=10,
+    )
+    return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def q_reindex_search(spark, sf_dir):
+    """Zero-downtime reindex behind an alias (operators/reindex.py):
+    build index A over the full corpus, point the alias at it, REINDEX
+    with a transform that drops lang='md' docs into index B, flip the
+    alias, serve the skeleton query through the alias. The oracle is the
+    skeleton over the TRANSFORMED corpus with stats recomputed from
+    scratch (full-rebuild semantics — no tombstone residue), which is
+    exactly what distinguishes reindex from delete_by_query."""
+    import tempfile
+
+    from fuzzy_wiki_spark.engine import SegmentIndex
+    from fuzzy_wiki_spark.operators.reindex import (
+        open_alias,
+        reindex,
+        write_alias,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.col("text").alias("content")
+    )
+    base = tempfile.mkdtemp(prefix="fw_alias_")
+    a_path = f"{base}/ix-a"
+    SegmentIndex.build(
+        spark,
+        docs.select("doc_id", "content"),
+        a_path,
+        n_buckets=8,
+        mode="simple",
+        fields={"content": "content"},
+    )
+    write_alias(base, a_path)
+    reindex(
+        spark,
+        base,
+        docs,
+        lambda d: d.where(F.col("lang") != REINDEX_DROP_LANG).select(
+            "doc_id", "content"
+        ),
+        f"{base}/ix-b",
+        n_buckets=8,
+        mode="simple",
+        fields={"content": "content"},
+    )
+    return _segment_skeleton_topk(spark, open_alias(spark, base))
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-filter rules (Rae et al. 2021 Table A1) over the
+    corpus: per-doc rule factors + combined keep verdict, all pure Column
+    expressions over the token array (functions/text.py:gopher_rules)."""
+    return TXT.gopher_rules(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
 # round-4 wave 3: span_within / match_phrase_prefix / termvectors /
 # delete_by_query / rank_eval
 # --------------------------------------------------------------------------
@@ -5655,6 +5732,9 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "filtered_ann": q_filtered_ann,
+    "reindex_search": q_reindex_search,
+    "gopher_rules": q_gopher_rules,
     "span_within": q_span_within,
     "seg_span_within": q_seg_span_within,
     "match_phrase_prefix": q_match_phrase_prefix,
@@ -6176,4 +6256,54 @@ SELECT a.query_id::INT AS query_id,
        round(coalesce(a.mrr0, 0), 6) AS mrr,
        round(a.dcg/i.idcg, 6) AS ndcg_at_10
 FROM agg a JOIN ideal i USING(query_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# round-4 wave-4 oracles
+# --------------------------------------------------------------------------
+
+ORACLE_SQL["filtered_ann"] = f"""
+WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+           FROM embeddings WHERE vec_id = 0),
+s AS (SELECT vec_id,
+             list_dot_product(list_transform(embedding, x -> x::DOUBLE), qe)
+             / (sqrt(list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+                                      list_transform(embedding, x -> x::DOUBLE)))
+                * sqrt(list_dot_product(qe, qe))) AS cos
+      FROM embeddings CROSS JOIN q
+      WHERE vec_id <> 0 AND label = {FILTERED_ANN_LABEL})
+SELECT vec_id, round(cos, 4) AS cos_sim FROM s
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+ORACLE_SQL["reindex_search"] = _bm25_skeleton_sql(
+    doc_filter=f"lang <> '{REINDEX_DROP_LANG}'"
+)
+
+ORACLE_SQL["gopher_rules"] = """
+WITH w AS (SELECT doc_id, text,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+f AS (SELECT doc_id,
+             len(ws)::BIGINT AS n_words,
+             list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+               / len(ws) AS mwl,
+             ((len(string_split(text, '#')) - 1)
+              + (len(string_split_regex(text, '\\.\\.\\.|…')) - 1))::DOUBLE
+               / len(ws) AS sym,
+             len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+               / len(ws) AS alpha,
+             len(list_intersect(list_distinct(ws),
+                 ['the','be','to','of','and','that','have','with']))::BIGINT
+               AS n_stops
+      FROM w)
+SELECT doc_id, n_words,
+       round(mwl, 6) AS mean_word_len,
+       round(sym, 6) AS symbol_ratio,
+       round(alpha, 6) AS alpha_ratio,
+       n_stops,
+       (n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        AND sym <= 0.1 AND alpha >= 0.8 AND n_stops >= 2) AS keep
+FROM f
 """

@@ -224,3 +224,71 @@ def fingerprint(text_col) -> Column:
     return F.md5(
         F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col))))
     )
+
+
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl: float = 3.0,
+    max_mwl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stops: int = 2,
+):
+    """Gopher quality-filter rules (Rae et al. 2021, MassiveWeb filtering,
+    Table A1): per-doc rule factors + the combined keep verdict —
+
+    - word count in [min_words, max_words]
+    - mean word length in [min_mwl, max_mwl]
+    - symbol-to-word ratio ('#' or '…'/'...') ≤ max_symbol_ratio
+    - ≥ min_alpha_ratio of words contain an alphabetic character
+    - ≥ min_stops distinct members of the 8-stop-word list
+
+    Returns (id_col, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+    n_stops, keep). One narrow map pass — every factor is a pure Column
+    expression over the token array (no UDF, no shuffle, no explode), so
+    the filter runs at scan speed over any corpus size."""
+    from pyspark.sql import functions as F
+
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n = F.size(w)
+    nd = n.cast("double")
+    total_len = F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.length(x)
+    ).cast("double")
+    mwl = total_len / nd
+    n_sym = (
+        F.size(F.split(F.col(text_col), "#")) - 1
+        + F.size(F.split(F.col(text_col), r"\.\.\.|…")) - 1
+    ).cast("double")
+    sym_ratio = n_sym / nd
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]")))
+    alpha_ratio = n_alpha.cast("double") / nd
+    stops_arr = F.array(*[F.lit(s) for s in GOPHER_STOPS])
+    n_stops = F.size(
+        F.array_intersect(F.array_distinct(w), stops_arr)
+    )
+    keep = (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mwl >= min_mwl)
+        & (mwl <= max_mwl)
+        & (sym_ratio <= max_symbol_ratio)
+        & (alpha_ratio >= min_alpha_ratio)
+        & (n_stops >= min_stops)
+    )
+    return docs.select(
+        id_col,
+        n.cast("long").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        n_stops.cast("long").alias("n_stops"),
+        keep.alias("keep"),
+    )

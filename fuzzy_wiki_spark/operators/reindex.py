@@ -1,0 +1,81 @@
+"""Index aliases + zero-downtime reindex (the ES `_aliases` /
+`_reindex` pair).
+
+An ALIAS is a one-line pointer file (``alias.json``) naming the active
+index directory. Serving code opens the alias, not a path; a reindex
+builds the NEW index completely, then swaps the pointer with an
+atomic rename — readers see either the old index or the new one, never
+a half-built state. This is the same commit discipline the segment
+store itself uses (write-then-publish); in a production deployment the
+pointer lives in the Iceberg catalog (REPLACE TABLE) or a metastore —
+the file here is the local stand-in with identical semantics.
+
+``reindex`` takes a TRANSFORM over the source docs (drop rows, rewrite
+fields, change analyzers — anything) because that is what reindexing is
+for: the new index is a full rebuild of the transformed corpus, stats
+recomputed from scratch (no tombstone residue), exactly ES's
+`_reindex` + alias-flip runbook.
+
+Scale notes (100 TB): the rebuild is the normal distributed segment
+build (the expensive part, unavoidable by definition of reindex); the
+swap is O(1) metadata. The old generation stays on disk for rollback
+until explicitly dropped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_alias(alias_dir: str, index_path: str) -> None:
+    """Point ``alias_dir/alias.json`` at ``index_path`` atomically
+    (write temp + rename — POSIX rename is atomic within a filesystem;
+    the catalog-swap analog at scale)."""
+    os.makedirs(alias_dir, exist_ok=True)
+    tmp = os.path.join(alias_dir, ".alias.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"index": index_path}, f)
+    os.replace(tmp, os.path.join(alias_dir, "alias.json"))
+
+
+def read_alias(alias_dir: str) -> str:
+    with open(os.path.join(alias_dir, "alias.json")) as f:
+        return json.load(f)["index"]
+
+
+def open_alias(spark: SparkSession, alias_dir: str):
+    """SegmentIndex behind the alias — what serving code should open."""
+    from fuzzy_wiki_spark.engine import SegmentIndex
+
+    return SegmentIndex(spark, read_alias(alias_dir))
+
+
+def reindex(
+    spark: SparkSession,
+    alias_dir: str,
+    docs_df: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    new_path: str,
+    n_buckets: int = 32,
+    mode: str = "porter",
+    fields: dict[str, str] | None = None,
+):
+    """Full rebuild of ``transform(docs_df)`` into ``new_path``, then flip
+    the alias. Returns the new SegmentIndex. The old index directory is
+    left intact for rollback (`write_alias(alias_dir, old_path)`)."""
+    from fuzzy_wiki_spark.engine import SegmentIndex
+
+    idx = SegmentIndex.build(
+        spark,
+        transform(docs_df),
+        new_path,
+        n_buckets=n_buckets,
+        mode=mode,
+        fields=fields,
+    )
+    write_alias(alias_dir, new_path)
+    return idx

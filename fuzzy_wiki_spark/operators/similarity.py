@@ -671,3 +671,27 @@ def lsh_cosine_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def filtered_cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    predicate,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Filtered vector search (ES knn `filter` / faiss IDSelector): exact
+    cosine top-k restricted to rows satisfying ``predicate`` — PRE-filter
+    semantics, so the result is exactly the brute-force top-k of the
+    filtered subset (never the post-filter trap of k shrinking below k).
+
+    Scale notes (100 TB): the predicate is applied BEFORE scoring, so
+    Catalyst pushes it into the parquet/Iceberg scan (partition + row-group
+    pruning) and the gemm work is |filtered| · dim. This is the right
+    regime for selective predicates; for broad predicates compose with the
+    IVF route instead (probe lists, filter candidates, rerank — recall
+    then depends on nprobe exactly as unfiltered IVF does)."""
+    return cosine_topk(
+        df.where(predicate), query_vec, k=k, id_col=id_col, vec_col=vec_col
+    )

@@ -183,3 +183,93 @@ def test_rank_eval_skips_unrated_queries(spark):
     rows = rank_eval(run, qrels, k=5).collect()
     assert [r["query_id"] for r in rows] == [0]
     assert rows[0]["mrr"] == 1.0
+
+
+def test_reindex_alias_flip_and_rollback(spark, docs, tmp_path):
+    from fuzzy_wiki_spark.engine import SegmentIndex
+    from fuzzy_wiki_spark.operators.reindex import (
+        open_alias,
+        read_alias,
+        reindex,
+        write_alias,
+    )
+
+    base = str(tmp_path / "serve")
+    a_path = str(tmp_path / "ix-a")
+    SegmentIndex.build(spark, docs, a_path, n_buckets=4)
+    write_alias(base, a_path)
+    before = [tuple(r) for r in open_alias(spark, base).search("binary search", k=5).collect()]
+    # reindex: drop every doc whose id is even
+    idx_b = reindex(
+        spark, base, docs,
+        lambda d: d.where(F.col("doc_id") % 2 == 1),
+        str(tmp_path / "ix-b"), n_buckets=4,
+    )
+    assert read_alias(base).endswith("ix-b")
+    after = [tuple(r) for r in open_alias(spark, base).search("binary search", k=5).collect()]
+    assert after and all(d % 2 == 1 for d, *_ in after)
+    assert after != before
+    # alias view == direct view of the new index
+    direct = [tuple(r) for r in idx_b.search("binary search", k=5).collect()]
+    assert after == direct
+    # rollback: flip the pointer back, old index untouched
+    write_alias(base, a_path)
+    assert [tuple(r) for r in open_alias(spark, base).search("binary search", k=5).collect()] == before
+
+
+def test_filtered_ann_prefilter_exact(spark):
+    import numpy as np
+
+    from fuzzy_wiki_spark.operators.similarity import (
+        cosine_topk,
+        filtered_cosine_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)], int(i % 3))
+        for i in range(100)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    q = rows[0][1]
+    got = filtered_cosine_topk(
+        emb, q, (F.col("label") == 1) & (F.col("vec_id") != 0), k=5
+    ).collect()
+    assert len(got) == 5
+    # pre-filter exactness: equals brute-force over the filtered subset
+    want = cosine_topk(emb.where(F.col("label") == 1), q, k=5).collect()
+    assert [(r["vec_id"], round(r["cos_sim"], 9)) for r in got] == [
+        (r["vec_id"], round(r["cos_sim"], 9)) for r in want
+    ]
+    labels = dict((i, l) for i, _, l in rows)
+    assert all(labels[r["vec_id"]] == 1 for r in got)
+
+
+def test_gopher_rules_boundaries(spark):
+    from fuzzy_wiki_spark.functions.text import gopher_rules
+
+    good = "the data and table " + " ".join(f"word{i}" for i in range(60))
+    rows = [
+        (0, good),                                  # passes everything
+        (1, "the of short doc"),                    # < 50 words
+        (2, "the of " + " ".join(["xx#"] * 60)),    # symbol ratio > 0.1
+        (3, "the of " + " ".join(["12345"] * 60)),  # alpha ratio < 0.8
+        (4, " ".join(["wordy"] * 60)),              # no stop words
+        (5, "the of " + " ".join(["a"] * 60)),      # mean word length < 3
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[0]["keep"] is True
+    for d in (1, 2, 3, 4, 5):
+        assert out[d]["keep"] is False, d
+    assert out[1]["n_words"] == 4
+    assert out[4]["n_stops"] == 0 and out[0]["n_stops"] >= 2
+    assert out[2]["symbol_ratio"] > 0.1
+    assert out[3]["alpha_ratio"] < 0.8
+    assert out[5]["mean_word_len"] < 3.0
