@@ -417,6 +417,16 @@ def main() -> None:
         lambda: DQ.q_rank_eval(spark, sf_dir).collect(),
         reps=2,
     )
+    timed(
+        "pipe_phrase_suggest",
+        lambda: DQ.q_phrase_suggest(spark, sf_dir).collect(),
+        reps=2,
+    )
+    timed(
+        "pipe_gopher_rules",
+        lambda: DQ.q_gopher_rules(spark, sf_dir).count(),
+        reps=2,
+    )
 
     # 3b) trigram code search: index build (narrow stage) + pruned substring
     # + pruned regex over the same in-memory index

@@ -5450,6 +5450,45 @@ def q_seg_nested(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# round-4 wave 5: phrase suggester (did-you-mean with bigram collation)
+# --------------------------------------------------------------------------
+
+PSUG_WORDS = ["merge", "joinn"]  # one valid word + one typo
+PSUG_PER_TERM = 5
+PSUG_K = 3
+
+
+def q_phrase_suggest(spark, sf_dir):
+    """ES phrase suggester: per-word dictionary candidates (dist asc, df
+    desc, term asc; the valid word re-ranks too), candidate phrases
+    scored by the Laplace-smoothed corpus bigram LM
+    (operators/term_expansion.py:phrase_suggest)."""
+    from fuzzy_wiki_spark.operators.term_expansion import phrase_suggest
+
+    posts = _postings_simple(spark, sf_dir)
+    return phrase_suggest(
+        spark,
+        _docs(spark, sf_dir),
+        P.term_stats(posts),
+        "content",
+        PSUG_WORDS,
+        per_term=PSUG_PER_TERM,
+        k=PSUG_K,
+    )
+
+
+def q_seg_phrase_suggest(spark, sf_dir):
+    """Phrase suggester on the SEGMENT serving path — collation bigram
+    counts from the candidate terms' own position lists (index-native,
+    no corpus scan; SegmentIndex.phrase_suggest) — shares the
+    phrase_suggest oracle verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segpsug_")
+    return idx.phrase_suggest(
+        PSUG_WORDS, per_term=PSUG_PER_TERM, k=PSUG_K
+    )
+
+
+# --------------------------------------------------------------------------
 # round-4 wave 4: filtered ANN / reindex+alias / gopher rules
 # --------------------------------------------------------------------------
 
@@ -5732,6 +5771,8 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "phrase_suggest": q_phrase_suggest,
+    "seg_phrase_suggest": q_seg_phrase_suggest,
     "filtered_ann": q_filtered_ann,
     "reindex_search": q_reindex_search,
     "gopher_rules": q_gopher_rules,
@@ -6307,3 +6348,37 @@ SELECT doc_id, n_words,
         AND sym <= 0.1 AND alpha >= 0.8 AND n_stops >= 2) AS keep
 FROM f
 """
+
+
+# phrase suggester: candidates per word (dist asc, df desc, term asc),
+# cross-product phrases scored by the Laplace-smoothed bigram LM
+# score = Σ ln((c(w_i, w_i+1)+1)/(c(w_i)+|V|)) — term_expansion.py verbatim
+_PSUG_CAND = """
+  SELECT term FROM (
+    SELECT df.term, levenshtein(df.term, '{w}') AS dist, df.df
+    FROM dfreq df WHERE levenshtein(df.term, '{w}') <= 2
+    ORDER BY dist, df DESC, term LIMIT {p})
+"""
+ORACLE_SQL["phrase_suggest"] = f"""
+WITH tk AS ({_TOKPOS}),
+dfreq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+          FROM tk GROUP BY term),
+uni AS (SELECT term, count(*)::BIGINT AS c FROM tk GROUP BY term),
+vocab AS (SELECT count(*)::BIGINT AS v FROM dfreq),
+cand1 AS ({_PSUG_CAND.format(w=PSUG_WORDS[0], p=PSUG_PER_TERM)}),
+cand2 AS ({_PSUG_CAND.format(w=PSUG_WORDS[1], p=PSUG_PER_TERM)}),
+bg AS (SELECT a.term AS w1, b.term AS w2, count(*)::BIGINT AS c
+       FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       GROUP BY 1, 2),
+ph AS (SELECT c1.term AS t1, c2.term AS t2
+       FROM cand1 c1 CROSS JOIN cand2 c2),
+sc AS (SELECT ph.t1, ph.t2,
+              ln((coalesce(bg.c, 0) + 1.0) / (uni.c + vocab.v)) AS s
+       FROM ph
+       LEFT JOIN bg ON bg.w1 = ph.t1 AND bg.w2 = ph.t2
+       JOIN uni ON uni.term = ph.t1
+       CROSS JOIN vocab)
+SELECT t1 || ' ' || t2 AS suggestion, round(s, 6) AS score FROM sc
+ORDER BY s DESC, suggestion LIMIT {PSUG_K}
+"""
+ORACLE_SQL["seg_phrase_suggest"] = ORACLE_SQL["phrase_suggest"]

@@ -2072,3 +2072,86 @@ class SegmentIndex:
         return match_phrase_prefix_topdocs(
             posts, field, tuple(anchors), exps, k=k
         )
+
+    def phrase_suggest(
+        self,
+        words: list[str],
+        field: str = "content",
+        max_dist: int = 2,
+        per_term: int = 5,
+        k: int = 3,
+    ) -> DataFrame:
+        """ES phrase suggester on the serving path, INDEX-NATIVE: the
+        collation bigram counts come from the candidate terms' own
+        position lists (term-pruned decode, cost Σ df(candidates)) —
+        c(a,b) = Σ_docs |{p : p ∈ L_a, p+1 ∈ L_b}| — so no docs table
+        and no corpus scan is touched, exactly the way ES collates
+        against the index. Candidates/unigrams/|V| ride the term_stats
+        side-channel; the final rank is driver math over ≤ per_term^n
+        phrases (operators/term_expansion.score_candidate_phrases)."""
+        from fuzzy_wiki_spark.operators.term_expansion import (
+            candidate_terms,
+            score_candidate_phrases,
+        )
+
+        cands = [
+            candidate_terms(
+                self.term_stats, field, w, max_dist=max_dist,
+                per_term=per_term,
+            )
+            or [w]
+            for w in words
+        ]
+        pairs = sorted(
+            {
+                (a, b)
+                for i in range(len(cands) - 1)
+                for a in cands[i]
+                for b in cands[i + 1]
+            }
+        )
+        if not pairs:
+            return self.spark.createDataFrame(
+                [], "suggestion string, score double"
+            )
+        all_terms = sorted({t for p in pairs for t in p})
+        posts = self.term_postings(field, all_terms, with_dl=False)
+        pair_keys = [f"{a}\x00{b}" for a, b in pairs]
+
+        from fuzzy_wiki_spark.operators.term_expansion import (
+            adjacency_counts_kernel,
+        )
+
+        adj_udf = adjacency_counts_kernel(pair_keys)
+        per_doc = (
+            posts.groupBy("doc_id")
+            .agg(
+                F.collect_list(
+                    F.struct(F.col("term"), F.col("positions"))
+                ).alias("mtps")
+            )
+            .select(adj_udf(F.col("mtps")).alias("cnts"))
+        )
+        sums = per_doc.select(
+            *[
+                F.sum(F.col("cnts")[i]).alias(f"_c{i}")
+                for i in range(len(pairs))
+            ]
+        ).collect()[0]
+        bigram_counts = {
+            pairs[i]: int(sums[f"_c{i}"] or 0) for i in range(len(pairs))
+        }
+        stats = self.term_stats.where(F.col("field") == field)
+        firsts = sorted({a for a, _ in pairs})
+        uni = {
+            r["term"]: int(r["sum_tf"])
+            for r in stats.where(F.col("term").isin(firsts)).collect()
+        }
+        vocab_size = stats.count()
+        out = score_candidate_phrases(
+            cands, bigram_counts, uni, vocab_size, k=k
+        )
+        return self.spark.createDataFrame(
+            [(s, round(v, 6)) for s, v in out],
+            "suggestion string, score double",
+        )

@@ -187,3 +187,158 @@ def wildcard_topdocs(
         expand_wildcard(term_stats_df, field, pattern),
         k,
     )
+
+
+def candidate_terms(
+    term_stats_df: DataFrame,
+    field: str,
+    word: str,
+    max_dist: int = 2,
+    per_term: int = 5,
+) -> list[str]:
+    """Per-word correction candidates for the phrase suggester: the
+    ``per_term`` best dictionary terms by (edit distance asc, df desc,
+    term asc) within ``max_dist`` — the word itself rides along at
+    dist 0 when in-vocabulary, so valid words can still be re-ranked by
+    the language model (the ES phrase-suggester behavior, unlike the
+    single-term corrector which only fires on zero-df terms).
+    Vocabulary-sized scan, ``per_term``-row collect."""
+    rows = (
+        term_stats_df.where(F.col("field") == field)
+        .withColumn(
+            "dist", F.levenshtein(F.col("term"), F.lit(word.lower()))
+        )
+        .where(F.col("dist") <= max_dist)
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(per_term)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def score_candidate_phrases(
+    cands: list[list[str]],
+    bigram_counts: dict[tuple[str, str], int],
+    unigram_counts: dict[str, int],
+    vocab_size: int,
+    k: int = 3,
+) -> list[tuple[str, float]]:
+    """Rank every candidate phrase (cross product of per-slot candidate
+    lists, bounded by per_term^n — query-sized) by a Laplace-smoothed
+    bigram LM:
+
+        score = Σ_i ln( (c(w_i, w_{i+1}) + 1) / (c(w_i) + |V|) )
+
+    — ES's phrase-suggester collation idea with a pinned, SQL-mirrorable
+    smoothing rule (stupid backoff needs no tuning constant this way).
+    Ties break on the suggestion string asc. Pure driver math over a
+    bounded set."""
+    import itertools
+    import math
+
+    scored = []
+    for combo in itertools.product(*cands):
+        s = 0.0
+        for a, b in zip(combo, combo[1:]):
+            s += math.log(
+                (bigram_counts.get((a, b), 0) + 1.0)
+                / (unigram_counts.get(a, 0) + float(vocab_size))
+            )
+        scored.append((" ".join(combo), s))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
+
+
+def phrase_suggest(
+    spark,
+    docs: DataFrame,
+    term_stats_df: DataFrame,
+    field: str,
+    words: list[str],
+    max_dist: int = 2,
+    per_term: int = 5,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """ES phrase suggester ("did you mean", whole-query): per-word
+    candidates from the term dictionary, candidate phrases re-ranked by
+    the corpus bigram LM → (suggestion, score) top-k.
+
+    Jobs: one vocabulary-sized candidate scan per word (bounded
+    collects), ONE bigram-count job restricted to the candidate pairs
+    (the (w1, w2) isin predicate prunes before the groupBy, so the
+    exchange carries only candidate-pair rows), and a driver-side rank
+    over ≤ per_term^n phrases."""
+    from fuzzy_wiki_spark.operators.corpus_stats import bigrams
+
+    cands = [
+        candidate_terms(
+            term_stats_df, field, w, max_dist=max_dist, per_term=per_term
+        )
+        or [w]
+        for w in words
+    ]
+    pairs = {
+        (a, b)
+        for i in range(len(cands) - 1)
+        for a in cands[i]
+        for b in cands[i + 1]
+    }
+    firsts = sorted({a for a, _ in pairs})
+    bg = (
+        bigrams(docs, text_col=text_col)
+        .where(
+            F.col("w1").isin(firsts)
+            & F.col("w2").isin(sorted({b for _, b in pairs}))
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    bigram_counts = {(r["w1"], r["w2"]): r["c"] for r in bg}
+    stats = term_stats_df.where(F.col("field") == field)
+    uni = {
+        r["term"]: int(r["sum_tf"])
+        for r in stats.where(F.col("term").isin(firsts)).collect()
+    }
+    vocab_size = stats.count()
+    out = score_candidate_phrases(cands, bigram_counts, uni, vocab_size, k=k)
+    return spark.createDataFrame(
+        [(s, round(v, 6)) for s, v in out], "suggestion string, score double"
+    )
+
+
+def adjacency_counts_kernel(pair_keys: list[str]):
+    """Arrow batch kernel factory for the segment-native phrase
+    suggester: per candidate doc row (collect_list of (term, positions)
+    structs), count adjacent occurrences for every requested pair —
+    c_row(a,b) = |{p : p ∈ L_a, p+1 ∈ L_b}| — returning one long per
+    pair. Built per query (the pair list is a query-sized literal closed
+    over by the kernel); the module-level ``pd`` import keeps the type
+    hints resolvable for pandas_udf."""
+    import pandas as pd  # noqa: F401 (resolves the kernel's type hints)
+    from pyspark.sql import types as T
+
+    _pairs = tuple(pair_keys)
+
+    def _adj_counts(tp_col):
+        from fuzzy_wiki_spark.codec import positions_by_term
+
+        import pandas as pd
+
+        out = []
+        for tps in tp_col:
+            posmap = positions_by_term(tps)
+            row = []
+            for pk in _pairs:
+                a, b = pk.split("\x00")
+                la, lb = posmap.get(a), posmap.get(b)
+                if not la or not lb:
+                    row.append(0)
+                    continue
+                sb = set(lb)
+                row.append(sum(1 for p in la if p + 1 in sb))
+            out.append(row)
+        return pd.Series(out)
+
+    return F.pandas_udf(_adj_counts, T.ArrayType(T.LongType()))

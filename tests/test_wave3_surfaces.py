@@ -273,3 +273,57 @@ def test_gopher_rules_boundaries(spark):
     assert out[2]["symbol_ratio"] > 0.1
     assert out[3]["alpha_ratio"] < 0.8
     assert out[5]["mean_word_len"] < 3.0
+
+
+def test_phrase_suggest_parity_and_correction(spark, docs, tmp_path):
+    from fuzzy_wiki_spark.engine import SegmentIndex
+    from fuzzy_wiki_spark.operators.postings import build_postings, term_stats
+    from fuzzy_wiki_spark.operators.term_expansion import phrase_suggest
+
+    # simple-mode index over the single-space corpus so raw-token bigrams
+    # (relational path) and survivor-position adjacency (segment path)
+    # coincide — the same contract the title-prefix entries pin
+    d2 = docs.select("doc_id", F.col("content").alias("text"))
+    posts = build_postings(d2, fields={"content": "text"}, mode="simple")
+    rel_out = [
+        tuple(r)
+        for r in phrase_suggest(
+            spark, d2, term_stats(posts), "content",
+            ["binary", "searhc"], per_term=5, k=3,
+        ).collect()
+    ]
+    segi = SegmentIndex.build(
+        spark,
+        d2.select("doc_id", F.col("text").alias("content")),
+        str(tmp_path / "psug"),
+        n_buckets=4,
+        mode="simple",
+        fields={"content": "content"},
+    )
+    seg_out = [
+        tuple(r)
+        for r in segi.phrase_suggest(
+            ["binary", "searhc"], per_term=5, k=3
+        ).collect()
+    ]
+    assert seg_out == rel_out and len(rel_out) > 0
+    # the typo is corrected: the top suggestion's second word is a real
+    # dictionary term, and "binary search" should collate best
+    assert rel_out[0][0] == "binary search"
+
+
+def test_score_candidate_phrases_math():
+    from fuzzy_wiki_spark.operators.term_expansion import (
+        score_candidate_phrases,
+    )
+
+    out = score_candidate_phrases(
+        [["a"], ["b", "c"]],
+        {("a", "b"): 9},
+        {"a": 10},
+        vocab_size=90,
+        k=2,
+    )
+    # ln((9+1)/(10+90)) = ln(0.1); ln((0+1)/100) = ln(0.01)
+    assert out[0][0] == "a b" and out[0][1] == pytest.approx(math.log(0.1))
+    assert out[1][0] == "a c" and out[1][1] == pytest.approx(math.log(0.01))
