@@ -427,6 +427,11 @@ def main() -> None:
         lambda: DQ.q_gopher_rules(spark, sf_dir).count(),
         reps=2,
     )
+    timed(
+        "pipe_sayt",
+        lambda: DQ.q_search_as_you_type(spark, sf_dir).collect(),
+        reps=2,
+    )
 
     # 3b) trigram code search: index build (narrow stage) + pruned substring
     # + pruned regex over the same in-memory index

@@ -5450,6 +5450,78 @@ def q_seg_nested(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# round-4 wave 6: search_as_you_type (edge-ngram index) / filtered IVF
+# --------------------------------------------------------------------------
+
+SAYT_PREFIX = "sc"
+
+
+def q_search_as_you_type(spark, sf_dir):
+    """ES search_as_you_type: index-time edge n-grams make a keystroke an
+    EXACT term lookup (equality predicate at the scan, O(df(gram))
+    decode) instead of a vocabulary walk (operators/sayt.py); ranked by
+    how many of the doc's tokens start with the typed prefix."""
+    from fuzzy_wiki_spark.operators.sayt import (
+        edge_ngram_postings,
+        sayt_topdocs,
+    )
+
+    posts = edge_ngram_postings(_docs(spark, sf_dir))
+    return sayt_topdocs(posts, SAYT_PREFIX)
+
+
+def q_seg_sayt(spark, sf_dir):
+    """search_as_you_type served from COMPRESSED SEGMENTS: the gram
+    postings build through the normal salted segment exchange, and the
+    keystroke lookup decodes one gram's pruned row-groups — shares the
+    search_as_you_type oracle verbatim."""
+    import tempfile
+
+    from fuzzy_wiki_spark.engine import SegmentIndex
+    from fuzzy_wiki_spark.operators.sayt import (
+        SAYT_FIELD,
+        edge_ngram_postings,
+        sayt_topdocs,
+    )
+    from fuzzy_wiki_spark.streaming.incremental import segments_to_postings
+
+    posts = edge_ngram_postings(_docs(spark, sf_dir))
+    idx = SegmentIndex.from_postings(
+        spark,
+        posts,
+        None,
+        tempfile.mkdtemp(prefix="fw_sayt_"),
+        n_buckets=8,
+        field_names=(SAYT_FIELD,),
+    )
+    decoded = idx.term_postings(SAYT_FIELD, [SAYT_PREFIX], with_dl=False)
+    return sayt_topdocs(decoded, SAYT_PREFIX)
+
+
+def q_filtered_ivf_exact(spark, sf_dir):
+    """Filtered knn COMPOSED with the IVF route: the metadata predicate
+    pre-filters BEFORE centroid assignment (df.where → ivf_cosine_topk —
+    predicate and routing both prune the scan), probing exhaustively so
+    the result is provably the filtered subset's brute-force top-k —
+    shares the filtered_ann oracle verbatim. The approximate regime
+    (nprobe < n_lists) keeps the same composition with the usual IVF
+    recall ladder."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    cent = SIM.kmeans_centroids(emb, n_centroids=16, sample=512, seed=42)
+    res = SIM.ivf_cosine_topk(
+        emb.where(
+            (F.col("label") == FILTERED_ANN_LABEL) & (F.col("vec_id") != 0)
+        ),
+        list(qvec),
+        cent,
+        nprobe=16,
+        k=10,
+    )
+    return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+# --------------------------------------------------------------------------
 # round-4 wave 5: phrase suggester (did-you-mean with bigram collation)
 # --------------------------------------------------------------------------
 
@@ -5771,6 +5843,9 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "search_as_you_type": q_search_as_you_type,
+    "seg_sayt": q_seg_sayt,
+    "filtered_ivf_exact": q_filtered_ivf_exact,
     "phrase_suggest": q_phrase_suggest,
     "seg_phrase_suggest": q_seg_phrase_suggest,
     "filtered_ann": q_filtered_ann,
@@ -6382,3 +6457,14 @@ SELECT t1 || ' ' || t2 AS suggestion, round(s, 6) AS score FROM sc
 ORDER BY s DESC, suggestion LIMIT {PSUG_K}
 """
 ORACLE_SQL["seg_phrase_suggest"] = ORACLE_SQL["phrase_suggest"]
+
+
+ORACLE_SQL["search_as_you_type"] = f"""
+WITH tk AS ({_TOK}),
+m AS (SELECT doc_id, count(*)::BIGINT AS freq FROM tk
+      WHERE term LIKE '{SAYT_PREFIX}%' GROUP BY doc_id)
+SELECT doc_id, freq FROM m ORDER BY freq DESC, doc_id LIMIT 10
+"""
+ORACLE_SQL["seg_sayt"] = ORACLE_SQL["search_as_you_type"]
+# exhaustive-probe filtered IVF == brute-force over the filtered subset
+ORACLE_SQL["filtered_ivf_exact"] = ORACLE_SQL["filtered_ann"]

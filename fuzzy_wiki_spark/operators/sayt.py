@@ -1,0 +1,109 @@
+"""search_as_you_type: INDEX-TIME edge n-grams (the ES
+``search_as_you_type`` field's ``_index_prefix`` subfield).
+
+The query-time prefix surfaces (`prefix_topdocs`, `autocomplete`) pay a
+vocabulary scan (`startswith` over term_stats) or a term-range decode
+per keystroke. The index-time answer inverts the cost: every token
+contributes its edge n-grams (lengths ``min_gram..max_gram``) as real
+index terms, so a keystroke becomes an EXACT term lookup — an equality
+predicate that prunes term-sorted segment row-groups, O(df(gram))
+decode, no vocabulary walk. The trade (ES's too) is index size:
+≤ max_gram − min_gram + 1 extra postings per token.
+
+Pinned semantics (mirrored by the DuckDB oracle): gram g is emitted for
+token t iff ``len(t) ≥ len(g)`` and ``t[:len(g)] == g``; a doc's gram tf
+is the count of its tokens carrying that gram, so ranking by tf equals
+ranking by "tokens starting with the typed prefix" — exactly what the
+LIKE-based oracle counts.
+
+Scale notes (100 TB): gram emission is one narrow explode chain
+(sequence → transform → explode, zero Python, no shuffle before the
+combinable (doc, gram) groupBy); the gram index builds through the
+normal salted segment exchange, and hot grams (every token shares its
+2-gram with ~1/26² of the vocabulary) are exactly the hot-term case the
+doc-bucket salt already bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SAYT_FIELD = "sayt"
+
+
+def edge_ngram_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    field: str = SAYT_FIELD,
+    min_gram: int = 2,
+    max_gram: int = 10,
+) -> DataFrame:
+    """docs → edge-n-gram postings (doc_id, field, term, tf, positions,
+    dl) — the segment-build input shape (positions empty: grams carry no
+    phrase semantics; dl = the field's token count, so BM25-style
+    consumers stay well-defined)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("_w"),
+    )
+    grams = exploded.select(
+        "doc_id",
+        "dl",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(min_gram),
+                    F.greatest(
+                        F.least(F.length("_w"), F.lit(max_gram)),
+                        F.lit(min_gram) - 1,
+                    ),
+                ),
+                lambda j: F.substring(F.col("_w"), 1, j),
+            )
+        ).alias("term"),
+    ).where(F.length("term") >= min_gram)
+    return (
+        grams.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .select(
+            "doc_id",
+            F.lit(field).alias("field"),
+            "term",
+            F.col("tf").cast("int").alias("tf"),
+            F.lit(b"").cast("binary").alias("positions"),
+            F.col("dl").cast("int").alias("dl"),
+        )
+    )
+
+
+def sayt_topdocs(
+    postings: DataFrame,
+    prefix: str,
+    field: str = SAYT_FIELD,
+    k: int = 10,
+    min_gram: int = 2,
+    max_gram: int = 10,
+) -> DataFrame:
+    """One keystroke → top-k (doc_id, freq): EXACT equality lookup of the
+    typed prefix in the gram index (the predicate reaches the scan as an
+    equality, not a LIKE), ranked by how many of the doc's tokens start
+    with it (freq desc, doc_id asc). Prefixes longer than ``max_gram``
+    are truncated to the longest indexed gram (ES routes those to a
+    prefix query on the full field; the truncated lookup is this
+    module's pinned superset-then-rank behavior — callers needing
+    exactness beyond max_gram should verify against the raw field)."""
+    g = prefix[:max_gram]
+    if len(g) < min_gram:
+        raise ValueError(f"prefix shorter than min_gram={min_gram}")
+    return (
+        postings.where(
+            (F.col("field") == field) & (F.col("term") == g)
+        )
+        .select("doc_id", F.col("tf").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -327,3 +327,56 @@ def test_score_candidate_phrases_math():
     # ln((9+1)/(10+90)) = ln(0.1); ln((0+1)/100) = ln(0.01)
     assert out[0][0] == "a b" and out[0][1] == pytest.approx(math.log(0.1))
     assert out[1][0] == "a c" and out[1][1] == pytest.approx(math.log(0.01))
+
+
+def test_sayt_grams_and_lookup(spark):
+    from fuzzy_wiki_spark.operators.sayt import (
+        edge_ngram_postings,
+        sayt_topdocs,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "search segment search"), (2, "sea x"), (3, "other words")],
+        "doc_id long, text string",
+    )
+    posts = edge_ngram_postings(d, min_gram=2, max_gram=4)
+    # doc 1: "search"x2 + "segment" -> gram "se" tf 3; doc 2: "sea" tf 1
+    hits = sayt_topdocs(posts, "se", k=10, max_gram=4).collect()
+    assert [(r["doc_id"], r["freq"]) for r in hits] == [(1, 3), (2, 1)]
+    # max_gram truncation: "searc" (len 5) truncates to the 4-gram "sear"
+    hits4 = sayt_topdocs(posts, "searc", k=10, max_gram=4).collect()
+    assert [(r["doc_id"], r["freq"]) for r in hits4] == [(1, 2)]
+    # grams never exceed max_gram or undershoot min_gram
+    import pyspark.sql.functions as SF
+
+    lens = posts.select(SF.length("term").alias("l")).distinct().collect()
+    assert all(2 <= r["l"] <= 4 for r in lens)
+    with pytest.raises(ValueError):
+        sayt_topdocs(posts, "s", min_gram=2)
+
+
+def test_filtered_ivf_equals_filtered_brute(spark):
+    import numpy as np
+
+    from fuzzy_wiki_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)], int(i % 4))
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    q = rows[0][1]
+    cent = kmeans_centroids(emb, n_centroids=8, sample=128, seed=1)
+    filt = (F.col("label") == 2) & (F.col("vec_id") != 0)
+    routed = ivf_cosine_topk(emb.where(filt), q, cent, nprobe=8, k=5).collect()
+    brute = cosine_topk(emb.where(filt), q, k=5).collect()
+    assert [(r["vec_id"], round(r["cos_sim"], 9)) for r in routed] == [
+        (r["vec_id"], round(r["cos_sim"], 9)) for r in brute
+    ]
