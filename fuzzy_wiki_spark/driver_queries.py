@@ -5450,6 +5450,68 @@ def q_seg_nested(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# round-4 wave 7: snapshot/restore + MLT from free text
+# --------------------------------------------------------------------------
+
+MLT_TEXT = "merge join hash table scan merge sort"
+MLT_TEXT_M = 3
+
+
+def q_snapshot_restore_search(spark, sf_dir):
+    """ES _snapshot/_restore: snapshot the built segment index (file copy
+    + manifest — segments are write-once, so the copy is consistent
+    without quiescing), restore into a fresh path, serve the skeleton
+    query from the RESTORED index (operators/reindex.py:snapshot_index/
+    restore_index). Byte-identical segments ⇒ the result hash-matches the
+    direct segment_bm25 oracle."""
+    import tempfile
+
+    from fuzzy_wiki_spark.operators.reindex import (
+        restore_index,
+        snapshot_index,
+    )
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_snapsrc_")
+    base = tempfile.mkdtemp(prefix="fw_snap_")
+    snapshot_index(idx.path, f"{base}/snap")
+    restored = restore_index(spark, f"{base}/snap", f"{base}/restored")
+    return _segment_skeleton_topk(spark, restored)
+
+
+def q_mlt_text(spark, sf_dir):
+    """MoreLikeThis from FREE TEXT (ES more_like_this like:"<text>"):
+    the input's top-3 qtf·idf terms become an OR query — no source doc
+    (operators/topk.py:more_like_this_text)."""
+    from fuzzy_wiki_spark.operators.topk import more_like_this_text
+
+    posts = _postings_simple(spark, sf_dir)
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    res = more_like_this_text(
+        spark,
+        posts,
+        P.term_stats(posts),
+        fstats,
+        "content",
+        MLT_TEXT.split(),
+        m=MLT_TEXT_M,
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_seg_mlt_text(spark, sf_dir):
+    """MLT-from-text on the SEGMENT serving path
+    (SegmentIndex.more_like_this_text) — shares the mlt_text oracle
+    verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segmltt_")
+    return idx.more_like_this_text(MLT_TEXT.split(), m=MLT_TEXT_M).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+# --------------------------------------------------------------------------
 # round-4 wave 6: search_as_you_type (edge-ngram index) / filtered IVF
 # --------------------------------------------------------------------------
 
@@ -5843,6 +5905,9 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "snapshot_restore_search": q_snapshot_restore_search,
+    "mlt_text": q_mlt_text,
+    "seg_mlt_text": q_seg_mlt_text,
     "search_as_you_type": q_search_as_you_type,
     "seg_sayt": q_seg_sayt,
     "filtered_ivf_exact": q_filtered_ivf_exact,
@@ -6468,3 +6533,36 @@ SELECT doc_id, freq FROM m ORDER BY freq DESC, doc_id LIMIT 10
 ORACLE_SQL["seg_sayt"] = ORACLE_SQL["search_as_you_type"]
 # exhaustive-probe filtered IVF == brute-force over the filtered subset
 ORACLE_SQL["filtered_ivf_exact"] = ORACLE_SQL["filtered_ann"]
+
+
+# byte-identical restored segments == the direct segment skeleton search
+ORACLE_SQL["snapshot_restore_search"] = ORACLE_SQL["bm25_topk"]
+
+# MLT from free text: top-m input terms by qtf·idf, then skeleton scoring
+ORACLE_SQL["mlt_text"] = f"""
+WITH tf AS ({_TF}), dl AS ({_DL}),
+st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+qtok AS (SELECT t AS term, count(*)::BIGINT AS qtf FROM (
+           SELECT unnest(string_split('{MLT_TEXT}', ' ')) AS t)
+         WHERE t <> '' GROUP BY t),
+dfq0 AS (SELECT tf.term, count(*)::BIGINT AS df FROM tf
+         WHERE tf.term IN (SELECT term FROM qtok) GROUP BY tf.term),
+sel AS (SELECT qtok.term FROM qtok
+        JOIN dfq0 ON dfq0.term = qtok.term CROSS JOIN st
+        ORDER BY qtok.qtf
+                 * ln(1 + (st.doc_count - dfq0.df + 0.5)/(dfq0.df + 0.5))
+                 DESC, qtok.term
+        LIMIT {MLT_TEXT_M}),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.doc_count - dfq0.df + 0.5)/(dfq0.df + 0.5))
+              * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ) AS s
+  FROM tf
+  JOIN sel ON sel.term = tf.term
+  JOIN dfq0 ON dfq0.term = tf.term
+  JOIN dl USING(doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+ORACLE_SQL["seg_mlt_text"] = ORACLE_SQL["mlt_text"]

@@ -1757,6 +1757,54 @@ class SegmentIndex:
             .select("doc_id", "score")
         )
 
+    def more_like_this_text(
+        self,
+        text_terms: list[str],
+        field: str = "content",
+        m: int = 10,
+        k: int = 10,
+    ) -> DataFrame:
+        """MLT from free text on the serving path (ES more_like_this
+        with like:"<text>") — top-m input terms by qtf·idf (qtf counted
+        in the input; stats from the term_stats side-channel), served by
+        the normal block-max segment search. Selection rule identical to
+        operators/topk.more_like_this_text."""
+        from collections import Counter
+
+        from fuzzy_wiki_spark.operators.segment_query import (
+            search_segments_batch,
+        )
+        from fuzzy_wiki_spark.operators.topk import idf as _idf
+
+        doc_count, _ = self.field_stats[field]
+        qtf = Counter(text_terms)
+        tdf = self._term_df(sorted(qtf))
+        dfm = {t: tdf.get((field, t), 0) for t in qtf}
+        interesting = sorted(
+            (t for t in qtf if dfm[t] > 0),
+            key=lambda t: (-qtf[t] * _idf(dfm[t], doc_count), t),
+        )[:m]
+        if not interesting:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        clauses = [
+            Clause(i, field, (t,), 1.0, 0, False)
+            for i, t in enumerate(interesting)
+        ]
+        return (
+            search_segments_batch(
+                self.spark,
+                self.segments,
+                {0: clauses},
+                {(field, t): dfm[t] for t in interesting},
+                self.field_stats,
+                k=k,
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "score")
+        )
+
     def span_near(
         self,
         terms: tuple[str, ...],

@@ -79,3 +79,50 @@ def reindex(
     )
     write_alias(alias_dir, new_path)
     return idx
+
+
+def snapshot_index(index_path: str, snap_dir: str) -> dict:
+    """ES `_snapshot`: copy the index's immutable segment files plus a
+    manifest (source path, file count, total bytes) into ``snap_dir``.
+    Segments are write-once (the engine's publish discipline), so a file
+    copy IS a consistent snapshot — no quiescing needed, the same
+    property object-store snapshots and Iceberg snapshot refs exploit at
+    scale (where this becomes a metadata-only ref, not a byte copy)."""
+    import shutil
+
+    os.makedirs(os.path.dirname(snap_dir) or ".", exist_ok=True)
+    shutil.copytree(index_path, os.path.join(snap_dir, "data"))
+    n_files = total = 0
+    for root, _, files in os.walk(os.path.join(snap_dir, "data")):
+        for fn in files:
+            n_files += 1
+            total += os.path.getsize(os.path.join(root, fn))
+    manifest = {
+        "source": index_path,
+        "n_files": n_files,
+        "total_bytes": total,
+    }
+    with open(os.path.join(snap_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def restore_index(spark: SparkSession, snap_dir: str, dest_path: str):
+    """Restore a snapshot into ``dest_path`` and open it — byte-identical
+    segments, so every query result is identical to the source index's
+    (hash-pinned by the snapshot_restore_search entry). Verifies the
+    manifest's file count before opening."""
+    import shutil
+
+    with open(os.path.join(snap_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    shutil.copytree(os.path.join(snap_dir, "data"), dest_path)
+    n_files = sum(len(fs) for _, _, fs in os.walk(dest_path))
+    if n_files != manifest["n_files"]:
+        raise IOError(
+            f"restore incomplete: {n_files} files vs manifest "
+            f"{manifest['n_files']}"
+        )
+    from fuzzy_wiki_spark.engine import SegmentIndex
+
+    return SegmentIndex(spark, dest_path)

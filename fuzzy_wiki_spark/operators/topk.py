@@ -802,3 +802,53 @@ def match_phrase_prefix_topdocs(
         .orderBy(F.desc("phrase_freq"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def more_like_this_text(
+    spark: SparkSession,
+    postings: DataFrame,
+    term_stats_df: DataFrame,
+    field_stats: dict[str, tuple[int, float]],
+    field: str,
+    text_terms: list[str],
+    m: int = 10,
+    k: int = 10,
+) -> DataFrame:
+    """MoreLikeThis from FREE TEXT (ES `more_like_this` with `like:
+    "<text>"` — no source doc required): the analyzed input's top-m
+    terms by qtf·idf (qtf = the term's count IN THE INPUT TEXT; ties by
+    term asc; zero-df terms can't select — they score nothing) become an
+    OR query over the corpus. Driver-side work is one Counter over the
+    input and one bounded stats lookup; corpus-side is one
+    score_queries_batch run. Unlike the doc variant nothing is excluded
+    from the result set."""
+    from collections import Counter
+
+    doc_count, _ = field_stats[field]
+    qtf = Counter(text_terms)
+    dfm = {
+        r["term"]: r["df"]
+        for r in term_stats_df.where(
+            (F.col("field") == field) & F.col("term").isin(list(qtf))
+        )
+        .select("term", "df")
+        .collect()
+    }
+    interesting = sorted(
+        (t for t in qtf if dfm.get(t, 0) > 0),
+        key=lambda t: (-qtf[t] * idf(dfm[t], doc_count), t),
+    )[:m]
+    if not interesting:
+        return spark.createDataFrame([], "doc_id long, score double")
+    clauses = [
+        Clause(i, field, (t,), 1.0, 0, False)
+        for i, t in enumerate(interesting)
+    ]
+    return score_query(
+        spark,
+        postings,
+        clauses,
+        {(field, t): dfm[t] for t in interesting},
+        field_stats,
+        k=k,
+    )

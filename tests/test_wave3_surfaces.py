@@ -380,3 +380,57 @@ def test_filtered_ivf_equals_filtered_brute(spark):
     assert [(r["vec_id"], round(r["cos_sim"], 9)) for r in routed] == [
         (r["vec_id"], round(r["cos_sim"], 9)) for r in brute
     ]
+
+
+def test_snapshot_restore_identical(spark, docs, tmp_path):
+    from fuzzy_wiki_spark.engine import SegmentIndex
+    from fuzzy_wiki_spark.operators.reindex import (
+        restore_index,
+        snapshot_index,
+    )
+
+    src = str(tmp_path / "src")
+    idx = SegmentIndex.build(spark, docs, src, n_buckets=4)
+    before = [tuple(r) for r in idx.search("binary search tree", k=10).collect()]
+    man = snapshot_index(src, str(tmp_path / "snap"))
+    assert man["n_files"] > 0 and man["total_bytes"] > 0
+    restored = restore_index(spark, str(tmp_path / "snap"), str(tmp_path / "dst"))
+    after = [tuple(r) for r in restored.search("binary search tree", k=10).collect()]
+    assert after == before and len(after) == 10
+    # a truncated restore must refuse to open
+    import json as _json
+    import os as _os
+
+    bad = str(tmp_path / "snap2")
+    snapshot_index(src, bad)
+    mpath = _os.path.join(bad, "manifest.json")
+    m = _json.load(open(mpath))
+    m["n_files"] += 1
+    _json.dump(m, open(mpath, "w"))
+    with pytest.raises(IOError):
+        restore_index(spark, bad, str(tmp_path / "dst2"))
+
+
+def test_mlt_text_parity_and_selection(spark, docs, segi, rel):
+    from fuzzy_wiki_spark.operators.postings import term_stats
+    from fuzzy_wiki_spark.operators.topk import more_like_this_text
+
+    words = ["binari", "search", "tree", "binari", "zzznotaword"]
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in more_like_this_text(
+            spark, rel.postings, rel.term_stats, rel.field_stats,
+            "content", words, m=2,
+        ).collect()
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in segi.more_like_this_text(words, m=2).collect()
+    ]
+    assert got == want and len(got) == 10
+    # zero-df input terms never select; m bounds the query
+    empty = more_like_this_text(
+        spark, rel.postings, rel.term_stats, rel.field_stats,
+        "content", ["zzznotaword"], m=5,
+    )
+    assert empty.count() == 0
