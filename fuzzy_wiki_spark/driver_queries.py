@@ -5874,6 +5874,58 @@ def q_rank_eval(spark, sf_dir):
     return rank_eval(run, qrels, k=10)
 
 
+def q_rank_eval_graded(spark, sf_dir):
+    """Graded _rank_eval over the same batch run: qrels rate each judged
+    doc by how many DISTINCT query terms it matches (1..n_terms), metrics
+    = graded NDCG@10 (gain 2^r−1) and ERR@10 (Chapelle cascade, R
+    normalized by the global max rating)
+    (operators/rank_eval.py:rank_eval_graded)."""
+    from fuzzy_wiki_spark.operators.rank_eval import rank_eval_graded
+    from fuzzy_wiki_spark.operators.topk import score_queries_batch
+
+    import pandas as pd
+
+    posts = _postings_simple(spark, sf_dir)
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    all_terms = sorted({t for q in BATCH_QUERIES for t in q})
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in P.term_stats(posts)
+        .where(F.col("term").isin(all_terms))
+        .collect()
+    }
+    compiled = {
+        qid: [
+            Clause(i, "content", (t,), 1.0, 0, False)
+            for i, t in enumerate(terms)
+        ]
+        for qid, terms in enumerate(BATCH_QUERIES)
+    }
+    run = score_queries_batch(
+        spark, posts, compiled, term_df, fstats, docs_meta=None, k=10
+    ).select("query_id", "doc_id", "rank")
+    qt = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"query_id": qid, "term": t}
+                for qid, terms in enumerate(BATCH_QUERIES)
+                for t in terms
+            ]
+        ),
+        schema="query_id int, term string",
+    )
+    qrels = (
+        posts.where(F.col("term").isin(all_terms))
+        .join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").cast("int").alias("rating"))
+    )
+    return rank_eval_graded(run, qrels, k=10)
+
+
 DSIR_N = 50
 DSIR_BUCKETS = 4096
 
@@ -5924,6 +5976,7 @@ QUERIES = {
     "seg_termvectors": q_seg_termvectors,
     "delete_by_query": q_delete_by_query,
     "rank_eval": q_rank_eval,
+    "rank_eval_graded": q_rank_eval_graded,
     "dsir_resample": q_dsir_resample,
     "sampler_agg": q_sampler_agg,
     "seg_sampler": q_seg_sampler,
@@ -6566,3 +6619,56 @@ SELECT doc_id, round(s, 6) AS score FROM sc
 ORDER BY s DESC, doc_id LIMIT 10
 """
 ORACLE_SQL["seg_mlt_text"] = ORACLE_SQL["mlt_text"]
+
+
+ORACLE_SQL["rank_eval_graded"] = f"""
+WITH tf AS ({_TF}), dl AS ({_DL}),
+st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+qt(query_id, term) AS (VALUES
+    {", ".join(f"({qid}, '{t}')" for qid, terms in enumerate(BATCH_QUERIES) for t in terms)}),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+              * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ) AS s
+  FROM tf JOIN qt USING(term) JOIN dfq ON tf.term = dfq.term
+       JOIN dl USING(doc_id) CROSS JOIN st
+  GROUP BY qt.query_id, tf.doc_id),
+r AS (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, doc_id) AS rank
+      FROM sc),
+qr AS (SELECT qt.query_id, tf.doc_id,
+              count(DISTINCT tf.term)::BIGINT AS rating
+       FROM tf JOIN qt USING(term)
+       GROUP BY qt.query_id, tf.doc_id),
+rmax AS (SELECT max(rating) AS rmax FROM qr),
+m AS (SELECT r.query_id, r.rank, coalesce(qr.rating, 0) AS rating
+      FROM r LEFT JOIN qr ON qr.query_id = r.query_id
+                         AND qr.doc_id = r.doc_id
+      WHERE r.rank <= 10),
+g AS (SELECT query_id, rank,
+             pow(2, rating) - 1 AS gain,
+             (pow(2, rating) - 1)/pow(2, rmax) AS rr
+      FROM m CROSS JOIN rmax),
+s2 AS (SELECT *, coalesce(sum(ln(1 - rr)) OVER (
+           PARTITION BY query_id ORDER BY rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prevlog
+       FROM g),
+agg AS (SELECT query_id,
+               sum(gain/log2(rank + 1)) AS dcg,
+               sum((rr/rank)*exp(prevlog)) AS err
+        FROM s2 GROUP BY query_id),
+ideal AS (SELECT query_id,
+                 sum((pow(2, rating) - 1)/log2(i + 1)) AS idcg
+          FROM (SELECT query_id, rating,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rating DESC, doc_id) AS i
+                FROM qr)
+          WHERE i <= 10 GROUP BY query_id)
+SELECT a.query_id::INT AS query_id,
+       round(a.dcg/i.idcg, 6) AS ndcg_graded_at_10,
+       round(a.err, 6) AS err_at_10
+FROM agg a JOIN ideal i USING(query_id)
+"""

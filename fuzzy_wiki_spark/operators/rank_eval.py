@@ -69,3 +69,78 @@ def rank_eval(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
             F.round(F.col("_dcg") / idcg, 6).alias(f"ndcg_at_{k}"),
         )
     )
+
+
+def rank_eval_graded(
+    run: DataFrame, qrels: DataFrame, k: int = 10
+) -> DataFrame:
+    """Graded-relevance metrics (the other half of ES ``_rank_eval``):
+    ``qrels`` is (query_id, doc_id, rating ≥ 1); unjudged hits rate 0.
+
+    - graded NDCG@k: gain = 2^rating − 1, DCG = Σ gain/log2(rank+1),
+      ideal DCG from the query's own ratings sorted desc (doc_id asc
+      tiebreak), truncated at k.
+    - ERR@k (Chapelle et al. 2009): R_i = (2^r_i − 1)/2^r_max with r_max
+      the GLOBAL max rating in qrels (ES's default normalization),
+      ERR = Σ_i (R_i / i) · Π_{j<i} (1 − R_j) — the cascade model.
+      The running product is exp(Σ ln(1−R_j)) over the preceding-rows
+      window; R < 1 always (the normalizer exceeds every gain), so the
+      log is finite.
+
+    Same scale shape as rank_eval: everything is run-sized joins, one
+    combinable groupBy per metric, windows only over ≤k-row per-query
+    frames."""
+    from pyspark.sql import Window
+
+    rmax = qrels.agg(F.max("rating").alias("rmax"))
+    topk = run.where(F.col("rank") <= k).select("query_id", "doc_id", "rank")
+    marked = (
+        topk.join(
+            qrels.select("query_id", "doc_id", "rating"),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .withColumn("rating", F.coalesce(F.col("rating"), F.lit(0)))
+        .crossJoin(F.broadcast(rmax))
+        .withColumn("gain", F.pow(2.0, F.col("rating")) - 1.0)
+        .withColumn("rr", F.col("gain") / F.pow(2.0, F.col("rmax")))
+    )
+    w_prev = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = marked.withColumn(
+        "_prevlog",
+        F.coalesce(F.sum(F.log(1.0 - F.col("rr"))).over(w_prev), F.lit(0.0)),
+    )
+    per_q = scored.groupBy("query_id").agg(
+        F.sum(F.col("gain") / F.log2(F.col("rank") + 1)).alias("_dcg"),
+        F.sum(
+            (F.col("rr") / F.col("rank")) * F.exp(F.col("_prevlog"))
+        ).alias("err"),
+    )
+    w_ideal = Window.partitionBy("query_id").orderBy(
+        F.desc("rating"), F.asc("doc_id")
+    )
+    ideal = (
+        qrels.withColumn("_i", F.row_number().over(w_ideal))
+        .where(F.col("_i") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (F.pow(2.0, F.col("rating")) - 1.0)
+                / F.log2(F.col("_i") + 1)
+            ).alias("_idcg")
+        )
+    )
+    return (
+        per_q.join(ideal, "query_id")
+        .select(
+            "query_id",
+            F.round(F.col("_dcg") / F.col("_idcg"), 6).alias(
+                f"ndcg_graded_at_{k}"
+            ),
+            F.round("err", 6).alias(f"err_at_{k}"),
+        )
+    )

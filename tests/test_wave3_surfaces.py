@@ -434,3 +434,25 @@ def test_mlt_text_parity_and_selection(spark, docs, segi, rel):
         "content", ["zzznotaword"], m=5,
     )
     assert empty.count() == 0
+
+
+def test_rank_eval_graded_hand_example(spark):
+    from fuzzy_wiki_spark.operators.rank_eval import rank_eval_graded
+
+    # run: [d2(r=2), d3(r=0), d1(r=3)]; rmax = 3
+    run = spark.createDataFrame(
+        [(0, 2, 1), (0, 3, 2), (0, 1, 3)],
+        "query_id int, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 1, 3), (0, 2, 2), (0, 9, 1)],
+        "query_id int, doc_id long, rating int",
+    )
+    row = rank_eval_graded(run, qrels, k=3).collect()[0]
+    g = lambda r: 2**r - 1
+    dcg = g(2) / math.log2(2) + g(0) / math.log2(3) + g(3) / math.log2(4)
+    idcg = g(3) / math.log2(2) + g(2) / math.log2(3) + g(1) / math.log2(4)
+    assert row["ndcg_graded_at_3"] == pytest.approx(dcg / idcg, abs=1e-6)
+    r1, r2, r3 = g(2) / 8, g(0) / 8, g(3) / 8
+    err = r1 / 1 + (1 - r1) * r2 / 2 + (1 - r1) * (1 - r2) * r3 / 3
+    assert row["err_at_3"] == pytest.approx(err, abs=1e-6)
