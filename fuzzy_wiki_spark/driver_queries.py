@@ -1312,6 +1312,177 @@ def q_seg_matrix_stats(spark, sf_dir):
     )
 
 
+def q_rare_terms(spark, sf_dir):
+    """Long-tail buckets (operators/facets.py rare_terms — the ES
+    `rare_terms` agg): sources with at most 20 matching docs, exact
+    post-aggregation filter on the bucket frame (ES's CuckooFilter
+    approximation is unnecessary once the count is combinable)."""
+    from fuzzy_wiki_spark.operators.facets import rare_terms
+
+    res = rare_terms(
+        _postings_simple(spark, sf_dir),
+        _docs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        facet_col="source",
+        max_doc_count=20,
+    )
+    return res.select("source", "n_docs")
+
+
+def q_seg_rare_terms(spark, sf_dir):
+    """rare_terms on the SEGMENT serving path (engine.py
+    SegmentIndex.rare_terms). Oracle = ORACLE_SQL["rare_terms"]
+    verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segrt_")
+    res = idx.rare_terms(
+        BM25_QUERY_TERMS, _docs(spark, sf_dir), "source", 20
+    )
+    return res.select("source", "n_docs")
+
+
+def q_multi_terms(spark, sf_dir):
+    """Compound-key top buckets (operators/facets.py multi_terms — the
+    ES `multi_terms` agg): top-10 (lang, source) pairs by matching-doc
+    count, count desc then key asc, via one combinable groupBy +
+    TakeOrderedAndProject (no single-partition window)."""
+    from fuzzy_wiki_spark.operators.facets import multi_terms
+
+    res = multi_terms(
+        _postings_simple(spark, sf_dir),
+        _docs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        facet_cols=["lang", "source"],
+        k=10,
+    )
+    return res.select("lang", "source", "n_docs")
+
+
+def q_seg_multi_terms(spark, sf_dir):
+    """multi_terms on the SEGMENT serving path (engine.py
+    SegmentIndex.multi_terms). Oracle = ORACLE_SQL["multi_terms"]
+    verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segmt_")
+    res = idx.multi_terms(
+        BM25_QUERY_TERMS, _docs(spark, sf_dir), ["lang", "source"], 10
+    )
+    return res.select("lang", "source", "n_docs")
+
+
+def q_weighted_avg(spark, sf_dir):
+    """Weighted average over the match set (operators/facets.py
+    weighted_avg — the ES `weighted_avg` agg): doc size weighted by a
+    deterministic per-doc weight (doc_id % 7 + 1, mirrored in the
+    oracle), exact-integer sums, one combinable aggregation."""
+    from fuzzy_wiki_spark.operators.facets import weighted_avg
+
+    res = weighted_avg(
+        _postings_simple(spark, sf_dir),
+        _docs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        value_col="n_chars",
+        weight_col=F.col("doc_id") % 7 + 1,
+    )
+    return res.select("n_docs", "weighted_avg")
+
+
+def q_seg_weighted_avg(spark, sf_dir):
+    """weighted_avg on the SEGMENT serving path (engine.py
+    SegmentIndex.weighted_avg). Oracle = ORACLE_SQL["weighted_avg"]
+    verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segwa_")
+    res = idx.weighted_avg(
+        BM25_QUERY_TERMS,
+        _docs(spark, sf_dir),
+        "n_chars",
+        F.col("doc_id") % 7 + 1,
+    )
+    return res.select("n_docs", "weighted_avg")
+
+
+def q_string_stats(spark, sf_dir):
+    """String length moments + Shannon entropy of the source field over
+    the match set (operators/facets.py string_stats — the ES
+    `string_stats` agg with show_distribution's base-2 entropy). The
+    char distribution reduces map-side to |alphabet| rows before any
+    exchange; the oracle replays the same explode in DuckDB."""
+    from fuzzy_wiki_spark.operators.facets import string_stats
+
+    res = string_stats(
+        _postings_simple(spark, sf_dir),
+        _docs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        field_col="source",
+    )
+    return res.select(
+        "count", "min_length", "max_length", "avg_length", "entropy"
+    )
+
+
+def q_seg_string_stats(spark, sf_dir):
+    """string_stats on the SEGMENT serving path (engine.py
+    SegmentIndex.string_stats). Oracle = ORACLE_SQL["string_stats"]
+    verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segss_")
+    res = idx.string_stats(
+        BM25_QUERY_TERMS, _docs(spark, sf_dir), "source"
+    )
+    return res.select(
+        "count", "min_length", "max_length", "avg_length", "entropy"
+    )
+
+
+def q_median_abs_dev(spark, sf_dir):
+    """Exact median absolute deviation of doc size over the match set
+    (operators/facets.py median_abs_dev — the ES
+    `median_absolute_deviation` agg, exact instead of TDigest): both
+    medians are type-7 linear-interpolated, bit-identical to DuckDB's
+    quantile_cont, the inner one broadcast as a 1-row frame."""
+    from fuzzy_wiki_spark.operators.facets import median_abs_dev
+
+    res = median_abs_dev(
+        _postings_simple(spark, sf_dir),
+        _docs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        value_col="n_chars",
+    )
+    return res.select("n_docs", "mad")
+
+
+def q_seg_mad(spark, sf_dir):
+    """median_absolute_deviation on the SEGMENT serving path (engine.py
+    SegmentIndex.median_abs_dev). Oracle = ORACLE_SQL["median_abs_dev"]
+    verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segmd_")
+    res = idx.median_abs_dev(
+        BM25_QUERY_TERMS, _docs(spark, sf_dir), "n_chars"
+    )
+    return res.select("n_docs", "mad")
+
+
+def q_boxplot(spark, sf_dir):
+    """Exact quartile boxplot of doc size over the match set
+    (operators/facets.py boxplot_agg — the ES `boxplot` agg, exact
+    type-7 percentiles instead of TDigest, ONE aggregation)."""
+    from fuzzy_wiki_spark.operators.facets import boxplot_agg
+
+    res = boxplot_agg(
+        _postings_simple(spark, sf_dir),
+        _docs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        value_col="n_chars",
+    )
+    return res.select("n_docs", "min", "q1", "q2", "q3", "max")
+
+
+def q_seg_boxplot(spark, sf_dir):
+    """boxplot on the SEGMENT serving path (engine.py
+    SegmentIndex.boxplot_agg). Oracle = ORACLE_SQL["boxplot"]
+    verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segbx_")
+    res = idx.boxplot_agg(BM25_QUERY_TERMS, _docs(spark, sf_dir), "n_chars")
+    return res.select("n_docs", "min", "q1", "q2", "q3", "max")
+
+
 def _month_buckets(spark, sf_dir):
     """The shared parent aggregation for the pipeline-agg entries: the
     monthly date_histogram over the match set (same derived timestamp as
@@ -5957,6 +6128,18 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "rare_terms": q_rare_terms,
+    "seg_rare_terms": q_seg_rare_terms,
+    "multi_terms": q_multi_terms,
+    "seg_multi_terms": q_seg_multi_terms,
+    "weighted_avg": q_weighted_avg,
+    "seg_weighted_avg": q_seg_weighted_avg,
+    "string_stats": q_string_stats,
+    "seg_string_stats": q_seg_string_stats,
+    "median_abs_dev": q_median_abs_dev,
+    "seg_mad": q_seg_mad,
+    "boxplot": q_boxplot,
+    "seg_boxplot": q_seg_boxplot,
     "snapshot_restore_search": q_snapshot_restore_search,
     "mlt_text": q_mlt_text,
     "seg_mlt_text": q_seg_mlt_text,
@@ -6672,3 +6855,83 @@ SELECT a.query_id::INT AS query_id,
        round(a.err, 6) AS err_at_10
 FROM agg a JOIN ideal i USING(query_id)
 """
+
+
+# --------------------------------------------------------------------------
+# round-4 wave-8 oracles: rare_terms / multi_terms / weighted_avg /
+# string_stats / median_absolute_deviation / boxplot (+ segment twins)
+# --------------------------------------------------------------------------
+
+ORACLE_SQL["rare_terms"] = f"""
+WITH tf AS ({_TF}),
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS})
+SELECT d.source, count(*)::BIGINT AS n_docs
+FROM m JOIN documents d USING(doc_id)
+GROUP BY d.source HAVING count(*) <= 20
+"""
+ORACLE_SQL["seg_rare_terms"] = ORACLE_SQL["rare_terms"]
+
+ORACLE_SQL["multi_terms"] = f"""
+WITH tf AS ({_TF}),
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+b AS (SELECT d.lang, d.source, count(*)::BIGINT AS n_docs
+      FROM m JOIN documents d USING(doc_id) GROUP BY d.lang, d.source)
+SELECT lang, source, n_docs FROM b
+ORDER BY n_docs DESC, lang, source LIMIT 10
+"""
+ORACLE_SQL["seg_multi_terms"] = ORACLE_SQL["multi_terms"]
+
+ORACLE_SQL["weighted_avg"] = f"""
+WITH tf AS ({_TF}),
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS})
+SELECT count(*)::BIGINT AS n_docs,
+       round(sum(d.n_chars::BIGINT * (d.doc_id % 7 + 1))::DOUBLE
+             / sum(d.doc_id % 7 + 1)::DOUBLE, 6) AS weighted_avg
+FROM m JOIN documents d USING(doc_id)
+"""
+ORACLE_SQL["seg_weighted_avg"] = ORACLE_SQL["weighted_avg"]
+
+ORACLE_SQL["string_stats"] = f"""
+WITH tf AS ({_TF}),
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+v AS (SELECT d.source AS s FROM m JOIN documents d USING(doc_id)),
+lens AS (SELECT count(*)::BIGINT AS count,
+                min(length(s))::INT AS min_length,
+                max(length(s))::INT AS max_length,
+                round(avg(length(s)), 6) AS avg_length
+         FROM v),
+c AS (SELECT unnest(string_split(s, '')) AS ch FROM v),
+cc AS (SELECT ch, count(*)::DOUBLE AS n FROM c GROUP BY ch),
+t AS (SELECT sum(n) AS t FROM cc),
+e AS (SELECT round(sum(-(n/t) * log2(n/t)), 6) AS entropy
+      FROM cc CROSS JOIN t)
+SELECT lens.count, lens.min_length, lens.max_length,
+       lens.avg_length, e.entropy
+FROM lens CROSS JOIN e
+"""
+ORACLE_SQL["seg_string_stats"] = ORACLE_SQL["string_stats"]
+
+ORACLE_SQL["median_abs_dev"] = f"""
+WITH tf AS ({_TF}),
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+v AS (SELECT d.n_chars::DOUBLE AS x FROM m JOIN documents d USING(doc_id)),
+med AS (SELECT quantile_cont(x, 0.5) AS md FROM v)
+SELECT count(*)::BIGINT AS n_docs,
+       round(quantile_cont(abs(x - md), 0.5), 6) AS mad
+FROM v CROSS JOIN med
+"""
+ORACLE_SQL["seg_mad"] = ORACLE_SQL["median_abs_dev"]
+
+ORACLE_SQL["boxplot"] = f"""
+WITH tf AS ({_TF}),
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+v AS (SELECT d.n_chars::DOUBLE AS x FROM m JOIN documents d USING(doc_id))
+SELECT count(*)::BIGINT AS n_docs,
+       min(x) AS "min",
+       round(quantile_cont(x, 0.25), 6) AS q1,
+       round(quantile_cont(x, 0.5), 6) AS q2,
+       round(quantile_cont(x, 0.75), 6) AS q3,
+       max(x) AS "max"
+FROM v
+"""
+ORACLE_SQL["seg_boxplot"] = ORACLE_SQL["boxplot"]

@@ -2056,6 +2056,103 @@ class SegmentIndex:
             inner_k=inner_k,
         )
 
+    def rare_terms(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        facet_col: str,
+        max_doc_count: int,
+        field: str = "content",
+    ) -> DataFrame:
+        """Long-tail buckets on the serving path (the ES `rare_terms`
+        aggregation; operators/facets.rare_terms — exact post-aggregation
+        filter on the bucket frame over the term-pruned decode)."""
+        from fuzzy_wiki_spark.operators.facets import rare_terms
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return rare_terms(
+            posts, docs, sorted(set(terms)), facet_col, max_doc_count
+        )
+
+    def multi_terms(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        facet_cols: list[str],
+        k: int,
+        field: str = "content",
+    ) -> DataFrame:
+        """Compound-key top-k buckets on the serving path (the ES
+        `multi_terms` aggregation; operators/facets.multi_terms — one
+        combinable groupBy + TakeOrderedAndProject bucket cut)."""
+        from fuzzy_wiki_spark.operators.facets import multi_terms
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return multi_terms(posts, docs, sorted(set(terms)), facet_cols, k)
+
+    def weighted_avg(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        value_col,
+        weight_col,
+        field: str = "content",
+    ) -> DataFrame:
+        """Weighted average over the match set on the serving path (the
+        ES `weighted_avg` aggregation; operators/facets.weighted_avg —
+        one exact-integer combinable aggregation)."""
+        from fuzzy_wiki_spark.operators.facets import weighted_avg
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return weighted_avg(
+            posts, docs, sorted(set(terms)), value_col, weight_col
+        )
+
+    def string_stats(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        field_col: str,
+        field: str = "content",
+    ) -> DataFrame:
+        """String length moments + Shannon entropy over the match set on
+        the serving path (the ES `string_stats` aggregation;
+        operators/facets.string_stats)."""
+        from fuzzy_wiki_spark.operators.facets import string_stats
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return string_stats(posts, docs, sorted(set(terms)), field_col)
+
+    def median_abs_dev(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        value_col: str,
+        field: str = "content",
+    ) -> DataFrame:
+        """Exact median absolute deviation over the match set on the
+        serving path (the ES `median_absolute_deviation` aggregation;
+        operators/facets.median_abs_dev)."""
+        from fuzzy_wiki_spark.operators.facets import median_abs_dev
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return median_abs_dev(posts, docs, sorted(set(terms)), value_col)
+
+    def boxplot_agg(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        value_col: str,
+        field: str = "content",
+    ) -> DataFrame:
+        """Exact quartile boxplot over the match set on the serving path
+        (the ES `boxplot` aggregation; operators/facets.boxplot_agg —
+        one aggregation, exact type-7 percentiles)."""
+        from fuzzy_wiki_spark.operators.facets import boxplot_agg
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return boxplot_agg(posts, docs, sorted(set(terms)), value_col)
+
     def span_within(
         self,
         terms: tuple[str, ...],

@@ -621,3 +621,205 @@ def nested_terms(
         .where(F.col("_r") <= inner_k)
         .select(outer_col, inner_col, "n_docs")
     )
+
+
+def rare_terms(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    facet_col: str,
+    max_doc_count: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(facet value, n_docs) buckets with AT MOST ``max_doc_count``
+    matching docs, rarest first — the Elasticsearch `rare_terms`
+    aggregation (the long tail a `terms` agg's top-k hides). ES
+    approximates with a CuckooFilter to keep memory bounded; here the
+    bucket frame after the combinable count IS bounded (|facet values|
+    rows, never docs), so the exact filter is free.
+
+    Plan: match set → doc-values join → one map-side-combinable count
+    per facet value → a post-aggregation filter + sort on the tiny
+    bucket frame. Nothing after the groupBy scales with the corpus."""
+    return (
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(id_col, facet_col), id_col)
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") <= max_doc_count)
+    )
+
+
+def multi_terms(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    facet_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` compound-key buckets by matching-doc count — the
+    Elasticsearch `multi_terms` aggregation (a `terms` agg whose bucket
+    key is a tuple, e.g. (lang, repo)). Count desc, then key columns asc
+    — ES's deterministic tiebreak.
+
+    Plan: ONE combinable groupBy on the compound key, then
+    orderBy+limit(k) on the bucket frame — Spark plans that as
+    TakeOrderedAndProject (each partition ships ≤k buckets), so there is
+    no single-partition window even at huge key cardinality (same shape
+    as grouped_topk's group cut)."""
+    counted = (
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(id_col, *facet_cols), id_col)
+        .groupBy(*facet_cols)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    order = [F.desc("n_docs")] + [F.asc(c) for c in facet_cols]
+    return counted.orderBy(*order).limit(k)
+
+
+def weighted_avg(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    value_col,
+    weight_col,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row (n_docs, weighted_avg): Σ(v·w)/Σ(w) over the match set —
+    the Elasticsearch `weighted_avg` aggregation. ``value_col`` /
+    ``weight_col`` are names or Column expressions over the docs table.
+
+    Plan: one map-side-combinable aggregation; the products are summed
+    as exact integers (same bit-stability argument as matrix_stats) and
+    the single division runs once on the final row."""
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast("long")
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast("long")
+    m = (
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(F.col(id_col), v.alias("_v"), w.alias("_w")), id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("_v") * F.col("_w")).alias("_svw"),
+            F.sum("_w").alias("_sw"),
+        )
+    )
+    return m.select(
+        "n_docs",
+        F.round(
+            F.col("_svw").cast("double") / F.col("_sw").cast("double"), 6
+        ).alias("weighted_avg"),
+    )
+
+
+def string_stats(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    field_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row (count, min_length, max_length, avg_length, entropy) over
+    a string field of the match set — the Elasticsearch `string_stats`
+    aggregation with `show_distribution`'s Shannon entropy (base 2, over
+    the character distribution of ALL values concatenated).
+
+    Plan: two combinable aggregations — length moments straight off the
+    field, and character counts off an explode of the (short) field
+    value — joined as broadcast 1-row frames. The char explode is
+    |match| × |field length| rows of 1-char strings, combiner-reduced to
+    |alphabet| before the exchange; entropy folds the tiny char frame
+    with log2 Columns. No Python anywhere."""
+    vals = _matching_docs(postings, terms, id_col).join(
+        docs.select(id_col, F.col(field_col).alias("_s")), id_col
+    )
+    lens = vals.agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min(F.length("_s")).alias("min_length"),
+        F.max(F.length("_s")).alias("max_length"),
+        F.round(F.avg(F.length("_s")), 6).alias("avg_length"),
+    )
+    # (?!$) splits before every char without a trailing empty element
+    chars = (
+        vals.select(F.explode(F.split("_s", r"(?!$)")).alias("_c"))
+        .groupBy("_c")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    tot = chars.agg(F.sum("_n").alias("_t"))
+    ent = (
+        chars.join(F.broadcast(tot))
+        .select(
+            (
+                -(F.col("_n") / F.col("_t"))
+                * F.log2(F.col("_n") / F.col("_t"))
+            ).alias("_e")
+        )
+        .agg(F.round(F.sum("_e"), 6).alias("entropy"))
+    )
+    return lens.join(F.broadcast(ent))
+
+
+def median_abs_dev(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    value_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row (n_docs, mad): median(|x − median(x)|) over the match set
+    — the Elasticsearch `median_absolute_deviation` aggregation. ES
+    approximates with a TDigest; both medians here are EXACT
+    (linear-interpolated, the same type-7 quantile DuckDB's
+    quantile_cont uses), so the oracle replays bit-identically.
+
+    Plan: two aggregation passes over the match set — the first median
+    comes back as a broadcast 1-row frame (the engine's standard
+    tiny-crossJoin pattern, cf. corpus_stats), the second folds the
+    absolute deviations. Exact medians do sort within partial
+    aggregation buffers, but only the match-set values column ever
+    moves."""
+    vals = _matching_docs(postings, terms, id_col).join(
+        docs.select(id_col, F.col(value_col).cast("double").alias("_x")),
+        id_col,
+    )
+    med = vals.agg(F.median("_x").alias("_m"))
+    return (
+        vals.join(F.broadcast(med))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.median(F.abs(F.col("_x") - F.col("_m"))), 6).alias(
+                "mad"
+            ),
+        )
+    )
+
+
+def boxplot_agg(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    value_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row (n_docs, min, q1, q2, q3, max) over a numeric field of
+    the match set — the Elasticsearch `boxplot` aggregation. ES
+    approximates quartiles with a TDigest; these are exact
+    linear-interpolated percentiles (type-7, = DuckDB quantile_cont), so
+    the oracle is bit-identical.
+
+    Plan: ONE aggregation — min/max are combinable, and the three
+    quartiles come from a single F.percentile over the match-set values
+    column."""
+    vals = _matching_docs(postings, terms, id_col).join(
+        docs.select(id_col, F.col(value_col).cast("double").alias("_x")),
+        id_col,
+    )
+    q = F.percentile("_x", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return vals.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("_x").alias("min"),
+        F.round(q[0], 6).alias("q1"),
+        F.round(q[1], 6).alias("q2"),
+        F.round(q[2], 6).alias("q3"),
+        F.max("_x").alias("max"),
+    )

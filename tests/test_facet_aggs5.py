@@ -1,0 +1,210 @@
+"""Round-4 wave-8 search aggregations (operators/facets.py rare_terms /
+multi_terms / weighted_avg / string_stats / median_abs_dev /
+boxplot_agg): pandas/numpy-mirror correctness, relational ≡ segment
+parity, and plan shape (combinable aggs, TakeOrderedAndProject bucket
+cut — never a window or a range-partitioned sort)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.corpus import generate_docs_df
+from fuzzy_wiki_spark.engine import SegmentIndex
+from fuzzy_wiki_spark.operators import postings as P
+from fuzzy_wiki_spark.operators.facets import (
+    boxplot_agg,
+    median_abs_dev,
+    multi_terms,
+    rare_terms,
+    string_stats,
+    weighted_avg,
+)
+
+TERMS = ["binary", "tree", "return"]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = generate_docs_df(spark, 250, seed=11).withColumnRenamed(
+        "content", "text"
+    )
+    posts = P.build_postings(
+        docs.withColumnRenamed("text", "content"),
+        fields={"content": "content"},
+        mode="simple",
+    ).persist()
+    posts.count()
+    pdf = docs.select("doc_id", "lang", "repo", "text").toPandas()
+    doc_terms = {r.doc_id: set(r.text.split()) for r in pdf.itertuples()}
+    match_ids = {d for d, ts in doc_terms.items() if ts & set(TERMS)}
+    return docs, posts, pdf, match_ids
+
+
+def test_rare_terms_matches_pandas(spark, corpus):
+    docs, posts, pdf, match_ids = corpus
+    m = pdf[pdf["doc_id"].isin(match_ids)]
+    counts = m.groupby("repo").size()
+    assert counts.max() > counts.min()  # corpus has head AND tail buckets
+    thresh = int(counts.min())  # keeps the tail, excludes the head
+    got = {
+        r["repo"]: r["n_docs"]
+        for r in rare_terms(posts, docs, TERMS, "repo", thresh).collect()
+    }
+    want = {k: int(v) for k, v in counts.items() if v <= thresh}
+    assert got == want
+    assert want  # the threshold keeps a non-empty long tail
+    assert len(want) < len(counts)  # ...and excludes the head
+
+
+def test_multi_terms_matches_pandas(spark, corpus):
+    docs, posts, pdf, match_ids = corpus
+    m = pdf[pdf["doc_id"].isin(match_ids)]
+    full = m.groupby(["lang", "repo"]).size()
+    want = sorted(
+        ((k[0], k[1], int(v)) for k, v in full.items()),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:5]
+    got = [
+        (r["lang"], r["repo"], r["n_docs"])
+        for r in multi_terms(
+            posts, docs, TERMS, ["lang", "repo"], 5
+        ).collect()
+    ]
+    assert sorted(got, key=lambda t: (-t[2], t[0], t[1])) == want
+
+
+def test_weighted_avg_matches_numpy(spark, corpus):
+    docs, posts, pdf, match_ids = corpus
+    r = weighted_avg(
+        posts,
+        docs,
+        TERMS,
+        value_col=F.length("text"),
+        weight_col=F.col("doc_id") % 7 + 1,
+    ).collect()[0]
+    m = pdf[pdf["doc_id"].isin(match_ids)]
+    v = m["text"].str.len().to_numpy(dtype=np.int64)
+    w = (m["doc_id"] % 7 + 1).to_numpy(dtype=np.int64)
+    assert r["n_docs"] == len(v)
+    assert abs(r["weighted_avg"] - round(float((v * w).sum() / w.sum()), 6)) < 1e-6
+
+
+def test_string_stats_matches_python(spark, corpus):
+    docs, posts, pdf, match_ids = corpus
+    r = string_stats(posts, docs, TERMS, "repo").collect()[0]
+    vals = pdf[pdf["doc_id"].isin(match_ids)]["repo"].tolist()
+    lens = [len(s) for s in vals]
+    assert r["count"] == len(vals)
+    assert r["min_length"] == min(lens)
+    assert r["max_length"] == max(lens)
+    assert abs(r["avg_length"] - sum(lens) / len(lens)) < 1e-6
+    from collections import Counter
+
+    cc = Counter("".join(vals))
+    t = sum(cc.values())
+    want_h = -sum((n / t) * math.log2(n / t) for n in cc.values())
+    assert abs(r["entropy"] - want_h) < 1e-6
+
+
+def test_median_abs_dev_matches_numpy(spark, corpus):
+    docs, posts, pdf, match_ids = corpus
+    r = median_abs_dev(
+        posts,
+        docs.withColumn("n_chars", F.length("text")),
+        TERMS,
+        "n_chars",
+    ).collect()[0]
+    x = (
+        pdf[pdf["doc_id"].isin(match_ids)]["text"]
+        .str.len()
+        .to_numpy(dtype=np.float64)
+    )
+    assert r["n_docs"] == len(x)
+    # np.median is the same type-7 linear-interpolated quantile
+    assert abs(r["mad"] - float(np.median(np.abs(x - np.median(x))))) < 1e-6
+
+
+def test_boxplot_matches_numpy(spark, corpus):
+    docs, posts, pdf, match_ids = corpus
+    r = boxplot_agg(
+        posts,
+        docs.withColumn("n_chars", F.length("text")),
+        TERMS,
+        "n_chars",
+    ).collect()[0]
+    x = (
+        pdf[pdf["doc_id"].isin(match_ids)]["text"]
+        .str.len()
+        .to_numpy(dtype=np.float64)
+    )
+    assert r["n_docs"] == len(x)
+    assert r["min"] == float(x.min()) and r["max"] == float(x.max())
+    for col, p in (("q1", 25), ("q2", 50), ("q3", 75)):
+        assert abs(r[col] - float(np.percentile(x, p))) < 1e-6
+
+
+def test_segment_agg5_parity(spark, corpus, tmp_path):
+    """All six wave-8 aggs serve identically from the compressed
+    segments (SegmentIndex twins) and from the relational postings."""
+    docs, posts, pdf, match_ids = corpus
+    idx = SegmentIndex.build(
+        spark,
+        docs.withColumnRenamed("text", "content"),
+        str(tmp_path / "seg"),
+        n_buckets=4,
+        mode="simple",
+    )
+    docs2 = docs.withColumn("n_chars", F.length("text"))
+    m = pdf[pdf["doc_id"].isin(match_ids)]
+    thresh = int(m.groupby("repo").size().median())
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(rare_terms(posts, docs, TERMS, "repo", thresh)) == rows(
+        idx.rare_terms(TERMS, docs, "repo", thresh)
+    )
+    assert rows(multi_terms(posts, docs, TERMS, ["lang", "repo"], 5)) == rows(
+        idx.multi_terms(TERMS, docs, ["lang", "repo"], 5)
+    )
+    w = F.col("doc_id") % 7 + 1
+    assert rows(
+        weighted_avg(posts, docs2, TERMS, "n_chars", w)
+    ) == rows(idx.weighted_avg(TERMS, docs2, "n_chars", w))
+    assert rows(string_stats(posts, docs, TERMS, "repo")) == rows(
+        idx.string_stats(TERMS, docs, "repo")
+    )
+    assert rows(median_abs_dev(posts, docs2, TERMS, "n_chars")) == rows(
+        idx.median_abs_dev(TERMS, docs2, "n_chars")
+    )
+    assert rows(boxplot_agg(posts, docs2, TERMS, "n_chars")) == rows(
+        idx.boxplot_agg(TERMS, docs2, "n_chars")
+    )
+
+
+def test_agg5_plan_shape(spark, corpus):
+    """rare_terms/weighted_avg/boxplot stay one combinable aggregation
+    chain (no window, no range-partitioned sort); multi_terms' bucket
+    cut is TakeOrderedAndProject, never a global sort."""
+    docs, posts, _, _ = corpus
+    docs2 = docs.withColumn("n_chars", F.length("text"))
+    for df in (
+        rare_terms(posts, docs, TERMS, "repo", 10),
+        weighted_avg(posts, docs2, TERMS, "n_chars", F.col("doc_id") % 7 + 1),
+        boxplot_agg(posts, docs2, TERMS, "n_chars"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "rangepartitioning" not in plan.lower()
+        assert "partial" in plan.lower()
+    plan = (
+        multi_terms(posts, docs, TERMS, ["lang", "repo"], 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "Window" not in plan
