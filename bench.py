@@ -316,6 +316,29 @@ def main() -> None:
         stats_bucket(b).collect()
 
     timed("seg_pipeline_aggs", _pipeline_chain, reps=2)
+
+    # 2g) third agg wave (rare_terms / multi_terms / weighted_avg /
+    # string_stats / median_absolute_deviation / boxplot) — the ES
+    # long-tail + metric stragglers, served from the same term-pruned
+    # segment decode; every one is a single combinable aggregation (or a
+    # tiny bucket-frame post-filter), no window, no global sort
+    timed(
+        "seg_agg_wave3",
+        lambda: (
+            seg.rare_terms(_AGG_TERMS, raw_docs_meta, "source", 20).collect(),
+            seg.multi_terms(
+                _AGG_TERMS, raw_docs_meta, ["lang", "source"], 10
+            ).collect(),
+            seg.weighted_avg(
+                _AGG_TERMS, raw_docs_meta, "n_chars",
+                F.col("doc_id") % 7 + 1,
+            ).collect(),
+            seg.string_stats(_AGG_TERMS, raw_docs_meta, "source").collect(),
+            seg.median_abs_dev(_AGG_TERMS, raw_docs_meta, "n_chars").collect(),
+            seg.boxplot_agg(_AGG_TERMS, raw_docs_meta, "n_chars").collect(),
+        ),
+        reps=2,
+    )
     shutil.rmtree(seg_dir, ignore_errors=True)
 
     # 3) heavy pipeline operators (driver-contract implementations)
