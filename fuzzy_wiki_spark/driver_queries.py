@@ -6119,6 +6119,121 @@ def q_dsir_resample(spark, sf_dir):
     return sel.select("doc_id", F.round("log_w", 6).alias("log_w"))
 
 
+# --------------------------------------------------------------------------
+# round-4 wave 9: percentile_ranks / t_test / bucket_sort / normalize /
+# percentiles_bucket — the last gaps in the ES aggregation family
+# --------------------------------------------------------------------------
+
+PRANK_PROBES = (200.0, 400.0)
+TTEST_TERMS_B = ["hash", "scan"]
+
+
+def q_percentile_ranks(spark, sf_dir):
+    """Exact empirical-CDF percentile ranks of doc size per language over
+    the match set (operators/facets.py percentile_ranks — the ES
+    `percentile_ranks` agg, exact instead of TDigest): what percentage
+    of matching docs fit under 200 / 400 chars, per language."""
+    from fuzzy_wiki_spark.operators.facets import percentile_ranks
+
+    res = percentile_ranks(
+        _postings_simple(spark, sf_dir),
+        _docs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        facet_col="lang",
+        value="n_chars",
+        at_values=PRANK_PROBES,
+    )
+    return res.select("lang", "r200", "r400")
+
+
+def q_seg_percentile_ranks(spark, sf_dir):
+    """percentile_ranks on the SEGMENT serving path (engine.py
+    SegmentIndex.percentile_ranks). Oracle = ORACLE_SQL
+    ["percentile_ranks"] verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segpr_")
+    res = idx.percentile_ranks(
+        BM25_QUERY_TERMS,
+        _docs(spark, sf_dir),
+        facet_col="lang",
+        value="n_chars",
+        at_values=PRANK_PROBES,
+    )
+    return res.select("lang", "r200", "r400")
+
+
+def q_t_test(spark, sf_dir):
+    """Welch's unpaired t-test of doc size between the docs matching
+    ('spark','merge','join') and the docs matching ('hash','scan')
+    (operators/facets.py t_test — the ES `t_test` agg, heteroscedastic
+    form; exact sufficient statistics + t and Welch-Satterthwaite dof,
+    the p-value lookup being the coordinating-node scalar ES also
+    defers)."""
+    from fuzzy_wiki_spark.operators.facets import t_test
+
+    res = t_test(
+        _postings_simple(spark, sf_dir),
+        _docs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        TTEST_TERMS_B,
+        value="n_chars",
+    )
+    return res.select("n_a", "n_b", "mean_a", "mean_b", "t_stat", "dof")
+
+
+def q_seg_t_test(spark, sf_dir):
+    """t_test on the SEGMENT serving path (engine.py SegmentIndex.t_test
+    — ONE term-pruned decode covers both filter populations). Oracle =
+    ORACLE_SQL["t_test"] verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segtt_")
+    res = idx.t_test(
+        BM25_QUERY_TERMS, TTEST_TERMS_B, _docs(spark, sf_dir), "n_chars"
+    )
+    return res.select("n_a", "n_b", "mean_a", "mean_b", "t_stat", "dof")
+
+
+def q_bucket_sort(spark, sf_dir):
+    """ES parent `bucket_sort` over the monthly histogram (operators/
+    pipeline_aggs.py bucket_sort): buckets re-ordered by match count
+    descending (bucket-key tie-break), paginated from=2 size=5 — the
+    partial-top-k page cut, a TakeOrderedAndProject over the bucket
+    frame."""
+    from fuzzy_wiki_spark.operators.pipeline_aggs import bucket_sort
+
+    b = bucket_sort(
+        _month_buckets(spark, sf_dir), sort_col="n_docs", from_=2, size=5
+    )
+    return _fmt_bucket(b).select("bucket", "n_docs")
+
+
+def q_pipe_normalize(spark, sf_dir):
+    """ES parent `normalize` over the monthly histogram (operators/
+    pipeline_aggs.py normalize_agg): percent_of_sum and z-score rescales
+    of the per-month match counts — one 1-row reduction broadcast back
+    over the bucket frame."""
+    from fuzzy_wiki_spark.operators.pipeline_aggs import normalize_agg
+
+    b = normalize_agg(
+        _month_buckets(spark, sf_dir),
+        method="percent_of_sum",
+        out_col="pct",
+    )
+    b = normalize_agg(b, method="z-score", out_col="z")
+    return _fmt_bucket(b).select("bucket", "n_docs", "pct", "z")
+
+
+def q_pctl_bucket(spark, sf_dir):
+    """ES sibling `percentiles_bucket` over the monthly histogram
+    (operators/pipeline_aggs.py percentiles_bucket): nearest-rank
+    quartiles of the per-month match counts — ES documents this sibling
+    as exact nearest-rank, and the ceil-index arithmetic is mirrored in
+    the oracle."""
+    from fuzzy_wiki_spark.operators.pipeline_aggs import percentiles_bucket
+
+    return percentiles_bucket(_month_buckets(spark, sf_dir)).select(
+        "n_buckets", "p25", "p50", "p75"
+    )
+
+
 QUERIES = {
     # The driver samples ~50 entries in INSERTION order, so the dict
     # rotates each round: round-4 additions first (the numeric facet
@@ -6128,6 +6243,13 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "percentile_ranks": q_percentile_ranks,
+    "seg_percentile_ranks": q_seg_percentile_ranks,
+    "t_test": q_t_test,
+    "seg_t_test": q_seg_t_test,
+    "bucket_sort": q_bucket_sort,
+    "pipe_normalize": q_pipe_normalize,
+    "pctl_bucket": q_pctl_bucket,
     "rare_terms": q_rare_terms,
     "seg_rare_terms": q_seg_rare_terms,
     "multi_terms": q_multi_terms,
@@ -6935,3 +7057,71 @@ SELECT count(*)::BIGINT AS n_docs,
 FROM v
 """
 ORACLE_SQL["seg_boxplot"] = ORACLE_SQL["boxplot"]
+
+# wave 9: percentile_ranks / t_test / bucket_sort / normalize /
+# percentiles_bucket
+ORACLE_SQL["percentile_ranks"] = f"""
+WITH tf AS ({_TF}),
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+v AS (SELECT d.lang, d.n_chars::DOUBLE AS x
+      FROM m JOIN documents d USING(doc_id))
+SELECT lang,
+       round(avg(CASE WHEN x <= 200.0 THEN 100.0 ELSE 0.0 END), 6) AS r200,
+       round(avg(CASE WHEN x <= 400.0 THEN 100.0 ELSE 0.0 END), 6) AS r400
+FROM v GROUP BY lang
+"""
+ORACLE_SQL["seg_percentile_ranks"] = ORACLE_SQL["percentile_ranks"]
+
+_TTERMS_B = "('" + "','".join(TTEST_TERMS_B) + "')"
+ORACLE_SQL["t_test"] = f"""
+WITH tf AS ({_TF}),
+a AS (SELECT d.n_chars::DOUBLE AS x FROM documents d WHERE d.doc_id IN
+      (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS})),
+b AS (SELECT d.n_chars::DOUBLE AS x FROM documents d WHERE d.doc_id IN
+      (SELECT DISTINCT doc_id FROM tf WHERE term IN {_TTERMS_B})),
+s AS (SELECT (SELECT count(*) FROM a)::BIGINT AS n_a,
+             (SELECT count(*) FROM b)::BIGINT AS n_b,
+             (SELECT avg(x) FROM a) AS ma,
+             (SELECT avg(x) FROM b) AS mb,
+             (SELECT var_samp(x) FROM a) AS va,
+             (SELECT var_samp(x) FROM b) AS vb)
+SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round((ma - mb) / sqrt(va/n_a + vb/n_b), 6) AS t_stat,
+       round(pow(va/n_a + vb/n_b, 2)
+             / (pow(va/n_a, 2)/(n_a - 1) + pow(vb/n_b, 2)/(n_b - 1)),
+             6) AS dof
+FROM s
+"""
+ORACLE_SQL["seg_t_test"] = ORACLE_SQL["t_test"]
+
+_MONTH_B = f"""tf AS ({_TF}),
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+b AS (SELECT date_trunc('month',
+               DATE '2021-01-01' + (doc_id % 1000)::INT) AS bk,
+             count(*)::BIGINT AS n_docs
+      FROM m GROUP BY bk)"""
+
+ORACLE_SQL["bucket_sort"] = f"""
+WITH {_MONTH_B}
+SELECT strftime(bk, '%Y-%m-%d') AS bucket, n_docs
+FROM b ORDER BY n_docs DESC, bk LIMIT 5 OFFSET 2
+"""
+
+ORACLE_SQL["pipe_normalize"] = f"""
+WITH {_MONTH_B}
+SELECT strftime(bk, '%Y-%m-%d') AS bucket, n_docs,
+       round(n_docs::DOUBLE / sum(n_docs) OVER () * 100.0, 6) AS pct,
+       round((n_docs::DOUBLE - avg(n_docs::DOUBLE) OVER ())
+             / stddev_pop(n_docs::DOUBLE) OVER (), 6) AS z
+FROM b
+"""
+
+ORACLE_SQL["pctl_bucket"] = f"""
+WITH {_MONTH_B},
+l AS (SELECT list_sort(list(n_docs::DOUBLE)) AS a FROM b)
+SELECT len(a)::INT AS n_buckets,
+       a[greatest(ceil(0.25 * len(a))::INT, 1)] AS p25,
+       a[greatest(ceil(0.50 * len(a))::INT, 1)] AS p50,
+       a[greatest(ceil(0.75 * len(a))::INT, 1)] AS p75
+FROM l
+"""

@@ -2153,6 +2153,45 @@ class SegmentIndex:
         posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
         return boxplot_agg(posts, docs, sorted(set(terms)), value_col)
 
+    def percentile_ranks(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        facet_col: str,
+        value,
+        at_values: tuple = (1000.0, 4000.0),
+        field: str = "content",
+    ) -> DataFrame:
+        """Exact empirical-CDF percentile ranks over the match set on the
+        serving path (the ES `percentile_ranks` aggregation;
+        operators/facets.percentile_ranks — one combinable groupBy, one
+        conditional average per probe value)."""
+        from fuzzy_wiki_spark.operators.facets import percentile_ranks
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return percentile_ranks(
+            posts, docs, sorted(set(terms)), facet_col, value, at_values
+        )
+
+    def t_test(
+        self,
+        terms_a: list[str],
+        terms_b: list[str],
+        docs: DataFrame,
+        value,
+        field: str = "content",
+    ) -> DataFrame:
+        """Welch's t-test between two filter populations on the serving
+        path (the ES `t_test` aggregation, heteroscedastic form;
+        operators/facets.t_test). ONE term-pruned decode covers both
+        filters (terms A ∪ B), then one combinable aggregation."""
+        from fuzzy_wiki_spark.operators.facets import t_test
+
+        both = sorted(set(terms_a) | set(terms_b))
+        posts = self.term_postings(field, both, with_dl=False)
+        return t_test(posts, docs, sorted(set(terms_a)),
+                      sorted(set(terms_b)), value)
+
     def span_within(
         self,
         terms: tuple[str, ...],

@@ -823,3 +823,119 @@ def boxplot_agg(
         F.round(q[2], 6).alias("q3"),
         F.max("_x").alias("max"),
     )
+
+
+def percentile_ranks(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    facet_col: str,
+    value,
+    at_values: tuple = (1000.0, 4000.0),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(facet, r<v>...) — the Elasticsearch `percentile_ranks` metric
+    aggregation (the inverse of `percentiles`): for each probe value v,
+    the percentage of match-set observations ≤ v, per facet value
+    ("what fraction of matching files per language fit under 4 KB?").
+
+    ES approximates the rank with the same TDigest its `percentiles`
+    agg uses; this is the EXACT empirical CDF — 100·mean(x ≤ v) — so a
+    SQL oracle replays it bit-identically. Plan: the usual term-pruned
+    match set joined to the docs table, then ONE map-side-combinable
+    groupBy; each probe value is an independent conditional average, so
+    adding probes widens the aggregate, never adds a pass."""
+    v = F.col(value) if isinstance(value, str) else value
+    probes = [
+        F.round(
+            F.avg(
+                F.when(F.col("_v") <= float(p), F.lit(100.0)).otherwise(
+                    F.lit(0.0)
+                )
+            ),
+            6,
+        ).alias("r" + str(int(p)))
+        for p in at_values
+    ]
+    return (
+        _matching_docs(postings, terms, id_col)
+        .join(
+            docs.select(
+                F.col(id_col), F.col(facet_col), v.cast("double").alias("_v")
+            ),
+            id_col,
+        )
+        .groupBy(facet_col)
+        .agg(*probes)
+    )
+
+
+def t_test(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms_a: list[str],
+    terms_b: list[str],
+    value,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row (n_a, n_b, mean_a, mean_b, t_stat, dof) — the
+    Elasticsearch `t_test` aggregation in its `heteroscedastic`
+    (Welch's unpaired) form: does a numeric field differ between the
+    populations matching filter A and filter B?
+
+        t  = (m_a − m_b) / √(s²_a/n_a + s²_b/n_b)
+        ν  = (s²_a/n_a + s²_b/n_b)² /
+             ((s²_a/n_a)²/(n_a−1) + (s²_b/n_b)²/(n_b−1))   (Welch–Satterthwaite)
+
+    ES reduces (t, ν) to a p-value via the Student-t CDF on the
+    coordinating node; the distributed part — and what this returns —
+    is the exact sufficient statistics + t and ν (sample variances, so
+    DuckDB's var_samp mirrors them). The CDF lookup is a driver-side
+    scalar transform on the 1-row result (scipy.stats.t.sf when
+    available), deliberately outside the plan.
+
+    Plan: both match sets come from the SAME term-pruned postings frame
+    (filter terms A ∪ B, one scan), tagged and unioned, joined once to
+    the docs table, then ONE combinable aggregation of conditional
+    count/avg/var_samp pairs — no window, no second pass, population
+    overlap allowed exactly as ES allows overlapping filters."""
+    v = F.col(value) if isinstance(value, str) else value
+    pop = (
+        _matching_docs(postings, terms_a, id_col)
+        .withColumn("_pop", F.lit("a"))
+        .unionAll(
+            _matching_docs(postings, terms_b, id_col).withColumn(
+                "_pop", F.lit("b")
+            )
+        )
+    )
+    vals = pop.join(
+        docs.select(F.col(id_col), v.cast("double").alias("_v")), id_col
+    )
+
+    def _of(p: str, fn) -> F.Column:
+        return fn(F.when(F.col("_pop") == p, F.col("_v")))
+
+    agg = vals.agg(
+        F.count(F.when(F.col("_pop") == "a", F.lit(1))).alias("n_a"),
+        F.count(F.when(F.col("_pop") == "b", F.lit(1))).alias("n_b"),
+        _of("a", F.avg).alias("_ma"),
+        _of("b", F.avg).alias("_mb"),
+        _of("a", F.var_samp).alias("_va"),
+        _of("b", F.var_samp).alias("_vb"),
+    )
+    se_a = F.col("_va") / F.col("n_a")
+    se_b = F.col("_vb") / F.col("n_b")
+    se = se_a + se_b
+    t = (F.col("_ma") - F.col("_mb")) / F.sqrt(se)
+    dof = (se * se) / (
+        se_a * se_a / (F.col("n_a") - 1) + se_b * se_b / (F.col("n_b") - 1)
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round("_ma", 6).alias("mean_a"),
+        F.round("_mb", 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("dof"),
+    )

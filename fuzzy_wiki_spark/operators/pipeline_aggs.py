@@ -150,3 +150,98 @@ def extreme_buckets(
     # two sides unioned (not a when-chain) so a constant series reports
     # its buckets under BOTH kinds, exactly as ES max_bucket+min_bucket do
     return _side("max", "_mx").unionAll(_side("min", "_mn"))
+
+
+def bucket_sort(
+    buckets: DataFrame,
+    sort_col: str = "n_docs",
+    ascending: bool = False,
+    from_: int = 0,
+    size: int = 10,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """ES parent `bucket_sort`: re-order the bucket list by a metric and
+    truncate with from/size — the "top N buckets by revenue" pipeline.
+    Ordering ties break on the bucket key (ES insertion order is the
+    parent's key order), so pagination is deterministic. The sort runs
+    over the bucket frame (bounded by the calendar/terms range, see the
+    module docstring), and the from+size cut keeps it a
+    TakeOrderedAndProject — a partial top-k, never a full exchange-sort,
+    exactly like the composite agg's after-key pages."""
+    key = F.col(sort_col) if ascending else F.col(sort_col).desc()
+    page = buckets.orderBy(key, bucket_col).limit(from_ + size)
+    if from_ == 0:
+        return page
+    w = Window.orderBy(key, bucket_col)
+    return (
+        page.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > from_)
+        .drop("_rn")
+    )
+
+
+def normalize_agg(
+    buckets: DataFrame,
+    value_col: str = "n_docs",
+    method: str = "percent_of_sum",
+    bucket_col: str = "bucket",
+    out_col: str = "normalized",
+) -> DataFrame:
+    """ES parent `normalize`: rescale a bucket metric across the sibling
+    buckets — `percent_of_sum` (value/Σ·100), `mean` ((v−avg)/(max−min)),
+    `range` ((v−min)/(max−min)), `z-score` ((v−avg)/σ_pop), `softmax`
+    (eᵛ/Σeᵛ). The reduction is ONE 1-row aggregate over the bucket
+    frame broadcast back (the engine's tiny-crossJoin pattern) — two
+    passes over buckets, zero over documents."""
+    v = F.col(value_col).cast("double")
+    stats = buckets.agg(
+        F.sum(v).alias("_s"),
+        F.avg(v).alias("_av"),
+        F.min(v).alias("_mn"),
+        F.max(v).alias("_mx"),
+        F.stddev_pop(v).alias("_sd"),
+        F.sum(F.exp(v)).alias("_es"),
+    )
+    joined = buckets.crossJoin(F.broadcast(stats))
+    out = {
+        "percent_of_sum": v / F.col("_s") * 100.0,
+        "mean": (v - F.col("_av")) / (F.col("_mx") - F.col("_mn")),
+        "range": (v - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+        "z-score": (v - F.col("_av")) / F.col("_sd"),
+        "softmax": F.exp(v) / F.col("_es"),
+    }[method]
+    return joined.withColumn(out_col, F.round(out, 6)).drop(
+        "_s", "_av", "_mn", "_mx", "_sd", "_es"
+    )
+
+
+def percentiles_bucket(
+    buckets: DataFrame,
+    value_col: str = "n_docs",
+    percents: tuple = (25.0, 50.0, 75.0),
+) -> DataFrame:
+    """ES sibling `percentiles_bucket`: one row of percentiles of a
+    sibling aggregation's metric across its buckets. ES documents this
+    sibling as EXACT (unlike the TDigest `percentiles` doc agg: "unlike
+    [percentiles], percentiles_bucket ... is not approximate") — but its
+    exactness is nearest-rank, NOT interpolated: it returns the value at
+    index ⌈p/100·n⌉−1 of the sorted list. Mirrored here with an exact
+    sort + element_at over the collected bucket metrics (the bucket
+    frame is bounded, so the collect_list is too), reproducible in SQL
+    with the same ceil-index arithmetic."""
+    arr = F.array_sort(F.collect_list(F.col(value_col).cast("double")))
+    return buckets.agg(arr.alias("_a")).select(
+        F.size("_a").alias("n_buckets"),
+        *[
+            F.element_at(
+                "_a",
+                F.greatest(
+                    F.ceil(F.lit(float(p)) / 100.0 * F.size("_a")).cast(
+                        "int"
+                    ),
+                    F.lit(1),
+                ),
+            ).alias("p" + str(int(p)))
+            for p in percents
+        ],
+    )

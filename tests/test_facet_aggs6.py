@@ -1,0 +1,191 @@
+"""Round-4 wave-9 aggregations (operators/facets.py percentile_ranks /
+t_test; operators/pipeline_aggs.py bucket_sort / normalize_agg /
+percentiles_bucket): numpy-mirror correctness, relational ≡ segment
+parity, and plan shape (the doc-side aggs stay combinable groupBys —
+no window, no global sort outside the bounded bucket frame)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.corpus import generate_docs_df
+from fuzzy_wiki_spark.engine import SegmentIndex
+from fuzzy_wiki_spark.operators import postings as P
+from fuzzy_wiki_spark.operators.facets import percentile_ranks, t_test
+from fuzzy_wiki_spark.operators.pipeline_aggs import (
+    bucket_sort,
+    normalize_agg,
+    percentiles_bucket,
+)
+
+TERMS = ["binary", "tree", "return"]
+TERMS_B = ["hash", "scan"]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = generate_docs_df(spark, 250, seed=11).withColumnRenamed(
+        "content", "text"
+    )
+    posts = P.build_postings(
+        docs.withColumnRenamed("text", "content"),
+        fields={"content": "content"},
+        mode="simple",
+    ).persist()
+    posts.count()
+    pdf = docs.select("doc_id", "lang", "repo", "text").toPandas()
+    pdf["n"] = pdf["text"].str.len().astype(float)
+    doc_terms = {r.doc_id: set(r.text.split()) for r in pdf.itertuples()}
+    return docs, posts, pdf, doc_terms
+
+
+def _match(doc_terms, terms):
+    return {d for d, ts in doc_terms.items() if ts & set(terms)}
+
+
+def test_percentile_ranks_matches_numpy(spark, corpus):
+    docs, posts, pdf, doc_terms = corpus
+    m = pdf[pdf["doc_id"].isin(_match(doc_terms, TERMS))]
+    probe = float(m["n"].median())
+    got = {
+        r["lang"]: r["r" + str(int(probe))]
+        for r in percentile_ranks(
+            posts, docs, TERMS, "lang", F.length("text"), (probe,)
+        ).collect()
+    }
+    for lang, grp in m.groupby("lang"):
+        want = 100.0 * float((grp["n"] <= probe).mean())
+        assert math.isclose(got[lang], want, abs_tol=1e-5)
+    assert set(got) == set(m["lang"].unique())
+    # a probe at/above the max is rank 100 everywhere
+    hi = percentile_ranks(
+        posts, docs, TERMS, "lang", F.length("text"), (float(m["n"].max()),)
+    ).collect()
+    assert all(r[1] == 100.0 for r in hi)
+
+
+def test_t_test_matches_numpy_welch(spark, corpus):
+    docs, posts, pdf, doc_terms = corpus
+    a = pdf[pdf["doc_id"].isin(_match(doc_terms, TERMS))]["n"].to_numpy()
+    b = pdf[pdf["doc_id"].isin(_match(doc_terms, TERMS_B))]["n"].to_numpy()
+    row = t_test(
+        posts, docs, TERMS, TERMS_B, F.length("text")
+    ).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se = va / len(a) + vb / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(se)
+    dof = se * se / (
+        (va / len(a)) ** 2 / (len(a) - 1)
+        + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert math.isclose(row["mean_a"], a.mean(), abs_tol=1e-5)
+    assert math.isclose(row["mean_b"], b.mean(), abs_tol=1e-5)
+    assert math.isclose(row["t_stat"], t, abs_tol=1e-5)
+    assert math.isclose(row["dof"], dof, abs_tol=1e-4)
+    # populations overlap is allowed (ES overlapping filters) and the
+    # counts are per-population, not per-doc
+    assert _match(doc_terms, TERMS) & _match(doc_terms, TERMS_B)
+
+
+def test_wave9_segment_parity(spark, corpus, tmp_path):
+    docs, posts, pdf, doc_terms = corpus
+    idx = SegmentIndex.build(
+        spark,
+        docs.withColumnRenamed("text", "content"),
+        str(tmp_path / "seg"),
+        n_buckets=4,
+        mode="simple",
+    )
+    rel = percentile_ranks(
+        posts, docs, TERMS, "lang", F.length("text"), (300.0,)
+    )
+    seg = idx.percentile_ranks(
+        TERMS, docs, "lang", F.length("text"), (300.0,)
+    )
+    assert sorted(map(tuple, rel.collect())) == sorted(
+        map(tuple, seg.collect())
+    )
+    rel_t = t_test(posts, docs, TERMS, TERMS_B, F.length("text"))
+    seg_t = idx.t_test(TERMS, TERMS_B, docs, F.length("text"))
+    assert rel_t.collect() == seg_t.collect()
+
+
+def _bucket_frame(spark):
+    rows = [(f"2021-{m:02d}", c) for m, c in
+            zip(range(1, 13), [5, 9, 2, 9, 7, 1, 8, 4, 6, 3, 9, 2])]
+    return spark.createDataFrame(rows, "bucket string, n_docs long")
+
+
+def test_bucket_sort_page_and_ties(spark):
+    b = _bucket_frame(spark)
+    got = [(r["bucket"], r["n_docs"]) for r in
+           bucket_sort(b, from_=2, size=4).collect()]
+    vals = sorted(
+        [(r["bucket"], r["n_docs"]) for r in b.collect()],
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == vals[2:6]
+    # ties (three 9s) page deterministically on the bucket key
+    assert vals[0][1] == vals[1][1] == vals[2][1] == 9
+    # from_=0 fast path is a pure orderBy+limit
+    head = [(r["bucket"], r["n_docs"]) for r in
+            bucket_sort(b, from_=0, size=3).collect()]
+    assert head == vals[:3]
+
+
+def test_normalize_methods_match_numpy(spark):
+    b = _bucket_frame(spark)
+    v = np.array([r["n_docs"] for r in b.orderBy("bucket").collect()],
+                 dtype=float)
+    for method, want in [
+        ("percent_of_sum", v / v.sum() * 100.0),
+        ("mean", (v - v.mean()) / (v.max() - v.min())),
+        ("range", (v - v.min()) / (v.max() - v.min())),
+        ("z-score", (v - v.mean()) / v.std(ddof=0)),
+        ("softmax", np.exp(v) / np.exp(v).sum()),
+    ]:
+        got = [
+            r["normalized"]
+            for r in normalize_agg(b, method=method)
+            .orderBy("bucket")
+            .collect()
+        ]
+        assert np.allclose(got, np.round(want, 6), atol=1e-6), method
+
+
+def test_percentiles_bucket_nearest_rank(spark):
+    b = _bucket_frame(spark)
+    row = percentiles_bucket(
+        b, percents=(25.0, 50.0, 75.0, 100.0)
+    ).collect()[0]
+    v = sorted(r["n_docs"] for r in b.collect())
+    n = len(v)
+    for p in (25, 50, 75, 100):
+        want = float(v[max(math.ceil(p / 100.0 * n), 1) - 1])
+        assert row["p" + str(p)] == want
+    assert row["n_buckets"] == n
+
+
+def test_wave9_plan_shapes(spark, corpus):
+    docs, posts, pdf, doc_terms = corpus
+    # doc-side aggs: combinable groupBy, no window, no per-row Python
+    for df in (
+        percentile_ranks(posts, docs, TERMS, "lang", F.length("text")),
+        t_test(posts, docs, TERMS, TERMS_B, F.length("text")),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "HashAggregate" in plan
+        assert "PythonUDF" not in plan
+    # bucket_sort's from_=0 page is a TakeOrderedAndProject (partial
+    # top-k), never a full exchange-sort
+    plan = (
+        bucket_sort(_bucket_frame(spark), from_=0, size=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
