@@ -6234,6 +6234,112 @@ def q_pctl_bucket(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# round-4 wave 10: training-pipeline cleaning — code-quality gates,
+# corpus line dedup, eval-set decontamination
+# --------------------------------------------------------------------------
+
+
+def _lines5(text, w=None):
+    """Reshape a doc into 5-token lines (a deterministic code-shaped
+    text derived from the table itself — the SQL oracle rebuilds it with
+    the identical list arithmetic)."""
+    w = F.filter(F.split(text, " "), lambda x: x != "")
+    n = F.size(w)
+    return F.concat_ws(
+        "\n",
+        F.transform(
+            F.sequence(F.lit(1), F.ceil(n / F.lit(5.0)).cast("int")),
+            lambda i: F.concat_ws(
+                " ", F.slice(w, (i - F.lit(1)) * 5 + 1, 5)
+            ),
+        ),
+    )
+
+
+def q_code_quality(spark, sf_dir):
+    """The Stack / StarCoder code-quality gates (functions/text.py
+    code_quality_rules — Kocetkov et al. 2022 line-geometry +
+    character-class filters) over the documents reshaped into 5-token
+    lines: per doc the line stats, alnum fraction and the keep
+    verdict. One scan-speed map pass, no UDF/shuffle/explode."""
+    from fuzzy_wiki_spark.functions.text import code_quality_rules
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _lines5(F.col("text")).alias("text")
+    )
+    # thresholds sit at the corpus median so the verdict genuinely splits
+    res = code_quality_rules(
+        docs, max_line_len=32, max_avg_line_len=25.5
+    )
+    return res.select(
+        "doc_id",
+        "n_lines",
+        "max_line_len",
+        "avg_line_len",
+        "alnum_frac",
+        "keep",
+    )
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level line deduplication (operators/dedup.py line_dedup —
+    the RefinedWeb boilerplate cut): docs extended with two boilerplate
+    lines ('license <lang>' and their source string, both shared across
+    docs), lines occurring in ≥2 distinct docs removed, text reassembled
+    in order."""
+    from fuzzy_wiki_spark.operators.dedup import line_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            # shared by exactly the docs whose ids collide mod 300, so
+            # the removal verdict varies per doc
+            F.concat(F.lit("sig "), (F.col("doc_id") % 300).cast("string")),
+            F.concat(F.lit("license "), F.col("lang")),
+        ).alias("text"),
+    )
+    res = line_dedup(docs, min_docs=2)
+    return res.select("doc_id", "text_clean", "n_lines", "n_removed")
+
+
+DECON_N = 8
+# an 8-token canary shared between every eval doc and the planted train
+# docs (doc_id % 89 == 0) — the synthetic corpus has no structural n-gram
+# repetition, so the leak is planted exactly the way decontamination
+# pipelines canary-test themselves
+DECON_CANARY = "canary alpha beta gamma delta epsilon zeta eta"
+
+
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination by exact 8-gram overlap (operators/
+    dedup.py ngram_contamination — the GPT-3 appendix-C recipe): eval
+    set = docs with doc_id % 97 == 0 plus a canary suffix; train docs
+    with doc_id % 89 == 0 carry the same canary (the planted leak) and
+    must come back contaminated, everything else clean. Output
+    restricted to training docs with ≥8 tokens (grams exist)."""
+    from fuzzy_wiki_spark.operators.dedup import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    eval_df = docs.where(F.col("doc_id") % 97 == 0).select(
+        "doc_id",
+        F.concat_ws(" ", "text", F.lit(DECON_CANARY)).alias("text"),
+    )
+    train = docs.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 89 == 0,
+            F.concat_ws(" ", "text", F.lit(DECON_CANARY)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    res = ngram_contamination(train, eval_df, n=DECON_N)
+    return res.select("doc_id", "n_grams", "n_bad", "contaminated")
+
+
 QUERIES = {
     # The driver samples ~50 entries in INSERTION order, so the dict
     # rotates each round: round-4 additions first (the numeric facet
@@ -6243,6 +6349,9 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "code_quality": q_code_quality,
+    "line_dedup": q_line_dedup,
+    "decontaminate": q_decontaminate,
     "percentile_ranks": q_percentile_ranks,
     "seg_percentile_ranks": q_seg_percentile_ranks,
     "t_test": q_t_test,
@@ -7124,4 +7233,83 @@ SELECT len(a)::INT AS n_buckets,
        a[greatest(ceil(0.50 * len(a))::INT, 1)] AS p50,
        a[greatest(ceil(0.75 * len(a))::INT, 1)] AS p75
 FROM l
+"""
+
+# wave 10: code-quality gates / line dedup / decontamination
+ORACLE_SQL["code_quality"] = """
+WITH ws AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents),
+d2 AS (SELECT doc_id,
+              array_to_string(
+                list_transform(range(1, ceil(len(w) / 5.0)::INT + 1),
+                  i -> array_to_string(w[(i-1)*5+1 : least(i*5, len(w))],
+                                       ' ')),
+                chr(10)) AS t
+       FROM ws),
+f AS (SELECT doc_id, t,
+             string_split(t, chr(10)) AS lines
+      FROM d2),
+g AS (SELECT doc_id,
+             len(lines)::BIGINT AS n_lines,
+             list_max(list_transform(lines, x -> length(x)))::BIGINT
+               AS max_line_len,
+             list_sum(list_transform(lines, x -> length(x)))::DOUBLE
+               / len(lines) AS avg_ll,
+             length(regexp_replace(t, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE
+               / length(t) AS alnum,
+             regexp_matches(
+               lower(array_to_string(lines[1:5], chr(10))),
+               'auto-?generated|generated by') AS autogen,
+             starts_with(t, '<?xml version') AS xml
+      FROM f)
+SELECT doc_id, n_lines, max_line_len,
+       round(avg_ll, 6) AS avg_line_len,
+       round(alnum, 6) AS alnum_frac,
+       (max_line_len <= 32 AND avg_ll <= 25.5 AND alnum >= 0.25
+        AND NOT autogen AND NOT xml) AS keep
+FROM g
+"""
+
+ORACLE_SQL["line_dedup"] = """
+WITH d2 AS (SELECT doc_id,
+                   text || chr(10) || 'sig ' || (doc_id % 300)::VARCHAR
+                        || chr(10) || 'license ' || lang AS t
+            FROM documents),
+l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+             unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+      FROM d2),
+hot AS (SELECT line FROM l GROUP BY line
+        HAVING count(DISTINCT doc_id) >= 2),
+k AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM hot)),
+r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS tc,
+             count(*)::BIGINT AS nk
+      FROM k GROUP BY doc_id),
+n AS (SELECT doc_id, count(*)::BIGINT AS nl FROM l GROUP BY doc_id)
+SELECT n.doc_id, coalesce(r.tc, '') AS text_clean, n.nl AS n_lines,
+       (n.nl - coalesce(r.nk, 0))::BIGINT AS n_removed
+FROM n LEFT JOIN r USING(doc_id)
+"""
+
+ORACLE_SQL["decontaminate"] = f"""
+WITH d2 AS (SELECT doc_id,
+                   CASE WHEN doc_id % 97 = 0 OR doc_id % 89 = 0
+                        THEN text || ' {DECON_CANARY}' ELSE text END AS text
+            FROM documents),
+ws AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM d2),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - {DECON_N} + 2),
+               i -> array_to_string(w[i : i + {DECON_N} - 1], ' ')))
+               AS gram
+      FROM ws WHERE len(w) >= {DECON_N}),
+dg AS (SELECT DISTINCT doc_id, gram FROM g),
+ev AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
+tr AS (SELECT * FROM dg WHERE doc_id % 97 <> 0)
+SELECT tr.doc_id, count(*)::BIGINT AS n_grams,
+       count(ev.gram)::BIGINT AS n_bad,
+       count(ev.gram) > 0 AS contaminated
+FROM tr LEFT JOIN ev ON ev.gram = tr.gram
+GROUP BY tr.doc_id
 """

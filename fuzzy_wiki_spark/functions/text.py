@@ -292,3 +292,68 @@ def gopher_rules(
         n_stops.cast("long").alias("n_stops"),
         keep.alias("keep"),
     )
+
+
+def code_quality_rules(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_line_len: int = 1000,
+    max_avg_line_len: float = 100.0,
+    min_alnum_frac: float = 0.25,
+):
+    """Source-code quality-filter rules — the line-geometry and
+    character-class gates the BigCode pipeline applies to The Stack
+    (Kocetkov et al. 2022 §III; reused for SantaCoder/StarCoder): code
+    that fails them is overwhelmingly minified bundles, embedded data
+    blobs, or machine-generated boilerplate, the code-corpus analogue of
+    Gopher's prose gates (gopher_rules above). Per doc:
+
+    - max line length ≤ max_line_len (minified JS / single-line blobs)
+    - mean line length ≤ max_avg_line_len (data-heavy generated files)
+    - alphanumeric character fraction ≥ min_alnum_frac (binary spew,
+      art, separators)
+    - no autogeneration marker in the first 5 lines ("auto-generated" /
+      "autogenerated" / "generated by" — the standard header emitted by
+      protoc/swagger/yacc and friends)
+    - not an XML document (leading '<?xml version' — The Stack's XML
+      gate)
+
+    Returns (id_col, n_lines, max_line_len, avg_line_len, alnum_frac,
+    autogen, xml_header, keep). Like gopher_rules this is ONE narrow map
+    pass of pure Column expressions — no UDF, no shuffle, no explode —
+    so it filters a 10^12-file corpus at scan speed and composes with
+    any downstream build as a pushed predicate on `keep`."""
+    from pyspark.sql import functions as F
+
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    lens = F.transform(lines, lambda x: F.length(x))
+    n_lines = F.size(lines)
+    mx = F.array_max(lens)
+    avg = F.aggregate(lens, F.lit(0), lambda a, x: a + x).cast(
+        "double"
+    ) / n_lines.cast("double")
+    alnum = F.length(F.regexp_replace(t, "[^a-zA-Z0-9]", "")).cast(
+        "double"
+    ) / F.length(t).cast("double")
+    head5 = F.lower(F.concat_ws("\n", F.slice(lines, 1, 5)))
+    autogen = head5.rlike("auto-?generated|generated by")
+    xml = t.startswith("<?xml version")
+    keep = (
+        (mx <= max_line_len)
+        & (avg <= max_avg_line_len)
+        & (alnum >= min_alnum_frac)
+        & ~autogen
+        & ~xml
+    )
+    return docs.select(
+        id_col,
+        n_lines.cast("long").alias("n_lines"),
+        mx.cast("long").alias("max_line_len"),
+        F.round(avg, 6).alias("avg_line_len"),
+        F.round(alnum, 6).alias("alnum_frac"),
+        autogen.alias("autogen"),
+        xml.alias("xml_header"),
+        keep.alias("keep"),
+    )

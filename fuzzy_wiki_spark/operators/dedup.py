@@ -483,3 +483,128 @@ def dedup_keep_first(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level LINE deduplication (the RefinedWeb / CCNet
+    boilerplate cut, Penedo et al. 2023 §3.2): a line that occurs
+    verbatim in ≥ min_docs distinct documents is boilerplate (license
+    headers, nav bars, generated preambles) and is removed from every
+    document; each doc's surviving lines are reassembled in order.
+
+    Returns (id_col, text_clean, n_lines, n_removed) — one row per input
+    doc (text_clean is '' when everything was boilerplate).
+
+    Plan: posexplode the line array (positions preserved for exact
+    reassembly), count DISTINCT docs per line keyed by xxhash64(line) —
+    a 16-byte-row combinable exchange, the same thin-key trade the
+    span-removal operator documents — anti-join the hot hashes back, and
+    one groupBy(doc) rebuilds the text via array_sort over (pos, line)
+    structs. Two shuffles total (line-key agg, doc-key rebuild), both on
+    uniform keys; nothing collects, and the hot-line side of the join is
+    df-count-filtered BEFORE it moves, so the anti-join's build side is
+    only the boilerplate vocabulary."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_h", F.xxhash64("_line"))
+    hot = (
+        lines.groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    kept = lines.join(hot, "_h", "left_anti")
+    n_orig = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_line"))
+                    ),
+                    lambda s: s["_line"],
+                ),
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("_nk"),
+        )
+    )
+    return (
+        n_orig.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("_nk", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-set decontamination against a held-out eval set by exact
+    n-gram overlap — the GPT-3 appendix-C / standard open-source recipe
+    (13-gram collision ⇒ the training doc saw eval data and must be
+    dropped before training).
+
+    Returns (id_col, n_grams, n_bad, contaminated) for every doc in
+    `df` with ≥ n tokens: the doc's distinct whitespace n-grams, how
+    many of them also occur anywhere in the eval set, and the drop
+    verdict (n_bad > 0).
+
+    Plan: both sides build their distinct n-gram streams with pure
+    Column kernels (filtered split → transform(sequence) over slices —
+    no UDF, no per-row Python); the eval side is distinct-reduced and
+    BROADCAST (an eval set is thousands of docs, its gram vocabulary
+    fits an executor by definition), so the corpus side never
+    shuffles — one scan, one broadcast left-join, one doc-keyed
+    combinable count. The join key here is the gram string for
+    oracle-exactness; at 10^12 files key on xxhash64(gram) instead —
+    same plan, 8-byte keys, the false-positive rate of a 64-bit hash
+    being the standard accepted trade (cf. the MinHash pipeline)."""
+
+    def grams(frame: DataFrame, with_id: bool) -> DataFrame:
+        w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        g = F.transform(
+            F.sequence(F.lit(1), F.size(w) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+        cols = [F.col(id_col)] if with_id else []
+        return (
+            frame.where(F.size(w) >= n)
+            .select(*cols, F.explode(g).alias("_gram"))
+            .distinct()
+        )
+
+    bad = grams(eval_df, with_id=False)
+    doc_grams = grams(df, with_id=True)
+    return (
+        doc_grams.join(
+            F.broadcast(bad.withColumn("_hit", F.lit(1))), "_gram", "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_bad"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_bad",
+            (F.col("n_bad") > 0).alias("contaminated"),
+        )
+    )
