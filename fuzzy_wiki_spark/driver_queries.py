@@ -5519,6 +5519,99 @@ def q_seg_sort(spark, sf_dir):
     return idx.sort_by_field(BM25_QUERY_TERMS, docs, "n_chars")
 
 
+# terms_set: the per-doc minimum_should_match_field is synthesized
+# deterministically as 1 + doc_id % TS_MOD (the documents table has no
+# natural "required matches" column; the oracle mirrors the expression)
+TS_MOD = 3
+# pinned: promoted ids, in promotion order — all exist at every sf
+# (doc_id is dense from 0; sf0.001 already has 500 docs)
+PIN_IDS = [42, 7, 123]
+
+
+def _ts_required(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % TS_MOD + 1).alias("required")
+    )
+
+
+def q_terms_set(spark, sf_dir):
+    """ES terms_set query: docs matching >= (1 + doc_id % 3) distinct
+    skeleton terms — a PER-DOCUMENT minimum_should_match threshold read
+    from a doc-values column — BM25-sum scored
+    (operators/multi_match.py:terms_set_topk)."""
+    from fuzzy_wiki_spark.operators.multi_match import terms_set_topk
+
+    posts = _postings_simple(spark, sf_dir)
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in P.term_stats(posts)
+        .where(F.col("term").isin(BM25_QUERY_TERMS))
+        .collect()
+    }
+    return terms_set_topk(
+        spark,
+        posts,
+        "content",
+        BM25_QUERY_TERMS,
+        _ts_required(spark, sf_dir),
+        "required",
+        term_df,
+        fstats,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_seg_terms_set(spark, sf_dir):
+    """terms_set on the serving path (SegmentIndex.terms_set over the
+    term-pruned decode) — shares the terms_set oracle verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "seg-tset-")
+    return idx.terms_set(
+        BM25_QUERY_TERMS, _ts_required(spark, sf_dir), "required"
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_pinned_query(spark, sf_dir):
+    """ES pinned query: promoted ids [42, 7, 123] rank first on a
+    descending constant-score ladder (1e9 − position), then the organic
+    BM25 results for the skeleton terms with the pins excluded
+    (operators/multi_match.py:pinned_topk)."""
+    from fuzzy_wiki_spark.operators.multi_match import pinned_topk
+
+    posts = _postings_simple(spark, sf_dir)
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in P.term_stats(posts)
+        .where(F.col("term").isin(BM25_QUERY_TERMS))
+        .collect()
+    }
+    return pinned_topk(
+        spark,
+        posts,
+        "content",
+        BM25_QUERY_TERMS,
+        PIN_IDS,
+        _docs(spark, sf_dir),
+        term_df,
+        fstats,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_seg_pinned(spark, sf_dir):
+    """Pinned query on the serving path (SegmentIndex.pinned) — shares
+    the pinned_query oracle verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "seg-pin-")
+    return idx.pinned(
+        BM25_QUERY_TERMS, PIN_IDS, _docs(spark, sf_dir)
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
 # --------------------------------------------------------------------------
 # round-4 wave 2b: sampler / diversified_sampler / nested terms aggs
 # --------------------------------------------------------------------------
@@ -6349,6 +6442,10 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "terms_set": q_terms_set,
+    "seg_terms_set": q_seg_terms_set,
+    "pinned_query": q_pinned_query,
+    "seg_pinned": q_seg_pinned,
     "code_quality": q_code_quality,
     "line_dedup": q_line_dedup,
     "decontaminate": q_decontaminate,
@@ -6727,6 +6824,53 @@ WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM ({_TOK})
 ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
 """
 ORACLE_SQL["seg_sort"] = ORACLE_SQL["sort_by_field"]
+
+_PIN_LADDER = ", ".join(
+    f"({d}, {1.0e9 - i:.1f})" for i, d in enumerate(PIN_IDS)
+)
+_PIN_SET = "(" + ", ".join(str(d) for d in PIN_IDS) + ")"
+
+ORACLE_SQL["terms_set"] = f"""
+WITH tf AS ({_TF}), dl AS ({_DL}),
+st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN {_QTERMS} GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+              * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ) AS s,
+         count(DISTINCT tf.term) AS nm
+  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT sc.doc_id, round(s, 6) AS score
+FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+WHERE nm >= 1 + d.doc_id % {TS_MOD}
+ORDER BY s DESC, sc.doc_id LIMIT 10
+"""
+ORACLE_SQL["seg_terms_set"] = ORACLE_SQL["terms_set"]
+
+ORACLE_SQL["pinned_query"] = f"""
+WITH tf AS ({_TF}), dl AS ({_DL}),
+st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN {_QTERMS} GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+              * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ) AS s
+  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id),
+pins(doc_id, s) AS (VALUES {_PIN_LADDER}),
+pe AS (SELECT p.doc_id, p.s FROM pins p
+       JOIN documents d ON d.doc_id = p.doc_id),
+org AS (SELECT doc_id, s FROM sc
+        WHERE doc_id NOT IN {_PIN_SET}
+        ORDER BY s DESC, doc_id LIMIT 10),
+u AS (SELECT * FROM pe UNION ALL SELECT * FROM org)
+SELECT doc_id, round(s, 6) AS score FROM u
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+ORACLE_SQL["seg_pinned"] = ORACLE_SQL["pinned_query"]
 
 
 # --------------------------------------------------------------------------

@@ -1971,6 +1971,61 @@ class SegmentIndex:
             k=k,
         )
 
+    def terms_set(
+        self,
+        words: list[str],
+        doc_required: DataFrame,
+        required_col: str,
+        field: str = "content",
+        k: int = 10,
+    ) -> DataFrame:
+        """ES terms_set on the serving path: docs matching >= a
+        per-document doc-values threshold (minimum_should_match_field)
+        distinct query terms, BM25-sum scored over the term-pruned
+        segment decode (operators/multi_match.py:terms_set_topk)."""
+        from fuzzy_wiki_spark.operators.multi_match import terms_set_topk
+
+        posts = self.term_postings(field, sorted(set(words)))
+        return terms_set_topk(
+            self.spark,
+            posts,
+            field,
+            list(words),
+            doc_required,
+            required_col,
+            self._term_df(sorted(set(words))),
+            self.field_stats,
+            k=k,
+        )
+
+    def pinned(
+        self,
+        words: list[str],
+        pinned_ids: list[int],
+        docs: DataFrame,
+        field: str = "content",
+        k: int = 10,
+        pin_base: float = 1.0e9,
+    ) -> DataFrame:
+        """ES pinned query on the serving path: the ordered promoted-id
+        ladder first, organic BM25 results (pins excluded) after
+        (operators/multi_match.py:pinned_topk)."""
+        from fuzzy_wiki_spark.operators.multi_match import pinned_topk
+
+        posts = self.term_postings(field, sorted(set(words)))
+        return pinned_topk(
+            self.spark,
+            posts,
+            field,
+            list(words),
+            list(pinned_ids),
+            docs,
+            self._term_df(sorted(set(words))),
+            self.field_stats,
+            k=k,
+            pin_base=pin_base,
+        )
+
     def sort_by_field(
         self,
         words: list[str],

@@ -1,6 +1,7 @@
 """Multi-field and structured-boolean query shapes: ``multi_match``
 (best_fields / most_fields / cross_fields), ``minimum_should_match``,
-the ``boosting`` query, and sort-by-field retrieval.
+the ``boosting`` query, sort-by-field retrieval, ``terms_set`` and the
+``pinned`` query.
 
 These are the Elasticsearch query forms a user of the reference engine
 reaches for the moment their corpus has more than one searchable field
@@ -31,6 +32,13 @@ in driver_queries.py:
 - **sort_by_field**: match (ANY term) then rank by a doc-value column,
   not by score — ES ``sort`` on a field. No scoring work is done at all
   (ES likewise skips scoring when ``_score`` isn't in the sort).
+- **terms_set**: ``minimum_should_match`` whose threshold is a
+  PER-DOCUMENT doc-values column (ES ``minimum_should_match_field``) —
+  docs matching >= required(doc) distinct query terms, BM25-sum scored.
+- **pinned**: an ordered promoted-id list ranks first (descending
+  constant-score ladder ``pin_base − position``, mirroring ES's
+  1.7e38-based ladder), organic BM25 results follow with the pinned ids
+  excluded; nonexistent pins are dropped.
 
 Scale notes (100 TB): every shape is one pruned postings scan (the
 ``term.isin`` predicate reaches the parquet/segment row-group stats
@@ -320,5 +328,118 @@ def sort_by_field_topk(
     return (
         matched.join(docs.select(id_col, sort_col), id_col)
         .orderBy(*order)
+        .limit(k)
+    )
+
+
+def terms_set_topk(
+    spark,
+    postings: DataFrame,
+    field: str,
+    words: list[str],
+    doc_required: DataFrame,
+    required_col: str,
+    term_df: dict[tuple[str, str], int],
+    field_stats: dict[str, tuple[int, float]],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``terms_set`` query: like ``terms``, but the number of distinct
+    query terms a document must match comes from a PER-DOCUMENT doc-values
+    column (ES's ``minimum_should_match_field``) instead of a query-level
+    constant. Docs matching >= required(doc) distinct terms of ``words``
+    are kept, scored by the standard BM25 sum over the terms they match,
+    top-k ``(doc_id, score)``.
+
+    Plan shape (100 TB): the same pruned scan + closed-set indicator
+    pivot as ``min_should_match_topk`` (one map-side-combinable groupBy,
+    never wider than the match set), then ONE equi-join of that match
+    set against the single-column doc-values read of ``required_col`` —
+    AQE broadcasts the match set when the query terms are selective, and
+    the doc-values scan is column-pruned to (id, required). No window,
+    no driver collect."""
+    contrib = _matched_contrib(
+        spark,
+        postings,
+        [(field, 1.0)],
+        words,
+        term_df,
+        field_stats,
+        lambda f, t: _idf(term_df.get((f, t), 0), field_stats[f][0]),
+    )
+    n_matched = None
+    for t in dict.fromkeys(words):
+        ind = F.max(F.when(F.col("term") == t, 1).otherwise(0))
+        n_matched = ind if n_matched is None else n_matched + ind
+    return (
+        contrib.groupBy(id_col)
+        .agg(F.sum("c").alias("score"), n_matched.alias("n_matched"))
+        .join(doc_required.select(id_col, required_col), id_col)
+        .where(F.col("n_matched") >= F.col(required_col))
+        .select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pinned_topk(
+    spark,
+    postings: DataFrame,
+    field: str,
+    words: list[str],
+    pinned_ids: list[int],
+    docs: DataFrame,
+    term_df: dict[tuple[str, str], int],
+    field_stats: dict[str, tuple[int, float]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    pin_base: float = 1.0e9,
+) -> DataFrame:
+    """ES ``pinned`` query: an ordered list of promoted document ids
+    ranks FIRST (in list order, whether or not they match the organic
+    query — ES assigns them a descending constant-score ladder far above
+    any BM25 score; ours is ``pin_base - position``), followed by the
+    organic BM25-sum results with the pinned ids excluded. Pinned ids
+    that don't exist in the corpus are dropped (ES behaves the same —
+    a pin is a doc lookup, not an insert). Top-k ``(doc_id, score)``.
+
+    Plan shape (100 TB): the pinned list is a driver-side literal —
+    existence is ONE broadcast join of the |pins|-row frame against the
+    id-pruned doc scan; the organic pass is the usual pruned postings
+    scan with the exclusion applied as a literal ``NOT isin`` predicate
+    (pushed to the scan, zero extra shuffle); the union is k+|pins| rows
+    into a TakeOrderedAndProject."""
+    import pandas as pd
+
+    pins = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                id_col: list(pinned_ids),
+                "score": [pin_base - i for i in range(len(pinned_ids))],
+            }
+        ),
+        schema=f"{id_col} long, score double",
+    )
+    pinned_existing = docs.select(id_col).join(F.broadcast(pins), id_col)
+    contrib = _matched_contrib(
+        spark,
+        postings,
+        [(field, 1.0)],
+        words,
+        term_df,
+        field_stats,
+        lambda f, t: _idf(term_df.get((f, t), 0), field_stats[f][0]),
+    )
+    organic = (
+        contrib.where(~F.col(id_col).isin(list(pinned_ids)))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+    return (
+        pinned_existing.select(id_col, "score")
+        .unionByName(organic)
+        .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )

@@ -18,7 +18,9 @@ from fuzzy_wiki_spark.operators.multi_match import (
     boosting_topk,
     min_should_match_topk,
     multi_match,
+    pinned_topk,
     sort_by_field_topk,
+    terms_set_topk,
 )
 
 N_DOCS = 200
@@ -279,3 +281,109 @@ def test_dsir_deterministic_across_partitioning(spark):
     ra = [(r["doc_id"], round(r["log_w"], 6)) for r in a.collect()]
     rb = [(r["doc_id"], round(r["log_w"], 6)) for r in b.collect()]
     assert ra == rb and len(ra) == 20
+
+
+# --------------------------------------------------------------------------
+# terms_set: per-document minimum_should_match threshold
+# --------------------------------------------------------------------------
+
+
+def test_terms_set_per_doc_gate(rel, docs, words):
+    """terms_set honors the PER-DOC threshold: with required = 1 for
+    every doc it equals msm=1; with a doc-varying threshold, every
+    surviving doc matches >= its own required count."""
+    term_df = rel.lookup_term_df(list(words))
+    req1 = docs.select("doc_id", F.lit(1).alias("req"))
+    ts1 = terms_set_topk(
+        rel.spark, rel.postings, "content", list(words), req1, "req",
+        term_df, rel.field_stats, k=500,
+    )
+    msm1 = min_should_match_topk(
+        rel.spark, rel.postings, "content", list(words), 1, term_df,
+        rel.field_stats, k=500,
+    )
+    assert _rows(ts1) == _rows(msm1)
+
+    reqv = docs.select("doc_id", (F.col("doc_id") % 3 + 1).alias("req"))
+    tsv = terms_set_topk(
+        rel.spark, rel.postings, "content", list(words), reqv, "req",
+        term_df, rel.field_stats, k=500,
+    )
+    match_counts = dict(
+        rel.postings.where(
+            (F.col("field") == "content") & F.col("term").isin(list(words))
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nm"))
+        .collect()
+    )
+    survivors = [r["doc_id"] for r in tsv.collect()]
+    assert survivors
+    for d in survivors:
+        assert match_counts[d] >= d % 3 + 1
+    # and at least one doc was cut by its own (higher) threshold
+    assert len(survivors) < len(_rows(ts1))
+
+
+def test_terms_set_parity(rel, segi, docs, words):
+    term_df = rel.lookup_term_df(list(words))
+    reqv = docs.select("doc_id", (F.col("doc_id") % 3 + 1).alias("req"))
+    want = _rows(
+        terms_set_topk(
+            rel.spark, rel.postings, "content", list(words), reqv, "req",
+            term_df, rel.field_stats,
+        )
+    )
+    got = _rows(segi.terms_set(words, reqv, "req"))
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# pinned query: promoted-id ladder + organic tail
+# --------------------------------------------------------------------------
+
+
+def test_pinned_ladder_then_organic(rel, docs, words):
+    """Pinned ids lead in list order (even a doc that doesn't match the
+    query), nonexistent pins are dropped, organic results follow by BM25
+    with pins excluded."""
+    term_df = rel.lookup_term_df(list(words))
+    organic = _rows(
+        min_should_match_topk(
+            rel.spark, rel.postings, "content", list(words), 1, term_df,
+            rel.field_stats, k=20,
+        )
+    )
+    organic_ids = [d for d, _ in organic]
+    non_matching = (
+        docs.select("doc_id")
+        .where(~F.col("doc_id").isin(organic_ids))
+        .limit(1)
+        .collect()[0]["doc_id"]
+    )
+    pins = [organic_ids[3], non_matching, 10 ** 9]  # last doesn't exist
+    res = _rows(
+        pinned_topk(
+            rel.spark, rel.postings, "content", list(words), pins, docs,
+            term_df, rel.field_stats, k=10,
+        )
+    )
+    # ladder: the two existing pins first, in promotion order
+    assert [d for d, _ in res[:2]] == pins[:2]
+    assert res[0][1] > res[1][1] > res[2][1]
+    # organic tail: best non-pinned organic docs, in organic order
+    want_tail = [d for d in organic_ids if d not in pins][:8]
+    assert [d for d, _ in res[2:]] == want_tail
+
+
+def test_pinned_parity(rel, segi, docs, words):
+    term_df = rel.lookup_term_df(list(words))
+    pins = [17, 5, 99]
+    want = _rows(
+        pinned_topk(
+            rel.spark, rel.postings, "content", list(words), pins, docs,
+            term_df, rel.field_stats,
+        )
+    )
+    got = _rows(segi.pinned(words, pins, docs))
+    assert got == want
