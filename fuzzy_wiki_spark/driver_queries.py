@@ -5613,6 +5613,64 @@ def q_seg_pinned(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# round-4 wave 11: the geo family (operators/geo.py) — geo_distance,
+# geo_bounding_box, geotile_grid over deterministic synthesized (lat, lon)
+# doc values (the documents table has no geo columns; the oracle mirrors
+# the synthesis expression). Relational-only by design: ES serves geo
+# from BKD doc values, not the inverted index — there is no postings
+# analog to twin on the segment path.
+# --------------------------------------------------------------------------
+
+GEO_CENTER = (37.77, -122.42)
+GEO_RADIUS_KM = 3000.0
+GEO_BOX = {"top": 60.0, "left": -10.0, "bottom": 35.0, "right": 30.0}
+GEO_ZOOM = 5
+
+
+def _geo_docs(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") * 7919 % 17000 / 100.0 - 85.0).alias("lat"),
+        (F.col("doc_id") * 104729 % 36000 / 100.0 - 180.0).alias("lon"),
+    )
+
+
+def q_geo_distance(spark, sf_dir):
+    """geo_distance query + _geo_distance sort: docs within 3000 km of
+    (37.77, -122.42), nearest first (operators/geo.py:geo_distance_topk
+    — haversine on the IUGG radius, bounding-box prefilter)."""
+    from fuzzy_wiki_spark.operators.geo import geo_distance_topk
+
+    res = geo_distance_topk(
+        _geo_docs(spark, sf_dir),
+        "lat",
+        "lon",
+        GEO_CENTER[0],
+        GEO_CENTER[1],
+        GEO_RADIUS_KM,
+    )
+    return res.select("doc_id", F.round("dist_km", 6).alias("dist_km"))
+
+
+def q_geo_bbox(spark, sf_dir):
+    """geo_bounding_box filter: docs inside lat 35..60 x lon -10..30
+    (operators/geo.py:geo_bounding_box — one scan-pushable predicate)."""
+    from fuzzy_wiki_spark.operators.geo import geo_bounding_box
+
+    return geo_bounding_box(
+        _geo_docs(spark, sf_dir), "lat", "lon", **GEO_BOX
+    )
+
+
+def q_geotile_grid(spark, sf_dir):
+    """geotile_grid agg at zoom 5: top-10 Web-Mercator tiles by doc
+    count, ES '{z}/{x}/{y}' keys (operators/geo.py:geotile_grid)."""
+    from fuzzy_wiki_spark.operators.geo import geotile_grid
+
+    return geotile_grid(_geo_docs(spark, sf_dir), "lat", "lon", GEO_ZOOM)
+
+
+# --------------------------------------------------------------------------
 # round-4 wave 2b: sampler / diversified_sampler / nested terms aggs
 # --------------------------------------------------------------------------
 
@@ -6446,6 +6504,9 @@ QUERIES = {
     "seg_terms_set": q_seg_terms_set,
     "pinned_query": q_pinned_query,
     "seg_pinned": q_seg_pinned,
+    "geo_distance": q_geo_distance,
+    "geo_bbox": q_geo_bbox,
+    "geotile_grid": q_geotile_grid,
     "code_quality": q_code_quality,
     "line_dedup": q_line_dedup,
     "decontaminate": q_decontaminate,
@@ -6871,6 +6932,55 @@ SELECT doc_id, round(s, 6) AS score FROM u
 ORDER BY s DESC, doc_id LIMIT 10
 """
 ORACLE_SQL["seg_pinned"] = ORACLE_SQL["pinned_query"]
+
+# geo oracles: same synthesized coords, haversine/tile math re-derived in
+# SQL. The engine's bounding-box prefilter is provably non-cutting, so
+# the distance oracle filters on the haversine alone (an independent
+# check that the box never drops an in-radius doc).
+_GEO = """SELECT doc_id,
+       ((doc_id * 7919) % 17000) / 100.0 - 85.0 AS lat,
+       ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+FROM documents"""
+
+ORACLE_SQL["geo_distance"] = f"""
+WITH g AS ({_GEO}),
+d AS (SELECT doc_id,
+        2 * 6371.0088 * asin(sqrt(
+          pow(sin(radians(lat - {GEO_CENTER[0]}) / 2), 2)
+          + cos(radians({GEO_CENTER[0]})) * cos(radians(lat))
+            * pow(sin(radians(lon - ({GEO_CENTER[1]})) / 2), 2)
+        )) AS dist_km
+      FROM g)
+SELECT doc_id, round(dist_km, 6) AS dist_km FROM d
+WHERE dist_km <= {GEO_RADIUS_KM}
+ORDER BY dist_km, doc_id LIMIT 10
+"""
+
+ORACLE_SQL["geo_bbox"] = f"""
+WITH g AS ({_GEO})
+SELECT doc_id, lat, lon FROM g
+WHERE lat BETWEEN {GEO_BOX["bottom"]} AND {GEO_BOX["top"]}
+  AND lon BETWEEN {GEO_BOX["left"]} AND {GEO_BOX["right"]}
+ORDER BY doc_id
+"""
+
+ORACLE_SQL["geotile_grid"] = f"""
+WITH g AS ({_GEO}),
+c AS (SELECT greatest(least(lat, 85.05112878), -85.05112878) AS latc, lon
+      FROM g),
+t AS (SELECT
+        greatest(least(floor((lon + 180.0) / 360.0 * {1 << GEO_ZOOM}),
+                       {(1 << GEO_ZOOM) - 1}), 0)::BIGINT AS x,
+        greatest(least(floor((1.0 - ln(tan(radians(latc))
+                                       + 1.0 / cos(radians(latc))) / pi())
+                             / 2.0 * {1 << GEO_ZOOM}),
+                       {(1 << GEO_ZOOM) - 1}), 0)::BIGINT AS y
+      FROM c)
+SELECT '{GEO_ZOOM}/' || x::VARCHAR || '/' || y::VARCHAR AS tile,
+       count(*)::BIGINT AS n_docs
+FROM t GROUP BY x, y
+ORDER BY n_docs DESC, tile LIMIT 10
+"""
 
 
 # --------------------------------------------------------------------------

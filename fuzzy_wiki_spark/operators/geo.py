@@ -1,0 +1,181 @@
+"""Geo retrieval and aggregation: the ``geo_distance`` query/sort, the
+``geo_bounding_box`` filter and the ``geotile_grid`` aggregation over
+(lat, lon) doc-values columns.
+
+Elasticsearch serves the geo family from BKD-tree-indexed doc values —
+NOT from the inverted index — so there is deliberately no SegmentIndex
+twin here: the Spark analog of the BKD tree is a column-pruned doc-values
+scan whose rectangular prefilter is a plain min/max predicate that
+reaches the parquet row-group statistics (zone/partition pruning), with
+the exact spherical math evaluated only on the box survivors. Pinned
+semantics, mirrored 1:1 by the DuckDB oracles in driver_queries.py:
+
+- **geo_distance**: docs whose haversine great-circle distance to a
+  center point is <= ``radius_km``, returned nearest-first (ES's
+  ``geo_distance`` query combined with a ``_geo_distance`` sort).
+  Distance uses the haversine formula on the IUGG mean Earth radius
+  6371.0088 km (ES's ``arc`` distance type computes the same
+  great-circle quantity).
+- **geo_bounding_box**: docs inside a [bottom..top] x [left..right]
+  rectangle — pure comparisons, no spherical math (date-line-crossing
+  boxes split into two rectangles, as ES does internally).
+- **geotile_grid**: bucket counts per Web-Mercator map tile at a given
+  zoom ``z`` — ES's ``geotile_grid`` agg with its exact key format
+  ``"{z}/{x}/{y}"``: ``x = floor((lon+180)/360 * 2^z)`` and
+  ``y = floor((1 - ln(tan(latR) + 1/cos(latR)) / pi) / 2 * 2^z)`` with
+  latitude clamped to the Mercator domain (+-85.05112878), exactly as
+  ES clamps.
+
+Scale notes (100 TB): every operator is built-in Column math only — no
+Python, no UDF, whole-stage-codegen throughout. geo_distance derives a
+radius-sized bounding box (degrees-per-km widened by 1/cos(lat) for
+longitude, clamped at the poles) and applies it BEFORE the haversine, so
+the trig runs on the box survivors only and the box predicate itself is
+scan-pushable; the final cut is a TakeOrderedAndProject. geo_bounding_box
+is one pushable predicate. geotile_grid is a map-side-combinable
+groupBy((x, y)) — at most 4^z cells exist, so the exchange is tiny no
+matter the corpus size; partitioning a 100 TB store by a coarse tile
+prefix makes the box prefilter a partition-pruning predicate for free.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EARTH_R_KM = 6371.0088  # IUGG mean Earth radius
+MERCATOR_LAT = 85.05112878  # Web-Mercator latitude clamp (ES uses the same)
+KM_PER_DEG = math.pi * EARTH_R_KM / 180.0  # ~111.195 km per degree of arc
+
+
+def haversine_km(lat1, lon1, lat2, lon2):
+    """Great-circle distance (km) between two (lat, lon) pairs — pure
+    Column math (any of the four may be a Column or a literal)."""
+    la1, la2 = F.radians(F.lit(lat1)), F.radians(lat2)
+    dla = F.radians(lat2 - F.lit(lat1)) / 2.0
+    dlo = F.radians(lon2 - F.lit(lon1)) / 2.0
+    a = F.pow(F.sin(dla), 2) + F.cos(la1) * F.cos(la2) * F.pow(F.sin(dlo), 2)
+    return F.lit(2.0 * EARTH_R_KM) * F.asin(F.sqrt(a))
+
+
+def geo_distance_topk(
+    docs: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    center_lat: float,
+    center_lon: float,
+    radius_km: float,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Docs within ``radius_km`` of the center, nearest first:
+    ``(doc_id, dist_km)``. The rectangular prefilter is provably
+    non-cutting (every point within the radius lies inside the box), so
+    the oracle needs no box mirror — it filters on the haversine alone."""
+    dlat = radius_km / KM_PER_DEG
+    lat_lo, lat_hi = center_lat - dlat, center_lat + dlat
+    # widen longitude by the tightest cos(lat) in the box; near a pole
+    # the box degenerates to the full longitude range
+    max_abs_lat = min(max(abs(lat_lo), abs(lat_hi)), 89.9)
+    dlon = radius_km / (KM_PER_DEG * math.cos(math.radians(max_abs_lat)))
+    box = (F.col(lat_col) >= lat_lo) & (F.col(lat_col) <= lat_hi)
+    if dlon < 180.0:
+        # a box near the +-180 meridian wraps into two longitude ranges
+        # (same split as geo_bounding_box) — without it, in-radius docs
+        # on the far side of the date line would be cut by the prefilter
+        lo, hi = center_lon - dlon, center_lon + dlon
+        if lo < -180.0:
+            lon_pred = (F.col(lon_col) >= lo + 360.0) | (
+                F.col(lon_col) <= hi
+            )
+        elif hi > 180.0:
+            lon_pred = (F.col(lon_col) >= lo) | (
+                F.col(lon_col) <= hi - 360.0
+            )
+        else:
+            lon_pred = (F.col(lon_col) >= lo) & (F.col(lon_col) <= hi)
+        box = box & lon_pred
+    dist = haversine_km(
+        center_lat, center_lon, F.col(lat_col), F.col(lon_col)
+    )
+    return (
+        docs.where(box)
+        .select(id_col, dist.alias("dist_km"))
+        .where(F.col("dist_km") <= radius_km)
+        .orderBy(F.asc("dist_km"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def geo_bounding_box(
+    docs: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    top: float,
+    left: float,
+    bottom: float,
+    right: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Docs inside the rectangle — ``(doc_id, lat, lon)`` ordered by id.
+    A date-line-crossing box (left > right) splits into two ranges."""
+    lat_pred = (F.col(lat_col) >= bottom) & (F.col(lat_col) <= top)
+    if left <= right:
+        lon_pred = (F.col(lon_col) >= left) & (F.col(lon_col) <= right)
+    else:
+        lon_pred = (F.col(lon_col) >= left) | (F.col(lon_col) <= right)
+    return (
+        docs.where(lat_pred & lon_pred)
+        .select(id_col, lat_col, lon_col)
+        .orderBy(F.asc(id_col))
+    )
+
+
+def geotile_xy(lat_col, lon_col, zoom: int):
+    """(x, y) Web-Mercator tile Columns at ``zoom`` — ES geotile math."""
+    n = float(1 << zoom)
+    lat = F.greatest(
+        F.least(lat_col, F.lit(MERCATOR_LAT)), F.lit(-MERCATOR_LAT)
+    )
+    lat_r = F.radians(lat)
+    x = F.floor((lon_col + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    y = F.floor(
+        (
+            F.lit(1.0)
+            - F.log(F.tan(lat_r) + F.lit(1.0) / F.cos(lat_r))
+            / F.lit(math.pi)
+        )
+        / F.lit(2.0)
+        * F.lit(n)
+    )
+    # ES clamps x/y into [0, 2^z - 1] (lon == 180.0 would land on 2^z)
+    clamp = lambda c: F.greatest(F.least(c, F.lit(int(n) - 1)), F.lit(0))  # noqa: E731
+    return clamp(x), clamp(y)
+
+
+def geotile_grid(
+    docs: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    zoom: int,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k Web-Mercator tiles by doc count at ``zoom`` —
+    ``(tile, n_docs)`` with ES's ``"{z}/{x}/{y}"`` key format, count
+    desc, tile key asc on ties."""
+    x, y = geotile_xy(F.col(lat_col), F.col(lon_col), zoom)
+    return (
+        docs.select(x.alias("_x"), y.alias("_y"))
+        .groupBy("_x", "_y")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.concat_ws(
+                "/", F.lit(str(zoom)), F.col("_x"), F.col("_y")
+            ).alias("tile"),
+            "n_docs",
+        )
+        .orderBy(F.desc("n_docs"), F.asc("tile"))
+        .limit(k)
+    )

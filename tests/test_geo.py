@@ -1,0 +1,144 @@
+"""Geo family (operators/geo.py): haversine ground truth, the
+non-cutting bounding-box prefilter, date-line box splitting, and the ES
+geotile key math vs an independent pure-Python implementation."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.operators.geo import (
+    EARTH_R_KM,
+    MERCATOR_LAT,
+    geo_bounding_box,
+    geo_distance_topk,
+    geotile_grid,
+    haversine_km,
+)
+
+N = 400
+
+
+def _py_haversine(lat1, lon1, lat2, lon2):
+    dla = math.radians(lat2 - lat1) / 2
+    dlo = math.radians(lon2 - lon1) / 2
+    a = math.sin(dla) ** 2 + math.cos(math.radians(lat1)) * math.cos(
+        math.radians(lat2)
+    ) * math.sin(dlo) ** 2
+    return 2 * EARTH_R_KM * math.asin(math.sqrt(a))
+
+
+def _py_geotile(lat, lon, zoom):
+    n = 1 << zoom
+    lat = max(min(lat, MERCATOR_LAT), -MERCATOR_LAT)
+    r = math.radians(lat)
+    x = int(math.floor((lon + 180.0) / 360.0 * n))
+    y = int(
+        math.floor(
+            (1.0 - math.log(math.tan(r) + 1.0 / math.cos(r)) / math.pi)
+            / 2.0
+            * n
+        )
+    )
+    return max(min(x, n - 1), 0), max(min(y, n - 1), 0)
+
+
+@pytest.fixture(scope="module")
+def geo(spark):
+    return (
+        spark.range(N)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") * 7919 % 17000 / 100.0 - 85.0).alias("lat"),
+            (F.col("id") * 104729 % 36000 / 100.0 - 180.0).alias("lon"),
+        )
+        .cache()
+    )
+
+
+def test_haversine_known_distances(spark):
+    # SF (37.7749, -122.4194) -> NYC (40.7128, -74.0060) ~= 4129 km
+    one = spark.range(1).select(
+        haversine_km(37.7749, -122.4194, F.lit(40.7128), F.lit(-74.0060))
+        .alias("d")
+    )
+    d = one.collect()[0]["d"]
+    assert d == pytest.approx(4129.0, abs=5.0)
+    # zero distance and antipodal half-circumference
+    z = spark.range(1).select(
+        haversine_km(10.0, 20.0, F.lit(10.0), F.lit(20.0)).alias("a"),
+        haversine_km(0.0, 0.0, F.lit(0.0), F.lit(180.0)).alias("b"),
+    ).collect()[0]
+    assert z["a"] == pytest.approx(0.0, abs=1e-9)
+    assert z["b"] == pytest.approx(math.pi * EARTH_R_KM, rel=1e-9)
+
+
+def test_geo_distance_box_never_cuts(spark, geo):
+    """The rectangular prefilter drops nothing the radius keeps: the
+    boxed result equals a brute haversine filter with no box, at every
+    tested center/radius (including a high-latitude center where the
+    longitude widening matters most)."""
+    for clat, clon, r in [
+        (37.77, -122.42, 3000.0),
+        (72.0, 10.0, 1500.0),
+        (-45.0, 179.0, 2500.0),
+    ]:
+        got = geo_distance_topk(
+            geo, "lat", "lon", clat, clon, r, k=N
+        ).collect()
+        rows = geo.collect()
+        want = sorted(
+            (
+                (d, r_["doc_id"])
+                for r_ in rows
+                if (d := _py_haversine(clat, clon, r_["lat"], r_["lon"]))
+                <= r
+            ),
+        )
+        assert [g["doc_id"] for g in got] == [i for _, i in want]
+        for g, (d, _) in zip(got, want):
+            assert g["dist_km"] == pytest.approx(d, abs=1e-6)
+
+
+def test_geo_bbox_and_dateline_split(geo):
+    inside = geo_bounding_box(
+        geo, "lat", "lon", top=40.0, left=-30.0, bottom=0.0, right=60.0
+    ).collect()
+    assert inside
+    for r in inside:
+        assert 0.0 <= r["lat"] <= 40.0 and -30.0 <= r["lon"] <= 60.0
+    # date-line-crossing box (left > right): lon >= 170 OR lon <= -170
+    wrap = geo_bounding_box(
+        geo, "lat", "lon", top=85.0, left=170.0, bottom=-85.0, right=-170.0
+    ).collect()
+    assert wrap
+    for r in wrap:
+        assert r["lon"] >= 170.0 or r["lon"] <= -170.0
+
+
+@pytest.mark.parametrize("zoom", [0, 3, 7])
+def test_geotile_matches_reference_math(geo, zoom):
+    got = {
+        r["tile"]: r["n_docs"]
+        for r in geotile_grid(geo, "lat", "lon", zoom, k=10 ** 6).collect()
+    }
+    from collections import Counter
+
+    want = Counter(
+        "%d/%d/%d" % (zoom, *_py_geotile(r["lat"], r["lon"], zoom))
+        for r in geo.collect()
+    )
+    assert got == dict(want)
+    assert sum(got.values()) == N
+
+
+def test_geotile_clamps_poles(spark):
+    """lat beyond the Mercator domain clamps to the edge tiles instead
+    of producing NaN/inf tile keys."""
+    poles = spark.createDataFrame(
+        [(1, 90.0, 0.0), (2, -90.0, 0.0)], "doc_id long, lat double, lon double"
+    )
+    tiles = {
+        r["tile"] for r in geotile_grid(poles, "lat", "lon", 4, k=10).collect()
+    }
+    assert tiles == {"4/8/0", "4/8/15"}
