@@ -6021,6 +6021,43 @@ def q_gopher_rules(spark, sf_dir):
     return TXT.gopher_rules(_docs(spark, sf_dir))
 
 
+def q_c4_rules(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) over the corpus
+    (functions/text.py:c4_rules). The flat word corpus gets its
+    newline/punctuation structure synthesized deterministically — 6-word
+    sentences, the i-th sentence of doc d terminated by
+    [., !, ?, <none>][(d+i) % 4] — plus a lorem-ipsum page every 41st
+    doc, a curly-brace (code) page every 37th and a badword page every
+    43rd, so every rule fires on real inputs; the oracle mirrors the
+    synthesis."""
+    from fuzzy_wiki_spark.functions.text import c4_rules
+
+    docs = _docs(spark, sf_dir)
+    w = F.filter(F.split("text", " "), lambda x: x != "")
+    n6 = F.ceil(F.size(w) / F.lit(6.0)).cast("int")
+    punct = F.array(F.lit("."), F.lit("!"), F.lit("?"), F.lit(""))
+    lines = F.transform(
+        F.sequence(F.lit(1), n6),
+        lambda i: F.concat(
+            F.array_join(F.slice(w, (i - 1) * 6 + 1, 6), " "),
+            F.element_at(punct, ((F.col("doc_id") + i) % 4 + 1).cast("int")),
+        ),
+    )
+    t = F.array_join(lines, "\n")
+    for mod, marker in [
+        (41, "\nlorem ipsum dolor sit amet."),
+        (37, "\nif (x) { return y; } done now."),
+        (43, "\nthis badword1 line has five words."),
+    ]:
+        t = F.concat(
+            t,
+            F.when(F.col("doc_id") % mod == 0, F.lit(marker)).otherwise(
+                F.lit("")
+            ),
+        )
+    return c4_rules(docs.select("doc_id", t.alias("text")))
+
+
 # --------------------------------------------------------------------------
 # round-4 wave 3: span_within / match_phrase_prefix / termvectors /
 # delete_by_query / rank_eval
@@ -6507,6 +6544,7 @@ QUERIES = {
     "geo_distance": q_geo_distance,
     "geo_bbox": q_geo_bbox,
     "geotile_grid": q_geotile_grid,
+    "c4_rules": q_c4_rules,
     "code_quality": q_code_quality,
     "line_dedup": q_line_dedup,
     "decontaminate": q_decontaminate,
@@ -7208,6 +7246,51 @@ SELECT doc_id, n_words,
        (n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
         AND sym <= 0.1 AND alpha >= 0.8 AND n_stops >= 2) AS keep
 FROM f
+"""
+
+ORACLE_SQL["c4_rules"] = """
+WITH ws AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents),
+sy AS (SELECT doc_id,
+              array_to_string(
+                list_transform(range(1, ceil(len(w) / 6.0)::INT + 1),
+                  i -> array_to_string(w[(i-1)*6+1 : least(i*6, len(w))], ' ')
+                       || (['.', '!', '?', ''])[(doc_id + i) % 4 + 1]),
+                chr(10)) AS t0
+       FROM ws),
+t2 AS (SELECT doc_id,
+              t0
+              || CASE WHEN doc_id % 41 = 0
+                      THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                      ELSE '' END
+              || CASE WHEN doc_id % 37 = 0
+                      THEN chr(10) || 'if (x) { return y; } done now.'
+                      ELSE '' END
+              || CASE WHEN doc_id % 43 = 0
+                      THEN chr(10) || 'this badword1 line has five words.'
+                      ELSE '' END AS t
+       FROM sy),
+k AS (SELECT doc_id, t,
+             len(string_split(t, chr(10)))::BIGINT AS n_lines,
+             list_filter(string_split(t, chr(10)),
+               x -> regexp_matches(x, '[.!?"]$')
+                    AND len(list_filter(string_split(x, ' '),
+                                        y -> y <> '')) >= 5
+                    AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM t2),
+g AS (SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept,
+             contains(lower(t), 'lorem ipsum') AS has_lorem,
+             contains(t, '{') AS has_brace,
+             (contains(lower(t), 'badword1')
+              OR contains(lower(t), 'badword2')) AS has_badword,
+             array_to_string(kept, chr(10)) AS text_clean
+      FROM k)
+SELECT doc_id, n_lines, n_kept, has_lorem, has_brace, has_badword,
+       (n_kept >= 3 AND NOT has_lorem AND NOT has_brace
+        AND NOT has_badword) AS keep,
+       text_clean
+FROM g
 """
 
 

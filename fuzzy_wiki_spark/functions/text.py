@@ -357,3 +357,76 @@ def code_quality_rules(
         xml.alias("xml_header"),
         keep.alias("keep"),
     )
+
+
+def c4_rules(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+    badwords: tuple = ("badword1", "badword2"),
+):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2 — the filters that
+    turned Common Crawl into C4), the prose-web sibling of gopher_rules
+    above. Line level (a "line" is a newline-delimited unit):
+
+    - keep only lines ending in a terminal punctuation mark (. ! ? ")
+    - keep only lines with >= min_line_words words
+    - drop any line containing the word "javascript" (cookie/JS
+      boilerplate)
+
+    Page level (drop the whole doc):
+
+    - fewer than min_sentences surviving lines (C4's 3-sentence floor;
+      every surviving line ends in terminal punctuation, C4's own
+      sentence proxy)
+    - the phrase "lorem ipsum" anywhere
+    - a curly brace '{' anywhere (C4's code gate)
+    - any pinned bad word (stand-in for C4's "List of Dirty, Naughty,
+      Obscene..." blocklist — the list is a parameter)
+
+    C4's remaining steps are separate operators here: three-sentence-span
+    dedup is operators/corpus_stats.py:remove_dup_spans, langid is
+    functions/text.py:lang_id.
+
+    Returns (id_col, n_lines, n_kept, has_lorem, has_brace, has_badword,
+    keep, text_clean) where text_clean is the surviving lines re-joined.
+    One narrow map pass of pure Column expressions over the split-line
+    array — no UDF, no shuffle, no explode — so it cleans a 10^12-page
+    corpus at scan speed, like the other rule filters in this module."""
+    from pyspark.sql import functions as F
+
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+
+    def _line_ok(line):
+        n_words = F.size(F.filter(F.split(line, " "), lambda x: x != ""))
+        return (
+            line.rlike('[.!?"]$')
+            & (n_words >= min_line_words)
+            & ~F.lower(line).contains("javascript")
+        )
+
+    kept = F.filter(lines, _line_ok)
+    n_kept = F.size(kept)
+    low = F.lower(t)
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = t.contains("{")
+    has_bad = F.lit(False)
+    for b in badwords:
+        has_bad = has_bad | low.contains(b)
+    keep = (
+        (n_kept >= min_sentences) & ~has_lorem & ~has_brace & ~has_bad
+    )
+    return docs.select(
+        id_col,
+        n_lines.cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_bad.alias("has_badword"),
+        keep.alias("keep"),
+        F.array_join(kept, "\n").alias("text_clean"),
+    )
