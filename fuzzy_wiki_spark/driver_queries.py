@@ -6021,6 +6021,41 @@ def q_gopher_rules(spark, sf_dir):
     return TXT.gopher_rules(_docs(spark, sf_dir))
 
 
+def q_scripted_metric(spark, sf_dir):
+    """ES scripted_metric agg — user init/map/combine/reduce code in the
+    agg slot (operators/scripted.py): per-lang [n, Σ, Σ²] fold over
+    n_chars reduced to count/mean/population-stddev. The state sums are
+    integer-valued doubles, so the fold is order-exact and the SQL
+    oracle hash-matches the Python machinery bit-for-bit at 6 dp."""
+    import math as _m
+
+    from fuzzy_wiki_spark.operators.scripted import scripted_metric
+
+    def map_fn(st, row):
+        n, s, ss = st or (0, 0.0, 0.0)
+        v = float(row[0])
+        return (n + 1, s + v, ss + v * v)
+
+    def combine_fn(a, b):
+        return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+    def reduce_fn(st):
+        n, s, ss = st
+        m = s / n
+        var = max(ss / n - m * m, 0.0)
+        return (n, round(m, 6), round(_m.sqrt(var), 6))
+
+    return scripted_metric(
+        _docs(spark, sf_dir).select("lang", "n_chars"),
+        "lang",
+        ["n_chars"],
+        map_fn,
+        combine_fn,
+        reduce_fn,
+        "n_docs long, mean_chars double, std_chars double",
+    )
+
+
 def q_c4_rules(spark, sf_dir):
     """C4 cleaning rules (Raffel et al. 2020 §2.2) over the corpus
     (functions/text.py:c4_rules). The flat word corpus gets its
@@ -6545,6 +6580,7 @@ QUERIES = {
     "geo_bbox": q_geo_bbox,
     "geotile_grid": q_geotile_grid,
     "c4_rules": q_c4_rules,
+    "scripted_metric": q_scripted_metric,
     "code_quality": q_code_quality,
     "line_dedup": q_line_dedup,
     "decontaminate": q_decontaminate,
@@ -7291,6 +7327,16 @@ SELECT doc_id, n_lines, n_kept, has_lorem, has_brace, has_badword,
         AND NOT has_badword) AS keep,
        text_clean
 FROM g
+"""
+
+ORACLE_SQL["scripted_metric"] = """
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       round(sum(n_chars::DOUBLE) / count(*), 6) AS mean_chars,
+       round(sqrt(greatest(
+         sum(n_chars::DOUBLE * n_chars::DOUBLE) / count(*)
+         - pow(sum(n_chars::DOUBLE) / count(*), 2), 0.0)), 6) AS std_chars
+FROM documents GROUP BY lang
 """
 
 

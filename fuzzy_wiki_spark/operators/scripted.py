@@ -1,0 +1,102 @@
+"""The ES ``scripted_metric`` aggregation — the user-code extension
+point of the agg surface: arbitrary Python ``init/map/combine/reduce``
+callables run per bucket, the way ES runs Painless scripts in the agg
+slot when no built-in aggregation fits.
+
+Execution shape (the ONLY scale-safe way to run user code in an agg):
+
+1. **map + combine, partition-local**: one ``mapInPandas`` pass — each
+   Arrow batch folds its rows into per-group partial states with the
+   user's ``map_fn``/``combine_fn`` (ES's map_script + the implicit
+   per-shard combine_script). The pass emits at most |groups| rows per
+   batch, pickled states, never raw rows.
+2. **reduce, one tiny shuffle**: the partial states — bounded by
+   |groups| x |batches|, independent of corpus size — shuffle on the
+   group key into ``applyInPandas`` where ``reduce_fn`` folds them to
+   the final value (ES's reduce_script on the coordinating node; here
+   it runs distributed, one task per group).
+
+This mirrors ES semantics exactly while keeping the 100 TB contract:
+the corpus-sized pass is map-only, user code sees Arrow-batched rows
+(never a driver collect), and the single exchange carries kilobytes of
+state, not data. ``combine_fn``/``reduce_fn`` must be associative and
+commutative across states — same contract ES documents for
+combine/reduce scripts, and the same one Spark's own treeAggregate
+imposes.
+
+The pinned example used by the driver entry (states = [n, sum, sumsq]
+of a numeric column per group, reduced to count/mean/population-stddev)
+is chosen because it is SQL-expressible, so the generic machinery gets
+a hash-green DuckDB oracle; the machinery itself accepts any callables
+(tests pin a non-SQL one: per-group argmax-by-hash).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Callable, Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scripted_metric(
+    docs: DataFrame,
+    group_col: str,
+    value_cols: list[str],
+    map_fn: Callable,
+    combine_fn: Callable,
+    reduce_fn: Callable,
+    out_schema: str,
+) -> DataFrame:
+    """Run a scripted metric per ``group_col`` bucket.
+
+    - ``map_fn(state_or_None, row_tuple) -> state``: fold one row
+      (a tuple of ``value_cols`` values) into a partial state.
+    - ``combine_fn(state, state) -> state``: merge two partial states
+      (associative + commutative).
+    - ``reduce_fn(state) -> tuple``: final state -> result tuple, one
+      value per field of ``out_schema``.
+
+    Returns one row per group: ``(group_col, *out_schema fields)``.
+    """
+    sel = docs.select(F.col(group_col).alias("_g"), *value_cols)
+
+    def _partials(batches: Iterable) -> Iterable:
+        import pandas as pd
+
+        for pdf in batches:
+            states: dict = {}
+            vals = list(
+                zip(*(pdf[c] for c in value_cols))
+            )  # row tuples, Arrow-typed
+            for g, row in zip(pdf["_g"], vals):
+                states[g] = map_fn(states.get(g), row)
+            if states:
+                yield pd.DataFrame(
+                    {
+                        "_g": list(states),
+                        "_state": [
+                            pickle.dumps(st) for st in states.values()
+                        ],
+                    }
+                )
+
+    partials = sel.mapInPandas(_partials, "_g string, _state binary")
+
+    def _reduce(key, pdf):
+        import pandas as pd
+
+        st = None
+        for blob in pdf["_state"]:
+            s = pickle.loads(bytes(blob))
+            st = s if st is None else combine_fn(st, s)
+        out = reduce_fn(st)
+        cols = [c.strip().split()[0] for c in out_schema.split(",")]
+        return pd.DataFrame(
+            {group_col: [key[0]], **{c: [v] for c, v in zip(cols, out)}}
+        )
+
+    return partials.groupBy("_g").applyInPandas(
+        _reduce, f"{group_col} string, {out_schema}"
+    )

@@ -1,0 +1,116 @@
+"""scripted_metric (operators/scripted.py): the user-code agg slot —
+result parity with a local fold, determinism across partitioning, and a
+genuinely non-SQL metric (argmax by salted hash) through the same
+machinery."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mk(spark, n=300, parts=7):
+    return (
+        spark.range(n)
+        .repartition(parts)
+        .select(
+            F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias(
+                "grp"
+            ),
+            (F.col("id") * 13 % 97).cast("double").alias("v"),
+            F.col("id").alias("doc_id"),
+        )
+    )
+
+
+def _stats_fns():
+    def map_fn(st, row):
+        n, s, ss = st or (0, 0.0, 0.0)
+        v = float(row[0])
+        return (n + 1, s + v, ss + v * v)
+
+    def combine_fn(a, b):
+        return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+    def reduce_fn(st):
+        n, s, ss = st
+        m = s / n
+        return (n, round(m, 6), round(math.sqrt(max(ss / n - m * m, 0)), 6))
+
+    return map_fn, combine_fn, reduce_fn
+
+
+def test_scripted_metric_matches_local_fold(spark):
+    from fuzzy_wiki_spark.operators.scripted import scripted_metric
+
+    df = _mk(spark)
+    got = {
+        r["grp"]: (r["n"], r["mean"], r["std"])
+        for r in scripted_metric(
+            df, "grp", ["v"], *_stats_fns(),
+            out_schema="n long, mean double, std double",
+        ).collect()
+    }
+    rows = df.collect()
+    want = {}
+    for g in {r["grp"] for r in rows}:
+        vs = [r["v"] for r in rows if r["grp"] == g]
+        n, s, ss = len(vs), sum(vs), sum(v * v for v in vs)
+        m = s / n
+        want[g] = (n, round(m, 6), round(math.sqrt(max(ss / n - m * m, 0)), 6))
+    assert got == want
+
+
+@pytest.mark.parametrize("parts", [1, 3, 16])
+def test_scripted_metric_partition_invariant(spark, parts):
+    from fuzzy_wiki_spark.operators.scripted import scripted_metric
+
+    df = _mk(spark, parts=parts)
+    res = sorted(
+        scripted_metric(
+            df, "grp", ["v"], *_stats_fns(),
+            out_schema="n long, mean double, std double",
+        ).collect()
+    )
+    base = sorted(
+        scripted_metric(
+            _mk(spark, parts=5), "grp", ["v"], *_stats_fns(),
+            out_schema="n long, mean double, std double",
+        ).collect()
+    )
+    assert res == base
+
+
+def test_scripted_metric_non_sql_argmax(spark):
+    """A metric no SQL expresses directly: per group, the doc_id whose
+    salted sha1 is lexicographically largest — exercises arbitrary state
+    (a (hash, id) pair) through map/combine/reduce."""
+    from fuzzy_wiki_spark.operators.scripted import scripted_metric
+
+    def h(i):
+        return hashlib.sha1(f"salt-{i}".encode()).hexdigest()
+
+    def map_fn(st, row):
+        cand = (h(row[0]), int(row[0]))
+        return cand if st is None or cand > st else st
+
+    def combine_fn(a, b):
+        return a if a > b else b
+
+    def reduce_fn(st):
+        return (st[1], st[0])
+
+    df = _mk(spark)
+    got = {
+        r["grp"]: (r["winner"], r["digest"])
+        for r in scripted_metric(
+            df, "grp", ["doc_id"], map_fn, combine_fn, reduce_fn,
+            out_schema="winner long, digest string",
+        ).collect()
+    }
+    rows = df.collect()
+    for g in {r["grp"] for r in rows}:
+        ids = [r["doc_id"] for r in rows if r["grp"] == g]
+        best = max((h(i), i) for i in ids)
+        assert got[g] == (best[1], best[0])
