@@ -5670,6 +5670,25 @@ def q_geotile_grid(spark, sf_dir):
     return geotile_grid(_geo_docs(spark, sf_dir), "lat", "lon", GEO_ZOOM)
 
 
+GEO_RING_EDGES = [2000.0, 5000.0, 10000.0]
+
+
+def q_geo_distance_agg(spark, sf_dir):
+    """geo_distance agg: doc counts per concentric ring around the
+    center ('*-2000.0', '2000.0-5000.0', '5000.0-10000.0', '10000.0-*'),
+    zero-count rings included (operators/geo.py:geo_distance_agg)."""
+    from fuzzy_wiki_spark.operators.geo import geo_distance_agg
+
+    return geo_distance_agg(
+        _geo_docs(spark, sf_dir),
+        "lat",
+        "lon",
+        GEO_CENTER[0],
+        GEO_CENTER[1],
+        GEO_RING_EDGES,
+    )
+
+
 # --------------------------------------------------------------------------
 # round-4 wave 2b: sampler / diversified_sampler / nested terms aggs
 # --------------------------------------------------------------------------
@@ -6581,6 +6600,7 @@ QUERIES = {
     "geotile_grid": q_geotile_grid,
     "c4_rules": q_c4_rules,
     "scripted_metric": q_scripted_metric,
+    "geo_distance_agg": q_geo_distance_agg,
     "code_quality": q_code_quality,
     "line_dedup": q_line_dedup,
     "decontaminate": q_decontaminate,
@@ -7054,6 +7074,38 @@ SELECT '{GEO_ZOOM}/' || x::VARCHAR || '/' || y::VARCHAR AS tile,
        count(*)::BIGINT AS n_docs
 FROM t GROUP BY x, y
 ORDER BY n_docs DESC, tile LIMIT 10
+"""
+
+_RING_KEYS = (
+    [f"*-{GEO_RING_EDGES[0]}"]
+    + [f"{a}-{b}" for a, b in zip(GEO_RING_EDGES, GEO_RING_EDGES[1:])]
+    + [f"{GEO_RING_EDGES[-1]}-*"]
+)
+_RING_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN dist_km < {e} THEN '{k}'"
+        for e, k in zip(GEO_RING_EDGES, _RING_KEYS[:-1])
+    )
+    + f" ELSE '{_RING_KEYS[-1]}' END"
+)
+_RING_VALUES = ", ".join(f"({i}, '{k}')" for i, k in enumerate(_RING_KEYS))
+
+ORACLE_SQL["geo_distance_agg"] = f"""
+WITH g AS ({_GEO}),
+d AS (SELECT doc_id,
+        2 * 6371.0088 * asin(sqrt(
+          pow(sin(radians(lat - {GEO_CENTER[0]}) / 2), 2)
+          + cos(radians({GEO_CENTER[0]})) * cos(radians(lat))
+            * pow(sin(radians(lon - ({GEO_CENTER[1]})) / 2), 2)
+        )) AS dist_km
+      FROM g),
+b AS (SELECT {_RING_CASE} AS ring, count(*)::BIGINT AS n_docs
+      FROM d GROUP BY ring),
+rings(ord, ring) AS (VALUES {_RING_VALUES})
+SELECT rings.ring, coalesce(b.n_docs, 0)::BIGINT AS n_docs
+FROM rings LEFT JOIN b USING(ring)
+ORDER BY rings.ord
 """
 
 

@@ -133,6 +133,61 @@ def geo_bounding_box(
     )
 
 
+def geo_distance_agg(
+    docs: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    center_lat: float,
+    center_lon: float,
+    edges_km: list[float],
+) -> DataFrame:
+    """ES ``geo_distance`` aggregation: doc counts per concentric
+    distance ring around the origin — rings are [from, to) with ES's
+    key format ``"*-e1"``, ``"e1-e2"``, …, ``"en-*"``. Every requested
+    ring appears in the output (zero-count rings included, as ES
+    returns them). One haversine per doc + a map-side-combinable
+    groupBy over at most |edges|+1 keys; the empty-ring fill is a
+    broadcast join against an |edges|+1-row literal frame."""
+    edges = sorted(edges_km)
+    keys = (
+        [f"*-{edges[0]}"]
+        + [f"{a}-{b}" for a, b in zip(edges, edges[1:])]
+        + [f"{edges[-1]}-*"]
+    )
+    dist = haversine_km(center_lat, center_lon, F.col(lat_col), F.col(lon_col))
+    # CASE chain lowest ring first: the first `dist < e_i` that holds
+    # picks ring i; anything beyond the last edge falls to "e_n-*"
+    bucket = None
+    for e, k in zip(edges, keys[:-1]):
+        cond = dist < e
+        bucket = (
+            F.when(cond, F.lit(k))
+            if bucket is None
+            else bucket.when(cond, F.lit(k))
+        )
+    bucket = bucket.otherwise(F.lit(keys[-1]))
+    counts = (
+        docs.select(bucket.alias("ring"))
+        .groupBy("ring")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    spark = docs.sparkSession
+    rings = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "ord int, ring string"
+    )
+    return (
+        F.broadcast(rings)
+        .join(counts, "ring", "left")
+        .select(
+            "ring",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+            "ord",
+        )
+        .orderBy("ord")
+        .drop("ord")
+    )
+
+
 def geotile_xy(lat_col, lon_col, zoom: int):
     """(x, y) Web-Mercator tile Columns at ``zoom`` — ES geotile math."""
     n = float(1 << zoom)

@@ -142,3 +142,29 @@ def test_geotile_clamps_poles(spark):
         r["tile"] for r in geotile_grid(poles, "lat", "lon", 4, k=10).collect()
     }
     assert tiles == {"4/8/0", "4/8/15"}
+
+
+def test_geo_distance_agg_rings(spark, geo):
+    from fuzzy_wiki_spark.operators.geo import geo_distance_agg
+
+    edges = [1000.0, 4000.0, 12000.0]
+    got = geo_distance_agg(geo, "lat", "lon", 37.77, -122.42, edges).collect()
+    keys = [r["ring"] for r in got]
+    assert keys == ["*-1000.0", "1000.0-4000.0", "4000.0-12000.0", "12000.0-*"]
+    rows = geo.collect()
+    dists = [
+        _py_haversine(37.77, -122.42, r["lat"], r["lon"]) for r in rows
+    ]
+    want = [
+        sum(1 for d in dists if d < 1000.0),
+        sum(1 for d in dists if 1000.0 <= d < 4000.0),
+        sum(1 for d in dists if 4000.0 <= d < 12000.0),
+        sum(1 for d in dists if d >= 12000.0),
+    ]
+    assert [r["n_docs"] for r in got] == want
+    assert sum(want) == N
+    # a ring nothing falls into still appears, count 0
+    tight = geo_distance_agg(
+        geo, "lat", "lon", 37.77, -122.42, [0.001, 1000.0]
+    ).collect()
+    assert tight[0]["ring"] == "*-0.001" and tight[0]["n_docs"] == 0
