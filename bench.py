@@ -455,6 +455,32 @@ def main() -> None:
         lambda: DQ.q_search_as_you_type(spark, sf_dir).collect(),
         reps=2,
     )
+    # final round-4 wave: cleaning gates (C4 + code-quality, both scan-
+    # speed map passes), the geo family (haversine + geotile math, all
+    # Column expressions), and scripted_metric (the Python agg slot —
+    # its cost IS the Arrow map pass; the state shuffle is bytes)
+    timed(
+        "pipe_cleaning_gates",
+        lambda: (
+            DQ.q_c4_rules(spark, sf_dir).count(),
+            DQ.q_code_quality(spark, sf_dir).count(),
+        ),
+        reps=2,
+    )
+    timed(
+        "pipe_geo",
+        lambda: (
+            DQ.q_geo_distance(spark, sf_dir).collect(),
+            DQ.q_geotile_grid(spark, sf_dir).collect(),
+            DQ.q_geo_distance_agg(spark, sf_dir).collect(),
+        ),
+        reps=2,
+    )
+    timed(
+        "pipe_scripted_metric",
+        lambda: DQ.q_scripted_metric(spark, sf_dir).collect(),
+        reps=2,
+    )
 
     # 3b) trigram code search: index build (narrow stage) + pruned substring
     # + pruned regex over the same in-memory index
