@@ -1170,6 +1170,48 @@ def q_seg_date_histogram(spark, sf_dir):
     )
 
 
+def q_auto_date_histogram(spark, sf_dir):
+    """Auto-interval calendar buckets (operators/facets.py
+    auto_date_histogram — the ES `auto_date_histogram` agg): the engine
+    walks the day→week→month→quarter→year ladder and picks the coarsest
+    interval that keeps the match set under target_buckets buckets; the
+    oracle replays the identical ladder walk as a CASE over per-rounding
+    countDistincts. The chosen interval rides along as a column so the
+    hash pins the CHOICE, not just the bucket counts."""
+    from fuzzy_wiki_spark.operators.facets import auto_date_histogram
+
+    interval, res = auto_date_histogram(
+        _postings_simple(spark, sf_dir),
+        _docs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        value=F.expr(_DOC_TS),
+        target_buckets=15,
+    )
+    return res.select(
+        F.lit(interval).alias("interval"),
+        F.date_format("bucket", "yyyy-MM-dd").alias("bucket"),
+        "n_docs",
+    )
+
+
+def q_seg_auto_date_histogram(spark, sf_dir):
+    """auto_date_histogram on the SEGMENT serving path (engine.py
+    SegmentIndex.auto_date_histogram). Oracle =
+    ORACLE_SQL["auto_date_histogram"] verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segadh_")
+    interval, res = idx.auto_date_histogram(
+        BM25_QUERY_TERMS,
+        _docs(spark, sf_dir),
+        value=F.expr(_DOC_TS),
+        target_buckets=15,
+    )
+    return res.select(
+        F.lit(interval).alias("interval"),
+        F.date_format("bucket", "yyyy-MM-dd").alias("bucket"),
+        "n_docs",
+    )
+
+
 def q_filters_agg(spark, sf_dir):
     """Named-filter match counts (operators/facets.py filters_agg — the
     ES `filters` agg): distinct matching docs per saved filter, each a
@@ -3119,6 +3161,25 @@ ORACLE_SQL: dict[str, str] = {
                  '%Y-%m-%d') AS bucket,
                count(*)::BIGINT AS n_docs
         FROM m GROUP BY bucket
+    """,
+    "auto_date_histogram": f"""
+        WITH tf AS ({_TF}),
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+        s AS (SELECT DATE '2021-01-01' + (doc_id % 1000)::INT AS ts FROM m),
+        c AS (SELECT count(DISTINCT date_trunc('day', ts)) AS d,
+                     count(DISTINCT date_trunc('week', ts)) AS w,
+                     count(DISTINCT date_trunc('month', ts)) AS mo,
+                     count(DISTINCT date_trunc('quarter', ts)) AS q
+              FROM s),
+        iv AS (SELECT CASE WHEN d <= 15 THEN 'day'
+                           WHEN w <= 15 THEN 'week'
+                           WHEN mo <= 15 THEN 'month'
+                           WHEN q <= 15 THEN 'quarter'
+                           ELSE 'year' END AS interval FROM c)
+        SELECT iv.interval,
+               strftime(date_trunc(iv.interval, s.ts), '%Y-%m-%d') AS bucket,
+               count(*)::BIGINT AS n_docs
+        FROM s CROSS JOIN iv GROUP BY iv.interval, bucket
     """,
     "filters_agg": f"""
         WITH tf AS ({_TF}),
@@ -6591,6 +6652,8 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "auto_date_histogram": q_auto_date_histogram,
+    "seg_auto_dh": q_seg_auto_date_histogram,
     "terms_set": q_terms_set,
     "seg_terms_set": q_seg_terms_set,
     "pinned_query": q_pinned_query,
@@ -6831,6 +6894,7 @@ ORACLE_SQL["seg_cardinality"] = ORACLE_SQL["facet_cardinality"]
 ORACLE_SQL["seg_histogram"] = ORACLE_SQL["histogram_facet"]
 ORACLE_SQL["seg_facet_stats"] = ORACLE_SQL["facet_stats"]
 ORACLE_SQL["seg_date_histogram"] = ORACLE_SQL["date_histogram"]
+ORACLE_SQL["seg_auto_dh"] = ORACLE_SQL["auto_date_histogram"]
 ORACLE_SQL["seg_filters"] = ORACLE_SQL["filters_agg"]
 ORACLE_SQL["seg_adjacency"] = ORACLE_SQL["adjacency_matrix"]
 ORACLE_SQL["seg_composite"] = ORACLE_SQL["composite_agg"]

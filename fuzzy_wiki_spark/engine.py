@@ -1508,6 +1508,28 @@ class SegmentIndex:
             posts, docs, sorted(set(terms)), value, interval=interval
         )
 
+    def auto_date_histogram(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        value,
+        target_buckets: int = 10,
+        field: str = "content",
+    ):
+        """Auto-interval calendar buckets on the serving path (the ES
+        `auto_date_histogram` aggregation; operators/facets
+        .auto_date_histogram). Match set from the term-pruned segment
+        decode; the interval ladder walk is the same 1-row aggregate."""
+        from fuzzy_wiki_spark.operators.facets import (
+            auto_date_histogram as _auto_dh,
+        )
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return _auto_dh(
+            posts, docs, sorted(set(terms)), value,
+            target_buckets=target_buckets,
+        )
+
     def filters_agg(
         self, filters: dict, field: str = "content"
     ) -> DataFrame:

@@ -327,6 +327,55 @@ def date_histogram(
     )
 
 
+AUTO_DH_LADDER = ("day", "week", "month", "quarter", "year")
+
+
+def auto_date_histogram(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    value,
+    target_buckets: int = 10,
+    id_col: str = "doc_id",
+):
+    """(bucket, n_docs) + the chosen interval — ES's
+    ``auto_date_histogram``: instead of a fixed calendar_interval, pick
+    the COARSEST-necessary interval from the day→week→month→quarter→year
+    ladder such that the bucket count stays <= ``target_buckets``
+    (ES walks an equivalent rounding ladder from its seconds end; the
+    pinned spec here starts at days, the granularity of the corpus
+    timestamp). Returns ``(interval, DataFrame)``; empty buckets absent,
+    like date_histogram.
+
+    Plan: the interval choice is ONE 1-row aggregate over the thin match
+    set — a countDistinct of every ladder rounding in the same job —
+    collected to the driver (a bounded stats lookup, same class as the
+    engine's df/centroid lookups), then the chosen interval runs the
+    ordinary date_histogram plan. Two passes over the thin match set,
+    zero passes over the corpus body."""
+    v = F.col(value) if isinstance(value, str) else value
+    matches = _matching_docs(postings, terms, id_col)
+    stamped = matches.join(
+        docs.select(F.col(id_col), v.alias("_ts")), id_col
+    )
+    row = stamped.agg(
+        *[
+            F.countDistinct(F.date_trunc(c, "_ts")).alias(c)
+            for c in AUTO_DH_LADDER
+        ]
+    ).collect()[0]
+    interval = AUTO_DH_LADDER[-1]
+    for cand in AUTO_DH_LADDER:
+        if row[cand] <= target_buckets:
+            interval = cand
+            break
+    out = (
+        stamped.groupBy(F.date_trunc(interval, "_ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return interval, out
+
+
 def filters_agg(
     postings: DataFrame,
     filters: dict,

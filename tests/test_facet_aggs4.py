@@ -64,6 +64,50 @@ def test_date_histogram_matches_pandas(spark, corpus):
     assert got == want.value_counts().to_dict()
 
 
+def test_auto_date_histogram_ladder(spark, corpus):
+    """auto_date_histogram walks day->week->month->quarter->year and
+    picks the coarsest-necessary rung; interval choice and bucket counts
+    both match a pandas mirror of the same ladder walk, and tightening
+    target_buckets moves the choice strictly coarser."""
+    import pandas as pd
+
+    from fuzzy_wiki_spark.operators.facets import auto_date_histogram
+
+    docs, posts, pdf, _, match_ids = corpus
+    m = pdf[pdf["doc_id"].isin(match_ids)]
+    ts = pd.to_datetime("2021-01-01") + pd.to_timedelta(
+        m["doc_id"] % 400, unit="D"
+    )
+    periods = {"day": "D", "week": "W-MON", "month": "M", "quarter": "Q"}
+
+    def mirror(target):
+        for name, p in periods.items():
+            if name == "week":
+                starts = (ts - pd.to_timedelta(ts.dt.weekday, unit="D"))
+            else:
+                starts = ts.dt.to_period(p).dt.start_time
+            if starts.nunique() <= target:
+                return name, starts
+        return "year", ts.dt.to_period("Y").dt.start_time
+
+    chosen = []
+    for target in (3, 10, 60, 10_000):
+        interval, res = auto_date_histogram(
+            posts, docs, TERMS, F.expr(_TS), target_buckets=target
+        )
+        want_iv, starts = mirror(target)
+        assert interval == want_iv
+        chosen.append(interval)
+        got = {
+            r["bucket"].strftime("%Y-%m-%d"): r["n_docs"]
+            for r in res.collect()
+        }
+        want = starts.dt.strftime("%Y-%m-%d").value_counts().to_dict()
+        assert got == want
+    # the widest target resolves to days, the tightest is coarser
+    assert chosen[-1] == "day" and chosen[0] != "day"
+
+
 def test_filters_agg_matches_python(spark, corpus):
     docs, posts, pdf, doc_terms, _ = corpus
     got = {
@@ -215,6 +259,16 @@ def test_segment_agg4_parity(spark, corpus, tmp_path):
     assert rows(
         matrix_stats(posts, docs, TERMS, F.length("text"), "doc_id")
     ) == rows(idx.matrix_stats(TERMS, docs, F.length("text"), "doc_id"))
+    from fuzzy_wiki_spark.operators.facets import auto_date_histogram
+
+    rel_iv, rel_df = auto_date_histogram(
+        posts, docs, TERMS, F.expr(_TS), target_buckets=10
+    )
+    seg_iv, seg_df = idx.auto_date_histogram(
+        TERMS, docs, F.expr(_TS), target_buckets=10
+    )
+    assert rel_iv == seg_iv
+    assert rows(rel_df) == rows(seg_df)
 
 
 def test_agg4_plan_shape(spark, corpus):
