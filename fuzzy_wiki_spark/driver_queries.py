@@ -1212,6 +1212,255 @@ def q_seg_auto_date_histogram(spark, sf_dir):
     )
 
 
+# Shared by the date_range entries: named half-open date buckets over
+# the derived doc timestamp, mirrored into the oracle's DATE literals.
+_DATE_RANGES = [
+    ("early", None, "2021-10-01"),
+    ("mid", "2021-10-01", "2022-08-01"),
+    ("late", "2022-08-01", None),
+]
+
+# Shared by the missing/value_count entries: deterministic sometimes-null
+# fields (the documents table has no nullable column), mirrored 1:1 into
+# the oracles' CASE arithmetic.
+_NULLABLE_SOURCE = "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END"
+_NULLABLE_SIZE = "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END"
+
+
+def q_date_range_agg(spark, sf_dir):
+    """Named date buckets (operators/facets.py date_range_agg — the ES
+    `date_range` agg): matching docs per half-open [from, to) date
+    range of the derived timestamp."""
+    from fuzzy_wiki_spark.operators.facets import date_range_agg
+
+    res = date_range_agg(
+        _postings_simple(spark, sf_dir),
+        _docs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        _DATE_RANGES,
+        value=F.expr(_DOC_TS),
+    )
+    return res.select("bucket", "n_docs")
+
+
+def q_seg_date_range(spark, sf_dir):
+    """date_range on the SEGMENT serving path (engine.py
+    SegmentIndex.date_range_agg). Oracle = ORACLE_SQL["date_range_agg"]
+    verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segdr_")
+    res = idx.date_range_agg(
+        BM25_QUERY_TERMS,
+        _docs(spark, sf_dir),
+        _DATE_RANGES,
+        value=F.expr(_DOC_TS),
+    )
+    return res.select("bucket", "n_docs")
+
+
+def q_missing_agg(spark, sf_dir):
+    """Null-field counts (operators/facets.py missing_agg — the ES
+    `missing` agg): matching docs whose (deterministically nulled)
+    source field is NULL, plus the non-null complement."""
+    from fuzzy_wiki_spark.operators.facets import missing_agg
+
+    res = missing_agg(
+        _postings_simple(spark, sf_dir),
+        _docs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        field=F.expr(_NULLABLE_SOURCE),
+    )
+    return res.select("n_missing", "n_present")
+
+
+def q_seg_missing(spark, sf_dir):
+    """missing agg on the SEGMENT serving path (engine.py
+    SegmentIndex.missing_agg). Oracle = ORACLE_SQL["missing_agg"]."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segmiss_")
+    res = idx.missing_agg(
+        BM25_QUERY_TERMS,
+        _docs(spark, sf_dir),
+        value_field=F.expr(_NULLABLE_SOURCE),
+    )
+    return res.select("n_missing", "n_present")
+
+
+def q_value_count_agg(spark, sf_dir):
+    """Non-null value counts per bucket (operators/facets.py
+    value_count_agg — the ES `value_count` metric): per language, how
+    many matching docs have a (deterministically nullable) size value."""
+    from fuzzy_wiki_spark.operators.facets import value_count_agg
+
+    res = value_count_agg(
+        _postings_simple(spark, sf_dir),
+        _docs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        "lang",
+        value=F.expr(_NULLABLE_SIZE),
+    )
+    return res.select("lang", "value_count")
+
+
+def q_seg_value_count(spark, sf_dir):
+    """value_count on the SEGMENT serving path (engine.py
+    SegmentIndex.value_count_agg). Oracle = ORACLE_SQL["value_count_agg"]."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segvc_")
+    res = idx.value_count_agg(
+        BM25_QUERY_TERMS,
+        _docs(spark, sf_dir),
+        "lang",
+        value=F.expr(_NULLABLE_SIZE),
+    )
+    return res.select("lang", "value_count")
+
+
+def q_global_agg(spark, sf_dir):
+    """Query-scoped vs corpus-wide bucket counts (operators/facets.py
+    global_agg — the ES `global` bucket): per language, matching docs
+    next to all docs (the "42 of 17k python files" header)."""
+    from fuzzy_wiki_spark.operators.facets import global_agg
+
+    res = global_agg(
+        _postings_simple(spark, sf_dir),
+        _docs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        "lang",
+    )
+    return res.select("lang", "n_matched", "n_all")
+
+
+def q_seg_global(spark, sf_dir):
+    """global agg on the SEGMENT serving path (engine.py
+    SegmentIndex.global_agg). Oracle = ORACLE_SQL["global_agg"]."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segglob_")
+    res = idx.global_agg(BM25_QUERY_TERMS, _docs(spark, sf_dir), "lang")
+    return res.select("lang", "n_matched", "n_all")
+
+
+def q_cumulative_cardinality(spark, sf_dir):
+    """Exact unique-docs-to-date curve (operators/facets.py
+    cumulative_cardinality — the ES `cumulative_cardinality` pipeline
+    agg, exact instead of merged-HLL): per quarter, docs first seen in
+    that quarter and the running distinct total."""
+    from fuzzy_wiki_spark.operators.facets import cumulative_cardinality
+
+    res = cumulative_cardinality(
+        _postings_simple(spark, sf_dir),
+        _docs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        value=F.expr(_DOC_TS),
+        interval="quarter",
+    )
+    return res.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("bucket"),
+        "n_new",
+        "cum_cardinality",
+    )
+
+
+def q_seg_cum_card(spark, sf_dir):
+    """cumulative_cardinality on the SEGMENT serving path (engine.py
+    SegmentIndex.cumulative_cardinality). Oracle =
+    ORACLE_SQL["cumulative_cardinality"]."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segcc_")
+    res = idx.cumulative_cardinality(
+        BM25_QUERY_TERMS,
+        _docs(spark, sf_dir),
+        value=F.expr(_DOC_TS),
+        interval="quarter",
+    )
+    return res.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("bucket"),
+        "n_new",
+        "cum_cardinality",
+    )
+
+
+def q_variable_width_histogram(spark, sf_dir):
+    """Equal-frequency adaptive buckets (operators/facets.py
+    variable_width_histogram — the ES `variable_width_histogram` pinned
+    to the deterministic quantile-edge spec): 4 buckets of matching-doc
+    sizes with per-bucket stats; edges are exact interpolated quartiles,
+    mirrored by the oracle's quantile_cont."""
+    from fuzzy_wiki_spark.operators.facets import variable_width_histogram
+
+    res = variable_width_histogram(
+        _postings_simple(spark, sf_dir),
+        _docs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        value="n_chars",
+        buckets=4,
+    )
+    return res.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_docs",
+        "min_v",
+        "max_v",
+        "avg_v",
+    )
+
+
+def q_seg_vwh(spark, sf_dir):
+    """variable_width_histogram on the SEGMENT serving path (engine.py
+    SegmentIndex.variable_width_histogram). Oracle =
+    ORACLE_SQL["variable_width_histogram"]."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segvwh_")
+    res = idx.variable_width_histogram(
+        BM25_QUERY_TERMS,
+        _docs(spark, sf_dir),
+        value="n_chars",
+        buckets=4,
+    )
+    return res.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_docs",
+        "min_v",
+        "max_v",
+        "avg_v",
+    )
+
+
+def q_top_hits_agg(spark, sf_dir):
+    """Per-bucket best hits (operators/facets.py top_hits — the ES
+    `top_hits` sub-aggregation): within every language bucket, the 3
+    best skeleton-query hits by BM25 score (window rank partitioned by
+    the bucket — never a global sort)."""
+    from fuzzy_wiki_spark.operators.facets import top_hits
+
+    res = top_hits(
+        _skeleton_full_scores(spark, sf_dir),
+        _docs(spark, sf_dir),
+        "lang",
+        k=3,
+    )
+    return res.select(
+        "lang",
+        "doc_id",
+        "score",
+        F.col("hit_rank").cast("long").alias("hit_rank"),
+    )
+
+
+def q_seg_top_hits(spark, sf_dir):
+    """top_hits on the SEGMENT serving path (full-set segment scoring
+    via _seg_skeleton_full_scores, then the same per-bucket rank).
+    Oracle = ORACLE_SQL["top_hits_agg"] verbatim."""
+    from fuzzy_wiki_spark.operators.facets import top_hits
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_segth_")
+    res = top_hits(
+        _seg_skeleton_full_scores(spark, idx),
+        _docs(spark, sf_dir),
+        "lang",
+        k=3,
+    )
+    return res.select(
+        "lang",
+        "doc_id",
+        "score",
+        F.col("hit_rank").cast("long").alias("hit_rank"),
+    )
+
+
 def q_filters_agg(spark, sf_dir):
     """Named-filter match counts (operators/facets.py filters_agg — the
     ES `filters` agg): distinct matching docs per saved filter, each a
@@ -1595,6 +1844,20 @@ def q_pipe_moving(spark, sf_dir):
         lag=2,
     )
     return _fmt_bucket(b).select("bucket", "n_docs", "mov_avg", "sdiff")
+
+
+def q_pipe_moving_pctl(spark, sf_dir):
+    """ES `moving_percentiles` over the monthly histogram (operators/
+    pipeline_aggs.py moving_percentiles): exact interpolated p50/p90 of
+    a trailing 3-bucket window including the current (ES merges
+    TDigests; the pinned spec is exact — at most 3 values per window —
+    and mirrors DuckDB's windowed quantile_cont bit-for-bit)."""
+    from fuzzy_wiki_spark.operators.pipeline_aggs import moving_percentiles
+
+    b = moving_percentiles(
+        _month_buckets(spark, sf_dir), window=3, percentiles=(0.5, 0.9)
+    )
+    return _fmt_bucket(b).select("bucket", "n_docs", "p50", "p90")
 
 
 def q_bucket_stats(spark, sf_dir):
@@ -3181,6 +3444,98 @@ ORACLE_SQL: dict[str, str] = {
                count(*)::BIGINT AS n_docs
         FROM s CROSS JOIN iv GROUP BY iv.interval, bucket
     """,
+    "date_range_agg": f"""
+        WITH tf AS ({_TF}),
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+        s AS (SELECT DATE '2021-01-01' + (doc_id % 1000)::INT AS ts FROM m),
+        b AS (SELECT CASE
+                WHEN ts < DATE '2021-10-01' THEN 'early'
+                WHEN ts >= DATE '2021-10-01' AND ts < DATE '2022-08-01'
+                  THEN 'mid'
+                WHEN ts >= DATE '2022-08-01' THEN 'late' END AS bucket
+              FROM s)
+        SELECT bucket, count(*)::BIGINT AS n_docs
+        FROM b WHERE bucket IS NOT NULL GROUP BY bucket
+    """,
+    "missing_agg": f"""
+        WITH tf AS ({_TF}),
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+        f AS (SELECT CASE WHEN d.doc_id % 7 = 0 THEN NULL
+                          ELSE d.source END AS fld
+              FROM m JOIN documents d USING(doc_id))
+        SELECT count(CASE WHEN fld IS NULL THEN 1 END)::BIGINT AS n_missing,
+               count(fld)::BIGINT AS n_present
+        FROM f
+    """,
+    "value_count_agg": f"""
+        WITH tf AS ({_TF}),
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+        f AS (SELECT d.lang, CASE WHEN d.doc_id % 5 = 0 THEN NULL
+                                  ELSE d.n_chars END AS v
+              FROM m JOIN documents d USING(doc_id))
+        SELECT lang, count(v)::BIGINT AS value_count FROM f GROUP BY lang
+    """,
+    "global_agg": f"""
+        WITH tf AS ({_TF}),
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+        mt AS (SELECT d.lang, count(*)::BIGINT AS n_matched
+               FROM m JOIN documents d USING(doc_id) GROUP BY d.lang),
+        al AS (SELECT lang, count(*)::BIGINT AS n_all
+               FROM documents GROUP BY lang)
+        SELECT al.lang, coalesce(mt.n_matched, 0)::BIGINT AS n_matched,
+               al.n_all
+        FROM al LEFT JOIN mt USING(lang)
+    """,
+    "cumulative_cardinality": f"""
+        WITH tf AS ({_TF}),
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+        s AS (SELECT doc_id,
+                     DATE '2021-01-01' + (doc_id % 1000)::INT AS ts FROM m),
+        fs AS (SELECT doc_id, min(date_trunc('quarter', ts)) AS bk
+               FROM s GROUP BY doc_id),
+        n AS (SELECT bk, count(*)::BIGINT AS n_new FROM fs GROUP BY bk)
+        SELECT strftime(bk, '%Y-%m-%d') AS bucket, n_new,
+               (sum(n_new) OVER (ORDER BY bk
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               )::BIGINT AS cum_cardinality
+        FROM n
+    """,
+    "variable_width_histogram": f"""
+        WITH tf AS ({_TF}),
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+        v AS (SELECT d.n_chars::DOUBLE AS v
+              FROM m JOIN documents d USING(doc_id)),
+        e AS (SELECT quantile_cont(v, [0.25, 0.5, 0.75]) AS es FROM v),
+        b AS (SELECT v, ((v >= es[1])::INT + (v >= es[2])::INT
+                         + (v >= es[3])::INT) AS bucket
+              FROM v CROSS JOIN e)
+        SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+               min(v) AS min_v, max(v) AS max_v, round(avg(v), 6) AS avg_v
+        FROM b GROUP BY bucket
+    """,
+    "top_hits_agg": f"""
+        WITH tf AS ({_TF}),
+        dl AS ({_DL}),
+        st AS (SELECT count(*) AS doc_count,
+                      sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+        dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                WHERE term IN {_QTERMS} GROUP BY term),
+        sc AS (
+          SELECT tf.doc_id,
+                 round(sum( ln(1 + (st.doc_count - dfq.df + 0.5)
+                               / (dfq.df + 0.5))
+                      * tf.tf / (tf.tf + {K1}*(1 - {B}
+                                 + {B}*dl.dl/st.avgdl)) ), 6) AS s
+          FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+          GROUP BY tf.doc_id),
+        h AS (
+          SELECT d.lang, sc.doc_id, sc.s AS score,
+                 row_number() OVER (PARTITION BY d.lang
+                                    ORDER BY sc.s DESC, sc.doc_id)
+                   AS hit_rank
+          FROM sc JOIN documents d USING(doc_id))
+        SELECT lang, doc_id, score, hit_rank FROM h WHERE hit_rank <= 3
+    """,
     "filters_agg": f"""
         WITH tf AS ({_TF}),
         fmap AS (SELECT * FROM (VALUES {_FILTER_VALUES}) v("filter", term)),
@@ -3235,6 +3590,20 @@ ORACLE_SQL: dict[str, str] = {
                round(avg(n_docs) OVER (ORDER BY bk
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg,
                (n_docs - lag(n_docs, 2) OVER (ORDER BY bk))::BIGINT AS sdiff
+        FROM b
+    """,
+    "pipe_moving_pctl": f"""
+        WITH tf AS ({_TF}),
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+        b AS (SELECT date_trunc('month',
+                       DATE '2021-01-01' + (doc_id % 1000)::INT) AS bk,
+                     count(*)::BIGINT AS n_docs
+              FROM m GROUP BY bk)
+        SELECT strftime(bk, '%Y-%m-%d') AS bucket, n_docs,
+               round(quantile_cont(n_docs, 0.5) OVER (ORDER BY bk
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS p50,
+               round(quantile_cont(n_docs, 0.9) OVER (ORDER BY bk
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS p90
         FROM b
     """,
     "bucket_stats": f"""
@@ -5750,6 +6119,39 @@ def q_geo_distance_agg(spark, sf_dir):
     )
 
 
+GEOHASH_PRECISION = 4
+
+
+def q_geo_centroid(spark, sf_dir):
+    """geo_centroid agg: arithmetic mean of the doc coordinates (ES
+    averages lat/lon independently in degree space — so does this;
+    operators/geo.py:geo_centroid, one combinable aggregate)."""
+    from fuzzy_wiki_spark.operators.geo import geo_centroid
+
+    return geo_centroid(_geo_docs(spark, sf_dir), "lat", "lon")
+
+
+def q_geo_bounds(spark, sf_dir):
+    """geo_bounds agg: the tightest (top, left, bottom, right) box
+    covering every doc coordinate, wrap_longitude=false semantics
+    (operators/geo.py:geo_bounds — pure min/max partial aggregate)."""
+    from fuzzy_wiki_spark.operators.geo import geo_bounds
+
+    return geo_bounds(_geo_docs(spark, sf_dir), "lat", "lon")
+
+
+def q_geohash_grid(spark, sf_dir):
+    """geohash_grid agg at precision 4: top-10 Niemeyer geohash cells
+    by doc count (operators/geo.py:geohash_grid — from-scratch base32
+    bit-interleave as pure integer Column math; the oracle replays the
+    identical interleave arithmetic in SQL)."""
+    from fuzzy_wiki_spark.operators.geo import geohash_grid
+
+    return geohash_grid(
+        _geo_docs(spark, sf_dir), "lat", "lon", GEOHASH_PRECISION
+    )
+
+
 # --------------------------------------------------------------------------
 # round-4 wave 2b: sampler / diversified_sampler / nested terms aggs
 # --------------------------------------------------------------------------
@@ -6654,6 +7056,24 @@ QUERIES = {
     # regardless of the sample window.
     "auto_date_histogram": q_auto_date_histogram,
     "seg_auto_dh": q_seg_auto_date_histogram,
+    "date_range_agg": q_date_range_agg,
+    "seg_date_range": q_seg_date_range,
+    "missing_agg": q_missing_agg,
+    "seg_missing": q_seg_missing,
+    "value_count_agg": q_value_count_agg,
+    "seg_value_count": q_seg_value_count,
+    "global_agg": q_global_agg,
+    "seg_global": q_seg_global,
+    "cumulative_cardinality": q_cumulative_cardinality,
+    "seg_cum_card": q_seg_cum_card,
+    "variable_width_histogram": q_variable_width_histogram,
+    "seg_vwh": q_seg_vwh,
+    "top_hits_agg": q_top_hits_agg,
+    "seg_top_hits": q_seg_top_hits,
+    "geo_centroid": q_geo_centroid,
+    "geo_bounds": q_geo_bounds,
+    "geohash_grid": q_geohash_grid,
+    "pipe_moving_pctl": q_pipe_moving_pctl,
     "terms_set": q_terms_set,
     "seg_terms_set": q_seg_terms_set,
     "pinned_query": q_pinned_query,
@@ -6895,6 +7315,13 @@ ORACLE_SQL["seg_histogram"] = ORACLE_SQL["histogram_facet"]
 ORACLE_SQL["seg_facet_stats"] = ORACLE_SQL["facet_stats"]
 ORACLE_SQL["seg_date_histogram"] = ORACLE_SQL["date_histogram"]
 ORACLE_SQL["seg_auto_dh"] = ORACLE_SQL["auto_date_histogram"]
+ORACLE_SQL["seg_date_range"] = ORACLE_SQL["date_range_agg"]
+ORACLE_SQL["seg_missing"] = ORACLE_SQL["missing_agg"]
+ORACLE_SQL["seg_value_count"] = ORACLE_SQL["value_count_agg"]
+ORACLE_SQL["seg_global"] = ORACLE_SQL["global_agg"]
+ORACLE_SQL["seg_cum_card"] = ORACLE_SQL["cumulative_cardinality"]
+ORACLE_SQL["seg_vwh"] = ORACLE_SQL["variable_width_histogram"]
+ORACLE_SQL["seg_top_hits"] = ORACLE_SQL["top_hits_agg"]
 ORACLE_SQL["seg_filters"] = ORACLE_SQL["filters_agg"]
 ORACLE_SQL["seg_adjacency"] = ORACLE_SQL["adjacency_matrix"]
 ORACLE_SQL["seg_composite"] = ORACLE_SQL["composite_agg"]
@@ -7139,6 +7566,58 @@ SELECT '{GEO_ZOOM}/' || x::VARCHAR || '/' || y::VARCHAR AS tile,
 FROM t GROUP BY x, y
 ORDER BY n_docs DESC, tile LIMIT 10
 """
+
+ORACLE_SQL["geo_centroid"] = f"""
+WITH g AS ({_GEO})
+SELECT round(avg(lat), 6) AS lat, round(avg(lon), 6) AS lon,
+       count(*)::BIGINT AS n_docs
+FROM g
+"""
+
+ORACLE_SQL["geo_bounds"] = f"""
+WITH g AS ({_GEO})
+SELECT max(lat) AS top, min(lon) AS "left",
+       min(lat) AS bottom, max(lon) AS "right"
+FROM g
+"""
+
+
+def _geohash_sql(precision: int) -> str:
+    """The geohash interleave replayed in pure SQL arithmetic — the same
+    pinned spec as operators/geo.geohash_col (lon-first bit interleave,
+    base32 pack), derived independently from the integer formulation."""
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    terms = [
+        f"(((ix >> {lon_bits - 1 - k}) & 1) << {bits - 1 - 2 * k})"
+        for k in range(lon_bits)
+    ] + [
+        f"(((iy >> {lat_bits - 1 - k}) & 1) << {bits - 2 - 2 * k})"
+        for k in range(lat_bits)
+    ]
+    chars = [
+        "substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"(((inter >> {5 * (precision - 1 - c)}) & 31) + 1)::INT, 1)"
+        for c in range(precision)
+    ]
+    return f"""
+WITH g AS ({_GEO}),
+i AS (SELECT
+        least(floor((lon + 180.0) / 360.0 * {1 << lon_bits}),
+              {(1 << lon_bits) - 1})::BIGINT AS ix,
+        least(floor((lat + 90.0) / 180.0 * {1 << lat_bits}),
+              {(1 << lat_bits) - 1})::BIGINT AS iy
+      FROM g),
+n AS (SELECT {" + ".join(terms)} AS inter FROM i),
+h AS (SELECT {" || ".join(chars)} AS geohash FROM n)
+SELECT geohash, count(*)::BIGINT AS n_docs
+FROM h GROUP BY geohash
+ORDER BY n_docs DESC, geohash LIMIT 10
+"""
+
+
+ORACLE_SQL["geohash_grid"] = _geohash_sql(GEOHASH_PRECISION)
 
 _RING_KEYS = (
     [f"*-{GEO_RING_EDGES[0]}"]

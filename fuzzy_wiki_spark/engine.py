@@ -2269,6 +2269,108 @@ class SegmentIndex:
         return t_test(posts, docs, sorted(set(terms_a)),
                       sorted(set(terms_b)), value)
 
+    def date_range_agg(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        ranges: list[tuple],
+        value,
+        field: str = "content",
+    ) -> DataFrame:
+        """Named date buckets on the serving path (the ES `date_range`
+        aggregation; operators/facets.date_range_agg over the
+        term-pruned segment decode)."""
+        from fuzzy_wiki_spark.operators.facets import date_range_agg
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return date_range_agg(posts, docs, sorted(set(terms)), ranges, value)
+
+    def missing_agg(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        value_field,
+        field: str = "content",
+    ) -> DataFrame:
+        """Null-field counts on the serving path (the ES `missing`
+        aggregation; operators/facets.missing_agg)."""
+        from fuzzy_wiki_spark.operators.facets import missing_agg
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return missing_agg(posts, docs, sorted(set(terms)), value_field)
+
+    def value_count_agg(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        facet_col: str,
+        value,
+        field: str = "content",
+    ) -> DataFrame:
+        """Non-null value counts per bucket on the serving path (the ES
+        `value_count` metric; operators/facets.value_count_agg)."""
+        from fuzzy_wiki_spark.operators.facets import value_count_agg
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return value_count_agg(
+            posts, docs, sorted(set(terms)), facet_col, value
+        )
+
+    def global_agg(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        facet_col: str,
+        field: str = "content",
+    ) -> DataFrame:
+        """Query-scoped next to corpus-wide bucket counts on the serving
+        path (the ES `global` bucket; operators/facets.global_agg — the
+        corpus side reads only the facet column of the docs table, the
+        match side comes from the term-pruned decode)."""
+        from fuzzy_wiki_spark.operators.facets import global_agg
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return global_agg(posts, docs, sorted(set(terms)), facet_col)
+
+    def cumulative_cardinality(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        value,
+        interval: str = "month",
+        field: str = "content",
+    ) -> DataFrame:
+        """Exact unique-docs-to-date curve on the serving path (the ES
+        `cumulative_cardinality` pipeline agg;
+        operators/facets.cumulative_cardinality — first-seen bucket per
+        doc, then an ordered window over the bucket frame only)."""
+        from fuzzy_wiki_spark.operators.facets import cumulative_cardinality
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return cumulative_cardinality(
+            posts, docs, sorted(set(terms)), value, interval=interval
+        )
+
+    def variable_width_histogram(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        value,
+        buckets: int,
+        field: str = "content",
+    ) -> DataFrame:
+        """Equal-frequency adaptive buckets on the serving path (the ES
+        `variable_width_histogram`, pinned to the deterministic
+        quantile-edge spec; operators/facets.variable_width_histogram)."""
+        from fuzzy_wiki_spark.operators.facets import (
+            variable_width_histogram,
+        )
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return variable_width_histogram(
+            posts, docs, sorted(set(terms)), value, buckets
+        )
+
     def span_within(
         self,
         terms: tuple[str, ...],

@@ -988,3 +988,223 @@ def t_test(
         F.round(t, 6).alias("t_stat"),
         F.round(dof, 6).alias("dof"),
     )
+
+
+def date_range_agg(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    ranges: list[tuple],
+    value,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(bucket, n_docs) — the ES `date_range` aggregation: like the
+    `range` agg but over a date/timestamp value with half-open
+    [from, to) bounds given as ISO date strings (None = unbounded),
+    first matching named range wins. Same scan-pruned plan as
+    range_facets; the only delta is a date CAST on the bounds so the
+    CASE chain mirrors 1:1 into the oracle's DATE literals."""
+    v = F.col(value) if isinstance(value, str) else value
+    bucket = None
+    for name, lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (v >= F.lit(lo).cast("date"))
+        if hi is not None:
+            cond = cond & (v < F.lit(hi).cast("date"))
+        bucket = F.when(cond, name) if bucket is None else bucket.when(cond, name)
+    return (
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(F.col(id_col), bucket.alias("bucket")), id_col)
+        .where(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def missing_agg(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    field,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """1 row (n_missing, n_present) — the ES `missing` aggregation:
+    matching docs whose ``field`` is NULL (plus the complement, so the
+    row is self-checking). One combinable conditional-count aggregate
+    over the thin match set."""
+    v = F.col(field) if isinstance(field, str) else field
+    return (
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(F.col(id_col), v.alias("_f")), id_col)
+        .agg(
+            F.count(F.when(F.col("_f").isNull(), F.lit(1))).alias("n_missing"),
+            F.count("_f").alias("n_present"),
+        )
+    )
+
+
+def value_count_agg(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    facet_col: str,
+    value,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(facet, value_count) — the ES `value_count` metric per facet
+    bucket: COUNT of non-null extracted values (not distinct — that is
+    `cardinality`). Trivially combinable; exists as its own agg because
+    ES separates it from count-of-docs when the value is multi-valued
+    or sometimes missing."""
+    v = F.col(value) if isinstance(value, str) else value
+    return (
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(F.col(id_col), F.col(facet_col), v.alias("_v")), id_col)
+        .groupBy(facet_col)
+        .agg(F.count("_v").alias("value_count"))
+    )
+
+
+def global_agg(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    facet_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(facet, n_matched, n_all) — the ES `global` aggregation bucket:
+    per facet value, the query-scoped doc count NEXT TO the
+    query-ignoring corpus-wide count (the "42 of 17k python files"
+    header). Plan: one full-corpus facet count (scan-speed, combinable)
+    outer-joined with the match-set facet count — the corpus pass reads
+    only the facet column, never content."""
+    matched = (
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(id_col, facet_col), id_col)
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    allc = (
+        docs.groupBy(facet_col)
+        .agg(F.count(F.lit(1)).alias("n_all"))
+    )
+    return allc.join(matched, facet_col, "left").select(
+        facet_col,
+        F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+        "n_all",
+    )
+
+
+def top_hits(
+    scored: DataFrame,
+    docs: DataFrame,
+    facet_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """(facet, doc_id, score, hit_rank) — the ES `top_hits`
+    sub-aggregation: within EVERY facet bucket, the k best hits by
+    score (ties → lowest doc_id). Input is any scored frame (e.g.
+    bm25_topk with a large k or the full scored match set).
+
+    Plan: a window rank PARTITIONED BY the facet value — each bucket
+    sorts only its own candidates, so the shape scales with buckets ×
+    candidates-per-bucket, never with a global sort (contrast
+    grouped_topk, which picks the k best BUCKETS and therefore cuts
+    with orderBy+limit first)."""
+    w = Window.partitionBy("_facet").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        scored.join(
+            docs.select(F.col(id_col), F.col(facet_col).alias("_facet")),
+            id_col,
+        )
+        .withColumn("hit_rank", F.row_number().over(w))
+        .where(F.col("hit_rank") <= k)
+        .select(
+            F.col("_facet").alias(facet_col), id_col, score_col, "hit_rank"
+        )
+    )
+
+
+def cumulative_cardinality(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    value,
+    interval: str = "month",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(bucket, n_new, cum_cardinality) — the ES `cumulative_cardinality`
+    pipeline agg over a date_histogram: how many DISTINCT matching docs
+    have appeared up to and including each bucket ("unique visitors to
+    date" curve).
+
+    ES approximates with merged HLL sketches; this is EXACT and still
+    one shuffle: a doc counts as new in its EARLIEST bucket (min over
+    its timestamps — one combinable groupBy on the thin match set), the
+    per-bucket news are counted, and the running total is an ordered
+    window over the BUCKET FRAME (calendar-bounded, scale-safe by
+    construction like every pipeline agg here)."""
+    v = F.col(value) if isinstance(value, str) else value
+    first_seen = (
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(F.col(id_col), v.alias("_ts")), id_col)
+        .groupBy(id_col)
+        .agg(F.min(F.date_trunc(interval, "_ts")).alias("bucket"))
+    )
+    news = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return news.withColumn(
+        "cum_cardinality", F.sum("n_new").over(w)
+    )
+
+
+def variable_width_histogram(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    value,
+    buckets: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(bucket, n_docs, min_v, max_v, avg_v) — the ES
+    `variable_width_histogram`: ~equal-population buckets whose widths
+    adapt to the data (ES clusters online and non-deterministically;
+    the pinned spec here is the deterministic equal-frequency variant —
+    bucket edges at the exact interpolated (i/N)-quantiles, value v
+    lands in bucket = #edges <= v, so edges and membership mirror
+    bit-for-bit into the oracle's quantile_cont).
+
+    Plan: ONE exact-percentile aggregate over the thin match-set values
+    (the same machinery facet_percentiles hash-verifies), then a
+    scan-speed edge-comparison CASE and a combinable stats groupBy —
+    two passes over the match set, zero over the corpus."""
+    v = F.col(value) if isinstance(value, str) else value
+    vals = (
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(F.col(id_col), v.cast("double").alias("_v")), id_col)
+    )
+    qs = [i / buckets for i in range(1, buckets)]
+    arr = ", ".join(repr(q) for q in qs)
+    edges = vals.agg(
+        F.expr(f"percentile(_v, array({arr}))").alias("_e")
+    ).collect()[0]["_e"]
+    bucket = sum(
+        (F.col("_v") >= F.lit(float(e))).cast("int") for e in edges
+    )
+    return (
+        vals.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_v").alias("min_v"),
+            F.max("_v").alias("max_v"),
+            F.round(F.avg("_v"), 6).alias("avg_v"),
+        )
+    )

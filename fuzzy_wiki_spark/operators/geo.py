@@ -234,3 +234,98 @@ def geotile_grid(
         .orderBy(F.desc("n_docs"), F.asc("tile"))
         .limit(k)
     )
+
+
+def geo_centroid(docs: DataFrame, lat_col: str, lon_col: str) -> DataFrame:
+    """1 row (lat, lon, n_docs) — ES's `geo_centroid` aggregation: the
+    arithmetic mean of the coordinates (ES averages lat and lon
+    independently in degree space; so does this — documented ES
+    behavior, not a spherical centroid). One combinable aggregate."""
+    return docs.agg(
+        F.round(F.avg(lat_col), 6).alias("lat"),
+        F.round(F.avg(lon_col), 6).alias("lon"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def geo_bounds(docs: DataFrame, lat_col: str, lon_col: str) -> DataFrame:
+    """1 row (top, left, bottom, right) — ES's `geo_bounds` aggregation
+    (wrap_longitude=false semantics: plain min/max, no date-line
+    wrapping). Min/max are algebraic, so the plan is a pure partial
+    aggregate — no shuffle beyond the 1-row combine."""
+    return docs.agg(
+        F.max(lat_col).alias("top"),
+        F.min(lon_col).alias("left"),
+        F.min(lat_col).alias("bottom"),
+        F.max(lon_col).alias("right"),
+    )
+
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_col(lat_col, lon_col, precision: int):
+    """Geohash string Column at ``precision`` chars — the public
+    Niemeyer geohash: lat/lon bisection bits interleaved lon-first,
+    base32-packed 5 bits per character. Implemented as pure integer
+    Column math (no UDF): the bisection path IS the binary expansion of
+    the scaled coordinate, so ix = floor((lon+180)/360 * 2^lon_bits)
+    yields all longitude bits in one multiply, and the interleave is an
+    unrolled sum of shifted bit extracts (5*precision terms, constant-
+    folded into whole-stage codegen)."""
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    ix = F.least(
+        F.floor((lon_col + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))),
+        F.lit((1 << lon_bits) - 1),
+    ).cast("long")
+    iy = F.least(
+        F.floor((lat_col + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))),
+        F.lit((1 << lat_bits) - 1),
+    ).cast("long")
+    inter = F.lit(0).cast("long")
+    for k in range(lon_bits):
+        inter = inter + F.shiftleft(
+            F.shiftrightunsigned(ix, lon_bits - 1 - k).bitwiseAND(F.lit(1)),
+            bits - 1 - 2 * k,
+        )
+    for k in range(lat_bits):
+        inter = inter + F.shiftleft(
+            F.shiftrightunsigned(iy, lat_bits - 1 - k).bitwiseAND(F.lit(1)),
+            bits - 2 - 2 * k,
+        )
+    alphabet = F.array(*[F.lit(c) for c in GEOHASH_B32])
+    chars = [
+        F.element_at(
+            alphabet,
+            (
+                F.shiftrightunsigned(inter, 5 * (precision - 1 - c))
+                .bitwiseAND(F.lit(31))
+                + F.lit(1)
+            ).cast("int"),
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_grid(
+    docs: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    precision: int,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k geohash cells by doc count — ES's `geohash_grid` agg:
+    ``(geohash, n_docs)``, count desc, hash asc on ties. Same shape as
+    geotile_grid: a map-side-combinable groupBy over at most 32^p cells,
+    so the exchange stays tiny at any corpus size."""
+    gh = geohash_col(F.col(lat_col), F.col(lon_col), precision)
+    return (
+        docs.select(gh.alias("geohash"))
+        .groupBy("geohash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("geohash"))
+        .limit(k)
+    )

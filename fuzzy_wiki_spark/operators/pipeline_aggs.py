@@ -245,3 +245,35 @@ def percentiles_bucket(
             for p in percents
         ],
     )
+
+
+def moving_percentiles(
+    buckets: DataFrame,
+    value_col: str = "n_docs",
+    window: int = 3,
+    percentiles: tuple = (0.5, 0.9),
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """ES `moving_percentiles` over a sibling metric: exact interpolated
+    percentiles of a trailing `window` buckets INCLUDING the current one
+    (same shift semantics as moving_fn; ES computes a TDigest merge —
+    the pinned spec here is exact, matching quantile_cont, since the
+    window is at most `window` values). Ordered window over the BUCKET
+    frame only — scale-safe by construction."""
+    w = _w(bucket_col).rowsBetween(-(window - 1), 0)
+    vals = F.collect_list(F.col(value_col).cast("double")).over(w)
+    out = buckets.withColumn("_wv", F.sort_array(vals))
+    n = F.size("_wv")
+    for p in percentiles:
+        # exact linear interpolation at rank h = (n-1)*p (0-indexed)
+        h = (n - F.lit(1)).cast("double") * F.lit(float(p))
+        lo = F.floor(h).cast("int")
+        hi = F.ceil(h).cast("int")
+        frac = h - lo.cast("double")
+        val = F.element_at("_wv", lo + 1) * (F.lit(1.0) - frac) + F.element_at(
+            "_wv", hi + 1
+        ) * frac
+        out = out.withColumn(
+            "p" + str(p).replace("0.", "").ljust(2, "0"), F.round(val, 6)
+        )
+    return out.drop("_wv")

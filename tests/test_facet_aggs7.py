@@ -1,0 +1,310 @@
+"""Round-4 wave-10 aggregations (operators/facets.py date_range_agg /
+missing_agg / value_count_agg / global_agg / top_hits /
+cumulative_cardinality / variable_width_histogram; operators/geo.py
+geo_centroid / geo_bounds / geohash_grid; operators/pipeline_aggs.py
+moving_percentiles): pandas/numpy-mirror correctness, relational ≡
+segment parity, geohash known-vector checks, and plan shape (the
+doc-side aggs stay combinable groupBys; top_hits' window is partitioned
+by the bucket, never global)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.corpus import generate_docs_df
+from fuzzy_wiki_spark.engine import SegmentIndex
+from fuzzy_wiki_spark.operators import postings as P
+from fuzzy_wiki_spark.operators.facets import (
+    cumulative_cardinality,
+    date_range_agg,
+    global_agg,
+    missing_agg,
+    top_hits,
+    value_count_agg,
+    variable_width_histogram,
+)
+
+TERMS = ["binary", "tree", "return"]
+_TS = "date_add(date'2021-01-01', cast(doc_id % 400 as int))"
+_RANGES = [
+    ("early", None, "2021-05-01"),
+    ("mid", "2021-05-01", "2021-11-01"),
+    ("late", "2021-11-01", None),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = generate_docs_df(spark, 250, seed=13).withColumnRenamed(
+        "content", "text"
+    )
+    posts = P.build_postings(
+        docs.withColumnRenamed("text", "content"),
+        fields={"content": "content"},
+        mode="simple",
+    ).persist()
+    posts.count()
+    pdf = docs.select("doc_id", "lang", "text").toPandas()
+    pdf["n"] = pdf["text"].str.len().astype(float)
+    doc_terms = {r.doc_id: set(r.text.split()) for r in pdf.itertuples()}
+    match_ids = {d for d, ts in doc_terms.items() if ts & set(TERMS)}
+    m = pdf[pdf["doc_id"].isin(match_ids)].copy()
+    m["ts"] = pd.to_datetime("2021-01-01") + pd.to_timedelta(
+        m["doc_id"] % 400, unit="D"
+    )
+    return docs, posts, m
+
+
+def test_date_range_agg_matches_pandas(spark, corpus):
+    docs, posts, m = corpus
+    got = {
+        r["bucket"]: r["n_docs"]
+        for r in date_range_agg(
+            posts, docs, TERMS, _RANGES, value=F.expr(_TS)
+        ).collect()
+    }
+    want = {
+        "early": int((m["ts"] < "2021-05-01").sum()),
+        "mid": int(
+            ((m["ts"] >= "2021-05-01") & (m["ts"] < "2021-11-01")).sum()
+        ),
+        "late": int((m["ts"] >= "2021-11-01").sum()),
+    }
+    assert got == {k: v for k, v in want.items() if v}
+
+
+def test_missing_and_value_count_match_pandas(spark, corpus):
+    docs, posts, m = corpus
+    fld = F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+        F.col("lang")
+    )
+    row = missing_agg(posts, docs, TERMS, field=fld).collect()[0]
+    n_missing = int((m["doc_id"] % 3 == 0).sum())
+    assert row["n_missing"] == n_missing
+    assert row["n_present"] == len(m) - n_missing
+
+    got = {
+        r["lang"]: r["value_count"]
+        for r in value_count_agg(
+            posts,
+            docs,
+            TERMS,
+            "lang",
+            value=F.when(F.col("doc_id") % 3 == 0, None).otherwise(
+                F.length("text")
+            ),
+        ).collect()
+    }
+    want = (
+        m[m["doc_id"] % 3 != 0].groupby("lang").size().to_dict()
+    )
+    # buckets where every value is null still appear with count 0
+    for lang in m["lang"].unique():
+        want.setdefault(lang, 0)
+    assert got == want
+
+
+def test_global_agg_matches_pandas(spark, corpus):
+    docs, posts, m = corpus
+    pdf = docs.select("doc_id", "lang").toPandas()
+    got = {
+        r["lang"]: (r["n_matched"], r["n_all"])
+        for r in global_agg(posts, docs, TERMS, "lang").collect()
+    }
+    matched = m.groupby("lang").size().to_dict()
+    allc = pdf.groupby("lang").size().to_dict()
+    want = {k: (matched.get(k, 0), v) for k, v in allc.items()}
+    assert got == want
+
+
+def test_top_hits_per_bucket(spark, corpus):
+    """top_hits returns the k best scored hits inside EVERY bucket,
+    ranked desc score / asc doc_id — checked against a pandas sort."""
+    docs, posts, m = corpus
+    scored = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * 37 % 101) / 10.0).alias("score"),
+    )
+    out = top_hits(scored, docs, "lang", k=2).toPandas()
+    spdf = scored.toPandas().merge(
+        docs.select("doc_id", "lang").toPandas(), on="doc_id"
+    )
+    for lang, grp in spdf.groupby("lang"):
+        top = grp.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(2)
+        sub = out[out["lang"] == lang].sort_values("hit_rank")
+        assert list(sub["doc_id"]) == list(top["doc_id"])
+    # ranks are 1..k within each bucket
+    assert set(out["hit_rank"]) <= {1, 2}
+
+
+def test_cumulative_cardinality_exact(spark, corpus):
+    docs, posts, m = corpus
+    out = (
+        cumulative_cardinality(
+            posts, docs, TERMS, value=F.expr(_TS), interval="month"
+        )
+        .orderBy("bucket")
+        .collect()
+    )
+    first_seen = m.groupby("doc_id")["ts"].min().dt.to_period("M")
+    counts = first_seen.value_counts().sort_index()
+    assert [r["n_new"] for r in out] == list(counts)
+    assert [r["cum_cardinality"] for r in out] == list(counts.cumsum())
+    # invariant: the final cumulative value IS the distinct match count
+    assert out[-1]["cum_cardinality"] == m["doc_id"].nunique()
+
+
+def test_variable_width_histogram_equal_frequency(spark, corpus):
+    docs, posts, m = corpus
+    out = (
+        variable_width_histogram(
+            posts, docs, TERMS, value=F.length("text"), buckets=4
+        )
+        .orderBy("bucket")
+        .collect()
+    )
+    vals = np.sort(m["text"].str.len().to_numpy(dtype=float))
+    edges = np.quantile(vals, [0.25, 0.5, 0.75], method="linear")
+    buckets = np.sum(vals[:, None] >= edges[None, :], axis=1)
+    for b, row in enumerate(out):
+        sel = vals[buckets == row["bucket"]]
+        assert row["n_docs"] == len(sel)
+        assert row["min_v"] == sel.min()
+        assert row["max_v"] == sel.max()
+        assert abs(row["avg_v"] - round(float(sel.mean()), 6)) < 1e-9
+    # ~equal population: no bucket more than 2x the ideal quarter
+    sizes = [r["n_docs"] for r in out]
+    assert max(sizes) <= 2 * (len(vals) / 4)
+
+
+def test_geohash_known_vectors(spark):
+    """geohash_col reproduces the public canonical vectors (Niemeyer
+    geohash: u4pruydqqvj, ezs42) at several precisions."""
+    from fuzzy_wiki_spark.operators.geo import geohash_col
+
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744), (42.6, -5.6), (0.0, 0.0)], ["lat", "lon"]
+    )
+    rows = df.select(
+        geohash_col(F.col("lat"), F.col("lon"), 5).alias("g5"),
+        geohash_col(F.col("lat"), F.col("lon"), 11).alias("g11"),
+        geohash_col(F.col("lat"), F.col("lon"), 1).alias("g1"),
+    ).collect()
+    assert rows[0]["g5"] == "u4pru"
+    assert rows[0]["g11"] == "u4pruydqqvj"
+    assert rows[1]["g5"] == "ezs42"
+    assert rows[2]["g1"] == "s"
+
+
+def test_geo_centroid_bounds_match_numpy(spark):
+    from fuzzy_wiki_spark.operators.geo import geo_bounds, geo_centroid
+
+    docs = spark.range(500).select(
+        (F.col("id") * 7919 % 17000 / 100.0 - 85.0).alias("lat"),
+        (F.col("id") * 104729 % 36000 / 100.0 - 180.0).alias("lon"),
+    )
+    pdf = docs.toPandas()
+    c = geo_centroid(docs, "lat", "lon").collect()[0]
+    assert c["lat"] == round(float(pdf["lat"].mean()), 6)
+    assert c["lon"] == round(float(pdf["lon"].mean()), 6)
+    assert c["n_docs"] == 500
+    b = geo_bounds(docs, "lat", "lon").collect()[0]
+    assert (b["top"], b["left"], b["bottom"], b["right"]) == (
+        pdf["lat"].max(),
+        pdf["lon"].min(),
+        pdf["lat"].min(),
+        pdf["lon"].max(),
+    )
+
+
+def test_moving_percentiles_matches_numpy(spark):
+    from fuzzy_wiki_spark.operators.pipeline_aggs import moving_percentiles
+
+    vals = [5, 1, 9, 4, 7, 2]
+    buckets = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["bucket", "n_docs"]
+    )
+    out = (
+        moving_percentiles(buckets, window=3, percentiles=(0.5, 0.9))
+        .orderBy("bucket")
+        .collect()
+    )
+    for i, row in enumerate(out):
+        w = vals[max(0, i - 2) : i + 1]
+        assert row["p50"] == round(
+            float(np.quantile(w, 0.5, method="linear")), 6
+        )
+        assert row["p90"] == round(
+            float(np.quantile(w, 0.9, method="linear")), 6
+        )
+
+
+def test_segment_agg7_parity(spark, corpus, tmp_path):
+    """Every wave-10 doc-side agg serves identically from the compressed
+    segments (SegmentIndex twins) and from the relational postings."""
+    docs, posts, m = corpus
+    idx = SegmentIndex.build(
+        spark,
+        docs.withColumnRenamed("text", "content"),
+        str(tmp_path / "seg"),
+        n_buckets=4,
+        mode="simple",
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    fld = F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+        F.col("lang")
+    )
+    assert rows(
+        date_range_agg(posts, docs, TERMS, _RANGES, F.expr(_TS))
+    ) == rows(idx.date_range_agg(TERMS, docs, _RANGES, F.expr(_TS)))
+    assert rows(missing_agg(posts, docs, TERMS, fld)) == rows(
+        idx.missing_agg(TERMS, docs, fld)
+    )
+    assert rows(
+        value_count_agg(posts, docs, TERMS, "lang", F.length("text"))
+    ) == rows(idx.value_count_agg(TERMS, docs, "lang", F.length("text")))
+    assert rows(global_agg(posts, docs, TERMS, "lang")) == rows(
+        idx.global_agg(TERMS, docs, "lang")
+    )
+    assert rows(
+        cumulative_cardinality(posts, docs, TERMS, F.expr(_TS), "month")
+    ) == rows(
+        idx.cumulative_cardinality(TERMS, docs, F.expr(_TS), "month")
+    )
+    assert rows(
+        variable_width_histogram(posts, docs, TERMS, F.length("text"), 4)
+    ) == rows(idx.variable_width_histogram(TERMS, docs, F.length("text"), 4))
+
+
+def test_agg7_plan_shape(spark, corpus):
+    """The wave-10 doc-side aggs stay combinable (partial agg, no global
+    sort); top_hits' window is partitioned by the facet value, never a
+    single-partition frame."""
+    docs, posts, m = corpus
+    for df in (
+        date_range_agg(posts, docs, TERMS, _RANGES, F.expr(_TS)),
+        missing_agg(posts, docs, TERMS, "lang"),
+        value_count_agg(posts, docs, TERMS, "lang", F.length("text")),
+        global_agg(posts, docs, TERMS, "lang"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "rangepartitioning" not in plan.lower()
+        assert "partial" in plan.lower()
+    scored = docs.select("doc_id", (F.col("doc_id") % 13).alias("score"))
+    plan = (
+        top_hits(scored, docs, "lang", k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the rank window is partitioned on the facet (never a global frame)
+    # and Spark pushes the k-cut down as a WindowGroupLimit
+    assert "windowspecdefinition(_facet" in plan
+    assert "WindowGroupLimit [_facet" in plan
