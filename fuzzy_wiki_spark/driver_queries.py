@@ -6611,6 +6611,116 @@ def q_seg_span_within(spark, sf_dir):
     return idx.span_within(SPAN_WITHIN_TERMS, SPAN_WINDOW)
 
 
+SPAN_OR_SLOTS = (("join", "merge"), ("table",))
+SPAN_OR_GAPS = 3
+SPAN_FIRST_TERM, SPAN_FIRST_END = "spark", 8
+SPAN_NOT_INC, SPAN_NOT_EXC, SPAN_NOT_SLACK = "join", "merge", 2
+INTERVALS_SPEC = {
+    "all_of": {
+        "ordered": False,
+        "max_gaps": 8,
+        "intervals": [
+            {"any_of": {"intervals": [
+                {"match": {"query": "spark"}},
+                {"match": {"query": "merge"}},
+            ]}},
+            {"match": {"query": "table"}},
+            {"match": {"query": "query"}},
+        ],
+    }
+}
+
+
+def q_span_or(spark, sf_dir):
+    """Span chain with slot alternatives (SpanNear over SpanOr clauses:
+    '(join|merge) then table' within 3 gaps), tightest ordered chain
+    first (operators/spans.py:span_or_topdocs)."""
+    from fuzzy_wiki_spark.operators.spans import span_or_topdocs
+
+    return span_or_topdocs(
+        _postings_simple(spark, sf_dir),
+        "content",
+        SPAN_OR_SLOTS,
+        SPAN_OR_GAPS,
+        ordered=True,
+    )
+
+
+def q_seg_span_or(spark, sf_dir):
+    """span_or on the SEGMENT serving path — shares the span_or
+    oracle verbatim (engine.py SegmentIndex.span_or)."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segso_")
+    return idx.span_or(SPAN_OR_SLOTS, SPAN_OR_GAPS, ordered=True)
+
+
+def q_span_first(spark, sf_dir):
+    """SpanFirstQuery: docs whose earliest 'spark' occurrence sits in
+    the first 8 positions, earliest first
+    (operators/spans.py:span_first_topdocs)."""
+    from fuzzy_wiki_spark.operators.spans import span_first_topdocs
+
+    return span_first_topdocs(
+        _postings_simple(spark, sf_dir),
+        "content",
+        SPAN_FIRST_TERM,
+        SPAN_FIRST_END,
+    )
+
+
+def q_seg_span_first(spark, sf_dir):
+    """span_first on the SEGMENT serving path — shares the span_first
+    oracle verbatim (engine.py SegmentIndex.span_first)."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segsf_")
+    return idx.span_first(SPAN_FIRST_TERM, SPAN_FIRST_END)
+
+
+def q_span_not(spark, sf_dir):
+    """SpanNotQuery with pre/post slack: 'join' occurrences with no
+    'merge' within 2 tokens either side, most surviving occurrences
+    first (operators/spans.py:span_not_topdocs)."""
+    from fuzzy_wiki_spark.operators.spans import span_not_topdocs
+
+    return span_not_topdocs(
+        _postings_simple(spark, sf_dir),
+        "content",
+        SPAN_NOT_INC,
+        SPAN_NOT_EXC,
+        pre=SPAN_NOT_SLACK,
+        post=SPAN_NOT_SLACK,
+    )
+
+
+def q_seg_span_not(spark, sf_dir):
+    """span_not on the SEGMENT serving path — shares the span_not
+    oracle verbatim (engine.py SegmentIndex.span_not)."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segsn_")
+    return idx.span_not(
+        SPAN_NOT_INC,
+        SPAN_NOT_EXC,
+        pre=SPAN_NOT_SLACK,
+        post=SPAN_NOT_SLACK,
+    )
+
+
+def q_intervals_query(spark, sf_dir):
+    """The ES `intervals` query (pinned two-level rule subset): all_of
+    unordered, max_gaps=8, over [any_of(spark|merge), table, query] —
+    minimal-interval gaps, tightest first
+    (operators/spans.py:intervals_topdocs via compile_intervals)."""
+    from fuzzy_wiki_spark.operators.spans import intervals_topdocs
+
+    return intervals_topdocs(
+        _postings_simple(spark, sf_dir), "content", INTERVALS_SPEC
+    )
+
+
+def q_seg_intervals(spark, sf_dir):
+    """intervals on the SEGMENT serving path — shares the
+    intervals_query oracle verbatim (engine.py SegmentIndex.intervals)."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segiv_")
+    return idx.intervals(INTERVALS_SPEC)
+
+
 def _mpp_expansions(posts) -> list[str]:
     rows = (
         P.term_stats(posts)
@@ -7056,6 +7166,14 @@ QUERIES = {
     # regardless of the sample window.
     "auto_date_histogram": q_auto_date_histogram,
     "seg_auto_dh": q_seg_auto_date_histogram,
+    "span_or": q_span_or,
+    "seg_span_or": q_seg_span_or,
+    "span_first": q_span_first,
+    "seg_span_first": q_seg_span_first,
+    "span_not": q_span_not,
+    "seg_span_not": q_seg_span_not,
+    "intervals_query": q_intervals_query,
+    "seg_intervals": q_seg_intervals,
     "date_range_agg": q_date_range_agg,
     "seg_date_range": q_seg_date_range,
     "missing_agg": q_missing_agg,
@@ -7747,6 +7865,62 @@ SELECT doc_id, min_cover FROM cov WHERE min_cover <= {SPAN_WINDOW}
 ORDER BY min_cover, doc_id LIMIT 15
 """
 ORACLE_SQL["seg_span_within"] = ORACLE_SQL["span_within"]
+
+_SO_A = "('" + "','".join(SPAN_OR_SLOTS[0]) + "')"
+_SO_B = "('" + "','".join(SPAN_OR_SLOTS[1]) + "')"
+ORACLE_SQL["span_or"] = f"""
+WITH tk AS ({_TOKPOS}),
+ch AS (SELECT a.doc_id,
+              min(b.pos - a.pos - 1)::BIGINT AS gaps
+       FROM tk a JOIN tk b USING(doc_id)
+       WHERE a.term IN {_SO_A} AND b.term IN {_SO_B}
+         AND a.pos < b.pos
+       GROUP BY a.doc_id)
+SELECT doc_id, gaps FROM ch WHERE gaps <= {SPAN_OR_GAPS}
+ORDER BY gaps, doc_id LIMIT 15
+"""
+ORACLE_SQL["seg_span_or"] = ORACLE_SQL["span_or"]
+
+ORACLE_SQL["span_first"] = f"""
+WITH tk AS ({_TOKPOS}),
+fp AS (SELECT doc_id, min(pos)::BIGINT AS first_pos FROM tk
+       WHERE term = '{SPAN_FIRST_TERM}' GROUP BY doc_id)
+SELECT doc_id, first_pos FROM fp WHERE first_pos < {SPAN_FIRST_END}
+ORDER BY first_pos, doc_id LIMIT 15
+"""
+ORACLE_SQL["seg_span_first"] = ORACLE_SQL["span_first"]
+
+ORACLE_SQL["span_not"] = f"""
+WITH tk AS ({_TOKPOS}),
+inc AS (SELECT doc_id, pos FROM tk WHERE term = '{SPAN_NOT_INC}'),
+surv AS (SELECT i.doc_id, count(*)::BIGINT AS n_spans
+         FROM inc i
+         WHERE NOT EXISTS (
+           SELECT 1 FROM tk e
+           WHERE e.doc_id = i.doc_id AND e.term = '{SPAN_NOT_EXC}'
+             AND e.pos BETWEEN i.pos - {SPAN_NOT_SLACK}
+                           AND i.pos + {SPAN_NOT_SLACK})
+         GROUP BY i.doc_id)
+SELECT doc_id, n_spans FROM surv
+ORDER BY n_spans DESC, doc_id LIMIT 15
+"""
+ORACLE_SQL["seg_span_not"] = ORACLE_SQL["span_not"]
+
+# intervals: unordered minimal cover over [any_of(spark|merge), table,
+# query]; gaps = cover width - (n_slots - 1)
+ORACLE_SQL["intervals_query"] = f"""
+WITH tk AS ({_TOKPOS}),
+cov AS (SELECT a.doc_id,
+               (min(greatest(a.pos, b.pos, c.pos)
+                    - least(a.pos, b.pos, c.pos)) - 2)::BIGINT AS gaps
+        FROM tk a JOIN tk b USING(doc_id) JOIN tk c USING(doc_id)
+        WHERE a.term IN ('spark', 'merge') AND b.term = 'table'
+          AND c.term = 'query'
+        GROUP BY a.doc_id)
+SELECT doc_id, gaps FROM cov WHERE gaps <= 8
+ORDER BY gaps, doc_id LIMIT 15
+"""
+ORACLE_SQL["seg_intervals"] = ORACLE_SQL["intervals_query"]
 
 ORACLE_SQL["match_phrase_prefix"] = f"""
 WITH tk AS ({_TOKPOS}),

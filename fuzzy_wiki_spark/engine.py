@@ -2387,6 +2387,71 @@ class SegmentIndex:
         posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
         return span_within_topdocs(posts, field, tuple(terms), window, k=k)
 
+    def span_or(
+        self,
+        slots,
+        max_gaps: int,
+        ordered: bool = True,
+        field: str = "content",
+        k: int = 15,
+    ) -> DataFrame:
+        """Slot-alternative span chain on the serving path (SpanNear
+        over SpanOr clauses; operators/spans.span_or_topdocs over the
+        term-pruned decode of the union of slot terms)."""
+        from fuzzy_wiki_spark.operators.spans import span_or_topdocs
+
+        all_terms = sorted({t for slot in slots for t in slot})
+        posts = self.term_postings(field, all_terms, with_dl=False)
+        return span_or_topdocs(
+            posts, field, slots, max_gaps, ordered=ordered, k=k
+        )
+
+    def span_first(
+        self, term: str, end: int, field: str = "content", k: int = 15
+    ) -> DataFrame:
+        """SpanFirstQuery on the serving path (operators/spans
+        .span_first_topdocs — a single-term pruned decode)."""
+        from fuzzy_wiki_spark.operators.spans import span_first_topdocs
+
+        posts = self.term_postings(field, [term], with_dl=False)
+        return span_first_topdocs(posts, field, term, end, k=k)
+
+    def span_not(
+        self,
+        include: str,
+        exclude: str,
+        pre: int = 0,
+        post: int = 0,
+        field: str = "content",
+        k: int = 15,
+    ) -> DataFrame:
+        """SpanNotQuery on the serving path (operators/spans
+        .span_not_topdocs — a two-term pruned decode)."""
+        from fuzzy_wiki_spark.operators.spans import span_not_topdocs
+
+        posts = self.term_postings(
+            field, sorted({include, exclude}), with_dl=False
+        )
+        return span_not_topdocs(
+            posts, field, include, exclude, pre=pre, post=post, k=k
+        )
+
+    def intervals(
+        self, spec: dict, field: str = "content", k: int = 15
+    ) -> DataFrame:
+        """The ES intervals query on the serving path (operators/spans
+        .intervals_topdocs — rule tree compiled to slots, decode pruned
+        to the union of slot terms)."""
+        from fuzzy_wiki_spark.operators.spans import (
+            compile_intervals,
+            intervals_topdocs,
+        )
+
+        slots, _, _ = compile_intervals(spec)
+        all_terms = sorted({t for slot in slots for t in slot})
+        posts = self.term_postings(field, all_terms, with_dl=False)
+        return intervals_topdocs(posts, field, spec, k=k)
+
     def resolve_prefix(
         self, prefix: str, field: str = "content", max_expansions: int = 50
     ) -> list[str]:

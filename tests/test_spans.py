@@ -1,0 +1,214 @@
+"""Span-family completion (operators/spans.py span_or / span_first /
+span_not / intervals): kernel brute-force cross-checks on synthetic
+position sets, end-to-end pandas mirrors over a real corpus, the
+intervals DSL compiler, and relational ≡ segment parity."""
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.corpus import generate_docs_df
+from fuzzy_wiki_spark.engine import SegmentIndex
+from fuzzy_wiki_spark.operators import postings as P
+from fuzzy_wiki_spark.operators.spans import (
+    _min_cover_unordered,
+    _min_gap_ordered,
+    compile_intervals,
+    intervals_topdocs,
+    span_first_topdocs,
+    span_not_topdocs,
+    span_or_topdocs,
+)
+
+SLOTS = (("binary", "tree"), ("search",))
+
+
+def _brute_ordered(lists):
+    best = None
+    for combo in itertools.product(*lists):
+        if all(a < b for a, b in zip(combo, combo[1:])):
+            g = combo[-1] - combo[0] - (len(combo) - 1)
+            best = g if best is None else min(best, g)
+    return -1 if best is None else best
+
+
+def _brute_cover(lists):
+    return min(
+        max(c) - min(c) for c in itertools.product(*lists)
+    )
+
+
+def test_kernels_match_bruteforce():
+    rng = random.Random(7)
+    for _ in range(300):
+        n_slots = rng.randint(2, 4)
+        lists = [
+            sorted(rng.sample(range(40), rng.randint(1, 6)))
+            for _ in range(n_slots)
+        ]
+        assert _min_gap_ordered(lists) == _brute_ordered(lists)
+        assert _min_cover_unordered(lists) == _brute_cover(lists)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = generate_docs_df(spark, 250, seed=17).withColumnRenamed(
+        "content", "text"
+    )
+    posts = P.build_postings(
+        docs.withColumnRenamed("text", "content"),
+        fields={"content": "content"},
+        mode="simple",
+    ).persist()
+    posts.count()
+    pdf = docs.select("doc_id", "text").toPandas()
+    pos = {
+        r.doc_id: {}
+        for r in pdf.itertuples()
+    }
+    for r in pdf.itertuples():
+        for i, w in enumerate(w for w in r.text.split() if w):
+            pos[r.doc_id].setdefault(w, []).append(i)
+    return docs, posts, pos
+
+
+def test_span_or_matches_python(spark, corpus):
+    docs, posts, pos = corpus
+    got = {
+        r["doc_id"]: r["gaps"]
+        for r in span_or_topdocs(
+            posts, "content", SLOTS, max_gaps=4, ordered=True, k=10_000
+        ).collect()
+    }
+    want = {}
+    for d, pm in pos.items():
+        lists = []
+        ok = True
+        for slot in SLOTS:
+            merged = sorted(
+                {p for t in slot for p in pm.get(t, [])}
+            )
+            if not merged:
+                ok = False
+                break
+            lists.append(merged)
+        if not ok:
+            continue
+        g = _brute_ordered(lists)
+        if 0 <= g <= 4:
+            want[d] = g
+    assert got == want
+
+
+def test_span_first_matches_python(spark, corpus):
+    docs, posts, pos = corpus
+    got = {
+        r["doc_id"]: r["first_pos"]
+        for r in span_first_topdocs(
+            posts, "content", "return", end=6, k=10_000
+        ).collect()
+    }
+    want = {
+        d: min(pm["return"])
+        for d, pm in pos.items()
+        if pm.get("return") and min(pm["return"]) < 6
+    }
+    assert got == want
+
+
+def test_span_not_matches_python(spark, corpus):
+    docs, posts, pos = corpus
+    got = {
+        r["doc_id"]: r["n_spans"]
+        for r in span_not_topdocs(
+            posts, "content", "tree", "binary", pre=1, post=1, k=10_000
+        ).collect()
+    }
+    want = {}
+    for d, pm in pos.items():
+        inc, exc = pm.get("tree", []), set(pm.get("binary", []))
+        n = sum(
+            1
+            for p in inc
+            if not any(q in exc for q in range(p - 1, p + 2))
+        )
+        if n:
+            want[d] = n
+    assert got == want
+
+
+def test_intervals_compiler():
+    slots, ordered, gaps = compile_intervals(
+        {"match": {"query": "a b c", "ordered": True, "max_gaps": 2}}
+    )
+    assert slots == [("a",), ("b",), ("c",)] and ordered and gaps == 2
+    slots, ordered, gaps = compile_intervals(
+        {"all_of": {"max_gaps": 5, "intervals": [
+            {"any_of": {"intervals": [
+                {"match": {"query": "x"}}, {"match": {"query": "y"}},
+            ]}},
+            {"match": {"query": "z"}},
+        ]}}
+    )
+    assert slots == [("x", "y"), ("z",)] and not ordered and gaps == 5
+    with pytest.raises(ValueError):
+        compile_intervals({"all_of": {"intervals": [
+            {"match": {"query": "two words"}},
+        ]}})
+    with pytest.raises(ValueError):
+        compile_intervals({"wildcard": {}})
+
+
+def test_intervals_match_rule_equals_span(spark, corpus):
+    """A bare ordered `match` rule IS span_near: same docs, same gaps."""
+    from fuzzy_wiki_spark.operators.topk import span_near_topdocs
+
+    docs, posts, pos = corpus
+    spec = {"match": {"query": "binary search", "ordered": True,
+                      "max_gaps": 3}}
+    got = sorted(
+        (r["doc_id"], r["gaps"])
+        for r in intervals_topdocs(posts, "content", spec, k=50).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["min_gap"])
+        for r in span_near_topdocs(
+            posts, "content", ("binary", "search"), slop=3, k=50
+        ).collect()
+    )
+    assert got == want
+
+
+def test_segment_span_parity(spark, corpus, tmp_path):
+    docs, posts, pos = corpus
+    idx = SegmentIndex.build(
+        spark,
+        docs.withColumnRenamed("text", "content"),
+        str(tmp_path / "seg"),
+        n_buckets=4,
+        mode="simple",
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(
+        span_or_topdocs(posts, "content", SLOTS, 4, ordered=True)
+    ) == rows(idx.span_or(SLOTS, 4, ordered=True))
+    assert rows(
+        span_first_topdocs(posts, "content", "return", 6)
+    ) == rows(idx.span_first("return", 6))
+    assert rows(
+        span_not_topdocs(posts, "content", "tree", "binary", 1, 1)
+    ) == rows(idx.span_not("tree", "binary", 1, 1))
+    spec = {"all_of": {"ordered": False, "max_gaps": 9, "intervals": [
+        {"any_of": {"intervals": [
+            {"match": {"query": "binary"}}, {"match": {"query": "graph"}},
+        ]}},
+        {"match": {"query": "search"}},
+    ]}}
+    assert rows(intervals_topdocs(posts, "content", spec)) == rows(
+        idx.intervals(spec)
+    )
