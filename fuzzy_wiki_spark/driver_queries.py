@@ -1983,6 +1983,150 @@ def q_function_score(spark, sf_dir):
     )
 
 
+DIS_MAX_TIE = 0.3
+CONST_SCORE_BOOST = 1.5
+RF_PIVOT, RF_BOOST = 800.0, 2.0
+DF_ORIGIN, DF_PIVOT, DF_BOOST = "2022-01-01", 90.0, 1.5
+
+
+def q_dis_max(spark, sf_dir):
+    """The ES dis_max query over per-term sub-queries: best matching
+    term's BM25 + 0.3 × the rest (operators/multi_match.py
+    dis_max_topk) — 'best field/term wins' instead of the bool SUM."""
+    from fuzzy_wiki_spark.operators.multi_match import dis_max_topk
+
+    posts = _postings_simple(spark, sf_dir)
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in P.term_stats(posts)
+        .where(F.col("term").isin(BM25_QUERY_TERMS))
+        .collect()
+    }
+    return dis_max_topk(
+        spark, posts, "content", BM25_QUERY_TERMS, term_df, fstats,
+        tie_breaker=DIS_MAX_TIE,
+    )
+
+
+def q_seg_dis_max(spark, sf_dir):
+    """dis_max on the SEGMENT serving path (engine.py
+    SegmentIndex.dis_max). Oracle = ORACLE_SQL["dis_max"] verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segdm_")
+    return idx.dis_max(BM25_QUERY_TERMS, tie_breaker=DIS_MAX_TIE)
+
+
+def q_constant_score(spark, sf_dir):
+    """The ES constant_score query: every doc matching ANY skeleton
+    term scores exactly the boost — no stats reads at all
+    (operators/scoring.py constant_score_topk)."""
+    from fuzzy_wiki_spark.operators.scoring import constant_score_topk
+
+    return constant_score_topk(
+        _postings_simple(spark, sf_dir),
+        "content",
+        BM25_QUERY_TERMS,
+        boost=CONST_SCORE_BOOST,
+    )
+
+
+def q_seg_constant_score(spark, sf_dir):
+    """constant_score on the SEGMENT serving path (engine.py
+    SegmentIndex.constant_score). Oracle = ORACLE_SQL["constant_score"]."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segcs_")
+    return idx.constant_score(
+        BM25_QUERY_TERMS, boost=CONST_SCORE_BOOST
+    )
+
+
+def _rank_feature_factors():
+    from fuzzy_wiki_spark.operators.scoring import rank_feature_factor
+
+    return [
+        rank_feature_factor(
+            "n_chars", "saturation", pivot=RF_PIVOT, boost=RF_BOOST
+        )
+    ]
+
+
+def q_rank_feature(spark, sf_dir):
+    """The ES rank_feature query folded into the skeleton hits
+    (operators/scoring.py rank_feature_factor, saturation pivot=800,
+    boost=2): final = BM25 + 2·(size/(size+800)) — a bounded popularity
+    bump, exactly ES's saturation form."""
+    from fuzzy_wiki_spark.operators.scoring import function_score
+
+    return function_score(
+        _skeleton_full_scores(spark, sf_dir),
+        _docs(spark, sf_dir),
+        factors=_rank_feature_factors(),
+        doc_cols=["n_chars"],
+        k=10,
+        boost_mode="sum",
+    )
+
+
+def q_seg_rank_feature(spark, sf_dir):
+    """rank_feature with first-pass scores from the SEGMENT path.
+    Oracle = ORACLE_SQL["rank_feature"] verbatim."""
+    from fuzzy_wiki_spark.operators.scoring import function_score
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_segrf_")
+    return function_score(
+        _seg_skeleton_full_scores(spark, idx),
+        _docs(spark, sf_dir),
+        factors=_rank_feature_factors(),
+        doc_cols=["n_chars"],
+        k=10,
+        boost_mode="sum",
+    )
+
+
+def _distance_feature_factors():
+    from fuzzy_wiki_spark.operators.scoring import distance_feature_factor
+
+    dist = F.abs(
+        F.datediff(F.expr(_DOC_TS), F.lit(DF_ORIGIN).cast("date"))
+    )
+    return [distance_feature_factor(dist, DF_PIVOT, DF_BOOST)]
+
+
+def q_distance_feature(spark, sf_dir):
+    """The ES distance_feature query (date form) folded into the
+    skeleton hits (operators/scoring.py distance_feature_factor):
+    final = BM25 + 1.5 · 90/(90 + |doc_date − 2022-01-01| days) — the
+    'boost recent docs' shape."""
+    from fuzzy_wiki_spark.operators.scoring import function_score
+
+    return function_score(
+        _skeleton_full_scores(spark, sf_dir),
+        _docs(spark, sf_dir),
+        factors=_distance_feature_factors(),
+        doc_cols=[],
+        k=10,
+        boost_mode="sum",
+    )
+
+
+def q_seg_distance_feature(spark, sf_dir):
+    """distance_feature with first-pass scores from the SEGMENT path.
+    Oracle = ORACLE_SQL["distance_feature"] verbatim."""
+    from fuzzy_wiki_spark.operators.scoring import function_score
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_segdf_")
+    return function_score(
+        _seg_skeleton_full_scores(spark, idx),
+        _docs(spark, sf_dir),
+        factors=_distance_feature_factors(),
+        doc_cols=[],
+        k=10,
+        boost_mode="sum",
+    )
+
+
 def q_seg_function_score(spark, sf_dir):
     """function_score with the first-pass scores served from the SEGMENT
     path. Oracle = ORACLE_SQL["function_score"] verbatim."""
@@ -3701,6 +3845,78 @@ ORACLE_SQL: dict[str, str] = {
                         / {_FS_SCALE}) AS dec
               FROM sc JOIN documents d USING(doc_id))
         SELECT doc_id, score, round(score * (fvf * dec), 6) AS final
+        FROM j ORDER BY final DESC, doc_id LIMIT 10
+    """,
+    "dis_max": f"""
+        WITH tf AS ({_TF}), dl AS ({_DL}),
+        st AS (SELECT count(*) AS doc_count,
+                      sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+        dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                WHERE term IN {_QTERMS} GROUP BY term),
+        c AS (
+          SELECT tf.doc_id,
+                 ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+                 * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl))
+                   AS c
+          FROM tf JOIN dfq ON tf.term = dfq.term
+               JOIN dl USING(doc_id) CROSS JOIN st
+          WHERE tf.term IN {_QTERMS}),
+        g AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot
+              FROM c GROUP BY doc_id)
+        SELECT doc_id,
+               round(mx + {DIS_MAX_TIE} * (tot - mx), 6) AS score
+        FROM g ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    "constant_score": f"""
+        WITH tf AS ({_TF}),
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS})
+        SELECT doc_id, {CONST_SCORE_BOOST} AS score FROM m
+        ORDER BY doc_id LIMIT 10
+    """,
+    "rank_feature": f"""
+        WITH tf AS ({_TF}), dl AS ({_DL}),
+        st AS (SELECT count(*) AS doc_count,
+                      sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+        dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                WHERE term IN {_QTERMS} GROUP BY term),
+        sc AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+                      * tf.tf / (tf.tf + {K1}*(1 - {B}
+                                 + {B}*dl.dl/st.avgdl)) ) AS s
+          FROM tf JOIN dfq ON tf.term = dfq.term
+               JOIN dl USING(doc_id) CROSS JOIN st
+          WHERE tf.term IN {_QTERMS}
+          GROUP BY tf.doc_id),
+        j AS (SELECT sc.doc_id, round(sc.s, 6) AS score,
+                     {RF_BOOST} * (d.n_chars::DOUBLE
+                        / (d.n_chars::DOUBLE + {RF_PIVOT})) AS bump
+              FROM sc JOIN documents d USING(doc_id))
+        SELECT doc_id, score, round(score + bump, 6) AS final
+        FROM j ORDER BY final DESC, doc_id LIMIT 10
+    """,
+    "distance_feature": f"""
+        WITH tf AS ({_TF}), dl AS ({_DL}),
+        st AS (SELECT count(*) AS doc_count,
+                      sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+        dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                WHERE term IN {_QTERMS} GROUP BY term),
+        sc AS (
+          SELECT tf.doc_id,
+                 sum( ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+                      * tf.tf / (tf.tf + {K1}*(1 - {B}
+                                 + {B}*dl.dl/st.avgdl)) ) AS s
+          FROM tf JOIN dfq ON tf.term = dfq.term
+               JOIN dl USING(doc_id) CROSS JOIN st
+          WHERE tf.term IN {_QTERMS}
+          GROUP BY tf.doc_id),
+        j AS (SELECT doc_id, round(s, 6) AS score,
+                     {DF_BOOST} * {DF_PIVOT} / ({DF_PIVOT}
+                        + abs(date_diff('day', DATE '{DF_ORIGIN}',
+                            DATE '2021-01-01' + (doc_id % 1000)::INT)
+                          )::DOUBLE) AS bump
+              FROM sc)
+        SELECT doc_id, score, round(score + bump, 6) AS final
         FROM j ORDER BY final DESC, doc_id LIMIT 10
     """,
     "top_metrics": f"""
@@ -7166,6 +7382,14 @@ QUERIES = {
     # regardless of the sample window.
     "auto_date_histogram": q_auto_date_histogram,
     "seg_auto_dh": q_seg_auto_date_histogram,
+    "dis_max": q_dis_max,
+    "seg_dis_max": q_seg_dis_max,
+    "constant_score": q_constant_score,
+    "seg_constant_score": q_seg_constant_score,
+    "rank_feature": q_rank_feature,
+    "seg_rank_feature": q_seg_rank_feature,
+    "distance_feature": q_distance_feature,
+    "seg_distance_feature": q_seg_distance_feature,
     "span_or": q_span_or,
     "seg_span_or": q_seg_span_or,
     "span_first": q_span_first,
@@ -7448,6 +7672,10 @@ ORACLE_SQL["seg_matrix_stats"] = ORACLE_SQL["matrix_stats"]
 ORACLE_SQL["seg_pipe_deriv"] = ORACLE_SQL["pipe_deriv"]
 ORACLE_SQL["seg_hybrid"] = ORACLE_SQL["hybrid_rrf"]
 ORACLE_SQL["seg_function_score"] = ORACLE_SQL["function_score"]
+ORACLE_SQL["seg_dis_max"] = ORACLE_SQL["dis_max"]
+ORACLE_SQL["seg_constant_score"] = ORACLE_SQL["constant_score"]
+ORACLE_SQL["seg_rank_feature"] = ORACLE_SQL["rank_feature"]
+ORACLE_SQL["seg_distance_feature"] = ORACLE_SQL["distance_feature"]
 ORACLE_SQL["seg_facet_topk"] = ORACLE_SQL["facet_topk"]
 ORACLE_SQL["seg_snippets"] = ORACLE_SQL["snippets"]
 ORACLE_SQL["seg_synonym"] = ORACLE_SQL["synonym_search"]

@@ -1967,6 +1967,44 @@ class SegmentIndex:
             k=k,
         )
 
+    def dis_max(
+        self,
+        words: list[str],
+        field: str = "content",
+        tie_breaker: float = 0.3,
+        k: int = 10,
+    ) -> DataFrame:
+        """dis_max over per-term sub-queries on the serving path
+        (operators/multi_match.dis_max_topk over the term-pruned
+        decode): best term's BM25 + tie_breaker · the rest."""
+        from fuzzy_wiki_spark.operators.multi_match import dis_max_topk
+
+        posts = self.term_postings(field, sorted(set(words)))
+        return dis_max_topk(
+            self.spark,
+            posts,
+            field,
+            list(words),
+            self._term_df(sorted(set(words))),
+            self.field_stats,
+            tie_breaker=tie_breaker,
+            k=k,
+        )
+
+    def constant_score(
+        self,
+        terms: list[str],
+        field: str = "content",
+        boost: float = 1.0,
+        k: int = 10,
+    ) -> DataFrame:
+        """constant_score filter on the serving path (operators/scoring
+        .constant_score_topk — term-pruned decode, no stats reads)."""
+        from fuzzy_wiki_spark.operators.scoring import constant_score_topk
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return constant_score_topk(posts, field, list(terms), boost, k=k)
+
     def boosting(
         self,
         positive: list[str],

@@ -443,3 +443,49 @@ def pinned_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def dis_max_topk(
+    spark,
+    postings: DataFrame,
+    field: str,
+    words: list[str],
+    term_df: dict[tuple[str, str], int],
+    field_stats: dict[str, tuple[int, float]],
+    tie_breaker: float = 0.3,
+    k: int = 10,
+) -> DataFrame:
+    """The ES `dis_max` query over per-term sub-queries on ONE field:
+    score = best sub-query + tie_breaker · (others) — "pick the best
+    matching term, don't let synonyms/aliases pile up" (contrast the
+    bool/should SUM the 4-clause path computes). Per-term BM25
+    contributions come from the same pruned-scan + broadcast-weights
+    stage as multi_match; the dis_max combination pivots |terms|
+    conditional sums into ONE map-side-combinable groupBy(doc_id) — a
+    single doc-keyed exchange, no window, no per-row Python."""
+
+    def weight_of(f, t):
+        return _idf(term_df.get((f, t), 0), field_stats[f][0])
+
+    contrib = _matched_contrib(
+        spark, postings, [(field, 1.0)], words, term_df, field_stats,
+        weight_of,
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("term") == t, F.col("c")).otherwise(0.0)
+        ).alias(f"_t{i}")
+        for i, t in enumerate(words)
+    ]
+    g = contrib.groupBy("doc_id").agg(*aggs)
+    cols = [F.col(f"_t{i}") for i in range(len(words))]
+    total = cols[0]
+    for c in cols[1:]:
+        total = total + c
+    mx = F.greatest(*cols) if len(cols) > 1 else cols[0]
+    score = mx + F.lit(float(tie_breaker)) * (total - mx)
+    return (
+        g.select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -95,3 +95,63 @@ def function_score(
         .orderBy(F.desc("final"), F.asc(id_col))
         .limit(k)
     )
+
+
+def rank_feature_factor(
+    col, function: str = "saturation", pivot: float = 10.0,
+    scaling: float = 1.0, exponent: float = 1.0, boost: float = 1.0,
+) -> Column:
+    """ES `rank_feature` query contribution — a bounded relevance bump
+    from a per-doc feature field (pagerank, stars, url_length…):
+    saturation f/(f+pivot), log ln(scaling*f + 1), or sigmoid
+    f^exp/(f^exp + pivot^exp), each scaled by ``boost``. Add to the
+    query score with function_score(boost_mode="sum"), exactly how ES
+    folds rank_feature should-clauses into the bool score."""
+    v = (F.col(col) if isinstance(col, str) else col).cast("double")
+    if function == "saturation":
+        s = v / (v + F.lit(float(pivot)))
+    elif function == "log":
+        s = F.log(F.lit(float(scaling)) * v + F.lit(1.0))
+    elif function == "sigmoid":
+        vp = F.pow(v, F.lit(float(exponent)))
+        s = vp / (vp + F.lit(float(pivot) ** float(exponent)))
+    else:
+        raise ValueError(f"unknown rank_feature function: {function}")
+    return F.lit(float(boost)) * s
+
+
+def distance_feature_factor(
+    dist: Column, pivot: float, boost: float = 1.0
+) -> Column:
+    """ES `distance_feature` query contribution: boost * pivot /
+    (pivot + dist) — 'boost recent / nearby docs'; ``dist`` is any
+    non-negative Column (days from origin, meters, |rank - origin|).
+    Add with function_score(boost_mode="sum") like rank_feature."""
+    return F.lit(float(boost)) * F.lit(float(pivot)) / (
+        F.lit(float(pivot)) + dist.cast("double")
+    )
+
+
+def constant_score_topk(
+    postings: DataFrame,
+    field: str,
+    terms: list[str],
+    boost: float = 1.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `constant_score` query: every doc matching the filter (ANY of
+    ``terms``) scores exactly ``boost`` — no BM25, no tf/idf reads, so
+    the plan is the thinnest possible: term-pruned scan → distinct
+    doc_ids → constant projection, first-k by doc_id (the deterministic
+    order ES users add as a tie-breaker sort)."""
+    return (
+        postings.where(
+            (F.col("field") == field) & F.col("term").isin(list(terms))
+        )
+        .select(id_col)
+        .distinct()
+        .select(id_col, F.lit(float(boost)).alias("score"))
+        .orderBy(F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,175 @@
+"""Scoring-query wave (operators/multi_match.py dis_max_topk;
+operators/scoring.py constant_score_topk / rank_feature_factor /
+distance_feature_factor): numpy mirrors, ES edge semantics
+(tie_breaker 0 = pure max, 1 = bool sum; saturation bounded by boost),
+and relational ≡ segment parity."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.corpus import generate_docs_df
+from fuzzy_wiki_spark.engine import SegmentIndex
+from fuzzy_wiki_spark.operators import postings as P
+from fuzzy_wiki_spark.operators.multi_match import dis_max_topk
+from fuzzy_wiki_spark.operators.scoring import (
+    constant_score_topk,
+    distance_feature_factor,
+    rank_feature_factor,
+)
+
+TERMS = ["binary", "tree", "return"]
+K1, B = 1.2, 0.75
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = generate_docs_df(spark, 250, seed=19).withColumnRenamed(
+        "content", "text"
+    )
+    posts = P.build_postings(
+        docs.withColumnRenamed("text", "content"),
+        fields={"content": "content"},
+        mode="simple",
+    ).persist()
+    posts.count()
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in P.term_stats(posts)
+        .where(F.col("term").isin(TERMS))
+        .collect()
+    }
+    pdf = docs.select("doc_id", "text").toPandas()
+    return docs, posts, fstats, term_df, pdf
+
+
+def _contribs(pdf, fstats, term_df):
+    """Per-doc per-term BM25 contribution mirror."""
+    doc_count, avgdl = fstats["content"]
+    out = {}
+    for r in pdf.itertuples():
+        toks = [w for w in r.text.split() if w]
+        dl = len(toks)
+        cs = {}
+        for t in TERMS:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            df = term_df.get(("content", t), 0)
+            idf = math.log(1 + (doc_count - df + 0.5) / (df + 0.5))
+            cs[t] = idf * tf / (tf + K1 * (1 - B + B * dl / avgdl))
+        if cs:
+            out[r.doc_id] = cs
+    return out
+
+
+def test_dis_max_matches_numpy(spark, corpus):
+    docs, posts, fstats, term_df, pdf = corpus
+    got = {
+        r["doc_id"]: r["score"]
+        for r in dis_max_topk(
+            spark, posts, "content", TERMS, term_df, fstats,
+            tie_breaker=0.3, k=10_000,
+        ).collect()
+    }
+    want = {}
+    for d, cs in _contribs(pdf, fstats, term_df).items():
+        v = list(cs.values())
+        want[d] = round(max(v) + 0.3 * (sum(v) - max(v)), 6)
+    assert got == want
+
+
+def test_dis_max_tie_breaker_edges(spark, corpus):
+    """tie_breaker=1 degenerates to the bool/should SUM; tie_breaker=0
+    is the pure max."""
+    docs, posts, fstats, term_df, pdf = corpus
+    cons = _contribs(pdf, fstats, term_df)
+    for tb, comb in ((0.0, max), (1.0, sum)):
+        got = {
+            r["doc_id"]: r["score"]
+            for r in dis_max_topk(
+                spark, posts, "content", TERMS, term_df, fstats,
+                tie_breaker=tb, k=10_000,
+            ).collect()
+        }
+        want = {
+            d: round(comb(list(cs.values())), 6) for d, cs in cons.items()
+        }
+        assert got == want
+
+
+def test_constant_score(spark, corpus):
+    docs, posts, fstats, term_df, pdf = corpus
+    out = constant_score_topk(
+        posts, "content", TERMS, boost=2.5, k=10_000
+    ).collect()
+    match = {
+        r.doc_id
+        for r in pdf.itertuples()
+        if set(r.text.split()) & set(TERMS)
+    }
+    assert {r["doc_id"] for r in out} == match
+    assert all(r["score"] == 2.5 for r in out)
+
+
+def test_rank_feature_factor_semantics(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (10.0,), (1e9,)], ["f"]
+    )
+    rows = df.select(
+        rank_feature_factor("f", "saturation", pivot=10.0, boost=2.0)
+        .alias("sat"),
+        rank_feature_factor("f", "log", scaling=3.0).alias("lg"),
+        rank_feature_factor("f", "sigmoid", pivot=10.0, exponent=2.0)
+        .alias("sig"),
+    ).collect()
+    # saturation: 0 at f=0, 0.5*boost at pivot, -> boost as f -> inf
+    assert rows[0]["sat"] == 0.0
+    assert abs(rows[1]["sat"] - 1.0) < 1e-9
+    assert abs(rows[2]["sat"] - 2.0) < 1e-6
+    assert abs(rows[1]["lg"] - math.log(31.0)) < 1e-9
+    assert abs(rows[1]["sig"] - 0.5) < 1e-9
+    with pytest.raises(ValueError):
+        rank_feature_factor("f", "nope")
+
+
+def test_distance_feature_factor_semantics(spark):
+    df = spark.createDataFrame([(0.0,), (90.0,), (1e12,)], ["d"])
+    rows = df.select(
+        distance_feature_factor(F.col("d"), 90.0, boost=1.5).alias("v")
+    ).collect()
+    assert abs(rows[0]["v"] - 1.5) < 1e-9  # at origin: full boost
+    assert abs(rows[1]["v"] - 0.75) < 1e-9  # at pivot: half
+    assert rows[2]["v"] < 1e-6  # far away: -> 0
+
+
+def test_segment_scoring_parity(spark, corpus, tmp_path):
+    docs, posts, fstats, term_df, pdf = corpus
+    idx = SegmentIndex.build(
+        spark,
+        docs.withColumnRenamed("text", "content"),
+        str(tmp_path / "seg"),
+        n_buckets=4,
+        mode="simple",
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(
+        dis_max_topk(
+            spark, posts, "content", TERMS, term_df, fstats, 0.3, k=10
+        ).select("doc_id", F.round("score", 6).alias("score"))
+    ) == rows(
+        idx.dis_max(TERMS, tie_breaker=0.3, k=10).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+    )
+    assert rows(
+        constant_score_topk(posts, "content", TERMS, 2.5, k=10)
+    ) == rows(idx.constant_score(TERMS, boost=2.5, k=10))
