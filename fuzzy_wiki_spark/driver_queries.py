@@ -6074,6 +6074,47 @@ def q_seg_multi_match(spark, sf_dir):
     ).select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_combined_fields(spark, sf_dir):
+    """The ES combined_fields query — term-centric BM25F over the
+    synthetic merged title^2/content field (operators/multi_match.py
+    combined_fields_topk: weighted tf/dl merge, any-field df, plain
+    BM25 on the merged stats)."""
+    from fuzzy_wiki_spark.operators.multi_match import combined_fields_topk
+
+    posts, _, _ = _two_field_inputs(spark, sf_dir, MM_QUERY_TERMS)
+    return combined_fields_topk(
+        spark,
+        posts,
+        P.doc_lens(posts),
+        MM_FIELD_BOOSTS,
+        MM_QUERY_TERMS,
+    )
+
+
+def q_seg_combined_fields(spark, sf_dir):
+    """combined_fields on the SEGMENT serving path (engine.py
+    SegmentIndex.combined_fields — merged dl from the _dl meta store).
+    Oracle = ORACLE_SQL["combined_fields"] verbatim."""
+    import tempfile
+
+    from fuzzy_wiki_spark.engine import SegmentIndex
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).alias("title"),
+        F.col("text").alias("content"),
+    )
+    idx = SegmentIndex.build(
+        spark,
+        docs,
+        tempfile.mkdtemp(prefix="seg-cf-"),
+        n_buckets=8,
+        mode="simple",
+        fields={"title": "title", "content": "content"},
+    )
+    return idx.combined_fields(MM_QUERY_TERMS, MM_FIELD_BOOSTS)
+
+
 def q_min_should_match(spark, sf_dir):
     """minimum_should_match=2 OR query: docs matching ≥2 of the three
     skeleton terms, BM25-sum scored (operators/multi_match.py)."""
@@ -7384,6 +7425,8 @@ QUERIES = {
     "seg_auto_dh": q_seg_auto_date_histogram,
     "dis_max": q_dis_max,
     "seg_dis_max": q_seg_dis_max,
+    "combined_fields": q_combined_fields,
+    "seg_combined_fields": q_seg_combined_fields,
     "constant_score": q_constant_score,
     "seg_constant_score": q_seg_constant_score,
     "rank_feature": q_rank_feature,
@@ -7767,6 +7810,40 @@ ORDER BY s DESC, doc_id LIMIT 10
 """
 
 ORACLE_SQL["seg_multi_match"] = ORACLE_SQL["multi_match_best"]
+
+# combined_fields: BM25F over the synthetic merged field (w_title=2)
+ORACLE_SQL["combined_fields"] = f"""
+WITH tk AS ({_TOKPOS}),
+f AS (
+  SELECT doc_id, term, 'content' AS field FROM tk
+  UNION ALL
+  SELECT doc_id, term, 'title' AS field FROM tk WHERE pos < 8),
+tf AS (SELECT field, doc_id, term, count(*)::BIGINT AS tf
+       FROM f GROUP BY field, doc_id, term),
+dl AS (SELECT field, doc_id, count(*)::BIGINT AS dl
+       FROM f GROUP BY field, doc_id),
+dlc AS (SELECT doc_id,
+               sum(CASE WHEN field = 'title' THEN 2.0 ELSE 1.0 END
+                   * dl) AS dlc
+        FROM dl GROUP BY doc_id HAVING dlc > 0),
+stc AS (SELECT count(*)::BIGINT AS doc_count, avg(dlc) AS avgdl FROM dlc),
+tfc AS (SELECT doc_id, term,
+               sum(CASE WHEN field = 'title' THEN 2.0 ELSE 1.0 END
+                   * tf) AS tfc
+        FROM tf WHERE term IN {_MM_TERMS} GROUP BY doc_id, term),
+dfc AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf
+        WHERE term IN {_MM_TERMS} GROUP BY term),
+sc AS (SELECT tfc.doc_id,
+              sum( ln(1 + (stc.doc_count - dfc.df + 0.5)/(dfc.df + 0.5))
+                   * tfc.tfc / (tfc.tfc + {K1}*(1 - {B}
+                                + {B}*dlc.dlc/stc.avgdl)) ) AS s
+       FROM tfc JOIN dfc USING(term) JOIN dlc USING(doc_id)
+            CROSS JOIN stc
+       GROUP BY tfc.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+ORACLE_SQL["seg_combined_fields"] = ORACLE_SQL["combined_fields"]
 
 ORACLE_SQL["min_should_match"] = f"""
 WITH tf AS ({_TF}), dl AS ({_DL}),

@@ -1946,6 +1946,30 @@ class SegmentIndex:
             k=k,
         )
 
+    def combined_fields(
+        self,
+        words: list[str],
+        field_weights: list[tuple[str, float]],
+        k: int = 10,
+    ) -> DataFrame:
+        """combined_fields (BM25F over the synthetic merged field) on
+        the serving path (operators/multi_match.combined_fields_topk):
+        term-pruned decode per queried field; merged doc lengths come
+        from the ``_dl`` meta store, never the corpus body."""
+        from fuzzy_wiki_spark.operators.multi_match import (
+            combined_fields_topk,
+        )
+
+        fields = [f for f, _ in field_weights]
+        posts = self._multi_field_postings(fields, sorted(set(words)))
+        dls = None
+        for f in fields:
+            part = self._dls(f).withColumn("field", F.lit(f))
+            dls = part if dls is None else dls.unionByName(part)
+        return combined_fields_topk(
+            self.spark, posts, dls, field_weights, list(words), k=k
+        )
+
     def min_should_match(
         self, words: list[str], msm: int, field: str = "content", k: int = 10
     ) -> DataFrame:

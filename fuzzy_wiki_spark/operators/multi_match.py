@@ -489,3 +489,85 @@ def dis_max_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def combined_fields_topk(
+    spark,
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    field_weights: list[tuple[str, float]],
+    words: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """The ES `combined_fields` query — term-centric BM25F over a
+    SYNTHETIC combined field (the published ES semantics: field term
+    frequencies and lengths are merged with per-field weights into one
+    pseudo-field, then plain BM25 runs on the merged statistics):
+
+      tf_c(t,d)  = Σ_f  w_f · tf_f(t,d)
+      dl_c(d)    = Σ_f  w_f · dl_f(d)
+      avgdl_c    = mean of dl_c over docs with dl_c > 0
+      df_c(t)    = |{d : t appears in ANY queried field of d}|
+      score(d)   = Σ_t idf(df_c) · tf_c / (tf_c + k1·(1−b+b·dl_c/avgdl_c))
+
+    Contrast multi_match cross_fields (per-field tf_norms dis_maxed,
+    blended idf): combined_fields normalizes tf against the MERGED
+    length, the Robertson BM25F form.
+
+    Plan: pruned (field,term) scan → one (doc,term)-keyed combinable
+    weighted-tf agg; dl_c is one combinable agg over the doc_lens side-
+    channel (never the corpus body) whose 1-row stats collect to the
+    driver; df_c broadcasts. ``doc_lens`` is (doc_id, field, dl) —
+    P.doc_lens(postings) relationally, the ``_dl`` store on segments."""
+    fields = [f for f, _ in field_weights]
+    wmap = dict(field_weights)
+    w_of = F.lit(None).cast("double")
+    for f, w in field_weights:
+        w_of = F.when(F.col("field") == f, float(w)).otherwise(w_of)
+
+    dlc = (
+        doc_lens.where(F.col("field").isin(fields))
+        .groupBy("doc_id")
+        .agg(F.sum(w_of * F.col("dl")).alias("dlc"))
+        .where(F.col("dlc") > 0)
+    )
+    st = dlc.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dlc").alias("avgdl")
+    ).collect()[0]
+    doc_count, avgdl = int(st["n"]), float(st["avgdl"])
+
+    pruned = postings.where(
+        F.col("field").isin(fields) & F.col("term").isin(list(words))
+    )
+    tfc = pruned.groupBy("doc_id", "term").agg(
+        F.sum(w_of * F.col("tf")).alias("tfc")
+    )
+    dfc = pruned.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("dfc")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(doc_count)) - F.col("dfc") + 0.5)
+        / (F.col("dfc") + 0.5)
+    )
+    contrib = (
+        tfc.join(F.broadcast(dfc), "term")
+        .join(dlc, "doc_id")
+        .select(
+            "doc_id",
+            (
+                idf
+                * F.col("tfc")
+                / (
+                    F.col("tfc")
+                    + K1 * (1.0 - B + B * F.col("dlc") / F.lit(avgdl))
+                )
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

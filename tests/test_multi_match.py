@@ -387,3 +387,77 @@ def test_pinned_parity(rel, segi, docs, words):
     )
     got = _rows(segi.pinned(words, pins, docs))
     assert got == want
+
+
+def test_combined_fields_matches_numpy(rel, docs, words):
+    """combined_fields = plain BM25 over the weighted-merged synthetic
+    field (tf_c, dl_c, any-field df) — mirrored in pure Python from the
+    raw docs."""
+    from fuzzy_wiki_spark.operators import postings as P
+    from fuzzy_wiki_spark.operators.multi_match import (
+        combined_fields_topk,
+    )
+
+    got = {
+        r["doc_id"]: r["score"]
+        for r in combined_fields_topk(
+            rel.spark,
+            rel.postings,
+            P.doc_lens(rel.postings),
+            FIELD_BOOSTS,
+            list(words),
+            k=10_000,
+        ).collect()
+    }
+    pdf = docs.toPandas()
+    wmap = dict(FIELD_BOOSTS)
+    toks = {
+        r.doc_id: {
+            f: tokenize_text(getattr(r, f)) for f in wmap
+        }
+        for r in pdf.itertuples()
+    }
+    dlc = {
+        d: sum(wmap[f] * len(ts) for f, ts in fts.items())
+        for d, fts in toks.items()
+    }
+    present = {d: v for d, v in dlc.items() if v > 0}
+    avgdl = sum(present.values()) / len(present)
+    want = {}
+    for d, fts in toks.items():
+        s = 0.0
+        for t in words:
+            tfc = sum(wmap[f] * ts.count(t) for f, ts in fts.items())
+            if not tfc:
+                continue
+            df = sum(
+                1
+                for fts2 in toks.values()
+                if any(t in ts2 for ts2 in fts2.values())
+            )
+            idf = math.log(1 + (len(present) - df + 0.5) / (df + 0.5))
+            s += idf * tfc / (
+                tfc + 1.2 * (1 - 0.75 + 0.75 * dlc[d] / avgdl)
+            )
+        if s:
+            want[d] = round(s, 6)
+    assert got == want
+
+
+def test_combined_fields_parity(rel, segi, words):
+    """combined_fields serves identically from the compressed segments
+    (merged dl from the _dl meta store) and the relational postings."""
+    from fuzzy_wiki_spark.operators import postings as P
+    from fuzzy_wiki_spark.operators.multi_match import (
+        combined_fields_topk,
+    )
+
+    a = combined_fields_topk(
+        rel.spark,
+        rel.postings,
+        P.doc_lens(rel.postings),
+        FIELD_BOOSTS,
+        list(words),
+    ).collect()
+    b = segi.combined_fields(list(words), FIELD_BOOSTS).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
