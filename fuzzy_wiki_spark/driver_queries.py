@@ -2745,6 +2745,52 @@ def q_ivf_batch(spark, sf_dir):
     )
 
 
+SEMDEDUP_EPS = 0.45
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) at its real configuration: 8
+    k-means clusters, within-cluster ε-graph, keep-farthest-from-
+    centroid survivor (operators/dedup.py semdedup). Rows-only: seeded
+    k-means centroids have no SQL mirror; the full algorithm is
+    hash-verified via semdedup_exact below (n_clusters=1 — the same
+    assignment/pair/component/survivor code path with a SQL-computable
+    centroid), and the clustered path is python-mirror-pinned in
+    tests/test_dedup.py."""
+    from fuzzy_wiki_spark.operators.dedup import semdedup
+
+    emb = _emb(spark, sf_dir)
+    cent = SIM.kmeans_centroids(emb, n_centroids=8, sample=512, seed=42)
+    res = semdedup(emb, cent, SEMDEDUP_EPS)
+    return res.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        "component",
+        "cos_centroid",
+        "keep",
+    )
+
+
+def q_semdedup_exact(spark, sf_dir):
+    """semdedup at n_clusters=1 (sample ≥ corpus), which makes the
+    centroid the normalized mean of the unit vectors — SQL-computable —
+    while running the IDENTICAL assignment/pair/component/survivor code
+    path; the oracle replays centroid mean, ε-graph, min-label
+    components (recursive CTE) and the keep-farthest rule end-to-end."""
+    from fuzzy_wiki_spark.operators.dedup import semdedup
+
+    emb = _emb(spark, sf_dir)
+    cent = SIM.kmeans_centroids(emb, n_centroids=1, sample=512, seed=42)
+    res = semdedup(emb, cent, SEMDEDUP_EPS)
+    return res.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        "component",
+        "cos_centroid",
+        "keep",
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal: REAL image decode (PPM/BMP, PNG at depths 8/16 +
     Adam7 interlaced, baseline + progressive JPEG — pure numpy+stdlib,
@@ -4432,6 +4478,43 @@ ORACLE_SQL["compact_search"] = ORACLE_SQL["bm25_topk"]
 ORACLE_SQL["segment_bm25"] = ORACLE_SQL["bm25_topk"]
 # exhaustive-rerank PQ is exact → shares the brute-force cosine oracle
 ORACLE_SQL["pq_exact"] = ORACLE_SQL["ivf_exact"]
+
+# SemDeDup at n_clusters=1: centroid = mean of unit vectors (scaling
+# irrelevant to cosine), ε-graph, recursive min-label components,
+# keep-farthest-from-centroid survivor (ties → lowest id)
+ORACLE_SQL["semdedup_exact"] = f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+u AS (SELECT vec_id, unnest(v) AS x,
+             unnest(range(1, len(v) + 1)) AS d, nrm FROM n),
+cent AS (SELECT d, avg(x / nrm) AS cd FROM u GROUP BY d),
+cvec AS (SELECT list(cd ORDER BY d) AS c FROM cent),
+cc AS (SELECT n.vec_id,
+              round(list_cosine_similarity(n.v, cvec.c), 6)
+                AS cos_centroid
+       FROM n CROSS JOIN cvec),
+ed AS (SELECT a.vec_id AS va, b.vec_id AS vb
+       FROM n a JOIN n b ON a.vec_id < b.vec_id
+       WHERE round(list_dot_product(a.v, b.v)
+                   / greatest(a.nrm * b.nrm, 1e-12), 6)
+             >= {SEMDEDUP_EPS}),
+und AS (SELECT va AS v1, vb AS v2 FROM ed
+        UNION SELECT vb, va FROM ed),
+reach(v, r) AS (
+    SELECT vec_id, vec_id FROM n
+    UNION
+    SELECT u.v1, reach.r FROM und u JOIN reach ON reach.v = u.v2),
+comp AS (SELECT v AS vec_id, min(r) AS component FROM reach GROUP BY v),
+lab AS (SELECT cc.vec_id, comp.component, cc.cos_centroid,
+               row_number() OVER (PARTITION BY comp.component
+                                  ORDER BY cc.cos_centroid, cc.vec_id)
+                 AS rn
+        FROM cc JOIN comp USING(vec_id))
+SELECT vec_id, 0::BIGINT AS cluster, component, cos_centroid,
+       (rn = 1) AS keep
+FROM lab
+"""
 
 ORACLE_SQL["autocomplete"] = f"""
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df
@@ -7427,6 +7510,8 @@ QUERIES = {
     "seg_dis_max": q_seg_dis_max,
     "combined_fields": q_combined_fields,
     "seg_combined_fields": q_seg_combined_fields,
+    "semdedup": q_semdedup,
+    "semdedup_exact": q_semdedup_exact,
     "constant_score": q_constant_score,
     "seg_constant_score": q_seg_constant_score,
     "rank_feature": q_rank_feature,

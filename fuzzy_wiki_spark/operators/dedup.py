@@ -608,3 +608,104 @@ def ngram_contamination(
             (F.col("n_bad") > 0).alias("contaminated"),
         )
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids,
+    eps: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): embedding-space
+    near-dup removal — k-means-cluster the embeddings, compare pairs
+    ONLY within a cluster (the paper's trick that turns the quadratic
+    pair space into Σ|cluster|²), connect pairs with cosine ≥ ``eps``,
+    and keep per duplicate-group the member with the LOWEST cosine to
+    its cluster centroid (the paper's keep-farthest rule — retains the
+    most atypical example, maximizing diversity); ties → lowest id.
+
+    Returns (vec_id, cluster, component, cos_centroid, keep) for every
+    input vector — filter keep to dedup. Singletons keep themselves.
+
+    Plan: one scan for assignment (centroid dots are codegen Column
+    math, the centroid table is driver-side metadata), a CLUSTER-KEYED
+    self-join for pairs (shuffle bounded by Σ|cluster|², never N² —
+    exactly the SemDeDup scaling argument), hash-min connected
+    components over the ε-graph (operators/dedup.connected_components —
+    pass ``checkpoint_dir`` on real clusters), and one min_by per
+    component. Cosines round to 6 dp before comparisons so survivor
+    choice is reproducible across engines/partitionings."""
+    from pyspark.sql import functions as F
+
+    from fuzzy_wiki_spark.operators.similarity import (
+        _argmax_dot,
+        _dot,
+        _norm,
+    )
+
+    dots = F.array(
+        *[
+            _dot(
+                F.col(vec_col),
+                F.array(*[F.lit(float(v)) for v in c]),
+            )
+            for c in centroids
+        ]
+    )
+    assigned = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _argmax_dot(vec_col, centroids).alias("cluster"),
+        F.round(
+            F.array_max(dots) / F.greatest(_norm(F.col(vec_col)), F.lit(1e-12)),
+            6,
+        ).alias("cos_centroid"),
+        _norm(F.col(vec_col)).alias("_n"),
+    ).persist()
+    a = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / F.greatest(
+        F.col("_na") * F.col("_nb"), F.lit(1e-12)
+    )
+    edges = (
+        a.join(b, "cluster")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(F.round(cos, 6) >= F.lit(float(eps)))
+        .select(F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b"))
+    )
+    comps = connected_components(edges, checkpoint_dir=checkpoint_dir)
+    labeled = assigned.join(
+        comps.withColumnRenamed("node", id_col), id_col, "left"
+    ).select(
+        id_col,
+        "cluster",
+        F.coalesce("component", F.col(id_col)).alias("component"),
+        "cos_centroid",
+    )
+    survivor = labeled.groupBy("component").agg(
+        F.min(F.struct("cos_centroid", F.col(id_col).alias("_id"))).alias(
+            "_s"
+        )
+    )
+    out = labeled.join(survivor, "component").select(
+        id_col,
+        "cluster",
+        "component",
+        "cos_centroid",
+        (F.col(id_col) == F.col("_s._id")).alias("keep"),
+    )
+    assigned.unpersist()
+    return out

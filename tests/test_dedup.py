@@ -219,3 +219,60 @@ def test_minhash_md5_mode_matches_xxhash_shape(spark):
         ).collect()
     }
     assert got == {(0, 1): 1.0}
+
+
+def test_semdedup_matches_numpy_mirror(spark):
+    """SemDeDup (Abbas et al. 2023) with real clusters: assignment,
+    within-cluster ε-graph, components and the keep-farthest-from-
+    centroid survivor all match a pure-numpy mirror on synthetic
+    embeddings with planted near-dups."""
+    from fuzzy_wiki_spark.operators.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 16))
+    # plant near-dup pairs: vectors 60..74 are tiny perturbations of 0..14
+    dups = base[:15] + rng.normal(scale=0.01, size=(15, 16))
+    x = np.vstack([base, dups])
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = kmeans_centroids(emb, n_centroids=4, sample=100, seed=42)
+
+    eps = 0.95
+    got = {
+        r["vec_id"]: (r["cluster"], r["component"], r["keep"])
+        for r in DD.semdedup(emb, cent, eps).collect()
+    }
+    # numpy mirror
+    xs = x / np.linalg.norm(x, axis=1, keepdims=True)
+    assign = (xs @ cent.T).argmax(axis=1)
+    cosc = np.round((xs @ cent.T).max(axis=1), 6)
+    n = len(x)
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if assign[i] == assign[j] and round(
+                float(xs[i] @ xs[j]), 6
+            ) >= eps:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i)
+    want = {}
+    for root, members in comp.items():
+        surv = min(members, key=lambda m: (cosc[m], m))
+        lbl = min(members)
+        for m in members:
+            want[m] = (int(assign[m]), lbl, m == surv)
+    assert got == want
+    # the planted dups actually deduplicate: ≥10 of the 15 pairs merged
+    merged = sum(1 for i in range(15) if want[i][1] == want[60 + i][1])
+    assert merged >= 10
