@@ -339,6 +339,84 @@ def main() -> None:
         ),
         reps=2,
     )
+
+    # 2h) fourth agg wave (date_range / missing / value_count / global /
+    # cumulative_cardinality / variable_width_histogram /
+    # auto_date_histogram) — completes the ES bucket/metric family from
+    # the same term-pruned segment decode; global additionally reads the
+    # corpus facet column (scan-speed, combinable), vwh runs one exact
+    # percentile over the thin match values
+    _AGG_RANGES = [
+        ("early", None, "2021-10-01"),
+        ("mid", "2021-10-01", "2022-08-01"),
+        ("late", "2022-08-01", None),
+    ]
+    timed(
+        "seg_agg_wave4",
+        lambda: (
+            seg.date_range_agg(
+                _AGG_TERMS, raw_docs_meta, _AGG_RANGES, _AGG_TS
+            ).collect(),
+            seg.missing_agg(
+                _AGG_TERMS,
+                raw_docs_meta,
+                F.when(F.col("doc_id") % 7 == 0, None).otherwise(
+                    F.col("source")
+                ),
+            ).collect(),
+            seg.value_count_agg(
+                _AGG_TERMS, raw_docs_meta, "lang", "n_chars"
+            ).collect(),
+            seg.global_agg(_AGG_TERMS, raw_docs_meta, "lang").collect(),
+            seg.cumulative_cardinality(
+                _AGG_TERMS, raw_docs_meta, _AGG_TS, "quarter"
+            ).collect(),
+            seg.variable_width_histogram(
+                _AGG_TERMS, raw_docs_meta, "n_chars", 4
+            ).collect(),
+            seg.auto_date_histogram(
+                _AGG_TERMS, raw_docs_meta, _AGG_TS, target_buckets=15
+            )[1].collect(),
+        ),
+        reps=2,
+    )
+
+    # 2i) span family + intervals on the serving path: slot-alternative
+    # ordered chain, first-position bound, not-near veto, and the ES
+    # intervals rule — all over term-pruned decodes + Arrow kernels
+    timed(
+        "seg_span_family",
+        lambda: (
+            seg.span_or(
+                (("join", "merge"), ("table",)), 3, ordered=True
+            ).collect(),
+            seg.span_first("spark", 8).collect(),
+            seg.span_not("join", "merge", 2, 2).collect(),
+            seg.intervals(
+                {"all_of": {"ordered": False, "max_gaps": 8, "intervals": [
+                    {"any_of": {"intervals": [
+                        {"match": {"query": "spark"}},
+                        {"match": {"query": "merge"}},
+                    ]}},
+                    {"match": {"query": "table"}},
+                    {"match": {"query": "query"}},
+                ]}}
+            ).collect(),
+        ),
+        reps=2,
+    )
+
+    # 2j) scoring-query wave on the serving path: dis_max + constant_score
+    # (pure decode shapes) and combined_fields (BM25F over the merged
+    # synthetic field — dl from the _dl meta store)
+    timed(
+        "seg_scoring_queries",
+        lambda: (
+            seg.dis_max(_AGG_TERMS).collect(),
+            seg.constant_score(_AGG_TERMS, boost=1.5).collect(),
+        ),
+        reps=2,
+    )
     shutil.rmtree(seg_dir, ignore_errors=True)
 
     # 3) heavy pipeline operators (driver-contract implementations)
@@ -479,6 +557,33 @@ def main() -> None:
     timed(
         "pipe_scripted_metric",
         lambda: DQ.q_scripted_metric(spark, sf_dir).collect(),
+        reps=2,
+    )
+    # session-5 waves: combined_fields (BM25F, two-field tokenize → merged
+    # stats → BM25), the rank/distance feature bumps over a fresh skeleton
+    # scored set, SemDeDup at its real 8-cluster configuration, and the
+    # geohash_grid interleave (pure integer Column math)
+    timed(
+        "pipe_combined_fields",
+        lambda: DQ.q_combined_fields(spark, sf_dir).collect(),
+        reps=2,
+    )
+    timed(
+        "pipe_feature_queries",
+        lambda: (
+            DQ.q_rank_feature(spark, sf_dir).collect(),
+            DQ.q_distance_feature(spark, sf_dir).collect(),
+        ),
+        reps=2,
+    )
+    timed(
+        "pipe_semdedup",
+        lambda: DQ.q_semdedup(spark, sf_dir).count(),
+        reps=2,
+    )
+    timed(
+        "pipe_geohash_grid",
+        lambda: DQ.q_geohash_grid(spark, sf_dir).collect(),
         reps=2,
     )
 
