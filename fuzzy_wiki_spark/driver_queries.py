@@ -2748,6 +2748,83 @@ def q_ivf_batch(spark, sf_dir):
 SEMDEDUP_EPS = 0.45
 
 
+TERM_LEVEL_DSL = {
+    "bool": {
+        "filter": [
+            {"range": {"n_chars": {"gte": 200, "lt": 2000}}},
+            {"exists": {"field": "src_opt"}},
+        ],
+        "should": [
+            {"term": {"lang": "en"}},
+            {"terms": {"lang": ["fr", "de"]}},
+        ],
+        "must_not": [{"ids": {"values": [7, 42, 99]}}],
+    }
+}
+_TERM_LEVEL_WHERE = (
+    "n_chars >= 200 AND n_chars < 2000 AND src_opt IS NOT NULL"
+    " AND (lang = 'en' OR lang IN ('fr', 'de'))"
+    " AND NOT (doc_id IN (7, 42, 99))"
+)
+
+
+def _term_level_filter_df(spark, sf_dir):
+    from fuzzy_wiki_spark.operators.boolean import compile_filter
+
+    docs2 = _docs(spark, sf_dir).withColumn(
+        "src_opt", F.expr(_NULLABLE_SOURCE)
+    )
+    return docs2.where(compile_filter(TERM_LEVEL_DSL)).select("doc_id")
+
+
+def q_term_level_filtered(spark, sf_dir):
+    """The ES term-level query family in filter context (operators/
+    boolean.py compile_filter): a bool of range + exists (filter),
+    term + terms (should), ids (must_not) compiled to ONE scan-pushable
+    Column predicate, then the skeleton query scored among the
+    survivors (search_filtered semantics — stats stay corpus-wide)."""
+    full = _skeleton_full_scores(spark, sf_dir)
+    return (
+        full.join(_term_level_filter_df(spark, sf_dir), "doc_id", "left_semi")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def q_seg_term_level(spark, sf_dir):
+    """Term-level filter bool on the SEGMENT serving path: the compiled
+    predicate resolves to allowed_ids, broadcast into the bucket tasks
+    (engine.py SegmentIndex.search_filtered — selective-filter route).
+    Oracle = ORACLE_SQL["term_level_filtered"] verbatim."""
+    import numpy as np
+
+    from fuzzy_wiki_spark.operators.segment_query import (
+        search_segments_batch,
+    )
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_segtl_")
+    allowed = sorted(
+        r["doc_id"] for r in _term_level_filter_df(spark, sf_dir).collect()
+    )
+    clauses = [
+        Clause(i, "content", (t,), 1.0, 0, False)
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    ]
+    res = search_segments_batch(
+        spark,
+        idx.segments,
+        {0: clauses},
+        idx._term_df(BM25_QUERY_TERMS),
+        idx.field_stats,
+        k=10,
+        allowed=np.asarray(allowed, dtype=np.int64),
+    )
+    return (
+        res.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) at its real configuration: 8
     k-means clusters, within-cluster ε-graph, keep-farthest-from-
@@ -4773,6 +4850,16 @@ ORDER BY s DESC, doc_id LIMIT 10
 ORACLE_SQL["filtered_search"] = _bm25_skeleton_sql(
     result_filter="doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
 )
+
+ORACLE_SQL["term_level_filtered"] = _bm25_skeleton_sql(
+    result_filter=(
+        "doc_id IN (SELECT doc_id FROM ("
+        "SELECT doc_id, lang, n_chars, "
+        "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS src_opt "
+        f"FROM documents) WHERE {_TERM_LEVEL_WHERE})"
+    )
+)
+ORACLE_SQL["seg_term_level"] = ORACLE_SQL["term_level_filtered"]
 
 ORACLE_SQL["delete_search"] = _bm25_skeleton_sql(
     result_filter=f"NOT ({DELETE_PRED})"
@@ -7512,6 +7599,8 @@ QUERIES = {
     "seg_combined_fields": q_seg_combined_fields,
     "semdedup": q_semdedup,
     "semdedup_exact": q_semdedup_exact,
+    "term_level_filtered": q_term_level_filtered,
+    "seg_term_level": q_seg_term_level,
     "constant_score": q_constant_score,
     "seg_constant_score": q_seg_constant_score,
     "rank_feature": q_rank_feature,

@@ -87,3 +87,63 @@ def boolean_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def compile_filter(dsl: dict):
+    """ES FILTER-CONTEXT DSL → one boolean Column over the docs table —
+    the term-level query family ES evaluates without scoring:
+
+    - ``{"term":  {field: value}}``       exact equality
+    - ``{"terms": {field: [v, ...]}}``    any-of
+    - ``{"ids":   {"values": [id, ...]}}`` doc_id any-of
+    - ``{"exists": {"field": f}}``        non-null
+    - ``{"range": {field: {"gt"/"gte"/"lt"/"lte": v, ...}}}``
+    - ``{"bool": {"filter"/"must": [...], "should": [...],
+                  "must_not": [...]}}``   nested; matches iff every
+      filter/must matches AND (no should clauses or ≥1 matches) AND no
+      must_not matches — exactly ES's filter-context bool.
+
+    The result is a single Column expression, so it composes into the
+    scan predicate (pushdown-able for plain comparisons) and costs no
+    extra pass; feed ``docs.where(compile_filter(dsl))`` to
+    search_filtered for the 'query + filters' page."""
+    if len(dsl) != 1:
+        raise ValueError(f"filter rule must have one key: {sorted(dsl)}")
+    kind, body = next(iter(dsl.items()))
+    if kind == "term":
+        (f, v), = body.items()
+        return F.col(f) == F.lit(v)
+    if kind == "terms":
+        (f, vs), = body.items()
+        return F.col(f).isin(list(vs))
+    if kind == "ids":
+        return F.col("doc_id").isin(list(body["values"]))
+    if kind == "exists":
+        return F.col(body["field"]).isNotNull()
+    if kind == "range":
+        (f, conds), = body.items()
+        ops = {
+            "gt": lambda c, v: c > v,
+            "gte": lambda c, v: c >= v,
+            "lt": lambda c, v: c < v,
+            "lte": lambda c, v: c <= v,
+        }
+        pred = None
+        for op, v in sorted(conds.items()):
+            c = ops[op](F.col(f), F.lit(v))
+            pred = c if pred is None else (pred & c)
+        return pred
+    if kind == "bool":
+        pred = F.lit(True)
+        for clause in body.get("filter", []) + body.get("must", []):
+            pred = pred & compile_filter(clause)
+        shoulds = body.get("should", [])
+        if shoulds:
+            any_of = compile_filter(shoulds[0])
+            for clause in shoulds[1:]:
+                any_of = any_of | compile_filter(clause)
+            pred = pred & any_of
+        for clause in body.get("must_not", []):
+            pred = pred & ~compile_filter(clause)
+        return pred
+    raise ValueError(f"unsupported filter rule: {kind}")

@@ -106,3 +106,67 @@ def test_boolean_rejects_conflicting_terms(posts):
         boolean_topk(
             posts, "content", ("merge",), (), ("merge",), tdf, fstats
         )
+
+
+def test_compile_filter_dsl(spark):
+    """ES filter-context DSL (operators/boolean.compile_filter): every
+    rule kind + the bool combination semantics against a pandas mirror."""
+    import pandas as pd
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fuzzy_wiki_spark.operators.boolean import compile_filter
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(20),
+            "lang": [["en", "fr", "de", None][i % 4] for i in range(20)],
+            "n": [i * 10 for i in range(20)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    def ids(dsl):
+        return {r["doc_id"] for r in df.where(compile_filter(dsl)).collect()}
+
+    assert ids({"term": {"lang": "en"}}) == {
+        i for i in range(20) if i % 4 == 0
+    }
+    assert ids({"terms": {"lang": ["fr", "de"]}}) == {
+        i for i in range(20) if i % 4 in (1, 2)
+    }
+    assert ids({"ids": {"values": [3, 5]}}) == {3, 5}
+    assert ids({"exists": {"field": "lang"}}) == {
+        i for i in range(20) if i % 4 != 3
+    }
+    assert ids({"range": {"n": {"gte": 50, "lt": 120}}}) == {
+        i for i in range(20) if 50 <= i * 10 < 120
+    }
+    assert ids({"range": {"n": {"gt": 50, "lte": 120}}}) == {
+        i for i in range(20) if 50 < i * 10 <= 120
+    }
+    got = ids(
+        {
+            "bool": {
+                "filter": [{"range": {"n": {"lt": 150}}}],
+                "should": [
+                    {"term": {"lang": "en"}},
+                    {"term": {"lang": "fr"}},
+                ],
+                "must_not": [{"ids": {"values": [0]}}],
+            }
+        }
+    )
+    assert got == {
+        i
+        for i in range(20)
+        if i * 10 < 150 and i % 4 in (0, 1) and i != 0
+    }
+    # bool with no should clauses: the should gate is absent, as in ES
+    assert ids({"bool": {"must": [{"term": {"lang": "de"}}]}}) == {
+        i for i in range(20) if i % 4 == 2
+    }
+    with _pytest.raises(ValueError):
+        compile_filter({"wrapper": {}})
+    with _pytest.raises(ValueError):
+        compile_filter({"term": {"lang": "en"}, "ids": {"values": []}})
