@@ -1170,6 +1170,39 @@ def q_seg_date_histogram(spark, sf_dir):
     )
 
 
+SIGTEXT_SAMPLE = 200
+
+
+def q_significant_text(spark, sf_dir):
+    """The ES significant_text aggregation (operators/facets.py
+    significant_text): JLH-significant terms computed by RE-ANALYZING
+    the source text of the first-200-by-id sampled match set (exact-
+    text dedup guard on), background df from the corpus postings."""
+    from fuzzy_wiki_spark.operators.facets import significant_text
+
+    return significant_text(
+        _postings_simple(spark, sf_dir),
+        _docs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        text_col="text",
+        sample_n=SIGTEXT_SAMPLE,
+    )
+
+
+def q_seg_significant_text(spark, sf_dir):
+    """significant_text on the SEGMENT serving path (engine.py
+    SegmentIndex.significant_text — match set from the pruned decode,
+    background from the term_stats side-channel). Oracle =
+    ORACLE_SQL["significant_text"] verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segst_")
+    return idx.significant_text(
+        BM25_QUERY_TERMS,
+        _docs(spark, sf_dir),
+        text_col="text",
+        sample_n=SIGTEXT_SAMPLE,
+    )
+
+
 def q_auto_date_histogram(spark, sf_dir):
     """Auto-interval calendar buckets (operators/facets.py
     auto_date_histogram — the ES `auto_date_histogram` agg): the engine
@@ -3691,6 +3724,35 @@ ORACLE_SQL: dict[str, str] = {
                  '%Y-%m-%d') AS bucket,
                count(*)::BIGINT AS n_docs
         FROM m GROUP BY bucket
+    """,
+    "significant_text": f"""
+        WITH tf AS ({_TF}),
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+        samp AS (SELECT doc_id FROM m ORDER BY doc_id LIMIT {SIGTEXT_SAMPLE}),
+        sd AS (SELECT d.doc_id, d.text
+               FROM samp JOIN documents d USING(doc_id)),
+        ded AS (SELECT doc_id, text FROM (
+                  SELECT doc_id, text,
+                         min(doc_id) OVER (PARTITION BY md5(text))
+                           AS first_id
+                  FROM sd) WHERE doc_id = first_id),
+        ftok AS (SELECT doc_id, t AS term FROM (
+                   SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                   FROM ded) WHERE t <> ''),
+        fg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_count
+               FROM ftok GROUP BY term),
+        bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_count
+               FROM tf GROUP BY term),
+        fgt AS (SELECT count(*)::DOUBLE AS fgt FROM ded),
+        bgt AS (SELECT count(DISTINCT doc_id)::DOUBLE AS bgt FROM tf),
+        sc AS (SELECT fg.term, fg.fg_count, bg.bg_count,
+                      ((fg_count / fgt) - (bg_count / bgt))
+                      * ((fg_count / fgt) / (bg_count / bgt)) AS s
+               FROM fg JOIN bg USING(term)
+                    CROSS JOIN fgt CROSS JOIN bgt
+               WHERE fg_count >= 3 AND term NOT IN {_QTERMS})
+        SELECT term, fg_count, bg_count, round(s, 6) AS score
+        FROM sc ORDER BY s DESC, term LIMIT 10
     """,
     "auto_date_histogram": f"""
         WITH tf AS ({_TF}),
@@ -7601,6 +7663,8 @@ QUERIES = {
     "semdedup_exact": q_semdedup_exact,
     "term_level_filtered": q_term_level_filtered,
     "seg_term_level": q_seg_term_level,
+    "significant_text": q_significant_text,
+    "seg_significant_text": q_seg_significant_text,
     "constant_score": q_constant_score,
     "seg_constant_score": q_seg_constant_score,
     "rank_feature": q_rank_feature,

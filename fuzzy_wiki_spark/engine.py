@@ -1487,6 +1487,42 @@ class SegmentIndex:
             bg_total=self.field_stats[field][0],
         )
 
+    def significant_text(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        text_col: str = "content",
+        sample_n: int = 200,
+        k: int = 10,
+        min_doc_count: int = 3,
+        field: str = "content",
+        analyzer_mode: str = "simple",
+    ) -> DataFrame:
+        """significant_text on the serving path (operators/facets
+        .significant_text): match set from the term-pruned decode, the
+        sampled docs' SOURCE text re-analyzed on the fly
+        (``analyzer_mode`` must match the mode the index was built
+        with), background df from the term_stats side-channel — no
+        corpus re-tokenize."""
+        from fuzzy_wiki_spark.operators.facets import (
+            significant_text as _significant_text,
+        )
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        bg = self.term_stats.where(F.col("field") == field)
+        return _significant_text(
+            posts,
+            docs,
+            sorted(set(terms)),
+            text_col=text_col,
+            sample_n=sample_n,
+            k=k,
+            min_doc_count=min_doc_count,
+            bg_stats=bg,
+            bg_total=self.field_stats[field][0],
+            analyzer_mode=analyzer_mode,
+        )
+
     def date_histogram(
         self,
         terms: list[str],

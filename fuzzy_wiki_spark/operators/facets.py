@@ -1208,3 +1208,92 @@ def variable_width_histogram(
             F.round(F.avg("_v"), 6).alias("avg_v"),
         )
     )
+
+
+def significant_text(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    sample_n: int = 200,
+    k: int = 10,
+    min_doc_count: int = 3,
+    id_col: str = "doc_id",
+    bg_stats: DataFrame | None = None,
+    bg_total=None,
+    filter_duplicate_text: bool = True,
+    analyzer_mode: str = "simple",
+) -> DataFrame:
+    """(term, fg_count, bg_count, score) — the ES `significant_text`
+    aggregation: significant_terms computed by RE-ANALYZING the source
+    text of the match set instead of reading index fields (ES's answer
+    for unindexed/source-only text; expensive by design, so ES runs it
+    under a sampler — pinned here as the first ``sample_n`` matching
+    docs by id, a deterministic sample). ``filter_duplicate_text``
+    mirrors ES's dedup guard, pinned to exact-text dedup (md5, keep
+    lowest id) — boilerplate/mirror pages would otherwise dominate the
+    significance scores. JLH score, query terms excluded, rare noise
+    cut by ``min_doc_count`` — identical scoring to significant_terms.
+
+    Plan: the sample is a TakeOrderedAndProject over the thin match-id
+    set, the re-tokenize is the engine's Arrow analyzer over only
+    ``sample_n`` documents (the sampler bound is what makes re-analysis
+    affordable — the corpus body is never re-tokenized), and the
+    background rides the term_stats side-channel when given."""
+    from fuzzy_wiki_spark.operators.postings import build_postings
+
+    sample_ids = (
+        _matching_docs(postings, terms, id_col)
+        .orderBy(id_col)
+        .limit(sample_n)
+    )
+    sample = docs.join(sample_ids, id_col, "left_semi").select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("content")
+    )
+    if filter_duplicate_text:
+        w_first = F.min("doc_id").over(
+            Window.partitionBy(F.md5(F.col("content")))
+        )
+        sample = (
+            sample.withColumn("_keep", F.col("doc_id") == w_first)
+            .where("_keep")
+            .drop("_keep")
+        )
+    fg_posts = build_postings(
+        sample, fields={"content": "content"}, mode=analyzer_mode
+    )
+    fg = fg_posts.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("fg_count")
+    )
+    if bg_stats is None:
+        bg = postings.groupBy("term").agg(
+            F.countDistinct(id_col).alias("bg_count")
+        )
+    else:
+        bg = bg_stats.select("term", F.col("df").alias("bg_count"))
+    fg_tot = sample.agg(F.count(F.lit(1)).cast("double").alias("_fgt"))
+    if bg_total is None:
+        bg_tot = postings.agg(
+            F.countDistinct(id_col).cast("double").alias("_bgt")
+        )
+    else:
+        bg_tot = fg_tot.sparkSession.range(1).select(
+            F.lit(float(bg_total)).alias("_bgt")
+        )
+    fg_pct = F.col("fg_count") / F.col("_fgt")
+    bg_pct = F.col("bg_count") / F.col("_bgt")
+    score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    return (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(fg_tot))
+        .crossJoin(F.broadcast(bg_tot))
+        .where(
+            (F.col("fg_count") >= min_doc_count) & ~F.col("term").isin(terms)
+        )
+        .withColumn("_s", score)
+        .orderBy(F.desc("_s"), F.asc("term"))
+        .limit(k)
+        .select(
+            "term", "fg_count", "bg_count", F.round("_s", 6).alias("score")
+        )
+    )

@@ -308,3 +308,54 @@ def test_agg7_plan_shape(spark, corpus):
     # and Spark pushes the k-cut down as a WindowGroupLimit
     assert "windowspecdefinition(_facet" in plan
     assert "WindowGroupLimit [_facet" in plan
+
+
+def test_significant_text_dedup_guard_and_parity(spark, corpus, tmp_path):
+    """significant_text re-analyzes source text: a planted boilerplate
+    string duplicated across many matching docs dominates WITHOUT the
+    dedup guard and is suppressed WITH it; segment twin agrees with the
+    relational path."""
+    from fuzzy_wiki_spark.operators.facets import significant_text
+
+    docs, posts, m = corpus
+    # plant: every even matching doc gets identical boilerplate text
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") % 2 == 0),
+            F.lit("tree boilerplate zebra quagga xylophone"),
+        ).otherwise(F.col("text")),
+    )
+    planted_posts = P.build_postings(
+        planted.withColumnRenamed("text", "content"),
+        fields={"content": "content"},
+        mode="simple",
+    )
+    kw = dict(text_col="text", sample_n=500, min_doc_count=2, k=5)
+    with_guard = {
+        r["term"]
+        for r in significant_text(
+            planted_posts, planted, ["tree"], **kw
+        ).collect()
+    }
+    without_guard = {
+        r["term"]
+        for r in significant_text(
+            planted_posts, planted, ["tree"],
+            filter_duplicate_text=False, **kw
+        ).collect()
+    }
+    # boilerplate-only tokens survive without the guard, die with it
+    assert "zebra" in without_guard
+    assert "zebra" not in with_guard
+
+    idx = SegmentIndex.build(
+        spark,
+        planted.withColumnRenamed("text", "content"),
+        str(tmp_path / "segst"),
+        n_buckets=4,
+        mode="simple",
+    )
+    rel = significant_text(planted_posts, planted, ["tree"], **kw).collect()
+    seg = idx.significant_text(["tree"], planted, **kw).collect()
+    assert sorted(tuple(r) for r in rel) == sorted(tuple(r) for r in seg)
