@@ -617,6 +617,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     checkpoint_dir: str | None = None,
+    n_blocks: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): embedding-space
@@ -632,12 +633,19 @@ def semdedup(
 
     Plan: one scan for assignment (centroid dots are codegen Column
     math, the centroid table is driver-side metadata), a CLUSTER-KEYED
-    self-join for pairs (shuffle bounded by Σ|cluster|², never N² —
-    exactly the SemDeDup scaling argument), hash-min connected
+    self-join for pairs (comparison work bounded by Σ|cluster|², never
+    N² — exactly the SemDeDup scaling argument), hash-min connected
     components over the ε-graph (operators/dedup.connected_components —
     pass ``checkpoint_dir`` on real clusters), and one min_by per
     component. Cosines round to 6 dp before comparisons so survivor
-    choice is reproducible across engines/partitionings."""
+    choice is reproducible across engines/partitionings.
+
+    ``n_blocks`` composes the similarity module's grid-block trick with
+    the cluster key: each cluster's pair grid splits into B(B+1)/2
+    independent join cells keyed (cluster, blk_lo, blk_hi), so a HOT
+    cluster distributes across ~B²/2 tasks instead of landing on one
+    join partition (the cluster-size skew guard; default 1 = plain
+    cluster join, right when |cluster| ≪ rows-per-task)."""
     from pyspark.sql import functions as F
 
     from fuzzy_wiki_spark.operators.similarity import (
@@ -665,27 +673,70 @@ def semdedup(
         ).alias("cos_centroid"),
         _norm(F.col(vec_col)).alias("_n"),
     ).persist()
-    a = assigned.select(
-        F.col("cluster"),
-        F.col(id_col).alias("_ida"),
-        F.col(vec_col).alias("_va"),
-        F.col("_n").alias("_na"),
-    )
-    b = assigned.select(
-        F.col("cluster"),
-        F.col(id_col).alias("_idb"),
-        F.col(vec_col).alias("_vb"),
-        F.col("_n").alias("_nb"),
-    )
+    if n_blocks > 1:
+        # hot-cluster guard: replicate each row once per block pair so a
+        # big cluster's grid spreads over B(B+1)/2 independent cells
+        blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+        pks = F.transform(
+            F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+            lambda j: F.concat_ws(
+                "_",
+                F.col("cluster"),
+                F.least(F.col("_blk"), j),
+                F.greatest(F.col("_blk"), j),
+            ),
+        )
+        rep = (
+            assigned.withColumn("_blk", blk)
+            .withColumn("_pk", F.explode(pks))
+        )
+        diag = F.concat_ws(
+            "_", F.col("a._cl"), F.col("a._blk"), F.col("a._blk")
+        )
+        a = rep.select(
+            F.col("_pk"),
+            F.col("cluster").alias("_cl"),
+            F.col("_blk"),
+            F.col(id_col).alias("_ida"),
+            F.col(vec_col).alias("_va"),
+            F.col("_n").alias("_na"),
+        ).alias("a")
+        b = rep.select(
+            F.col("_pk"),
+            F.col("_blk").alias("_blkb"),
+            F.col(id_col).alias("_idb"),
+            F.col(vec_col).alias("_vb"),
+            F.col("_n").alias("_nb"),
+        ).alias("b")
+        joined = a.join(
+            b,
+            (F.col("a._pk") == F.col("b._pk"))
+            & (F.col("_ida") < F.col("_idb"))
+            & (
+                (F.col("a._blk") != F.col("_blkb"))
+                | (F.col("a._pk") == diag)
+            ),
+        )
+    else:
+        a = assigned.select(
+            F.col("cluster"),
+            F.col(id_col).alias("_ida"),
+            F.col(vec_col).alias("_va"),
+            F.col("_n").alias("_na"),
+        )
+        b = assigned.select(
+            F.col("cluster"),
+            F.col(id_col).alias("_idb"),
+            F.col(vec_col).alias("_vb"),
+            F.col("_n").alias("_nb"),
+        )
+        joined = a.join(b, "cluster").where(F.col("_ida") < F.col("_idb"))
     cos = _dot(F.col("_va"), F.col("_vb")) / F.greatest(
         F.col("_na") * F.col("_nb"), F.lit(1e-12)
     )
-    edges = (
-        a.join(b, "cluster")
-        .where(F.col("_ida") < F.col("_idb"))
-        .where(F.round(cos, 6) >= F.lit(float(eps)))
-        .select(F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b"))
-    )
+    edges = joined.where(
+        F.round(cos, 6) >= F.lit(float(eps))
+    ).select(F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b"))
     comps = connected_components(edges, checkpoint_dir=checkpoint_dir)
     labeled = assigned.join(
         comps.withColumnRenamed("node", id_col), id_col, "left"

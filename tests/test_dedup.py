@@ -276,3 +276,25 @@ def test_semdedup_matches_numpy_mirror(spark):
     # the planted dups actually deduplicate: ≥10 of the 15 pairs merged
     merged = sum(1 for i in range(15) if want[i][1] == want[60 + i][1])
     assert merged >= 10
+
+
+def test_semdedup_blocked_equals_plain(spark):
+    """The hot-cluster grid guard (n_blocks>1) emits exactly the same
+    pair graph — same components, same survivors — as the plain
+    cluster join."""
+    from fuzzy_wiki_spark.operators.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(50, 12))
+    dups = base[:10] + rng.normal(scale=0.01, size=(10, 12))
+    x = np.vstack([base, dups])
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = kmeans_centroids(emb, n_centroids=3, sample=100, seed=42)
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    plain = rows_of(DD.semdedup(emb, cent, 0.95))
+    blocked = rows_of(DD.semdedup(emb, cent, 0.95, n_blocks=4))
+    assert plain == blocked
