@@ -663,6 +663,11 @@ def semdedup(
             for c in centroids
         ]
     )
+    # materialized ONCE and lineage-truncated (localCheckpoint, the
+    # connected_components pattern): the frame feeds both pair-join
+    # sides AND the survivor labeling, which executes after this
+    # function returns — a persist/unpersist pair would either leak the
+    # cache or silently recompute the assignment scan per consumer
     assigned = emb.select(
         F.col(id_col),
         F.col(vec_col),
@@ -672,7 +677,7 @@ def semdedup(
             6,
         ).alias("cos_centroid"),
         _norm(F.col(vec_col)).alias("_n"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     if n_blocks > 1:
         # hot-cluster guard: replicate each row once per block pair so a
         # big cluster's grid spreads over B(B+1)/2 independent cells
@@ -758,5 +763,4 @@ def semdedup(
         "cos_centroid",
         (F.col(id_col) == F.col("_s._id")).alias("keep"),
     )
-    assigned.unpersist()
     return out
