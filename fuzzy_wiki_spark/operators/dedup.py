@@ -678,70 +678,70 @@ def semdedup(
         ).alias("cos_centroid"),
         _norm(F.col(vec_col)).alias("_n"),
     ).localCheckpoint(eager=True)
-    if n_blocks > 1:
-        # hot-cluster guard: replicate each row once per block pair so a
-        # big cluster's grid spreads over B(B+1)/2 independent cells
-        blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
-        pks = F.transform(
-            F.sequence(F.lit(0), F.lit(n_blocks - 1)),
-            lambda j: F.concat_ws(
-                "_",
-                F.col("cluster"),
-                F.least(F.col("_blk"), j),
-                F.greatest(F.col("_blk"), j),
-            ),
-        )
-        rep = (
-            assigned.withColumn("_blk", blk)
-            .withColumn("_pk", F.explode(pks))
-        )
-        diag = F.concat_ws(
-            "_", F.col("a._cl"), F.col("a._blk"), F.col("a._blk")
-        )
-        a = rep.select(
-            F.col("_pk"),
-            F.col("cluster").alias("_cl"),
-            F.col("_blk"),
-            F.col(id_col).alias("_ida"),
-            F.col(vec_col).alias("_va"),
-            F.col("_n").alias("_na"),
-        ).alias("a")
-        b = rep.select(
-            F.col("_pk"),
-            F.col("_blk").alias("_blkb"),
-            F.col(id_col).alias("_idb"),
-            F.col(vec_col).alias("_vb"),
-            F.col("_n").alias("_nb"),
-        ).alias("b")
-        joined = a.join(
-            b,
-            (F.col("a._pk") == F.col("b._pk"))
-            & (F.col("_ida") < F.col("_idb"))
-            & (
-                (F.col("a._blk") != F.col("_blkb"))
-                | (F.col("a._pk") == diag)
-            ),
-        )
-    else:
-        a = assigned.select(
-            F.col("cluster"),
-            F.col(id_col).alias("_ida"),
-            F.col(vec_col).alias("_va"),
-            F.col("_n").alias("_na"),
-        )
-        b = assigned.select(
-            F.col("cluster"),
-            F.col(id_col).alias("_idb"),
-            F.col(vec_col).alias("_vb"),
-            F.col("_n").alias("_nb"),
-        )
-        joined = a.join(b, "cluster").where(F.col("_ida") < F.col("_idb"))
-    cos = _dot(F.col("_va"), F.col("_vb")) / F.greatest(
-        F.col("_na") * F.col("_nb"), F.lit(1e-12)
+    # within-cell pair mining is a GEMM kernel (applyInPandas): each
+    # (cluster, blk_lo, blk_hi) cell computes its cosine block with one
+    # numpy matmul — the same vectorization the ANN batch path uses; a
+    # per-pair Column dot (higher-order zip_with/aggregate) is NOT
+    # whole-stage-codegen and measured ~100x slower at 20M pairs. Each
+    # row replicates into the n_blocks cells containing its block, so a
+    # HOT cluster's grid spreads over B(B+1)/2 independent tasks (the
+    # cluster-size skew guard); per-task memory is the (|cluster|/B)^2
+    # cosine block.
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    cells = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda j: F.struct(
+            F.least(F.col("_blk"), j).alias("lo"),
+            F.greatest(F.col("_blk"), j).alias("hi"),
+        ),
     )
-    edges = joined.where(
-        F.round(cos, 6) >= F.lit(float(eps))
-    ).select(F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b"))
+    rep = (
+        assigned.withColumn("_blk", blk)
+        .withColumn("_cell", F.explode(F.array_distinct(cells)))
+        .select(
+            "cluster",
+            F.col("_cell.lo").alias("_lo"),
+            F.col("_cell.hi").alias("_hi"),
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            "_blk",
+        )
+    )
+    eps_f = float(eps)
+
+    def _cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        v = np.asarray(
+            [np.asarray(e, dtype=np.float64) for e in pdf["_v"]]
+        )
+        nrm = np.maximum(np.linalg.norm(v, axis=1), 1e-12)
+        vn = v / nrm[:, None]
+        ids = pdf["_id"].to_numpy()
+        lo, hi = int(pdf["_lo"].iloc[0]), int(pdf["_hi"].iloc[0])
+        if lo == hi:
+            s = np.round(vn @ vn.T, 6)
+            ii, jj = np.where(s >= eps_f)
+        else:
+            am = pdf["_blk"].to_numpy() == lo
+            ai, bi = np.where(am)[0], np.where(~am)[0]
+            s = np.round(vn[ai] @ vn[bi].T, 6)
+            i0, j0 = np.where(s >= eps_f)
+            ii, jj = ai[i0], bi[j0]
+        ia, ib = ids[ii], ids[jj]
+        # an off-diagonal pair arrives once with arbitrary side order;
+        # canonicalize to (min, max) rather than filtering (a diagonal
+        # cell's symmetric matches dedup the same way: lo < hi kept)
+        lo_id, hi_id = np.minimum(ia, ib), np.maximum(ia, ib)
+        keep = lo_id < hi_id
+        return pd.DataFrame(
+            {"doc_a": lo_id[keep], "doc_b": hi_id[keep]}
+        ).astype("int64")
+
+    edges = rep.groupBy("cluster", "_lo", "_hi").applyInPandas(
+        _cell_pairs, "doc_a long, doc_b long"
+    )
     comps = connected_components(edges, checkpoint_dir=checkpoint_dir)
     labeled = assigned.join(
         comps.withColumnRenamed("node", id_col), id_col, "left"

@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""SemDeDup scale bench: embedding-space near-dedup (operators/dedup.py
+semdedup — k-means assignment, within-cluster ε-graph with the grid
+skew guard, connected components, keep-farthest survivor) over a
+deterministic synthetic embedding table with PLANTED near-duplicates.
+
+Vectors are generated distributed (mapInArrow, per-partition PCG seeded
+by the partition's first id — layout-invariant given fixed input
+partitioning): every id with ``id % dup_every == dup_every-1`` is a
+small perturbation of id-1, so ~1/dup_every of the corpus is a planted
+near-dup pair and the ε-graph is non-trivial at any scale.
+
+Prints ONE JSON line with stage seconds + the planted-pair recall (the
+fraction of planted pairs whose two members landed in one component —
+cluster-restricted comparison misses cross-cluster pairs by design, so
+recall < 1 is expected and REPORTED, not hidden). Run at two
+parallelism levels for the scaling picture:
+
+    python scripts/bench_semdedup.py --n 1000000 --cpus 8
+    python scripts/bench_semdedup.py --n 1000000 --cpus 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--clusters", type=int, default=256)
+    ap.add_argument("--eps", type=float, default=0.93)
+    ap.add_argument("--dup-every", type=int, default=10)
+    ap.add_argument("--blocks", type=int, default=4)
+    ap.add_argument("--gen-partitions", type=int, default=64,
+                    help="FIXED input partitioning so every parallelism "
+                         "level sees the identical generated table")
+    args = ap.parse_args()
+
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from fuzzy_wiki_spark import get_spark
+    from fuzzy_wiki_spark.operators.dedup import semdedup
+    from fuzzy_wiki_spark.operators.similarity import kmeans_centroids
+    from fuzzy_wiki_spark.phase import phase_control
+
+    control_start = phase_control()
+    spark = get_spark(
+        "bench-semdedup",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus,
+    )
+    dim, dup_every = args.dim, args.dup_every
+
+    def gen(batches):
+        import numpy as np
+
+        for b in batches:
+            ids = b.column("id").to_numpy()
+            rng = np.random.default_rng(int(ids[0]) + 1)
+            x = rng.standard_normal((len(ids), dim))
+            # planted near-dups: id ≡ -1 (mod dup_every) perturbs id-1.
+            # ids are contiguous within a range partition, so the base
+            # row sits in the same batch (except a boundary id, skipped)
+            for k in np.where((ids % dup_every) == dup_every - 1)[0]:
+                if k > 0:
+                    x[k] = x[k - 1] + 0.02 * rng.standard_normal(dim)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids),
+                    pa.array([row.astype(float).tolist() for row in x]),
+                ],
+                names=["vec_id", "embedding"],
+            )
+
+    t0 = time.perf_counter()
+    emb = (
+        spark.range(args.n, numPartitions=args.gen_partitions)
+        .mapInArrow(gen, "vec_id long, embedding array<double>")
+        .persist()
+    )
+    n = emb.count()
+    t_gen = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cent = kmeans_centroids(
+        emb, n_centroids=args.clusters, sample=4096, seed=42
+    )
+    t_train = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    out = semdedup(emb, cent, args.eps, n_blocks=args.blocks).persist()
+    n_rows = out.count()
+    t_dedup = time.perf_counter() - t0
+
+    removed = out.where(~F.col("keep")).count()
+    # planted-pair recall: both members of a planted pair share a comp
+    pairs = out.alias("a").join(
+        out.alias("b"),
+        (F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        & (F.col("b.vec_id") % dup_every == dup_every - 1)
+        & (F.col("b.vec_id") % (args.n // args.gen_partitions) != 0),
+    )
+    planted = pairs.count()
+    merged = pairs.where(
+        F.col("a.component") == F.col("b.component")
+    ).count()
+
+    print(
+        json.dumps(
+            {
+                "n": n,
+                "dim": dim,
+                "cpus": args.cpus,
+                "clusters": args.clusters,
+                "eps": args.eps,
+                "gen_sec": round(t_gen, 2),
+                "kmeans_sec": round(t_train, 2),
+                "semdedup_sec": round(t_dedup, 2),
+                "vectors_per_sec": round(n / t_dedup, 1),
+                "removed": removed,
+                "planted_pairs": planted,
+                "planted_merged": merged,
+                "planted_recall": round(merged / max(planted, 1), 4),
+                "control_start": control_start,
+                "control_end": phase_control(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
