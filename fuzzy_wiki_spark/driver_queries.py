@@ -2778,6 +2778,27 @@ def q_ivf_batch(spark, sf_dir):
     )
 
 
+def q_maxsim(spark, sf_dir):
+    """Late-interaction retrieval (ColBERT MaxSim — operators/
+    similarity.py maxsim_topk): each doc's 64-dim embedding splits into
+    four 16-dim token vectors (deterministic multi-vector synthesis,
+    mirrored by the oracle's list slices); the query is vec 0's four
+    slices; score = Σ_i max_j cos(q_i, d_j), one gemm kernel pass."""
+    from fuzzy_wiki_spark.operators.similarity import maxsim_topk
+
+    emb = _emb(spark, sf_dir)
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda s: F.slice(
+            F.col("embedding").cast("array<double>"), s * 16 + 1, 16
+        ),
+    )
+    docs = emb.where(F.col("vec_id") != 0).select("vec_id", slices.alias("vecs"))
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    qv = [list(qrow[s * 16 : s * 16 + 16]) for s in range(4)]
+    return maxsim_topk(docs, qv, k=10)
+
+
 SEMDEDUP_EPS = 0.45
 
 
@@ -4617,6 +4638,23 @@ ORACLE_SQL["compact_search"] = ORACLE_SQL["bm25_topk"]
 ORACLE_SQL["segment_bm25"] = ORACLE_SQL["bm25_topk"]
 # exhaustive-rerank PQ is exact → shares the brute-force cosine oracle
 ORACLE_SQL["pq_exact"] = ORACLE_SQL["ivf_exact"]
+
+# ColBERT MaxSim over the sliced multi-vector docs: max over doc
+# slices per query slice, summed — exact brute force, directly SQL-able
+ORACLE_SQL["maxsim_topk"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sl AS (SELECT unnest(range(0, 4)) AS s),
+ds AS (SELECT e.vec_id, sl.s,
+              v[(sl.s*16+1):(sl.s*16+16)] AS dv
+       FROM e CROSS JOIN sl WHERE e.vec_id <> 0),
+qs AS (SELECT sl.s AS qi, v[(sl.s*16+1):(sl.s*16+16)] AS qv
+       FROM e CROSS JOIN sl WHERE e.vec_id = 0),
+mx AS (SELECT ds.vec_id, qs.qi,
+              max(list_cosine_similarity(ds.dv, qs.qv)) AS m
+       FROM ds CROSS JOIN qs GROUP BY ds.vec_id, qs.qi),
+sc AS (SELECT vec_id, round(sum(m), 6) AS score FROM mx GROUP BY vec_id)
+SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id LIMIT 10
+"""
 
 # SemDeDup at n_clusters=1: centroid = mean of unit vectors (scaling
 # irrelevant to cosine), ε-graph, recursive min-label components,
@@ -7665,6 +7703,7 @@ QUERIES = {
     "seg_term_level": q_seg_term_level,
     "significant_text": q_significant_text,
     "seg_significant_text": q_seg_significant_text,
+    "maxsim_topk": q_maxsim,
     "constant_score": q_constant_score,
     "seg_constant_score": q_seg_constant_score,
     "rank_feature": q_rank_feature,

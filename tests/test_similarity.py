@@ -249,3 +249,40 @@ def test_ivf_batch_recall_ladder(spark, emb_df):
         hit = sum(len(got.get(q, set()) & t) for q, t in truth.items())
         recalls.append(hit / sum(len(t) for t in truth.values()))
     assert recalls[0] <= recalls[1] <= recalls[2] == 1.0
+
+
+def test_maxsim_matches_numpy(spark):
+    """ColBERT MaxSim (similarity.maxsim_topk): score = sum over query
+    vectors of the max cosine over each doc's vectors — numpy mirror,
+    plus the late-interaction property that a doc matching every query
+    vector somewhere beats a doc matching one vector perfectly."""
+    import numpy as np
+
+    from fuzzy_wiki_spark.operators.similarity import maxsim_topk
+
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(3, 8))
+    docs = []
+    for i in range(40):
+        m = rng.integers(2, 6)
+        docs.append((i, [[float(x) for x in rng.normal(size=8)] for _ in range(m)]))
+    # doc 100: contains a near-copy of EVERY query vector
+    docs.append((100, [[float(x) for x in v + 0.01 * rng.normal(size=8)] for v in q]))
+    # doc 101: one exact query vector, rest orthogonal-ish noise
+    docs.append((101, [[float(x) for x in q[0]]] + [[float(x) for x in rng.normal(size=8)] for _ in range(2)]))
+    df = spark.createDataFrame(docs, "vec_id long, vecs array<array<double>>")
+
+    got = {
+        r["vec_id"]: r["score"]
+        for r in maxsim_topk(df, q.tolist(), k=1000).collect()
+    }
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    want = {}
+    for i, vs in docs:
+        v = np.asarray(vs)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        want[i] = round(float((qn @ vn.T).max(axis=1).sum()), 6)
+    assert got == want
+    top = maxsim_topk(df, q.tolist(), k=1).collect()[0]
+    assert top["vec_id"] == 100
+    assert got[100] > got[101]
