@@ -6476,6 +6476,47 @@ def q_seg_sort(spark, sf_dir):
     return idx.sort_by_field(BM25_QUERY_TERMS, docs, "n_chars")
 
 
+def q_sort_after(spark, sf_dir):
+    """Field-sorted pagination (ES search_after on a non-score sort;
+    operators/multi_match.py sort_by_field_topk ``after``): page 2 of
+    the n_chars-desc listing via the previous page's last
+    (sort_value, doc_id) as a strict-inequality predicate — page N
+    costs page 1, never a deep-paging offset. Oracle = rank offset over
+    the identical total order, proving predicate ≡ offset."""
+    from fuzzy_wiki_spark.operators.multi_match import sort_by_field_topk
+
+    posts = _postings_simple(spark, sf_dir).persist()
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    page1 = sort_by_field_topk(
+        posts, "content", BM25_QUERY_TERMS, docs, "n_chars"
+    ).collect()
+    last = page1[-1]
+    return sort_by_field_topk(
+        posts,
+        "content",
+        BM25_QUERY_TERMS,
+        docs,
+        "n_chars",
+        after=(last["n_chars"], last["doc_id"]),
+    )
+
+
+def q_seg_sort_after(spark, sf_dir):
+    """Field-sorted page 2 on the SEGMENT serving path (engine.py
+    SegmentIndex.sort_by_field ``after``). Oracle =
+    ORACLE_SQL["sort_after"] verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segsa_")
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    page1 = idx.sort_by_field(BM25_QUERY_TERMS, docs, "n_chars").collect()
+    last = page1[-1]
+    return idx.sort_by_field(
+        BM25_QUERY_TERMS,
+        docs,
+        "n_chars",
+        after=(last["n_chars"], last["doc_id"]),
+    )
+
+
 # terms_set: the per-doc minimum_should_match_field is synthesized
 # deterministically as 1 + doc_id % TS_MOD (the documents table has no
 # natural "required matches" column; the oracle mirrors the expression)
@@ -7704,6 +7745,8 @@ QUERIES = {
     "significant_text": q_significant_text,
     "seg_significant_text": q_seg_significant_text,
     "maxsim_topk": q_maxsim,
+    "sort_after": q_sort_after,
+    "seg_sort_after": q_seg_sort_after,
     "constant_score": q_constant_score,
     "seg_constant_score": q_seg_constant_score,
     "rank_feature": q_rank_feature,
@@ -8170,6 +8213,14 @@ WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM ({_TOK})
 ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
 """
 ORACLE_SQL["seg_sort"] = ORACLE_SQL["sort_by_field"]
+
+ORACLE_SQL["sort_after"] = f"""
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM ({_TOK})
+                   WHERE term IN {_QTERMS})
+ORDER BY d.n_chars DESC, d.doc_id LIMIT 10 OFFSET 10
+"""
+ORACLE_SQL["seg_sort_after"] = ORACLE_SQL["sort_after"]
 
 _PIN_LADDER = ", ".join(
     f"({d}, {1.0e9 - i:.1f})" for i, d in enumerate(PIN_IDS)

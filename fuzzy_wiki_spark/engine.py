@@ -2154,17 +2154,21 @@ class SegmentIndex:
         field: str = "content",
         k: int = 10,
         ascending: bool = False,
+        after: tuple | None = None,
     ) -> DataFrame:
         """Sort-by-doc-value retrieval on the serving path (ES sort
         without _score): term-pruned decode (no dl — no scoring at all) →
-        distinct match set → doc-value join → TakeOrderedAndProject."""
+        distinct match set → doc-value join → TakeOrderedAndProject.
+        ``after`` = the previous page's last (sort_value, doc_id) for
+        search_after field-sort pagination."""
         from fuzzy_wiki_spark.operators.multi_match import (
             sort_by_field_topk,
         )
 
         posts = self.term_postings(field, sorted(set(words)), with_dl=False)
         return sort_by_field_topk(
-            posts, field, list(words), docs, sort_col, k=k, ascending=ascending
+            posts, field, list(words), docs, sort_col, k=k,
+            ascending=ascending, after=after,
         )
 
     def _full_scores(self, query: str) -> DataFrame:

@@ -307,12 +307,19 @@ def sort_by_field_topk(
     k: int = 10,
     ascending: bool = False,
     id_col: str = "doc_id",
+    after: tuple | None = None,
 ) -> DataFrame:
     """Match (ANY term) then top-k by a doc-value column instead of by
     score — ES ``sort: [{field: desc}]``. No scoring math runs at all:
     the plan is pruned-scan → distinct doc_ids → join doc values →
     TakeOrderedAndProject, so a sorted page over a 10^12-file corpus
-    costs a thin distinct on the match set and nothing else."""
+    costs a thin distinct on the match set and nothing else.
+
+    ``after`` = the previous page's last ``(sort_value, doc_id)`` —
+    ES's ``search_after`` on a field sort: the next page is a plain
+    strict-inequality predicate on the (sort, id) ORDER, evaluated
+    scan-side, so page N costs the same as page 1 (no deep-paging
+    offset scan — the exact reason ES deprecated from+size)."""
     matched = (
         postings.where(
             F.col("term").isin(list(words)) & (F.col("field") == field)
@@ -325,11 +332,15 @@ def sort_by_field_topk(
         if ascending
         else [F.desc(sort_col), F.asc(id_col)]
     )
-    return (
-        matched.join(docs.select(id_col, sort_col), id_col)
-        .orderBy(*order)
-        .limit(k)
-    )
+    out = matched.join(docs.select(id_col, sort_col), id_col)
+    if after is not None:
+        av, aid = after
+        s, i = F.col(sort_col), F.col(id_col)
+        if ascending:
+            out = out.where((s > F.lit(av)) | ((s == F.lit(av)) & (i > aid)))
+        else:
+            out = out.where((s < F.lit(av)) | ((s == F.lit(av)) & (i > aid)))
+    return out.orderBy(*order).limit(k)
 
 
 def terms_set_topk(

@@ -461,3 +461,30 @@ def test_combined_fields_parity(rel, segi, words):
     ).collect()
     b = segi.combined_fields(list(words), FIELD_BOOSTS).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_sort_after_pages_partition_the_listing(rel, segi, docs, words):
+    """search_after on a field sort: consecutive pages are disjoint,
+    ordered, and their union equals the one-shot top-2k listing; page 2
+    via the after-predicate equals rank offset (both engines agree)."""
+    from fuzzy_wiki_spark.operators import postings as P
+    from fuzzy_wiki_spark.operators.multi_match import sort_by_field_topk
+
+    dv = docs.select("doc_id", F.length("content").alias("n"))
+    all_rows = sort_by_field_topk(
+        rel.postings, "content", list(words), dv, "n", k=30
+    ).collect()
+    pages, after = [], None
+    for _ in range(3):
+        page = sort_by_field_topk(
+            rel.postings, "content", list(words), dv, "n", k=10,
+            after=after,
+        ).collect()
+        pages.extend(page)
+        after = (page[-1]["n"], page[-1]["doc_id"])
+    assert [tuple(r) for r in pages] == [tuple(r) for r in all_rows]
+    seg2 = segi.sort_by_field(
+        list(words), dv, "n",
+        after=(all_rows[9]["n"], all_rows[9]["doc_id"]),
+    ).collect()
+    assert [tuple(r) for r in seg2] == [tuple(r) for r in all_rows[10:20]]
