@@ -2778,6 +2778,31 @@ def q_ivf_batch(spark, sf_dir):
     )
 
 
+RAG_QUERY = "spark merge join table"
+RAG_MT, RAG_STRIDE, RAG_DIM = 30, 20, 16
+
+
+def q_rag_retrieve(spark, sf_dir):
+    """End-to-end chunked semantic retrieval (RAG / ES semantic_text
+    shape; operators/similarity.py rag_retrieve): sliding-window chunks
+    (30 tokens, stride 20) → SQL-portable hashed pseudo-embeddings →
+    cosine vs the embedded query → per-doc best chunk → top-10 docs.
+    The oracle replays chunking, embedding arithmetic, cosine and the
+    per-doc argmax end-to-end in SQL."""
+    from fuzzy_wiki_spark.operators.similarity import rag_retrieve
+
+    res = rag_retrieve(
+        _docs(spark, sf_dir),
+        RAG_QUERY,
+        max_tokens=RAG_MT,
+        stride=RAG_STRIDE,
+        dim=RAG_DIM,
+    )
+    return res.select(
+        "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "cos_sim"
+    )
+
+
 def q_maxsim(spark, sf_dir):
     """Late-interaction retrieval (ColBERT MaxSim — operators/
     similarity.py maxsim_topk): each doc's 64-dim embedding splits into
@@ -4638,6 +4663,60 @@ ORACLE_SQL["compact_search"] = ORACLE_SQL["bm25_topk"]
 ORACLE_SQL["segment_bm25"] = ORACLE_SQL["bm25_topk"]
 # exhaustive-rerank PQ is exact → shares the brute-force cosine oracle
 ORACLE_SQL["pq_exact"] = ORACLE_SQL["ivf_exact"]
+
+def _rag_oracle_sql() -> str:
+    """Full SQL replay of rag_retrieve: chunk starts, slice text,
+    hashed-embedding arithmetic, cosine vs the precomputed query
+    vector, per-doc argmax, top-10."""
+    from fuzzy_wiki_spark.operators.similarity import hash_embed_py
+
+    qv = hash_embed_py(RAG_QUERY, RAG_DIM)
+    qn = sum(v * v for v in qv) ** 0.5
+
+    def e(d: int) -> str:
+        return (
+            f"((('0x' || substr(md5(ctext || ':{d}'), 1, 15))::UBIGINT"
+            f" % 1000) / 1000.0 - 0.5)"
+        )
+
+    dot = " + ".join(f"{e(d)} * ({qv[d]!r})" for d in range(RAG_DIM))
+    nrm = "sqrt(" + " + ".join(f"{e(d)} * {e(d)}" for d in range(RAG_DIM)) + ")"
+    mt, s = RAG_MT, RAG_STRIDE
+    return f"""
+WITH base AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                       AS arr
+              FROM documents),
+nn AS (SELECT doc_id, arr, len(arr) AS n FROM base WHERE len(arr) > 0),
+st AS (SELECT doc_id, arr, n,
+         CASE WHEN n <= {mt} THEN [0]
+              ELSE list_append(
+                list_transform(
+                  range(0, CAST(ceil((n - {mt}) / {s}.0) AS INT)),
+                  i -> i * {s}),
+                n - {mt})
+         END AS starts
+       FROM nn),
+ch AS (SELECT doc_id,
+              unnest(range(0, len(starts)))::BIGINT AS chunk_id,
+              array_to_string(arr[(unnest(starts) + 1)
+                                  :(unnest(starts) + {mt})], ' ') AS ctext
+       FROM st),
+sc AS (SELECT doc_id, chunk_id,
+              round(({dot}) / greatest(({nrm}) * {qn!r}, 1e-12), 6)
+                AS cos_sim
+       FROM ch),
+rk AS (SELECT doc_id, chunk_id, cos_sim,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY cos_sim DESC, chunk_id)
+                AS rn
+       FROM sc)
+SELECT doc_id, chunk_id, cos_sim FROM rk WHERE rn = 1
+ORDER BY cos_sim DESC, doc_id LIMIT 10
+"""
+
+
+ORACLE_SQL["rag_retrieve"] = _rag_oracle_sql()
 
 # ColBERT MaxSim over the sliced multi-vector docs: max over doc
 # slices per query slice, summed — exact brute force, directly SQL-able
@@ -7745,6 +7824,7 @@ QUERIES = {
     "significant_text": q_significant_text,
     "seg_significant_text": q_seg_significant_text,
     "maxsim_topk": q_maxsim,
+    "rag_retrieve": q_rag_retrieve,
     "sort_after": q_sort_after,
     "seg_sort_after": q_seg_sort_after,
     "constant_score": q_constant_score,

@@ -760,3 +760,99 @@ def maxsim_topk(
         F.col(id_col).alias(id_col), F.col(vecs_col)
     ).mapInPandas(kernel, f"{id_col} long, score double")
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def hash_embed(col, dim: int = 16):
+    """Deterministic hashed pseudo-embedding Column over a text column:
+    ``e[d] = ((md5_60(text || ':' || d) % 1000) / 1000) - 0.5`` — the
+    SQL-portable md5-prefix trick the minhash/DSIR oracles use, so the
+    whole chunk→embed→retrieve pipeline replays in ANSI SQL. A stand-in
+    for a real encoder (none ships in this container): the Spark-side
+    plumbing — chunking, embedding column shape, cosine scoring, per-doc
+    aggregation — is the part that must be production-real, and is."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(c, F.lit(f":{d}"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % 1000
+            ).cast("double")
+            / 1000.0
+            - 0.5
+            for d in range(dim)
+        ]
+    )
+
+
+def hash_embed_py(text: str, dim: int = 16) -> list[float]:
+    """Driver-side mirror of hash_embed for query strings."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{text}:{d}".encode()).hexdigest()[:15]
+        out.append((int(h, 16) % 1000) / 1000.0 - 0.5)
+    return out
+
+
+def rag_retrieve(
+    docs: DataFrame,
+    query_text: str,
+    max_tokens: int = 30,
+    stride: int = 20,
+    dim: int = 16,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end chunked semantic retrieval — the RAG / ES
+    `semantic_text` serving shape: sliding-window chunk the corpus
+    (operators/export.chunk_documents), embed every chunk, cosine-score
+    against the embedded query, and return the top-k DOCUMENTS each
+    represented by its best chunk: (doc_id, chunk_id, cos_sim).
+
+    Plan: chunking is narrow higher-order Column work (no shuffle, no
+    UDF), the embedding + cosine are pure Column math against the
+    driver-side query vector, the per-doc best chunk is ONE combinable
+    max_by groupBy, and the final cut is TakeOrderedAndProject. With a
+    real encoder, swap hash_embed for a mapInPandas batch encode and
+    precompute chunk embeddings into a table — the retrieval side is
+    unchanged. At billion-chunk scale put the IVF/PQ ladder in front
+    and keep this exact scoring as the rerank stage."""
+    from fuzzy_wiki_spark.operators.export import chunk_documents
+
+    chunks = chunk_documents(
+        docs, max_tokens, stride=stride, text_col=text_col, id_col=id_col
+    )
+    emb = hash_embed("chunk_text", dim)
+    qv = hash_embed_py(query_text, dim)
+    qn = sum(v * v for v in qv) ** 0.5
+    qcol = F.array(*[F.lit(float(v)) for v in qv])
+    cos = _dot(emb, qcol) / F.greatest(_norm(emb) * F.lit(qn), F.lit(1e-12))
+    scored = chunks.select(
+        id_col,
+        "chunk_id",
+        F.round(cos, 6).alias("cos_sim"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("cos_sim"),
+                (-F.col("chunk_id")).alias("_nc"),
+                F.col("chunk_id"),
+            )
+        ).alias("_b")
+    )
+    return (
+        best.select(
+            id_col,
+            F.col("_b.chunk_id").alias("chunk_id"),
+            F.col("_b.cos_sim").alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -286,3 +286,33 @@ def test_maxsim_matches_numpy(spark):
     top = maxsim_topk(df, q.tolist(), k=1).collect()[0]
     assert top["vec_id"] == 100
     assert got[100] > got[101]
+
+
+def test_rag_retrieve_finds_planted_chunk(spark):
+    """Chunked semantic retrieval: a doc whose MIDDLE chunk is exactly
+    the query text scores cos=1.0 via that chunk; filler-only docs score
+    lower; the winning chunk_id points at the planted window."""
+    from fuzzy_wiki_spark.operators.similarity import (
+        hash_embed_py,
+        rag_retrieve,
+    )
+
+    query = "needle in the haystack stack"
+    unit = "alpha beta gamma delta epsilon"  # 5 tokens = one chunk
+    planted = " ".join([unit] * 5 + [query] + [unit] * 3)
+    rows = [(0, planted)] + [
+        (i, " ".join([unit] * 9)) for i in range(1, 8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = rag_retrieve(
+        docs, query, max_tokens=5, stride=5, dim=16, k=3
+    ).collect()
+    assert out[0]["doc_id"] == 0
+    assert abs(out[0]["cos_sim"] - 1.0) < 1e-6
+    # the winning chunk is the planted window: 5 filler chunks of 5
+    # tokens precede it, so the query occupies chunk_id 5 exactly
+    assert out[0]["chunk_id"] == 5
+    assert all(r["cos_sim"] < 0.999 for r in out[1:])
+    # driver-side query embedding mirrors the Column formula
+    qv = hash_embed_py(query, 16)
+    assert len(qv) == 16 and all(-0.5 <= v <= 0.5 for v in qv)
