@@ -3019,6 +3019,39 @@ def q_events_window(spark, sf_dir):
     return windowed_event_counts(ev, window="1 hour")
 
 
+def q_trending_terms(spark, sf_dir):
+    """Trending terms over a windowed document stream (batch form of
+    streaming/incremental.py windowed_term_counts +
+    trending_from_counts; stream ≡ batch pinned in
+    tests/test_streaming.py): hourly distinct-doc term counts from a
+    derived arrival timestamp, then the latest window's top-10 by the
+    smoothed vs-previous-window trend ratio."""
+    from fuzzy_wiki_spark.streaming.incremental import (
+        trending_from_counts,
+        windowed_term_counts,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        (
+            F.to_timestamp(F.lit("2021-01-01 00:00:00"))
+            + F.make_interval(mins=(F.col("doc_id") % 90).cast("int"))
+        ).alias("ts"),
+    )
+    counts = windowed_term_counts(docs, window="1 hour")
+    res = trending_from_counts(counts, k=10)
+    return res.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "term",
+        "n_docs",
+        F.col("prev").cast("long").alias("prev"),
+        "trend",
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min gap) over the events table — the
     batch mirror of the applyInPandasWithState streaming operator
@@ -4717,6 +4750,30 @@ ORDER BY cos_sim DESC, doc_id LIMIT 10
 
 
 ORACLE_SQL["rag_retrieve"] = _rag_oracle_sql()
+
+# trending terms: hourly distinct-doc counts from the derived arrival
+# time, latest window ranked by the smoothed vs-previous ratio
+ORACLE_SQL["trending_terms"] = """
+WITH d AS (SELECT doc_id, text,
+             TIMESTAMP '2021-01-01 00:00:00'
+               + (doc_id % 90) * INTERVAL '1 minute' AS ts
+           FROM documents),
+tok AS (SELECT DISTINCT doc_id, ts, t AS term FROM (
+          SELECT doc_id, ts, unnest(string_split(text, ' ')) AS t FROM d)
+        WHERE t <> ''),
+c AS (SELECT date_trunc('hour', ts) AS ws, term,
+             count(*)::BIGINT AS n_docs
+      FROM tok GROUP BY ws, term),
+s AS (SELECT ws, term, n_docs,
+             coalesce(lag(n_docs) OVER (PARTITION BY term ORDER BY ws),
+                      0)::BIGINT AS prev
+      FROM c),
+mx AS (SELECT max(ws) AS m FROM c)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, term, n_docs,
+       prev, round((n_docs + 1.0) / (prev + 1.0), 6) AS trend
+FROM s CROSS JOIN mx WHERE ws = m
+ORDER BY trend DESC, n_docs DESC, term LIMIT 10
+"""
 
 # ColBERT MaxSim over the sliced multi-vector docs: max over doc
 # slices per query slice, summed — exact brute force, directly SQL-able
@@ -7825,6 +7882,7 @@ QUERIES = {
     "seg_significant_text": q_seg_significant_text,
     "maxsim_topk": q_maxsim,
     "rag_retrieve": q_rag_retrieve,
+    "trending_terms": q_trending_terms,
     "sort_after": q_sort_after,
     "seg_sort_after": q_seg_sort_after,
     "constant_score": q_constant_score,

@@ -637,6 +637,72 @@ def windowed_event_counts(
     )
 
 
+def windowed_term_counts(
+    docs: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-(window, term) DISTINCT-document counts over a document
+    stream — the input frame of a trending-terms dashboard. Stream-safe
+    by construction: streaming aggregation forbids countDistinct, so
+    distinctness comes from a watermarked ``dropDuplicates`` on
+    (doc_id, term, window-aligned ts) BEFORE the count — state bounded
+    by the watermark horizon; the batch form runs the identical ops (an
+    exact dedup) and is the oracle-checked queries() entry. Tokens
+    explode JVM-side (split/filter Column ops) — no Python in-stream."""
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+    )
+    src = docs
+    if docs.isStreaming:
+        src = docs.withWatermark(ts_col, watermark)
+    exploded = src.select(
+        F.col(id_col), F.col(ts_col), F.explode(toks).alias("term")
+    ).dropDuplicates([id_col, "term", ts_col])
+    return (
+        exploded.groupBy(F.window(ts_col, window).alias("w"), "term")
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.col("w.start").alias("window_start"), "term", "n_docs")
+    )
+
+
+def trending_from_counts(counts: DataFrame, k: int = 10) -> DataFrame:
+    """Trend scores over the windowed-count BUCKET FRAME (batch post-
+    processing of windowed_term_counts' output — runs per dashboard
+    refresh, never in-stream): per term, n vs the PREVIOUS window's n
+    (absent → 0), smoothed ratio trend = (n+1)/(prev+1), top-k terms of
+    the LATEST window by (trend desc, n desc, term). The ordered window
+    is partitioned by term over the bucket frame — calendar-bounded,
+    scale-safe like every pipeline agg."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy("window_start")
+    scored = (
+        counts.withColumn(
+            "prev", F.coalesce(F.lag("n_docs").over(w), F.lit(0))
+        )
+        .withColumn(
+            "trend",
+            F.round(
+                (F.col("n_docs") + 1.0) / (F.col("prev") + 1.0), 6
+            ),
+        )
+    )
+    latest = counts.agg(F.max("window_start").alias("_mx"))
+    return (
+        scored.join(
+            F.broadcast(latest),
+            scored.window_start == F.col("_mx"),
+        )
+        .select("window_start", "term", "n_docs", "prev", "trend")
+        .orderBy(F.desc("trend"), F.desc("n_docs"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def delete_by_query(
     spark: SparkSession,
     terms: list[str],

@@ -291,3 +291,60 @@ def test_prep_batch_dedup_keeps_lowest_id(spark):
         for r in prep_transform(df, min_quality=0.0).select("doc_id").collect()
     )
     assert got == [1, 3]
+
+
+def test_trending_terms_streaming_equals_batch(spark, tmp_path):
+    """windowed_term_counts produces identical (window, term, n_docs)
+    rows in batch and streaming mode (watermarked dropDuplicates +
+    windowed count), and trending_from_counts ranks the latest window
+    by the smoothed vs-previous ratio."""
+    from fuzzy_wiki_spark.streaming.incremental import (
+        trending_from_counts,
+        windowed_term_counts,
+    )
+
+    doc_dir = str(tmp_path / "docs")
+    docs = spark.range(0, 120).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "alpha beta beta")
+        .otherwise("beta gamma")
+        .alias("text"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=(F.col("id") % 100).cast("int"))
+        ).alias("ts"),
+    )
+    docs.write.parquet(doc_dir)
+
+    want = sorted(
+        tuple(r)
+        for r in windowed_term_counts(
+            spark.read.parquet(doc_dir), window="1 hour"
+        ).collect()
+    )
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(doc_dir)
+    q = (
+        windowed_term_counts(stream, window="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("trend_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM trend_out").collect()
+    )
+    assert got == want
+
+    top = trending_from_counts(
+        windowed_term_counts(spark.read.parquet(doc_dir), window="1 hour")
+    ).collect()
+    # all rows belong to the latest window; trend = (n+1)/(prev+1)
+    assert len({r["window_start"] for r in top}) == 1
+    for r in top:
+        assert abs(
+            r["trend"] - round((r["n_docs"] + 1) / (r["prev"] + 1), 6)
+        ) < 1e-9
