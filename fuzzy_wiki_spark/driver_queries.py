@@ -2778,6 +2778,54 @@ def q_ivf_batch(spark, sf_dir):
     )
 
 
+ES_BODY = {
+    "query": {
+        "bool": {
+            "must": [{"match": {"content": "spark"}}],
+            "should": [{"match": {"content": "merge join"}}],
+            "must_not": [{"match": {"content": "stream"}}],
+            "filter": [
+                {"range": {"n_chars": {"gte": 200}}},
+                {"terms": {"lang": ["en", "fr", "de"]}},
+            ],
+        }
+    },
+    "size": 10,
+}
+ES_AGG_BODY = {
+    "query": {"match": {"content": "spark merge join"}},
+    "size": 10,
+    "aggs": {"langs": {"terms": {"field": "lang"}}},
+}
+
+
+def q_es_request(spark, sf_dir):
+    """The ES `_search` request-body compiler (plans/es_body.es_search):
+    a full bool query — must + should + must_not match leaves, plus a
+    range+terms FILTER context compiled by operators/boolean
+    .compile_filter and applied before ranking with corpus-wide stats —
+    executed end-to-end against the segment index from one JSON body."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_esreq_")
+    out = es_search(idx, ES_BODY, docs=_docs(spark, sf_dir))
+    return out["hits"].select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_es_request_aggs(spark, sf_dir):
+    """Aggregations through the request-body compiler: a match query
+    with a `terms` agg — the aggregation runs over the query's match
+    set exactly like the standalone facet_counts entry, whose oracle
+    this shares verbatim."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_esagg_")
+    out = es_search(idx, ES_AGG_BODY, docs=_docs(spark, sf_dir))
+    return out["aggregations"]["langs"].select("lang", "n_docs")
+
+
 RAG_QUERY = "spark merge join table"
 RAG_MT, RAG_STRIDE, RAG_DIM = 30, 20, 16
 
@@ -4750,6 +4798,34 @@ ORDER BY cos_sim DESC, doc_id LIMIT 10
 
 
 ORACLE_SQL["rag_retrieve"] = _rag_oracle_sql()
+
+# the ES request-body bool query: must {spark}, should {merge, join},
+# veto {stream}, filter context = n_chars>=200 AND lang IN (en,fr,de)
+ORACLE_SQL["es_request"] = f"""
+WITH tf AS ({_TF}), dl AS ({_DL}),
+st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl
+       FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN ('spark','merge','join') GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(CASE WHEN tf.term IN ('spark','merge','join')
+             THEN ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+                  * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl))
+             ELSE 0 END) AS s,
+         count(DISTINCT CASE WHEN tf.term = 'spark'
+                             THEN tf.term END) AS n_must,
+         max(tf.term = 'stream') AS vetoed
+  FROM tf LEFT JOIN dfq ON tf.term = dfq.term
+       JOIN dl USING(doc_id) CROSS JOIN st
+  WHERE tf.term IN ('spark','merge','join','stream')
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+WHERE n_must = 1 AND NOT vetoed
+  AND doc_id IN (SELECT doc_id FROM documents
+                 WHERE n_chars >= 200 AND lang IN ('en','fr','de'))
+ORDER BY s DESC, doc_id LIMIT 10
+"""
 
 # trending terms: hourly distinct-doc counts from the derived arrival
 # time, latest window ranked by the smoothed vs-previous ratio
@@ -7883,6 +7959,8 @@ QUERIES = {
     "maxsim_topk": q_maxsim,
     "rag_retrieve": q_rag_retrieve,
     "trending_terms": q_trending_terms,
+    "es_request": q_es_request,
+    "es_request_aggs": q_es_request_aggs,
     "sort_after": q_sort_after,
     "seg_sort_after": q_seg_sort_after,
     "constant_score": q_constant_score,
@@ -8158,6 +8236,7 @@ ORACLE_SQL["seg_histogram"] = ORACLE_SQL["histogram_facet"]
 ORACLE_SQL["seg_facet_stats"] = ORACLE_SQL["facet_stats"]
 ORACLE_SQL["seg_date_histogram"] = ORACLE_SQL["date_histogram"]
 ORACLE_SQL["seg_auto_dh"] = ORACLE_SQL["auto_date_histogram"]
+ORACLE_SQL["es_request_aggs"] = ORACLE_SQL["facet_counts"]
 ORACLE_SQL["seg_date_range"] = ORACLE_SQL["date_range_agg"]
 ORACLE_SQL["seg_missing"] = ORACLE_SQL["missing_agg"]
 ORACLE_SQL["seg_value_count"] = ORACLE_SQL["value_count_agg"]

@@ -1,0 +1,248 @@
+"""ES `_search` request-body compiler — one ES-shaped entry point over
+the whole engine surface.
+
+A user of the reference ecosystem speaks Elasticsearch's JSON request
+body; this module compiles the PINNED SUBSET below onto the engine's
+already-verified operators, so every request form maps to a code path
+that carries its own hash-green oracle entry:
+
+``query`` (exactly one rule):
+- ``{"match": {field: text | {"query": text}}}`` — analyzed OR terms,
+  BM25 sum (boolean should).
+- ``{"match_phrase": {field: text}}`` — exact phrase
+  (SegmentIndex.phrase).
+- ``{"bool": {"must": [...], "should": [...], "must_not": [...],
+  "filter": [...]}}`` — must/should/must_not are ``match`` leaves on
+  the search field (terms merged per slot, Lucene BooleanQuery
+  semantics via operators/boolean.boolean_topk); ``filter`` is the
+  term-level DSL (operators/boolean.compile_filter — term / terms /
+  ids / exists / range / nested bool) compiled over the ``docs`` table
+  and applied BEFORE ranking with corpus-wide stats (ES filter-context
+  semantics: restricts results, never scores).
+- ``{"dis_max": {"queries": [match leaves], "tie_breaker": t}}`` —
+  best-clause scoring (SegmentIndex.dis_max).
+- ``{"constant_score": {"filter": {"terms": {field: [...]}},
+  "boost": b}}`` (SegmentIndex.constant_score).
+- ``{"intervals": {field: rule}}`` — the two-level intervals subset
+  (SegmentIndex.intervals).
+
+Top level:
+- ``size`` → k (default 10).
+- ``sort``: default ``_score``; ``[{field: {"order": ...}}]`` routes to
+  sort_by_field (no scoring), with ``search_after`` as the page cursor.
+- ``collapse``: ``{"field": f}`` → field collapsing on the full scored
+  set (SegmentIndex.search_collapse semantics via collapse_topk).
+- ``aggs``: ``terms`` / ``stats`` / ``date_histogram`` / ``range``
+  sub-bodies, computed over the query's match set exactly like the
+  corresponding hash-verified agg entries.
+
+Returns ``{"hits": DataFrame, "aggregations": {name: DataFrame}}``.
+Unsupported rules raise ``ValueError`` loudly — a request either maps
+onto a verified operator or is rejected, never silently re-interpreted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _match_words(rule: dict, analyze) -> tuple[str, list[str]]:
+    """{"match": {field: text|{"query": text}}} → (field, words)."""
+    if set(rule) != {"match"}:
+        raise ValueError(f"expected a match leaf, got: {sorted(rule)}")
+    (field, body), = rule["match"].items()
+    text = body["query"] if isinstance(body, dict) else body
+    return field, list(analyze(text))
+
+
+def es_search(
+    idx,
+    body: dict,
+    docs: DataFrame | None = None,
+    analyze=str.split,
+) -> dict:
+    """Execute an ES `_search` request body against a SegmentIndex.
+    ``docs`` supplies doc values for filter context / sorts / aggs;
+    ``analyze`` maps query text to index terms (must match the mode the
+    index was built with — default whitespace for simple-mode)."""
+    from fuzzy_wiki_spark.operators.boolean import (
+        boolean_topk,
+        compile_filter,
+    )
+
+    k = int(body.get("size", 10))
+    query = body.get("query", {"match_all": {}})
+    kind = next(iter(query))
+    aggs_out: dict[str, DataFrame] = {}
+
+    # --- resolve the query to (terms used, hits frame) -----------------
+    filter_ids = None
+    field = "content"
+    if kind == "bool" and query["bool"].get("filter"):
+        if docs is None:
+            raise ValueError("bool.filter requires the docs table")
+        pred = None
+        for clause in query["bool"]["filter"]:
+            c = compile_filter(clause)
+            pred = c if pred is None else (pred & c)
+        filter_ids = docs.where(pred).select("doc_id")
+
+    def _boolean(must, should, must_not):
+        all_terms = list(dict.fromkeys(must + should + must_not))
+        posts = idx.term_postings(field, sorted(set(all_terms)))
+        if filter_ids is not None:
+            # ES filter context: restrict candidates BEFORE ranking;
+            # df/avgdl stats stay corpus-wide (scores unchanged)
+            posts = posts.join(filter_ids, "doc_id", "left_semi")
+        term_df = idx._term_df(list(dict.fromkeys(must + should)))
+        return boolean_topk(
+            posts,
+            field,
+            tuple(must),
+            tuple(should),
+            tuple(must_not),
+            term_df,
+            idx.field_stats,
+            k=k,
+        )
+
+    if kind == "match":
+        field, words = _match_words(query, analyze)
+        hits = _boolean((), tuple(words), ())
+        qterms = words
+    elif kind == "match_phrase":
+        (field, text), = query["match_phrase"].items()
+        words = list(analyze(text if isinstance(text, str) else text["query"]))
+        hits = idx.phrase(tuple(words), field=field, k=k)
+        qterms = words
+    elif kind == "bool":
+        b = query["bool"]
+
+        def slot(name):
+            words: list[str] = []
+            for leaf in b.get(name, []):
+                f2, ws = _match_words(leaf, analyze)
+                nonlocal field
+                field = f2
+                words.extend(ws)
+            return tuple(dict.fromkeys(words))
+
+        must, should, must_not = slot("must"), slot("should"), slot("must_not")
+        hits = _boolean(must, should, must_not)
+        qterms = list(must + should)
+    elif kind == "dis_max":
+        words: list[str] = []
+        for leaf in query["dis_max"]["queries"]:
+            field, ws = _match_words(leaf, analyze)
+            words.extend(ws)
+        hits = idx.dis_max(
+            list(dict.fromkeys(words)),
+            field=field,
+            tie_breaker=float(query["dis_max"].get("tie_breaker", 0.0)),
+            k=k,
+        )
+        qterms = words
+    elif kind == "constant_score":
+        flt = query["constant_score"]["filter"]
+        if set(flt) != {"terms"}:
+            raise ValueError("constant_score subset supports a terms filter")
+        (field, terms), = flt["terms"].items()
+        hits = idx.constant_score(
+            list(terms),
+            field="content",
+            boost=float(query["constant_score"].get("boost", 1.0)),
+            k=k,
+        )
+        qterms = list(terms)
+    elif kind == "intervals":
+        (field, rule), = query["intervals"].items()
+        hits = idx.intervals(rule, field=field, k=k)
+        from fuzzy_wiki_spark.operators.spans import compile_intervals
+
+        slots, _, _ = compile_intervals(rule)
+        qterms = [t for s in slots for t in s]
+    else:
+        raise ValueError(f"unsupported query rule: {kind}")
+
+    # --- sort / collapse ----------------------------------------------
+    sort = body.get("sort")
+    if sort and sort != [{"_score": "desc"}] and sort != ["_score"]:
+        (sf, spec), = sort[0].items()
+        if sf == "_score":
+            raise ValueError("mixed _score sorts not in the pinned subset")
+        if docs is None:
+            raise ValueError("field sort requires the docs table")
+        asc = (spec.get("order", "asc") if isinstance(spec, dict) else spec) == "asc"
+        hits = idx.sort_by_field(
+            qterms,
+            docs.select("doc_id", sf),
+            sf,
+            k=k,
+            ascending=asc,
+            after=tuple(body["search_after"]) if "search_after" in body else None,
+        )
+    if "collapse" in body:
+        if docs is None:
+            raise ValueError("collapse requires the docs table")
+        from fuzzy_wiki_spark.operators.collapse import collapse_topk
+        from fuzzy_wiki_spark.operators.segment_query import (
+            search_segments_batch,
+        )
+        from fuzzy_wiki_spark.plans.query import Clause
+
+        grp = body["collapse"]["field"]
+        # collapse needs EVERY group's best hit: full-set scoring with
+        # the same per-term should clauses the hits path used (k=None —
+        # a top-k θ bound could prune some group's best doc)
+        clauses = [
+            Clause(i, field, (t,), 1.0, 0, False)
+            for i, t in enumerate(qterms)
+        ]
+        full = search_segments_batch(
+            idx.spark,
+            idx.segments,
+            {0: clauses},
+            idx._term_df(list(qterms)),
+            idx.field_stats,
+            k=None,
+        ).select("doc_id", F.round("score", 6).alias("score"))
+        hits = collapse_topk(
+            full,
+            docs.select("doc_id", F.col(grp).alias("group")),
+            k=k,
+        )
+
+    # --- aggregations over the query's match set ----------------------
+    for name, spec in body.get("aggs", {}).items():
+        akind = next(iter(spec))
+        abody = spec[akind]
+        if docs is None:
+            raise ValueError("aggs require the docs table")
+        if akind == "terms":
+            aggs_out[name] = idx.facet_counts(qterms, docs, abody["field"])
+        elif akind == "stats":
+            aggs_out[name] = idx.facet_stats(
+                qterms, docs, abody.get("group_by", "lang"), abody["field"]
+            )
+        elif akind == "date_histogram":
+            aggs_out[name] = idx.date_histogram(
+                qterms,
+                docs,
+                F.expr(abody["script"])
+                if "script" in abody
+                else abody["field"],
+                interval=abody.get("calendar_interval", "month"),
+            )
+        elif akind == "range":
+            ranges = [
+                (r["key"], r.get("from"), r.get("to"))
+                for r in abody["ranges"]
+            ]
+            aggs_out[name] = idx.range_facets(
+                qterms, docs, ranges, abody["field"]
+            )
+        else:
+            raise ValueError(f"unsupported agg: {akind}")
+
+    return {"hits": hits, "aggregations": aggs_out}

@@ -1,0 +1,155 @@
+"""ES `_search` request-body compiler (plans/es_body.es_search): every
+pinned rule routes to its verified operator and matches calling that
+operator directly; unsupported rules reject loudly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.corpus import generate_docs_df
+from fuzzy_wiki_spark.engine import SegmentIndex
+from fuzzy_wiki_spark.plans.es_body import es_search
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    docs = generate_docs_df(spark, 250, seed=29).withColumnRenamed(
+        "content", "text"
+    )
+    idx = SegmentIndex.build(
+        spark,
+        docs.withColumnRenamed("text", "content"),
+        str(tmp_path_factory.mktemp("esb") / "ix"),
+        n_buckets=4,
+        mode="simple",
+    )
+    dv = docs.select(
+        "doc_id", "lang", "text", F.length("text").alias("n_chars")
+    )
+    return idx, dv
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_match_equals_boolean_should(spark, setup):
+    idx, dv = setup
+    out = es_search(idx, {"query": {"match": {"content": "binary tree"}}})
+    want = idx.boolean((), ("binary", "tree"), (), k=10)
+    assert rows(out["hits"]) == rows(want)
+
+
+def test_match_phrase_routes_to_phrase(spark, setup):
+    idx, dv = setup
+    out = es_search(
+        idx, {"query": {"match_phrase": {"content": "binary search"}},
+              "size": 15}
+    )
+    assert rows(out["hits"]) == rows(idx.phrase(("binary", "search"), k=15))
+
+
+def test_bool_filter_restricts_not_rescored(spark, setup):
+    """Filter context restricts results; surviving docs keep the exact
+    unfiltered scores (corpus-wide stats)."""
+    idx, dv = setup
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"content": "tree"}}],
+            "should": [{"match": {"content": "search"}}],
+            "filter": [{"range": {"n_chars": {"gte": 300}}}],
+        }},
+        "size": 1000,
+    }
+    got = {r["doc_id"]: r["score"] for r in es_search(
+        idx, body, docs=dv)["hits"].collect()}
+    unfiltered = {
+        r["doc_id"]: r["score"]
+        for r in idx.boolean(("tree",), ("search",), (), k=1000).collect()
+    }
+    allowed = {
+        r["doc_id"] for r in dv.where("n_chars >= 300").collect()
+    }
+    assert got == {
+        d: s for d, s in unfiltered.items() if d in allowed
+    }
+
+
+def test_dis_max_and_constant_score_and_intervals(spark, setup):
+    idx, dv = setup
+    out = es_search(idx, {"query": {"dis_max": {
+        "queries": [{"match": {"content": "binary"}},
+                    {"match": {"content": "tree"}}],
+        "tie_breaker": 0.3}}})
+    assert rows(out["hits"]) == rows(
+        idx.dis_max(["binary", "tree"], tie_breaker=0.3)
+    )
+    out = es_search(idx, {"query": {"constant_score": {
+        "filter": {"terms": {"content": ["binary", "tree"]}},
+        "boost": 2.0}}})
+    assert rows(out["hits"]) == rows(
+        idx.constant_score(["binary", "tree"], boost=2.0)
+    )
+    rule = {"match": {"query": "binary search", "ordered": True,
+                      "max_gaps": 3}}
+    out = es_search(idx, {"query": {"intervals": {"content": rule}},
+                          "size": 15})
+    assert rows(out["hits"]) == rows(idx.intervals(rule, k=15))
+
+
+def test_sort_and_search_after(spark, setup):
+    idx, dv = setup
+    body = {"query": {"match": {"content": "binary tree"}},
+            "sort": [{"n_chars": {"order": "desc"}}], "size": 5}
+    page1 = es_search(idx, body, docs=dv)["hits"].collect()
+    direct = idx.sort_by_field(
+        ["binary", "tree"], dv.select("doc_id", "n_chars"), "n_chars", k=5
+    ).collect()
+    assert [tuple(r) for r in page1] == [tuple(r) for r in direct]
+    body2 = dict(body, search_after=(page1[-1]["n_chars"],
+                                     page1[-1]["doc_id"]))
+    page2 = es_search(idx, body2, docs=dv)["hits"].collect()
+    all10 = idx.sort_by_field(
+        ["binary", "tree"], dv.select("doc_id", "n_chars"), "n_chars", k=10
+    ).collect()
+    assert [tuple(r) for r in page2] == [tuple(r) for r in all10[5:]]
+
+
+def test_collapse_and_aggs(spark, setup):
+    idx, dv = setup
+    grp = dv.withColumn("grp", (F.col("doc_id") % 5).cast("string"))
+    out = es_search(
+        idx,
+        {"query": {"match": {"content": "binary tree"}},
+         "collapse": {"field": "grp"}, "size": 5,
+         "aggs": {
+             "langs": {"terms": {"field": "lang"}},
+             "sizes": {"range": {"field": "n_chars", "ranges": [
+                 {"key": "small", "to": 400},
+                 {"key": "big", "from": 400},
+             ]}},
+         }},
+        docs=grp,
+    )
+    assert out["hits"].columns == ["group", "doc_id", "score"]
+    assert out["hits"].count() == 5
+    assert rows(out["aggregations"]["langs"]) == rows(
+        idx.facet_counts(["binary", "tree"], grp, "lang")
+    )
+    assert rows(out["aggregations"]["sizes"]) == rows(
+        idx.range_facets(
+            ["binary", "tree"], grp,
+            [("small", None, 400), ("big", 400, None)], "n_chars",
+        )
+    )
+
+
+def test_unsupported_rules_reject(spark, setup):
+    idx, dv = setup
+    with pytest.raises(ValueError):
+        es_search(idx, {"query": {"fuzzy_wuzzy": {}}})
+    with pytest.raises(ValueError):
+        es_search(idx, {"query": {"bool": {"filter": [
+            {"term": {"lang": "en"}}]}}})  # filter without docs
+    with pytest.raises(ValueError):
+        es_search(idx, {"query": {"match": {"content": "x"}},
+                        "aggs": {"a": {"geo_line": {}}}}, docs=dv)
