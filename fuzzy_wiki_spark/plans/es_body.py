@@ -107,7 +107,16 @@ def es_search(
             k=k,
         )
 
-    if kind == "match":
+    if kind == "match_all":
+        if docs is None:
+            raise ValueError("match_all requires the docs table")
+        hits = (
+            docs.select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy("doc_id")
+            .limit(k)
+        )
+        qterms = []
+    elif kind == "match":
         field, words = _match_words(query, analyze)
         hits = _boolean((), tuple(words), ())
         qterms = words
@@ -211,6 +220,25 @@ def es_search(
             full,
             docs.select("doc_id", F.col(grp).alias("group")),
             k=k,
+        )
+
+    # --- highlight (runs AFTER the cut: text joins k docs, never the
+    # corpus — the docstore split) --------------------------------------
+    if "highlight" in body:
+        if docs is None:
+            raise ValueError("highlight requires the docs table")
+        from fuzzy_wiki_spark.functions.text import snippet_struct
+
+        hbody = body["highlight"]
+        window = int(hbody.get("fragment_size", 10))
+        snip = snippet_struct(
+            F.col(hbody.get("field", "text")), sorted(set(qterms)),
+            window=window,
+        )
+        hits = hits.join(
+            docs.select("doc_id", hbody.get("field", "text")), "doc_id"
+        ).select(
+            *[c for c in hits.columns], snip["snippet"].alias("snippet")
         )
 
     # --- aggregations over the query's match set ----------------------

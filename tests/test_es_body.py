@@ -153,3 +153,25 @@ def test_unsupported_rules_reject(spark, setup):
     with pytest.raises(ValueError):
         es_search(idx, {"query": {"match": {"content": "x"}},
                         "aggs": {"a": {"geo_line": {}}}}, docs=dv)
+
+
+def test_match_all_and_highlight(spark, setup):
+    idx, dv = setup
+    out = es_search(idx, {"query": {"match_all": {}}, "size": 7}, docs=dv)
+    got = out["hits"].collect()
+    assert [r["doc_id"] for r in got] == list(range(7))
+    assert all(r["score"] == 1.0 for r in got)
+
+    out = es_search(
+        idx,
+        {"query": {"match": {"content": "binary tree"}},
+         "highlight": {"field": "text", "fragment_size": 8}, "size": 5},
+        docs=dv,
+    )
+    rows_hl = out["hits"].collect()
+    assert out["hits"].columns == ["doc_id", "score", "snippet"]
+    # every snippet brackets at least one query term occurrence
+    assert all(
+        "[binary]" in r["snippet"] or "[tree]" in r["snippet"]
+        for r in rows_hl
+    )
