@@ -586,6 +586,26 @@ def main() -> None:
         lambda: DQ.q_geohash_grid(spark, sf_dir).collect(),
         reps=2,
     )
+    # the ES _search request-body compiler end-to-end: segment build +
+    # bool-with-filter-context hits + a terms agg from one JSON body
+    timed(
+        "pipe_es_request",
+        lambda: (
+            DQ.q_es_request(spark, sf_dir).collect(),
+            DQ.q_es_request_aggs(spark, sf_dir).collect(),
+        ),
+        reps=2,
+    )
+    timed(
+        "pipe_rag_retrieve",
+        lambda: DQ.q_rag_retrieve(spark, sf_dir).collect(),
+        reps=2,
+    )
+    timed(
+        "pipe_maxsim",
+        lambda: DQ.q_maxsim(spark, sf_dir).collect(),
+        reps=2,
+    )
 
     # 3b) trigram code search: index build (narrow stage) + pruned substring
     # + pruned regex over the same in-memory index
