@@ -2778,6 +2778,55 @@ def q_ivf_batch(spark, sf_dir):
     )
 
 
+HAS_CHILD_MIN = 2
+HAS_PARENT_NAMES = ["src3", "src7", "src12"]
+
+
+def q_has_child(spark, sf_dir):
+    """ES has_child (operators/parent_child.py has_child_topk): repos
+    (`source` as the join field) ranked by the MAX skeleton-query score
+    of their matching files, gated at ≥2 matching children — "repos
+    containing files about X". One combinable groupBy(parent)."""
+    from fuzzy_wiki_spark.operators.parent_child import has_child_topk
+
+    return has_child_topk(
+        _skeleton_full_scores(spark, sf_dir),
+        _docs(spark, sf_dir),
+        "source",
+        score_mode="max",
+        min_children=HAS_CHILD_MIN,
+    )
+
+
+def q_seg_has_child(spark, sf_dir):
+    """has_child with child scores from the SEGMENT serving path.
+    Oracle = ORACLE_SQL["has_child"] verbatim."""
+    from fuzzy_wiki_spark.operators.parent_child import has_child_topk
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_seghc_")
+    return has_child_topk(
+        _seg_skeleton_full_scores(spark, idx),
+        _docs(spark, sf_dir),
+        "source",
+        score_mode="max",
+        min_children=HAS_CHILD_MIN,
+    )
+
+
+def q_has_parent(spark, sf_dir):
+    """ES has_parent (operators/parent_child.py has_parent_topk): files
+    whose repo is one of three named sources, constant score (the
+    parent's relevance never transfers, per ES), first-10 by doc_id."""
+    from fuzzy_wiki_spark.operators.parent_child import has_parent_topk
+
+    return has_parent_topk(
+        _docs(spark, sf_dir),
+        "source",
+        F.col("parent").isin(HAS_PARENT_NAMES),
+        boost=1.5,
+    )
+
+
 ES_BODY = {
     "query": {
         "bool": {
@@ -4798,6 +4847,35 @@ ORDER BY cos_sim DESC, doc_id LIMIT 10
 
 
 ORACLE_SQL["rag_retrieve"] = _rag_oracle_sql()
+
+_HP_NAMES = "('" + "','".join(HAS_PARENT_NAMES) + "')"
+ORACLE_SQL["has_child"] = f"""
+WITH tf AS ({_TF}), dl AS ({_DL}),
+st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl
+       FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN {_QTERMS} GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+              * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ),
+               6) AS s
+  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id),
+g AS (SELECT d.source AS parent, count(*)::BIGINT AS n_children,
+             max(sc.s) AS score
+      FROM sc JOIN documents d USING(doc_id)
+      GROUP BY d.source HAVING count(*) >= {HAS_CHILD_MIN})
+SELECT parent, n_children, score FROM g
+ORDER BY score DESC, parent LIMIT 10
+"""
+ORACLE_SQL["seg_has_child"] = ORACLE_SQL["has_child"]
+
+ORACLE_SQL["has_parent"] = f"""
+SELECT doc_id, source AS parent, 1.5 AS score FROM documents
+WHERE source IN {_HP_NAMES}
+ORDER BY doc_id LIMIT 10
+"""
 
 # the ES request-body bool query: must {spark}, should {merge, join},
 # veto {stream}, filter context = n_chars>=200 AND lang IN (en,fr,de)
@@ -7961,6 +8039,9 @@ QUERIES = {
     "trending_terms": q_trending_terms,
     "es_request": q_es_request,
     "es_request_aggs": q_es_request_aggs,
+    "has_child": q_has_child,
+    "seg_has_child": q_seg_has_child,
+    "has_parent": q_has_parent,
     "sort_after": q_sort_after,
     "seg_sort_after": q_seg_sort_after,
     "constant_score": q_constant_score,

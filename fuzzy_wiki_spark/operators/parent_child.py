@@ -1,0 +1,95 @@
+"""Parent-child retrieval — ES's join-field queries over the natural
+repo→file hierarchy of a code corpus (a `source`/repo column on the
+docs table IS the join field; no separate parent documents needed).
+
+- **has_child**: return PARENTS whose children match a query — "repos
+  containing a file that matches X". ES score modes pinned: ``max`` /
+  ``sum`` / ``avg`` of matching-child scores, plus ``min_children`` /
+  ``max_children`` gates on the matching-child count.
+- **has_parent**: return CHILDREN whose parent matches a filter —
+  "files in repos named …". ES semantics: the parent match does not
+  relevance-score the children (score=1·boost), so the result is a
+  constant-score child listing.
+
+Spark-first shapes: has_child is ONE combinable groupBy(parent) over
+the scored child set (max/sum/count are algebraic — partial aggregation
+does the work before the parent-keyed exchange; contrast ES, which
+needs the join field to keep parent+children on one shard — the
+groupBy IS that colocation, computed on demand). has_parent is a
+broadcast semi-join of the tiny matched-parent set against the docs
+table — scan-speed. Both end in TakeOrderedAndProject.
+
+Reference parity: beyond the reference (flat top-k only); semantics
+follow the public ES has_child/has_parent docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def has_child_topk(
+    scored_children: DataFrame,
+    docs: DataFrame,
+    parent_col: str,
+    k: int = 10,
+    score_mode: str = "max",
+    min_children: int = 1,
+    max_children: int | None = None,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """(parent, n_children, score) — parents of matching children,
+    ranked by the score-mode-combined child scores (ties → parent asc).
+    ``scored_children`` is any (doc_id, score) frame (a query's full
+    scored set); the parent key joins from the docs table."""
+    agg = {
+        "max": F.max(score_col),
+        "sum": F.round(F.sum(score_col), 6),
+        "avg": F.round(F.avg(score_col), 6),
+    }[score_mode]
+    g = (
+        scored_children.join(
+            docs.select(F.col(id_col), F.col(parent_col).alias("parent")),
+            id_col,
+        )
+        .groupBy("parent")
+        .agg(
+            F.count(F.lit(1)).alias("n_children"),
+            agg.alias("score"),
+        )
+        .where(F.col("n_children") >= min_children)
+    )
+    if max_children is not None:
+        g = g.where(F.col("n_children") <= max_children)
+    return g.orderBy(F.desc("score"), F.asc("parent")).limit(k)
+
+
+def has_parent_topk(
+    docs: DataFrame,
+    parent_col: str,
+    parent_pred,
+    boost: float = 1.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, parent, score) — children whose parent satisfies
+    ``parent_pred`` (a boolean Column over the docs frame's parent
+    column, e.g. from operators/boolean.compile_filter). ES semantics:
+    constant score = ``boost`` (the parent's relevance never transfers),
+    first-k by doc_id. The matched-parent set is computed once and
+    broadcast-joined — the child scan stays a pushdown-able predicate
+    when ``parent_pred`` references only the parent column."""
+    parents = (
+        docs.select(F.col(parent_col).alias("parent"))
+        .where(parent_pred)
+        .distinct()
+    )
+    return (
+        docs.select(F.col(id_col), F.col(parent_col).alias("parent"))
+        .join(F.broadcast(parents), "parent")
+        .select(id_col, "parent", F.lit(float(boost)).alias("score"))
+        .orderBy(F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,79 @@
+"""Parent-child joins (operators/parent_child.py has_child_topk /
+has_parent_topk): pandas mirrors for every score mode, the
+min/max_children gates, and ES's no-score-transfer has_parent rule."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.operators.parent_child import (
+    has_child_topk,
+    has_parent_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("repo"), (F.col("id") % 7).cast("string")).alias(
+            "repo"
+        ),
+    )
+    scored = spark.range(60).where("id % 3 != 0").select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 13 % 29) / 10.0).alias("score"),
+    )
+    sp = scored.toPandas().merge(
+        docs.toPandas(), on="doc_id"
+    )
+    return docs, scored, sp
+
+
+@pytest.mark.parametrize("mode,fn", [
+    ("max", lambda s: s.max()),
+    ("sum", lambda s: round(s.sum(), 6)),
+    ("avg", lambda s: round(s.mean(), 6)),
+])
+def test_has_child_score_modes(spark, frames, mode, fn):
+    docs, scored, sp = frames
+    got = {
+        r["parent"]: (r["n_children"], r["score"])
+        for r in has_child_topk(
+            scored, docs, "repo", k=100, score_mode=mode
+        ).collect()
+    }
+    want = {
+        repo: (len(g), float(fn(g["score"])))
+        for repo, g in sp.groupby("repo")
+    }
+    assert got == want
+
+
+def test_has_child_children_gates(spark, frames):
+    docs, scored, sp = frames
+    sizes = sp.groupby("repo").size()
+    lo, hi = int(sizes.min()) + 1, int(sizes.max()) - 1
+    got = {
+        r["parent"]
+        for r in has_child_topk(
+            scored, docs, "repo", k=100,
+            min_children=lo, max_children=hi,
+        ).collect()
+    }
+    assert got == set(sizes[(sizes >= lo) & (sizes <= hi)].index)
+
+
+def test_has_parent_constant_score(spark, frames):
+    docs, scored, sp = frames
+    out = has_parent_topk(
+        docs, "repo", F.col("parent").isin(["repo1", "repo4"]),
+        boost=2.0, k=1000,
+    ).collect()
+    want = set(
+        sp_row.doc_id
+        for sp_row in docs.toPandas().itertuples()
+        if sp_row.repo in ("repo1", "repo4")
+    )
+    assert {r["doc_id"] for r in out} == want
+    assert all(r["score"] == 2.0 for r in out)
+    assert all(r["parent"] in ("repo1", "repo4") for r in out)
