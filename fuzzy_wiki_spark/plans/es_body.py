@@ -132,10 +132,18 @@ def es_search(
             words: list[str] = []
             for leaf in b.get(name, []):
                 f2, ws = _match_words(leaf, analyze)
-                nonlocal field
-                field = f2
+                nonlocal field, seen_field
+                if seen_field is not None and f2 != seen_field:
+                    raise ValueError(
+                        "bool leaves must target ONE field in the pinned "
+                        f"subset (got {seen_field!r} and {f2!r}) — use "
+                        "multi_match/combined_fields for multi-field"
+                    )
+                seen_field = field = f2
                 words.extend(ws)
             return tuple(dict.fromkeys(words))
+
+        seen_field = None
 
         must, should, must_not = slot("must"), slot("should"), slot("must_not")
         hits = _boolean(must, should, must_not)

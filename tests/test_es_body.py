@@ -175,3 +175,12 @@ def test_match_all_and_highlight(spark, setup):
         "[binary]" in r["snippet"] or "[tree]" in r["snippet"]
         for r in rows_hl
     )
+
+
+def test_bool_mixed_fields_reject(spark, setup):
+    idx, dv = setup
+    with pytest.raises(ValueError, match="ONE field"):
+        es_search(idx, {"query": {"bool": {
+            "must": [{"match": {"content": "x"}}],
+            "should": [{"match": {"path": "y"}}],
+        }}})
