@@ -640,6 +640,71 @@ def q_wildcard_search(spark, sf_dir):
 TERM_PREFIX = "s"  # matches sort/slow/small/spark/scan/stream/...
 MLT_DOC_ID = 0
 MLT_M = 10
+REGEXP_PATTERN = "m[ae].*"  # merge / map / matrix / max ...
+MBP_WORDS, MBP_PREFIX = ["merge", "join"], "ta"
+
+
+def q_regexp_query(spark, sf_dir):
+    """ES `regexp` TERM query (operators/term_expansion.py
+    expand_regexp): anchored-regex expansion over the term DICTIONARY
+    (contrast trigram regex_search, which matches document content),
+    constant-score match summary over the expanded set."""
+    from fuzzy_wiki_spark.operators.term_expansion import (
+        expand_regexp,
+        expanded_topdocs,
+    )
+
+    posts = _postings_simple(spark, sf_dir)
+    ex = expand_regexp(P.term_stats(posts), "content", REGEXP_PATTERN)
+    res = expanded_topdocs(posts, "content", ex, k=20)
+    return res.select(
+        "doc_id", F.col("n_terms").cast("long").alias("n_terms"), "total_tf"
+    )
+
+
+def q_seg_regexp(spark, sf_dir):
+    """regexp term query on the SEGMENT serving path (engine.py
+    SegmentIndex.regexp — dictionary expansion off term_stats, decode
+    pruned by the broadcast expanded set). Oracle =
+    ORACLE_SQL["regexp_query"] verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segre_")
+    res = idx.regexp(REGEXP_PATTERN)
+    return res.select(
+        "doc_id", F.col("n_terms").cast("long").alias("n_terms"), "total_tf"
+    )
+
+
+def q_match_bool_prefix(spark, sf_dir):
+    """ES match_bool_prefix — the type-ahead match form: BM25 SHOULD
+    over the complete words 'merge join' + a constant-score PREFIX
+    clause on the trailing fragment 'ta' (operators/term_expansion.py
+    match_bool_prefix_topk)."""
+    from fuzzy_wiki_spark.operators.term_expansion import (
+        match_bool_prefix_topk,
+    )
+
+    posts = _postings_simple(spark, sf_dir)
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in P.term_stats(posts)
+        .where(F.col("term").isin(MBP_WORDS))
+        .collect()
+    }
+    return match_bool_prefix_topk(
+        posts, "content", MBP_WORDS, MBP_PREFIX, term_df, fstats
+    )
+
+
+def q_seg_mbp2(spark, sf_dir):
+    """match_bool_prefix on the SEGMENT serving path (engine.py
+    SegmentIndex.match_bool_prefix). Oracle =
+    ORACLE_SQL["match_bool_prefix"] verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segmbp_")
+    return idx.match_bool_prefix(MBP_WORDS, MBP_PREFIX)
 
 
 def q_prefix_search(spark, sf_dir):
@@ -3706,6 +3771,39 @@ ORACLE_SQL: dict[str, str] = {
         FROM tf JOIN ex ON tf.term = ex.term
         GROUP BY doc_id
         ORDER BY total_tf DESC, doc_id LIMIT 20
+    """,
+    "regexp_query": f"""
+        WITH tf AS ({_TF}),
+        ex AS (SELECT DISTINCT term FROM tf
+               WHERE regexp_full_match(term, '{REGEXP_PATTERN}'))
+        SELECT doc_id, count(DISTINCT tf.term)::BIGINT AS n_terms,
+               sum(tf)::BIGINT AS total_tf
+        FROM tf JOIN ex ON tf.term = ex.term
+        GROUP BY doc_id
+        ORDER BY total_tf DESC, doc_id LIMIT 20
+    """,
+    "match_bool_prefix": f"""
+        WITH tf AS ({_TF}), dl AS ({_DL}),
+        st AS (SELECT count(*) AS doc_count,
+                      sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+        dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                WHERE term IN ('merge','join') GROUP BY term),
+        g AS (
+          SELECT tf.doc_id,
+                 sum(CASE WHEN tf.term IN ('merge','join')
+                     THEN ln(1 + (st.doc_count - dfq.df + 0.5)
+                             / (dfq.df + 0.5))
+                          * tf.tf / (tf.tf + {K1}*(1 - {B}
+                                     + {B}*dl.dl/st.avgdl))
+                     ELSE 0 END) AS s,
+                 max(CASE WHEN tf.term LIKE 'ta%' THEN 1 ELSE 0 END)
+                   AS p
+          FROM tf LEFT JOIN dfq ON tf.term = dfq.term
+               JOIN dl USING(doc_id) CROSS JOIN st
+          WHERE tf.term IN ('merge','join') OR tf.term LIKE 'ta%'
+          GROUP BY tf.doc_id)
+        SELECT doc_id, round(s + p, 6) AS score FROM g
+        ORDER BY score DESC, doc_id LIMIT 10
     """,
     "prefix_search": f"""
         WITH tf AS ({_TF})
@@ -8042,6 +8140,10 @@ QUERIES = {
     "has_child": q_has_child,
     "seg_has_child": q_seg_has_child,
     "has_parent": q_has_parent,
+    "regexp_query": q_regexp_query,
+    "seg_regexp": q_seg_regexp,
+    "match_bool_prefix": q_match_bool_prefix,
+    "seg_mbp2": q_seg_mbp2,
     "sort_after": q_sort_after,
     "seg_sort_after": q_seg_sort_after,
     "constant_score": q_constant_score,
@@ -8318,6 +8420,8 @@ ORACLE_SQL["seg_facet_stats"] = ORACLE_SQL["facet_stats"]
 ORACLE_SQL["seg_date_histogram"] = ORACLE_SQL["date_histogram"]
 ORACLE_SQL["seg_auto_dh"] = ORACLE_SQL["auto_date_histogram"]
 ORACLE_SQL["es_request_aggs"] = ORACLE_SQL["facet_counts"]
+ORACLE_SQL["seg_regexp"] = ORACLE_SQL["regexp_query"]
+ORACLE_SQL["seg_mbp2"] = ORACLE_SQL["match_bool_prefix"]
 ORACLE_SQL["seg_date_range"] = ORACLE_SQL["date_range_agg"]
 ORACLE_SQL["seg_missing"] = ORACLE_SQL["missing_agg"]
 ORACLE_SQL["seg_value_count"] = ORACLE_SQL["value_count_agg"]

@@ -1230,6 +1230,55 @@ class SegmentIndex:
             self.term_postings(field, ex, with_dl=False), field, ex, k
         )
 
+    def regexp(
+        self, pattern: str, field: str = "content", k: int = 20
+    ) -> DataFrame:
+        """ES `regexp` term query: anchored-regex dictionary expansion
+        off the term_stats side-channel, constant-score match summary
+        (operators/term_expansion.expand_regexp + expanded_topdocs)."""
+        from fuzzy_wiki_spark.operators.term_expansion import (
+            expand_regexp,
+            expanded_topdocs,
+        )
+
+        ex = expand_regexp(self.term_stats, field, pattern)
+        return expanded_topdocs(
+            self.term_postings(field, ex, with_dl=False), field, ex, k
+        )
+
+    def match_bool_prefix(
+        self,
+        words: list[str],
+        prefix: str,
+        field: str = "content",
+        k: int = 10,
+    ) -> DataFrame:
+        """ES match_bool_prefix on the serving path: the complete-word
+        decode prunes by isin, the fragment by the term-sorted
+        startswith range (operators/term_expansion
+        .match_bool_prefix_topk)."""
+        from fuzzy_wiki_spark.operators.term_expansion import (
+            match_bool_prefix_topk,
+        )
+
+        ex = self.term_stats.where(
+            (F.col("field") == field)
+            & (
+                F.col("term").isin(list(words))
+                | F.col("term").startswith(prefix)
+            )
+        ).select("term")
+        posts = self.term_postings(field, ex)
+        return match_bool_prefix_topk(
+            posts,
+            field,
+            list(words),
+            prefix,
+            self._term_df(sorted(set(words))),
+            self.field_stats,
+            k=k,
+        )
+
     # -- round-4 serving surfaces: every remaining relational-only query
     #    now has a segment-path twin (facets, snippets, synonyms,
     #    corrected, MLT, span, grouped, explain) ---------------------------

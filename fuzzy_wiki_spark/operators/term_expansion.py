@@ -342,3 +342,77 @@ def adjacency_counts_kernel(pair_keys: list[str]):
         return pd.Series(out)
 
     return F.pandas_udf(_adj_counts, T.ArrayType(T.LongType()))
+
+
+def expand_regexp(
+    term_stats_df: DataFrame, field: str, pattern: str
+) -> DataFrame:
+    """Dictionary terms matching an ANCHORED regex — the ES/Lucene
+    `regexp` query semantics: the pattern must match the WHOLE term
+    (ES anchors implicitly; `rlike` doesn't, so the anchor is applied
+    here). Vocabulary-sized scan off the term_stats side-channel, never
+    the postings. Contrast operators/trigram.regex_search, which
+    regex-matches document CONTENT — this matches index TERMS."""
+    return term_stats_df.where(
+        (F.col("field") == field)
+        & F.col("term").rlike(f"^(?:{pattern})$")
+    ).select("term")
+
+
+def match_bool_prefix_topk(
+    postings: DataFrame,
+    field: str,
+    words: list[str],
+    prefix: str,
+    term_df: dict[tuple[str, str], int],
+    field_stats: dict[str, tuple[int, float]],
+    k: int = 10,
+) -> DataFrame:
+    """The ES `match_bool_prefix` query — the type-ahead form of match:
+    every complete word becomes a BM25 SHOULD term, the trailing
+    fragment a PREFIX clause. Pinned scoring (ES rewrites the prefix
+    constant-score): score = BM25 sum over matched complete words
+    + 1.0 if the doc contains ANY term with the prefix; docs matching
+    neither are absent. One pruned scan (term isin ∪ startswith — both
+    reach the scan), one doc-keyed combinable agg."""
+    import math
+
+    doc_count, avgdl = field_stats[field]
+    idf = {
+        t: math.log(
+            1.0
+            + (doc_count - term_df.get((field, t), 0) + 0.5)
+            / (term_df.get((field, t), 0) + 0.5)
+        )
+        for t in words
+    }
+    contrib = F.lit(0.0)
+    for t in words:
+        tf = F.col("tf").cast("double")
+        contrib = contrib + F.when(
+            F.col("term") == t,
+            F.lit(idf[t])
+            * tf
+            / (tf + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / avgdl)),
+        ).otherwise(0.0)
+    pruned = postings.where(
+        (F.col("field") == field)
+        & (F.col("term").isin(list(words)) | F.col("term").startswith(prefix))
+    )
+    return (
+        pruned.groupBy("doc_id")
+        .agg(
+            F.sum(contrib).alias("_s"),
+            F.max(
+                F.col("term").startswith(prefix).cast("int")
+            ).alias("_p"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("_s") + F.col("_p").cast("double"), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

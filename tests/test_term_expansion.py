@@ -142,3 +142,77 @@ def test_expanded_join_is_broadcast(posts, ts):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_expand_regexp_anchored(spark):
+    """ES regexp query semantics: the pattern matches the WHOLE term —
+    'so.*' matches 'sort' but an unanchored fragment like 'or' matches
+    nothing (contrast rlike's substring behavior)."""
+    from pyspark.sql import functions as F
+
+    from fuzzy_wiki_spark.operators.term_expansion import expand_regexp
+
+    ts = spark.createDataFrame(
+        [("content", t, 1) for t in ["sort", "order", "force", "so"]],
+        "field string, term string, df long",
+    )
+    got = {
+        r["term"] for r in expand_regexp(ts, "content", "so.*").collect()
+    }
+    assert got == {"sort", "so"}
+    assert not expand_regexp(ts, "content", "or").collect()
+
+
+def test_match_bool_prefix_matches_python(spark):
+    """match_bool_prefix: BM25 should over complete words + 1.0 prefix
+    indicator — pandas mirror over a tiny corpus."""
+    import math
+
+    from fuzzy_wiki_spark.operators import postings as P
+    from fuzzy_wiki_spark.operators.term_expansion import (
+        match_bool_prefix_topk,
+    )
+
+    rows = [
+        (0, "merge sort table"),
+        (1, "merge join"),
+        (2, "tangent plane"),
+        (3, "alpha beta"),
+        (4, "join tables now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    posts = P.build_postings(docs, fields={"content": "content"},
+                             mode="simple")
+    fstats = {
+        r["field"]: (r["doc_count"], float(r["avgdl"]))
+        for r in P.field_stats(posts).collect()
+    }
+    term_df = {
+        (r["field"], r["term"]): r["df"]
+        for r in P.term_stats(posts).collect()
+    }
+    got = {
+        r["doc_id"]: r["score"]
+        for r in match_bool_prefix_topk(
+            posts, "content", ["merge", "join"], "ta", term_df, fstats,
+            k=100,
+        ).collect()
+    }
+    dc, avgdl = fstats["content"]
+    want = {}
+    for d, text in rows:
+        toks = text.split()
+        s = 0.0
+        for t in ("merge", "join"):
+            tf = toks.count(t)
+            if tf:
+                df = term_df[("content", t)]
+                idf = math.log(1 + (dc - df + 0.5) / (df + 0.5))
+                s += idf * tf / (
+                    tf + 1.2 * (1 - 0.75 + 0.75 * len(toks) / avgdl)
+                )
+        if any(t.startswith("ta") for t in toks):
+            s += 1.0
+        if s:
+            want[d] = round(s, 6)
+    assert got == want
