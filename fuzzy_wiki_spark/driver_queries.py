@@ -2843,6 +2843,74 @@ def q_ivf_batch(spark, sf_dir):
     )
 
 
+FIS_MIN_SUPPORT = 30
+
+
+def q_categorize_text(spark, sf_dir):
+    """Log-template clustering (operators/facets.py categorize_text —
+    the ES `categorize_text` agg, pinned deterministic spec): matched
+    docs' first-10-token templates with digit-bearing tokens masked
+    '*', top-10 templates by doc count with the lowest-id example."""
+    from fuzzy_wiki_spark.operators.facets import categorize_text
+
+    return categorize_text(
+        _postings_simple(spark, sf_dir),
+        _docs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        text_col="text",
+    )
+
+
+def q_seg_categorize(spark, sf_dir):
+    """categorize_text on the SEGMENT serving path (engine.py
+    SegmentIndex.categorize_text). Oracle =
+    ORACLE_SQL["categorize_text"] verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segcat_")
+    return idx.categorize_text(
+        BM25_QUERY_TERMS, _docs(spark, sf_dir), text_col="text"
+    )
+
+
+def q_frequent_item_sets(spark, sf_dir):
+    """Frequent term pairs (operators/facets.py frequent_item_sets —
+    the ES `frequent_item_sets` agg at size 2): pairs co-occurring in
+    ≥30 matching docs, apriori-pruned (pair join only over
+    individually-frequent terms), query terms excluded."""
+    from fuzzy_wiki_spark.operators.facets import frequent_item_sets
+
+    return frequent_item_sets(
+        _postings_simple(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        min_support=FIS_MIN_SUPPORT,
+    )
+
+
+def q_seg_fis(spark, sf_dir):
+    """frequent_item_sets on the SEGMENT serving path (engine.py
+    SegmentIndex.frequent_item_sets — vocabulary-table-pruned decode).
+    Oracle = ORACLE_SQL["frequent_item_sets"] verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segfis_")
+    return idx.frequent_item_sets(
+        BM25_QUERY_TERMS, min_support=FIS_MIN_SUPPORT
+    )
+
+
+def q_change_point(spark, sf_dir):
+    """Mean-shift change point over the monthly histogram (operators/
+    pipeline_aggs.py change_point — the ES `change_point` pipeline agg
+    pinned to the exact mean-shift spec): the split maximizing
+    |left mean − right mean| with ≥2 buckets per side."""
+    from fuzzy_wiki_spark.operators.pipeline_aggs import change_point
+
+    res = change_point(_month_buckets(spark, sf_dir))
+    return res.select(
+        F.date_format("change_at", "yyyy-MM-dd").alias("change_at"),
+        "left_mean",
+        "right_mean",
+        "delta",
+    )
+
+
 HAS_CHILD_MIN = 2
 HAS_PARENT_NAMES = ["src3", "src7", "src12"]
 
@@ -4945,6 +5013,67 @@ ORDER BY cos_sim DESC, doc_id LIMIT 10
 
 
 ORACLE_SQL["rag_retrieve"] = _rag_oracle_sql()
+
+ORACLE_SQL["categorize_text"] = f"""
+WITH tf AS ({_TF}),
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+c AS (SELECT d.doc_id,
+             array_to_string(
+               list_transform(
+                 list_filter(string_split(d.text, ' '),
+                             x -> x <> '')[1:10],
+                 t -> CASE WHEN regexp_matches(t, '[0-9]')
+                           THEN '*' ELSE t END),
+               ' ') AS category
+      FROM m JOIN documents d USING(doc_id))
+SELECT category, count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS example_id
+FROM c GROUP BY category
+ORDER BY n_docs DESC, category LIMIT 10
+"""
+ORACLE_SQL["seg_categorize"] = ORACLE_SQL["categorize_text"]
+
+ORACLE_SQL["frequent_item_sets"] = f"""
+WITH tf AS ({_TF}),
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+mt AS (SELECT DISTINCT tf.doc_id, tf.term
+       FROM tf JOIN m USING(doc_id)
+       WHERE tf.term NOT IN {_QTERMS}),
+singles AS (SELECT term FROM mt GROUP BY term
+            HAVING count(*) >= {FIS_MIN_SUPPORT}),
+fr AS (SELECT mt.doc_id, mt.term FROM mt JOIN singles USING(term)),
+p AS (SELECT a.term AS item_a, b.term AS item_b,
+             count(*)::BIGINT AS support
+      FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term HAVING count(*) >= {FIS_MIN_SUPPORT})
+SELECT item_a, item_b, support FROM p
+ORDER BY support DESC, item_a, item_b LIMIT 10
+"""
+ORACLE_SQL["seg_fis"] = ORACLE_SQL["frequent_item_sets"]
+
+ORACLE_SQL["change_point"] = f"""
+WITH tf AS ({_TF}),
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN {_QTERMS}),
+b AS (SELECT date_trunc('month',
+               DATE '2021-01-01' + (doc_id % 1000)::INT) AS bk,
+             count(*)::BIGINT AS n FROM m GROUP BY bk),
+tot AS (SELECT count(*)::DOUBLE AS nt, sum(n)::DOUBLE AS st FROM b),
+cand AS (SELECT bk,
+                sum(n) OVER (ORDER BY bk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  ::DOUBLE AS lsum,
+                (row_number() OVER (ORDER BY bk) - 1)::DOUBLE AS lcnt
+         FROM b),
+sc AS (SELECT strftime(bk, '%Y-%m-%d') AS change_at,
+              round(lsum / lcnt, 6) AS left_mean,
+              round((st - lsum) / (nt - lcnt), 6) AS right_mean,
+              round(abs((st - lsum) / (nt - lcnt) - lsum / lcnt), 6)
+                AS delta
+       FROM cand CROSS JOIN tot
+       WHERE lcnt >= 2 AND lcnt <= nt - 2)
+SELECT change_at, left_mean, right_mean, delta FROM sc
+ORDER BY delta DESC, change_at LIMIT 1
+"""
 
 _HP_NAMES = "('" + "','".join(HAS_PARENT_NAMES) + "')"
 ORACLE_SQL["has_child"] = f"""
@@ -8140,6 +8269,11 @@ QUERIES = {
     "has_child": q_has_child,
     "seg_has_child": q_seg_has_child,
     "has_parent": q_has_parent,
+    "categorize_text": q_categorize_text,
+    "seg_categorize": q_seg_categorize,
+    "frequent_item_sets": q_frequent_item_sets,
+    "seg_fis": q_seg_fis,
+    "change_point": q_change_point,
     "regexp_query": q_regexp_query,
     "seg_regexp": q_seg_regexp,
     "match_bool_prefix": q_match_bool_prefix,

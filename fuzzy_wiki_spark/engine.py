@@ -1572,6 +1572,52 @@ class SegmentIndex:
             analyzer_mode=analyzer_mode,
         )
 
+    def categorize_text(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        text_col: str = "content",
+        n_tokens: int = 10,
+        k: int = 10,
+        field: str = "content",
+    ) -> DataFrame:
+        """Log-template clustering on the serving path (the ES
+        `categorize_text` aggregation; operators/facets.categorize_text
+        — match set from the term-pruned decode, templates masked from
+        the docs table's source text)."""
+        from fuzzy_wiki_spark.operators.facets import (
+            categorize_text as _categorize_text,
+        )
+
+        posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
+        return _categorize_text(
+            posts, docs, sorted(set(terms)), text_col, n_tokens, k
+        )
+
+    def frequent_item_sets(
+        self,
+        terms: list[str],
+        min_support: int,
+        k: int = 10,
+        field: str = "content",
+    ) -> DataFrame:
+        """Frequent term pairs on the serving path (the ES
+        `frequent_item_sets` aggregation at size 2;
+        operators/facets.frequent_item_sets). The agg reads the matched
+        docs' FULL vocabulary, so the decode is term-pruned by the
+        vocabulary table (term_stats — a broadcast join over every
+        field term) rather than the query terms; the apriori single-
+        frequency cut then bounds the pair join."""
+        from fuzzy_wiki_spark.operators.facets import (
+            frequent_item_sets as _fis,
+        )
+
+        vocab = self.term_stats.where(F.col("field") == field).select(
+            "term"
+        )
+        full = self.term_postings(field, vocab, with_dl=False)
+        return _fis(full, sorted(set(terms)), min_support, k)
+
     def date_histogram(
         self,
         terms: list[str],

@@ -1297,3 +1297,92 @@ def significant_text(
             "term", "fg_count", "bg_count", F.round("_s", 6).alias("score")
         )
     )
+
+
+def categorize_text(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    n_tokens: int = 10,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(category, n_docs, example_id) — the ES `categorize_text`
+    aggregation: cluster the match set's messages into templates by
+    masking variable tokens (ES uses its ML categorizer; the pinned
+    deterministic spec masks any token containing a digit with '*' —
+    the number/id/hex positions that vary across log-like text — over
+    the first ``n_tokens`` tokens). Top-k templates by doc count
+    (count desc, category asc), each with its lowest doc id as the
+    example.
+
+    Plan: match-set join + a pure higher-order Column template
+    projection (transform/when/concat_ws — scan speed, no Python),
+    then ONE combinable groupBy(template)."""
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+    )
+    template = F.concat_ws(
+        " ",
+        F.transform(
+            F.slice(toks, 1, n_tokens),
+            lambda t: F.when(t.rlike("[0-9]"), F.lit("*")).otherwise(t),
+        ),
+    )
+    return (
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(F.col(id_col), template.alias("category")), id_col)
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("example_id"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("category"))
+        .limit(k)
+    )
+
+
+def frequent_item_sets(
+    postings: DataFrame,
+    terms: list[str],
+    min_support: int,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(item_a, item_b, support) — the ES `frequent_item_sets`
+    aggregation at size 2 over the match set's term sets: term PAIRS
+    co-occurring in ≥ ``min_support`` matching docs, top-k by support
+    (desc, then pair asc). Query terms are excluded (they co-occur
+    trivially).
+
+    Apriori pruning made physical: a pair can only be frequent if BOTH
+    members are (support is anti-monotone), so the self-join runs over
+    postings pre-filtered to frequent single terms — the classic
+    candidate-generation bound, keeping the pair shuffle at
+    Σ df(frequent terms)² per doc instead of all-terms²."""
+    matched = postings.join(
+        _matching_docs(postings, terms, id_col), id_col, "left_semi"
+    ).where(~F.col("term").isin(terms))
+    singles = (
+        matched.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .where(F.col("_df") >= min_support)
+        .select("term")
+    )
+    freq = (
+        matched.join(F.broadcast(singles), "term")
+        .select(id_col, "term")
+        .distinct()
+    )
+    a = freq.select(F.col(id_col), F.col("term").alias("item_a"))
+    b = freq.select(F.col(id_col), F.col("term").alias("item_b"))
+    return (
+        a.join(b, id_col)
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+        .orderBy(F.desc("support"), F.asc("item_a"), F.asc("item_b"))
+        .limit(k)
+    )

@@ -277,3 +277,59 @@ def moving_percentiles(
             "p" + str(p).replace("0.", "").ljust(2, "0"), F.round(val, 6)
         )
     return out.drop("_wv")
+
+
+def change_point(
+    buckets: DataFrame,
+    value_col: str = "n_docs",
+    bucket_col: str = "bucket",
+    min_seg: int = 2,
+) -> DataFrame:
+    """1 row (change_at, left_mean, right_mean, delta) — the ES
+    `change_point` pipeline agg, pinned to the deterministic
+    mean-shift spec: over the ordered bucket series, the split point t
+    (first bucket of the RIGHT segment) maximizing
+    |mean(values < t) − mean(values ≥ t)| with both segments ≥
+    ``min_seg`` buckets; ties → earliest t. ES fits several change
+    types (spike/dip/trend) — mean shift is the one with an exact
+    closed form over the bucket frame.
+
+    Plan: a bucket×bucket comparison over the BUCKET FRAME only
+    (calendar-bounded — at 10-year hourly grain that is 87k rows, never
+    corpus-sized), expressed as one running-sum window + projection."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(bucket_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    n_tot = buckets.count()
+    tot = buckets.agg(
+        F.sum(value_col).cast("double").alias("_sum")
+    ).collect()[0]["_sum"]
+    cand = (
+        buckets.withColumn("_lsum", F.sum(value_col).over(w))
+        .withColumn("_ln", F.count(value_col).over(w))
+        .where(
+            (F.col("_ln") >= min_seg) & (F.col("_ln") <= n_tot - min_seg)
+        )
+        .select(
+            F.col(bucket_col).alias("change_at"),
+            (F.col("_lsum") / F.col("_ln")).alias("left_mean"),
+            (
+                (F.lit(tot) - F.col("_lsum"))
+                / (F.lit(float(n_tot)) - F.col("_ln"))
+            ).alias("right_mean"),
+        )
+    )
+    delta = F.abs(F.col("right_mean") - F.col("left_mean"))
+    return (
+        cand.withColumn("delta", F.round(delta, 6))
+        .select(
+            "change_at",
+            F.round("left_mean", 6).alias("left_mean"),
+            F.round("right_mean", 6).alias("right_mean"),
+            "delta",
+        )
+        .orderBy(F.desc("delta"), F.asc("change_at"))
+        .limit(1)
+    )

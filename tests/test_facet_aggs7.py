@@ -359,3 +359,69 @@ def test_significant_text_dedup_guard_and_parity(spark, corpus, tmp_path):
     rel = significant_text(planted_posts, planted, ["tree"], **kw).collect()
     seg = idx.significant_text(["tree"], planted, **kw).collect()
     assert sorted(tuple(r) for r in rel) == sorted(tuple(r) for r in seg)
+
+
+def test_categorize_text_masks_variable_tokens(spark):
+    """categorize_text: digit-bearing tokens mask to '*', so log-like
+    messages differing only in ids collapse into one template."""
+    from fuzzy_wiki_spark.operators.facets import categorize_text
+
+    rows = [
+        (i, f"error in shard {i} retry attempt {i % 3}") for i in range(20)
+    ] + [(100 + i, "all systems nominal today") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    posts = P.build_postings(
+        docs.withColumnRenamed("text", "content"),
+        fields={"content": "content"},
+        mode="simple",
+    )
+    out = categorize_text(
+        posts, docs, ["error", "nominal"], text_col="text"
+    ).collect()
+    cats = {r["category"]: (r["n_docs"], r["example_id"]) for r in out}
+    assert cats["error in shard * retry attempt *"] == (20, 0)
+    assert cats["all systems nominal today"] == (3, 100)
+
+
+def test_frequent_item_sets_matches_python(spark, corpus):
+    """frequent_item_sets: pair supports equal the brute-force count
+    over matched docs' term sets; apriori pruning loses nothing (a pair
+    frequent => both members frequent)."""
+    import itertools
+
+    from fuzzy_wiki_spark.operators.facets import frequent_item_sets
+
+    docs, posts, m = corpus
+    pdf = docs.select("doc_id", "text").toPandas()
+    doc_terms = {
+        r.doc_id: set(r.text.split()) for r in pdf.itertuples()
+    }
+    match = {d for d, ts in doc_terms.items() if ts & set(TERMS)}
+    sup = 20
+    got = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in frequent_item_sets(posts, TERMS, sup, k=10_000).collect()
+    }
+    from collections import Counter
+
+    cnt = Counter()
+    for d in match:
+        ts = sorted(doc_terms[d] - set(TERMS))
+        for a, b in itertools.combinations(ts, 2):
+            cnt[(a, b)] += 1
+    want = {p: c for p, c in cnt.items() if c >= sup}
+    assert got == want
+
+
+def test_change_point_finds_planted_shift(spark):
+    from fuzzy_wiki_spark.operators.pipeline_aggs import change_point
+
+    vals = [10, 11, 9, 10, 30, 31, 29, 30]
+    buckets = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "bucket int, n_docs long"
+    )
+    row = change_point(buckets).collect()[0]
+    assert row["change_at"] == 4
+    assert row["left_mean"] == 10.0
+    assert row["right_mean"] == 30.0
+    assert row["delta"] == 20.0
