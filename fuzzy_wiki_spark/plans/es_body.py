@@ -4,41 +4,109 @@ the whole engine surface.
 A user of the reference ecosystem speaks Elasticsearch's JSON request
 body; this module compiles the PINNED SUBSET below onto the engine's
 already-verified operators, so every request form maps to a code path
-that carries its own hash-green oracle entry:
+that carries its own hash-green oracle entry. Unsupported rules raise
+``ValueError`` loudly — a request either maps onto a verified operator
+or is rejected, never silently re-interpreted.
 
 ``query`` (exactly one rule):
+
+*Full-text*
 - ``{"match": {field: text | {"query": text}}}`` — analyzed OR terms,
   BM25 sum (boolean should).
 - ``{"match_phrase": {field: text}}`` — exact phrase
   (SegmentIndex.phrase).
+- ``{"match_phrase_prefix": {field: text}}`` — last analyzed word is
+  the prefix, the rest anchor the phrase
+  (SegmentIndex.match_phrase_prefix).
+- ``{"match_bool_prefix": {field: text}}`` — last word prefix-expands,
+  the rest are complete should terms
+  (SegmentIndex.match_bool_prefix).
+- ``{"multi_match": {"query": text, "fields": ["title^2", ...],
+  "type": best_fields|most_fields|cross_fields, "tie_breaker": t}}``
+  (SegmentIndex.multi_match).
+- ``{"combined_fields": {"query": text, "fields": [...]}}`` — BM25F
+  over the synthetic merged field (SegmentIndex.combined_fields).
+- ``{"more_like_this": {"fields": [f], "like": text,
+  "max_query_terms": m}}`` (SegmentIndex.more_like_this_text).
+
+*Term-level* (``value`` may be bare or ``{"value": v}``):
+- ``{"term": {field: v}}`` — single unanalyzed term, BM25-scored (the
+  Lucene TermQuery).
+- ``{"terms": {field: [v, ...]}}`` — constant-score any-of (Lucene
+  TermInSetQuery rewrites constant; SegmentIndex.constant_score).
+- ``{"prefix"|"wildcard"|"fuzzy"|"regexp": {field: spec}}`` —
+  dictionary expansion off the term_stats side-channel
+  (SegmentIndex.prefix/wildcard/fuzzy/regexp). ES wildcard ``*``/``?``
+  translate to SQL-LIKE ``%``/``_`` (literal %/_ not in the subset);
+  ``fuzzy`` honors ``{"fuzziness": d}``.
+
+*Compound*
 - ``{"bool": {"must": [...], "should": [...], "must_not": [...],
   "filter": [...]}}`` — must/should/must_not are ``match`` leaves on
-  the search field (terms merged per slot, Lucene BooleanQuery
-  semantics via operators/boolean.boolean_topk); ``filter`` is the
-  term-level DSL (operators/boolean.compile_filter — term / terms /
-  ids / exists / range / nested bool) compiled over the ``docs`` table
-  and applied BEFORE ranking with corpus-wide stats (ES filter-context
-  semantics: restricts results, never scores).
-- ``{"dis_max": {"queries": [match leaves], "tie_breaker": t}}`` —
-  best-clause scoring (SegmentIndex.dis_max).
+  ONE field (Lucene BooleanQuery via operators/boolean.boolean_topk);
+  ``filter`` is the term-level DSL (operators/boolean.compile_filter)
+  over the ``docs`` table, applied BEFORE ranking with corpus-wide
+  stats (ES filter context: restricts, never scores).
+- ``{"dis_max": {"queries": [match leaves], "tie_breaker": t}}``.
 - ``{"constant_score": {"filter": {"terms": {field: [...]}},
-  "boost": b}}`` (SegmentIndex.constant_score).
-- ``{"intervals": {field: rule}}`` — the two-level intervals subset
-  (SegmentIndex.intervals).
+  "boost": b}}``.
+- ``{"boosting": {"positive": match, "negative": match,
+  "negative_boost": b}}`` (SegmentIndex.boosting).
+- ``{"pinned": {"ids": [...], "organic": match}}`` — needs ``docs``
+  (SegmentIndex.pinned).
+- ``{"terms_set": {field: {"terms": [...],
+  "minimum_should_match_field": col}}}`` — needs ``docs``
+  (SegmentIndex.terms_set).
+
+*Positional*
+- ``{"intervals": {field: rule}}`` — the two-level intervals subset.
+- ``{"span_near": {"clauses": [span_term | span_or...], "slop": s,
+  "in_order": bool}}`` — all-span_term ordered chains route to
+  SegmentIndex.span_near; unordered to span_within with
+  window = |terms| + slop (the Lucene slop→cover-window identity);
+  span_or clauses make slot alternatives (SegmentIndex.span_or,
+  ordered only).
+- ``{"span_first": {"match": {"span_term": {field: t}}, "end": e}}``.
+- ``{"span_not": {"include": span_term, "exclude": span_term,
+  "pre": p, "post": q}}``.
 
 Top level:
-- ``size`` → k (default 10).
+- ``size`` → k (default 10); ``from`` → offset (re-ranked on the
+  (from+size)-row frame — ES's shallow-paging shape; scored frames
+  only).
+- ``min_score`` → post-filter on the scored hits.
+- ``track_total_hits: true`` → ``result["total"]`` (exact match count
+  via SegmentIndex.count_matches; match/bool OR semantics).
 - ``sort``: default ``_score``; ``[{field: {"order": ...}}]`` routes to
   sort_by_field (no scoring), with ``search_after`` as the page cursor.
 - ``collapse``: ``{"field": f}`` → field collapsing on the full scored
   set (SegmentIndex.search_collapse semantics via collapse_topk).
-- ``aggs``: ``terms`` / ``stats`` / ``date_histogram`` / ``range``
-  sub-bodies, computed over the query's match set exactly like the
-  corresponding hash-verified agg entries.
+- ``rescore``: ``{"window_size": w, "query": {"rescore_query":
+  {"match_phrase": {field: text}}, "rescore_query_weight": wgt}}`` →
+  SegmentIndex.rescore_phrase (Lucene QueryRescorer) — match-leaf
+  first pass only.
+- ``knn``: ``{"field": vec_col, "query_vector": [...], "k": kk,
+  "filter": term-level DSL}`` — exact cosine top-k over the
+  ``vectors`` frame (operators/similarity.cosine_topk /
+  filtered_cosine_topk, PRE-filter semantics). knn-only bodies (no
+  ``query``) return the vector hits as ``hits``.
+- ``suggest``: ``{name: {"text": t, "term": {"field": f,
+  "max_edits": d, "size": s}}}`` → operators/term_expansion
+  .suggest_terms off the index's term_stats side-channel;
+  ``{"phrase": {...}}`` → SegmentIndex.phrase_suggest. Results in
+  ``result["suggest"][name]``.
+- ``_source``: [cols] → stored fields joined from ``docs`` onto the
+  k-row hits frame (docstore split — never the corpus).
+- ``aggs``: ``terms`` / ``stats`` / ``date_histogram`` / ``range`` /
+  ``histogram`` / ``cardinality`` / ``percentiles`` / ``value_count``
+  / ``missing`` / ``global`` / ``filters`` / ``significant_terms`` /
+  ``top_metrics`` sub-bodies, computed over the query's match set
+  exactly like the corresponding hash-verified agg entries (the
+  bucketed metrics take the same ``group_by`` extension key the
+  ``stats`` form already used).
 
-Returns ``{"hits": DataFrame, "aggregations": {name: DataFrame}}``.
-Unsupported rules raise ``ValueError`` loudly — a request either maps
-onto a verified operator or is rejected, never silently re-interpreted.
+Returns ``{"hits": DataFrame, "aggregations": {name: DataFrame},
+"suggest": {name: DataFrame}, "total": int | None}``.
 """
 
 from __future__ import annotations
@@ -56,14 +124,37 @@ def _match_words(rule: dict, analyze) -> tuple[str, list[str]]:
     return field, list(analyze(text))
 
 
+def _value(spec) -> str:
+    """Term-level leaf value: bare or {"value": v}."""
+    return spec["value"] if isinstance(spec, dict) else spec
+
+
+def _field_boosts(fields: list[str]) -> list[tuple[str, float]]:
+    """["title^2.0", "content"] → [("title", 2.0), ("content", 1.0)]."""
+    out = []
+    for f in fields:
+        name, _, boost = f.partition("^")
+        out.append((name, float(boost) if boost else 1.0))
+    return out
+
+
+def _span_term(clause: dict) -> tuple[str, str]:
+    if set(clause) != {"span_term"}:
+        raise ValueError(f"expected span_term, got: {sorted(clause)}")
+    (field, spec), = clause["span_term"].items()
+    return field, _value(spec)
+
+
 def es_search(
     idx,
     body: dict,
     docs: DataFrame | None = None,
+    vectors: DataFrame | None = None,
     analyze=str.split,
 ) -> dict:
     """Execute an ES `_search` request body against a SegmentIndex.
-    ``docs`` supplies doc values for filter context / sorts / aggs;
+    ``docs`` supplies doc values for filter context / sorts / aggs /
+    ``_source``; ``vectors`` supplies the embedding frame for ``knn``;
     ``analyze`` maps query text to index terms (must match the mode the
     index was built with — default whitespace for simple-mode)."""
     from fuzzy_wiki_spark.operators.boolean import (
@@ -72,9 +163,49 @@ def es_search(
     )
 
     k = int(body.get("size", 10))
-    query = body.get("query", {"match_all": {}})
-    kind = next(iter(query))
+    offset = int(body.get("from", 0))
+    k_fetch = k + offset
+    query = body.get("query")
+    if query is None and "knn" not in body and "suggest" not in body:
+        query = {"match_all": {}}
     aggs_out: dict[str, DataFrame] = {}
+    suggest_out: dict[str, DataFrame] = {}
+    total = None
+
+    # --- knn (vector section; exclusive with query in the pinned subset)
+    if "knn" in body:
+        if query is not None:
+            raise ValueError(
+                "hybrid query+knn not in the pinned subset — use "
+                "operators/hybrid.rrf_fuse on the two result frames"
+            )
+        if vectors is None:
+            raise ValueError("knn requires the vectors frame")
+        from fuzzy_wiki_spark.operators.similarity import (
+            cosine_topk,
+            filtered_cosine_topk,
+        )
+
+        knn = body["knn"]
+        qv = list(knn["query_vector"])
+        kk = int(knn.get("k", k))
+        vec_col = knn.get("field", "embedding")
+        if "filter" in knn:
+            pred = compile_filter(knn["filter"])
+            hits = filtered_cosine_topk(
+                vectors, qv, pred, k=kk, vec_col=vec_col
+            )
+        else:
+            hits = cosine_topk(vectors, qv, k=kk, vec_col=vec_col)
+        qterms: list[str] = []
+        kind = "knn"
+    elif query is None:
+        # suggest-only body: no retrieval section at all
+        hits = None
+        qterms = []
+        kind = "none"
+    else:
+        kind = next(iter(query))
 
     # --- resolve the query to (terms used, hits frame) -----------------
     filter_ids = None
@@ -104,16 +235,18 @@ def es_search(
             tuple(must_not),
             term_df,
             idx.field_stats,
-            k=k,
+            k=k_fetch,
         )
 
-    if kind == "match_all":
+    if kind in ("knn", "none"):
+        pass
+    elif kind == "match_all":
         if docs is None:
             raise ValueError("match_all requires the docs table")
         hits = (
             docs.select("doc_id", F.lit(1.0).alias("score"))
             .orderBy("doc_id")
-            .limit(k)
+            .limit(k_fetch)
         )
         qterms = []
     elif kind == "match":
@@ -123,8 +256,97 @@ def es_search(
     elif kind == "match_phrase":
         (field, text), = query["match_phrase"].items()
         words = list(analyze(text if isinstance(text, str) else text["query"]))
-        hits = idx.phrase(tuple(words), field=field, k=k)
+        hits = idx.phrase(tuple(words), field=field, k=k_fetch)
         qterms = words
+    elif kind == "match_phrase_prefix":
+        (field, spec), = query["match_phrase_prefix"].items()
+        text = spec["query"] if isinstance(spec, dict) else spec
+        maxexp = (
+            int(spec.get("max_expansions", 50))
+            if isinstance(spec, dict)
+            else 50
+        )
+        words = list(analyze(text))
+        hits = idx.match_phrase_prefix(
+            tuple(words[:-1]),
+            words[-1],
+            field=field,
+            max_expansions=maxexp,
+            k=k_fetch,
+        )
+        qterms = words[:-1]
+    elif kind == "match_bool_prefix":
+        (field, spec), = query["match_bool_prefix"].items()
+        text = spec["query"] if isinstance(spec, dict) else spec
+        words = list(analyze(text))
+        hits = idx.match_bool_prefix(
+            words[:-1], words[-1], field=field, k=k_fetch
+        )
+        qterms = words[:-1]
+    elif kind == "multi_match":
+        mm = query["multi_match"]
+        words = list(analyze(mm["query"]))
+        hits = idx.multi_match(
+            words,
+            _field_boosts(mm["fields"]),
+            mode=mm.get("type", "best_fields"),
+            tie_breaker=float(mm.get("tie_breaker", 0.3)),
+            k=k_fetch,
+        )
+        qterms = words
+    elif kind == "combined_fields":
+        cf = query["combined_fields"]
+        words = list(analyze(cf["query"]))
+        hits = idx.combined_fields(
+            words, _field_boosts(cf["fields"]), k=k_fetch
+        )
+        qterms = words
+    elif kind == "more_like_this":
+        mlt = query["more_like_this"]
+        field = mlt.get("fields", ["content"])[0]
+        words = list(analyze(mlt["like"]))
+        hits = idx.more_like_this_text(
+            words,
+            field=field,
+            m=int(mlt.get("max_query_terms", 10)),
+            k=k_fetch,
+        )
+        qterms = words
+    elif kind == "term":
+        (field, spec), = query["term"].items()
+        val = _value(spec)
+        hits = _boolean((val,), (), ())
+        qterms = [val]
+    elif kind == "terms":
+        spec = dict(query["terms"])
+        boost = float(spec.pop("boost", 1.0))
+        (field, vals), = spec.items()
+        hits = idx.constant_score(
+            list(vals), field=field, boost=boost, k=k_fetch
+        )
+        qterms = list(vals)
+    elif kind == "prefix":
+        (field, spec), = query["prefix"].items()
+        hits = idx.prefix(_value(spec), field=field, k=k_fetch)
+        qterms = [_value(spec)]
+    elif kind == "wildcard":
+        (field, spec), = query["wildcard"].items()
+        pattern = _value(spec).replace("*", "%").replace("?", "_")
+        hits = idx.wildcard(pattern, field=field, k=k_fetch)
+        qterms = []
+    elif kind == "fuzzy":
+        (field, spec), = query["fuzzy"].items()
+        dist = (
+            int(spec.get("fuzziness", 1)) if isinstance(spec, dict) else 1
+        )
+        hits = idx.fuzzy(
+            _value(spec), max_dist=dist, field=field, k=k_fetch
+        )
+        qterms = [_value(spec)]
+    elif kind == "regexp":
+        (field, spec), = query["regexp"].items()
+        hits = idx.regexp(_value(spec), field=field, k=k_fetch)
+        qterms = []
     elif kind == "bool":
         b = query["bool"]
 
@@ -149,7 +371,7 @@ def es_search(
         hits = _boolean(must, should, must_not)
         qterms = list(must + should)
     elif kind == "dis_max":
-        words: list[str] = []
+        words = []
         for leaf in query["dis_max"]["queries"]:
             field, ws = _match_words(leaf, analyze)
             words.extend(ws)
@@ -157,7 +379,7 @@ def es_search(
             list(dict.fromkeys(words)),
             field=field,
             tie_breaker=float(query["dis_max"].get("tie_breaker", 0.0)),
-            k=k,
+            k=k_fetch,
         )
         qterms = words
     elif kind == "constant_score":
@@ -169,18 +391,176 @@ def es_search(
             list(terms),
             field="content",
             boost=float(query["constant_score"].get("boost", 1.0)),
-            k=k,
+            k=k_fetch,
         )
         qterms = list(terms)
+    elif kind == "boosting":
+        bq = query["boosting"]
+        field, pos = _match_words(bq["positive"], analyze)
+        _, neg = _match_words(bq["negative"], analyze)
+        hits = idx.boosting(
+            pos,
+            neg,
+            field=field,
+            negative_boost=float(bq.get("negative_boost", 0.5)),
+            k=k_fetch,
+        )
+        qterms = pos
+    elif kind == "pinned":
+        if docs is None:
+            raise ValueError("pinned requires the docs table")
+        pq = query["pinned"]
+        field, words = _match_words(pq["organic"], analyze)
+        hits = idx.pinned(
+            words, [int(i) for i in pq["ids"]], docs, field=field, k=k_fetch
+        )
+        qterms = words
+    elif kind == "terms_set":
+        if docs is None:
+            raise ValueError("terms_set requires the docs table")
+        (field, spec), = query["terms_set"].items()
+        req_col = spec["minimum_should_match_field"]
+        hits = idx.terms_set(
+            list(spec["terms"]),
+            docs.select("doc_id", req_col),
+            req_col,
+            field=field,
+            k=k_fetch,
+        )
+        qterms = list(spec["terms"])
     elif kind == "intervals":
         (field, rule), = query["intervals"].items()
-        hits = idx.intervals(rule, field=field, k=k)
+        hits = idx.intervals(rule, field=field, k=k_fetch)
         from fuzzy_wiki_spark.operators.spans import compile_intervals
 
         slots, _, _ = compile_intervals(rule)
         qterms = [t for s in slots for t in s]
+    elif kind == "span_near":
+        sn = query["span_near"]
+        slop = int(sn.get("slop", 0))
+        ordered = bool(sn.get("in_order", True))
+        clauses = sn["clauses"]
+        if any(set(c) == {"span_or"} for c in clauses):
+            if not ordered:
+                raise ValueError("span_or chains are ordered-only")
+            slots = []
+            for c in clauses:
+                if set(c) == {"span_or"}:
+                    alt = [
+                        _span_term(sc) for sc in c["span_or"]["clauses"]
+                    ]
+                    field = alt[0][0]
+                    slots.append(tuple(t for _, t in alt))
+                else:
+                    field, t = _span_term(c)
+                    slots.append((t,))
+            hits = idx.span_or(
+                tuple(slots), slop, ordered=True, field=field, k=k_fetch
+            )
+            qterms = [t for s in slots for t in s]
+        else:
+            pairs = [_span_term(c) for c in clauses]
+            field = pairs[0][0]
+            terms = tuple(t for _, t in pairs)
+            if ordered:
+                hits = idx.span_near(
+                    terms, field=field, slop=slop, k=k_fetch
+                )
+            else:
+                # Lucene unordered slop == covering window of
+                # |terms| + slop positions
+                hits = idx.span_within(
+                    terms, len(terms) + slop, field=field, k=k_fetch
+                )
+            qterms = list(terms)
+    elif kind == "span_first":
+        sf_ = query["span_first"]
+        field, t = _span_term(sf_["match"])
+        hits = idx.span_first(t, int(sf_["end"]), field=field, k=k_fetch)
+        qterms = [t]
+    elif kind == "span_not":
+        sn = query["span_not"]
+        field, inc = _span_term(sn["include"])
+        _, exc = _span_term(sn["exclude"])
+        hits = idx.span_not(
+            inc,
+            exc,
+            pre=int(sn.get("pre", 0)),
+            post=int(sn.get("post", 0)),
+            field=field,
+            k=k_fetch,
+        )
+        qterms = [inc]
     else:
         raise ValueError(f"unsupported query rule: {kind}")
+
+    # --- total hit count ------------------------------------------------
+    if body.get("track_total_hits"):
+        if kind not in ("match", "bool", "term"):
+            raise ValueError(
+                "track_total_hits pinned to match/bool/term queries"
+            )
+        total = idx.count_matches(" ".join(qterms))
+
+    # --- rescore (Lucene QueryRescorer; replaces the first-pass hits).
+    # Built from the compiler's own analyzed terms — NOT
+    # SegmentIndex.rescore_phrase, whose string-query path re-analyzes
+    # with the porter chain (wrong for simple-mode indexes). Same
+    # construction as the hash-verified seg_rescore entry: full-set
+    # scores rounded 6 BEFORE the window cut (the oracle's tie
+    # handling), window materialized once, phrase signal from a
+    # term-pruned decode restricted to the window. ---------------------
+    if "rescore" in body:
+        if kind != "match":
+            raise ValueError("rescore pinned to a match first pass")
+        rs = body["rescore"]
+        rq = rs["query"]["rescore_query"]
+        if set(rq) != {"match_phrase"}:
+            raise ValueError("rescore_query subset: match_phrase")
+        (rfield, rtext), = rq["match_phrase"].items()
+        phrase = tuple(analyze(rtext))
+        first_k = int(rs.get("window_size", 100))
+        weight = float(rs["query"].get("rescore_query_weight", 1.0))
+        from fuzzy_wiki_spark.operators.rescore import (
+            phrase_occurrences,
+            rescore_topk,
+        )
+        from fuzzy_wiki_spark.operators.segment_query import (
+            search_segments_batch,
+        )
+        from fuzzy_wiki_spark.plans.query import Clause
+
+        clauses = [
+            Clause(i, field, (t,), 1.0, 0, False)
+            for i, t in enumerate(qterms)
+        ]
+        full = search_segments_batch(
+            idx.spark,
+            idx.segments,
+            {0: clauses},
+            idx._term_df(list(qterms)),
+            idx.field_stats,
+            k=None,
+        ).select("doc_id", F.round("score", 6).alias("score"))
+        window = (
+            full.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(first_k)
+            .persist()
+        )
+        sig = phrase_occurrences(
+            idx.term_postings(rfield, sorted(set(phrase)), with_dl=False),
+            rfield,
+            phrase,
+            candidates=window,
+        )
+        try:
+            res = rescore_topk(
+                window, sig, first_k=first_k, k=k, weight=weight
+            )
+            collected = res.collect()
+            hits = idx.spark.createDataFrame(collected, res.schema)
+        finally:
+            window.unpersist()
 
     # --- sort / collapse ----------------------------------------------
     sort = body.get("sort")
@@ -230,6 +610,32 @@ def es_search(
             k=k,
         )
 
+    # --- min_score / from (shallow paging on the scored frame) ---------
+    if "min_score" in body:
+        if "score" not in hits.columns:
+            raise ValueError("min_score needs a scored hits frame")
+        hits = hits.where(F.col("score") >= float(body["min_score"]))
+    if offset:
+        if not {"doc_id", "score"} <= set(hits.columns):
+            raise ValueError("from/offset pinned to scored (doc_id, score)")
+        from pyspark.sql import Window
+
+        # the frame is ≤ from+size rows (already cut by the operator) —
+        # the rank window is driver-trivial, never corpus-sized
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        hits = (
+            hits.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") > offset)
+            .drop("_r")
+        )
+
+    # --- _source (stored fields join the ≤k hits, never the corpus) ----
+    if "_source" in body:
+        if docs is None:
+            raise ValueError("_source requires the docs table")
+        cols = list(body["_source"])
+        hits = hits.join(docs.select("doc_id", *cols), "doc_id")
+
     # --- highlight (runs AFTER the cut: text joins k docs, never the
     # corpus — the docstore split) --------------------------------------
     if "highlight" in body:
@@ -249,25 +655,54 @@ def es_search(
             *[c for c in hits.columns], snip["snippet"].alias("snippet")
         )
 
+    # --- suggesters (term_stats side-channel / index-native collation) -
+    for name, sbody in body.get("suggest", {}).items():
+        text = sbody["text"]
+        if "term" in sbody:
+            from fuzzy_wiki_spark.operators.term_expansion import (
+                suggest_terms,
+            )
+
+            t = sbody["term"]
+            suggest_out[name] = suggest_terms(
+                idx.term_stats,
+                t.get("field", "content"),
+                text,
+                max_dist=int(t.get("max_edits", 2)),
+                k=int(t.get("size", 5)),
+            )
+        elif "phrase" in sbody:
+            p = sbody["phrase"]
+            suggest_out[name] = idx.phrase_suggest(
+                list(analyze(text)),
+                field=p.get("field", "content"),
+                per_term=int(p.get("candidates", 5)),
+                k=int(p.get("size", 3)),
+            )
+        else:
+            raise ValueError(f"unsupported suggester: {sorted(sbody)}")
+
     # --- aggregations over the query's match set ----------------------
     for name, spec in body.get("aggs", {}).items():
         akind = next(iter(spec))
         abody = spec[akind]
-        if docs is None:
+        if docs is None and akind not in ("filters", "significant_terms"):
             raise ValueError("aggs require the docs table")
+
+        def _val(ab):
+            return F.expr(ab["script"]) if "script" in ab else ab["field"]
+
         if akind == "terms":
             aggs_out[name] = idx.facet_counts(qterms, docs, abody["field"])
         elif akind == "stats":
             aggs_out[name] = idx.facet_stats(
-                qterms, docs, abody.get("group_by", "lang"), abody["field"]
+                qterms, docs, abody.get("group_by", "lang"), _val(abody)
             )
         elif akind == "date_histogram":
             aggs_out[name] = idx.date_histogram(
                 qterms,
                 docs,
-                F.expr(abody["script"])
-                if "script" in abody
-                else abody["field"],
+                _val(abody),
                 interval=abody.get("calendar_interval", "month"),
             )
         elif akind == "range":
@@ -276,9 +711,67 @@ def es_search(
                 for r in abody["ranges"]
             ]
             aggs_out[name] = idx.range_facets(
-                qterms, docs, ranges, abody["field"]
+                qterms, docs, ranges, _val(abody)
+            )
+        elif akind == "histogram":
+            aggs_out[name] = idx.histogram_facet(
+                qterms, docs, int(abody["interval"]), _val(abody)
+            )
+        elif akind == "cardinality":
+            aggs_out[name] = idx.facet_cardinality(
+                qterms,
+                docs,
+                facet_col=abody.get("group_by", "lang"),
+                of_col=abody["field"],
+            )
+        elif akind == "percentiles":
+            aggs_out[name] = idx.facet_percentiles(
+                qterms,
+                docs,
+                abody.get("group_by", "lang"),
+                _val(abody),
+                percentiles=tuple(
+                    p / 100.0 for p in abody.get("percents", (50, 90, 99))
+                ),
+            )
+        elif akind == "value_count":
+            aggs_out[name] = idx.value_count_agg(
+                qterms, docs, abody.get("group_by", "lang"), _val(abody)
+            )
+        elif akind == "missing":
+            aggs_out[name] = idx.missing_agg(qterms, docs, _val(abody))
+        elif akind == "global":
+            aggs_out[name] = idx.global_agg(qterms, docs, abody["field"])
+        elif akind == "filters":
+            aggs_out[name] = idx.filters_agg(
+                {
+                    fname: list(f["terms"][next(iter(f["terms"]))])
+                    for fname, f in abody["filters"].items()
+                }
+            )
+        elif akind == "significant_terms":
+            aggs_out[name] = idx.significant_terms(
+                qterms,
+                k=int(abody.get("size", 10)),
+                min_doc_count=int(abody.get("min_doc_count", 3)),
+            )
+        elif akind == "top_metrics":
+            (sort_col, _), = abody["sort"].items() if isinstance(
+                abody["sort"], dict
+            ) else abody["sort"][0].items()
+            aggs_out[name] = idx.top_metrics(
+                qterms,
+                docs,
+                abody.get("group_by", "lang"),
+                sort_col,
+                [m["field"] for m in abody["metrics"]],
             )
         else:
             raise ValueError(f"unsupported agg: {akind}")
 
-    return {"hits": hits, "aggregations": aggs_out}
+    return {
+        "hits": hits,
+        "aggregations": aggs_out,
+        "suggest": suggest_out,
+        "total": total,
+    }

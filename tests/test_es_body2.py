@@ -1,0 +1,380 @@
+"""Round-4 extension of the ES `_search` request-body compiler
+(plans/es_body.es_search): every new pinned rule routes to its verified
+operator and matches calling that operator directly — term-level leaves,
+the match_* prefix family, multi_match/combined_fields/more_like_this,
+boosting/pinned/terms_set, the span family, knn, suggesters, rescore,
+from/min_score/track_total_hits/_source, and the widened agg set."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.corpus import generate_docs_df
+from fuzzy_wiki_spark.engine import SegmentIndex
+from fuzzy_wiki_spark.plans.es_body import es_search
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    docs = generate_docs_df(spark, 250, seed=31).withColumnRenamed(
+        "content", "text"
+    )
+    idx = SegmentIndex.build(
+        spark,
+        docs.withColumnRenamed("text", "content"),
+        str(tmp_path_factory.mktemp("esb2") / "ix"),
+        n_buckets=4,
+        mode="simple",
+    )
+    dv = docs.select(
+        "doc_id", "lang", "text", F.length("text").alias("n_chars")
+    ).withColumn("req", (F.col("doc_id") % 2 + 1).cast("int"))
+    return idx, dv
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)], int(i % 3))
+        for i in range(60)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_term_level_leaves(spark, setup):
+    idx, dv = setup
+    out = es_search(idx, {"query": {"term": {"content": "binary"}}})
+    assert rows(out["hits"]) == rows(idx.boolean(("binary",), (), (), k=10))
+
+    out = es_search(
+        idx, {"query": {"terms": {"content": ["binary", "tree"],
+                                  "boost": 2.0}}, "size": 12}
+    )
+    assert rows(out["hits"]) == rows(
+        idx.constant_score(["binary", "tree"], boost=2.0, k=12)
+    )
+
+    out = es_search(idx, {"query": {"prefix": {"content": "se"}}, "size": 20})
+    assert rows(out["hits"]) == rows(idx.prefix("se", k=20))
+
+    # ES wildcard syntax translates to the dictionary's SQL-LIKE
+    out = es_search(
+        idx, {"query": {"wildcard": {"content": "*ea*"}}, "size": 20}
+    )
+    assert rows(out["hits"]) == rows(idx.wildcard("%ea%", k=20))
+
+    out = es_search(
+        idx,
+        {"query": {"fuzzy": {"content": {"value": "tre", "fuzziness": 1}}},
+         "size": 20},
+    )
+    assert rows(out["hits"]) == rows(idx.fuzzy("tre", max_dist=1, k=20))
+
+    out = es_search(
+        idx, {"query": {"regexp": {"content": "b[ia].*"}}, "size": 20}
+    )
+    assert rows(out["hits"]) == rows(idx.regexp("b[ia].*", k=20))
+
+
+def test_match_prefix_family(spark, setup):
+    idx, dv = setup
+    out = es_search(
+        idx,
+        {"query": {"match_phrase_prefix": {"content": {
+            "query": "binary se", "max_expansions": 10}}}, "size": 15},
+    )
+    assert rows(out["hits"]) == rows(
+        idx.match_phrase_prefix(("binary",), "se", max_expansions=10, k=15)
+    )
+    out = es_search(
+        idx, {"query": {"match_bool_prefix": {"content": "binary se"}}}
+    )
+    assert rows(out["hits"]) == rows(
+        idx.match_bool_prefix(["binary"], "se", k=10)
+    )
+
+
+def test_multi_field_and_mlt(spark, setup, tmp_path_factory):
+    docs = generate_docs_df(spark, 200, seed=33)
+    two = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice(F.split("content", " "), 1, 6)
+        ).alias("title"),
+        "content",
+    )
+    idx2 = SegmentIndex.build(
+        spark,
+        two,
+        str(tmp_path_factory.mktemp("esb2mm") / "ix"),
+        n_buckets=4,
+        mode="simple",
+        fields={"title": "title", "content": "content"},
+    )
+    body = {"query": {"multi_match": {
+        "query": "binary tree", "fields": ["title^2.0", "content"],
+        "type": "best_fields", "tie_breaker": 0.3}}}
+    out = es_search(idx2, body)
+    assert rows(out["hits"]) == rows(
+        idx2.multi_match(
+            ["binary", "tree"], [("title", 2.0), ("content", 1.0)],
+            mode="best_fields", tie_breaker=0.3,
+        )
+    )
+    body = {"query": {"combined_fields": {
+        "query": "binary tree", "fields": ["title^2", "content"]}}}
+    out = es_search(idx2, body)
+    assert rows(out["hits"]) == rows(
+        idx2.combined_fields(
+            ["binary", "tree"], [("title", 2.0), ("content", 1.0)]
+        )
+    )
+    out = es_search(idx2, {"query": {"more_like_this": {
+        "fields": ["content"], "like": "binary tree search",
+        "max_query_terms": 5}}})
+    assert rows(out["hits"]) == rows(
+        idx2.more_like_this_text(
+            ["binary", "tree", "search"], m=5, k=10
+        )
+    )
+
+
+def test_compound_queries(spark, setup):
+    idx, dv = setup
+    out = es_search(idx, {"query": {"boosting": {
+        "positive": {"match": {"content": "binary tree"}},
+        "negative": {"match": {"content": "search"}},
+        "negative_boost": 0.4}}})
+    assert rows(out["hits"]) == rows(
+        idx.boosting(["binary", "tree"], ["search"], negative_boost=0.4)
+    )
+    out = es_search(idx, {"query": {"pinned": {
+        "ids": [3, 7],
+        "organic": {"match": {"content": "binary tree"}}}}}, docs=dv)
+    assert rows(out["hits"]) == rows(
+        idx.pinned(["binary", "tree"], [3, 7], dv)
+    )
+    out = es_search(idx, {"query": {"terms_set": {"content": {
+        "terms": ["binary", "tree", "search"],
+        "minimum_should_match_field": "req"}}}}, docs=dv)
+    assert rows(out["hits"]) == rows(
+        idx.terms_set(
+            ["binary", "tree", "search"], dv.select("doc_id", "req"), "req"
+        )
+    )
+
+
+def test_span_family(spark, setup):
+    idx, dv = setup
+    st = lambda t: {"span_term": {"content": t}}  # noqa: E731
+    out = es_search(idx, {"query": {"span_near": {
+        "clauses": [st("binary"), st("tree")], "slop": 4,
+        "in_order": True}}, "size": 15})
+    assert rows(out["hits"]) == rows(
+        idx.span_near(("binary", "tree"), slop=4, k=15)
+    )
+    out = es_search(idx, {"query": {"span_near": {
+        "clauses": [st("binary"), st("tree")], "slop": 4,
+        "in_order": False}}, "size": 15})
+    assert rows(out["hits"]) == rows(
+        idx.span_within(("binary", "tree"), 6, k=15)
+    )
+    out = es_search(idx, {"query": {"span_near": {
+        "clauses": [
+            {"span_or": {"clauses": [st("binary"), st("red")]}},
+            st("tree"),
+        ], "slop": 3, "in_order": True}}, "size": 15})
+    assert rows(out["hits"]) == rows(
+        idx.span_or((("binary", "red"), ("tree",)), 3, ordered=True, k=15)
+    )
+    out = es_search(idx, {"query": {"span_first": {
+        "match": st("binary"), "end": 6}}, "size": 15})
+    assert rows(out["hits"]) == rows(idx.span_first("binary", 6, k=15))
+    out = es_search(idx, {"query": {"span_not": {
+        "include": st("tree"), "exclude": st("binary"),
+        "pre": 1, "post": 1}}, "size": 15})
+    assert rows(out["hits"]) == rows(
+        idx.span_not("tree", "binary", pre=1, post=1, k=15)
+    )
+
+
+def test_knn_section(spark, setup, vectors):
+    from fuzzy_wiki_spark.operators.similarity import (
+        cosine_topk,
+        filtered_cosine_topk,
+    )
+
+    idx, dv = setup
+    qv = [0.5] * 8
+    out = es_search(idx, {"knn": {
+        "field": "embedding", "query_vector": qv, "k": 7}}, vectors=vectors)
+    assert rows(out["hits"]) == rows(cosine_topk(vectors, qv, k=7))
+    out = es_search(idx, {"knn": {
+        "field": "embedding", "query_vector": qv, "k": 7,
+        "filter": {"term": {"label": 1}}}}, vectors=vectors)
+    assert rows(out["hits"]) == rows(
+        filtered_cosine_topk(vectors, qv, F.col("label") == 1, k=7)
+    )
+    with pytest.raises(ValueError, match="hybrid"):
+        es_search(idx, {"query": {"match": {"content": "x"}},
+                        "knn": {"query_vector": qv}}, vectors=vectors)
+
+
+def test_suggest_section(spark, setup):
+    from fuzzy_wiki_spark.operators.term_expansion import suggest_terms
+
+    idx, dv = setup
+    out = es_search(idx, {"suggest": {
+        "fix": {"text": "binarry", "term": {
+            "field": "content", "max_edits": 2, "size": 5}},
+        "say": {"text": "binary tre", "phrase": {
+            "field": "content", "candidates": 4, "size": 3}},
+    }})
+    assert rows(out["suggest"]["fix"]) == rows(
+        suggest_terms(idx.term_stats, "content", "binarry", max_dist=2, k=5)
+    )
+    assert rows(out["suggest"]["say"]) == rows(
+        idx.phrase_suggest(["binary", "tre"], per_term=4, k=3)
+    )
+
+
+def test_paging_total_rescore_source(spark, setup):
+    idx, dv = setup
+    base = {"query": {"match": {"content": "binary tree"}}}
+
+    # from/size: page 2 == rows 5..9 of the top-10
+    all10 = [
+        tuple(r)
+        for r in es_search(idx, dict(base, size=10))["hits"]
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .collect()
+    ]
+    page2 = [
+        tuple(r)
+        for r in es_search(idx, dict(base, size=5, **{"from": 5}))["hits"]
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .collect()
+    ]
+    assert page2 == all10[5:]
+
+    # min_score drops the tail
+    scores = [s for _, s in all10]
+    cut = scores[3]
+    out = es_search(idx, dict(base, size=10, min_score=cut))["hits"]
+    assert all(r["score"] >= cut for r in out.collect())
+
+    # track_total_hits: exact OR match count
+    out = es_search(idx, dict(base, track_total_hits=True))
+    assert out["total"] == idx.count_matches("binary tree")
+
+    # rescore == the seg_rescore construction (rounded full scores →
+    # window cut → phrase signal → combine) on the compiler's own
+    # analyzed terms
+    from fuzzy_wiki_spark.operators.rescore import (
+        phrase_occurrences,
+        rescore_topk,
+    )
+    from fuzzy_wiki_spark.operators.segment_query import (
+        search_segments_batch,
+    )
+    from fuzzy_wiki_spark.plans.query import Clause
+
+    body = dict(base, rescore={
+        "window_size": 50,
+        "query": {"rescore_query": {"match_phrase": {
+            "content": "binary tree"}}, "rescore_query_weight": 0.5},
+    })
+    out = es_search(idx, body)
+    clauses = [Clause(i, "content", (t,), 1.0, 0, False)
+               for i, t in enumerate(["binary", "tree"])]
+    full = search_segments_batch(
+        idx.spark, idx.segments, {0: clauses},
+        idx._term_df(["binary", "tree"]), idx.field_stats, k=None,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    window = full.orderBy(F.desc("score"), F.asc("doc_id")).limit(50)
+    sig = phrase_occurrences(
+        idx.term_postings("content", ["binary", "tree"], with_dl=False),
+        "content", ("binary", "tree"), candidates=window,
+    )
+    want = rescore_topk(window, sig, first_k=50, k=10, weight=0.5)
+    assert rows(out["hits"]) == rows(want)
+    # and the rescored frame actually carries phrase evidence
+    assert any(r["signal"] > 0 for r in out["hits"].collect())
+
+    # _source joins stored fields onto the k hits
+    out = es_search(idx, dict(base, **{"_source": ["lang"]}), docs=dv)
+    got = out["hits"]
+    assert set(got.columns) == {"doc_id", "score", "lang"}
+    assert got.count() == 10
+
+
+def test_new_aggs(spark, setup):
+    idx, dv = setup
+    qt = ["binary", "tree"]
+    out = es_search(
+        idx,
+        {"query": {"match": {"content": "binary tree"}},
+         "aggs": {
+             "h": {"histogram": {"field": "n_chars", "interval": 200}},
+             "c": {"cardinality": {"field": "text", "group_by": "lang"}},
+             "p": {"percentiles": {"field": "n_chars",
+                                   "group_by": "lang",
+                                   "percents": [50, 90]}},
+             "v": {"value_count": {"field": "lang", "group_by": "lang"}},
+             "m": {"missing": {"field": "lang"}},
+             "g": {"global": {"field": "lang"}},
+             "f": {"filters": {"filters": {
+                 "bin": {"terms": {"content": ["binary"]}},
+                 "tr": {"terms": {"content": ["tree"]}}}}},
+             "s": {"significant_terms": {"size": 5, "min_doc_count": 2}},
+             "t": {"top_metrics": {"sort": {"n_chars": "desc"},
+                                   "metrics": [{"field": "n_chars"}],
+                                   "group_by": "lang"}},
+         }},
+        docs=dv,
+    )
+    a = out["aggregations"]
+    assert rows(a["h"]) == rows(
+        idx.histogram_facet(qt, dv, 200, "n_chars")
+    )
+    assert rows(a["c"]) == rows(
+        idx.facet_cardinality(qt, dv, facet_col="lang", of_col="text")
+    )
+    assert rows(a["p"]) == rows(
+        idx.facet_percentiles(qt, dv, "lang", "n_chars",
+                              percentiles=(0.5, 0.9))
+    )
+    assert rows(a["v"]) == rows(
+        idx.value_count_agg(qt, dv, "lang", "lang")
+    )
+    assert rows(a["m"]) == rows(idx.missing_agg(qt, dv, "lang"))
+    assert rows(a["g"]) == rows(idx.global_agg(qt, dv, "lang"))
+    assert rows(a["f"]) == rows(
+        idx.filters_agg({"bin": ["binary"], "tr": ["tree"]})
+    )
+    assert rows(a["s"]) == rows(
+        idx.significant_terms(qt, k=5, min_doc_count=2)
+    )
+    assert rows(a["t"]) == rows(
+        idx.top_metrics(qt, dv, "lang", "n_chars", ["n_chars"])
+    )
+
+
+def test_rejections(spark, setup):
+    idx, dv = setup
+    with pytest.raises(ValueError, match="unsupported query rule"):
+        es_search(idx, {"query": {"nope": {}}})
+    with pytest.raises(ValueError, match="ordered-only"):
+        es_search(idx, {"query": {"span_near": {
+            "clauses": [{"span_or": {"clauses": [
+                {"span_term": {"content": "a"}}]}}],
+            "in_order": False}}})
+    with pytest.raises(ValueError, match="vectors"):
+        es_search(idx, {"knn": {"query_vector": [0.0]}})
