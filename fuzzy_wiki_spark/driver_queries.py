@@ -3209,6 +3209,108 @@ def q_es_req_cardinality(spark, sf_dir):
     return out["aggregations"]["c"].select("lang", "n_docs", "cardinality")
 
 
+# --- span-family completion: SpanContaining / SpanWithin / SpanMulti ----
+
+SPAN_CONT_BIG = ("merge", "join")
+SPAN_CONT_SLOP = 12
+SPAN_CONT_LITTLE = "table"
+SPANM_ANCHOR, SPANM_PREFIX, SPANM_GAPS, SPANM_MAXEXP = "merge", "jo", 8, 10
+
+
+def q_span_containing(spark, sf_dir):
+    """Lucene SpanContainingQuery (operators/spans
+    .span_containing_topdocs): ordered big spans 'merge … join'
+    (gap ≤ 12) that contain a 'table' occurrence, ranked by
+    containing-span count."""
+    from fuzzy_wiki_spark.operators.spans import span_containing_topdocs
+
+    posts = _postings_simple(spark, sf_dir)
+    return span_containing_topdocs(
+        posts, "content", SPAN_CONT_BIG, SPAN_CONT_LITTLE,
+        slop=SPAN_CONT_SLOP, inside=False, k=15,
+    )
+
+
+def q_span_inside(spark, sf_dir):
+    """Lucene SpanWithinQuery (the ES span_within query; same kernel,
+    inside=True): 'table' occurrences that sit inside an ordered
+    'merge … join' big span, ranked by contained-occurrence count."""
+    from fuzzy_wiki_spark.operators.spans import span_containing_topdocs
+
+    posts = _postings_simple(spark, sf_dir)
+    return span_containing_topdocs(
+        posts, "content", SPAN_CONT_BIG, SPAN_CONT_LITTLE,
+        slop=SPAN_CONT_SLOP, inside=True, k=15,
+    )
+
+
+def q_seg_span_containing(spark, sf_dir):
+    """SpanContaining on the SEGMENT serving path (engine.py
+    SegmentIndex.span_containing). Oracle = ORACLE_SQL
+    ["span_containing"] verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segsc_")
+    return idx.span_containing(
+        SPAN_CONT_BIG, SPAN_CONT_LITTLE, slop=SPAN_CONT_SLOP,
+        inside=False, k=15,
+    )
+
+
+def q_span_multi(spark, sf_dir):
+    """SpanMultiTermQueryWrapper in a span chain (operators/spans
+    .span_multi_topdocs): 'merge' before any 'jo*' dictionary expansion
+    (lex order, ≤10 terms — Lucene's rewrite bound), gap ≤ 8,
+    tightest-first."""
+    from fuzzy_wiki_spark.operators.spans import span_multi_topdocs
+
+    posts = _postings_simple(spark, sf_dir)
+    exps = [
+        r["term"]
+        for r in P.term_stats(posts)
+        .where(
+            (F.col("field") == "content")
+            & F.col("term").startswith(SPANM_PREFIX)
+        )
+        .select("term")
+        .orderBy("term")
+        .limit(SPANM_MAXEXP)
+        .collect()
+    ]
+    return span_multi_topdocs(
+        posts, "content", SPANM_ANCHOR, exps, SPANM_GAPS, k=15
+    )
+
+
+def q_seg_span_multi(spark, sf_dir):
+    """span_multi on the SEGMENT serving path (engine.py
+    SegmentIndex.span_multi — prefix resolved against the index's
+    term_stats side-channel). Oracle = ORACLE_SQL["span_multi"]
+    verbatim."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_segsm_")
+    return idx.span_multi(
+        SPANM_ANCHOR, SPANM_PREFIX, SPANM_GAPS,
+        max_expansions=SPANM_MAXEXP, k=15,
+    )
+
+
+def q_es_req_containing(spark, sf_dir):
+    """`span_containing` through the request-body compiler — shares
+    ORACLE_SQL["span_containing"] verbatim."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_esqsc_")
+    out = es_search(
+        idx,
+        {"query": {"span_containing": {
+            "big": {"span_near": {"clauses": [
+                {"span_term": {"content": SPAN_CONT_BIG[0]}},
+                {"span_term": {"content": SPAN_CONT_BIG[1]}},
+            ], "slop": SPAN_CONT_SLOP, "in_order": True}},
+            "little": {"span_term": {"content": SPAN_CONT_LITTLE}},
+        }}, "size": 15},
+    )
+    return out["hits"]
+
+
 RAG_QUERY = "spark merge join table"
 RAG_MT, RAG_STRIDE, RAG_DIM = 30, 20, 16
 
@@ -8450,6 +8552,12 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "span_containing": q_span_containing,
+    "span_inside": q_span_inside,
+    "seg_span_containing": q_seg_span_containing,
+    "span_multi": q_span_multi,
+    "seg_span_multi": q_seg_span_multi,
+    "es_req_containing": q_es_req_containing,
     "es_req_match": q_es_req_match,
     "es_req_from": q_es_req_from,
     "es_req_span": q_es_req_span,
@@ -9860,3 +9968,50 @@ ORACLE_SQL["es_req_rescore"] = ORACLE_SQL["rescore"]
 ORACLE_SQL["es_req_suggest"] = ORACLE_SQL["suggest_terms"]
 ORACLE_SQL["es_req_histogram"] = ORACLE_SQL["histogram_facet"]
 ORACLE_SQL["es_req_cardinality"] = ORACLE_SQL["facet_cardinality"]
+
+
+# --- span-family completion oracles --------------------------------------
+_SC_BIG = (
+    f"SELECT a.doc_id, a.pos AS s, b.pos AS e"
+    f" FROM tk a JOIN tk b USING(doc_id)"
+    f" WHERE a.term = '{SPAN_CONT_BIG[0]}' AND b.term = '{SPAN_CONT_BIG[1]}'"
+    f" AND a.pos < b.pos AND b.pos - a.pos - 1 <= {SPAN_CONT_SLOP}"
+)
+ORACLE_SQL["span_containing"] = f"""
+WITH tk AS ({_TOKPOS}),
+big AS ({_SC_BIG}),
+ct AS (SELECT big.doc_id, count(*)::BIGINT AS n_spans
+       FROM big WHERE EXISTS (
+         SELECT 1 FROM tk c
+         WHERE c.doc_id = big.doc_id AND c.term = '{SPAN_CONT_LITTLE}'
+           AND c.pos BETWEEN big.s AND big.e)
+       GROUP BY big.doc_id)
+SELECT doc_id, n_spans FROM ct ORDER BY n_spans DESC, doc_id LIMIT 15
+"""
+ORACLE_SQL["seg_span_containing"] = ORACLE_SQL["span_containing"]
+ORACLE_SQL["es_req_containing"] = ORACLE_SQL["span_containing"]
+
+ORACLE_SQL["span_inside"] = f"""
+WITH tk AS ({_TOKPOS}),
+big AS ({_SC_BIG}),
+ins AS (SELECT DISTINCT c.doc_id, c.pos
+        FROM tk c JOIN big ON big.doc_id = c.doc_id
+          AND c.pos BETWEEN big.s AND big.e
+        WHERE c.term = '{SPAN_CONT_LITTLE}'),
+ct AS (SELECT doc_id, count(*)::BIGINT AS n_spans FROM ins GROUP BY doc_id)
+SELECT doc_id, n_spans FROM ct ORDER BY n_spans DESC, doc_id LIMIT 15
+"""
+
+ORACLE_SQL["span_multi"] = f"""
+WITH tk AS ({_TOKPOS}),
+ex AS (SELECT term FROM (SELECT DISTINCT term FROM tk)
+       WHERE term LIKE '{SPANM_PREFIX}%' ORDER BY term LIMIT {SPANM_MAXEXP}),
+ch AS (SELECT a.doc_id, min(b.pos - a.pos - 1)::BIGINT AS gaps
+       FROM tk a JOIN tk b USING(doc_id)
+       WHERE a.term = '{SPANM_ANCHOR}'
+         AND b.term IN (SELECT term FROM ex) AND a.pos < b.pos
+       GROUP BY a.doc_id)
+SELECT doc_id, gaps FROM ch WHERE gaps <= {SPANM_GAPS}
+ORDER BY gaps, doc_id LIMIT 15
+"""
+ORACLE_SQL["seg_span_multi"] = ORACLE_SQL["span_multi"]

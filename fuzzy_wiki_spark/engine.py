@@ -2633,6 +2633,55 @@ class SegmentIndex:
             posts, field, include, exclude, pre=pre, post=post, k=k
         )
 
+    def span_containing(
+        self,
+        big: tuple,
+        little: str,
+        slop: int = 0,
+        inside: bool = False,
+        field: str = "content",
+        k: int = 15,
+    ) -> DataFrame:
+        """Lucene SpanContainingQuery / SpanWithinQuery (``inside=True``)
+        on the serving path: big = ordered two-term chain with gap ≤
+        slop, little = one term (operators/spans
+        .span_containing_topdocs over the three terms' pruned decode)."""
+        from fuzzy_wiki_spark.operators.spans import span_containing_topdocs
+
+        a, b = big
+        posts = self.term_postings(
+            field, sorted({a, b, little}), with_dl=False
+        )
+        return span_containing_topdocs(
+            posts, field, (a, b), little, slop=slop, inside=inside, k=k
+        )
+
+    def span_multi(
+        self,
+        anchor: str,
+        prefix: str,
+        max_gaps: int,
+        field: str = "content",
+        max_expansions: int = 10,
+        k: int = 15,
+    ) -> DataFrame:
+        """SpanMultiTermQueryWrapper(prefix) inside an ordered span chain
+        on the serving path: the prefix resolves against the term_stats
+        side-channel (bounded, lex order — Lucene's rewrite), then the
+        slot matcher runs over the anchors∪expansions pruned decode
+        (operators/spans.span_multi_topdocs)."""
+        from fuzzy_wiki_spark.operators.spans import span_multi_topdocs
+
+        exps = self.resolve_prefix(
+            prefix, field=field, max_expansions=max_expansions
+        )
+        if not exps:
+            return self.spark.createDataFrame([], "doc_id long, gaps long")
+        posts = self.term_postings(
+            field, sorted({anchor, *exps}), with_dl=False
+        )
+        return span_multi_topdocs(posts, field, anchor, exps, max_gaps, k=k)
+
     def intervals(
         self, spec: dict, field: str = "content", k: int = 15
     ) -> DataFrame:

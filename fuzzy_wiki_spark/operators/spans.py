@@ -399,3 +399,135 @@ def intervals_topdocs(
     return span_or_topdocs(
         postings, field, slots, bound, ordered=ordered, k=k
     )
+
+
+def span_containing_batch(
+    tp_col: pd.Series,
+    a_col: pd.Series,
+    b_col: pd.Series,
+    c_col: pd.Series,
+    slop_col: pd.Series,
+    inside_col: pd.Series,
+) -> pd.Series:
+    """Per row: the Lucene SpanContaining/SpanWithin counters over a
+    two-term ordered big span (a before b, internal gap ≤ slop) and a
+    single-term little span c.
+
+    - inside=False (SpanContainingQuery): count of big spans (p, q),
+      p ∈ L_a, q ∈ L_b, p < q, q−p−1 ≤ slop, that contain a c
+      occurrence (∃ r ∈ L_c with p ≤ r ≤ q).
+    - inside=True (SpanWithinQuery): count of c occurrences contained
+      in ≥1 such big span.
+
+    Big-pair enumeration is O(|L_a|·|L_b|) per doc with an early break
+    on the slop bound (lists are sorted) — per-doc position lists are
+    tiny next to the decode itself, and only candidate docs holding all
+    three terms reach the kernel."""
+    import bisect
+
+    from fuzzy_wiki_spark.codec import positions_by_term
+
+    out = []
+    for tps, a, b, c, slop, inside in zip(
+        tp_col, a_col, b_col, c_col, slop_col, inside_col
+    ):
+        posmap = positions_by_term(tps)
+        la = sorted(posmap.get(a, ()))
+        lb = sorted(posmap.get(b, ()))
+        lc = sorted(posmap.get(c, ()))
+        if not la or not lb or not lc:
+            out.append(0)
+            continue
+        n = 0
+        if inside:
+            hit = set()
+            for p in la:
+                j = bisect.bisect_right(lb, p)
+                for q in lb[j:]:
+                    if q - p - 1 > slop:
+                        break
+                    i0 = bisect.bisect_left(lc, p)
+                    while i0 < len(lc) and lc[i0] <= q:
+                        hit.add(lc[i0])
+                        i0 += 1
+            n = len(hit)
+        else:
+            for p in la:
+                j = bisect.bisect_right(lb, p)
+                for q in lb[j:]:
+                    if q - p - 1 > slop:
+                        break
+                    i0 = bisect.bisect_left(lc, p)
+                    if i0 < len(lc) and lc[i0] <= q:
+                        n += 1
+        out.append(n)
+    return pd.Series(out, dtype="int64")
+
+
+_containing_udf = F.pandas_udf(span_containing_batch, T.LongType())
+
+
+def span_containing_topdocs(
+    postings: DataFrame,
+    field: str,
+    big: tuple,
+    little: str,
+    slop: int = 0,
+    inside: bool = False,
+    k: int = 15,
+) -> DataFrame:
+    """Lucene SpanContainingQuery (``inside=False``: big spans that
+    contain the little span) / SpanWithinQuery (``inside=True``: little
+    spans inside a big span) with big = an ordered two-term chain
+    (a before b, gap ≤ slop) and little = one term. Docs ranked by the
+    matching-span count (n_spans desc, doc_id asc); docs missing any of
+    the three terms never reach the kernel (slot-coverage filter on the
+    same one-scan doc-keyed agg every span operator uses). Returns
+    (doc_id, n_spans)."""
+    a, b = big
+    cand = _slot_candidates(postings, field, [(a,), (b,), (little,)])
+    counted = cand.withColumn(
+        "n_spans",
+        _containing_udf(
+            F.col("mtps"),
+            F.lit(a),
+            F.lit(b),
+            F.lit(little),
+            F.lit(int(slop)),
+            F.lit(bool(inside)),
+        ),
+    ).where(F.col("n_spans") > 0)
+    return (
+        counted.select("doc_id", "n_spans")
+        .orderBy(F.desc("n_spans"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def span_multi_topdocs(
+    postings: DataFrame,
+    field: str,
+    anchor: str,
+    expansions: list,
+    max_gaps: int,
+    k: int = 15,
+) -> DataFrame:
+    """Lucene SpanMultiTermQueryWrapper composed into a span chain: a
+    two-slot ordered span_near whose second slot is the (already
+    resolved, bounded) multi-term expansion — e.g. a prefix inside a
+    span. The expansion happens against the vocabulary-sized term
+    dictionary BEFORE this call (engine: resolve_prefix; relational:
+    term_stats range scan), exactly Lucene's rewrite-then-wrap; the
+    span machinery itself is the verified slot matcher
+    (span_or_topdocs). Returns (doc_id, gaps) tightest-first."""
+    if not expansions:
+        sess = postings.sparkSession
+        return sess.createDataFrame([], "doc_id long, gaps long")
+    return span_or_topdocs(
+        postings,
+        field,
+        ((anchor,), tuple(expansions)),
+        max_gaps,
+        ordered=True,
+        k=k,
+    )

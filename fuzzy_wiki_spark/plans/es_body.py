@@ -65,7 +65,13 @@ or is rejected, never silently re-interpreted.
   SegmentIndex.span_near; unordered to span_within with
   window = |terms| + slop (the Lucene slop→cover-window identity);
   span_or clauses make slot alternatives (SegmentIndex.span_or,
-  ordered only).
+  ordered only); span_multi clauses wrap a prefix query whose
+  dictionary expansion (bounded, lex order — Lucene's rewrite)
+  becomes the slot (SegmentIndex.span_multi machinery).
+- ``{"span_containing": {"big": span_near, "little": span_term}}`` /
+  ``{"span_within": {...}}`` — big spans containing the little span /
+  little spans inside a big span, big pinned to an ordered
+  two-span_term chain (SegmentIndex.span_containing).
 - ``{"span_first": {"match": {"span_term": {field: t}}, "end": e}}``.
 - ``{"span_not": {"include": span_term, "exclude": span_term,
   "pre": p, "post": q}}``.
@@ -440,9 +446,11 @@ def es_search(
         slop = int(sn.get("slop", 0))
         ordered = bool(sn.get("in_order", True))
         clauses = sn["clauses"]
-        if any(set(c) == {"span_or"} for c in clauses):
+        if any(set(c) in ({"span_or"}, {"span_multi"}) for c in clauses):
             if not ordered:
-                raise ValueError("span_or chains are ordered-only")
+                raise ValueError(
+                    "span_or/span_multi chains are ordered-only"
+                )
             slots = []
             for c in clauses:
                 if set(c) == {"span_or"}:
@@ -451,13 +459,42 @@ def es_search(
                     ]
                     field = alt[0][0]
                     slots.append(tuple(t for _, t in alt))
+                elif set(c) == {"span_multi"}:
+                    # Lucene SpanMultiTermQueryWrapper: rewrite the
+                    # multi-term query against the term dictionary
+                    # (bounded, lex order), the expansion becomes the
+                    # slot's alternatives
+                    m = c["span_multi"]["match"]
+                    if set(m) != {"prefix"}:
+                        raise ValueError(
+                            "span_multi subset wraps a prefix query"
+                        )
+                    (field, spec), = m["prefix"].items()
+                    maxexp = (
+                        int(spec.get("max_expansions", 10))
+                        if isinstance(spec, dict)
+                        else 10
+                    )
+                    exps = idx.resolve_prefix(
+                        _value(spec), field=field, max_expansions=maxexp
+                    )
+                    if not exps:
+                        hits = idx.spark.createDataFrame(
+                            [], "doc_id long, gaps long"
+                        )
+                        qterms = []
+                        slots = None
+                        break
+                    slots.append(tuple(exps))
                 else:
                     field, t = _span_term(c)
                     slots.append((t,))
-            hits = idx.span_or(
-                tuple(slots), slop, ordered=True, field=field, k=k_fetch
-            )
-            qterms = [t for s in slots for t in s]
+            if slots is not None:
+                hits = idx.span_or(
+                    tuple(slots), slop, ordered=True, field=field,
+                    k=k_fetch,
+                )
+                qterms = [t for s in slots for t in s]
         else:
             pairs = [_span_term(c) for c in clauses]
             field = pairs[0][0]
@@ -478,6 +515,28 @@ def es_search(
         field, t = _span_term(sf_["match"])
         hits = idx.span_first(t, int(sf_["end"]), field=field, k=k_fetch)
         qterms = [t]
+    elif kind in ("span_containing", "span_within"):
+        sc = query[kind]
+        big = sc["big"]
+        if set(big) != {"span_near"}:
+            raise ValueError(f"{kind}.big subset: a span_near chain")
+        bn = big["span_near"]
+        pairs = [_span_term(c) for c in bn["clauses"]]
+        if len(pairs) != 2 or not bn.get("in_order", True):
+            raise ValueError(
+                f"{kind}.big subset: an ordered two-span_term chain"
+            )
+        field = pairs[0][0]
+        _, lt = _span_term(sc["little"])
+        hits = idx.span_containing(
+            (pairs[0][1], pairs[1][1]),
+            lt,
+            slop=int(bn.get("slop", 0)),
+            inside=(kind == "span_within"),
+            field=field,
+            k=k_fetch,
+        )
+        qterms = [pairs[0][1], pairs[1][1], lt]
     elif kind == "span_not":
         sn = query["span_not"]
         field, inc = _span_term(sn["include"])

@@ -1,0 +1,115 @@
+"""SpanContaining / SpanWithin / SpanMulti (operators/spans.py +
+SegmentIndex) — hand-verifiable counts on a crafted corpus, relational ≡
+segment parity, and the request-body compiler routes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.engine import SegmentIndex
+from fuzzy_wiki_spark.operators import postings as P
+from fuzzy_wiki_spark.operators.spans import (
+    span_containing_topdocs,
+    span_multi_topdocs,
+)
+
+DOCS = [
+    # doc 0: big spans (a..b): (0,2) contains c@1 ; (0,5)=gap 4 contains
+    # c@1,c@4 ; (3,5) contains c@4  → containing=3, inside: c@1,c@4 → 2
+    (0, "a c b a c b"),
+    # doc 1: a@0, b@4 gap 3; c@2 inside → containing=1, inside=1
+    (1, "a x c x b"),
+    # doc 2: a@0, b@1 gap 0, c@5 OUTSIDE → 0 spans (but all terms present)
+    (2, "a b x x x c"),
+    # doc 3: no b → never a candidate
+    (3, "a c c c"),
+    # doc 4: joy/joke both match jo* ; merge@0 before joy@2 (gap 1)
+    (4, "merge x joy joke"),
+    # doc 5: merge after the jo* terms only → no ordered chain
+    (5, "joy joke merge"),
+]
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    docs = spark.createDataFrame(DOCS, "doc_id long, content string")
+    posts = P.build_postings(
+        docs, fields={"content": "content"}, mode="simple"
+    )
+    idx = SegmentIndex.build(
+        spark,
+        docs,
+        str(tmp_path_factory.mktemp("spc") / "ix"),
+        n_buckets=2,
+        mode="simple",
+        fields={"content": "content"},
+    )
+    return docs, posts, idx
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_containing_counts(spark, setup):
+    docs, posts, idx = setup
+    got = span_containing_topdocs(
+        posts, "content", ("a", "b"), "c", slop=4, inside=False
+    )
+    assert rows(got) == [(0, 3), (1, 1)]
+
+
+def test_inside_counts(spark, setup):
+    docs, posts, idx = setup
+    got = span_containing_topdocs(
+        posts, "content", ("a", "b"), "c", slop=4, inside=True
+    )
+    assert rows(got) == [(0, 2), (1, 1)]
+
+
+def test_segment_parity_and_slop_bound(spark, setup):
+    docs, posts, idx = setup
+    for inside in (False, True):
+        rel = span_containing_topdocs(
+            posts, "content", ("a", "b"), "c", slop=4, inside=inside
+        )
+        seg = idx.span_containing(("a", "b"), "c", slop=4, inside=inside)
+        assert rows(rel) == rows(seg)
+    # slop 0: only adjacent (a,b) big spans — none contains a c
+    got = span_containing_topdocs(
+        posts, "content", ("a", "b"), "c", slop=0, inside=False
+    )
+    assert rows(got) == []
+
+
+def test_span_multi(spark, setup):
+    docs, posts, idx = setup
+    exps = ["joke", "joy"]
+    rel = span_multi_topdocs(posts, "content", "merge", exps, 3)
+    # doc 4: merge@0 → joy@2 gap 1 (joke@3 gap 2; min=1); doc 5 unordered
+    assert rows(rel) == [(4, 1)]
+    seg = idx.span_multi("merge", "jo", 3, max_expansions=10)
+    assert rows(seg) == [(4, 1)]
+    # empty expansion → empty frame, not an error
+    assert rows(idx.span_multi("merge", "zz", 3)) == []
+
+
+def test_compiler_routes(spark, setup):
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    docs, posts, idx = setup
+    st = lambda t: {"span_term": {"content": t}}  # noqa: E731
+    body = {"query": {"span_containing": {
+        "big": {"span_near": {"clauses": [st("a"), st("b")],
+                              "slop": 4, "in_order": True}},
+        "little": st("c")}}, "size": 15}
+    assert rows(es_search(idx, body)["hits"]) == [(0, 3), (1, 1)]
+    body["query"] = {"span_within": {
+        "big": {"span_near": {"clauses": [st("a"), st("b")],
+                              "slop": 4, "in_order": True}},
+        "little": st("c")}}
+    assert rows(es_search(idx, body)["hits"]) == [(0, 2), (1, 1)]
+    body["query"] = {"span_near": {"clauses": [
+        st("merge"),
+        {"span_multi": {"match": {"prefix": {"content": "jo"}}}},
+    ], "slop": 3, "in_order": True}}
+    assert rows(es_search(idx, body)["hits"]) == [(4, 1)]
