@@ -3209,6 +3209,58 @@ def q_es_req_cardinality(spark, sf_dir):
     return out["aggregations"]["c"].select("lang", "n_docs", "cardinality")
 
 
+# --- WordPiece: likelihood-scored trainer + MaxMatch encoder -------------
+
+WP_MERGES = 8
+
+
+def q_wordpiece_train(spark, sf_dir):
+    """WordPiece tokenizer training (operators/wordpiece.py — Schuster &
+    Nakajima 2012, the BERT tokenizer): the 8-merge chain learned from
+    the documents corpus under the likelihood score cnt/(cnt_a·cnt_b),
+    (merge_rank, lhs, rhs, cnt). The ORACLE unrolls the full loop in
+    SQL — per-iteration pair AND symbol counts, the (score desc, cnt
+    desc, pair asc) argmax with the same divide-twice double math, and
+    the ##-stripping merge replace."""
+    from fuzzy_wiki_spark.operators.wordpiece import wordpiece_train
+
+    # min_pair_count=1: the unrolled oracle has no early-stop (same
+    # contract as q_bpe_train)
+    merges, _ = wordpiece_train(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        n_merges=WP_MERGES,
+        min_pair_count=1,
+    )
+    assert len(merges) == WP_MERGES, (
+        f"corpus sustains only {len(merges)}/{WP_MERGES} merges — the "
+        "unrolled oracle assumes the full chain"
+    )
+    rows = [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_rank int, lhs string, rhs string, cnt long"
+    )
+
+
+def q_wordpiece_encode(spark, sf_dir):
+    """WordPiece corpus encoding: greedy longest-match-first (MaxMatch)
+    against the trained vocabulary, per DISTINCT word, joined back to
+    the positional token stream → (doc_id, pos, word, wp_text). The
+    oracle re-derives the same vocabulary and replays MaxMatch with a
+    recursive CTE whose step takes max_by(token, length) among matching
+    vocabulary entries — dead ends collapse the word to [UNK] on both
+    engines (BERT WordpieceTokenizer semantics)."""
+    from fuzzy_wiki_spark.operators.wordpiece import (
+        wordpiece_encode,
+        wordpiece_train,
+        wordpiece_vocab,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    merges, words = wordpiece_train(d, n_merges=WP_MERGES, min_pair_count=1)
+    assert len(merges) == WP_MERGES, "oracle assumes the full chain"
+    return wordpiece_encode(d, wordpiece_vocab(words))
+
+
 # --- span-family completion: SpanContaining / SpanWithin / SpanMulti ----
 
 SPAN_CONT_BIG = ("merge", "join")
@@ -6216,7 +6268,7 @@ def _bpe_ctes(n_merges: int) -> str:
           FROM w{i}))
   GROUP BY s.a, s.b),
 b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
-w{i + 1} AS (
+w{i + 1} AS MATERIALIZED (
   SELECT word, freq,
          replace(syms,
                  '{SEP}' || b{i}.a || '{DSEP}' || b{i}.b || '{SEP}',
@@ -8552,6 +8604,8 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "wordpiece_train": q_wordpiece_train,
+    "wordpiece_encode": q_wordpiece_encode,
     "span_containing": q_span_containing,
     "span_inside": q_span_inside,
     "seg_span_containing": q_seg_span_containing,
@@ -10015,3 +10069,113 @@ SELECT doc_id, gaps FROM ch WHERE gaps <= {SPANM_GAPS}
 ORDER BY gaps, doc_id LIMIT 15
 """
 ORACLE_SQL["seg_span_multi"] = ORACLE_SQL["span_multi"]
+
+
+# --- WordPiece oracles: the trainer loop AND MaxMatch inference replayed
+#     entirely in SQL (recursive CTE for the greedy longest-match) --------
+def _wp_ctes(n_merges: int) -> str:
+    """The WordPiece training loop UNROLLED as SQL CTEs (w0..wN words,
+    s0..sN-1 symbol counts, p0..pN-1 pair counts, b0..bN-1 argmax
+    merges): initial first-char-bare / ##-continued symbol strings in
+    the \\x1f-delimited encoding, per-iteration pair counts AND symbol
+    counts weighted by word freq, the likelihood-score argmax
+    ((cnt::DOUBLE / cnt_a) / cnt_b — divide twice, bit-identical to the
+    Spark side's IEEE double math), and the ##-stripping greedy merge
+    as the same delimiter-anchored replace() the engine runs."""
+    from fuzzy_wiki_spark.operators.bpe import DSEP, SEP
+
+    parts = [
+        f"""w0 AS (
+  SELECT word, count(*)::BIGINT AS freq,
+         '{SEP}' || array_to_string(
+           list_transform(range(1, len(word) + 1),
+             i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
+                       ELSE '##' || substr(word, i, 1) END),
+           '{DSEP}') || '{SEP}' AS syms
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' AND NOT contains(word, '{SEP}')
+  GROUP BY word)"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT sym, sum(freq)::BIGINT AS scnt FROM (
+    SELECT freq, unnest(string_split(trim(syms, '{SEP}'), '{DSEP}')) AS sym
+    FROM w{i})
+  GROUP BY sym),
+p{i} AS MATERIALIZED (
+  SELECT s.a AS a, s.b AS b, sum(freq)::BIGINT AS cnt FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(arr)),
+                  j -> struct_pack(a := arr[j], b := arr[j + 1]))) AS s
+    FROM (SELECT freq,
+                 string_split(trim(syms, '{SEP}'), '{DSEP}') AS arr
+          FROM w{i}))
+  GROUP BY s.a, s.b),
+b{i} AS MATERIALIZED (
+  SELECT p.a, p.b, p.cnt
+  FROM p{i} p JOIN s{i} sa ON sa.sym = p.a JOIN s{i} sb ON sb.sym = p.b
+  ORDER BY (p.cnt::DOUBLE / sa.scnt) / sb.scnt DESC, p.cnt DESC, p.a, p.b
+  LIMIT 1),
+w{i + 1} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(syms,
+                 '{SEP}' || b{i}.a || '{DSEP}' || b{i}.b || '{SEP}',
+                 '{SEP}' || b{i}.a ||
+                 (CASE WHEN starts_with(b{i}.b, '##')
+                       THEN substr(b{i}.b, 3) ELSE b{i}.b END) ||
+                 '{SEP}') AS syms
+  FROM w{i}, b{i})"""
+        )
+    return ",\n".join(parts)
+
+
+def _wp_train_oracle_sql(n_merges: int) -> str:
+    union = "\n  UNION ALL ".join(
+        f"SELECT {i + 1} AS merge_rank, a AS lhs, b AS rhs, cnt FROM b{i}"
+        for i in range(n_merges)
+    )
+    return f"WITH {_wp_ctes(n_merges)}\n{union}"
+
+
+def _wp_encode_oracle_sql(n_merges: int) -> str:
+    from fuzzy_wiki_spark.operators.bpe import DSEP, SEP
+
+    return f"""WITH RECURSIVE {_wp_ctes(n_merges)},
+vocab AS (SELECT DISTINCT unnest(
+            string_split(trim(syms, '{SEP}'), '{DSEP}')) AS tok
+          FROM w{n_merges}),
+vraw AS (SELECT tok,
+           CASE WHEN starts_with(tok, '##') THEN substr(tok, 3)
+                ELSE tok END AS raw,
+           starts_with(tok, '##') AS cont
+         FROM vocab),
+tok AS (SELECT * FROM ({_TOKPOS.replace("term", "word")})
+        WHERE NOT contains(word, '{SEP}')),
+uniq AS (SELECT DISTINCT word FROM tok),
+mm AS (
+  SELECT word, 0 AS pos, '' AS out FROM uniq
+  UNION ALL
+  SELECT word,
+         CASE WHEN best IS NULL THEN len(word)
+              ELSE pos + length(best) END AS pos,
+         CASE WHEN best IS NULL THEN '[UNK]'
+              ELSE (CASE WHEN out = '' THEN '' ELSE out || ' ' END)
+                   || (CASE WHEN pos > 0 THEN '##' ELSE '' END) || best
+         END AS out
+  FROM (
+    SELECT word, pos, out,
+           (SELECT max_by(v.raw, length(v.raw)) FROM vraw v
+            WHERE v.cont = (mm.pos > 0)
+              AND v.raw = substr(mm.word, mm.pos + 1, length(v.raw)))
+             AS best
+    FROM mm WHERE pos < len(word))
+)
+SELECT t.doc_id, t.pos::INT AS pos, t.word, m.out AS wp_text
+FROM tok t JOIN (SELECT word, out FROM mm WHERE pos >= len(word)) m
+  USING(word)
+"""
+
+
+ORACLE_SQL["wordpiece_train"] = _wp_train_oracle_sql(WP_MERGES)
+ORACLE_SQL["wordpiece_encode"] = _wp_encode_oracle_sql(WP_MERGES)

@@ -1,0 +1,226 @@
+"""Distributed WordPiece tokenizer training + MaxMatch encoding.
+
+The second tokenizer family of the training-data pipeline, next to BPE
+(operators/bpe.py): WordPiece (Schuster & Nakajima 2012; the BERT
+tokenizer) differs from BPE in exactly two public ways —
+
+1. **Training selection is likelihood-based, not frequency-based**: the
+   merged pair maximizes ``score(a, b) = count(ab) / (count(a) ·
+   count(b))`` — the corpus-likelihood gain of merging under a unigram
+   LM — instead of the raw pair count. Ties break (count desc, pair
+   lex) so the argmax is deterministic and oracle-reproducible.
+2. **Inference is greedy longest-match-first (MaxMatch) against the
+   final vocabulary**, not a merge-rule replay: each word is consumed
+   left-to-right taking the LONGEST vocabulary token matching at the
+   cursor (continuation tokens carry the ``##`` prefix and only match
+   off-start); if no token matches at some cursor the WHOLE word
+   becomes ``[UNK]`` — BERT's WordpieceTokenizer behavior.
+
+Spark-first design — shared with the BPE trainer (see
+operators/bpe.py's module docstring for the delimited-string encoding
+and the greedy-replace identity): one corpus-sized groupBy(word), then
+vocabulary-sized iterations. WordPiece adds a second vocabulary-sized
+aggregate per iteration (symbol counts, needed for the score's
+denominator) and a broadcast-sized join of pair counts to symbol
+counts. The score divides twice — ``(cnt / count(a)) / count(b)`` —
+rather than dividing by the product, so the denominator never overflows
+int64 at corpus scale and the float arithmetic is bit-identical between
+Spark and the SQL oracle (IEEE double division both sides).
+
+Initial symbols (BERT convention): first character bare, every later
+character prefixed ``##`` ('low' → l, ##o, ##w). Merging (a, b) drops
+b's continuation prefix: (un, ##able) → unable; (##un, ##able) →
+##unable.
+
+Encoding runs MaxMatch over the DISTINCT-word table only (an Arrow
+batch kernel with the broadcast vocabulary — per-word work is a dict
+probe per prefix length, bounded by the longest vocab token), then one
+join back to the token stream — the same distinct-word contract as
+bpe_encode: at corpus scale the per-token cost is a hash lookup. The
+oracle replays MaxMatch exactly with a recursive CTE whose step picks
+``max_by(raw, length)`` among matching vocabulary tokens.
+
+Scale notes (100 TB): identical profile to bpe_train (its docstring's
+code-corpus caveat — near-unique identifiers keep the word table
+corpus-sized — applies verbatim; train on a hash sample, encode full).
+The extra symbol-count aggregate is vocabulary-sized and combinable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fuzzy_wiki_spark.operators.bpe import DSEP, SEP, word_freqs
+
+UNK = "[UNK]"
+CONT = "##"
+
+
+def _initial_wp_syms(word_col) -> F.Column:
+    """Delimited initial WordPiece symbols: first char bare, rest
+    ##-prefixed. 'low' → SEP l SEPSEP ##o SEPSEP ##w SEP."""
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length(word_col)),
+        lambda i: F.when(i == 1, word_col.substr(i, F.lit(1))).otherwise(
+            F.concat(F.lit(CONT), word_col.substr(i, F.lit(1)))
+        ),
+    )
+    return F.concat(F.lit(SEP), F.array_join(syms, DSEP), F.lit(SEP))
+
+
+def _syms_array(col) -> F.Column:
+    return F.split(F.btrim(col, F.lit(SEP)), DSEP)
+
+
+def merged_symbol(a: str, b: str) -> str:
+    """(a, b) → the merged WordPiece token: b's ## prefix drops."""
+    return a + (b[len(CONT):] if b.startswith(CONT) else b)
+
+
+def wp_merge_expr(col, a: str, b: str):
+    """Greedy left-to-right merge of (a, b) on the delimited encoding —
+    same single-replace identity as bpe.merge_expr, with the merged
+    symbol's continuation prefix handled."""
+    return F.replace(
+        col,
+        F.lit(f"{SEP}{a}{DSEP}{b}{SEP}"),
+        F.lit(f"{SEP}{merged_symbol(a, b)}{SEP}"),
+    )
+
+
+def wordpiece_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    checkpoint_every: int = 16,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``n_merges`` WordPiece merges. Returns (merges, words):
+    merges = [(left, right, pair_count)] in rank order under the
+    likelihood score (score desc, count desc, pair lex); words = the
+    final (word, freq, syms) frame. Stops early when the best pair's
+    count falls below ``min_pair_count``."""
+    words = word_freqs(df, text_col).withColumn(
+        "syms", _initial_wp_syms(F.col("word"))
+    )
+    words = words.localCheckpoint(eager=False)
+    merges: list[tuple[str, str, int]] = []
+    for it in range(n_merges):
+        arr = _syms_array(F.col("syms"))
+        pairs = F.zip_with(
+            F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        pc = (
+            words.select("freq", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .where(F.col("cnt") >= min_pair_count)
+        )
+        sc = (
+            words.select("freq", F.explode(arr).alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("freq").alias("scnt"))
+        )
+        best = (
+            pc.join(
+                F.broadcast(sc.select(F.col("sym").alias("a"),
+                                      F.col("scnt").alias("sa"))),
+                "a",
+            )
+            .join(
+                F.broadcast(sc.select(F.col("sym").alias("b"),
+                                      F.col("scnt").alias("sb"))),
+                "b",
+            )
+            .withColumn(
+                # divide twice: overflow-proof and bit-identical to the
+                # oracle's (cnt::DOUBLE / sa) / sb
+                "score",
+                (F.col("cnt").cast("double") / F.col("sa")) / F.col("sb"),
+            )
+            .orderBy(
+                F.desc("score"), F.desc("cnt"), F.asc("a"), F.asc("b")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((a, b, cnt))
+        words = words.withColumn("syms", wp_merge_expr(F.col("syms"), a, b))
+        if (it + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=False)
+    return merges, words
+
+
+def wordpiece_vocab(words: DataFrame) -> list[str]:
+    """The trained vocabulary: every distinct symbol of the final words
+    state — initial characters, continuation characters, and the merged
+    tokens (a vocabulary-sized collect, same contract as term_stats)."""
+    rows = (
+        words.select(
+            F.explode(_syms_array(F.col("syms"))).alias("tok")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(r["tok"] for r in rows)
+
+
+def maxmatch_batch(vocab: set):
+    """Arrow batch kernel factory: word column → space-joined WordPiece
+    tokens under greedy longest-match-first; any dead end → [UNK] for
+    the whole word (BERT WordpieceTokenizer)."""
+    starts = {t for t in vocab if not t.startswith(CONT)}
+    conts = {t[len(CONT):] for t in vocab if t.startswith(CONT)}
+    max_len = max((len(t) for t in starts | conts), default=1)
+
+    def encode_one(word: str) -> str:
+        out = []
+        pos = 0
+        n = len(word)
+        while pos < n:
+            table = starts if pos == 0 else conts
+            end = min(n, pos + max_len)
+            while end > pos and word[pos:end] not in table:
+                end -= 1
+            if end == pos:
+                return UNK
+            out.append(
+                word[pos:end] if pos == 0 else CONT + word[pos:end]
+            )
+            pos = end
+        return " ".join(out)
+
+    def kernel(col: pd.Series) -> pd.Series:
+        return col.map(encode_one)
+
+    return F.pandas_udf(kernel, T.StringType())
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus token stream with a trained vocabulary:
+    (doc_id, pos, word, wp_text) — MaxMatch runs once per DISTINCT word
+    (vocabulary-sized kernel input), then joins back to the positional
+    token stream, mirroring bpe_encode's distinct-word contract."""
+    toks = df.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("pos", "word"),
+    ).where(~F.col("word").contains(SEP))
+    uniq = toks.select("word").distinct()
+    enc = uniq.withColumn("wp_text", maxmatch_batch(set(vocab))(F.col("word")))
+    return toks.join(F.broadcast(enc), "word").select(
+        "doc_id", F.col("pos").cast("int").alias("pos"), "word", "wp_text"
+    )

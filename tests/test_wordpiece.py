@@ -1,0 +1,107 @@
+"""WordPiece trainer + MaxMatch encoder (operators/wordpiece.py):
+hand-computed likelihood argmax on a crafted corpus, BERT-style ##
+rendering, [UNK] dead-end semantics, and a pure-Python MaxMatch
+reference parity sweep."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.operators.wordpiece import (
+    maxmatch_batch,
+    merged_symbol,
+    wordpiece_encode,
+    wordpiece_train,
+    wordpiece_vocab,
+)
+
+
+def test_merged_symbol():
+    assert merged_symbol("un", "##able") == "unable"
+    assert merged_symbol("##un", "##able") == "##unable"
+    assert merged_symbol("a", "b") == "ab"
+
+
+def test_trainer_hand_computed(spark):
+    # corpus: "aa" x4, "ab" x1  → symbols: a(start) x5, ##a x4, ##b x1
+    # pairs: (a,##a) cnt 4 score 4/(5*4)=0.2 ; (a,##b) cnt 1 score
+    # 1/(5*1)=0.2 — TIE on score, cnt desc picks (a,##a)
+    docs = spark.createDataFrame(
+        [(0, "aa aa aa"), (1, "aa ab")], "doc_id long, text string"
+    )
+    merges, words = wordpiece_train(docs, 1, min_pair_count=1)
+    assert merges == [("a", "##a", 4)]
+    vocab = wordpiece_vocab(words)
+    assert "aa" in vocab and "##b" in vocab
+
+
+def test_trainer_score_beats_count(spark):
+    # (x,##y) cnt 3, x appears 3, ##y 3 → 3/9 = 0.333
+    # (p,##q) cnt 2, p appears 2, ##q 2 → 2/4 = 0.5  ← wins despite
+    # the smaller count (the WordPiece-vs-BPE distinction)
+    docs = spark.createDataFrame(
+        [(0, "xy xy xy pq pq")], "doc_id long, text string"
+    )
+    merges, _ = wordpiece_train(docs, 1, min_pair_count=1)
+    assert merges[0][:2] == ("p", "##q")
+
+
+def test_maxmatch_semantics(spark):
+    vocab = {"u", "n", "un", "##able", "##a", "##b", "##l", "##e", "x"}
+    enc = maxmatch_batch(vocab)
+    df = spark.createDataFrame(
+        [("unable",), ("u",), ("xu",), ("zz",)], "word string"
+    ).withColumn("wp", enc(F.col("word")))
+    got = {r["word"]: r["wp"] for r in df.collect()}
+    assert got["unable"] == "un ##able"  # longest-first: un beats u
+    assert got["u"] == "u"
+    assert got["zz"] == "[UNK]"  # no start token
+    # xu: x matches, then ##u is NOT in vocab → whole word UNK
+    assert got["xu"] == "[UNK]"
+
+
+def _ref_maxmatch(word, starts, conts):
+    out, pos = [], 0
+    while pos < len(word):
+        table = starts if pos == 0 else conts
+        end = len(word)
+        while end > pos and word[pos:end] not in table:
+            end -= 1
+        if end == pos:
+            return "[UNK]"
+        out.append(word[pos:end] if pos == 0 else "##" + word[pos:end])
+        pos = end
+    return " ".join(out)
+
+
+def test_encode_end_to_end_vs_reference(spark):
+    from fuzzy_wiki_spark.corpus import generate_docs_df
+
+    docs = generate_docs_df(spark, 60, seed=11).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    merges, words = wordpiece_train(docs, 6, min_pair_count=1)
+    assert len(merges) == 6
+    vocab = wordpiece_vocab(words)
+    starts = {t for t in vocab if not t.startswith("##")}
+    conts = {t[2:] for t in vocab if t.startswith("##")}
+    got = wordpiece_encode(docs, vocab).collect()
+    assert got, "empty encode"
+    for r in got:
+        assert r["wp_text"] == _ref_maxmatch(r["word"], starts, conts)
+        # a trained vocab covers its own corpus — no UNK here
+        assert r["wp_text"] != "[UNK]"
+        assert r["wp_text"].replace(" ##", "").replace(" ", "") in (
+            r["word"],
+        )
+
+
+def test_encode_positions_match_token_stream(spark):
+    docs = spark.createDataFrame(
+        [(0, "ab  cd"), (1, "")], "doc_id long, text string"
+    )
+    _, words = wordpiece_train(docs, 1, min_pair_count=1)
+    out = wordpiece_encode(docs, wordpiece_vocab(words)).collect()
+    assert sorted((r["doc_id"], r["pos"], r["word"]) for r in out) == [
+        (0, 0, "ab"),
+        (0, 1, "cd"),
+    ]
