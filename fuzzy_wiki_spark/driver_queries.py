@@ -3209,6 +3209,50 @@ def q_es_req_cardinality(spark, sf_dir):
     return out["aggregations"]["c"].select("lang", "n_docs", "cardinality")
 
 
+def q_es_msearch(spark, sf_dir):
+    """ES `_msearch` through the compiler (plans/es_body.es_msearch):
+    the three BATCH_QUERIES match bodies compile into ONE segment job
+    (shared bucket decode via search_segments_batch — the scale path
+    for query-set replay), results re-assembled per body. Shares
+    ORACLE_SQL["bm25_batch"] verbatim."""
+    from fuzzy_wiki_spark.plans.es_body import es_msearch
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_esms_")
+    results = es_msearch(
+        idx,
+        [
+            {"query": {"match": {"content": " ".join(q)}}, "size": 10}
+            for q in BATCH_QUERIES
+        ],
+    )
+    out = None
+    for i, r in enumerate(results):
+        part = r["hits"].select(
+            F.lit(i).cast("int").alias("query_id"),
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def q_search_template(spark, sf_dir):
+    """ES `_search/template` (plans/es_body.es_search_template): the
+    mustache-subset render binds {{q}} into a match leaf and {{k}} as a
+    typed size, then executes through the compiler. Shares
+    ORACLE_SQL["bm25_topk"] verbatim."""
+    from fuzzy_wiki_spark.plans.es_body import es_search_template
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_esst_")
+    out = es_search_template(
+        idx,
+        {"query": {"match": {"content": "{{q}}"}}, "size": "{{k}}"},
+        {"q": "spark merge join", "k": 10},
+    )
+    return out["hits"].select("doc_id", F.round("score", 6).alias("score"))
+
+
 # --- WordPiece: likelihood-scored trainer + MaxMatch encoder -------------
 
 WP_MERGES = 8
@@ -8604,6 +8648,8 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "es_msearch": q_es_msearch,
+    "search_template": q_search_template,
     "wordpiece_train": q_wordpiece_train,
     "wordpiece_encode": q_wordpiece_encode,
     "span_containing": q_span_containing,
@@ -10179,3 +10225,6 @@ FROM tok t JOIN (SELECT word, out FROM mm WHERE pos >= len(word)) m
 
 ORACLE_SQL["wordpiece_train"] = _wp_train_oracle_sql(WP_MERGES)
 ORACLE_SQL["wordpiece_encode"] = _wp_encode_oracle_sql(WP_MERGES)
+
+ORACLE_SQL["es_msearch"] = ORACLE_SQL["bm25_batch"]
+ORACLE_SQL["search_template"] = ORACLE_SQL["bm25_topk"]

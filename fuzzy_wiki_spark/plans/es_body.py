@@ -834,3 +834,118 @@ def es_search(
         "suggest": suggest_out,
         "total": total,
     }
+
+
+def render_template(node, params: dict):
+    """Mustache-subset search-template rendering (the ES
+    `_search/template` surface): a string that IS exactly ``{{name}}``
+    takes the parameter's raw value (so numbers and lists inject
+    typed); any other string substitutes each ``{{name}}`` occurrence
+    textually. Dict/list structures recurse; unknown parameters raise
+    (ES renders empty — silently broken queries — the loud contract is
+    deliberate)."""
+    if isinstance(node, dict):
+        return {k: render_template(v, params) for k, v in node.items()}
+    if isinstance(node, list):
+        return [render_template(v, params) for v in node]
+    if isinstance(node, str):
+        import re
+
+        names = re.findall(r"\{\{(\w+)\}\}", node)
+        for n in names:
+            if n not in params:
+                raise ValueError(f"unbound template parameter: {n}")
+        if len(names) == 1 and node == "{{" + names[0] + "}}":
+            return params[names[0]]
+        for n in names:
+            node = node.replace("{{" + n + "}}", str(params[n]))
+        return node
+    return node
+
+
+def es_search_template(
+    idx,
+    template: dict,
+    params: dict,
+    docs: DataFrame | None = None,
+    vectors: DataFrame | None = None,
+    analyze=str.split,
+) -> dict:
+    """ES `_search/template`: render the mustache-subset template with
+    ``params``, then execute the resulting body through es_search."""
+    return es_search(
+        idx,
+        render_template(template, params),
+        docs=docs,
+        vectors=vectors,
+        analyze=analyze,
+    )
+
+
+def es_msearch(
+    idx,
+    bodies: list,
+    docs: DataFrame | None = None,
+    vectors: DataFrame | None = None,
+    analyze=str.split,
+) -> list:
+    """ES `_msearch`: execute a batch of request bodies. The batchable
+    subset — bodies that are a bare ``match`` leaf on ONE shared field
+    plus ``size`` — compiles into a SINGLE segment job
+    (operators/segment_query.search_segments_batch): every query's
+    clauses ride one term-pruned bucket decode, so the per-bucket scan
+    and decode cost is paid once for the whole batch instead of once
+    per query (the scale path for query-set replay; same machinery as
+    SegmentIndex.search_many). Mixed batches fall back to per-body
+    es_search calls, which is ES's own execution model (msearch is a
+    transport batch, not a plan batch). Returns one result dict per
+    body, in order; batched hits carry (doc_id, score, rank)."""
+    from fuzzy_wiki_spark.plans.query import Clause
+
+    def _batchable(b):
+        q = b.get("query", {})
+        if not (set(b) <= {"query", "size"} and set(q) == {"match"}):
+            return None
+        f, words = _match_words(q, analyze)
+        return f, words
+
+    parsed = [_batchable(b) for b in bodies]
+    fields = {p[0] for p in parsed if p}
+    if all(parsed) and len(fields) == 1:
+        from fuzzy_wiki_spark.operators.segment_query import (
+            search_segments_batch,
+        )
+
+        field = fields.pop()
+        ks = [int(b.get("size", 10)) for b in bodies]
+        compiled = {
+            i: [
+                Clause(j, field, (t,), 1.0, 0, False)
+                for j, t in enumerate(words)
+            ]
+            for i, (_, words) in enumerate(parsed)
+        }
+        all_terms = sorted({t for _, ws in parsed for t in ws})
+        res = search_segments_batch(
+            idx.spark,
+            idx.segments,
+            compiled,
+            idx._term_df(all_terms),
+            idx.field_stats,
+            k=max(ks),
+        )
+        return [
+            {
+                "hits": res.where(
+                    (F.col("query_id") == i) & (F.col("rank") <= ks[i])
+                ).select("doc_id", "score", "rank"),
+                "aggregations": {},
+                "suggest": {},
+                "total": None,
+            }
+            for i in range(len(bodies))
+        ]
+    return [
+        es_search(idx, b, docs=docs, vectors=vectors, analyze=analyze)
+        for b in bodies
+    ]

@@ -378,3 +378,48 @@ def test_rejections(spark, setup):
             "in_order": False}}})
     with pytest.raises(ValueError, match="vectors"):
         es_search(idx, {"knn": {"query_vector": [0.0]}})
+
+
+def test_msearch_and_template(spark, setup):
+    from fuzzy_wiki_spark.plans.es_body import (
+        es_msearch,
+        es_search_template,
+        render_template,
+    )
+
+    idx, dv = setup
+    # batched path: one job, results == per-query direct search
+    bodies = [
+        {"query": {"match": {"content": "binary tree"}}, "size": 5},
+        {"query": {"match": {"content": "search"}}, "size": 8},
+    ]
+    results = es_msearch(idx, bodies)
+    assert len(results) == 2
+    for body, res in zip(bodies, results):
+        _, words = body["query"]["match"].popitem()
+        direct = idx.boolean(
+            (), tuple(words.split()), (), k=body["size"]
+        )
+        got = {(r["doc_id"], round(r["score"], 9))
+               for r in res["hits"].collect()}
+        want = {(r["doc_id"], round(r["score"], 9))
+                for r in direct.collect()}
+        assert got == want
+    # mixed batch falls back to es_search per body
+    mixed = es_msearch(idx, [
+        {"query": {"match_phrase": {"content": "binary search"}},
+         "size": 5},
+        {"query": {"match": {"content": "tree"}}, "size": 5},
+    ])
+    assert mixed[0]["hits"].count() <= 5
+
+    # template rendering: typed injection + textual substitution
+    t = {"query": {"match": {"content": "{{q}} tree"}},
+         "size": "{{k}}"}
+    assert render_template(t, {"q": "binary", "k": 7}) == {
+        "query": {"match": {"content": "binary tree"}}, "size": 7}
+    out = es_search_template(idx, t, {"q": "binary", "k": 7})
+    assert rows(out["hits"]) == rows(
+        idx.boolean((), ("binary", "tree"), (), k=7))
+    with pytest.raises(ValueError, match="unbound"):
+        render_template(t, {"q": "binary"})
