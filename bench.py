@@ -606,6 +606,43 @@ def main() -> None:
         lambda: DQ.q_maxsim(spark, sf_dir).collect(),
         reps=2,
     )
+    # round-4 closing wave: the widened compiler surface end-to-end —
+    # _msearch's ONE-job batch (3 bodies through search_segments_batch),
+    # then knn + rescore + template through es_search
+    timed(
+        "pipe_es_msearch",
+        lambda: DQ.q_es_msearch(spark, sf_dir).collect(),
+        reps=2,
+    )
+    timed(
+        "pipe_es_compiler_new",
+        lambda: (
+            DQ.q_es_req_knn(spark, sf_dir).collect(),
+            DQ.q_es_req_rescore(spark, sf_dir).collect(),
+            DQ.q_search_template(spark, sf_dir).collect(),
+        ),
+        reps=2,
+    )
+    # span-family completion: containing/within counters + the
+    # dictionary-expanded span_multi chain
+    timed(
+        "pipe_span_containing",
+        lambda: (
+            DQ.q_span_containing(spark, sf_dir).collect(),
+            DQ.q_span_inside(spark, sf_dir).collect(),
+            DQ.q_span_multi(spark, sf_dir).collect(),
+        ),
+        reps=2,
+    )
+    # WordPiece: 8 likelihood-scored trainer iterations + the MaxMatch
+    # distinct-word encode joined back to the token stream. Single-shot
+    # (the trainer is 8 sequential driver round-trips, a second rep
+    # would reuse shuffle files) and control-bracketed like the builds.
+    timed(
+        "pipe_wordpiece",
+        lambda: DQ.q_wordpiece_encode(spark, sf_dir).count(),
+        bracket=True,
+    )
 
     # 3b) trigram code search: index build (narrow stage) + pruned substring
     # + pruned regex over the same in-memory index

@@ -3115,11 +3115,12 @@ def q_es_req_knn(spark, sf_dir):
     ORACLE_SQL["filtered_ann"] verbatim."""
     from fuzzy_wiki_spark.plans.es_body import es_search
 
-    idx = _seg_simple_index(spark, sf_dir, "fw_esqk_")
+    # knn-only bodies never touch the inverted index — es_search accepts
+    # idx=None for them (no segment build, just the vector scan)
     emb = _emb(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     out = es_search(
-        idx,
+        None,
         {"knn": {
             "field": "embedding",
             "query_vector": list(qvec),
@@ -3207,6 +3208,36 @@ def q_es_req_cardinality(spark, sf_dir):
         docs=_docs(spark, sf_dir),
     )
     return out["aggregations"]["c"].select("lang", "n_docs", "cardinality")
+
+
+def q_es_req_rrf(spark, sf_dir):
+    """The ES `retriever.rrf` hybrid through the compiler: a standard
+    match retriever (full-set segment scoring, window 50) fused with a
+    knn cosine retriever (self excluded via the vec_id range filter) by
+    reciprocal-rank fusion at rank_constant 60 — the exact config of
+    the hash-verified hybrid entries, whose oracle this shares
+    verbatim (ORACLE_SQL["hybrid_rrf"])."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_esqrrf_")
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = es_search(
+        idx,
+        {"retriever": {"rrf": {
+            "retrievers": [
+                {"standard": {"query": {
+                    "match": {"content": "spark merge join"}}}},
+                {"knn": {"field": "embedding",
+                         "query_vector": list(qvec), "k": 50,
+                         "filter": {"range": {"vec_id": {"gte": 1}}}}},
+            ],
+            "rank_constant": 60,
+            "rank_window_size": 50,
+        }}, "size": 10},
+        vectors=emb,
+    )
+    return out["hits"]
 
 
 def q_es_msearch(spark, sf_dir):
@@ -8648,6 +8679,7 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "es_req_rrf": q_es_req_rrf,
     "es_msearch": q_es_msearch,
     "search_template": q_search_template,
     "wordpiece_train": q_wordpiece_train,
@@ -10228,3 +10260,4 @@ ORACLE_SQL["wordpiece_encode"] = _wp_encode_oracle_sql(WP_MERGES)
 
 ORACLE_SQL["es_msearch"] = ORACLE_SQL["bm25_batch"]
 ORACLE_SQL["search_template"] = ORACLE_SQL["bm25_topk"]
+ORACLE_SQL["es_req_rrf"] = ORACLE_SQL["hybrid_rrf"]

@@ -77,6 +77,12 @@ or is rejected, never silently re-interpreted.
   "pre": p, "post": q}}``.
 
 Top level:
+- ``retriever``: ``{"rrf": {"retrievers": [{"standard": {"query":
+  match}}, {"knn": {...}}], "rank_constant": c,
+  "rank_window_size": w}}`` — the ES hybrid retriever: each side
+  ranks within its own window (full-set lexical scoring / cosine
+  top-k), fused by reciprocal-rank fusion
+  (operators/hybrid.rrf_fuse). Exclusive with ``query``/``knn``.
 - ``size`` → k (default 10); ``from`` → offset (re-ranked on the
   (from+size)-row frame — ES's shallow-paging shape; scored frames
   only).
@@ -160,9 +166,11 @@ def es_search(
 ) -> dict:
     """Execute an ES `_search` request body against a SegmentIndex.
     ``docs`` supplies doc values for filter context / sorts / aggs /
-    ``_source``; ``vectors`` supplies the embedding frame for ``knn``;
-    ``analyze`` maps query text to index terms (must match the mode the
-    index was built with — default whitespace for simple-mode)."""
+    ``_source``; ``vectors`` supplies the embedding frame for ``knn``
+    (knn-only bodies never touch the inverted index, so ``idx`` may be
+    None for them); ``analyze`` maps query text to index terms (must
+    match the mode the index was built with — default whitespace for
+    simple-mode)."""
     from fuzzy_wiki_spark.operators.boolean import (
         boolean_topk,
         compile_filter,
@@ -171,6 +179,76 @@ def es_search(
     k = int(body.get("size", 10))
     offset = int(body.get("from", 0))
     k_fetch = k + offset
+
+    # --- retriever.rrf (the ES hybrid retriever): fuse a standard
+    # (lexical) retriever and a knn retriever by reciprocal-rank fusion.
+    # Each side ranks within its own rank_window_size cut; fusion is the
+    # verified operators/hybrid.rrf_fuse (one combinable groupBy-sum).
+    # The standard side scores the FULL match set (k=None, rounded 6 —
+    # a top-k θ bound could reorder the window tail) exactly like the
+    # hash-verified seg_hybrid entry; the knn side's ids are fused as
+    # doc ids (the pinned vec_id == doc_id contract of the hybrid
+    # entries). ---------------------------------------------------------
+    if "retriever" in body:
+        rr = body["retriever"]["rrf"]
+        window = int(rr.get("rank_window_size", 50))
+        rank_c = int(rr.get("rank_constant", 60))
+        from fuzzy_wiki_spark.operators.boolean import compile_filter
+        from fuzzy_wiki_spark.operators.hybrid import rank_topn, rrf_fuse
+        from fuzzy_wiki_spark.operators.segment_query import (
+            search_segments_batch,
+        )
+        from fuzzy_wiki_spark.plans.query import Clause
+
+        ranked = []
+        for r in rr["retrievers"]:
+            if set(r) == {"standard"}:
+                f2, words = _match_words(r["standard"]["query"], analyze)
+                clauses = [
+                    Clause(i, f2, (t,), 1.0, 0, False)
+                    for i, t in enumerate(words)
+                ]
+                full = search_segments_batch(
+                    idx.spark,
+                    idx.segments,
+                    {0: clauses},
+                    idx._term_df(list(words)),
+                    idx.field_stats,
+                    k=None,
+                ).select("doc_id", F.round("score", 6).alias("score"))
+                ranked.append(rank_topn(full, "score", window))
+            elif set(r) == {"knn"}:
+                if vectors is None:
+                    raise ValueError("knn retriever needs vectors")
+                from fuzzy_wiki_spark.operators.similarity import (
+                    cosine_topk,
+                    filtered_cosine_topk,
+                )
+
+                kn = r["knn"]
+                qv = list(kn["query_vector"])
+                kk = int(kn.get("k", window))
+                vc = kn.get("field", "embedding")
+                if "filter" in kn:
+                    cos = filtered_cosine_topk(
+                        vectors, qv, compile_filter(kn["filter"]),
+                        k=kk, vec_col=vc,
+                    )
+                else:
+                    cos = cosine_topk(vectors, qv, k=kk, vec_col=vc)
+                cos = cos.select(
+                    F.col("vec_id").alias("doc_id"), "cos_sim"
+                )
+                ranked.append(rank_topn(cos, "cos_sim", window))
+            else:
+                raise ValueError(f"unsupported retriever: {sorted(r)}")
+        return {
+            "hits": rrf_fuse(ranked, k=rank_c, topk=k),
+            "aggregations": {},
+            "suggest": {},
+            "total": None,
+        }
+
     query = body.get("query")
     if query is None and "knn" not in body and "suggest" not in body:
         query = {"match_all": {}}

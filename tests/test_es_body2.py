@@ -423,3 +423,32 @@ def test_msearch_and_template(spark, setup):
         idx.boolean((), ("binary", "tree"), (), k=7))
     with pytest.raises(ValueError, match="unbound"):
         render_template(t, {"q": "binary"})
+
+
+def test_retriever_rrf(spark, setup, vectors):
+    from fuzzy_wiki_spark.operators.hybrid import rank_topn, rrf_fuse
+    from fuzzy_wiki_spark.operators.segment_query import (
+        search_segments_batch,
+    )
+    from fuzzy_wiki_spark.operators.similarity import cosine_topk
+    from fuzzy_wiki_spark.plans.query import Clause
+
+    idx, dv = setup
+    qv = [0.3] * 8
+    out = es_search(idx, {"retriever": {"rrf": {
+        "retrievers": [
+            {"standard": {"query": {"match": {"content": "binary tree"}}}},
+            {"knn": {"field": "embedding", "query_vector": qv, "k": 20}},
+        ], "rank_constant": 60, "rank_window_size": 20}},
+        "size": 10}, vectors=vectors)
+    clauses = [Clause(i, "content", (t,), 1.0, 0, False)
+               for i, t in enumerate(["binary", "tree"])]
+    full = search_segments_batch(
+        idx.spark, idx.segments, {0: clauses},
+        idx._term_df(["binary", "tree"]), idx.field_stats, k=None,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    lex = rank_topn(full, "score", 20)
+    cos = cosine_topk(vectors, qv, k=20).select(
+        F.col("vec_id").alias("doc_id"), "cos_sim")
+    want = rrf_fuse([lex, rank_topn(cos, "cos_sim", 20)], k=60, topk=10)
+    assert rows(out["hits"]) == rows(want)
