@@ -200,3 +200,68 @@ def test_msm_no_expand(spark):
     )
     assert "Expand" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_span_containing_single_agg_no_cartesian(spark):
+    """span_containing: ONE doc-keyed aggregate over the three terms'
+    pruned scan feeds the Arrow kernel — no cartesian, no extra
+    exchange beyond the candidate agg + the final top-k."""
+    from fuzzy_wiki_spark.operators import postings as P
+    from fuzzy_wiki_spark.operators.spans import span_containing_topdocs
+
+    posts = P.build_postings(
+        _docs(spark), fields={"content": "text"}, mode="simple"
+    )
+    plan = _plan(
+        span_containing_topdocs(posts, "content", ("a1", "b2"), "c3")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate set is one hash aggregate on doc_id
+    assert plan.count("HashAggregate") <= 4  # partial+final x (agg)
+
+
+def test_wordpiece_encode_broadcasts_distinct_words(spark):
+    """wordpiece_encode: the MaxMatch kernel runs on the DISTINCT word
+    table and joins back by broadcast — the corpus-sized token stream
+    must never shuffle on word."""
+    from fuzzy_wiki_spark.operators.wordpiece import (
+        wordpiece_encode,
+        wordpiece_train,
+        wordpiece_vocab,
+    )
+
+    d = _docs(spark, n=30)
+    _, words = wordpiece_train(d, 1, min_pair_count=1)
+    plan = _plan(wordpiece_encode(d, wordpiece_vocab(words)))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_msearch_batch_is_one_scored_frame(spark, tmp_path):
+    """es_msearch's batchable subset: one search_segments_batch frame
+    feeds every body's hits — per-body frames are filters over the SAME
+    plan (same semantic hash), not independent re-scans."""
+    from fuzzy_wiki_spark.corpus import generate_docs_df
+    from fuzzy_wiki_spark.engine import SegmentIndex
+    from fuzzy_wiki_spark.plans.es_body import es_msearch
+
+    docs = generate_docs_df(spark, 120, seed=3)
+    idx = SegmentIndex.build(
+        spark, docs, str(tmp_path / "ix"), n_buckets=2, mode="simple"
+    )
+    res = es_msearch(idx, [
+        {"query": {"match": {"content": "binary tree"}}, "size": 5},
+        {"query": {"match": {"content": "search"}}, "size": 5},
+    ])
+    import re
+
+    p0, p1 = _plan(res[0]["hits"]), _plan(res[1]["hits"])
+
+    # both plans are Filter(query_id=i) over one identical batch subtree
+    # — normalize expression ids, plan ids and the query_id literal
+    def norm(s):
+        s = re.sub(r"#\d+", "#", s)
+        s = re.sub(r"plan_id=\d+", "plan_id=", s)
+        return re.sub(r"query_id# = \d+", "query_id# = Q", s)
+
+    assert norm(p0) == norm(p1)
