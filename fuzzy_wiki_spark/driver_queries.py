@@ -3210,6 +3210,27 @@ def q_es_req_cardinality(spark, sf_dir):
     return out["aggregations"]["c"].select("lang", "n_docs", "cardinality")
 
 
+def q_es_req_runtime(spark, sf_dir):
+    """ES runtime fields through the compiler: a query-time computed
+    doc-value column (rt_len = length(text), never materialized in the
+    index) drives the sort — the sort_by_field path sees it exactly
+    like a stored field. Oracle recomputes the expression in SQL."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_esqrt_")
+    out = es_search(
+        idx,
+        {"query": {"match": {"content": "spark merge join"}},
+         "runtime_mappings": {"rt_len": {"script": "length(text)"}},
+         "sort": [{"rt_len": {"order": "desc"}}],
+         "size": 10},
+        docs=_docs(spark, sf_dir),
+    )
+    return out["hits"].select(
+        "doc_id", F.col("rt_len").cast("int").alias("rt_len")
+    )
+
+
 def q_es_req_rrf(spark, sf_dir):
     """The ES `retriever.rrf` hybrid through the compiler: a standard
     match retriever (full-set segment scoring, window 50) fused with a
@@ -8679,6 +8700,7 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "es_req_runtime": q_es_req_runtime,
     "es_req_rrf": q_es_req_rrf,
     "es_msearch": q_es_msearch,
     "search_template": q_search_template,
@@ -10261,3 +10283,10 @@ ORACLE_SQL["wordpiece_encode"] = _wp_encode_oracle_sql(WP_MERGES)
 ORACLE_SQL["es_msearch"] = ORACLE_SQL["bm25_batch"]
 ORACLE_SQL["search_template"] = ORACLE_SQL["bm25_topk"]
 ORACLE_SQL["es_req_rrf"] = ORACLE_SQL["hybrid_rrf"]
+
+ORACLE_SQL["es_req_runtime"] = f"""
+SELECT d.doc_id, length(d.text)::INT AS rt_len FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM ({_TOK})
+                   WHERE term IN {_QTERMS})
+ORDER BY rt_len DESC, d.doc_id LIMIT 10
+"""

@@ -180,6 +180,21 @@ def es_search(
     offset = int(body.get("from", 0))
     k_fetch = k + offset
 
+    # --- runtime_mappings (ES runtime fields): computed doc-value
+    # columns, visible to filter context / sort / aggs / _source. The
+    # pinned script language is a Spark SQL expression over the docs
+    # columns (ES uses painless; the capability — a query-time computed
+    # field that never materializes in the index — is the same), so the
+    # column folds into the scan projection: zero extra passes. --------
+    if "runtime_mappings" in body:
+        if docs is None:
+            raise ValueError("runtime_mappings require the docs table")
+        for name, spec in body["runtime_mappings"].items():
+            script = spec["script"] if not isinstance(
+                spec["script"], dict
+            ) else spec["script"]["source"]
+            docs = docs.withColumn(name, F.expr(script))
+
     # --- retriever.rrf (the ES hybrid retriever): fuse a standard
     # (lexical) retriever and a knn retriever by reciprocal-rank fusion.
     # Each side ranks within its own rank_window_size cut; fusion is the

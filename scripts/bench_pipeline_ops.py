@@ -97,6 +97,28 @@ def main() -> None:
     out["bpe_encode_tokens"] = bpe_encode(docs, merges).count()
     out["bpe_encode_sec"] = round(time.perf_counter() - t0, 3)
 
+    # WordPiece (round-4 closing wave): same sample-train / full-encode
+    # contract as BPE — the trainer pays 8 sequential vocabulary-sized
+    # jobs (two aggs each: pairs + symbol counts), the encoder is a
+    # distinct-word MaxMatch kernel + one broadcast join back
+    from fuzzy_wiki_spark.operators.wordpiece import (
+        wordpiece_encode,
+        wordpiece_train,
+        wordpiece_vocab,
+    )
+
+    t0 = time.perf_counter()
+    wp_merges, wp_words = wordpiece_train(
+        train_docs, n_merges=args.merges, min_pair_count=1
+    )
+    out["wp_train_sec"] = round(time.perf_counter() - t0, 3)
+    out["wp_merges"] = len(wp_merges)
+    t0 = time.perf_counter()
+    vocab_wp = wordpiece_vocab(wp_words)
+    out["wp_vocab"] = len(vocab_wp)
+    out["wp_encode_tokens"] = wordpiece_encode(docs, vocab_wp).count()
+    out["wp_encode_sec"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     removed = remove_dup_spans(
         docs, n=args.span_n, min_count=2, hash_spans=True

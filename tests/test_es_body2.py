@@ -452,3 +452,27 @@ def test_retriever_rrf(spark, setup, vectors):
         F.col("vec_id").alias("doc_id"), "cos_sim")
     want = rrf_fuse([lex, rank_topn(cos, "cos_sim", 20)], k=60, topk=10)
     assert rows(out["hits"]) == rows(want)
+
+
+def test_runtime_mappings(spark, setup):
+    idx, dv = setup
+    # runtime field drives filter context AND sort
+    body = {"query": {"bool": {
+        "must": [{"match": {"content": "binary tree"}}],
+        "filter": [{"range": {"rt_half": {"gte": 150}}}]}},
+        "runtime_mappings": {"rt_half": {"script": "n_chars / 2"}},
+        "size": 100}
+    got = es_search(idx, body, docs=dv)["hits"]
+    allowed = {r["doc_id"] for r in dv.where("n_chars / 2 >= 150").collect()}
+    assert {r["doc_id"] for r in got.collect()} <= allowed
+    body = {"query": {"match": {"content": "binary tree"}},
+            "runtime_mappings": {"rt_len": {"script": "length(text)"}},
+            "sort": [{"rt_len": {"order": "desc"}}], "size": 5}
+    got = es_search(idx, body, docs=dv)["hits"]
+    want = idx.sort_by_field(
+        ["binary", "tree"],
+        dv.withColumn("rt_len", F.expr("length(text)"))
+          .select("doc_id", "rt_len"),
+        "rt_len", k=5, ascending=False,
+    )
+    assert rows(got) == rows(want)
