@@ -3210,6 +3210,42 @@ def q_es_req_cardinality(spark, sf_dir):
     return out["aggregations"]["c"].select("lang", "n_docs", "cardinality")
 
 
+def q_es_req_script_score(spark, sf_dir):
+    """ES script_score through the compiler: the skeleton match's FULL
+    rounded score set re-scored by a script over doc values + _score
+    (round(_score · ln(1+n_chars), 6)), scripted top-10. The oracle
+    splices the same script into the BM25 skeleton SQL."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_esqss_")
+    out = es_search(
+        idx,
+        {"query": {"script_score": {
+            "query": {"match": {"content": "spark merge join"}},
+            "script": {"source": "round(_score * ln(1 + n_chars), 6)"},
+        }}, "size": 10},
+        docs=_docs(spark, sf_dir),
+    )
+    return out["hits"]
+
+
+def q_es_req_wrapper(spark, sf_dir):
+    """The ES wrapper query (base64-encoded query JSON) through the
+    compiler: decodes to the skeleton match and must be
+    indistinguishable from it — shares ORACLE_SQL["bm25_topk"]."""
+    import base64
+    import json as _json
+
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_esqw_")
+    b64 = base64.b64encode(
+        _json.dumps({"match": {"content": "spark merge join"}}).encode()
+    ).decode()
+    out = es_search(idx, {"query": {"wrapper": {"query": b64}}})
+    return out["hits"].select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_es_req_runtime(spark, sf_dir):
     """ES runtime fields through the compiler: a query-time computed
     doc-value column (rt_len = length(text), never materialized in the
@@ -8700,6 +8736,8 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "es_req_script_score": q_es_req_script_score,
+    "es_req_wrapper": q_es_req_wrapper,
     "es_req_runtime": q_es_req_runtime,
     "es_req_rrf": q_es_req_rrf,
     "es_msearch": q_es_msearch,
@@ -10290,3 +10328,15 @@ WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM ({_TOK})
                    WHERE term IN {_QTERMS})
 ORDER BY rt_len DESC, d.doc_id LIMIT 10
 """
+
+ORACLE_SQL["es_req_script_score"] = _PAGE_SQL.replace(
+    """SELECT doc_id, round(s, 6) AS score FROM sc
+        WHERE TRUE
+        ORDER BY s DESC, doc_id LIMIT 10""",
+    """SELECT sc.doc_id,
+          round(round(s, 6) * ln(1 + d.n_chars), 6) AS score
+       FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+       ORDER BY score DESC, sc.doc_id LIMIT 10""",
+)
+assert "ln(1 + d.n_chars)" in ORACLE_SQL["es_req_script_score"], "splice"
+ORACLE_SQL["es_req_wrapper"] = ORACLE_SQL["bm25_topk"]

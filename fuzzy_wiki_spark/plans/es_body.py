@@ -306,6 +306,22 @@ def es_search(
     else:
         kind = next(iter(query))
 
+    # --- wrapper (base64-encoded query JSON — ES's escape hatch for
+    # clients that must ship opaque query strings): decode and
+    # re-dispatch the whole body with the inner query --------------------
+    if kind == "wrapper":
+        import base64
+        import json as _json
+
+        inner = _json.loads(base64.b64decode(query["wrapper"]["query"]))
+        return es_search(
+            idx,
+            {**body, "query": inner},
+            docs=docs,
+            vectors=vectors,
+            analyze=analyze,
+        )
+
     # --- resolve the query to (terms used, hits frame) -----------------
     filter_ids = None
     field = "content"
@@ -527,6 +543,44 @@ def es_search(
             k=k_fetch,
         )
         qterms = list(spec["terms"])
+    elif kind == "script_score":
+        # ES script_score: re-score the inner query's matches with a
+        # script over doc values and _score. Pinned script language: a
+        # Spark SQL expression over the docs columns plus `_score` (the
+        # inner match's BM25). The script may REORDER matches, so the
+        # inner query scores its FULL match set (k=None, rounded 6 —
+        # same construction as collapse) before the scripted top-k cut.
+        if docs is None:
+            raise ValueError("script_score requires the docs table")
+        ss = query["script_score"]
+        field, words = _match_words(ss["query"], analyze)
+        spec = ss["script"]
+        source = spec["source"] if isinstance(spec, dict) else spec
+        from fuzzy_wiki_spark.operators.segment_query import (
+            search_segments_batch,
+        )
+        from fuzzy_wiki_spark.plans.query import Clause
+
+        clauses = [
+            Clause(i, field, (t,), 1.0, 0, False)
+            for i, t in enumerate(words)
+        ]
+        full = search_segments_batch(
+            idx.spark,
+            idx.segments,
+            {0: clauses},
+            idx._term_df(list(words)),
+            idx.field_stats,
+            k=None,
+        ).select("doc_id", F.round("score", 6).alias("_score"))
+        hits = (
+            full.join(docs, "doc_id")
+            .withColumn("score", F.expr(source))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k_fetch)
+            .select("doc_id", "score")
+        )
+        qterms = words
     elif kind == "intervals":
         (field, rule), = query["intervals"].items()
         hits = idx.intervals(rule, field=field, k=k_fetch)

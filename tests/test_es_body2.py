@@ -476,3 +476,30 @@ def test_runtime_mappings(spark, setup):
         "rt_len", k=5, ascending=False,
     )
     assert rows(got) == rows(want)
+
+
+def test_wrapper_and_script_score(spark, setup):
+    import base64
+    import json as _json
+
+    idx, dv = setup
+    b64 = base64.b64encode(
+        _json.dumps({"match": {"content": "binary tree"}}).encode()
+    ).decode()
+    out = es_search(idx, {"query": {"wrapper": {"query": b64}}, "size": 7})
+    assert rows(out["hits"]) == rows(
+        idx.boolean((), ("binary", "tree"), (), k=7))
+
+    # script_score reorders: constant script kills the BM25 order,
+    # doc_id tiebreak takes over; an n_chars script ranks by doc value
+    out = es_search(idx, {"query": {"script_score": {
+        "query": {"match": {"content": "binary tree"}},
+        "script": {"source": "n_chars * 1.0"}}}, "size": 5}, docs=dv)
+    got = [r["doc_id"] for r in out["hits"].collect()]
+    match_ids = {r["doc_id"]
+                 for r in idx.boolean((), ("binary", "tree"), (),
+                                      k=100000).collect()}
+    want = [r["doc_id"] for r in dv.where(
+        F.col("doc_id").isin(list(match_ids)))
+        .orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(5).collect()]
+    assert got == want
