@@ -3210,6 +3210,44 @@ def q_es_req_cardinality(spark, sf_dir):
     return out["aggregations"]["c"].select("lang", "n_docs", "cardinality")
 
 
+def q_es_req_grouped(spark, sf_dir):
+    """collapse + inner_hits through the compiler (the Lucene
+    grouping/TopGroups surface): top-2 hits per source group, 5 best
+    groups — shares ORACLE_SQL["grouped_topk"] verbatim."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_esqgr_")
+    out = es_search(
+        idx,
+        {"query": {"match": {"content": "spark merge join"}},
+         "collapse": {"field": "source", "inner_hits": {"size": 2}},
+         "size": 5},
+        docs=_docs(spark, sf_dir),
+    )
+    return out["hits"].select(
+        F.col("group").alias("grp"),
+        F.col("group_rank").cast("long").alias("group_rank"),
+        F.col("hit_rank").cast("long").alias("hit_rank"),
+        "doc_id",
+        "score",
+    )
+
+
+def q_es_req_explain(spark, sf_dir):
+    """`explain: true` through the compiler: the per-term BM25 factor
+    breakdown of the skeleton match's best hit — shares
+    ORACLE_SQL["explain_score"] verbatim."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_esqex_")
+    out = es_search(
+        idx,
+        {"query": {"match": {"content": "spark merge join"}},
+         "explain": True},
+    )
+    return out["explanation"]
+
+
 def q_es_req_script_score(spark, sf_dir):
     """ES script_score through the compiler: the skeleton match's FULL
     rounded score set re-scored by a script over doc values + _score
@@ -8736,6 +8774,8 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "es_req_grouped": q_es_req_grouped,
+    "es_req_explain": q_es_req_explain,
     "es_req_script_score": q_es_req_script_score,
     "es_req_wrapper": q_es_req_wrapper,
     "es_req_runtime": q_es_req_runtime,
@@ -10340,3 +10380,5 @@ ORACLE_SQL["es_req_script_score"] = _PAGE_SQL.replace(
 )
 assert "ln(1 + d.n_chars)" in ORACLE_SQL["es_req_script_score"], "splice"
 ORACLE_SQL["es_req_wrapper"] = ORACLE_SQL["bm25_topk"]
+ORACLE_SQL["es_req_grouped"] = ORACLE_SQL["grouped_topk"]
+ORACLE_SQL["es_req_explain"] = ORACLE_SQL["explain_score"]

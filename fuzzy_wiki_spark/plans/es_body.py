@@ -788,7 +788,10 @@ def es_search(
     if "collapse" in body:
         if docs is None:
             raise ValueError("collapse requires the docs table")
-        from fuzzy_wiki_spark.operators.collapse import collapse_topk
+        from fuzzy_wiki_spark.operators.collapse import (
+            collapse_topk,
+            grouped_topk,
+        )
         from fuzzy_wiki_spark.operators.segment_query import (
             search_segments_batch,
         )
@@ -810,11 +813,24 @@ def es_search(
             idx.field_stats,
             k=None,
         ).select("doc_id", F.round("score", 6).alias("score"))
-        hits = collapse_topk(
-            full,
-            docs.select("doc_id", F.col(grp).alias("group")),
-            k=k,
-        )
+        if "inner_hits" in body["collapse"]:
+            # collapse + inner_hits == the Lucene grouping/TopGroups
+            # surface: top-m hits WITHIN each group, k groups ranked by
+            # their best hit (operators/collapse.grouped_topk — group
+            # ranking is a partial top-k, never a full-frame window)
+            m = int(body["collapse"]["inner_hits"].get("size", 3))
+            hits = grouped_topk(
+                full,
+                docs.select("doc_id", F.col(grp).alias("group")),
+                m=m,
+                k=k,
+            )
+        else:
+            hits = collapse_topk(
+                full,
+                docs.select("doc_id", F.col(grp).alias("group")),
+                k=k,
+            )
 
     # --- min_score / from (shallow paging on the scored frame) ---------
     if "min_score" in body:
@@ -975,11 +991,60 @@ def es_search(
         else:
             raise ValueError(f"unsupported agg: {akind}")
 
+    # --- explain (per-request, ES _explain for the top hit): the
+    # per-term BM25 factor breakdown of the best-scoring document —
+    # a one-doc filter over the term-pruned decode, |qterms| rows ------
+    explanation = None
+    if body.get("explain"):
+        if kind not in ("match", "bool", "term"):
+            raise ValueError("explain pinned to match/bool/term queries")
+        from fuzzy_wiki_spark.operators.topk import idf as _idf
+
+        top = hits.orderBy(F.desc("score"), F.asc("doc_id")).head(1)
+        if top:
+            top1 = top[0]["doc_id"]
+            doc_count, avgdl = idx.field_stats[field]
+            term_df = idx._term_df(list(qterms))
+            found = {
+                r["term"]: (int(r["tf"]), int(r["dl"]))
+                for r in idx.term_postings(field, sorted(set(qterms)))
+                .where(F.col("doc_id") == top1)
+                .collect()
+            }
+            dl = next(iter(found.values()), (0, 0))[1]
+            k1, b = 1.2, 0.75
+            rows_ = []
+            for t in qterms:
+                w = _idf(term_df.get((field, t), 0), doc_count)
+                freq = float(found.get(t, (0, 0))[0])
+                tfn = (
+                    freq / (freq + k1 * (1 - b + b * dl / avgdl))
+                    if freq > 0
+                    else 0.0
+                )
+                rows_.append(
+                    (t, round(w, 6), freq, dl, round(tfn, 6),
+                     round(w * tfn, 6))
+                )
+            explanation = idx.spark.createDataFrame(
+                rows_,
+                "term string, weight double, freq double, dl long,"
+                " tf_norm double, contrib double",
+            )
+
+    # --- profile (ES profile API analog): the executed physical plan of
+    # the hits frame — what actually runs, for plan-shape inspection ---
+    profile = None
+    if body.get("profile"):
+        profile = hits._jdf.queryExecution().executedPlan().toString()
+
     return {
         "hits": hits,
         "aggregations": aggs_out,
         "suggest": suggest_out,
         "total": total,
+        "explanation": explanation,
+        "profile": profile,
     }
 
 

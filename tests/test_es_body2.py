@@ -503,3 +503,37 @@ def test_wrapper_and_script_score(spark, setup):
         F.col("doc_id").isin(list(match_ids)))
         .orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(5).collect()]
     assert got == want
+
+
+def test_inner_hits_explain_profile(spark, setup):
+    from fuzzy_wiki_spark.operators.collapse import grouped_topk
+    from fuzzy_wiki_spark.operators.segment_query import (
+        search_segments_batch,
+    )
+    from fuzzy_wiki_spark.plans.query import Clause
+
+    idx, dv = setup
+    grp = dv.withColumn("g", (F.col("doc_id") % 4).cast("string"))
+    out = es_search(idx, {
+        "query": {"match": {"content": "binary tree"}},
+        "collapse": {"field": "g", "inner_hits": {"size": 2}},
+        "size": 3}, docs=grp)
+    clauses = [Clause(i, "content", (t,), 1.0, 0, False)
+               for i, t in enumerate(["binary", "tree"])]
+    full = search_segments_batch(
+        idx.spark, idx.segments, {0: clauses},
+        idx._term_df(["binary", "tree"]), idx.field_stats, k=None,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    want = grouped_topk(
+        full, grp.select("doc_id", F.col("g").alias("group")), m=2, k=3)
+    assert rows(out["hits"]) == rows(want)
+
+    out = es_search(idx, {"query": {"match": {"content": "binary tree"}},
+                          "explain": True, "profile": True})
+    exp = out["explanation"].collect()
+    top = out["hits"].orderBy(
+        F.desc("score"), F.asc("doc_id")).head(1)[0]
+    # sum of per-term contribs == the top hit's score (BM25 identity)
+    assert round(sum(r["contrib"] for r in exp), 5) == round(
+        top["score"], 5)
+    assert isinstance(out["profile"], str) and "Scan" in out["profile"]
