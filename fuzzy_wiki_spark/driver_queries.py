@@ -3210,6 +3210,34 @@ def q_es_req_cardinality(spark, sf_dir):
     return out["aggregations"]["c"].select("lang", "n_docs", "cardinality")
 
 
+def q_es_req_knn_quant(spark, sf_dir):
+    """ES knn with `num_candidates` through the compiler — the
+    two-phase compressed-scan route (operators/similarity
+    .quantized_rerank_topk, the Lucene int8+rescore shape): pre-filter
+    (vec_id ≥ 1), per-dim grid over the filtered set, quantized cosine
+    rounded-6 candidate cut at 50, exact rerank of the candidates on
+    raw vectors, top-10. The oracle replays grid → codes → dequant →
+    quantized scores → candidate cut → exact rerank end-to-end."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = es_search(
+        None,
+        {"knn": {
+            "field": "embedding",
+            "query_vector": list(qvec),
+            "k": 10,
+            "num_candidates": 50,
+            "filter": {"range": {"vec_id": {"gte": 1}}},
+        }},
+        vectors=emb,
+    )
+    return out["hits"].select(
+        "vec_id", F.round("cos_sim", 4).alias("cos_sim")
+    )
+
+
 def q_es_req_grouped(spark, sf_dir):
     """collapse + inner_hits through the compiler (the Lucene
     grouping/TopGroups surface): top-2 hits per source group, 5 best
@@ -8774,6 +8802,7 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "es_req_knn_quant": q_es_req_knn_quant,
     "es_req_grouped": q_es_req_grouped,
     "es_req_explain": q_es_req_explain,
     "es_req_script_score": q_es_req_script_score,
@@ -10382,3 +10411,55 @@ assert "ln(1 + d.n_chars)" in ORACLE_SQL["es_req_script_score"], "splice"
 ORACLE_SQL["es_req_wrapper"] = ORACLE_SQL["bm25_topk"]
 ORACLE_SQL["es_req_grouped"] = ORACLE_SQL["grouped_topk"]
 ORACLE_SQL["es_req_explain"] = ORACLE_SQL["explain_score"]
+
+ORACLE_SQL["es_req_knn_quant"] = """
+WITH dims AS (
+  SELECT unnest(list_transform(embedding, x -> x::DOUBLE)) AS x,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings WHERE vec_id >= 1),
+grid AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim),
+pts AS (
+  SELECT vec_id,
+         unnest(list_transform(embedding, x -> x::DOUBLE)) AS x,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings WHERE vec_id >= 1),
+deq AS (
+  SELECT p.vec_id, p.dim,
+         g.mn + least(255, greatest(0,
+                 floor(CASE WHEN g.mx > g.mn
+                       THEN (p.x - g.mn)/(g.mx - g.mn)*255.0
+                       ELSE 0.0 END + 0.5)))
+               * (g.mx - g.mn) / 255.0 AS xh
+  FROM pts p JOIN grid g USING(dim)),
+v AS (SELECT vec_id, list(xh ORDER BY dim) AS e FROM deq GROUP BY vec_id),
+qraw AS (
+  SELECT unnest(list_transform(embedding, x -> x::DOUBLE)) AS x,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings WHERE vec_id = 0),
+qdeq AS (
+  SELECT q.dim,
+         g.mn + least(255, greatest(0,
+                 floor(CASE WHEN g.mx > g.mn
+                       THEN (q.x - g.mn)/(g.mx - g.mn)*255.0
+                       ELSE 0.0 END + 0.5)))
+               * (g.mx - g.mn) / 255.0 AS xh
+  FROM qraw q JOIN grid g USING(dim)),
+qv AS (SELECT list(xh ORDER BY dim) AS qe FROM qdeq),
+s AS (SELECT vec_id,
+             round(list_dot_product(e, qe)
+             / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))),
+               6) AS rc
+      FROM v CROSS JOIN qv),
+c AS (SELECT vec_id FROM s ORDER BY rc DESC, vec_id LIMIT 50),
+raw AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+        FROM embeddings WHERE vec_id >= 1),
+qr AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe2
+       FROM embeddings WHERE vec_id = 0),
+x AS (SELECT r.vec_id,
+             list_dot_product(r.e, qe2)
+             / (sqrt(list_dot_product(r.e, r.e))
+                * sqrt(list_dot_product(qe2, qe2))) AS cos
+      FROM raw r JOIN c USING(vec_id) CROSS JOIN qr)
+SELECT vec_id, round(cos, 4) AS cos_sim FROM x
+ORDER BY cos DESC, vec_id LIMIT 10
+"""

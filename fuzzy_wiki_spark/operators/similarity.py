@@ -856,3 +856,62 @@ def rag_retrieve(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def quantized_rerank_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_candidates: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+    grid: tuple[list[float], list[float]] | None = None,
+) -> DataFrame:
+    """Two-phase ANN — the Lucene ``int8_hnsw`` + rescore shape (and the
+    ES knn ``num_candidates`` contract): the FIRST pass scans only the
+    scalar-quantized store (1 byte/dim instead of 4) and keeps
+    ``num_candidates`` by quantized cosine; the SECOND pass exact-ranks
+    just those candidates on the raw vectors. At a 100 TB embedding
+    store the raw vectors are touched for num_candidates rows per query
+    — the compressed store is the only full scan.
+
+    Determinism at the candidate boundary: the quantized score rounds
+    to 6 decimals BEFORE the cut (ties then break on id), so the
+    candidate set is reproducible by any SQL engine replaying the same
+    grid arithmetic — the same rounded-before-cut rule the rescore
+    window uses."""
+    if grid is None:
+        grid = quantization_grid(df, vec_col)
+    mins, maxs = grid
+    q = [float(x) for x in query_vec]
+    qhat = []
+    for x, mn, mx in zip(q, mins, maxs):
+        t = (x - mn) / (mx - mn) if mx > mn else 0.0
+        c = min(levels, max(0, math.floor(t * levels + 0.5)))
+        qhat.append(mn + c * (mx - mn) / levels)
+    codes = quantize_embeddings(
+        df, mins, maxs, id_col=id_col, vec_col=vec_col, levels=levels
+    )
+    deq = codes.select(
+        id_col, dequantize(F.col("codes"), mins, maxs, levels).alias("deq")
+    )
+    qv = F.array(*[F.lit(float(x)) for x in qhat])
+    first = deq.select(
+        F.col(id_col),
+        F.round(
+            _dot(F.col("deq"), qv) / (_norm(F.col("deq")) * _norm(qv)), 6
+        ).alias("qcos"),
+    )
+    cand = (
+        first.orderBy(F.desc("qcos"), F.asc(id_col))
+        .limit(num_candidates)
+        .select(id_col)
+    )
+    return cosine_topk(
+        df.join(F.broadcast(cand), id_col, "left_semi"),
+        q,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

@@ -280,22 +280,35 @@ def es_search(
             )
         if vectors is None:
             raise ValueError("knn requires the vectors frame")
-        from fuzzy_wiki_spark.operators.similarity import (
-            cosine_topk,
-            filtered_cosine_topk,
-        )
+        from fuzzy_wiki_spark.operators.similarity import cosine_topk
 
         knn = body["knn"]
         qv = list(knn["query_vector"])
         kk = int(knn.get("k", k))
         vec_col = knn.get("field", "embedding")
+        vecs = vectors
         if "filter" in knn:
-            pred = compile_filter(knn["filter"])
-            hits = filtered_cosine_topk(
-                vectors, qv, pred, k=kk, vec_col=vec_col
+            # PRE-filter semantics: the predicate pushes into the scan
+            # before any scoring (filtered_cosine_topk's contract)
+            vecs = vectors.where(compile_filter(knn["filter"]))
+        if "num_candidates" in knn:
+            # the ES num_candidates contract → the two-phase
+            # compressed-scan + exact-rerank route: first pass reads
+            # only the 1-byte/dim quantized store, raw vectors are
+            # touched for num_candidates rows
+            from fuzzy_wiki_spark.operators.similarity import (
+                quantized_rerank_topk,
+            )
+
+            hits = quantized_rerank_topk(
+                vecs,
+                qv,
+                k=kk,
+                num_candidates=int(knn["num_candidates"]),
+                vec_col=vec_col,
             )
         else:
-            hits = cosine_topk(vectors, qv, k=kk, vec_col=vec_col)
+            hits = cosine_topk(vecs, qv, k=kk, vec_col=vec_col)
         qterms: list[str] = []
         kind = "knn"
     elif query is None:

@@ -537,3 +537,22 @@ def test_inner_hits_explain_profile(spark, setup):
     assert round(sum(r["contrib"] for r in exp), 5) == round(
         top["score"], 5)
     assert isinstance(out["profile"], str) and "Scan" in out["profile"]
+
+
+def test_knn_num_candidates_two_phase(spark, setup, vectors):
+    from fuzzy_wiki_spark.operators.similarity import (
+        cosine_topk,
+        quantized_rerank_topk,
+    )
+
+    idx, dv = setup
+    qv = [0.4] * 8
+    out = es_search(idx, {"knn": {
+        "field": "embedding", "query_vector": qv, "k": 5,
+        "num_candidates": 20}}, vectors=vectors)
+    want = quantized_rerank_topk(vectors, qv, k=5, num_candidates=20)
+    assert rows(out["hits"]) == rows(want)
+    # exhaustive candidates == exact brute force (rerank is exact)
+    full = quantized_rerank_topk(vectors, qv, k=5, num_candidates=60)
+    brute = cosine_topk(vectors, qv, k=5)
+    assert rows(full) == rows(brute)
