@@ -3210,6 +3210,32 @@ def q_es_req_cardinality(spark, sf_dir):
     return out["aggregations"]["c"].select("lang", "n_docs", "cardinality")
 
 
+def q_es_req_percolate(spark, sf_dir):
+    """The ES percolate query through the compiler: five literal
+    documents (the corpus's first five, carrying their ids) matched
+    against the registered rule frame — reverse search from one JSON
+    body. Oracle: the percolate SQL restricted to those documents."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    rules = spark.createDataFrame(
+        PERCOLATE_RULES, "query_id int, terms array<string>, min_match int"
+    )
+    five = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 5)
+        .select("doc_id", "text")
+        .collect()
+    )
+    out = es_search(
+        None,
+        {"query": {"percolate": {"documents": [
+            {"_id": r["doc_id"], "text": r["text"]} for r in five
+        ]}}},
+        rules=rules,
+    )
+    return out["hits"]
+
+
 def q_es_req_knn_quant(spark, sf_dir):
     """ES knn with `num_candidates` through the compiler — the
     two-phase compressed-scan route (operators/similarity
@@ -8802,6 +8828,7 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "es_req_percolate": q_es_req_percolate,
     "es_req_knn_quant": q_es_req_knn_quant,
     "es_req_grouped": q_es_req_grouped,
     "es_req_explain": q_es_req_explain,
@@ -10462,4 +10489,13 @@ x AS (SELECT r.vec_id,
       FROM raw r JOIN c USING(vec_id) CROSS JOIN qr)
 SELECT vec_id, round(cos, 4) AS cos_sim FROM x
 ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+ORACLE_SQL["es_req_percolate"] = f"""
+WITH dt AS (SELECT DISTINCT doc_id, term FROM ({_TOK}) WHERE doc_id < 5),
+rules(query_id, term, min_match) AS (VALUES {_PERC_VALUES})
+SELECT dt.doc_id, rules.query_id, count(*)::BIGINT AS n_matched
+FROM dt JOIN rules USING(term)
+GROUP BY dt.doc_id, rules.query_id, rules.min_match
+HAVING count(*) >= rules.min_match
 """

@@ -162,6 +162,7 @@ def es_search(
     body: dict,
     docs: DataFrame | None = None,
     vectors: DataFrame | None = None,
+    rules: DataFrame | None = None,
     analyze=str.split,
 ) -> dict:
     """Execute an ES `_search` request body against a SegmentIndex.
@@ -594,6 +595,32 @@ def es_search(
             .select("doc_id", "score")
         )
         qterms = words
+    elif kind == "percolate":
+        # the ES percolate query: match literal document(s) against the
+        # registered-rule frame (query_id, terms, min_match) — the
+        # reverse-search surface (operators/percolate.percolate: one
+        # broadcast rule join, the matched-pairs agg is the only
+        # shuffle). Document text analyzes with the same chain as the
+        # rules; multiple documents carry their list index (or "_id")
+        # as doc_id.
+        if rules is None:
+            raise ValueError("percolate requires the rules frame")
+        from fuzzy_wiki_spark.operators.percolate import (
+            percolate as _percolate,
+        )
+
+        pc = query["percolate"]
+        docs_lit = pc.get("documents") or [pc["document"]]
+        fname = pc.get("field", "text")
+        rows_ = [
+            (int(d.get("_id", i)), " ".join(analyze(str(d[fname]))))
+            for i, d in enumerate(docs_lit)
+        ]
+        ddf = rules.sparkSession.createDataFrame(
+            rows_, "doc_id long, text string"
+        )
+        hits = _percolate(ddf, rules)
+        qterms = []
     elif kind == "intervals":
         (field, rule), = query["intervals"].items()
         hits = idx.intervals(rule, field=field, k=k_fetch)

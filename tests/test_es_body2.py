@@ -556,3 +556,24 @@ def test_knn_num_candidates_two_phase(spark, setup, vectors):
     full = quantized_rerank_topk(vectors, qv, k=5, num_candidates=60)
     brute = cosine_topk(vectors, qv, k=5)
     assert rows(full) == rows(brute)
+
+
+def test_percolate_kind(spark, setup):
+    from fuzzy_wiki_spark.operators.percolate import percolate
+
+    idx, dv = setup
+    rules = spark.createDataFrame(
+        [(1, ["binary", "tree"], 2), (2, ["search"], 1)],
+        "query_id int, terms array<string>, min_match int",
+    )
+    out = es_search(None, {"query": {"percolate": {"documents": [
+        {"_id": 7, "text": "binary tree search walk"},
+        {"_id": 9, "text": "nothing here"},
+    ]}}}, rules=rules)
+    ddf = spark.createDataFrame(
+        [(7, "binary tree search walk"), (9, "nothing here")],
+        "doc_id long, text string",
+    )
+    assert rows(out["hits"]) == rows(percolate(ddf, rules))
+    got = {(r["doc_id"], r["query_id"]) for r in out["hits"].collect()}
+    assert got == {(7, 1), (7, 2)}
