@@ -3210,6 +3210,20 @@ def q_es_req_cardinality(spark, sf_dir):
     return out["aggregations"]["c"].select("lang", "n_docs", "cardinality")
 
 
+def q_es_req_query_string(spark, sf_dir):
+    """The ES query_string query through the compiler: the full Lucene
+    QueryParser subset (+must/-veto, sloppy phrase, wildcard, fuzzy)
+    served by the segment-native extended executor — shares
+    ORACLE_SQL["extended_query"] verbatim."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_esqqs_")
+    out = es_search(
+        idx, {"query": {"query_string": {"query": EXTENDED_QUERY}}}
+    )
+    return out["hits"].select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_es_req_percolate(spark, sf_dir):
     """The ES percolate query through the compiler: five literal
     documents (the corpus's first five, carrying their ids) matched
@@ -8828,6 +8842,7 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "es_req_query_string": q_es_req_query_string,
     "es_req_percolate": q_es_req_percolate,
     "es_req_knn_quant": q_es_req_knn_quant,
     "es_req_grouped": q_es_req_grouped,
@@ -10499,3 +10514,4 @@ FROM dt JOIN rules USING(term)
 GROUP BY dt.doc_id, rules.query_id, rules.min_match
 HAVING count(*) >= rules.min_match
 """
+ORACLE_SQL["es_req_query_string"] = ORACLE_SQL["extended_query"]

@@ -595,6 +595,24 @@ def es_search(
             .select("doc_id", "score")
         )
         qterms = words
+    elif kind == "query_string":
+        # the ES query_string query: the Lucene QueryParser subset
+        # (plans/qlang.py — +must/-must_not, "phrase"~slop, wildcards,
+        # fuzzy, /regexp/, field: selectors, ^boosts) served by the
+        # segment-native extended executor (SegmentIndex.extended — ONE
+        # pruned-scan applyInPandas job)
+        qs = query["query_string"]
+        text = qs["query"] if isinstance(qs, dict) else qs
+        hits = idx.extended(text, k=k_fetch, analyze=analyze)
+        from fuzzy_wiki_spark.plans.qlang import parse_extended
+
+        eq = parse_extended(text, analyze=analyze)
+        qterms = [
+            t
+            for a in (eq.must + eq.should)
+            if a.kind in ("term", "phrase")
+            for t in a.terms
+        ]
     elif kind == "percolate":
         # the ES percolate query: match literal document(s) against the
         # registered-rule frame (query_id, terms, min_match) — the

@@ -577,3 +577,12 @@ def test_percolate_kind(spark, setup):
     assert rows(out["hits"]) == rows(percolate(ddf, rules))
     got = {(r["doc_id"], r["query_id"]) for r in out["hits"].collect()}
     assert got == {(7, 1), (7, 2)}
+
+
+def test_query_string_kind(spark, setup):
+    idx, dv = setup
+    q = '+binary -walk "binary tree"~2 se*'
+    out = es_search(idx, {"query": {"query_string": {"query": q}},
+                          "size": 10})
+    assert rows(out["hits"]) == rows(
+        idx.extended(q, k=10, analyze=str.split))
