@@ -28,6 +28,10 @@ or is rejected, never silently re-interpreted.
   over the synthetic merged field (SegmentIndex.combined_fields).
 - ``{"more_like_this": {"fields": [f], "like": text,
   "max_query_terms": m}}`` (SegmentIndex.more_like_this_text).
+- ``{"query_string": {"query": "<Lucene syntax>"}}`` — the full
+  QueryParser subset (+must/-veto, sloppy phrases, wildcard/fuzzy/
+  regexp atoms, field selectors, boosts) on the segment-native
+  extended executor (SegmentIndex.extended).
 
 *Term-level* (``value`` may be bare or ``{"value": v}``):
 - ``{"term": {field: v}}`` — single unanalyzed term, BM25-scored (the
@@ -57,6 +61,14 @@ or is rejected, never silently re-interpreted.
 - ``{"terms_set": {field: {"terms": [...],
   "minimum_should_match_field": col}}}`` — needs ``docs``
   (SegmentIndex.terms_set).
+- ``{"script_score": {"query": match, "script": {"source": expr}}}`` —
+  re-scores the inner match's FULL rounded score set with a Spark SQL
+  expression over doc values + ``_score``; needs ``docs``.
+- ``{"wrapper": {"query": b64}}`` — base64 query JSON, decoded and
+  re-dispatched.
+- ``{"percolate": {"document(s)": ...}}`` — literal document(s)
+  matched against the registered ``rules`` frame (reverse search via
+  operators/percolate).
 
 *Positional*
 - ``{"intervals": {field: rule}}`` — the two-level intervals subset.
@@ -98,10 +110,20 @@ Top level:
   SegmentIndex.rescore_phrase (Lucene QueryRescorer) — match-leaf
   first pass only.
 - ``knn``: ``{"field": vec_col, "query_vector": [...], "k": kk,
-  "filter": term-level DSL}`` — exact cosine top-k over the
-  ``vectors`` frame (operators/similarity.cosine_topk /
-  filtered_cosine_topk, PRE-filter semantics). knn-only bodies (no
-  ``query``) return the vector hits as ``hits``.
+  "filter": term-level DSL, "num_candidates": n}`` — exact cosine
+  top-k over the ``vectors`` frame (PRE-filter semantics); with
+  ``num_candidates`` the two-phase quantized-scan + exact-rerank
+  route (operators/similarity.quantized_rerank_topk — the Lucene
+  int8+rescore shape). knn-only bodies (no ``query``) return the
+  vector hits as ``hits`` and need no index (``idx=None`` works).
+- ``runtime_mappings``: ``{name: {"script": expr}}`` — query-time
+  computed doc-value columns (Spark SQL expression over docs
+  columns), visible to filter context / sort / aggs / ``_source``.
+- ``collapse.inner_hits``: ``{"size": m}`` → grouped top-k (top-m per
+  group, k groups by lead hit; operators/collapse.grouped_topk).
+- ``explain: true`` → ``result["explanation"]``: the per-term BM25
+  factor frame of the best hit. ``profile: true`` →
+  ``result["profile"]``: the executed physical plan string.
 - ``suggest``: ``{name: {"text": t, "term": {"field": f,
   "max_edits": d, "size": s}}}`` → operators/term_expansion
   .suggest_terms off the index's term_stats side-channel;
@@ -112,13 +134,17 @@ Top level:
 - ``aggs``: ``terms`` / ``stats`` / ``date_histogram`` / ``range`` /
   ``histogram`` / ``cardinality`` / ``percentiles`` / ``value_count``
   / ``missing`` / ``global`` / ``filters`` / ``significant_terms`` /
-  ``top_metrics`` sub-bodies, computed over the query's match set
-  exactly like the corresponding hash-verified agg entries (the
-  bucketed metrics take the same ``group_by`` extension key the
-  ``stats`` form already used).
+  ``top_metrics`` / ``date_range`` / ``auto_date_histogram`` /
+  ``composite`` / ``adjacency_matrix`` / ``rare_terms`` /
+  ``multi_terms`` / ``weighted_avg`` / ``string_stats`` /
+  ``median_absolute_deviation`` / ``boxplot`` sub-bodies, computed
+  over the query's match set exactly like the corresponding
+  hash-verified agg entries (the bucketed metrics take the same
+  ``group_by`` extension key the ``stats`` form already used).
 
 Returns ``{"hits": DataFrame, "aggregations": {name: DataFrame},
-"suggest": {name: DataFrame}, "total": int | None}``.
+"suggest": {name: DataFrame}, "total": int | None, "explanation":
+DataFrame | None, "profile": str | None}``.
 """
 
 from __future__ import annotations
@@ -1035,6 +1061,63 @@ def es_search(
                 k=int(abody.get("size", 10)),
                 min_doc_count=int(abody.get("min_doc_count", 3)),
             )
+        elif akind == "date_range":
+            ranges = [
+                (r["key"], r.get("from"), r.get("to"))
+                for r in abody["ranges"]
+            ]
+            aggs_out[name] = idx.date_range_agg(
+                qterms, docs, ranges, _val(abody)
+            )
+        elif akind == "auto_date_histogram":
+            # engine returns (chosen_interval, frame); the frame is the
+            # aggregation result
+            _, aggs_out[name] = idx.auto_date_histogram(
+                qterms, docs, _val(abody),
+                target_buckets=int(abody.get("buckets", 10)),
+            )
+        elif akind == "composite":
+            # sources: [{name: {"terms": {"field": f}}}, ...] → [f, ...]
+            fields_ = []
+            for s in abody["sources"]:
+                (_, srule), = s.items()
+                fields_.append(srule["terms"]["field"])
+            aggs_out[name] = idx.composite_agg(
+                qterms,
+                docs,
+                fields_,
+                size=int(abody.get("size", 10)),
+                after=tuple(abody["after"]) if "after" in abody else None,
+            )
+        elif akind == "adjacency_matrix":
+            aggs_out[name] = idx.adjacency_matrix(
+                {fname: list(f["terms"][next(iter(f["terms"]))])
+                 for fname, f in abody["filters"].items()}
+            )
+        elif akind == "rare_terms":
+            aggs_out[name] = idx.rare_terms(
+                qterms, docs, abody["field"],
+                max_doc_count=int(abody.get("max_doc_count", 1)),
+            )
+        elif akind == "multi_terms":
+            aggs_out[name] = idx.multi_terms(
+                qterms, docs,
+                [t["field"] for t in abody["terms"]],
+                int(abody.get("size", 10)),
+            )
+        elif akind == "weighted_avg":
+            aggs_out[name] = idx.weighted_avg(
+                qterms, docs,
+                abody["value"]["field"], abody["weight"]["field"],
+            )
+        elif akind == "string_stats":
+            aggs_out[name] = idx.string_stats(qterms, docs, abody["field"])
+        elif akind == "median_absolute_deviation":
+            aggs_out[name] = idx.median_abs_dev(
+                qterms, docs, abody["field"]
+            )
+        elif akind == "boxplot":
+            aggs_out[name] = idx.boxplot_agg(qterms, docs, abody["field"])
         elif akind == "top_metrics":
             (sort_col, _), = abody["sort"].items() if isinstance(
                 abody["sort"], dict

@@ -586,3 +586,53 @@ def test_query_string_kind(spark, setup):
                           "size": 10})
     assert rows(out["hits"]) == rows(
         idx.extended(q, k=10, analyze=str.split))
+
+
+def test_agg_family_completion(spark, setup):
+    idx, dv = setup
+    qt = ["binary", "tree"]
+    dsc = "date_add(date'2020-01-01', cast((doc_id % 400) as int))"
+    out = es_search(
+        idx,
+        {"query": {"match": {"content": "binary tree"}},
+         "aggs": {
+             "dr": {"date_range": {"script": dsc, "ranges": [
+                 {"key": "y20", "to": "2021-01-01"},
+                 {"key": "y21", "from": "2021-01-01"}]}},
+             "adh": {"auto_date_histogram": {"script": dsc,
+                                             "buckets": 8}},
+             "co": {"composite": {"sources": [
+                 {"l": {"terms": {"field": "lang"}}}], "size": 5}},
+             "am": {"adjacency_matrix": {"filters": {
+                 "bin": {"terms": {"content": ["binary"]}},
+                 "tr": {"terms": {"content": ["tree"]}}}}},
+             "rt": {"rare_terms": {"field": "lang", "max_doc_count": 3}},
+             "mt": {"multi_terms": {"terms": [{"field": "lang"}],
+                                    "size": 4}},
+             "wa": {"weighted_avg": {"value": {"field": "n_chars"},
+                                     "weight": {"field": "req"}}},
+             "ss": {"string_stats": {"field": "lang"}},
+             "mad": {"median_absolute_deviation": {"field": "n_chars"}},
+             "bx": {"boxplot": {"field": "n_chars"}},
+         }},
+        docs=dv,
+    )
+    a = out["aggregations"]
+    dexpr = F.expr(dsc)
+    assert rows(a["dr"]) == rows(idx.date_range_agg(
+        qt, dv, [("y20", None, "2021-01-01"), ("y21", "2021-01-01", None)],
+        dexpr))
+    _, adh_want = idx.auto_date_histogram(qt, dv, dexpr, target_buckets=8)
+    assert rows(a["adh"]) == rows(adh_want)
+    assert rows(a["co"]) == rows(idx.composite_agg(
+        qt, dv, ["lang"], size=5))
+    assert rows(a["am"]) == rows(idx.adjacency_matrix(
+        {"bin": ["binary"], "tr": ["tree"]}))
+    assert rows(a["rt"]) == rows(idx.rare_terms(
+        qt, dv, "lang", max_doc_count=3))
+    assert rows(a["mt"]) == rows(idx.multi_terms(qt, dv, ["lang"], 4))
+    assert rows(a["wa"]) == rows(idx.weighted_avg(
+        qt, dv, "n_chars", "req"))
+    assert rows(a["ss"]) == rows(idx.string_stats(qt, dv, "lang"))
+    assert rows(a["mad"]) == rows(idx.median_abs_dev(qt, dv, "n_chars"))
+    assert rows(a["bx"]) == rows(idx.boxplot_agg(qt, dv, "n_chars"))
