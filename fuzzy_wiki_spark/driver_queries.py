@@ -3210,6 +3210,30 @@ def q_es_req_cardinality(spark, sf_dir):
     return out["aggregations"]["c"].select("lang", "n_docs", "cardinality")
 
 
+TERMS_ENUM_PREFIX = ""  # whole dictionary: sf0.01 has ~31 terms, so both pages fill
+TERMS_ENUM_SIZE = 8
+
+
+def q_terms_enum(spark, sf_dir):
+    """The ES _terms_enum API (SegmentIndex.terms_enum): page 1 of the
+    term dictionary with document frequencies — a pure
+    range scan on the vocabulary-sized term_stats side-channel."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_tenum_")
+    return idx.terms_enum(TERMS_ENUM_PREFIX, size=TERMS_ENUM_SIZE)
+
+
+def q_terms_enum_page2(spark, sf_dir):
+    """_terms_enum page 2 via the search_after cursor: strictly after
+    page 1's last term — the cursor is a range predicate, never an
+    offset scan. Oracle: rows 9-16 of the same dictionary slice."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_tenum2_")
+    p1 = idx.terms_enum(TERMS_ENUM_PREFIX, size=TERMS_ENUM_SIZE).collect()
+    return idx.terms_enum(
+        TERMS_ENUM_PREFIX, size=TERMS_ENUM_SIZE,
+        search_after=p1[-1]["term"],
+    )
+
+
 def q_es_req_query_string(spark, sf_dir):
     """The ES query_string query through the compiler: the full Lucene
     QueryParser subset (+must/-veto, sloppy phrase, wildcard, fuzzy)
@@ -8842,6 +8866,8 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "terms_enum": q_terms_enum,
+    "terms_enum_page2": q_terms_enum_page2,
     "es_req_query_string": q_es_req_query_string,
     "es_req_percolate": q_es_req_percolate,
     "es_req_knn_quant": q_es_req_knn_quant,
@@ -10515,3 +10541,20 @@ GROUP BY dt.doc_id, rules.query_id, rules.min_match
 HAVING count(*) >= rules.min_match
 """
 ORACLE_SQL["es_req_query_string"] = ORACLE_SQL["extended_query"]
+
+ORACLE_SQL["terms_enum"] = f"""
+WITH dt AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+            FROM ({_TOK}) GROUP BY term)
+SELECT term, df FROM dt WHERE starts_with(term, '{TERMS_ENUM_PREFIX}')
+ORDER BY term LIMIT {TERMS_ENUM_SIZE}
+"""
+ORACLE_SQL["terms_enum_page2"] = f"""
+WITH dt AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+            FROM ({_TOK}) GROUP BY term),
+pg AS (SELECT term, df,
+              row_number() OVER (ORDER BY term) AS rn
+       FROM dt WHERE starts_with(term, '{TERMS_ENUM_PREFIX}'))
+SELECT term, df FROM pg
+WHERE rn BETWEEN {TERMS_ENUM_SIZE + 1} AND {2 * TERMS_ENUM_SIZE}
+ORDER BY term
+"""

@@ -2698,6 +2698,35 @@ class SegmentIndex:
         posts = self.term_postings(field, all_terms, with_dl=False)
         return intervals_topdocs(posts, field, spec, k=k)
 
+    def terms_enum(
+        self,
+        prefix: str = "",
+        field: str = "content",
+        size: int = 10,
+        search_after: str | None = None,
+        case_insensitive: bool = False,
+    ) -> DataFrame:
+        """The ES `_terms_enum` API: page the term dictionary — terms
+        starting with ``prefix``, lexicographic order, ``search_after``
+        as the page cursor (strictly-greater predicate, no offset
+        scan). Pure vocabulary-sized term_stats work: the prefix is a
+        range predicate on the term-sorted layout and the cursor is a
+        second range predicate, so a page never reads past its slice
+        regardless of index size. Returns (term, df)."""
+        ts = self.term_stats.where(F.col("field") == field)
+        if case_insensitive:
+            pred = F.lower(F.col("term")).startswith(prefix.lower())
+        else:
+            pred = F.col("term").startswith(prefix)
+        out = ts.where(pred)
+        if search_after is not None:
+            out = out.where(F.col("term") > search_after)
+        return (
+            out.select("term", F.col("df").cast("long").alias("df"))
+            .orderBy("term")
+            .limit(size)
+        )
+
     def resolve_prefix(
         self, prefix: str, field: str = "content", max_expansions: int = 50
     ) -> list[str]:

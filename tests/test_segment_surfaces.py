@@ -209,3 +209,28 @@ def test_term_postings_prunes_before_decode(seg):
     assert "merge" in plan  # term filter present below the decode
     got = {r.term for r in df.select("term").distinct().collect()}
     assert got == {"merge"}
+
+
+def test_terms_enum_pages_cover_dictionary(spark, seg):
+    """_terms_enum: prefix range + search_after cursor pages walk the
+    dictionary in order without overlap; case_insensitive folds."""
+    idx = seg
+    all_terms = sorted(
+        r["term"]
+        for r in idx.term_stats.where("field = 'content'")
+        .select("term").collect()
+    )
+    seen, after = [], None
+    while True:
+        page = idx.terms_enum("", size=7, search_after=after).collect()
+        if not page:
+            break
+        seen.extend(r["term"] for r in page)
+        after = page[-1]["term"]
+    assert seen == all_terms
+    pfx = all_terms[0][0]
+    got = [r["term"] for r in idx.terms_enum(pfx, size=1000).collect()]
+    assert got == [t for t in all_terms if t.startswith(pfx)]
+    up = [r["term"] for r in idx.terms_enum(
+        pfx.upper(), size=1000, case_insensitive=True).collect()]
+    assert up == got
