@@ -614,14 +614,17 @@ def main() -> None:
         lambda: DQ.q_es_msearch(spark, sf_dir).collect(),
         reps=2,
     )
+    # knn (index-free vector scan) + rescore (build + full-set first
+    # pass + windowed phrase signal). Single rep: the section is
+    # dominated by the per-entry index build, which a second rep would
+    # only repeat; search_template == the match path, already timed.
     timed(
         "pipe_es_compiler_new",
         lambda: (
             DQ.q_es_req_knn(spark, sf_dir).collect(),
             DQ.q_es_req_rescore(spark, sf_dir).collect(),
-            DQ.q_search_template(spark, sf_dir).collect(),
         ),
-        reps=2,
+        bracket=True,
     )
     # span-family completion: containing/within counters + the
     # dictionary-expanded span_multi chain
