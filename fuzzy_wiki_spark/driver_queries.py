@@ -3210,6 +3210,69 @@ def q_es_req_cardinality(spark, sf_dir):
     return out["aggregations"]["c"].select("lang", "n_docs", "cardinality")
 
 
+def q_es_req_function_score(spark, sf_dir):
+    """ES function_score through the compiler: the skeleton match's
+    full rounded score set shaped by ln1p(n_chars) x a 2-year linear
+    recency decay (the exact seg_function_score config) — shares
+    ORACLE_SQL["function_score"] verbatim."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_esqfs_")
+    out = es_search(
+        idx,
+        {"query": {"function_score": {
+            "query": {"match": {"content": "spark merge join"}},
+            "functions": [
+                {"field_value_factor": {"field": "n_chars",
+                                        "modifier": "ln1p"}},
+                {"linear": {"script": _DOC_TS, "origin": _FS_ORIGIN,
+                            "scale": _FS_SCALE}},
+            ],
+            "boost_mode": "multiply"}}},
+        docs=_docs(spark, sf_dir),
+    )
+    return out["hits"]
+
+
+def q_es_req_rank_feature(spark, sf_dir):
+    """ES rank_feature (saturation) through the compiler's
+    function_score route — shares ORACLE_SQL["rank_feature"]."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_esqrf_")
+    out = es_search(
+        idx,
+        {"query": {"function_score": {
+            "query": {"match": {"content": "spark merge join"}},
+            "functions": [{"rank_feature": {
+                "field": "n_chars",
+                "saturation": {"pivot": RF_PIVOT},
+                "boost": RF_BOOST}}],
+            "boost_mode": "sum"}}},
+        docs=_docs(spark, sf_dir),
+    )
+    return out["hits"]
+
+
+def q_es_req_distance_feature(spark, sf_dir):
+    """ES distance_feature (date form) through the compiler's
+    function_score route — shares ORACLE_SQL["distance_feature"]."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_esqdf_")
+    out = es_search(
+        idx,
+        {"query": {"function_score": {
+            "query": {"match": {"content": "spark merge join"}},
+            "functions": [{"distance_feature": {
+                "script": _DOC_TS, "origin": DF_ORIGIN,
+                "pivot": DF_PIVOT, "boost": DF_BOOST}}],
+            "boost_mode": "sum"}}},
+        docs=_docs(spark, sf_dir),
+    )
+    return out["hits"]
+
+
 TERMS_ENUM_PREFIX = ""  # whole dictionary: sf0.01 has ~31 terms, so both pages fill
 TERMS_ENUM_SIZE = 8
 
@@ -8866,6 +8929,9 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "es_req_function_score": q_es_req_function_score,
+    "es_req_rank_feature": q_es_req_rank_feature,
+    "es_req_distance_feature": q_es_req_distance_feature,
     "terms_enum": q_terms_enum,
     "terms_enum_page2": q_terms_enum_page2,
     "es_req_query_string": q_es_req_query_string,
@@ -10558,3 +10624,7 @@ SELECT term, df FROM pg
 WHERE rn BETWEEN {TERMS_ENUM_SIZE + 1} AND {2 * TERMS_ENUM_SIZE}
 ORDER BY term
 """
+
+ORACLE_SQL["es_req_function_score"] = ORACLE_SQL["function_score"]
+ORACLE_SQL["es_req_rank_feature"] = ORACLE_SQL["rank_feature"]
+ORACLE_SQL["es_req_distance_feature"] = ORACLE_SQL["distance_feature"]

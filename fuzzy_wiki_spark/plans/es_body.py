@@ -639,6 +639,100 @@ def es_search(
             if a.kind in ("term", "phrase")
             for t in a.terms
         ]
+    elif kind == "function_score":
+        # the ES function_score query: shape the inner match's FULL
+        # rounded score set with doc-value factor functions
+        # (operators/scoring.function_score — factors combine by
+        # product, boost_mode multiply/sum mirrors ES, the shaped score
+        # rounds 6 before ranking). Pinned functions:
+        # field_value_factor, linear decay (signed age days from
+        # origin), rank_feature saturation, distance_feature (abs days
+        # from origin). Field-free scripts are Spark SQL expressions
+        # over the docs columns.
+        if docs is None:
+            raise ValueError("function_score requires the docs table")
+        import fuzzy_wiki_spark.operators.scoring as SC
+        from fuzzy_wiki_spark.operators.segment_query import (
+            search_segments_batch,
+        )
+        from fuzzy_wiki_spark.plans.query import Clause
+
+        fs_ = query["function_score"]
+        field, words = _match_words(fs_["query"], analyze)
+        clauses = [
+            Clause(i, field, (t,), 1.0, 0, False)
+            for i, t in enumerate(words)
+        ]
+        full = search_segments_batch(
+            idx.spark,
+            idx.segments,
+            {0: clauses},
+            idx._term_df(list(words)),
+            idx.field_stats,
+            k=None,
+        ).select("doc_id", F.round("score", 6).alias("score"))
+        factors, doc_cols = [], []
+
+        def _vcol(b):
+            return (
+                F.expr(b["script"]) if "script" in b else F.col(b["field"])
+            )
+
+        for fn in fs_["functions"]:
+            (fkind, b), = fn.items()
+            if fkind == "field_value_factor":
+                factors.append(
+                    SC.field_value_factor(
+                        b["field"],
+                        b.get("modifier", "log1p"),
+                        float(b.get("factor", 1.0)),
+                    )
+                )
+                doc_cols.append(b["field"])
+            elif fkind == "linear":
+                age = F.datediff(
+                    F.lit(b["origin"]).cast("date"), _vcol(b)
+                ).cast("double")
+                factors.append(
+                    SC.decay_linear(
+                        age, float(b["scale"]),
+                        offset=float(b.get("offset", 0.0)),
+                    )
+                )
+                if "field" in b:
+                    doc_cols.append(b["field"])
+            elif fkind == "rank_feature":
+                factors.append(
+                    SC.rank_feature_factor(
+                        b["field"],
+                        "saturation",
+                        pivot=float(b["saturation"]["pivot"]),
+                        boost=float(b.get("boost", 1.0)),
+                    )
+                )
+                doc_cols.append(b["field"])
+            elif fkind == "distance_feature":
+                dist = F.abs(
+                    F.datediff(_vcol(b), F.lit(b["origin"]).cast("date"))
+                )
+                factors.append(
+                    SC.distance_feature_factor(
+                        dist, float(b["pivot"]), float(b.get("boost", 1.0))
+                    )
+                )
+                if "field" in b:
+                    doc_cols.append(b["field"])
+            else:
+                raise ValueError(f"unsupported score function: {fkind}")
+        hits = SC.function_score(
+            full,
+            docs,
+            factors,
+            doc_cols,
+            k=k_fetch,
+            boost_mode=fs_.get("boost_mode", "multiply"),
+        )
+        qterms = words
     elif kind == "percolate":
         # the ES percolate query: match literal document(s) against the
         # registered-rule frame (query_id, terms, min_match) — the

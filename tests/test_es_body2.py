@@ -636,3 +636,36 @@ def test_agg_family_completion(spark, setup):
     assert rows(a["ss"]) == rows(idx.string_stats(qt, dv, "lang"))
     assert rows(a["mad"]) == rows(idx.median_abs_dev(qt, dv, "n_chars"))
     assert rows(a["bx"]) == rows(idx.boxplot_agg(qt, dv, "n_chars"))
+
+
+def test_function_score_kind(spark, setup):
+    import fuzzy_wiki_spark.operators.scoring as SC
+    from fuzzy_wiki_spark.operators.segment_query import (
+        search_segments_batch,
+    )
+    from fuzzy_wiki_spark.plans.query import Clause
+
+    idx, dv = setup
+    body = {"query": {"function_score": {
+        "query": {"match": {"content": "binary tree"}},
+        "functions": [
+            {"field_value_factor": {"field": "n_chars",
+                                    "modifier": "ln1p"}},
+        ],
+        "boost_mode": "multiply"}}, "size": 8}
+    out = es_search(idx, body, docs=dv)
+    clauses = [Clause(i, "content", (t,), 1.0, 0, False)
+               for i, t in enumerate(["binary", "tree"])]
+    full = search_segments_batch(
+        idx.spark, idx.segments, {0: clauses},
+        idx._term_df(["binary", "tree"]), idx.field_stats, k=None,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    want = SC.function_score(
+        full, dv, [SC.field_value_factor("n_chars", "ln1p")],
+        ["n_chars"], k=8, boost_mode="multiply",
+    )
+    assert rows(out["hits"]) == rows(want)
+    with pytest.raises(ValueError, match="unsupported score function"):
+        es_search(idx, {"query": {"function_score": {
+            "query": {"match": {"content": "x"}},
+            "functions": [{"nope": {}}]}}}, docs=dv)
