@@ -3210,6 +3210,30 @@ def q_es_req_cardinality(spark, sf_dir):
     return out["aggregations"]["c"].select("lang", "n_docs", "cardinality")
 
 
+def q_es_req_geo(spark, sf_dir):
+    """Geo filter context through the compiler: the skeleton match
+    restricted to docs within 3000 km of (37.77, -122.42) — the
+    geo_distance clause of the term-level filter DSL
+    (operators/boolean.compile_filter, haversine Column math), applied
+    BEFORE ranking with corpus-wide stats. Oracle: the BM25 skeleton
+    with the same haversine membership filter."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_esqgeo_")
+    out = es_search(
+        idx,
+        {"query": {"bool": {
+            "should": [{"match": {"content": "spark merge join"}}],
+            "filter": [{"geo_distance": {
+                "distance_km": GEO_RADIUS_KM,
+                "lat": GEO_CENTER[0], "lon": GEO_CENTER[1],
+                "fields": ["lat", "lon"]}}],
+        }}, "size": 10},
+        docs=_geo_docs(spark, sf_dir),
+    )
+    return out["hits"].select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_es_req_function_score(spark, sf_dir):
     """ES function_score through the compiler: the skeleton match's
     full rounded score set shaped by ln1p(n_chars) x a 2-year linear
@@ -8929,6 +8953,7 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "es_req_geo": q_es_req_geo,
     "es_req_function_score": q_es_req_function_score,
     "es_req_rank_feature": q_es_req_rank_feature,
     "es_req_distance_feature": q_es_req_distance_feature,
@@ -10628,3 +10653,14 @@ ORDER BY term
 ORACLE_SQL["es_req_function_score"] = ORACLE_SQL["function_score"]
 ORACLE_SQL["es_req_rank_feature"] = ORACLE_SQL["rank_feature"]
 ORACLE_SQL["es_req_distance_feature"] = ORACLE_SQL["distance_feature"]
+
+ORACLE_SQL["es_req_geo"] = _bm25_skeleton_sql(
+    result_filter=(
+        f"doc_id IN (SELECT doc_id FROM ({_GEO}) WHERE "
+        f"2 * 6371.0088 * asin(sqrt("
+        f"pow(sin(radians(lat - {GEO_CENTER[0]}) / 2), 2)"
+        f" + cos(radians({GEO_CENTER[0]})) * cos(radians(lat))"
+        f" * pow(sin(radians(lon - ({GEO_CENTER[1]})) / 2), 2)"
+        f")) <= {GEO_RADIUS_KM})"
+    )
+)

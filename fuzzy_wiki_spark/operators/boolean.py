@@ -98,6 +98,9 @@ def compile_filter(dsl: dict):
     - ``{"ids":   {"values": [id, ...]}}`` doc_id any-of
     - ``{"exists": {"field": f}}``        non-null
     - ``{"range": {field: {"gt"/"gte"/"lt"/"lte": v, ...}}}``
+    - ``{"geo_distance": {...}}`` / ``{"geo_bounding_box": {...}}``
+      great-circle radius / rectangle (date-line-safe) over lat/lon
+      doc-value columns
     - ``{"bool": {"filter"/"must": [...], "should": [...],
                   "must_not": [...]}}``   nested; matches iff every
       filter/must matches AND (no should clauses or ≥1 matches) AND no
@@ -133,6 +136,35 @@ def compile_filter(dsl: dict):
             c = ops[op](F.col(f), F.lit(v))
             pred = c if pred is None else (pred & c)
         return pred
+    if kind == "geo_distance":
+        # {"geo_distance": {"distance_km": r, "lat": clat, "lon": clon,
+        #  "fields": [lat_col, lon_col]}} — great-circle radius filter
+        # (operators/geo.haversine_km, IUGG radius). The haversine is
+        # plain Column math, so the predicate composes into the scan
+        # like every other filter-context clause; compose with the geo
+        # module's box prefilter upstream when the radius is selective.
+        from fuzzy_wiki_spark.operators.geo import haversine_km
+
+        latc, lonc = body.get("fields", ["lat", "lon"])
+        return haversine_km(
+            float(body["lat"]), float(body["lon"]),
+            F.col(latc), F.col(lonc),
+        ) <= float(body["distance_km"])
+    if kind == "geo_bounding_box":
+        # {"geo_bounding_box": {"fields": [lat_col, lon_col],
+        #  "top_left": {"lat","lon"}, "bottom_right": {"lat","lon"}}}
+        # — date-line-crossing boxes (left > right) split into two
+        # longitude ranges, same rule as geo.geo_bounding_box
+        latc, lonc = body.get("fields", ["lat", "lon"])
+        tl, br = body["top_left"], body["bottom_right"]
+        top, left = float(tl["lat"]), float(tl["lon"])
+        bottom, right = float(br["lat"]), float(br["lon"])
+        lat_pred = (F.col(latc) >= bottom) & (F.col(latc) <= top)
+        if left <= right:
+            lon_pred = (F.col(lonc) >= left) & (F.col(lonc) <= right)
+        else:
+            lon_pred = (F.col(lonc) >= left) | (F.col(lonc) <= right)
+        return lat_pred & lon_pred
     if kind == "bool":
         pred = F.lit(True)
         for clause in body.get("filter", []) + body.get("must", []):

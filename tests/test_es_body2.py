@@ -669,3 +669,41 @@ def test_function_score_kind(spark, setup):
         es_search(idx, {"query": {"function_score": {
             "query": {"match": {"content": "x"}},
             "functions": [{"nope": {}}]}}}, docs=dv)
+
+
+def test_geo_filter_context(spark, setup):
+    from fuzzy_wiki_spark.operators.boolean import compile_filter
+    from fuzzy_wiki_spark.operators.geo import haversine_km
+
+    idx, dv = setup
+    geo = dv.withColumn(
+        "lat", (F.col("doc_id") * 7 % 170 - 85).cast("double")
+    ).withColumn(
+        "lon", (F.col("doc_id") * 13 % 360 - 180).cast("double")
+    )
+    pred = compile_filter({"geo_distance": {
+        "distance_km": 5000.0, "lat": 10.0, "lon": 20.0,
+        "fields": ["lat", "lon"]}})
+    got = {r["doc_id"] for r in geo.where(pred).collect()}
+    want = {
+        r["doc_id"]
+        for r in geo.select(
+            "doc_id",
+            haversine_km(10.0, 20.0, F.col("lat"), F.col("lon"))
+            .alias("d"),
+        ).where("d <= 5000.0").collect()
+    }
+    assert got == want and got
+    # date-line-crossing bounding box splits the longitude range
+    bpred = compile_filter({"geo_bounding_box": {
+        "fields": ["lat", "lon"],
+        "top_left": {"lat": 60.0, "lon": 170.0},
+        "bottom_right": {"lat": -60.0, "lon": -170.0}}})
+    box = {r["doc_id"] for r in geo.where(bpred).collect()}
+    wantb = {
+        r["doc_id"]
+        for r in geo.where(
+            "lat between -60 and 60 and (lon >= 170 or lon <= -170)"
+        ).collect()
+    }
+    assert box == wantb and box
