@@ -1,0 +1,126 @@
+"""EsClient — the switch-over facade: one object holding the index and
+its doc-value / vector / percolator-rule frames, exposing the
+Elasticsearch client surface a reference user already calls. Every
+method is a thin delegation to a verified path — the compiler
+(plans/es_body), the engine (SegmentIndex) or an operator — so the
+facade adds NO execution logic of its own; it only removes the need to
+thread docs/vectors/rules through every call.
+
+    client = EsClient(idx, docs=dv, vectors=emb, rules=rules)
+    client.search({"query": {"match": {"content": "merge join"}}})
+    client.msearch([body1, body2])                # one-job batch subset
+    client.search_template(tmpl, {"q": "merge"})
+    client.count("merge join")                    # _count
+    client.explain("merge join", doc_id=7)        # _explain
+    client.terms_enum(prefix="me")                # _terms_enum
+    client.termvectors(doc_id=7)                  # _termvectors
+    client.analyze("Merge JOIN")                  # _analyze (the chain
+                                                  #  the index was built
+                                                  #  with)
+
+Reference parity: the reference serves these over HTTP
+(FuzzyWikiApp/.../Server.java routes /search and /document/{title});
+this engine is batch-first per SURVEY §7, so the client is a Python
+object rather than a server — the REQUEST shapes are what carry over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+class EsClient:
+    def __init__(
+        self,
+        idx,
+        docs: DataFrame | None = None,
+        vectors: DataFrame | None = None,
+        rules: DataFrame | None = None,
+        analyzer=str.split,
+    ):
+        self.idx = idx
+        self.docs = docs
+        self.vectors = vectors
+        self.rules = rules
+        self.analyzer = analyzer
+
+    # -- the _search family -------------------------------------------
+    def search(self, body: dict) -> dict:
+        from fuzzy_wiki_spark.plans.es_body import es_search
+
+        return es_search(
+            self.idx,
+            body,
+            docs=self.docs,
+            vectors=self.vectors,
+            rules=self.rules,
+            analyze=self.analyzer,
+        )
+
+    def msearch(self, bodies: list) -> list:
+        from fuzzy_wiki_spark.plans.es_body import es_msearch
+
+        return es_msearch(
+            self.idx,
+            bodies,
+            docs=self.docs,
+            vectors=self.vectors,
+            analyze=self.analyzer,
+        )
+
+    def search_template(self, template: dict, params: dict) -> dict:
+        from fuzzy_wiki_spark.plans.es_body import es_search_template
+
+        return es_search_template(
+            self.idx,
+            template,
+            params,
+            docs=self.docs,
+            vectors=self.vectors,
+            analyze=self.analyzer,
+        )
+
+    # -- point APIs ----------------------------------------------------
+    def count(self, query: str) -> int:
+        """_count: exact match count (OR semantics)."""
+        return self.idx.count_matches(query)
+
+    def explain(self, query: str, doc_id: int) -> DataFrame:
+        """_explain: per-term factor breakdown for one document."""
+        return self.idx.explain(query, doc_id)
+
+    def terms_enum(
+        self,
+        prefix: str = "",
+        field: str = "content",
+        size: int = 10,
+        search_after: str | None = None,
+        case_insensitive: bool = False,
+    ) -> DataFrame:
+        return self.idx.terms_enum(
+            prefix,
+            field=field,
+            size=size,
+            search_after=search_after,
+            case_insensitive=case_insensitive,
+        )
+
+    def termvectors(
+        self, doc_id: int, field: str = "content"
+    ) -> DataFrame:
+        """_termvectors: one doc's (term, tf, df) off the bucket-pruned
+        forward lookup joined to the term_stats side-channel."""
+        from pyspark.sql import functions as F
+
+        ts = self.idx.term_stats.where(F.col("field") == field)
+        return (
+            self.idx.doc_postings(field, doc_id, with_dl=False)
+            .select("term", F.col("tf").cast("long").alias("tf"))
+            .join(ts.select("term", "df"), "term")
+            .select("term", "tf", F.col("df").cast("long").alias("df"))
+        )
+
+    def analyze(self, text: str) -> list[str]:
+        """_analyze: the query-side token chain this client searches
+        with (must match the mode the index was built with)."""
+        return list(self.analyzer(text))

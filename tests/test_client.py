@@ -1,0 +1,79 @@
+"""EsClient facade (fuzzy_wiki_spark/client.py): every method is a
+thin delegation to a verified path — pin delegation equality, not new
+behavior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.client import EsClient
+from fuzzy_wiki_spark.corpus import generate_docs_df
+from fuzzy_wiki_spark.engine import SegmentIndex
+from fuzzy_wiki_spark.plans.es_body import es_search
+
+
+@pytest.fixture(scope="module")
+def client(spark, tmp_path_factory):
+    docs = generate_docs_df(spark, 150, seed=17)
+    idx = SegmentIndex.build(
+        spark,
+        docs,
+        str(tmp_path_factory.mktemp("cli") / "ix"),
+        n_buckets=2,
+        mode="simple",
+    )
+    dv = docs.select(
+        "doc_id", "lang", F.col("content").alias("text"),
+        F.length("content").alias("n_chars"),
+    )
+    rules = spark.createDataFrame(
+        [(1, ["binary", "tree"], 2)],
+        "query_id int, terms array<string>, min_match int",
+    )
+    return EsClient(idx, docs=dv, rules=rules)
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_search_and_msearch_delegate(spark, client):
+    body = {"query": {"match": {"content": "binary tree"}}, "size": 6}
+    got = client.search(body)
+    want = es_search(client.idx, body, docs=client.docs)
+    assert rows(got["hits"]) == rows(want["hits"])
+    batch = client.msearch([body, body])
+    assert rows(batch[0]["hits"].select("doc_id", "score")) == rows(
+        batch[1]["hits"].select("doc_id", "score")
+    )
+
+
+def test_point_apis(spark, client):
+    assert client.count("binary tree") == client.idx.count_matches(
+        "binary tree"
+    )
+    top = client.search(
+        {"query": {"match": {"content": "binary tree"}}}
+    )["hits"].head(1)[0]
+    exp = client.explain("binary tree", top["doc_id"])
+    assert exp.count() > 0
+    assert rows(client.terms_enum("b", size=5)) == rows(
+        client.idx.terms_enum("b", size=5)
+    )
+    tv = client.termvectors(top["doc_id"]).collect()
+    assert tv and all(r["df"] >= 1 for r in tv)
+    assert client.analyze("a b  c") == ["a", "b", "c"]
+
+
+def test_percolate_through_client(spark, client):
+    out = client.search({"query": {"percolate": {"document": {
+        "text": "binary tree walk"}}}})
+    got = [(r["doc_id"], r["query_id"]) for r in out["hits"].collect()]
+    assert got == [(0, 1)]
+
+
+def test_template_through_client(spark, client):
+    out = client.search_template(
+        {"query": {"match": {"content": "{{q}}"}}, "size": "{{k}}"},
+        {"q": "binary", "k": 4},
+    )
+    assert out["hits"].count() == 4
