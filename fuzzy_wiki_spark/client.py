@@ -120,6 +120,11 @@ class EsClient:
             .select("term", "tf", F.col("df").cast("long").alias("df"))
         )
 
+    def field_caps(self) -> DataFrame:
+        """_field_caps: per indexed field, type/searchability + the
+        planning stats (doc_count, avgdl, distinct terms)."""
+        return self.idx.field_caps()
+
     def analyze(self, text: str) -> list[str]:
         """_analyze: the query-side token chain this client searches
         with (must match the mode the index was built with)."""

@@ -3210,6 +3210,14 @@ def q_es_req_cardinality(spark, sf_dir):
     return out["aggregations"]["c"].select("lang", "n_docs", "cardinality")
 
 
+def q_field_caps(spark, sf_dir):
+    """The ES _field_caps analog (SegmentIndex.field_caps): per indexed
+    field, type/searchability plus doc_count, avgdl and distinct-term
+    count — assembled from the stats side-channels, no posting decode."""
+    idx = _seg_simple_index(spark, sf_dir, "fw_fcaps_")
+    return idx.field_caps()
+
+
 def q_es_req_geo(spark, sf_dir):
     """Geo filter context through the compiler: the skeleton match
     restricted to docs within 3000 km of (37.77, -122.42) — the
@@ -8953,6 +8961,7 @@ QUERIES = {
     # been in a CORRECTNESS round (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
+    "field_caps": q_field_caps,
     "es_req_geo": q_es_req_geo,
     "es_req_function_score": q_es_req_function_score,
     "es_req_rank_feature": q_es_req_rank_feature,
@@ -10664,3 +10673,13 @@ ORACLE_SQL["es_req_geo"] = _bm25_skeleton_sql(
         f")) <= {GEO_RADIUS_KM})"
     )
 )
+
+ORACLE_SQL["field_caps"] = f"""
+WITH tk AS ({_TOK}),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tk GROUP BY doc_id)
+SELECT 'content' AS field, 'text' AS type, TRUE AS searchable,
+       (SELECT count(*) FROM documents)::BIGINT AS doc_count,
+       round((SELECT sum(dl) FROM dl)::DOUBLE
+             / (SELECT count(*) FROM documents), 6) AS avgdl,
+       (SELECT count(DISTINCT term) FROM tk)::BIGINT AS n_terms
+"""

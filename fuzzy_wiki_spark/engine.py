@@ -2698,6 +2698,36 @@ class SegmentIndex:
         posts = self.term_postings(field, all_terms, with_dl=False)
         return intervals_topdocs(posts, field, spec, k=k)
 
+    def field_caps(self) -> DataFrame:
+        """The ES `_field_caps` analog: per indexed field, its type and
+        searchability plus the index-level stats a client plans with
+        (doc_count, avgdl, distinct terms) — assembled ENTIRELY from
+        the driver-held field_stats and the vocabulary-sized term_stats
+        side-channel; no posting is decoded. Returns (field, type,
+        searchable, doc_count, avgdl, n_terms)."""
+        vocab = self.term_stats.groupBy("field").agg(
+            F.count(F.lit(1)).alias("n_terms")
+        )
+        meta = self.spark.createDataFrame(
+            [
+                (f, int(dc), float(avgdl))
+                for f, (dc, avgdl) in sorted(self.field_stats.items())
+            ],
+            "field string, doc_count long, avgdl double",
+        )
+        return (
+            meta.join(vocab, "field", "left")
+            .select(
+                "field",
+                F.lit("text").alias("type"),
+                F.lit(True).alias("searchable"),
+                "doc_count",
+                F.round("avgdl", 6).alias("avgdl"),
+                F.col("n_terms").cast("long").alias("n_terms"),
+            )
+            .orderBy("field")
+        )
+
     def terms_enum(
         self,
         prefix: str = "",

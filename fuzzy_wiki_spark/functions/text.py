@@ -99,14 +99,21 @@ def text_brief(text_col) -> Column:
     ).otherwise(first)
 
 
-def snippet_struct(text_col, terms: list[str], window: int = 10) -> Column:
+def snippet_struct(
+    text_col,
+    terms: list[str],
+    window: int = 10,
+    pre_tag: str = "[",
+    post_tag: str = "]",
+) -> Column:
     """Best-window snippet with match highlighting, as a pure Column expr.
 
     Serving-side addition next to O28's flat truncation (the reference's
     MyScoredDoc.textBrief returns the first sentence regardless of where
     the query matched): pick the ``window``-token span that maximizes
     (#distinct query terms, #matched tokens, earliest start) and render it
-    with matched tokens wrapped in ``[...]``.
+    with matched tokens wrapped in ``pre_tag``/``post_tag`` (default
+    brackets; ES highlight's <em>/</em> via pre_tags/post_tags).
 
     Everything is JVM-side higher-order functions (sequence → transform →
     slice/filter → array_sort), so it rides whole-stage codegen with no
@@ -143,7 +150,7 @@ def snippet_struct(text_col, terms: list[str], window: int = 10) -> Column:
         F.transform(
             win,
             lambda t: F.when(
-                is_match(t), F.concat(F.lit("["), t, F.lit("]"))
+                is_match(t), F.concat(F.lit(pre_tag), t, F.lit(post_tag))
             ).otherwise(t),
         ),
     )

@@ -1048,6 +1048,8 @@ def es_search(
         snip = snippet_struct(
             F.col(hbody.get("field", "text")), sorted(set(qterms)),
             window=window,
+            pre_tag=hbody.get("pre_tags", ["["])[0],
+            post_tag=hbody.get("post_tags", ["]"])[0],
         )
         hits = hits.join(
             docs.select("doc_id", hbody.get("field", "text")), "doc_id"

@@ -77,3 +77,20 @@ def test_template_through_client(spark, client):
         {"q": "binary", "k": 4},
     )
     assert out["hits"].count() == 4
+
+
+def test_field_caps_and_highlight_tags(spark, client):
+    caps = {r["field"]: r for r in client.field_caps().collect()}
+    # default build indexes both content and the path field
+    assert set(caps) == {"content", "path"}
+    assert caps["content"]["doc_count"] == 150
+    assert caps["content"]["n_terms"] > 0
+
+    out = client.search({
+        "query": {"match": {"content": "binary"}},
+        "highlight": {"field": "text", "fragment_size": 8,
+                      "pre_tags": ["<em>"], "post_tags": ["</em>"]},
+        "size": 3})
+    snips = [r["snippet"] for r in out["hits"].collect()]
+    assert any("<em>binary</em>" in s for s in snips)
+    assert not any("[binary]" in s for s in snips)
