@@ -3343,6 +3343,23 @@ def q_es_req_query_string(spark, sf_dir):
     return out["hits"].select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_es_req_sqs(spark, sf_dir):
+    """ES simple_query_string through the compiler: the extended-query
+    atom set MINUS the must gate (default_operator=or makes every
+    non-negated atom a should) — oracle = the extended_query SQL with
+    the must-gate join spliced out."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_esqsq_")
+    out = es_search(
+        idx,
+        {"query": {"simple_query_string": {
+            "query": 'merge -stream "merge join"~3 fast s* part~2',
+            "default_operator": "or"}}},
+    )
+    return out["hits"].select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_es_req_percolate(spark, sf_dir):
     """The ES percolate query through the compiler: five literal
     documents (the corpus's first five, carrying their ids) matched
@@ -8969,6 +8986,7 @@ QUERIES = {
     "terms_enum": q_terms_enum,
     "terms_enum_page2": q_terms_enum_page2,
     "es_req_query_string": q_es_req_query_string,
+    "es_req_sqs": q_es_req_sqs,
     "es_req_percolate": q_es_req_percolate,
     "es_req_knn_quant": q_es_req_knn_quant,
     "es_req_grouped": q_es_req_grouped,
@@ -10683,3 +10701,13 @@ SELECT 'content' AS field, 'text' AS type, TRUE AS searchable,
              / (SELECT count(*) FROM documents), 6) AS avgdl,
        (SELECT count(DISTINCT term) FROM tk)::BIGINT AS n_terms
 """
+
+# simple_query_string: the extended-query oracle without the +merge
+# must gate (default_operator=or -> every non-negated atom is a should)
+ORACLE_SQL["es_req_sqs"] = ORACLE_SQL["extended_query"].replace(
+    """        JOIN (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge') mu
+          USING(doc_id)
+""",
+    "",
+)
+assert "mu" not in ORACLE_SQL["es_req_sqs"], "sqs oracle splice failed"

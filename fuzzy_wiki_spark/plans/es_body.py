@@ -176,6 +176,32 @@ def _field_boosts(fields: list[str]) -> list[tuple[str, float]]:
     return out
 
 
+def _sqs_to_extended(q: str, default_op: str = "or") -> str:
+    """ES simple_query_string → the extended language. Pinned subset:
+    whitespace-separated tokens — ``-tok`` negation, quoted phrases
+    with optional ``~slop``, trailing-``*`` prefix, ``~n`` fuzzy;
+    infix ``+``/``|`` and parentheses are NOT in the subset (raise
+    loudly — their precedence semantics need a real boolean tree).
+    ``default_operator: "and"`` prefixes every non-negated atom with
+    ``+`` (all must match), mirroring ES."""
+    import re
+
+    toks = re.findall(r'-?"[^"]*"(?:~\d+)?|\S+', q)
+    out = []
+    for t in toks:
+        if t in ("+", "|") or "(" in t or ")" in t:
+            raise ValueError(
+                "simple_query_string subset: no infix +/| or parentheses"
+            )
+        if t.startswith("-"):
+            out.append(t)
+        elif default_op == "and":
+            out.append("+" + t)
+        else:
+            out.append(t)
+    return " ".join(out)
+
+
 def _span_term(clause: dict) -> tuple[str, str]:
     if set(clause) != {"span_term"}:
         raise ValueError(f"expected span_term, got: {sorted(clause)}")
@@ -733,6 +759,29 @@ def es_search(
             boost_mode=fs_.get("boost_mode", "multiply"),
         )
         qterms = words
+    elif kind == "simple_query_string":
+        # translated onto the extended language (same executor as
+        # query_string; _sqs_to_extended documents the pinned subset)
+        sq = query["simple_query_string"]
+        text = sq["query"] if isinstance(sq, dict) else sq
+        default_op = (
+            sq.get("default_operator", "or") if isinstance(sq, dict)
+            else "or"
+        ).lower()
+        hits = idx.extended(
+            _sqs_to_extended(text, default_op), k=k_fetch, analyze=analyze
+        )
+        from fuzzy_wiki_spark.plans.qlang import parse_extended
+
+        eq = parse_extended(
+            _sqs_to_extended(text, default_op), analyze=analyze
+        )
+        qterms = [
+            t
+            for a in (eq.must + eq.should)
+            if a.kind in ("term", "phrase")
+            for t in a.terms
+        ]
     elif kind == "percolate":
         # the ES percolate query: match literal document(s) against the
         # registered-rule frame (query_id, terms, min_match) — the

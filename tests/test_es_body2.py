@@ -707,3 +707,22 @@ def test_geo_filter_context(spark, setup):
         ).collect()
     }
     assert box == wantb and box
+
+
+def test_simple_query_string(spark, setup):
+    idx, dv = setup
+    body = {"query": {"simple_query_string": {
+        "query": 'binary -walk "binary tree"~2 se*',
+        "default_operator": "or"}}, "size": 10}
+    out = es_search(idx, body)
+    assert rows(out["hits"]) == rows(
+        idx.extended('binary -walk "binary tree"~2 se*', k=10,
+                     analyze=str.split))
+    body["query"]["simple_query_string"]["default_operator"] = "and"
+    out = es_search(idx, body)
+    assert rows(out["hits"]) == rows(
+        idx.extended('+binary -walk +"binary tree"~2 +se*', k=10,
+                     analyze=str.split))
+    with pytest.raises(ValueError, match="no infix"):
+        es_search(idx, {"query": {"simple_query_string": {
+            "query": "a | b"}}})
