@@ -3343,6 +3343,49 @@ def q_es_req_query_string(spark, sf_dir):
     return out["hits"].select("doc_id", F.round("score", 6).alias("score"))
 
 
+UG_MAXLEN, UG_MINCNT, UG_SIZE = 4, 2, 40
+
+
+def q_unigram_train(spark, sf_dir):
+    """Unigram-LM tokenizer training (operators/unigram.py — the
+    SentencePiece family, pinned hard-EM variant): seed substring
+    vocabulary (top-40 multi-char pieces + all chars) refined by ONE
+    Viterbi-EM round; returns the refit (piece, cnt) table. The ORACLE
+    replays seeding AND the E-step in SQL — the per-word Viterbi dp
+    rides a recursive CTE that carries the dp score/path arrays in-row,
+    with the (score desc, longer-last-piece) argmax as an ordered
+    scalar subquery over the piece table."""
+    from fuzzy_wiki_spark.operators.unigram import unigram_train
+
+    pieces = unigram_train(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        iterations=1,
+        max_piece_len=UG_MAXLEN,
+        min_count=UG_MINCNT,
+        size=UG_SIZE,
+    )
+    return spark.createDataFrame(pieces, "piece string, cnt long")
+
+
+def q_unigram_encode(spark, sf_dir):
+    """Unigram corpus encoding: Viterbi segmentation of every corpus
+    token under the 1-round model, per DISTINCT word, joined back to
+    the positional stream → (doc_id, pos, word, ug_text). The oracle
+    re-derives the model and replays the encode with a second recursive
+    Viterbi over the same distinct-word table."""
+    from fuzzy_wiki_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    pieces = unigram_train(
+        d, iterations=1, max_piece_len=UG_MAXLEN,
+        min_count=UG_MINCNT, size=UG_SIZE,
+    )
+    return unigram_encode(d, pieces, max_piece_len=UG_MAXLEN)
+
+
 def q_es_req_sqs(spark, sf_dir):
     """ES simple_query_string through the compiler: the extended-query
     atom set MINUS the must gate (default_operator=or makes every
@@ -8986,6 +9029,8 @@ QUERIES = {
     "terms_enum": q_terms_enum,
     "terms_enum_page2": q_terms_enum_page2,
     "es_req_query_string": q_es_req_query_string,
+    "unigram_train": q_unigram_train,
+    "unigram_encode": q_unigram_encode,
     "es_req_sqs": q_es_req_sqs,
     "es_req_percolate": q_es_req_percolate,
     "es_req_knn_quant": q_es_req_knn_quant,
@@ -10711,3 +10756,98 @@ ORACLE_SQL["es_req_sqs"] = ORACLE_SQL["extended_query"].replace(
     "",
 )
 assert "mu" not in ORACLE_SQL["es_req_sqs"], "sqs oracle splice failed"
+
+
+# --- Unigram-LM oracles: seed + hard-EM E-step + Viterbi encode, all in
+#     SQL (recursive CTEs carry the per-word dp arrays in-row) -----------
+def _ug_viterbi_cte(name: str, words: str, model: str, maxlen: int) -> str:
+    """A recursive Viterbi CTE: segments every (word, freq) row of
+    ``words`` under the (piece, lp) table ``model``. The dp carries the
+    score/path arrays in-row; the per-position argmax is PURE list
+    arithmetic — candidates are piece lengths n (split point
+    j = i+1-n), looked up in the model rendered as a scalar MAP, and
+    list_max over struct(s, n) applies exactly the engine's tie rule
+    (max score, then the LONGER last piece). No correlated
+    ORDER-BY-LIMIT subqueries: those decorrelate with unspecified
+    ordering — measured nondeterministic — while list functions are
+    value-pure."""
+    return f"""{name}_map AS MATERIALIZED (
+  SELECT map(list(piece), list(lp)) AS m FROM {model}),
+{name} AS (
+  SELECT word, freq, 0 AS i,
+         [0.0]::DOUBLE[] AS sc, ['']::VARCHAR[] AS pth
+  FROM {words}
+  UNION ALL
+  SELECT word, freq, i + 1,
+         list_append(sc, CASE WHEN b IS NULL THEN -1e18 ELSE b.s END),
+         list_append(pth, CASE WHEN b IS NULL THEN NULL
+           WHEN pth[i + 2 - b.n] = '' THEN substr(word, i + 2 - b.n, b.n)
+           ELSE pth[i + 2 - b.n] || ' ' || substr(word, i + 2 - b.n, b.n)
+         END)
+  FROM (
+    SELECT word, freq, i, sc, pth,
+      list_max(list_filter(
+        list_transform(range(1, least({maxlen}, i + 1) + 1),
+          n -> struct_pack(
+            s := CASE WHEN sc[i + 2 - n] > -1e17
+                       AND len(map_extract(m,
+                             substr(word, i + 2 - n, n))) > 0
+                      THEN sc[i + 2 - n]
+                           + map_extract(m, substr(word, i + 2 - n, n))[1]
+                      ELSE NULL END,
+            n := n)),
+        x -> x.s IS NOT NULL)) AS b
+    FROM {name}, {name}_map WHERE i < len(word))
+),
+{name}_seg AS (
+  SELECT word, freq, pth[len(word) + 1] AS seg
+  FROM {name} WHERE i = len(word))"""
+
+
+def _ug_model_ctes() -> str:
+    """seed (w0/sub/cnts/multi/chars/v0/l0) + one hard-EM round
+    (dp1 → c1 counts → l1 probs)."""
+    from fuzzy_wiki_spark.operators.bpe import SEP
+
+    return f"""w0 AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' AND NOT contains(word, '{SEP}')
+  GROUP BY word),
+sub AS (SELECT freq, unnest(flatten(list_transform(range(1, len(word) + 1),
+          i -> list_transform(
+               range(1, least({UG_MAXLEN}, len(word) - i + 1) + 1),
+               n -> substr(word, i, n))))) AS piece
+        FROM w0),
+cnts AS (SELECT piece, sum(freq)::BIGINT AS cnt FROM sub GROUP BY piece),
+multi AS (SELECT piece, cnt FROM cnts
+          WHERE len(piece) > 1 AND cnt >= {UG_MINCNT}
+          ORDER BY cnt DESC, piece LIMIT {UG_SIZE}),
+chars AS (SELECT piece, cnt FROM cnts WHERE len(piece) = 1),
+v0 AS (SELECT piece, max(cnt) AS cnt FROM
+        (SELECT * FROM multi UNION ALL SELECT * FROM chars)
+       GROUP BY piece),
+l0 AS MATERIALIZED (
+  SELECT piece, ln(cnt) - ln((SELECT sum(cnt) FROM v0)) AS lp FROM v0),
+{_ug_viterbi_cte("dp1", "w0", "l0", UG_MAXLEN)},
+c1 AS MATERIALIZED (
+  SELECT piece, sum(freq)::BIGINT AS cnt FROM (
+    SELECT freq, unnest(string_split(seg, ' ')) AS piece
+    FROM dp1_seg WHERE seg IS NOT NULL)
+  GROUP BY piece),
+l1 AS MATERIALIZED (
+  SELECT piece, ln(cnt) - ln((SELECT sum(cnt) FROM c1)) AS lp FROM c1)"""
+
+
+ORACLE_SQL["unigram_train"] = f"""WITH RECURSIVE {_ug_model_ctes()}
+SELECT piece, cnt FROM c1
+"""
+
+ORACLE_SQL["unigram_encode"] = f"""WITH RECURSIVE {_ug_model_ctes()},
+{_ug_viterbi_cte("dp2", "w0", "l1", UG_MAXLEN)},
+tok AS (SELECT * FROM ({_TOKPOS.replace("term", "word")})
+        WHERE NOT contains(word, '\\x1f')),
+enc AS (SELECT word, coalesce(seg, '[UNK]') AS ug_text FROM dp2_seg)
+SELECT t.doc_id, t.pos::INT AS pos, t.word, e.ug_text
+FROM tok t JOIN enc e USING(word)
+"""

@@ -1,0 +1,221 @@
+"""Distributed Unigram-LM tokenizer (SentencePiece-style) — the third
+tokenizer family next to BPE (operators/bpe.py) and WordPiece
+(operators/wordpiece.py).
+
+Kudo 2018 ("Subword Regularization") trains a unigram language model
+over subword pieces: pick a seed vocabulary of candidate pieces, give
+each a probability, and refine by EM where the E-step segments the
+corpus under the current model and the M-step re-estimates piece
+probabilities from the segmentation counts. This module implements the
+PINNED DETERMINISTIC variant every piece of which a SQL engine can
+replay:
+
+- **Seed vocabulary**: all substrings of length ≤ ``max_piece_len`` of
+  the distinct-word table, weighted by word frequency; keep pieces with
+  count ≥ ``min_count``, top ``size`` by (count desc, piece asc), plus
+  EVERY single character (always kept — guarantees every word stays
+  segmentable). Initial probability ∝ count.
+- **Hard-EM iterations** (Viterbi EM — the common deterministic
+  simplification of full forward-backward EM): the E-step segments each
+  DISTINCT word by Viterbi under the current log-probs (dp over word
+  positions maximizing Σ log p; ties break toward the LONGER last piece
+  — i.e. the smaller split point — a total order both engines apply
+  identically); the M-step re-estimates p(piece) =
+  count(piece)/Σ counts from the freq-weighted best segmentations.
+  Pieces unused by any best segmentation drop out (single characters
+  persist only if used — a dead char cannot occur since every word IS
+  segmented).
+- **Encode**: Viterbi segmentation of the corpus token stream under the
+  final model, per distinct word, joined back to the positional stream
+  (the same distinct-word contract as bpe_encode/wordpiece_encode).
+
+Spark-first shape: the corpus is touched ONCE (word_freqs); the seed
+explode, every E-step and the encode run over the vocabulary-sized
+distinct-word table (an Arrow batch kernel with the broadcast piece
+table — ≤ ``size`` + |chars| entries); each M-step is one combinable
+groupBy(piece). The scale caveats of bpe.py (near-unique code
+identifiers keep the word table corpus-sized → train on a hash sample,
+encode full) apply verbatim.
+
+Oracle notes: log-probabilities are ln(count) − ln(total) computed in
+IEEE double on both engines; the Viterbi argmax orders by (score desc,
+split point asc) so equal-probability pieces resolve identically; and
+the per-word dp table rides a recursive CTE that carries the dp array
+in-row (driver_queries._unigram_* builds the SQL).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fuzzy_wiki_spark.operators.bpe import SEP, word_freqs
+
+
+def seed_pieces(
+    words: DataFrame,
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    size: int = 50,
+) -> DataFrame:
+    """(piece, cnt): the pinned seed vocabulary — top multi-char
+    substrings by freq-weighted count plus every single character.
+    One substring explode over the vocabulary-sized word table, one
+    combinable groupBy."""
+    subs = words.select(
+        "freq",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(max_piece_len),
+                                F.length("word") - i + 1,
+                            ),
+                        ),
+                        lambda n: F.col("word").substr(i, n),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    counts = subs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+    multi = (
+        counts.where((F.length("piece") > 1) & (F.col("cnt") >= min_count))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(size)
+    )
+    chars = counts.where(F.length("piece") == 1)
+    return multi.unionByName(chars).groupBy("piece").agg(
+        F.max("cnt").alias("cnt")
+    )
+
+
+def _logp_map(pieces: list[tuple[str, int]]) -> dict[str, float]:
+    total = float(sum(c for _, c in pieces))
+    return {p: math.log(c) - math.log(total) for p, c in pieces}
+
+
+def viterbi_pieces(
+    word: str, logp: dict[str, float], max_piece_len: int
+) -> list[str] | None:
+    """Best segmentation of ``word`` under the model: dp maximizing the
+    summed log-prob; at equal score the SMALLER split point wins (the
+    longer last piece) — the deterministic tie rule shared with the SQL
+    replay. None if the word cannot be segmented (a character outside
+    the model)."""
+    n = len(word)
+    NEG = float("-inf")
+    score = [NEG] * (n + 1)
+    back = [-1] * (n + 1)
+    score[0] = 0.0
+    for i in range(1, n + 1):
+        best_s, best_j = NEG, -1
+        for j in range(max(0, i - max_piece_len), i):
+            lp = logp.get(word[j:i])
+            if lp is None or score[j] == NEG:
+                continue
+            s = score[j] + lp
+            # strictly-greater keeps the SMALLEST j on ties (j ascends)
+            if s > best_s:
+                best_s, best_j = s, j
+        score[i], back[i] = best_s, best_j
+    if score[n] == NEG:
+        return None
+    out = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
+def unigram_train(
+    df: DataFrame,
+    iterations: int = 1,
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    size: int = 50,
+    text_col: str = "text",
+) -> list[tuple[str, int]]:
+    """Train the pinned unigram model: seed → ``iterations`` hard-EM
+    rounds. Returns the final [(piece, count)] sorted (count desc,
+    piece asc) — counts are the freq-weighted usage of each piece in
+    the last E-step's best segmentations."""
+    words = word_freqs(df, text_col).persist()
+    pieces = [
+        (r["piece"], int(r["cnt"]))
+        for r in seed_pieces(
+            words, max_piece_len, min_count, size
+        ).collect()
+    ]
+    for _ in range(iterations):
+        logp = _logp_map(pieces)
+
+        def kernel(col: pd.Series) -> pd.Series:
+            return col.map(
+                lambda w: (
+                    lambda ps: " ".join(ps) if ps else ""
+                )(viterbi_pieces(w, logp, max_piece_len))
+            )
+
+        seg_udf = F.pandas_udf(kernel, T.StringType())
+        counts = (
+            words.withColumn("seg", seg_udf(F.col("word")))
+            .where(F.col("seg") != "")
+            .select(
+                "freq",
+                F.explode(F.split("seg", " ")).alias("piece"),
+            )
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("cnt"))
+            .collect()
+        )
+        pieces = sorted(
+            ((r["piece"], int(r["cnt"])) for r in counts),
+            key=lambda x: (-x[1], x[0]),
+        )
+    words.unpersist()
+    return pieces
+
+
+def unigram_encode(
+    df: DataFrame,
+    pieces: list[tuple[str, int]],
+    max_piece_len: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus token stream under the trained model:
+    (doc_id, pos, word, ug_text) — Viterbi per DISTINCT word with the
+    broadcast piece table, joined back to the positional stream;
+    unsegmentable words render ``[UNK]`` (out-of-model characters)."""
+    logp = _logp_map(pieces)
+    mpl = max_piece_len
+
+    def kernel(col: pd.Series) -> pd.Series:
+        def enc(w):
+            ps = viterbi_pieces(w, logp, mpl)
+            return " ".join(ps) if ps else "[UNK]"
+
+        return col.map(enc)
+
+    enc_udf = F.pandas_udf(kernel, T.StringType())
+    toks = df.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("pos", "word"),
+    ).where(~F.col("word").contains(SEP))
+    uniq = toks.select("word").distinct()
+    enc = uniq.withColumn("ug_text", enc_udf(F.col("word")))
+    return toks.join(F.broadcast(enc), "word").select(
+        "doc_id", F.col("pos").cast("int").alias("pos"), "word", "ug_text"
+    )

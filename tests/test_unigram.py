@@ -1,0 +1,110 @@
+"""Unigram-LM tokenizer (operators/unigram.py): hand-checked Viterbi,
+seed rules, hard-EM refit, and end-to-end encode parity with the pure
+reference."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.operators.unigram import (
+    _logp_map,
+    seed_pieces,
+    unigram_encode,
+    unigram_train,
+    viterbi_pieces,
+)
+
+
+def test_viterbi_hand_checked():
+    # p(ab)=0.5, p(a)=p(b)=0.25 → 'ab' as one piece beats a+b
+    logp = _logp_map([("ab", 2), ("a", 1), ("b", 1)])
+    assert viterbi_pieces("ab", logp, 4) == ["ab"]
+    assert viterbi_pieces("aab", logp, 4) == ["a", "ab"]
+    # unsegmentable: 'c' unknown
+    assert viterbi_pieces("ac", logp, 4) is None
+    # tie case: p(ab)=p(a)=p(b) → score('ab') = lp > 2*lp = score(a,b):
+    # single piece still wins (higher score)
+    logp = _logp_map([("ab", 1), ("a", 1), ("b", 1)])
+    assert viterbi_pieces("ab", logp, 4) == ["ab"]
+
+
+def test_viterbi_tie_prefers_longer_last_piece():
+    # crafted EXACT tie: pieces a, b, ab with p(ab) = p(a)*p(b)
+    # counts: a=2, b=2, ab=1, total=5? ln(1/5) vs ln(2/5)+ln(2/5) —
+    # need c_ab/T == (c_a/T)(c_b/T) → c_ab = c_a*c_b/T: T=8, c_a=c_b=4?
+    # then c_ab=2, T=10 ≠ 8. Use direct logp injection instead.
+    logp = {"a": math.log(0.5), "b": math.log(0.5), "ab": math.log(0.25)}
+    # score(ab) = ln .25 == score(a)+score(b) — tie; smaller split point
+    # (j=0, the longer last piece 'ab') must win
+    assert viterbi_pieces("ab", logp, 4) == ["ab"]
+
+
+def test_seed_rules(spark):
+    docs = spark.createDataFrame(
+        [(0, "abab abab cd")], "doc_id long, text string"
+    )
+    from fuzzy_wiki_spark.operators.bpe import word_freqs
+
+    pieces = {
+        r["piece"]: r["cnt"]
+        for r in seed_pieces(
+            word_freqs(docs), max_piece_len=3, min_count=2, size=4
+        ).collect()
+    }
+    # chars always present, with freq-weighted counts
+    assert pieces["a"] == 4 and pieces["b"] == 4
+    assert pieces["c"] == 1 and pieces["d"] == 1  # below min_count but chars stay
+    # multi-char pieces require min_count and make the top-N
+    assert "ab" in pieces and pieces["ab"] == 4
+    assert "aba" in pieces  # count 2 (non-overlap irrelevant: substrings)
+
+
+def test_train_and_encode_end_to_end(spark):
+    from fuzzy_wiki_spark.corpus import generate_docs_df
+
+    docs = generate_docs_df(spark, 50, seed=13).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    pieces = unigram_train(docs, iterations=2, size=30)
+    assert pieces and all(c > 0 for _, c in pieces)
+    # counts sorted (cnt desc, piece asc)
+    assert pieces == sorted(pieces, key=lambda x: (-x[1], x[0]))
+    out = unigram_encode(docs, pieces).collect()
+    assert out
+    logp = _logp_map(pieces)
+    for r in out:
+        ps = viterbi_pieces(r["word"], logp, 4)
+        want = " ".join(ps) if ps else "[UNK]"
+        assert r["ug_text"] == want
+        if ps:
+            assert "".join(ps) == r["word"]
+        # a model trained on its own corpus segments every corpus word
+        assert r["ug_text"] != "[UNK]"
+
+
+def test_em_improves_or_keeps_likelihood(spark):
+    docs = spark.createDataFrame(
+        [(0, "abab abab abab cd cd")], "doc_id long, text string"
+    )
+    from fuzzy_wiki_spark.operators.bpe import word_freqs
+
+    words = [(r["word"], r["freq"]) for r in word_freqs(docs).collect()]
+
+    def ll(pieces):
+        lp = _logp_map(pieces)
+        tot = 0.0
+        for w, f in words:
+            ps = viterbi_pieces(w, lp, 4)
+            assert ps is not None
+            tot += f * sum(lp[p] for p in ps)
+        return tot
+
+    p0 = [
+        (r["piece"], int(r["cnt"]))
+        for r in seed_pieces(word_freqs(docs), 4, 2, 30).collect()
+    ]
+    p1 = unigram_train(docs, iterations=1, size=30)
+    p2 = unigram_train(docs, iterations=2, size=30)
+    assert ll(p1) >= ll(p0) - 1e-9
+    assert ll(p2) >= ll(p1) - 1e-9
