@@ -646,6 +646,14 @@ def main() -> None:
         lambda: DQ.q_wordpiece_encode(spark, sf_dir).count(),
         bracket=True,
     )
+    # Unigram-LM: seed + one hard-EM round + Viterbi encode (the
+    # third tokenizer family) — single-shot + bracketed like the other
+    # trainer sections
+    timed(
+        "pipe_unigram",
+        lambda: DQ.q_unigram_encode(spark, sf_dir).count(),
+        bracket=True,
+    )
 
     # 3b) trigram code search: index build (narrow stage) + pruned substring
     # + pruned regex over the same in-memory index

@@ -9014,11 +9014,11 @@ def q_decontaminate(spark, sf_dir):
 
 QUERIES = {
     # The driver samples ~50 entries in INSERTION order, so the dict
-    # rotates each round: round-4 additions first (the numeric facet
-    # aggs, then the segment serving twins / IVF-PQ / auto-compaction /
-    # batched BPE), then every oracle-backed entry no driver round
-    # (r1-r3) has sampled yet — the first ~57 names below have never
-    # been in a CORRECTNESS round (VERDICT r3 #7).
+    # rotates each round: the closing-wave additions lead (the 39
+    # request-compiler/span/tokenizer/terms_enum entries — every name
+    # down to es_req_cardinality is new this wave), then the earlier
+    # round-4 additions, then everything an earlier driver round
+    # already sampled (VERDICT r3 #7).
     # scripts/check_entries.py still sweeps all entries end-of-round
     # regardless of the sample window.
     "field_caps": q_field_caps,

@@ -119,6 +119,22 @@ def main() -> None:
     out["wp_encode_tokens"] = wordpiece_encode(docs, vocab_wp).count()
     out["wp_encode_sec"] = round(time.perf_counter() - t0, 3)
 
+    # Unigram-LM (closing wave): same sample-train / full-encode
+    # contract; the E-step and encode are Viterbi kernels over the
+    # distinct-word table with the broadcast piece model
+    from fuzzy_wiki_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    t0 = time.perf_counter()
+    ug_pieces = unigram_train(train_docs, iterations=1, size=50)
+    out["ug_train_sec"] = round(time.perf_counter() - t0, 3)
+    out["ug_pieces"] = len(ug_pieces)
+    t0 = time.perf_counter()
+    out["ug_encode_tokens"] = unigram_encode(docs, ug_pieces).count()
+    out["ug_encode_sec"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     removed = remove_dup_spans(
         docs, n=args.span_n, min_count=2, hash_spans=True
