@@ -265,3 +265,25 @@ def test_msearch_batch_is_one_scored_frame(spark, tmp_path):
         return re.sub(r"query_id# = \d+", "query_id# = Q", s)
 
     assert norm(p0) == norm(p1)
+
+
+def test_quantized_rerank_broadcasts_candidates(spark):
+    """knn num_candidates route: the exact-rerank pass reads raw
+    vectors through a BROADCAST semi-join on the candidate ids — never
+    a shuffle of the vector store, never a cartesian."""
+    import numpy as np
+
+    from fuzzy_wiki_spark.operators.similarity import (
+        quantized_rerank_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _plan(quantized_rerank_topk(emb, [0.1] * 8, k=5,
+                                       num_candidates=20))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
