@@ -1,0 +1,114 @@
+"""Tokenizer artifacts: persist a trained tokenizer (any of the three
+families — BPE, WordPiece, Unigram) as one JSON file and encode from
+the loaded artifact.
+
+The training pipelines separate TRAIN (sample-sized, expensive) from
+ENCODE (corpus-sized, replayed on every new data drop); the artifact is
+the contract between them — the same role tokenizer.json plays in the
+HuggingFace ecosystem (format here is this engine's own minimal
+schema, not HF-compatible: the engine's encoders are the consumers).
+
+Schema (versioned):
+    {"format_version": 1, "type": "bpe",
+     "merges": [[left, right, count], ...]}                 # rank order
+    {"format_version": 1, "type": "wordpiece",
+     "vocab": [token, ...]}                                 # ## = cont.
+    {"format_version": 1, "type": "unigram",
+     "pieces": [[piece, count], ...], "max_piece_len": n}
+
+``encode_with`` dispatches to the family's verified encoder
+(bpe_encode / wordpiece_encode / unigram_encode), so a loaded artifact
+runs the exact hash-verified code path; output column name is the
+family's own (bpe / wp_text / ug_text).
+
+The file is driver-side JSON (a tokenizer is KBs — model-sized, like
+the classifier weights contract): write/read costs nothing next to the
+corpus encode, and any engine or service can parse it.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+FORMAT_VERSION = 1
+
+
+def save_tokenizer(path: str, tok: dict) -> None:
+    """Persist a tokenizer dict (see module schema). Validates the
+    shape loudly before writing — a malformed artifact must never
+    reach the encode side."""
+    _validate(tok)
+    with open(path, "w") as f:
+        json.dump({"format_version": FORMAT_VERSION, **tok}, f)
+
+
+def load_tokenizer(path: str) -> dict:
+    with open(path) as f:
+        tok = json.load(f)
+    if tok.get("format_version") != FORMAT_VERSION:
+        raise ValueError(
+            f"unsupported tokenizer format_version: "
+            f"{tok.get('format_version')}"
+        )
+    _validate(tok)
+    return tok
+
+
+def _validate(tok: dict) -> None:
+    kind = tok.get("type")
+    if kind == "bpe":
+        if not all(len(m) == 3 for m in tok["merges"]):
+            raise ValueError("bpe merges must be (left, right, count)")
+    elif kind == "wordpiece":
+        if not isinstance(tok["vocab"], list) or not tok["vocab"]:
+            raise ValueError("wordpiece vocab must be a non-empty list")
+    elif kind == "unigram":
+        if not all(len(p) == 2 for p in tok["pieces"]):
+            raise ValueError("unigram pieces must be (piece, count)")
+        int(tok["max_piece_len"])
+    else:
+        raise ValueError(f"unknown tokenizer type: {kind}")
+
+
+def bpe_tokenizer(merges: list) -> dict:
+    return {"type": "bpe", "merges": [list(m) for m in merges]}
+
+
+def wordpiece_tokenizer(vocab: list) -> dict:
+    return {"type": "wordpiece", "vocab": list(vocab)}
+
+
+def unigram_tokenizer(pieces: list, max_piece_len: int = 4) -> dict:
+    return {
+        "type": "unigram",
+        "pieces": [list(p) for p in pieces],
+        "max_piece_len": int(max_piece_len),
+    }
+
+
+def encode_with(
+    df: DataFrame, tok: dict, text_col: str = "text"
+) -> DataFrame:
+    """Encode the corpus token stream with a (loaded) tokenizer via the
+    family's verified encoder."""
+    _validate(tok)
+    if tok["type"] == "bpe":
+        from fuzzy_wiki_spark.operators.bpe import bpe_encode
+
+        return bpe_encode(
+            df, [tuple(m) for m in tok["merges"]], text_col=text_col
+        )
+    if tok["type"] == "wordpiece":
+        from fuzzy_wiki_spark.operators.wordpiece import wordpiece_encode
+
+        return wordpiece_encode(df, list(tok["vocab"]), text_col=text_col)
+    from fuzzy_wiki_spark.operators.unigram import unigram_encode
+
+    return unigram_encode(
+        df,
+        [tuple(p) for p in tok["pieces"]],
+        max_piece_len=int(tok["max_piece_len"]),
+        text_col=text_col,
+    )

@@ -1,0 +1,88 @@
+"""Tokenizer artifacts (operators/tokenizer_io.py): round-trip each
+family through save/load and pin that the loaded artifact encodes
+byte-identically to the in-memory model."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.operators.tokenizer_io import (
+    bpe_tokenizer,
+    encode_with,
+    load_tokenizer,
+    save_tokenizer,
+    unigram_tokenizer,
+    wordpiece_tokenizer,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from fuzzy_wiki_spark.corpus import generate_docs_df
+
+    return generate_docs_df(spark, 40, seed=23).select(
+        "doc_id", F.col("content").alias("text")
+    )
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_bpe_roundtrip(spark, docs, tmp_path):
+    from fuzzy_wiki_spark.operators.bpe import bpe_encode, bpe_train
+
+    merges, _ = bpe_train(docs, n_merges=4, min_pair_count=1)
+    p = str(tmp_path / "bpe.json")
+    save_tokenizer(p, bpe_tokenizer(merges))
+    tok = load_tokenizer(p)
+    got = encode_with(docs, tok)
+    want = bpe_encode(docs, merges)
+    assert rows(got.select("doc_id", "pos", "word")) == rows(
+        want.select("doc_id", "pos", "word")
+    )
+
+
+def test_wordpiece_roundtrip(spark, docs, tmp_path):
+    from fuzzy_wiki_spark.operators.wordpiece import (
+        wordpiece_encode,
+        wordpiece_train,
+        wordpiece_vocab,
+    )
+
+    _, words = wordpiece_train(docs, 3, min_pair_count=1)
+    vocab = wordpiece_vocab(words)
+    p = str(tmp_path / "wp.json")
+    save_tokenizer(p, wordpiece_tokenizer(vocab))
+    got = encode_with(docs, load_tokenizer(p))
+    assert rows(got) == rows(wordpiece_encode(docs, vocab))
+
+
+def test_unigram_roundtrip(spark, docs, tmp_path):
+    from fuzzy_wiki_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    pieces = unigram_train(docs, iterations=1, size=20)
+    p = str(tmp_path / "ug.json")
+    save_tokenizer(p, unigram_tokenizer(pieces, 4))
+    got = encode_with(docs, load_tokenizer(p))
+    assert rows(got) == rows(unigram_encode(docs, pieces))
+
+
+def test_validation_rejects_malformed(tmp_path):
+    with pytest.raises(ValueError, match="unknown tokenizer type"):
+        save_tokenizer(str(tmp_path / "x.json"), {"type": "nope"})
+    with pytest.raises(ValueError, match="merges"):
+        save_tokenizer(
+            str(tmp_path / "x.json"), {"type": "bpe", "merges": [["a"]]}
+        )
+    p = str(tmp_path / "v.json")
+    save_tokenizer(p, {"type": "wordpiece", "vocab": ["a"]})
+    import json
+
+    bad = json.load(open(p))
+    bad["format_version"] = 99
+    json.dump(bad, open(p, "w"))
+    with pytest.raises(ValueError, match="format_version"):
+        load_tokenizer(p)
