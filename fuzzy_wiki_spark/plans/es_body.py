@@ -362,6 +362,11 @@ def es_search(
             )
         else:
             hits = cosine_topk(vecs, qv, k=kk, vec_col=vec_col)
+        if "similarity" in knn:
+            # ES knn similarity floor: drop hits below the cutoff
+            hits = hits.where(
+                F.col("cos_sim") >= float(knn["similarity"])
+            )
         qterms: list[str] = []
         kind = "knn"
     elif query is None:
@@ -715,24 +720,39 @@ def es_search(
                     )
                 )
                 doc_cols.append(b["field"])
-            elif fkind == "linear":
+            elif fkind in ("linear", "gauss"):
                 age = F.datediff(
                     F.lit(b["origin"]).cast("date"), _vcol(b)
                 ).cast("double")
-                factors.append(
-                    SC.decay_linear(
-                        age, float(b["scale"]),
-                        offset=float(b.get("offset", 0.0)),
+                if fkind == "linear":
+                    factors.append(
+                        SC.decay_linear(
+                            age, float(b["scale"]),
+                            offset=float(b.get("offset", 0.0)),
+                        )
                     )
-                )
+                else:
+                    factors.append(
+                        SC.decay_gauss(
+                            age, float(b["scale"]),
+                            decay=float(b.get("decay", 0.5)),
+                            offset=float(b.get("offset", 0.0)),
+                        )
+                    )
                 if "field" in b:
                     doc_cols.append(b["field"])
             elif fkind == "rank_feature":
+                form = next(
+                    f for f in ("saturation", "log", "sigmoid") if f in b
+                )
+                spec2 = b[form]
                 factors.append(
                     SC.rank_feature_factor(
                         b["field"],
-                        "saturation",
-                        pivot=float(b["saturation"]["pivot"]),
+                        form,
+                        pivot=float(spec2.get("pivot", 10.0)),
+                        scaling=float(spec2.get("scaling_factor", 1.0)),
+                        exponent=float(spec2.get("exponent", 1.0)),
                         boost=float(b.get("boost", 1.0)),
                     )
                 )

@@ -726,3 +726,56 @@ def test_simple_query_string(spark, setup):
     with pytest.raises(ValueError, match="no infix"):
         es_search(idx, {"query": {"simple_query_string": {
             "query": "a | b"}}})
+
+
+def test_function_score_forms_and_knn_similarity(spark, setup, vectors):
+    import fuzzy_wiki_spark.operators.scoring as SC
+    from fuzzy_wiki_spark.operators.segment_query import (
+        search_segments_batch,
+    )
+    from fuzzy_wiki_spark.operators.similarity import cosine_topk
+    from fuzzy_wiki_spark.plans.query import Clause
+
+    idx, dv = setup
+    clauses = [Clause(i, "content", (t,), 1.0, 0, False)
+               for i, t in enumerate(["binary", "tree"])]
+    full = search_segments_batch(
+        idx.spark, idx.segments, {0: clauses},
+        idx._term_df(["binary", "tree"]), idx.field_stats, k=None,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    # rank_feature log + sigmoid forms, gauss decay
+    body = {"query": {"function_score": {
+        "query": {"match": {"content": "binary tree"}},
+        "functions": [
+            {"rank_feature": {"field": "n_chars",
+                              "log": {"scaling_factor": 0.01}}},
+            {"rank_feature": {"field": "n_chars",
+                              "sigmoid": {"pivot": 500, "exponent": 2}}},
+            {"gauss": {"script": "date_add(date'2021-01-01', "
+                                 "cast(doc_id % 300 as int))",
+                       "origin": "2021-06-01", "scale": 120.0,
+                       "decay": 0.5}},
+        ], "boost_mode": "sum"}}, "size": 8}
+    out = es_search(idx, body, docs=dv)
+    age = F.datediff(
+        F.lit("2021-06-01").cast("date"),
+        F.expr("date_add(date'2021-01-01', cast(doc_id % 300 as int))"),
+    ).cast("double")
+    want = SC.function_score(
+        full, dv,
+        [SC.rank_feature_factor("n_chars", "log", scaling=0.01),
+         SC.rank_feature_factor("n_chars", "sigmoid", pivot=500,
+                                exponent=2),
+         SC.decay_gauss(age, 120.0, decay=0.5)],
+        ["n_chars"], k=8, boost_mode="sum",
+    )
+    assert rows(out["hits"]) == rows(want)
+
+    # knn similarity floor
+    qv = [0.2] * 8
+    out = es_search(idx, {"knn": {
+        "field": "embedding", "query_vector": qv, "k": 30,
+        "similarity": 0.2}}, vectors=vectors)
+    want = cosine_topk(vectors, qv, k=30).where("cos_sim >= 0.2")
+    assert rows(out["hits"]) == rows(want)
+    assert all(r["cos_sim"] >= 0.2 for r in out["hits"].collect())
