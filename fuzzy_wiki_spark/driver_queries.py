@@ -3386,6 +3386,22 @@ def q_unigram_encode(spark, sf_dir):
     return unigram_encode(d, pieces, max_piece_len=UG_MAXLEN)
 
 
+def q_unigram_train2(spark, sf_dir):
+    """TWO hard-EM rounds (same trainer, iterations=2): the oracle
+    chains a second recursive-CTE E-step under the round-1 model —
+    proving the SQL replay iterates exactly like the engine."""
+    from fuzzy_wiki_spark.operators.unigram import unigram_train
+
+    pieces = unigram_train(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        iterations=2,
+        max_piece_len=UG_MAXLEN,
+        min_count=UG_MINCNT,
+        size=UG_SIZE,
+    )
+    return spark.createDataFrame(pieces, "piece string, cnt long")
+
+
 def q_es_req_sqs(spark, sf_dir):
     """ES simple_query_string through the compiler: the extended-query
     atom set MINUS the must gate (default_operator=or makes every
@@ -9030,6 +9046,7 @@ QUERIES = {
     "terms_enum_page2": q_terms_enum_page2,
     "es_req_query_string": q_es_req_query_string,
     "unigram_train": q_unigram_train,
+    "unigram_train2": q_unigram_train2,
     "unigram_encode": q_unigram_encode,
     "es_req_sqs": q_es_req_sqs,
     "es_req_percolate": q_es_req_percolate,
@@ -10804,12 +10821,15 @@ def _ug_viterbi_cte(name: str, words: str, model: str, maxlen: int) -> str:
   FROM {name} WHERE i = len(word))"""
 
 
-def _ug_model_ctes() -> str:
-    """seed (w0/sub/cnts/multi/chars/v0/l0) + one hard-EM round
-    (dp1 → c1 counts → l1 probs)."""
+def _ug_model_ctes(rounds: int = 1) -> str:
+    """seed (w0/sub/cnts/multi/chars/v0/l0) + ``rounds`` unrolled
+    hard-EM rounds (dp{r} Viterbi E-step -> c{r} counts -> l{r} probs
+    for r = 1..rounds) — the same chain the Spark trainer iterates,
+    each E-step a recursive-CTE Viterbi under the previous round's
+    model."""
     from fuzzy_wiki_spark.operators.bpe import SEP
 
-    return f"""w0 AS MATERIALIZED (
+    parts = [f"""w0 AS MATERIALIZED (
   SELECT word, count(*)::BIGINT AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
   WHERE word <> '' AND NOT contains(word, '{SEP}')
@@ -10828,19 +10848,26 @@ v0 AS (SELECT piece, max(cnt) AS cnt FROM
         (SELECT * FROM multi UNION ALL SELECT * FROM chars)
        GROUP BY piece),
 l0 AS MATERIALIZED (
-  SELECT piece, ln(cnt) - ln((SELECT sum(cnt) FROM v0)) AS lp FROM v0),
-{_ug_viterbi_cte("dp1", "w0", "l0", UG_MAXLEN)},
-c1 AS MATERIALIZED (
+  SELECT piece, ln(cnt) - ln((SELECT sum(cnt) FROM v0)) AS lp FROM v0)"""]
+    for r in range(1, rounds + 1):
+        parts.append(_ug_viterbi_cte(f"dp{r}", "w0", f"l{r - 1}", UG_MAXLEN))
+        parts.append(f"""c{r} AS MATERIALIZED (
   SELECT piece, sum(freq)::BIGINT AS cnt FROM (
     SELECT freq, unnest(string_split(seg, ' ')) AS piece
-    FROM dp1_seg WHERE seg IS NOT NULL)
+    FROM dp{r}_seg WHERE seg IS NOT NULL)
   GROUP BY piece),
-l1 AS MATERIALIZED (
-  SELECT piece, ln(cnt) - ln((SELECT sum(cnt) FROM c1)) AS lp FROM c1)"""
+l{r} AS MATERIALIZED (
+  SELECT piece, ln(cnt) - ln((SELECT sum(cnt) FROM c{r})) AS lp
+  FROM c{r})""")
+    return ",\n".join(parts)
 
 
 ORACLE_SQL["unigram_train"] = f"""WITH RECURSIVE {_ug_model_ctes()}
 SELECT piece, cnt FROM c1
+"""
+
+ORACLE_SQL["unigram_train2"] = f"""WITH RECURSIVE {_ug_model_ctes(2)}
+SELECT piece, cnt FROM c2
 """
 
 ORACLE_SQL["unigram_encode"] = f"""WITH RECURSIVE {_ug_model_ctes()},
