@@ -500,15 +500,50 @@ def lm_perplexity(
 
 
 def ppl_buckets(
-    scored: DataFrame, n_buckets: int = 3, ce_col: str = "cross_entropy"
+    scored: DataFrame,
+    n_buckets: int = 3,
+    ce_col: str = "cross_entropy",
+    scalable: bool = False,
 ) -> DataFrame:
     """CCNet's head/middle/tail split: ntile buckets over ascending
     cross-entropy (bucket 1 = most-fluent head). Deterministic tie-break
     on doc_id. Null-CE (empty) docs sort last, landing in the tail.
 
-    Scale note: ntile is a single global sort — exact and fine up to
-    ~10^9 rows; at 10^12 switch to bucketing against approx CE quantiles
-    (approxQuantile / t-digest sketch) computed in one pass, which this
-    exact form also serves to verify at small scale."""
-    w = Window.orderBy(F.col(ce_col).asc_nulls_last(), F.col("doc_id"))
-    return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    ``scalable=False`` (exact small-scale form): ntile over a single
+    global sort — fine up to ~10^9 rows. ``scalable=True``: the SAME
+    bucket assignment, byte-identical, computed without any single-task
+    sort — the global rank comes from ``vocab.banded_row_number`` (range
+    bands + per-band row_number + broadcast offsets) and the bucket is
+    derived from the rank with ntile's remainder-first arithmetic: with
+    N rows and n buckets, the first N % n buckets hold ceil(N/n) rows,
+    the rest floor(N/n). This replaces the previously-documented
+    approx-quantile mode with an exact one at the same scale story."""
+    if not scalable:
+        w = Window.orderBy(
+            F.col(ce_col).asc_nulls_last(), F.col("doc_id")
+        )
+        return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+
+    from fuzzy_wiki_spark.operators.vocab import banded_row_number
+
+    ranked = banded_row_number(
+        scored,
+        [F.col(ce_col).asc_nulls_last(), F.asc("doc_id")],
+        rn_col="_rn",
+    )
+    n_total = ranked.groupBy().agg(
+        F.count(F.lit(1)).alias("_N")
+    )
+    base = (F.col("_N") / n_buckets).cast("long")  # floor(N/n)
+    rem = F.col("_N") % n_buckets
+    # ranks 1 .. rem*(base+1) fall in the first `rem` (larger) buckets
+    head = rem * (base + 1)
+    r0 = F.col("_rn") - 1
+    bucket = F.when(
+        F.col("_rn") <= head, (r0 / (base + 1)).cast("long") + 1
+    ).otherwise(rem + ((r0 - head) / base).cast("long") + 1)
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn("bucket", bucket.cast("int"))
+        .drop("_rn", "_N")
+    )

@@ -7,12 +7,22 @@ token-id sequence. The analog in the indexing engine is the term dictionary
 (id = rank by (-df, term)) because they become embedding-matrix rows.
 
 Scale shape: the df aggregation is the same salted-combinable groupBy as
-term_stats (map-side partial agg, one exchange). The final dense-id
-assignment is a row_number over the full vocabulary — a single-task sort,
-which is correct at scale because a vocabulary is millions of rows
-(model-sized), not corpus-sized; the corpus-sized work (tokenize, df
-counts, the encode join) is all distributed, and the vocab broadcast in
-``encode_docs`` is exactly the embedding table every trainer ships to
+term_stats (map-side partial agg, one exchange). The dense-id assignment
+is TWO-PHASE so no single task ever sorts the whole vocabulary (a code
+corpus's identifier vocabulary can be billions of terms): the vocab is
+range-partitioned on the full sort key ``(-df, term)`` into balanced
+bands, each band ranks its own rows with a partitioned ``row_number``,
+and the global id is the band-local rank plus a cumulative band offset.
+The only single-partition work left is the offset cumsum, a window over
+ONE ROW PER BAND (= shuffle-partition count, tens to thousands), never
+over terms. Because ``(-df, term)`` is a total order (terms are unique)
+and a range partitioner keeps equal keys together, band boundaries —
+wherever sampling places them — cannot split ties, so
+``local rank + band offset`` equals the exact global rank regardless of
+sampling: the ids are byte-identical to a global ``row_number`` and
+deterministic across runs and layouts. The corpus-sized work (tokenize,
+df counts, the encode join) is all distributed, and the vocab broadcast
+in ``encode_docs`` is exactly the embedding table every trainer ships to
 every worker anyway.
 """
 
@@ -31,16 +41,107 @@ def _doc_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def banded_row_number(
+    df: DataFrame,
+    order_cols,
+    bands: int | None = None,
+    rn_col: str = "_rn",
+) -> DataFrame:
+    """Global 1-based ``row_number`` by ``order_cols`` (a list of Column
+    sort expressions, e.g. ``[F.asc("ce"), F.asc("doc_id")]``) WITHOUT a
+    single-task global sort: range-partition on the sort key into
+    ``bands`` balanced bands, rank within each band, add the broadcast
+    cumulative band-size offset (a window over one row per band).
+
+    Exact whenever the sort key is a total order (ties never split a
+    band — a range partitioner keeps equal keys together — but tie order
+    inside a band is as unspecified as in a global ``row_number``). The
+    banded frame is pinned with an eager ``localCheckpoint`` so the size
+    branch and the rank branch see the same sampling (see
+    ``dense_rank_ids``)."""
+    spark = df.sparkSession
+    if bands is None:
+        bands = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    banded = (
+        df.repartitionByRange(bands, *order_cols)
+        .withColumn("_band", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    off_w = (
+        Window.orderBy("_band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        banded.groupBy("_band")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0))
+        )
+        .select("_band", "_off")
+    )
+    lw = Window.partitionBy("_band").orderBy(*order_cols)
+    return (
+        banded.withColumn("_lrn", F.row_number().over(lw))
+        .join(F.broadcast(offsets), "_band")
+        .withColumn(
+            rn_col,
+            (F.col("_off") + F.col("_lrn")).cast("long"),
+        )
+        .drop("_band", "_lrn", "_off")
+    )
+
+
+def dense_rank_ids(
+    terms: DataFrame, bands: int | None = None
+) -> DataFrame:
+    """Add a dense ``token_id`` = global rank by ``(-df, term)`` to a
+    ``(term, df)`` frame WITHOUT a single-task global sort.
+
+    Two-phase rank (see module docstring): range-partition on the full
+    sort key into ``bands`` balanced bands, ``row_number`` within each
+    band, then add the broadcast cumulative band-size offset. Exact —
+    the sort key is unique per term so banding cannot split ties — and
+    deterministic regardless of where range sampling puts boundaries.
+
+    ``bands`` defaults to ``spark.sql.shuffle.partitions``. The band
+    assignment (``spark_partition_id`` after the range exchange) is
+    consumed by BOTH the size branch and the rank branch, and the range
+    partitioner's sampling is seeded by RDD id — not stable across the
+    two branches' jobs — so the banded frame is pinned ONCE with an
+    eager ``localCheckpoint`` (the same lineage-truncation device as
+    ``dedup.connected_components``; on a real cluster, executor loss
+    re-runs the build — use a reliable ``sparkContext.setCheckpointDir``
+    checkpoint for multi-hour vocab jobs). Output values are still
+    run-independent: whatever banding a run samples, local rank + band
+    offset is the exact global rank.
+    """
+    keyed = terms.withColumn("_negdf", (-F.col("df")).cast("long"))
+    ranked = banded_row_number(
+        keyed,
+        [F.asc("_negdf"), F.asc("term")],
+        bands=bands,
+        rn_col="_rn",
+    )
+    return ranked.select(
+        "term", "df", (F.col("_rn") - 1).cast("long").alias("token_id")
+    )
+
+
 def build_vocab(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     min_df: int = 1,
     max_vocab: int | None = None,
+    bands: int | None = None,
 ) -> DataFrame:
     """(term, df, token_id): document frequency + dense rank by
     (-df, term). token_id is contiguous from 0, so it can index an
-    embedding matrix directly; ties broken lexically for determinism."""
+    embedding matrix directly; ties broken lexically for determinism.
+    Id assignment is the two-phase banded rank of ``dense_rank_ids`` —
+    no single task ever holds the whole vocabulary."""
     term_df = (
         _doc_terms(df, text_col, id_col)
         .select(id_col, "term")
@@ -49,10 +150,7 @@ def build_vocab(
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= min_df)
     )
-    w = Window.orderBy(F.desc("df"), F.asc("term"))
-    vocab = term_df.withColumn(
-        "token_id", (F.row_number().over(w) - 1).cast("long")
-    )
+    vocab = dense_rank_ids(term_df, bands=bands)
     if max_vocab is not None:
         vocab = vocab.where(F.col("token_id") < max_vocab)
     return vocab

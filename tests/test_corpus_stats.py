@@ -282,3 +282,29 @@ def test_ppl_buckets_head_middle_tail(spark, docs):
     assert set(b.values()) == {1, 2, 3}
     # the empty doc (null CE) must land in the tail bucket
     assert b[5] == 3
+
+
+def test_ppl_buckets_scalable_equals_ntile(spark):
+    """The banded-rank scalable mode must be byte-identical to exact
+    ntile — including remainder distribution (first N % n buckets get
+    the extra row), null-CE docs in the tail, and N < n_buckets."""
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, float(rng.randrange(50)) if i % 7 else None)
+        for i in range(101)
+    ]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, cross_entropy double"
+    )
+    for n in (3, 4, 7, 150):
+        exact = sorted(
+            (r.doc_id, r.bucket)
+            for r in CS.ppl_buckets(scored, n).collect()
+        )
+        scal = sorted(
+            (r.doc_id, r.bucket)
+            for r in CS.ppl_buckets(scored, n, scalable=True).collect()
+        )
+        assert exact == scal, f"n_buckets={n}"

@@ -287,3 +287,25 @@ def test_quantized_rerank_broadcasts_candidates(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_build_vocab_no_global_sort_window(spark):
+    """The dense-id assignment must be the two-phase banded rank: the
+    vocab-sized row_number window is partitioned by _band, and the only
+    SinglePartition exchange feeds the per-band offset cumsum (one row
+    per band), never the term table itself."""
+    from fuzzy_wiki_spark.operators.vocab import build_vocab
+
+    plan = _plan(build_vocab(_docs(spark)))
+    # the rank window carries a partition spec (…) before the ordering
+    assert "row_number()" in plan
+    ranked = [
+        ln for ln in plan.splitlines() if "row_number()" in ln
+    ]
+    assert ranked and all("_band" in ln for ln in ranked)
+    # no SinglePartition exchange directly under a Sort of the term table
+    for i, ln in enumerate(plan.splitlines()):
+        if "Exchange SinglePartition" in ln:
+            # must sit above the band-size aggregate, not the term scan
+            below = "\n".join(plan.splitlines()[i:i + 3])
+            assert "HashAggregate" in below

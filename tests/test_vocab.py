@@ -81,3 +81,37 @@ def test_encode_docs_empty_doc_yields_empty_array(spark):
     assert set(got) == {0, 1, 2, 3}
     assert got[1] == [] and got[2] == []
     assert len(got[0]) == 2 and len(got[3]) == 1
+
+
+def test_two_phase_rank_equals_global_rank(spark):
+    """The banded two-phase id assignment must be byte-identical to a
+    single global row_number over (-df, term) — for any band count,
+    including bands that split a df tie across a boundary."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fuzzy_wiki_spark.operators.vocab import _doc_terms
+
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join(rng.choice("abcdefgh") + str(rng.randrange(200))
+                     for _ in range(40)))
+        for i in range(400)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    term_df = (
+        _doc_terms(d, "text", "doc_id").select("doc_id", "term")
+        .distinct().groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    gold = sorted(
+        term_df.withColumn(
+            "token_id", (F.row_number().over(w) - 1).cast("long")
+        ).collect()
+    )
+    for bands in (1, 3, 16):
+        got = sorted(build_vocab(d, bands=bands).collect())
+        assert got == gold, f"bands={bands}"
