@@ -41,7 +41,8 @@ or is rejected, never silently re-interpreted.
 - ``{"prefix"|"wildcard"|"fuzzy"|"regexp": {field: spec}}`` —
   dictionary expansion off the term_stats side-channel
   (SegmentIndex.prefix/wildcard/fuzzy/regexp). ES wildcard ``*``/``?``
-  translate to SQL-LIKE ``%``/``_`` (literal %/_ not in the subset);
+  translate to SQL-LIKE ``%``/``_`` (literal ``%``/``_``/``\\`` in the
+  term are backslash-escaped first, so they match literally);
   ``fuzzy`` honors ``{"fuzziness": d}``.
 
 *Compound*
@@ -99,8 +100,9 @@ Top level:
   (from+size)-row frame — ES's shallow-paging shape; scored frames
   only).
 - ``min_score`` → post-filter on the scored hits.
-- ``track_total_hits: true`` → ``result["total"]`` (exact match count
-  via SegmentIndex.count_matches; match/bool OR semantics).
+- ``track_total_hits: true`` → ``result["total"]`` (exact count of
+  the query's own match set — same field, same analyzed terms, same
+  redirect exclusion and filter context as the hits; match/bool/term).
 - ``sort``: default ``_score``; ``[{field: {"order": ...}}]`` routes to
   sort_by_field (no scoring), with ``search_after`` as the page cursor.
 - ``collapse``: ``{"field": f}`` → field collapsing on the full scored
@@ -189,7 +191,13 @@ def _sqs_to_extended(q: str, default_op: str = "or") -> str:
     toks = re.findall(r'-?"[^"]*"(?:~\d+)?|\S+', q)
     out = []
     for t in toks:
-        if t in ("+", "|") or "(" in t or ")" in t:
+        quoted = t.startswith('"') or t.startswith('-"')
+        if not quoted and (
+            "|" in t or "(" in t or ")" in t or "+" in t[1:] or t == "+"
+        ):
+            # attached forms like a|b / a+b would otherwise pass through
+            # as literal terms, silently changing semantics vs ES's
+            # operator parse — reject them as loudly as parentheses
             raise ValueError(
                 "simple_query_string subset: no infix +/| or parentheses"
             )
@@ -207,6 +215,64 @@ def _span_term(clause: dict) -> tuple[str, str]:
         raise ValueError(f"expected span_term, got: {sorted(clause)}")
     (field, spec), = clause["span_term"].items()
     return field, _value(spec)
+
+
+def _total_hits(
+    idx, field, must, should, must_not, filter_ids=None
+) -> int:
+    """Exact total for the pinned match/bool/term kinds: the distinct
+    doc count of the query's OWN match set — the caller's
+    already-analyzed terms on the query's own field. (Routing through
+    ``idx.count_matches`` would re-analyze with the porter chain and OR
+    over both path and content fields, disagreeing with the hits on
+    simple-mode indexes.) Lucene-TotalHitCountCollector shape: a
+    term-pruned posting decode, one combinable groupBy — no scoring, no
+    dl join — with the same redirect exclusion and filter context as
+    the hits path. Match set mirrors ``boolean_topk``: all ``must``
+    terms AND no ``must_not`` term AND (≥1 ``should`` term when there
+    is no ``must``)."""
+    from fuzzy_wiki_spark.operators.segment_query import META_REDIRECT
+    from fuzzy_wiki_spark.streaming.incremental import (
+        segments_to_postings,
+    )
+
+    terms = sorted(set(must) | set(should) | set(must_not))
+    if not terms:
+        return 0
+    posts = idx.term_postings(field, terms, with_dl=False).select(
+        "doc_id", "term"
+    )
+    if filter_ids is not None:
+        posts = posts.join(filter_ids, "doc_id", "left_semi")
+    agg = posts.groupBy("doc_id").agg(
+        F.count_distinct(
+            F.when(F.col("term").isin(list(must)), F.col("term"))
+        ).alias("_nm"),
+        F.max(
+            F.when(F.col("term").isin(list(should)), 1).otherwise(0)
+        ).alias("_hs"),
+        F.max(
+            F.when(F.col("term").isin(list(must_not)), 1).otherwise(0)
+        ).alias("_hn"),
+    )
+    cond = F.col("_hn") == 0
+    if must:
+        cond &= F.col("_nm") == len(set(must))
+    else:
+        cond &= F.col("_hs") == 1
+    red = (
+        segments_to_postings(
+            idx.segments.where(F.col("term") == META_REDIRECT)
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        agg.where(cond)
+        .select("doc_id")
+        .join(red, "doc_id", "left_anti")
+        .count()
+    )
 
 
 def es_search(
@@ -337,7 +403,13 @@ def es_search(
 
         knn = body["knn"]
         qv = list(knn["query_vector"])
-        kk = int(knn.get("k", k))
+        # default to k_fetch: with a nonzero `from`, the page is cut out
+        # of the first from+size rows, so the knn cut must fetch them
+        kk = int(knn.get("k", k_fetch))
+        if offset and kk < k_fetch:
+            raise ValueError(
+                "knn.k smaller than from+size cannot serve the page"
+            )
         vec_col = knn.get("field", "embedding")
         vecs = vectors
         if "filter" in knn:
@@ -390,6 +462,7 @@ def es_search(
             {**body, "query": inner},
             docs=docs,
             vectors=vectors,
+            rules=rules,
             analyze=analyze,
         )
 
@@ -517,7 +590,17 @@ def es_search(
         qterms = [_value(spec)]
     elif kind == "wildcard":
         (field, spec), = query["wildcard"].items()
-        pattern = _value(spec).replace("*", "%").replace("?", "_")
+        # escape literal \ % _ (Spark LIKE's escape char is backslash)
+        # BEFORE mapping ES's * / ? onto SQL-LIKE % / _ , so terms that
+        # contain %/_ match literally instead of as wildcards
+        pattern = (
+            _value(spec)
+            .replace("\\", "\\\\")
+            .replace("%", "\\%")
+            .replace("_", "\\_")
+            .replace("*", "%")
+            .replace("?", "_")
+        )
         hits = idx.wildcard(pattern, field=field, k=k_fetch)
         qterms = []
     elif kind == "fuzzy":
@@ -949,11 +1032,25 @@ def es_search(
 
     # --- total hit count ------------------------------------------------
     if body.get("track_total_hits"):
-        if kind not in ("match", "bool", "term"):
+        if kind == "match":
+            tt = ((), tuple(qterms), ())
+        elif kind == "term":
+            tt = (tuple(qterms), (), ())
+        elif kind == "bool":
+            b = query["bool"]
+            slots = {}
+            for name in ("must", "should", "must_not"):
+                ws: list[str] = []
+                for leaf in b.get(name, []):
+                    _, lws = _match_words(leaf, analyze)
+                    ws.extend(lws)
+                slots[name] = tuple(dict.fromkeys(ws))
+            tt = (slots["must"], slots["should"], slots["must_not"])
+        else:
             raise ValueError(
                 "track_total_hits pinned to match/bool/term queries"
             )
-        total = idx.count_matches(" ".join(qterms))
+        total = _total_hits(idx, field, *tt, filter_ids=filter_ids)
 
     # --- rescore (Lucene QueryRescorer; replaces the first-pass hits).
     # Built from the compiler's own analyzed terms — NOT
@@ -1008,7 +1105,7 @@ def es_search(
         )
         try:
             res = rescore_topk(
-                window, sig, first_k=first_k, k=k, weight=weight
+                window, sig, first_k=first_k, k=k_fetch, weight=weight
             )
             collected = res.collect()
             hits = idx.spark.createDataFrame(collected, res.schema)
@@ -1066,6 +1163,12 @@ def es_search(
             # their best hit (operators/collapse.grouped_topk — group
             # ranking is a partial top-k, never a full-frame window)
             m = int(body["collapse"]["inner_hits"].get("size", 3))
+            if offset:
+                # grouped hits carry m rows per group — a row-offset
+                # page over that frame has no ES meaning; reject loudly
+                raise ValueError(
+                    "from cannot combine with collapse.inner_hits"
+                )
             hits = grouped_topk(
                 full,
                 docs.select("doc_id", F.col(grp).alias("group")),
@@ -1076,7 +1179,7 @@ def es_search(
             hits = collapse_topk(
                 full,
                 docs.select("doc_id", F.col(grp).alias("group")),
-                k=k,
+                k=k_fetch,
             )
 
     # --- min_score / from (shallow paging on the scored frame) ---------
@@ -1405,6 +1508,7 @@ def es_msearch(
     bodies: list,
     docs: DataFrame | None = None,
     vectors: DataFrame | None = None,
+    rules: DataFrame | None = None,
     analyze=str.split,
 ) -> list:
     """ES `_msearch`: execute a batch of request bodies. The batchable
@@ -1464,6 +1568,9 @@ def es_msearch(
             for i in range(len(bodies))
         ]
     return [
-        es_search(idx, b, docs=docs, vectors=vectors, analyze=analyze)
+        es_search(
+            idx, b, docs=docs, vectors=vectors, rules=rules,
+            analyze=analyze,
+        )
         for b in bodies
     ]

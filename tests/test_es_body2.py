@@ -270,9 +270,35 @@ def test_paging_total_rescore_source(spark, setup):
     out = es_search(idx, dict(base, size=10, min_score=cut))["hits"]
     assert all(r["score"] >= cut for r in out.collect())
 
-    # track_total_hits: exact OR match count
+    # track_total_hits: exact OR match count of the query's OWN match
+    # set — the caller-analyzed terms on the queried field with redirect
+    # exclusion (NOT count_matches, which re-analyzes with the porter
+    # chain and ORs over both fields — wrong on this simple-mode index)
     out = es_search(idx, dict(base, track_total_hits=True))
-    assert out["total"] == idx.count_matches("binary tree")
+    from fuzzy_wiki_spark.operators.segment_query import META_REDIRECT
+    from fuzzy_wiki_spark.streaming.incremental import (
+        segments_to_postings,
+    )
+
+    matched = (
+        idx.term_postings("content", ["binary", "tree"], with_dl=False)
+        .select("doc_id")
+        .distinct()
+    )
+    red = (
+        segments_to_postings(
+            idx.segments.where(F.col("term") == META_REDIRECT)
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    want_total = matched.join(red, "doc_id", "left_anti").count()
+    assert out["total"] == want_total
+    # and the total agrees with the query's actual full match set
+    full = es_search(
+        idx, dict(base, size=10_000, track_total_hits=True)
+    )
+    assert full["total"] == full["hits"].count()
 
     # rescore == the seg_rescore construction (rounded full scores →
     # window cut → phrase signal → combine) on the compiler's own
@@ -779,3 +805,109 @@ def test_function_score_forms_and_knn_similarity(spark, setup, vectors):
     want = cosine_topk(vectors, qv, k=30).where("cos_sim >= 0.2")
     assert rows(out["hits"]) == rows(want)
     assert all(r["cos_sim"] >= 0.2 for r in out["hits"].collect())
+
+
+def test_advice_r5_fixes(spark, setup, vectors):
+    """Round-5 advice regressions: wrapper forwards rules, msearch
+    fallback accepts rules, from+knn fetches the page, sqs rejects
+    attached infix operators, wildcard escapes literal %/_."""
+    import base64
+    import json
+
+    import pytest
+
+    from fuzzy_wiki_spark.plans.es_body import es_msearch
+
+    idx, dv = setup
+
+    # wrapper around a percolate body must reach the rules frame
+    rules = spark.createDataFrame(
+        [(1, ["binary", "tree"], 2), (2, ["search"], 1)],
+        "query_id int, terms array<string>, min_match int",
+    )
+    inner = {"percolate": {"document": {"text": "binary tree search"}}}
+    b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+    direct = es_search(idx, {"query": inner}, rules=rules)
+    wrapped = es_search(
+        idx, {"query": {"wrapper": {"query": b64}}}, rules=rules
+    )
+    assert sorted(map(tuple, wrapped["hits"].collect())) == sorted(
+        map(tuple, direct["hits"].collect())
+    )
+
+    # msearch fallback path forwards rules too (mixed batch)
+    out = es_msearch(
+        idx,
+        [{"query": inner}, {"query": {"term": {"content": "binary"}}}],
+        rules=rules,
+    )
+    assert sorted(map(tuple, out[0]["hits"].collect())) == sorted(
+        map(tuple, direct["hits"].collect())
+    )
+
+    # from + knn-only: rejected loudly (knn hits are (vec_id, cos_sim),
+    # not a scored doc frame — a silent k-offset page would be wrong),
+    # and the knn cut fetches from+size when k is defaulted
+    qv = [1.0] + [0.0] * 7
+    base = {"knn": {"field": "embedding", "query_vector": qv}}
+    out10 = es_search(None, dict(base, size=10), vectors=vectors)
+    assert out10["hits"].count() == 10
+    with pytest.raises(ValueError):
+        es_search(
+            None, dict(base, size=5, **{"from": 5}), vectors=vectors
+        )["hits"].collect()
+
+    # from + collapse pages the collapsed groups
+    base_c = {
+        "query": {"match": {"content": "binary tree"}},
+        "collapse": {"field": "lang"},
+    }
+    allc = [
+        tuple(r)
+        for r in es_search(idx, dict(base_c, size=10), docs=dv)["hits"]
+        .orderBy(F.desc("score"), F.asc("doc_id")).collect()
+    ]
+    pagec = [
+        tuple(r)
+        for r in es_search(
+            idx, dict(base_c, size=2, **{"from": 1}), docs=dv
+        )["hits"].orderBy(F.desc("score"), F.asc("doc_id")).collect()
+    ]
+    assert pagec == allc[1:3]
+
+    # from + collapse.inner_hits is rejected loudly
+    with pytest.raises(ValueError, match="inner_hits"):
+        es_search(
+            idx,
+            dict(
+                base_c,
+                collapse={"field": "lang", "inner_hits": {"size": 2}},
+                size=2,
+                **{"from": 1},
+            ),
+            docs=dv,
+        )
+
+    # sqs: attached infix operators rejected as loudly as parentheses
+    for bad in ["a|b", "a+b", "x (y z)"]:
+        with pytest.raises(ValueError, match="simple_query_string"):
+            es_search(
+                idx,
+                {"query": {"simple_query_string": {"query": bad}}},
+            )
+    # quoted phrases may contain them
+    out = es_search(
+        idx,
+        {"query": {"simple_query_string": {"query": '"binary tree"'}}},
+    )
+    assert out["hits"].count() > 0
+
+    # wildcard: a literal _ in the term is escaped, not a 1-char
+    # wildcard — bin_ry must NOT match the dictionary term 'binary'
+    # while bin?ry still does
+    hit = es_search(idx, {"query": {"wildcard": {"content": "bin?ry"}}})
+    assert hit["hits"].count() > 0
+    miss = es_search(
+        idx, {"query": {"wildcard": {"content": "bin_ry"}}}
+    )
+    assert miss["hits"].count() == 0
