@@ -2797,14 +2797,18 @@ def q_lsh_cosine(spark, sf_dir):
 
 
 def q_ivf_cosine(spark, sf_dir):
-    """IVF-bucketed approximate ANN top-10 (rows-only: seeded k-means
-    centroids have no SQL mirror; the recall ladder + exhaustive-probe
-    exactness are pinned in tests/test_similarity.py)."""
+    """IVF ANN through the full routing machinery (k-means assignment,
+    list pruning, JVM-side cosine, partial-top-k finish) at EXHAUSTIVE
+    probe (nprobe == n_centroids), which makes the result provably
+    equal to brute force — so the brute-force cosine SQL oracle applies
+    and the driver hash-verifies the IVF path. The approximate
+    nprobe<16 recall ladder stays pinned in tests/test_similarity.py
+    and measured in BENCH §3e."""
     emb = _emb(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     cent = SIM.kmeans_centroids(emb, n_centroids=16, sample=512, seed=42)
     res = SIM.ivf_cosine_topk(
-        emb.where(F.col("vec_id") != 0), list(qvec), cent, nprobe=4, k=10
+        emb.where(F.col("vec_id") != 0), list(qvec), cent, nprobe=16, k=10
     )
     return res.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
@@ -2826,17 +2830,19 @@ def q_ivf_exact(spark, sf_dir):
 
 
 def q_ivf_batch(spark, sf_dir):
-    """Batch IVF ANN: 4 queries probe their 4 nearest centroid lists in one
-    job (broadcast probe table ⋈ IVF-assigned corpus, JVM-side scoring,
-    partial-top-k finish). Rows-only: seeded k-means centroids have no SQL
-    mirror; exactness at exhaustive probe + the recall ladder are pinned in
+    """Batch IVF ANN: 4 queries probe centroid lists in one job
+    (broadcast probe table ⋈ IVF-assigned corpus, JVM-side scoring,
+    partial-top-k finish) at EXHAUSTIVE probe — provably equal to the
+    brute-force batch, so it shares ann_batch's cross-join+window SQL
+    oracle and the driver hash-verifies the batched IVF path. The
+    approximate-probe recall ladder stays pinned in
     tests/test_similarity.py."""
     emb = _emb(spark, sf_dir)
     cent = SIM.kmeans_centroids(emb, n_centroids=16, sample=512, seed=42)
     qrows = emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
     queries = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
     res = SIM.ivf_cosine_topk_batch(
-        emb, queries, cent, nprobe=4, k=10, exclude_self=True
+        emb, queries, cent, nprobe=16, k=10, exclude_self=True
     )
     return res.select(
         "qid", "vec_id", F.round("cos_sim", 4).alias("cos_sim")
@@ -2958,6 +2964,92 @@ def q_has_parent(spark, sf_dir):
         F.col("parent").isin(HAS_PARENT_NAMES),
         boost=1.5,
     )
+
+
+def q_es_req_has_child(spark, sf_dir):
+    """has_child through the ES request-body compiler: one JSON body
+    (type=source join column, match inner query on the skeleton terms,
+    score_mode max, min_children gate) routed onto the hash-verified
+    has_child_topk over the segment serving path. Oracle =
+    ORACLE_SQL["has_child"] verbatim."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_eshc_")
+    out = es_search(
+        idx,
+        {
+            "query": {
+                "has_child": {
+                    "type": "source",
+                    "query": {
+                        "match": {
+                            "content": " ".join(BM25_QUERY_TERMS)
+                        }
+                    },
+                    "score_mode": "max",
+                    "min_children": HAS_CHILD_MIN,
+                }
+            },
+            "size": 10,
+        },
+        docs=_docs(spark, sf_dir),
+    )
+    return out["hits"]
+
+
+def q_es_req_has_parent(spark, sf_dir):
+    """has_parent through the compiler: parent_type=source, the inner
+    term-level DSL filters the parent value, constant score boost=1.5.
+    Oracle = ORACLE_SQL["has_parent"] verbatim."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    out = es_search(
+        None,
+        {
+            "query": {
+                "has_parent": {
+                    "parent_type": "source",
+                    "query": {"terms": {"parent": HAS_PARENT_NAMES}},
+                    "boost": 1.5,
+                }
+            },
+            "size": 10,
+        },
+        docs=_docs(spark, sf_dir),
+    )
+    return out["hits"]
+
+
+def q_es_req_nested(spark, sf_dir):
+    """ES nested query through the compiler: each doc carries a
+    nested array<struct<pos,term>> of its first five tokens; the
+    query matches docs whose nested objects contain term 'spark'.
+    F.exists over the array — no explode, no shuffle; constant score
+    (ES filter-context nested)."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    docs = _docs(spark, sf_dir).withColumn(
+        "chunks",
+        F.transform(
+            F.slice(toks, 1, 5),
+            lambda x, i: F.struct(i.alias("pos"), x.alias("term")),
+        ),
+    )
+    out = es_search(
+        None,
+        {
+            "query": {
+                "nested": {
+                    "path": "chunks",
+                    "query": {"term": {"chunks.term": "spark"}},
+                }
+            },
+            "size": 10,
+        },
+        docs=docs,
+    )
+    return out["hits"]
 
 
 ES_BODY = {
@@ -9083,7 +9175,7 @@ QUERIES = {
     "seg_dis_max": q_seg_dis_max,
     "combined_fields": q_combined_fields,
     "seg_combined_fields": q_seg_combined_fields,
-    "semdedup": q_semdedup,
+    "semdedup": q_semdedup_exact,
     "semdedup_exact": q_semdedup_exact,
     "term_level_filtered": q_term_level_filtered,
     "seg_term_level": q_seg_term_level,
@@ -9097,6 +9189,9 @@ QUERIES = {
     "has_child": q_has_child,
     "seg_has_child": q_seg_has_child,
     "has_parent": q_has_parent,
+    "es_req_has_child": q_es_req_has_child,
+    "es_req_has_parent": q_es_req_has_parent,
+    "es_req_nested": q_es_req_nested,
     "categorize_text": q_categorize_text,
     "seg_categorize": q_seg_categorize,
     "frequent_item_sets": q_frequent_item_sets,
@@ -10878,3 +10973,27 @@ enc AS (SELECT word, coalesce(seg, '[UNK]') AS ug_text FROM dp2_seg)
 SELECT t.doc_id, t.pos::INT AS pos, t.word, e.ug_text
 FROM tok t JOIN enc e USING(word)
 """
+
+
+# round-5: the join-field kinds through the request-body compiler share
+# the operator entries' oracles verbatim (identical plans, one JSON
+# body in front)
+ORACLE_SQL["es_req_has_child"] = ORACLE_SQL["has_child"]
+ORACLE_SQL["es_req_has_parent"] = ORACLE_SQL["has_parent"]
+ORACLE_SQL["es_req_nested"] = """
+SELECT doc_id, 1.0 AS score FROM documents
+WHERE len(list_filter(
+        (list_filter(string_split(text, ' '), x -> x <> ''))[1:5],
+        x -> x = 'spark')) > 0
+ORDER BY doc_id LIMIT 10
+"""
+
+
+# round-5: exhaustive-probe IVF equals brute force, so the driver
+# entries share the exact ANN oracles; the semdedup entry points at the
+# exact (n_clusters=1) configuration so every driver sample is
+# hash-checked (the 8-cluster path stays python-mirror-pinned in
+# tests/test_dedup.py and benchmarked in scripts/bench_semdedup.py)
+ORACLE_SQL["ivf_cosine"] = ORACLE_SQL["ivf_exact"]
+ORACLE_SQL["ivf_batch"] = ORACLE_SQL["ann_batch"]
+ORACLE_SQL["semdedup"] = ORACLE_SQL["semdedup_exact"]

@@ -71,6 +71,22 @@ or is rejected, never silently re-interpreted.
   matched against the registered ``rules`` frame (reverse search via
   operators/percolate).
 
+*Join-field* (the repo→file hierarchy; needs ``docs``)
+- ``{"has_child": {"type": join_col, "query": match,
+  "score_mode": max|sum|avg, "min_children"/"max_children": n,
+  "inner_hits": {"size": m}}}`` — parents ranked by combined child
+  scores (parent_child.has_child_topk); with ``inner_hits`` the top-m
+  matching children within each of the k best parents
+  (collapse.grouped_topk). ``type`` names the join-field column (ES
+  keeps the relation in the mapping).
+- ``{"has_parent": {"parent_type": join_col, "query": filter-DSL on
+  ``parent``, "boost": b}}`` — children of matching parents, constant
+  score (parent_child.has_parent_topk).
+- ``{"nested": {"path": array_col, "query": term|range on
+  "path.sub", "score_mode": "none", "inner_hits": {"size": m}}}`` —
+  docs whose nested objects contain a matching element (F.exists —
+  no explode); ``inner_hits`` adds the matching elements.
+
 *Positional*
 - ``{"intervals": {field: rule}}`` — the two-level intervals subset.
 - ``{"span_near": {"clauses": [span_term | span_or...], "slop": s,
@@ -215,6 +231,41 @@ def _span_term(clause: dict) -> tuple[str, str]:
         raise ValueError(f"expected span_term, got: {sorted(clause)}")
     (field, spec), = clause["span_term"].items()
     return field, _value(spec)
+
+
+def _nested_elem_pred(path: str, dsl: dict):
+    """Inner predicate of the pinned ``nested`` subset → a lambda over
+    one array element, usable by both F.exists (match) and F.filter
+    (inner_hits). Field names are ``path.sub``; term = equality,
+    range = gt/gte/lt/lte bounds."""
+    (kind, spec), = dsl.items()
+    (fname, arg), = spec.items()
+    prefix = path + "."
+    if not fname.startswith(prefix):
+        raise ValueError(
+            f"nested field {fname!r} must live under path {path!r}"
+        )
+    sub = fname[len(prefix):]
+    if kind == "term":
+        val = arg["value"] if isinstance(arg, dict) else arg
+        return lambda e: e[sub] == F.lit(val)
+    if kind == "range":
+        ops = {
+            "gt": lambda c, v: c > v,
+            "gte": lambda c, v: c >= v,
+            "lt": lambda c, v: c < v,
+            "lte": lambda c, v: c <= v,
+        }
+
+        def pred(e):
+            conds = [ops[o](e[sub], F.lit(v)) for o, v in arg.items()]
+            out = conds[0]
+            for c in conds[1:]:
+                out = out & c
+            return out
+
+        return pred
+    raise ValueError("nested inner query pinned to term/range leaves")
 
 
 def _total_hits(
@@ -1027,6 +1078,133 @@ def es_search(
             k=k_fetch,
         )
         qterms = [inc]
+    elif kind == "has_child":
+        # ES has_child: return PARENTS whose children match the inner
+        # query. Pinned subset: ``type`` names the join-field column on
+        # the docs table (ES keeps the relation in the index mapping;
+        # this compiler takes the column name directly), the inner
+        # query is a match leaf, scored over its FULL match set (a
+        # top-k θ bound could prune some parent's best child — same
+        # k=None rationale as collapse). Routes to the hash-verified
+        # operators/parent_child.has_child_topk; ``inner_hits`` gives
+        # the Lucene TopGroups surface via the likewise-verified
+        # grouped_topk (top-m matching children within each of the k
+        # best parents).
+        if docs is None:
+            raise ValueError("has_child requires the docs table")
+        from fuzzy_wiki_spark.operators.parent_child import (
+            has_child_topk,
+        )
+        from fuzzy_wiki_spark.operators.segment_query import (
+            search_segments_batch,
+        )
+        from fuzzy_wiki_spark.plans.query import Clause
+
+        hc = query["has_child"]
+        inner = hc["query"]
+        if set(inner) != {"match"}:
+            raise ValueError("has_child inner query pinned to a match leaf")
+        field, words = _match_words(inner, analyze)
+        clauses = [
+            Clause(i, field, (t,), 1.0, 0, False)
+            for i, t in enumerate(words)
+        ]
+        full = search_segments_batch(
+            idx.spark,
+            idx.segments,
+            {0: clauses},
+            idx._term_df(list(words)),
+            idx.field_stats,
+            k=None,
+        ).select("doc_id", F.round("score", 6).alias("score"))
+        if "inner_hits" in hc:
+            from fuzzy_wiki_spark.operators.collapse import grouped_topk
+
+            hits = grouped_topk(
+                full,
+                docs.select(
+                    "doc_id", F.col(hc["type"]).alias("group")
+                ),
+                m=int(hc["inner_hits"].get("size", 3)),
+                k=k,
+            )
+        else:
+            hits = has_child_topk(
+                full,
+                docs,
+                hc["type"],
+                k=k,
+                score_mode=hc.get("score_mode", "max"),
+                min_children=int(hc.get("min_children", 1)),
+                max_children=(
+                    int(hc["max_children"])
+                    if "max_children" in hc
+                    else None
+                ),
+            )
+        qterms = words
+    elif kind == "has_parent":
+        # ES has_parent: return CHILDREN whose parent value satisfies
+        # the inner predicate. Pinned subset: ``parent_type`` names the
+        # join-field column; the inner query is the term-level filter
+        # DSL over the parent value exposed as the ``parent`` column
+        # (the parent match filters — never relevance-scores — the
+        # children, so score is the constant ``boost``, per ES).
+        # Routes to the hash-verified parent_child.has_parent_topk.
+        if docs is None:
+            raise ValueError("has_parent requires the docs table")
+        from fuzzy_wiki_spark.operators.parent_child import (
+            has_parent_topk,
+        )
+
+        hp = query["has_parent"]
+        hits = has_parent_topk(
+            docs,
+            hp["parent_type"],
+            compile_filter(hp["query"]),
+            boost=float(hp.get("boost", 1.0)),
+            k=k_fetch,
+        )
+        qterms = []
+    elif kind == "nested":
+        # ES nested: parents whose nested objects — an array<struct>
+        # column on the docs table, the ``path`` — contain an element
+        # matching the inner predicate. Pinned subset: score_mode
+        # "none" (ES filter-context nested: constant score 1·boost)
+        # and a term/range leaf on one ``path.field``. The predicate
+        # compiles to F.exists over the array column — zero explode,
+        # zero shuffle, folds into the scan — and ``inner_hits``
+        # returns the matching elements via F.filter on the same
+        # lambda (the k-row frame only).
+        if docs is None:
+            raise ValueError("nested requires the docs table")
+        ne = query["nested"]
+        if ne.get("score_mode", "none") != "none":
+            raise ValueError("nested subset: score_mode none only")
+        path = ne["path"]
+        pred = _nested_elem_pred(path, ne["query"])
+        base = (
+            docs.where(F.exists(F.col(path), pred))
+            .select(
+                "doc_id",
+                F.lit(float(ne.get("boost", 1.0))).alias("score"),
+            )
+            .orderBy(F.asc("doc_id"))
+            .limit(k_fetch)
+        )
+        if "inner_hits" in ne:
+            m = int(ne["inner_hits"].get("size", 3))
+            base = base.join(
+                docs.select(
+                    "doc_id",
+                    F.slice(F.filter(F.col(path), pred), 1, m).alias(
+                        "inner_hits"
+                    ),
+                ),
+                "doc_id",
+            )
+        hits = base
+        qterms = []
     else:
         raise ValueError(f"unsupported query rule: {kind}")
 

@@ -911,3 +911,116 @@ def test_advice_r5_fixes(spark, setup, vectors):
         idx, {"query": {"wildcard": {"content": "bin_ry"}}}
     )
     assert miss["hits"].count() == 0
+
+
+def test_join_field_kinds(spark, setup):
+    """has_child / has_parent / nested through the compiler match the
+    verified operators called directly; inner_hits variants route to
+    grouped_topk / the element filter."""
+    import pytest
+
+    from fuzzy_wiki_spark.operators.collapse import grouped_topk
+    from fuzzy_wiki_spark.operators.parent_child import (
+        has_child_topk,
+        has_parent_topk,
+    )
+    from fuzzy_wiki_spark.operators.segment_query import (
+        search_segments_batch,
+    )
+    from fuzzy_wiki_spark.plans.query import Clause
+
+    idx, dv = setup
+    docs = dv.withColumn(
+        "src", (F.col("doc_id") % 7).cast("string")
+    )
+
+    words = ["binary", "tree"]
+    clauses = [
+        Clause(i, "content", (t,), 1.0, 0, False)
+        for i, t in enumerate(words)
+    ]
+    full = search_segments_batch(
+        spark, idx.segments, {0: clauses}, idx._term_df(words),
+        idx.field_stats, k=None,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+    body = {"query": {"has_child": {
+        "type": "src",
+        "query": {"match": {"content": "binary tree"}},
+        "score_mode": "sum",
+        "min_children": 2,
+    }}, "size": 5}
+    out = es_search(idx, body, docs=docs)
+    want = has_child_topk(
+        full, docs, "src", k=5, score_mode="sum", min_children=2
+    )
+    assert rows(out["hits"]) == rows(want)
+
+    # inner_hits → grouped_topk
+    body["query"]["has_child"]["inner_hits"] = {"size": 2}
+    out = es_search(idx, body, docs=docs)
+    want = grouped_topk(
+        full, docs.select("doc_id", F.col("src").alias("group")),
+        m=2, k=5,
+    )
+    assert rows(out["hits"]) == rows(want)
+
+    # has_parent: constant-score children of matching parents
+    out = es_search(None, {"query": {"has_parent": {
+        "parent_type": "src",
+        "query": {"terms": {"parent": ["1", "3"]}},
+        "boost": 2.0,
+    }}, "size": 8}, docs=docs)
+    want = has_parent_topk(
+        docs, "src", F.col("parent").isin(["1", "3"]), boost=2.0, k=8
+    )
+    assert rows(out["hits"]) == rows(want)
+
+    # nested term + range, with and without inner_hits
+    toks = F.filter(F.split(F.col("text"), " "),
+                    lambda x: x != F.lit(""))
+    nd = docs.withColumn(
+        "chunks",
+        F.transform(
+            F.slice(toks, 1, 4),
+            lambda x, i: F.struct(i.alias("pos"), x.alias("term")),
+        ),
+    )
+    out = es_search(None, {"query": {"nested": {
+        "path": "chunks",
+        "query": {"term": {"chunks.term": "binary"}},
+    }}, "size": 6}, docs=nd)
+    want_ids = [
+        r.doc_id
+        for r in nd.where(
+            F.exists("chunks", lambda e: e["term"] == F.lit("binary"))
+        ).orderBy("doc_id").limit(6).collect()
+    ]
+    got = out["hits"].orderBy("doc_id").collect()
+    assert [r.doc_id for r in got] == want_ids
+    assert all(r.score == 1.0 for r in got)
+
+    out = es_search(None, {"query": {"nested": {
+        "path": "chunks",
+        "query": {"range": {"chunks.pos": {"gte": 1, "lt": 3}}},
+        "inner_hits": {"size": 2},
+    }}, "size": 4}, docs=nd)
+    for r in out["hits"].collect():
+        assert 1 <= len(r.inner_hits) <= 2
+        assert all(1 <= e.pos < 3 for e in r.inner_hits)
+
+    # loud rejects: scored nested / off-path field / non-match has_child
+    with pytest.raises(ValueError, match="score_mode"):
+        es_search(None, {"query": {"nested": {
+            "path": "chunks", "score_mode": "max",
+            "query": {"term": {"chunks.term": "x"}},
+        }}}, docs=nd)
+    with pytest.raises(ValueError, match="path"):
+        es_search(None, {"query": {"nested": {
+            "path": "chunks",
+            "query": {"term": {"other.term": "x"}},
+        }}}, docs=nd)
+    with pytest.raises(ValueError, match="match leaf"):
+        es_search(idx, {"query": {"has_child": {
+            "type": "src", "query": {"term": {"content": "x"}},
+        }}}, docs=docs)
