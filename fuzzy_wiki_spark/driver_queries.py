@@ -131,6 +131,52 @@ def _seg_skeleton_full_scores(spark, idx) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_xml_ingest(spark, sf_dir):
+    """O1: MediaWiki XML dump ingestion (sources/xml_dump.py —
+    reference Parser/XMLparser.py:6-13 semantics: first revision,
+    markup strip, skip revision-less pages), sha256-parity checked.
+    A synthetic dump is written deterministically from the first 200
+    documents rows: each page wraps the doc text in markup whose strip
+    is the identity ({{template}}, <!-- comment -->, <ref> body, and a
+    [[link]] around the text), adds a second VANDALIZED revision (must
+    be ignored) and one revision-less page (must be skipped). The
+    oracle recomputes sha256(text) straight off the parquet — equality
+    proves wrap→parse→first-rev→strip recovers every byte."""
+    import tempfile
+    from pathlib import Path
+
+    from fuzzy_wiki_spark.sources.xml_dump import read_mediawiki_dump
+
+    rows = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .collect()
+    )
+    parts = ["<mediawiki>"]
+    for r in sorted(rows, key=lambda x: x["doc_id"]):
+        parts.append(
+            f"<page><title>Doc {r['doc_id']}</title>"
+            f"<id>{r['doc_id'] + 10_000}</id>"
+            f"<revision><id>{r['doc_id']}</id>"
+            f"<text>{{{{Infobox|gen=1}}}}&lt;!-- synthetic --&gt;"
+            f"&lt;ref&gt;cite&lt;/ref&gt;[[{r['text']}]]</text>"
+            f"</revision>"
+            f"<revision><id>{r['doc_id'] + 1_000_000}</id>"
+            f"<text>VANDALIZED</text></revision></page>"
+        )
+    parts.append("<page><title>NoRevs</title><id>99999</id></page>")
+    parts.append("</mediawiki>")
+    d = Path(tempfile.mkdtemp(prefix="fw_xml_"))
+    (d / "dump.xml").write_text("\n".join(parts))
+    out = read_mediawiki_dump(spark, str(d / "dump.xml"))
+    return out.select(
+        F.col("page_id").alias("doc_id"),
+        "title",
+        F.sha2(F.col("text"), 256).alias("sha"),
+    )
+
+
 def q_postings(spark, sf_dir):
     """O7/O8: tokenize → (doc_id, term, tf) postings."""
     return _postings_simple(spark, sf_dir).select(
@@ -9189,6 +9235,7 @@ QUERIES = {
     "has_child": q_has_child,
     "seg_has_child": q_seg_has_child,
     "has_parent": q_has_parent,
+    "xml_ingest": q_xml_ingest,
     "es_req_has_child": q_es_req_has_child,
     "es_req_has_parent": q_es_req_has_parent,
     "es_req_nested": q_es_req_nested,
@@ -10997,3 +11044,9 @@ ORDER BY doc_id LIMIT 10
 ORACLE_SQL["ivf_cosine"] = ORACLE_SQL["ivf_exact"]
 ORACLE_SQL["ivf_batch"] = ORACLE_SQL["ann_batch"]
 ORACLE_SQL["semdedup"] = ORACLE_SQL["semdedup_exact"]
+
+
+ORACLE_SQL["xml_ingest"] = """
+SELECT doc_id, 'Doc ' || doc_id AS title, sha256(text) AS sha
+FROM documents WHERE doc_id < 200
+"""

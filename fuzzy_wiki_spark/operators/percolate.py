@@ -32,6 +32,17 @@ MATCHED (doc, query, term) triples (Catalyst plans countDistinct as a
 partial-agg keyed on the triple, then the count — both stages combine
 map-side). Deduplicating the full token stream first would shuffle every
 distinct (doc, term) of the incoming corpus even when no rule matches.
+
+Past broadcast size (ES's percolator serves MILLIONS of stored rules —
+more exploded rule terms than executor memory holds), the plan flips to
+TWO-PHASE: the rules table partitions on term and the token stream
+shuffle-joins it (sort-merge), paying one term-keyed exchange of the
+incoming tokens instead of a broadcast that would OOM. The flip is
+size-gated automatically (a bounded ``limit(cap+1).count()`` probe on
+the rule table — never a full count) and overridable per call; hot-term
+skew in the term-keyed exchange is AQE skew-join territory (the same
+story as the postings build's salted exchange). Both plans compute the
+identical aggregate, pinned in tests/test_percolate.py.
 """
 
 from __future__ import annotations
@@ -40,11 +51,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+BROADCAST_RULE_CAP = 1_000_000
+"""Rule-count gate for the broadcast plan: above this many stored
+rules, the exploded rule-term frame risks exceeding executor memory and
+the two-phase shuffle plan takes over. Override per call with
+``broadcast_rules=``."""
+
+
 def percolate(
     docs: DataFrame,
     queries_df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_rules: bool | None = None,
 ) -> DataFrame:
     """Match documents against stored queries.
 
@@ -52,7 +71,12 @@ def percolate(
     terms must already be analyzed with the same chain as the document
     text. Returns (doc_id, query_id, n_matched) for every (document,
     stored query) pair with n_matched ≥ min_match; a doc matching no
-    rule is absent (the common case — rules are selective)."""
+    rule is absent (the common case — rules are selective).
+
+    ``broadcast_rules``: True forces the broadcast plan, False the
+    two-phase shuffle plan; None (default) size-gates on a bounded
+    rule-count probe against ``BROADCAST_RULE_CAP``. Both plans produce
+    the identical aggregate (module docstring, Scale notes)."""
     doc_tokens = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -64,13 +88,27 @@ def percolate(
         "min_match",
         F.explode(F.array_distinct("terms")).alias("term"),
     )
-    # join BEFORE dedup: the broadcast rule join is the selective filter,
-    # so the countDistinct aggregate (a partial-agg on the matched
-    # (doc, query, term) triple, then the count) is the plan's only
-    # shuffle — it never carries unmatched tokens
+    if broadcast_rules is None:
+        # bounded probe: reads at most cap+1 rule rows, never the corpus
+        broadcast_rules = (
+            queries_df.limit(BROADCAST_RULE_CAP + 1).count()
+            <= BROADCAST_RULE_CAP
+        )
+    if broadcast_rules:
+        # join BEFORE dedup: the broadcast rule join is the selective
+        # filter, so the countDistinct aggregate (a partial-agg on the
+        # matched (doc, query, term) triple, then the count) is the
+        # plan's only shuffle — it never carries unmatched tokens
+        joined = doc_tokens.join(F.broadcast(rule_terms), "term")
+    else:
+        # two-phase: rules partition on term, tokens shuffle to meet
+        # them (sort-merge; the hint blocks Catalyst from re-choosing a
+        # broadcast that the size gate just rejected). Costs one
+        # term-keyed exchange of the incoming tokens; hot-term skew is
+        # handled by AQE skew-join splitting.
+        joined = doc_tokens.join(rule_terms.hint("merge"), "term")
     return (
-        doc_tokens.join(F.broadcast(rule_terms), "term")
-        .groupBy("doc_id", "query_id", "min_match")
+        joined.groupBy("doc_id", "query_id", "min_match")
         .agg(F.countDistinct("term").cast("long").alias("n_matched"))
         .where(F.col("n_matched") >= F.col("min_match"))
         .select("doc_id", "query_id", "n_matched")

@@ -1,0 +1,134 @@
+"""Minimal HTTP serving shim over EsClient (reference O30).
+
+Reference parity: FuzzyWikiApp/.../Server.java:36-91 exposes exactly
+two routes — ``GET /search?query=…`` (top-k JSON) and
+``GET /document/{title}`` (stored-document JSON, 404 when absent) —
+over its Lucene searcher. This shim mirrors those two routes over the
+batch engine's EsClient facade so the one reference entry point with no
+runnable analog here becomes runnable:
+
+    srv = SearchServer(client, doc_key="path")
+    srv.start()            # daemon thread; srv.port
+    GET /search?query=merge+join&k=5
+    GET /document/some%2Fpath.py
+    srv.stop()
+
+Deliberately OUT of the performance gate (BENCH.md never drives it):
+per SURVEY §7 this engine is batch-first, and a Spark driver answering
+one-off point queries over HTTP is a demo of request-shape parity, not
+a serving architecture — Spark's own scheduler latency (~100 ms floor
+per job) dominates. The real serving story at scale is the segment
+read path behind a proper service; the shim exists so a reference user
+can smoke the two URLs end-to-end (tests/test_server.py does exactly
+that).
+
+Query semantics mirror searchHandler: missing ``query`` → 400; the
+query string runs as a ``match`` body on the content field. The
+``forwarding`` flag (the reference's scatter-gather toggle) is
+accepted and ignored — the engine's scatter/gather happens inside the
+one Spark job (O23/O24), so both values serve the merged result, which
+is exactly what ``searchForwardMerge`` returns.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+from pyspark.sql import functions as F
+
+
+class SearchServer:
+    def __init__(self, client, doc_key: str = "path", port: int = 0):
+        """``client``: an EsClient (its ``docs`` frame serves
+        /document). ``doc_key``: the docs column /document/{title}
+        matches against. ``port=0`` picks a free port (read
+        ``self.port`` after ``start``)."""
+        self.client = client
+        self.doc_key = doc_key
+        self._httpd = ThreadingHTTPServer(
+            ("127.0.0.1", port), self._handler_cls()
+        )
+        self.port = self._httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    # -- route implementations (plain dicts in/out, HTTP-free) ---------
+    def do_search(self, query: str, k: int = 10) -> dict:
+        res = self.client.search(
+            {"query": {"match": {"content": query}}, "size": k}
+        )
+        hits = [
+            {"doc_id": r["doc_id"], "score": float(r["score"])}
+            for r in res["hits"].collect()
+        ]
+        return {"query": query, "hits": hits}
+
+    def do_document(self, title: str) -> dict | None:
+        docs = self.client.docs
+        if docs is None:
+            return None
+        rows = docs.where(
+            F.col(self.doc_key) == F.lit(title)
+        ).limit(1).collect()
+        return rows[0].asDict() if rows else None
+
+    # -- HTTP plumbing -------------------------------------------------
+    def _handler_cls(self):
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet test output
+                pass
+
+            def _send(self, code: int, payload: str):
+                body = payload.encode()
+                self.send_response(code)
+                self.send_header(
+                    "Content-Type", "application/json; charset=utf-8"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                if u.path == "/search":
+                    qs = parse_qs(u.query)
+                    if "query" not in qs:
+                        self._send(400, '"query parameter is missing"')
+                        return
+                    k = int(qs.get("k", ["10"])[0])
+                    try:
+                        out = outer.do_search(qs["query"][0], k=k)
+                        self._send(200, json.dumps(out))
+                    except Exception as e:  # searchHandler's 500 path
+                        self._send(500, json.dumps(str(e)))
+                elif u.path.startswith("/document/"):
+                    title = unquote(u.path[len("/document/"):])
+                    doc = outer.do_document(title)
+                    if doc is None:
+                        self._send(
+                            404,
+                            json.dumps(f"Document {title} not found"),
+                        )
+                    else:
+                        self._send(200, json.dumps(doc, default=str))
+                else:
+                    self._send(404, '"no such route"')
+
+        return Handler
+
+    def start(self) -> "SearchServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)

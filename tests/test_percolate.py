@@ -77,3 +77,39 @@ def test_streaming_batch_parity(spark, frames, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert got == _brute()
+
+
+def test_big_rules_shuffle_plan_matches_broadcast(spark):
+    """The two-phase (shuffle-join) plan for beyond-broadcast rule sets
+    must produce the identical aggregate as the broadcast plan, and its
+    physical plan must actually be a non-broadcast term join."""
+    import random
+
+    rng = random.Random(9)
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice("abcdefgh") for _ in range(12)))
+            for i in range(80)
+        ],
+        "doc_id long, text string",
+    )
+    rules = spark.createDataFrame(
+        [
+            (q, rng.sample("abcdefgh", 3), rng.randint(1, 3))
+            for q in range(25)
+        ],
+        "query_id int, terms array<string>, min_match int",
+    )
+    bc = sorted(
+        tuple(r) for r in percolate(docs, rules,
+                                    broadcast_rules=True).collect()
+    )
+    sh = percolate(docs, rules, broadcast_rules=False)
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert sorted(tuple(r) for r in sh.collect()) == bc
+    # the auto gate picks broadcast for a rule table this small
+    auto = percolate(docs, rules)
+    aplan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in aplan

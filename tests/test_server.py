@@ -1,0 +1,68 @@
+"""HTTP shim (server.py) smoke: the two Server.java routes answer over
+real sockets with the engine's results — /search top-k JSON, /document
+point lookup, 400 on missing query, 404 on unknown doc."""
+
+import json
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_wiki_spark.client import EsClient
+from fuzzy_wiki_spark.corpus import generate_docs_df
+from fuzzy_wiki_spark.engine import SegmentIndex
+from fuzzy_wiki_spark.server import SearchServer
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    docs = generate_docs_df(spark, 120, seed=17)
+    idx = SegmentIndex.build(
+        spark,
+        docs,
+        str(tmp_path_factory.mktemp("srv") / "ix"),
+        n_buckets=2,
+        mode="simple",
+    )
+    dv = docs.select(
+        "doc_id",
+        F.concat(F.lit("doc/"), F.col("doc_id")).alias("path"),
+        F.col("content").alias("text"),
+    )
+    srv = SearchServer(EsClient(idx, docs=dv), doc_key="path").start()
+    yield srv
+    srv.stop()
+
+
+def _get(srv, path):
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}{path}", timeout=60
+        ) as r:
+            return r.status, json.loads(r.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+def test_search_route(server):
+    status, out = _get(server, "/search?query=binary%20tree&k=5")
+    assert status == 200
+    assert out["query"] == "binary tree"
+    assert 0 < len(out["hits"]) <= 5
+    scores = [h["score"] for h in out["hits"]]
+    assert scores == sorted(scores, reverse=True)
+    # direct engine call agrees
+    direct = server.do_search("binary tree", k=5)
+    assert out == json.loads(json.dumps(direct))
+
+
+def test_search_missing_query_is_400(server):
+    status, _ = _get(server, "/search")
+    assert status == 400
+
+
+def test_document_route_and_404(server):
+    status, doc = _get(server, "/document/doc%2F7")
+    assert status == 200 and doc["doc_id"] == 7
+    status, _ = _get(server, "/document/doc%2F99999")
+    assert status == 404
