@@ -133,13 +133,16 @@ def main() -> None:
 
     timed("warm_index", _warm, bracket=True)
 
-    # 2) BM25 query set over the persisted index — two measured passes,
+    # 2) BM25 query set over the persisted index — FIVE measured passes,
     # best per query (the box's noisy-neighbor phases strike mid-run too;
-    # the min is the engine's latency, the spread is the VM's)
+    # the min is the engine's latency, the spread is the VM's). Raised
+    # from 2 after the r4 q3/q4 wobble: an isolated 5-rep rerun showed
+    # the path itself got FASTER than r3 (BENCH.md §5), so the extra
+    # reps exist to keep suite-position noise out of the recorded best.
     q_times = []
     for i, q in enumerate(BM25_QUERIES):
         best = None
-        for _ in range(2):
+        for _ in range(5):
             t0 = time.perf_counter()
             idx.search(q, k=10).collect()
             dt = time.perf_counter() - t0
