@@ -3043,6 +3043,29 @@ def q_es_req_has_child(spark, sf_dir):
     return out["hits"]
 
 
+def q_es_req_total(spark, sf_dir):
+    """track_total_hits through the compiler: result["total"] is the
+    exact distinct-doc count of the query's OWN match set — the
+    caller-analyzed terms on the queried field with redirect exclusion
+    (the round-5 fix; count_matches would re-analyze with the porter
+    chain and OR both fields). Returned as a one-row frame so the
+    driver hash-checks the number against the SQL count."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_estt_")
+    out = es_search(
+        idx,
+        {
+            "query": {
+                "match": {"content": " ".join(BM25_QUERY_TERMS)}
+            },
+            "track_total_hits": True,
+            "size": 5,
+        },
+    )
+    return spark.createDataFrame([(int(out["total"]),)], "total long")
+
+
 def q_es_req_has_parent(spark, sf_dir):
     """has_parent through the compiler: parent_type=source, the inner
     term-level DSL filters the parent value, constant score boost=1.5.
@@ -9238,6 +9261,7 @@ QUERIES = {
     "xml_ingest": q_xml_ingest,
     "es_req_has_child": q_es_req_has_child,
     "es_req_has_parent": q_es_req_has_parent,
+    "es_req_total": q_es_req_total,
     "es_req_nested": q_es_req_nested,
     "categorize_text": q_categorize_text,
     "seg_categorize": q_seg_categorize,
@@ -11049,4 +11073,11 @@ ORACLE_SQL["semdedup"] = ORACLE_SQL["semdedup_exact"]
 ORACLE_SQL["xml_ingest"] = """
 SELECT doc_id, 'Doc ' || doc_id AS title, sha256(text) AS sha
 FROM documents WHERE doc_id < 200
+"""
+
+
+ORACLE_SQL["es_req_total"] = f"""
+WITH tf AS ({_TF})
+SELECT count(DISTINCT doc_id)::BIGINT AS total FROM tf
+WHERE term IN {_QTERMS}
 """

@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""ES aggregation family scale bench (BENCH.md §3h).
+
+The most-used search-page aggregations — terms, date_histogram, range,
+cardinality, significant_terms, composite — timed over the match set of
+a postings table built from an existing 800k-doc code corpus, at two
+parallelism levels for the scaling table:
+
+    python scripts/bench_es_aggs.py --input /tmp/fw_code800k --cpus 8
+    python scripts/bench_es_aggs.py --input /tmp/fw_code800k --cpus 32
+
+Prep (untimed): one Arrow tokenize pass builds + persists the postings
+(the aggs serve from an existing index in real life). Query terms are
+picked deterministically from the term-frequency table: the 3
+highest-df terms with df between 0.2 % and 1 % of the corpus (the
+synthetic code vocabulary is bimodal — keywords near 100 %,
+identifiers under ~0.5 % — so this band selects the heaviest
+identifiers), giving a realistic match-set slice, not the whole
+corpus.
+Every section is best-of-2 with the shared phase-control probe
+bracketing the run; each timing collects the full agg result.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from fuzzy_wiki_spark import get_spark
+    from fuzzy_wiki_spark.operators import facets as FC
+    from fuzzy_wiki_spark.operators import postings as P
+    from fuzzy_wiki_spark.phase import phase_control
+
+    control_start = phase_control()
+    spark = get_spark(
+        "bench-es-aggs",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus,
+    )
+    raw = spark.read.parquet(args.input)
+    n_docs = raw.count()
+    # synthetic event time: deterministic spread over ~15 months
+    docs = raw.select(
+        "doc_id",
+        "repo",
+        "lang",
+        F.length("content").alias("n_chars"),
+        F.timestamp_seconds(
+            F.lit(1_600_000_000) + (F.col("doc_id") * 49) % 40_000_000
+        ).alias("ts"),
+    )
+
+    # prep (untimed): postings build + persist — aggs serve an index
+    posts = (
+        P.build_postings(
+            raw.select("doc_id", "content"),
+            fields={"content": "content"},
+            mode="simple",
+        )
+        .select("doc_id", "term")
+        .persist()
+    )
+    n_postings = posts.count()
+    lo, hi = int(n_docs * 0.002), int(n_docs * 0.01)
+    qterms = [
+        r["term"]
+        for r in (
+            posts.groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .where((F.col("df") >= lo) & (F.col("df") <= hi))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(3)
+            .collect()
+        )
+    ]
+    if not qterms:
+        raise SystemExit("no terms in the df band — adjust lo/hi")
+    n_match = FC._matching_docs(posts, qterms, "doc_id").count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn, reps=2):
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    timed(
+        "terms",
+        lambda: FC.facet_counts(posts, docs, qterms, "lang").collect(),
+    )
+    timed(
+        "date_histogram",
+        lambda: FC.date_histogram(
+            posts, docs, qterms, "ts", interval="month"
+        ).collect(),
+    )
+    timed(
+        "range",
+        lambda: FC.range_facets(
+            posts,
+            docs,
+            qterms,
+            [("small", None, 150), ("medium", 150, 250),
+             ("large", 250, None)],
+            F.col("n_chars"),
+        ).collect(),
+    )
+    timed(
+        "cardinality",
+        lambda: FC.facet_cardinality(
+            posts, docs, qterms, "lang", "repo"
+        ).collect(),
+    )
+    timed(
+        "significant_terms",
+        lambda: FC.significant_terms(posts, qterms, k=10).collect(),
+    )
+    # the serving configuration: the background df comes from the
+    # index's term_stats side-channel (built once at index time), so
+    # only the match-set foreground aggregates at query time
+    bg = (
+        posts.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .persist()
+    )
+    bg.count()  # untimed prep — this is the index build's term_stats
+    timed(
+        "significant_terms_sidechannel",
+        lambda: FC.significant_terms(
+            posts, qterms, k=10, bg_stats=bg, bg_total=n_docs
+        ).collect(),
+    )
+    timed(
+        "composite",
+        lambda: FC.composite_agg(
+            posts, docs, qterms, ["lang", "repo"], size=10
+        ).collect(),
+    )
+    control_end = phase_control()
+
+    print(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                "n_postings": n_postings,
+                "n_match": n_match,
+                "qterms": qterms,
+                "cpus": args.cpus,
+                "control_sec": round(
+                    (control_start + control_end) / 2, 4
+                ),
+                "control_sec_start": round(control_start, 4),
+                "control_sec_end": round(control_end, 4),
+                "timings": timings,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
