@@ -939,11 +939,12 @@ def es_search(
     elif kind == "percolate":
         # the ES percolate query: match literal document(s) against the
         # registered-rule frame (query_id, terms, min_match) — the
-        # reverse-search surface (operators/percolate.percolate: one
-        # broadcast rule join, the matched-pairs agg is the only
-        # shuffle). Document text analyzes with the same chain as the
-        # rules; multiple documents carry their list index (or "_id")
-        # as doc_id.
+        # reverse-search surface (operators/percolate.percolate:
+        # broadcast rule join for rule sets under the size gate, the
+        # two-phase term-keyed shuffle join past it; the matched-pairs
+        # agg is the only other shuffle). Document text analyzes with
+        # the same chain as the rules; multiple documents carry their
+        # list index (or "_id") as doc_id.
         if rules is None:
             raise ValueError("percolate requires the rules frame")
         from fuzzy_wiki_spark.operators.percolate import (

@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Zero-framework control for the QUERY path's scaling ceiling.
+
+The §2 build control (mp_control.py) established this box's hardware
+bound for the tokenize/encode kernels; this is the same methodology for
+the serving path: the engine's own per-bucket decode+score kernel
+(operators/segment_query.bucket_topk — block-max WAND, shared decode
+cache per bucket) run under plain ``multiprocessing`` with NO Spark, NO
+shuffle, NO Arrow sockets. Each worker reads its buckets' term-pruned
+segment rows straight from parquet (the same row-group term predicate
+the Spark job pushes) and replays the full query set. Whatever speedup
+N→4N processes achieve here is what the memory subsystem allows for
+this decode-bandwidth-bound workload; the Spark replay's scaling is
+judged against it, not against a perfect 4.0×.
+
+Usage:
+    python scripts/mp_query_control.py --index /tmp/ix8_r5/index \
+        --queries-file /tmp/q480.txt --procs 2 8
+Prints one JSON line with per-proc-count seconds + relative efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+import time
+from multiprocessing import get_context
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _score_buckets(args):
+    bucket_files, all_terms, queries, weights, avgdl, k = args
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(1)
+    import numpy as np
+
+    from fuzzy_wiki_spark.operators.segment_query import bucket_topk
+
+    n_rows = 0
+    for files in bucket_files:
+        tbl = pa.concat_tables(
+            pq.read_table(
+                f, filters=[("term", "in", all_terms)]
+            )
+            for f in files
+        )
+        g = tbl.to_pandas()
+        cache: dict = {}
+        for qid, cls in queries.items():
+            r = bucket_topk(
+                g, cls, weights[qid], avgdl, k,
+                use_maxscore=True, cache=cache,
+            )
+            n_rows += len(r)
+    return n_rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--queries-file", required=True)
+    ap.add_argument("--procs", type=int, nargs="+", default=[2, 8])
+    ap.add_argument("-k", type=int, default=10)
+    args = ap.parse_args()
+
+    import pyarrow.parquet as pq
+
+    from fuzzy_wiki_spark.operators.segment_query import (
+        META_DELETED,
+        META_DL,
+        META_REDIRECT,
+        _query_weights,
+    )
+    from fuzzy_wiki_spark.plans.query import compile_query
+
+    queries_txt = Path(args.queries_file).read_text().split(";")
+
+    # driver-side stats side-channel, exactly what SegmentIndex loads
+    stats = {}
+    for f in glob.glob(f"{args.index}/stats/*.parquet"):
+        for r in pq.read_table(f).to_pylist():
+            stats[r["field"]] = (
+                r["doc_count"], r["sum_dl"] / r["doc_count"]
+            )
+    doc_counts = {f: dc for f, (dc, _) in stats.items()}
+    avgdl = {f: a for f, (_, a) in stats.items()}
+
+    compiled = {
+        qid: compile_query(q) for qid, q in enumerate(queries_txt)
+    }
+    compiled = {qid: c for qid, c in compiled.items() if c}
+    qterms = sorted(
+        {(c.field, t) for cls in compiled.values() for c in cls
+         for t in c.terms}
+    )
+    term_names = sorted({t for _, t in qterms})
+    tdf = {}
+    for f in glob.glob(f"{args.index}/term_stats/*.parquet"):
+        t = pq.read_table(
+            f, filters=[("term", "in", term_names)]
+        )
+        for r in t.to_pylist():
+            tdf[(r["field"], r["term"])] = r["df"]
+    weights = {
+        qid: _query_weights(cls, tdf, doc_counts)
+        for qid, cls in compiled.items()
+    }
+    all_terms = term_names + [META_DL, META_REDIRECT, META_DELETED]
+
+    buckets = sorted(glob.glob(f"{args.index}/segments/bucket=*"))
+    bucket_files = [sorted(glob.glob(f"{b}/*.parquet")) for b in buckets]
+
+    out = {"n_queries": len(compiled), "n_buckets": len(buckets)}
+    times = {}
+    for procs in args.procs:
+        # one chunk per proc, buckets round-robin for balance
+        chunks = [bucket_files[i::procs] for i in range(procs)]
+        work = [
+            (ch, all_terms, compiled, weights, avgdl, args.k)
+            for ch in chunks
+        ]
+        ctx = get_context("spawn")
+        t0 = time.perf_counter()
+        with ctx.Pool(procs) as pool:
+            rows = sum(pool.map(_score_buckets, work))
+        dt = time.perf_counter() - t0
+        times[procs] = dt
+        out[f"sec_p{procs}"] = round(dt, 3)
+        out[f"qps_p{procs}"] = round(len(compiled) / dt, 2)
+        out[f"rows_p{procs}"] = rows
+    if len(args.procs) == 2:
+        a, b = args.procs
+        sp = times[a] / times[b]
+        out["speedup"] = round(sp, 3)
+        out["efficiency_vs_linear"] = round(sp / (b / a), 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

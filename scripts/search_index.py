@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--index", required=True, help="<out>/index dir from build_index.py")
     ap.add_argument("--queries", default=None, help="';'-separated; default reference set")
     ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("--batch-only", action="store_true",
+                    help="skip the per-query latency loop; time only the "
+                         "one-job batch replay (the throughput/scaling path)")
     args = ap.parse_args()
 
     from fuzzy_wiki_spark.corpus import REFERENCE_QUERIES
@@ -54,11 +57,15 @@ def main() -> None:
     idx.search(queries[0], k=args.k).collect()
 
     lat, results = [], {}
-    for q in queries:
-        t0 = time.perf_counter()
-        rows = idx.search(q, k=args.k).collect()
-        lat.append(time.perf_counter() - t0)
-        results[q] = [[int(r["doc_id"]), round(float(r["score"]), 6)] for r in rows]
+    if not args.batch_only:
+        for q in queries:
+            t0 = time.perf_counter()
+            rows = idx.search(q, k=args.k).collect()
+            lat.append(time.perf_counter() - t0)
+            results[q] = [
+                [int(r["doc_id"]), round(float(r["score"]), 6)]
+                for r in rows
+            ]
 
     # batch replay: the whole set in one job (throughput path)
     t0 = time.perf_counter()
@@ -70,9 +77,13 @@ def main() -> None:
         got.setdefault(queries[r["query_id"]], []).append(
             [int(r["doc_id"]), round(float(r["score"]), 6)]
         )
-    batch_identical = all(got.get(q, []) == results[q] for q in queries)
+    batch_identical = (
+        all(got.get(q, []) == results[q] for q in queries)
+        if not args.batch_only
+        else None
+    )
 
-    s = sorted(lat)
+    s = sorted(lat) or [0.0]
     print(json.dumps({
         "n_queries": len(queries),
         "p50_sec": round(s[len(s) // 2], 4),
