@@ -27,7 +27,7 @@ from fuzzy_wiki_spark.plans.query import B, K1, Clause, compile_query
 
 
 def _memo_term_df(
-    owner, term_stats: DataFrame, terms: list[str]
+    owner, term_stats: DataFrame, terms: list[str], fetch=None
 ) -> dict[tuple[str, str], int]:
     """Per-index-instance memoized (field, term) → df lookup.
 
@@ -48,8 +48,18 @@ def _memo_term_df(
     seen: set[str] = owner._tdf_seen
     missing = sorted(set(terms) - seen)
     if missing:
-        for r in term_stats.where(F.col("term").isin(missing)).collect():
-            cache[(r["field"], r["term"])] = r["df"]
+        if fetch is not None:
+            # engine-supplied direct reader (e.g. SegmentIndex's
+            # driver-side pyarrow read of the on-disk term_stats — a
+            # dictionary probe should not cost a Spark job)
+            for f, t, d in fetch(missing):
+                cache[(f, t)] = int(d)
+        else:
+            rows = term_stats.where(
+                F.col("term").isin(missing)
+            ).collect()
+            for r in rows:
+                cache[(r["field"], r["term"])] = r["df"]
         seen.update(missing)
     want = set(terms)
     return {ft: df for ft, df in cache.items() if ft[1] in want}
@@ -755,7 +765,55 @@ class SegmentIndex:
     def _term_df(self, terms: list[str]) -> dict[tuple[str, str], int]:
         if not terms:
             return {}
-        return _memo_term_df(self, self.term_stats, terms)
+        return _memo_term_df(
+            self, self.term_stats, terms,
+            fetch=self._local_term_stats_fetch(),
+        )
+
+    def _local_term_stats_fetch(self):
+        """Direct driver-side pyarrow reader for the on-disk term_stats
+        table, or None when the index has no plain local directory (a
+        from_parts incremental union, or object-store paths) — then the
+        Spark-collect path in _memo_term_df applies. The term dictionary
+        lookup is a driver-side probe of a small side-channel table;
+        reading the parquet files directly with a term filter costs
+        ~0.6 s for 4k terms where the equivalent Spark job costs ~3.5 s
+        (job scheduling + task launch), which was the largest chunk of
+        the batch-replay prologue (BENCH.md §3i). Row-group statistics
+        prune on the term predicate exactly as the Spark scan would."""
+        import glob
+        import os
+
+        path = getattr(self, "path", None)
+        if not path:
+            return None
+        d = os.path.join(path, "term_stats")
+        if not os.path.isdir(d):
+            return None
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        if not files:
+            return None
+
+        def fetch(missing):
+            import pyarrow.parquet as pq
+
+            out = []
+            for f in files:
+                t = pq.read_table(
+                    f,
+                    filters=[("term", "in", list(missing))],
+                    columns=["field", "term", "df"],
+                )
+                out.extend(
+                    zip(
+                        t.column("field").to_pylist(),
+                        t.column("term").to_pylist(),
+                        t.column("df").to_pylist(),
+                    )
+                )
+            return out
+
+        return fetch
 
     def search(self, query: str, k: int = 10) -> DataFrame:
         from fuzzy_wiki_spark.operators.segment_query import search_segments

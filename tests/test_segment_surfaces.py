@@ -234,3 +234,34 @@ def test_terms_enum_pages_cover_dictionary(spark, seg):
     up = [r["term"] for r in idx.terms_enum(
         pfx.upper(), size=1000, case_insensitive=True).collect()]
     assert up == got
+
+
+def test_local_term_stats_fetch_matches_spark_path(spark, tmp_path):
+    """The driver-side pyarrow term_stats reader must return exactly
+    what the Spark-collect path returns (including absent terms staying
+    absent), and only on-disk indexes get it."""
+    from fuzzy_wiki_spark.corpus import generate_docs_df
+    from fuzzy_wiki_spark.engine import SegmentIndex, _memo_term_df
+
+    docs = generate_docs_df(spark, 150, seed=23)
+    idx = SegmentIndex.build(
+        spark, docs, str(tmp_path / "ts_ix"), n_buckets=2, mode="simple"
+    )
+    fetch = idx._local_term_stats_fetch()
+    assert fetch is not None  # on-disk index → direct reader
+    terms = ["binary", "tree", "zzz_absent", "return"]
+    got = idx._term_df(terms)
+
+    class Fresh:  # separate memo owner, Spark path
+        pass
+
+    want = _memo_term_df(Fresh(), idx.term_stats, terms)
+    assert got == want
+    assert all(t != "zzz_absent" for _, t in got)
+
+    # from_parts (no path) falls back to the Spark path
+    idx2 = SegmentIndex.from_parts(
+        spark, idx.segments, idx.term_stats, idx.field_stats
+    )
+    assert idx2._local_term_stats_fetch() is None
+    assert idx2._term_df(terms) == want
