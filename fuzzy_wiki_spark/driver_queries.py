@@ -3066,6 +3066,56 @@ def q_es_req_total(spark, sf_dir):
     return spark.createDataFrame([(int(out["total"]),)], "total long")
 
 
+def q_es_req_range(spark, sf_dir):
+    """Query-context range over a doc value through the compiler:
+    constant-score (boost) matches of the pushdown-able predicate,
+    first-10 by doc_id — ES's range query outside filter context."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_chars", F.length("text")
+    )
+    out = es_search(
+        None,
+        {
+            "query": {
+                "range": {
+                    "n_chars": {"gte": 200, "lt": 400, "boost": 1.5}
+                }
+            },
+            "size": 10,
+        },
+        docs=docs,
+    )
+    return out["hits"]
+
+
+def q_es_req_mlt_doc(spark, sf_dir):
+    """more_like_this with the ES document form ({"like": {"_id": N}})
+    through the compiler — routed to the hash-verified forward-lookup
+    MLT (SegmentIndex.more_like_this). Oracle =
+    ORACLE_SQL["more_like_this"] verbatim (same doc, same m, same k)."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_esml_")
+    out = es_search(
+        idx,
+        {
+            "query": {
+                "more_like_this": {
+                    "fields": ["content"],
+                    "like": {"_id": MLT_DOC_ID},
+                    "max_query_terms": MLT_M,
+                }
+            },
+            "size": 10,
+        },
+    )
+    return out["hits"].select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_es_req_has_parent(spark, sf_dir):
     """has_parent through the compiler: parent_type=source, the inner
     term-level DSL filters the parent value, constant score boost=1.5.
@@ -9262,6 +9312,8 @@ QUERIES = {
     "es_req_has_child": q_es_req_has_child,
     "es_req_has_parent": q_es_req_has_parent,
     "es_req_total": q_es_req_total,
+    "es_req_range": q_es_req_range,
+    "es_req_mlt_doc": q_es_req_mlt_doc,
     "es_req_nested": q_es_req_nested,
     "categorize_text": q_categorize_text,
     "seg_categorize": q_seg_categorize,
@@ -11081,3 +11133,12 @@ WITH tf AS ({_TF})
 SELECT count(DISTINCT doc_id)::BIGINT AS total FROM tf
 WHERE term IN {_QTERMS}
 """
+
+
+ORACLE_SQL["es_req_range"] = """
+SELECT doc_id, 1.5 AS score FROM documents
+WHERE length(text) >= 200 AND length(text) < 400
+ORDER BY doc_id LIMIT 10
+"""
+
+ORACLE_SQL["es_req_mlt_doc"] = ORACLE_SQL["more_like_this"]

@@ -26,8 +26,11 @@ or is rejected, never silently re-interpreted.
   (SegmentIndex.multi_match).
 - ``{"combined_fields": {"query": text, "fields": [...]}}`` — BM25F
   over the synthetic merged field (SegmentIndex.combined_fields).
-- ``{"more_like_this": {"fields": [f], "like": text,
-  "max_query_terms": m}}`` (SegmentIndex.more_like_this_text).
+- ``{"more_like_this": {"fields": [f], "like": text | {"_id": N},
+  "max_query_terms": m}}`` — free text routes to
+  SegmentIndex.more_like_this_text; the document form seeds from the
+  stored doc's top-m tf·idf terms (SegmentIndex.more_like_this, the
+  bucket-pruned forward lookup, source excluded).
 - ``{"query_string": {"query": "<Lucene syntax>"}}`` — the full
   QueryParser subset (+must/-veto, sloppy phrases, wildcard/fuzzy/
   regexp atoms, field selectors, boosts) on the segment-native
@@ -70,6 +73,12 @@ or is rejected, never silently re-interpreted.
 - ``{"percolate": {"document(s)": ...}}`` — literal document(s)
   matched against the registered ``rules`` frame (reverse search via
   operators/percolate).
+
+*Doc-value* (needs ``docs``; constant score = boost, first-k by id)
+- ``{"range": {field: {"gt"/"gte"/"lt"/"lte": v, "boost": b}}}`` /
+  ``{"exists": {"field": f}}`` / ``{"ids": {"values": [...]}}`` —
+  query-context forms of the filter DSL (compile_filter; the predicate
+  folds into the docs scan).
 
 *Join-field* (the repo→file hierarchy; needs ``docs``)
 - ``{"has_child": {"type": join_col, "query": match,
@@ -614,14 +623,28 @@ def es_search(
     elif kind == "more_like_this":
         mlt = query["more_like_this"]
         field = mlt.get("fields", ["content"])[0]
-        words = list(analyze(mlt["like"]))
-        hits = idx.more_like_this_text(
-            words,
-            field=field,
-            m=int(mlt.get("max_query_terms", 10)),
-            k=k_fetch,
-        )
-        qterms = words
+        like = mlt["like"]
+        if isinstance(like, dict):
+            # ES document form {"like": {"_id": N}}: seed terms come
+            # from the stored doc's own top-m tf·idf terms via the
+            # bucket-pruned forward lookup, source doc excluded
+            # (SegmentIndex.more_like_this — Lucene MoreLikeThis)
+            hits = idx.more_like_this(
+                int(like["_id"]),
+                field=field,
+                m=int(mlt.get("max_query_terms", 10)),
+                k=k_fetch,
+            )
+            qterms = []
+        else:
+            words = list(analyze(like))
+            hits = idx.more_like_this_text(
+                words,
+                field=field,
+                m=int(mlt.get("max_query_terms", 10)),
+                k=k_fetch,
+            )
+            qterms = words
     elif kind == "term":
         (field, spec), = query["term"].items()
         val = _value(spec)
@@ -1079,6 +1102,35 @@ def es_search(
             k=k_fetch,
         )
         qterms = [inc]
+    elif kind in ("range", "exists", "ids"):
+        # ES doc-value queries in QUERY context: the match set comes
+        # from the same term-level DSL filter context uses
+        # (operators/boolean.compile_filter — the predicate folds into
+        # the docs scan, pushdown-able), scored constant 1·boost like
+        # ES scores range/exists/ids matches. First-k by doc_id.
+        if docs is None:
+            raise ValueError(f"{kind} requires the docs table")
+        qspec = query[kind]
+        if kind == "range":
+            (fld, bounds), = qspec.items()
+            bounds = dict(bounds)
+            boost = float(bounds.pop("boost", 1.0))
+            flt = {"range": {fld: bounds}}
+        elif kind == "exists":
+            boost = float(qspec.get("boost", 1.0))
+            flt = {"exists": {"field": qspec["field"]}}
+        else:
+            boost = float(qspec.get("boost", 1.0))
+            flt = {"ids": {"values": list(qspec["values"])}}
+        hits = (
+            docs.where(compile_filter(flt))
+            .select(
+                "doc_id", F.lit(float(boost)).alias("score")
+            )
+            .orderBy(F.asc("doc_id"))
+            .limit(k_fetch)
+        )
+        qterms = []
     elif kind == "has_child":
         # ES has_child: return PARENTS whose children match the inner
         # query. Pinned subset: ``type`` names the join-field column on

@@ -1024,3 +1024,43 @@ def test_join_field_kinds(spark, setup):
         es_search(idx, {"query": {"has_child": {
             "type": "src", "query": {"term": {"content": "x"}},
         }}}, docs=docs)
+
+
+def test_doc_value_query_kinds(spark, setup):
+    """range / exists / ids in QUERY context: constant-score matches of
+    the filter-DSL predicate over the docs table, boost honored, first-k
+    by doc_id."""
+    idx, dv = setup
+    out = es_search(None, {"query": {"range": {
+        "n_chars": {"gte": 100, "lt": 260, "boost": 2.0},
+    }}, "size": 6}, docs=dv)
+    want = [
+        r.doc_id
+        for r in dv.where(
+            (F.col("n_chars") >= 100) & (F.col("n_chars") < 260)
+        ).orderBy("doc_id").limit(6).collect()
+    ]
+    got = out["hits"].orderBy("doc_id").collect()
+    assert [r.doc_id for r in got] == want
+    assert all(r.score == 2.0 for r in got)
+
+    out = es_search(None, {"query": {"exists": {"field": "lang"}}},
+                    docs=dv)
+    assert out["hits"].count() == 10  # default size over non-null lang
+
+    out = es_search(None, {"query": {"ids": {"values": [3, 7, 11]}}},
+                    docs=dv)
+    assert sorted(r.doc_id for r in out["hits"].collect()) == [3, 7, 11]
+
+
+def test_more_like_this_by_document_id(spark, setup):
+    """The ES document form {"like": {"_id": N}} routes to the verified
+    forward-lookup MLT and matches calling it directly."""
+    idx, dv = setup
+    out = es_search(idx, {"query": {"more_like_this": {
+        "fields": ["content"], "like": {"_id": 7},
+        "max_query_terms": 8,
+    }}, "size": 6})
+    want = idx.more_like_this(7, field="content", m=8, k=6)
+    assert rows(out["hits"]) == rows(want)
+    assert all(r.doc_id != 7 for r in out["hits"].collect())
