@@ -3116,6 +3116,58 @@ def q_es_req_mlt_doc(spark, sf_dir):
     )
 
 
+def q_es_req_match_and(spark, sf_dir):
+    """ES match with operator=and through the compiler: every analyzed
+    term is required (the clauses become musts), BM25-sum scoring
+    unchanged — the one-scan-one-agg boolean_topk plan."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_esma_")
+    out = es_search(
+        idx,
+        {
+            "query": {
+                "match": {
+                    "content": {
+                        "query": " ".join(BM25_QUERY_TERMS),
+                        "operator": "and",
+                    }
+                }
+            },
+            "size": 10,
+        },
+    )
+    return out["hits"].select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_es_req_msm(spark, sf_dir):
+    """ES match with minimum_should_match=2 through the compiler: docs
+    holding >= 2 distinct query terms survive; the requirement is one
+    more conditional count in the SAME combinable aggregate."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_esmm_")
+    out = es_search(
+        idx,
+        {
+            "query": {
+                "match": {
+                    "content": {
+                        "query": " ".join(BM25_QUERY_TERMS),
+                        "minimum_should_match": 2,
+                    }
+                }
+            },
+            "size": 10,
+        },
+    )
+    return out["hits"].select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_es_req_has_parent(spark, sf_dir):
     """has_parent through the compiler: parent_type=source, the inner
     term-level DSL filters the parent value, constant score boost=1.5.
@@ -9314,6 +9366,8 @@ QUERIES = {
     "es_req_total": q_es_req_total,
     "es_req_range": q_es_req_range,
     "es_req_mlt_doc": q_es_req_mlt_doc,
+    "es_req_match_and": q_es_req_match_and,
+    "es_req_msm": q_es_req_msm,
     "es_req_nested": q_es_req_nested,
     "categorize_text": q_categorize_text,
     "seg_categorize": q_seg_categorize,
@@ -11142,3 +11196,36 @@ ORDER BY doc_id LIMIT 10
 """
 
 ORACLE_SQL["es_req_mlt_doc"] = ORACLE_SQL["more_like_this"]
+
+
+def _bm25_gate_sql(min_terms: int, require_all: bool) -> str:
+    """BM25 over the skeleton terms gated on how many DISTINCT query
+    terms a doc holds — the operator=and / minimum_should_match
+    oracles."""
+    gate = (
+        f"n_matched = {len(BM25_QUERY_TERMS)}"
+        if require_all
+        else f"n_matched >= {min_terms}"
+    )
+    return f"""
+WITH tf AS ({_TF}), dl AS ({_DL}),
+st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl
+       FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN {_QTERMS} GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+              * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) )
+           AS s,
+         count(DISTINCT tf.term) AS n_matched
+  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+WHERE {gate}
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
+ORACLE_SQL["es_req_match_and"] = _bm25_gate_sql(0, require_all=True)
+ORACLE_SQL["es_req_msm"] = _bm25_gate_sql(2, require_all=False)

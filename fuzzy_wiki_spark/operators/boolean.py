@@ -40,11 +40,19 @@ def boolean_topk(
     term_df: dict[tuple[str, str], int],
     field_stats: dict[str, tuple[int, float]],
     k: int = 10,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Top-k (doc_id, score) under MUST/SHOULD/MUST_NOT semantics.
 
     ``term_df`` / ``field_stats`` are the driver-side stats side-channel
     (reference O20), as in operators/topk.py.
+
+    ``min_should_match`` > 0 requires at least that many DISTINCT
+    ``should`` terms per doc (Elasticsearch minimum_should_match —
+    integer form of the pinned subset). It adds one more conditional
+    count to the SAME combinable aggregate, so the plan shape is
+    unchanged: one scan, one partial-agg exchange, a
+    TakeOrderedAndProject finish.
     """
     must, should, must_not = tuple(must), tuple(should), tuple(must_not)
     if set(must) & set(must_not) or set(should) & set(must_not):
@@ -78,9 +86,16 @@ def boolean_topk(
             F.count_distinct(
                 F.when(F.col("term").isin(list(must)), F.col("term"))
             ).alias("_n_must"),
+            F.count_distinct(
+                F.when(F.col("term").isin(list(should)), F.col("term"))
+            ).alias("_n_should"),
             F.max(F.col("term").isin(list(must_not))).alias("_vetoed"),
         )
-        .where((F.col("_n_must") == len(set(must))) & ~F.col("_vetoed"))
+        .where(
+            (F.col("_n_must") == len(set(must)))
+            & ~F.col("_vetoed")
+            & (F.col("_n_should") >= int(min_should_match))
+        )
     )
     return (
         agg.select("doc_id", "score")

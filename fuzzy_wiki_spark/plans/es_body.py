@@ -11,8 +11,13 @@ or is rejected, never silently re-interpreted.
 ``query`` (exactly one rule):
 
 *Full-text*
-- ``{"match": {field: text | {"query": text}}}`` — analyzed OR terms,
-  BM25 sum (boolean should).
+- ``{"match": {field: text | {"query": text, "operator": "or"|"and",
+  "minimum_should_match": n}}}`` — analyzed terms, BM25 sum;
+  ``operator: and`` requires every term (clauses become musts),
+  integer ``minimum_should_match`` keeps docs holding ≥ n distinct
+  terms (one more conditional count in the same combinable
+  aggregate). ``bool`` accepts body-level ``minimum_should_match``
+  the same way.
 - ``{"match_phrase": {field: text}}`` — exact phrase
   (SegmentIndex.phrase).
 - ``{"match_phrase_prefix": {field: text}}`` — last analyzed word is
@@ -278,7 +283,7 @@ def _nested_elem_pred(path: str, dsl: dict):
 
 
 def _total_hits(
-    idx, field, must, should, must_not, filter_ids=None
+    idx, field, must, should, must_not, filter_ids=None, msm=0
 ) -> int:
     """Exact total for the pinned match/bool/term kinds: the distinct
     doc count of the query's OWN match set — the caller's
@@ -311,6 +316,9 @@ def _total_hits(
         F.max(
             F.when(F.col("term").isin(list(should)), 1).otherwise(0)
         ).alias("_hs"),
+        F.count_distinct(
+            F.when(F.col("term").isin(list(should)), F.col("term"))
+        ).alias("_ns"),
         F.max(
             F.when(F.col("term").isin(list(must_not)), 1).otherwise(0)
         ).alias("_hn"),
@@ -320,6 +328,8 @@ def _total_hits(
         cond &= F.col("_nm") == len(set(must))
     else:
         cond &= F.col("_hs") == 1
+    if msm:
+        cond &= F.col("_ns") >= int(msm)
     red = (
         segments_to_postings(
             idx.segments.where(F.col("term") == META_REDIRECT)
@@ -538,7 +548,7 @@ def es_search(
             pred = c if pred is None else (pred & c)
         filter_ids = docs.where(pred).select("doc_id")
 
-    def _boolean(must, should, must_not):
+    def _boolean(must, should, must_not, msm=0):
         all_terms = list(dict.fromkeys(must + should + must_not))
         posts = idx.term_postings(field, sorted(set(all_terms)))
         if filter_ids is not None:
@@ -555,6 +565,7 @@ def es_search(
             term_df,
             idx.field_stats,
             k=k_fetch,
+            min_should_match=msm,
         )
 
     if kind in ("knn", "none"):
@@ -570,7 +581,23 @@ def es_search(
         qterms = []
     elif kind == "match":
         field, words = _match_words(query, analyze)
-        hits = _boolean((), tuple(words), ())
+        (_, mspec), = query["match"].items()
+        op = (
+            mspec.get("operator", "or")
+            if isinstance(mspec, dict)
+            else "or"
+        )
+        msm = (
+            int(mspec.get("minimum_should_match", 0))
+            if isinstance(mspec, dict)
+            else 0
+        )
+        if op == "and":
+            # ES operator=and: every analyzed term is required (the
+            # clauses become musts); scoring is unchanged BM25 sum
+            hits = _boolean(tuple(words), (), ())
+        else:
+            hits = _boolean((), tuple(words), (), msm)
         qterms = words
     elif kind == "match_phrase":
         (field, text), = query["match_phrase"].items()
@@ -711,7 +738,12 @@ def es_search(
         seen_field = None
 
         must, should, must_not = slot("must"), slot("should"), slot("must_not")
-        hits = _boolean(must, should, must_not)
+        hits = _boolean(
+            must,
+            should,
+            must_not,
+            int(b.get("minimum_should_match", 0)),
+        )
         qterms = list(must + should)
     elif kind == "dis_max":
         words = []
@@ -1263,8 +1295,20 @@ def es_search(
 
     # --- total hit count ------------------------------------------------
     if body.get("track_total_hits"):
+        tt_msm = 0
         if kind == "match":
-            tt = ((), tuple(qterms), ())
+            (_, _mspec), = query["match"].items()
+            if isinstance(_mspec, dict) and _mspec.get(
+                "operator", "or"
+            ) == "and":
+                tt = (tuple(qterms), (), ())
+            else:
+                tt = ((), tuple(qterms), ())
+                tt_msm = (
+                    int(_mspec.get("minimum_should_match", 0))
+                    if isinstance(_mspec, dict)
+                    else 0
+                )
         elif kind == "term":
             tt = (tuple(qterms), (), ())
         elif kind == "bool":
@@ -1277,11 +1321,14 @@ def es_search(
                     ws.extend(lws)
                 slots[name] = tuple(dict.fromkeys(ws))
             tt = (slots["must"], slots["should"], slots["must_not"])
+            tt_msm = int(b.get("minimum_should_match", 0))
         else:
             raise ValueError(
                 "track_total_hits pinned to match/bool/term queries"
             )
-        total = _total_hits(idx, field, *tt, filter_ids=filter_ids)
+        total = _total_hits(
+            idx, field, *tt, filter_ids=filter_ids, msm=tt_msm
+        )
 
     # --- rescore (Lucene QueryRescorer; replaces the first-pass hits).
     # Built from the compiler's own analyzed terms — NOT

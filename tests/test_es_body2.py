@@ -1064,3 +1064,52 @@ def test_more_like_this_by_document_id(spark, setup):
     want = idx.more_like_this(7, field="content", m=8, k=6)
     assert rows(out["hits"]) == rows(want)
     assert all(r.doc_id != 7 for r in out["hits"].collect())
+
+
+def test_match_operator_and_minimum_should_match(spark, setup):
+    """match operator=and requires every analyzed term;
+    minimum_should_match keeps only docs with >= n distinct should
+    terms; totals agree with the hits' own match set in both modes."""
+    idx, dv = setup
+    qtext = "binary tree search"
+    words = ["binary", "tree", "search"]
+
+    out_and = es_search(idx, {"query": {"match": {"content": {
+        "query": qtext, "operator": "and"}}}, "size": 500,
+        "track_total_hits": True})
+    want = idx.boolean(tuple(words), (), (), k=500)
+    assert rows(out_and["hits"]) == rows(want)
+    assert out_and["total"] == out_and["hits"].count()
+
+    out_msm = es_search(idx, {"query": {"match": {"content": {
+        "query": qtext, "minimum_should_match": 2}}}, "size": 500,
+        "track_total_hits": True})
+    got = out_msm["hits"]
+    assert out_msm["total"] == got.count()
+    # every hit holds >= 2 of the 3 terms; compare with the OR set
+    out_or = es_search(idx, {"query": {"match": {
+        "content": qtext}}, "size": 500})
+    assert 0 < got.count() < out_or["hits"].count()
+    ids_msm = {r.doc_id for r in got.collect()}
+    posts = idx.term_postings("content", words, with_dl=False)
+    from pyspark.sql import functions as _F
+
+    n_by_doc = {
+        r.doc_id: r.n
+        for r in posts.groupBy("doc_id")
+        .agg(_F.countDistinct("term").alias("n"))
+        .collect()
+    }
+    assert ids_msm == {d for d, n in n_by_doc.items() if n >= 2}
+
+    # bool body-level minimum_should_match
+    out_b = es_search(idx, {"query": {"bool": {
+        "should": [{"match": {"content": "binary"}},
+                   {"match": {"content": "tree"}},
+                   {"match": {"content": "search"}}],
+        "minimum_should_match": 3,
+    }}, "size": 500, "track_total_hits": True})
+    assert out_b["total"] == out_b["hits"].count()
+    assert {r.doc_id for r in out_b["hits"].collect()} == {
+        d for d, n in n_by_doc.items() if n >= 3
+    }
