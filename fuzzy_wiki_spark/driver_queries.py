@@ -3168,6 +3168,41 @@ def q_es_req_msm(spark, sf_dir):
     )
 
 
+def q_es_req_subaggs(spark, sf_dir):
+    """terms bucket agg with metric sub-aggregations through the
+    compiler: buckets by lang over the skeleton match set with
+    avg/max(n_chars) and cardinality(source) — ONE combinable groupBy
+    computes the count and every metric (facets.terms_with_metrics)."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_essa_")
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_chars", F.length("text")
+    )
+    out = es_search(
+        idx,
+        {
+            "query": {
+                "match": {"content": " ".join(BM25_QUERY_TERMS)}
+            },
+            "aggs": {
+                "by_lang": {
+                    "terms": {"field": "lang"},
+                    "aggs": {
+                        "avg_len": {"avg": {"field": "n_chars"}},
+                        "max_len": {"max": {"field": "n_chars"}},
+                        "n_sources": {
+                            "cardinality": {"field": "source"}
+                        },
+                    },
+                }
+            },
+        },
+        docs=docs,
+    )
+    return out["aggregations"]["by_lang"]
+
+
 def q_es_req_has_parent(spark, sf_dir):
     """has_parent through the compiler: parent_type=source, the inner
     term-level DSL filters the parent value, constant score boost=1.5.
@@ -9368,6 +9403,7 @@ QUERIES = {
     "es_req_mlt_doc": q_es_req_mlt_doc,
     "es_req_match_and": q_es_req_match_and,
     "es_req_msm": q_es_req_msm,
+    "es_req_subaggs": q_es_req_subaggs,
     "es_req_nested": q_es_req_nested,
     "categorize_text": q_categorize_text,
     "seg_categorize": q_seg_categorize,
@@ -11229,3 +11265,15 @@ ORDER BY s DESC, doc_id LIMIT 10
 
 ORACLE_SQL["es_req_match_and"] = _bm25_gate_sql(0, require_all=True)
 ORACLE_SQL["es_req_msm"] = _bm25_gate_sql(2, require_all=False)
+
+
+ORACLE_SQL["es_req_subaggs"] = f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN {_QTERMS})
+SELECT d.lang, count(*)::BIGINT AS n_docs,
+       round(avg(length(d.text)), 6) AS avg_len,
+       max(length(d.text)) AS max_len,
+       count(DISTINCT d.source)::BIGINT AS n_sources
+FROM m JOIN documents d USING(doc_id)
+GROUP BY d.lang
+"""

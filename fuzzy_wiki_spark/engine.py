@@ -1416,6 +1416,27 @@ class SegmentIndex:
         posts = self.term_postings(field, sorted(set(terms)), with_dl=False)
         return _facet_counts(posts, docs, sorted(set(terms)), facet_col)
 
+    def terms_with_metrics(
+        self,
+        terms: list[str],
+        docs: DataFrame,
+        facet_col: str,
+        metrics: list,
+        field: str = "content",
+    ) -> DataFrame:
+        """ES terms bucket agg with metric sub-aggregations on the
+        serving path: term-pruned segment decode for the match set, ONE
+        combinable groupBy for bucket count + every sub-metric
+        (operators/facets.terms_with_metrics)."""
+        from fuzzy_wiki_spark.operators.facets import (
+            terms_with_metrics as _twm,
+        )
+
+        posts = self.term_postings(
+            field, sorted(set(terms)), with_dl=False
+        )
+        return _twm(posts, docs, sorted(set(terms)), facet_col, metrics)
+
     def facet_topk(
         self,
         query: str,

@@ -114,6 +114,49 @@ def histogram_facet(
     )
 
 
+def terms_with_metrics(
+    postings: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    facet_col: str,
+    metrics: list,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(facet, n_docs, <metric columns>): the Elasticsearch
+    bread-and-butter `terms` bucket agg with METRIC SUB-AGGREGATIONS —
+    every sub-metric rides the SAME single combinable groupBy as the
+    bucket count, so "terms by lang with avg(size), max(stars)" costs
+    exactly one aggregation over the match set, never one pass per
+    metric (ES likewise computes sub-aggs inside the bucket collector).
+
+    ``metrics``: [(out_name, kind, value_col_or_Column)] with kind in
+    avg / sum / min / max / value_count / cardinality. avg and sum are
+    rounded to 6 dp (the engine-wide float-oracle contract)."""
+    fns = {
+        "avg": lambda c: F.round(F.avg(c), 6),
+        "sum": lambda c: F.round(F.sum(c), 6),
+        "min": lambda c: F.min(c),
+        "max": lambda c: F.max(c),
+        "value_count": lambda c: F.count(c),
+        "cardinality": lambda c: F.count_distinct(c),
+    }
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    cols = {facet_col}
+    for mname, kind, col in metrics:
+        if kind not in fns:
+            raise ValueError(f"unsupported sub-metric: {kind}")
+        c = F.col(col) if isinstance(col, str) else col
+        if isinstance(col, str):
+            cols.add(col)
+        aggs.append(fns[kind](c).alias(mname))
+    return (
+        _matching_docs(postings, terms, id_col)
+        .join(docs.select(id_col, *sorted(cols)), id_col)
+        .groupBy(facet_col)
+        .agg(*aggs)
+    )
+
+
 def facet_cardinality(
     postings: DataFrame,
     docs: DataFrame,

@@ -163,7 +163,9 @@ Top level:
   ``result["suggest"][name]``.
 - ``_source``: [cols] → stored fields joined from ``docs`` onto the
   k-row hits frame (docstore split — never the corpus).
-- ``aggs``: ``terms`` / ``stats`` / ``date_histogram`` / ``range`` /
+- ``aggs``: ``terms`` (with metric sub-``aggs`` — avg/sum/min/max/
+  value_count/cardinality, all inside ONE combinable groupBy) /
+  ``stats`` / ``date_histogram`` / ``range`` /
   ``histogram`` / ``cardinality`` / ``percentiles`` / ``value_count``
   / ``missing`` / ``global`` / ``filters`` / ``significant_terms`` /
   ``top_metrics`` / ``date_range`` / ``auto_date_histogram`` /
@@ -1536,7 +1538,8 @@ def es_search(
 
     # --- aggregations over the query's match set ----------------------
     for name, spec in body.get("aggs", {}).items():
-        akind = next(iter(spec))
+        # the sub-agg body ("aggs") sits BESIDE the kind key in ES
+        akind = next(k for k in spec if k != "aggs")
         abody = spec[akind]
         if docs is None and akind not in ("filters", "significant_terms"):
             raise ValueError("aggs require the docs table")
@@ -1545,7 +1548,21 @@ def es_search(
             return F.expr(ab["script"]) if "script" in ab else ab["field"]
 
         if akind == "terms":
-            aggs_out[name] = idx.facet_counts(qterms, docs, abody["field"])
+            sub = spec.get("aggs")
+            if sub:
+                # metric sub-aggregations: each rides the SAME single
+                # combinable groupBy as the bucket count
+                metrics = []
+                for mname, mspec in sub.items():
+                    (mkind, mb), = mspec.items()
+                    metrics.append((mname, mkind, mb["field"]))
+                aggs_out[name] = idx.terms_with_metrics(
+                    qterms, docs, abody["field"], metrics
+                )
+            else:
+                aggs_out[name] = idx.facet_counts(
+                    qterms, docs, abody["field"]
+                )
         elif akind == "stats":
             aggs_out[name] = idx.facet_stats(
                 qterms, docs, abody.get("group_by", "lang"), _val(abody)

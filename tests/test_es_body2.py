@@ -1113,3 +1113,54 @@ def test_match_operator_and_minimum_should_match(spark, setup):
     assert {r.doc_id for r in out_b["hits"].collect()} == {
         d for d, n in n_by_doc.items() if n >= 3
     }
+
+
+def test_terms_agg_with_metric_subaggs(spark, setup):
+    """terms bucket agg with metric sub-aggregations: one combinable
+    groupBy computes the bucket count and every sub-metric; values
+    match per-bucket recomputation."""
+    idx, dv = setup
+    out = es_search(idx, {
+        "query": {"match": {"content": "binary tree"}},
+        "aggs": {"by_lang": {
+            "terms": {"field": "lang"},
+            "aggs": {
+                "avg_len": {"avg": {"field": "n_chars"}},
+                "max_len": {"max": {"field": "n_chars"}},
+                "n_reqs": {"cardinality": {"field": "req"}},
+            },
+        }},
+    }, docs=dv)
+    agg = out["aggregations"]["by_lang"]
+    assert set(agg.columns) == {
+        "lang", "n_docs", "avg_len", "max_len", "n_reqs"
+    }
+    rows_ = {r.lang: r for r in agg.collect()}
+    assert rows_
+    # recompute one bucket by hand over the match set
+    match = (
+        idx.term_postings("content", ["binary", "tree"], with_dl=False)
+        .select("doc_id").distinct()
+        .join(dv, "doc_id")
+    )
+    some_lang = next(iter(rows_))
+    want = match.where(F.col("lang") == some_lang).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("n_chars"), 6).alias("a"),
+        F.max("n_chars").alias("m"),
+        F.countDistinct("req").alias("c"),
+    ).collect()[0]
+    got = rows_[some_lang]
+    assert (got.n_docs, got.avg_len, got.max_len, got.n_reqs) == (
+        want.n, want.a, want.m, want.c
+    )
+    # plan: ONE docs join feeds every metric (no per-metric joins), no
+    # Expand (count_distinct plans as a two-phase agg, not a rollup)
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Expand" not in final
+    njoin = sum(
+        final.count(j)
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert njoin <= 2, final
