@@ -3203,6 +3203,34 @@ def q_es_req_subaggs(spark, sf_dir):
     return out["aggregations"]["by_lang"]
 
 
+def q_es_req_top_hits(spark, sf_dir):
+    """top_hits sub-agg through the compiler: top-2 hits within each
+    lang bucket of the skeleton match — full-set scoring, facet join,
+    window rank partitioned by facet (facets.grouped_topk)."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_esth_")
+    docs = _docs(spark, sf_dir)
+    out = es_search(
+        idx,
+        {
+            "query": {
+                "match": {"content": " ".join(BM25_QUERY_TERMS)}
+            },
+            "aggs": {
+                "by_lang": {
+                    "terms": {"field": "lang"},
+                    "aggs": {"top": {"top_hits": {"size": 2}}},
+                }
+            },
+        },
+        docs=docs,
+    )
+    return out["aggregations"]["by_lang"].select(
+        "lang", "doc_id", "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def q_es_req_has_parent(spark, sf_dir):
     """has_parent through the compiler: parent_type=source, the inner
     term-level DSL filters the parent value, constant score boost=1.5.
@@ -9404,6 +9432,7 @@ QUERIES = {
     "es_req_match_and": q_es_req_match_and,
     "es_req_msm": q_es_req_msm,
     "es_req_subaggs": q_es_req_subaggs,
+    "es_req_top_hits": q_es_req_top_hits,
     "es_req_nested": q_es_req_nested,
     "categorize_text": q_categorize_text,
     "seg_categorize": q_seg_categorize,
@@ -11276,4 +11305,26 @@ SELECT d.lang, count(*)::BIGINT AS n_docs,
        count(DISTINCT d.source)::BIGINT AS n_sources
 FROM m JOIN documents d USING(doc_id)
 GROUP BY d.lang
+"""
+
+
+ORACLE_SQL["es_req_top_hits"] = f"""
+WITH tf AS ({_TF}), dl AS ({_DL}),
+st AS (SELECT count(*) AS doc_count, sum(dl)::DOUBLE/count(*) AS avgdl
+       FROM dl),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        WHERE term IN {_QTERMS} GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         round(sum( ln(1 + (st.doc_count - dfq.df + 0.5)/(dfq.df + 0.5))
+              * tf.tf / (tf.tf + {K1}*(1 - {B} + {B}*dl.dl/st.avgdl)) ),
+               6) AS score
+  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id),
+r AS (
+  SELECT d.lang, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY sc.score DESC, sc.doc_id) AS rank
+  FROM sc JOIN documents d USING(doc_id))
+SELECT lang, doc_id, score, rank::INT AS rank FROM r WHERE rank <= 2
 """

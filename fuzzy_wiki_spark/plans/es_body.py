@@ -55,8 +55,8 @@ or is rejected, never silently re-interpreted.
 
 *Compound*
 - ``{"bool": {"must": [...], "should": [...], "must_not": [...],
-  "filter": [...]}}`` — must/should/must_not are ``match`` leaves on
-  ONE field (Lucene BooleanQuery via operators/boolean.boolean_topk);
+  "filter": [...]}}`` — must/should/must_not are ``match`` or
+  unanalyzed ``term`` leaves on ONE field (Lucene BooleanQuery via operators/boolean.boolean_topk);
   ``filter`` is the term-level DSL (operators/boolean.compile_filter)
   over the ``docs`` table, applied BEFORE ranking with corpus-wide
   stats (ES filter context: restricts, never scores).
@@ -164,7 +164,9 @@ Top level:
 - ``_source``: [cols] → stored fields joined from ``docs`` onto the
   k-row hits frame (docstore split — never the corpus).
 - ``aggs``: ``terms`` (with metric sub-``aggs`` — avg/sum/min/max/
-  value_count/cardinality, all inside ONE combinable groupBy) /
+  value_count/cardinality, all inside ONE combinable groupBy — or a
+  ``top_hits`` sub-agg: top-m hits within each bucket via
+  facet-partitioned window rank over the full scored set) /
   ``stats`` / ``date_histogram`` / ``range`` /
   ``histogram`` / ``cardinality`` / ``percentiles`` / ``value_count``
   / ``missing`` / ``global`` / ``filters`` / ``significant_terms`` /
@@ -194,6 +196,16 @@ def _match_words(rule: dict, analyze) -> tuple[str, list[str]]:
     (field, body), = rule["match"].items()
     text = body["query"] if isinstance(body, dict) else body
     return field, list(analyze(text))
+
+
+def _leaf_words(leaf: dict, analyze) -> tuple[str, list[str]]:
+    """bool-slot leaf → (field, words): an analyzed ``match`` leaf or a
+    single-term unanalyzed ``term`` leaf (the Lucene TermQuery form ES
+    users mix freely into bool slots)."""
+    if set(leaf) == {"term"}:
+        (field, spec), = leaf["term"].items()
+        return field, [_value(spec)]
+    return _match_words(leaf, analyze)
 
 
 def _value(spec) -> str:
@@ -725,7 +737,7 @@ def es_search(
         def slot(name):
             words: list[str] = []
             for leaf in b.get(name, []):
-                f2, ws = _match_words(leaf, analyze)
+                f2, ws = _leaf_words(leaf, analyze)
                 nonlocal field, seen_field
                 if seen_field is not None and f2 != seen_field:
                     raise ValueError(
@@ -1319,7 +1331,7 @@ def es_search(
             for name in ("must", "should", "must_not"):
                 ws: list[str] = []
                 for leaf in b.get(name, []):
-                    _, lws = _match_words(leaf, analyze)
+                    _, lws = _leaf_words(leaf, analyze)
                     ws.extend(lws)
                 slots[name] = tuple(dict.fromkeys(ws))
             tt = (slots["must"], slots["should"], slots["must_not"])
@@ -1549,7 +1561,47 @@ def es_search(
 
         if akind == "terms":
             sub = spec.get("aggs")
-            if sub:
+            if sub and any("top_hits" in m for m in sub.values()):
+                # ES top_hits sub-agg: the top-m hits WITHIN each bucket
+                # — full-set scoring (a global-k θ bound could prune a
+                # small bucket's winners), facet join, window rank
+                # partitioned by facet (facets.grouped_topk)
+                if len(sub) != 1:
+                    raise ValueError(
+                        "top_hits must be the only sub-agg in the "
+                        "pinned subset"
+                    )
+                (th_body,), = [list(sub.values())[0].values()]
+                m = int(th_body.get("size", 3))
+                from fuzzy_wiki_spark.operators.facets import (
+                    grouped_topk as _fgt,
+                )
+                from fuzzy_wiki_spark.operators.segment_query import (
+                    search_segments_batch,
+                )
+                from fuzzy_wiki_spark.plans.query import Clause
+
+                clauses = [
+                    Clause(i, field, (t,), 1.0, 0, False)
+                    for i, t in enumerate(qterms)
+                ]
+                full = search_segments_batch(
+                    idx.spark,
+                    idx.segments,
+                    {0: clauses},
+                    idx._term_df(list(qterms)),
+                    idx.field_stats,
+                    k=None,
+                ).select(
+                    "doc_id", F.round("score", 6).alias("score")
+                )
+                scored = full.join(
+                    docs.select("doc_id", abody["field"]), "doc_id"
+                )
+                aggs_out[name] = _fgt(
+                    scored, facet_col=abody["field"], k=m
+                )
+            elif sub:
                 # metric sub-aggregations: each rides the SAME single
                 # combinable groupBy as the bucket count
                 metrics = []

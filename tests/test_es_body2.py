@@ -1164,3 +1164,50 @@ def test_terms_agg_with_metric_subaggs(spark, setup):
         for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
     )
     assert njoin <= 2, final
+
+
+def test_top_hits_subagg_and_term_bool_leaves(spark, setup):
+    """top_hits under a terms bucket returns the top-m hits within each
+    facet value; bool slots accept unanalyzed term leaves."""
+    idx, dv = setup
+    out = es_search(idx, {
+        "query": {"match": {"content": "binary tree"}},
+        "aggs": {"by_lang": {
+            "terms": {"field": "lang"},
+            "aggs": {"top": {"top_hits": {"size": 2}}},
+        }},
+    }, docs=dv)
+    agg = out["aggregations"]["by_lang"]
+    got = agg.collect()
+    assert got and all(r.rank <= 2 for r in got)
+    # per-facet winners match a manual window over the full scored set
+    from fuzzy_wiki_spark.operators.segment_query import (
+        search_segments_batch,
+    )
+    from fuzzy_wiki_spark.plans.query import Clause
+    from pyspark.sql import Window
+
+    clauses = [Clause(i, "content", (t,), 1.0, 0, False)
+               for i, t in enumerate(["binary", "tree"])]
+    full = search_segments_batch(
+        spark, idx.segments, {0: clauses},
+        idx._term_df(["binary", "tree"]), idx.field_stats, k=None,
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    want = (
+        full.join(dv.select("doc_id", "lang"), "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2)
+    )
+    assert rows(agg) == rows(want)
+
+    # term leaves inside bool slots (unanalyzed)
+    out = es_search(idx, {"query": {"bool": {
+        "must": [{"term": {"content": "binary"}}],
+        "should": [{"match": {"content": "tree"}}],
+        "must_not": [{"term": {"content": "walk"}}],
+    }}, "size": 8})
+    want2 = idx.boolean(("binary",), ("tree",), ("walk",), k=8)
+    assert rows(out["hits"]) == rows(want2)
