@@ -61,8 +61,9 @@ or is rejected, never silently re-interpreted.
   over the ``docs`` table, applied BEFORE ranking with corpus-wide
   stats (ES filter context: restricts, never scores).
 - ``{"dis_max": {"queries": [match leaves], "tie_breaker": t}}``.
-- ``{"constant_score": {"filter": {"terms": {field: [...]}},
-  "boost": b}}``.
+- ``{"constant_score": {"filter": <rule>, "boost": b}}`` — a
+  ``terms`` filter serves from the index (TermInSetQuery rewrite); any
+  other rule runs as the doc-value filter DSL over ``docs``.
 - ``{"boosting": {"positive": match, "negative": match,
   "negative_boost": b}}`` (SegmentIndex.boosting).
 - ``{"pinned": {"ids": [...], "organic": match}}`` — needs ``docs``
@@ -762,7 +763,7 @@ def es_search(
     elif kind == "dis_max":
         words = []
         for leaf in query["dis_max"]["queries"]:
-            field, ws = _match_words(leaf, analyze)
+            field, ws = _leaf_words(leaf, analyze)
             words.extend(ws)
         hits = idx.dis_max(
             list(dict.fromkeys(words)),
@@ -773,16 +774,32 @@ def es_search(
         qterms = words
     elif kind == "constant_score":
         flt = query["constant_score"]["filter"]
-        if set(flt) != {"terms"}:
-            raise ValueError("constant_score subset supports a terms filter")
-        (field, terms), = flt["terms"].items()
-        hits = idx.constant_score(
-            list(terms),
-            field="content",
-            boost=float(query["constant_score"].get("boost", 1.0)),
-            k=k_fetch,
-        )
-        qterms = list(terms)
+        boost = float(query["constant_score"].get("boost", 1.0))
+        if set(flt) == {"terms"}:
+            # index-served any-of (Lucene TermInSetQuery rewrite)
+            (field, terms), = flt["terms"].items()
+            hits = idx.constant_score(
+                list(terms), field="content", boost=boost, k=k_fetch
+            )
+            qterms = list(terms)
+        else:
+            # any other filter rule runs as the doc-value DSL over the
+            # docs table (compile_filter), constant score = boost —
+            # ES's constant_score over arbitrary filter context
+            if docs is None:
+                raise ValueError(
+                    "constant_score over a non-terms filter requires "
+                    "the docs table"
+                )
+            hits = (
+                docs.where(compile_filter(flt))
+                .select(
+                    "doc_id", F.lit(float(boost)).alias("score")
+                )
+                .orderBy(F.asc("doc_id"))
+                .limit(k_fetch)
+            )
+            qterms = []
     elif kind == "boosting":
         bq = query["boosting"]
         field, pos = _match_words(bq["positive"], analyze)

@@ -1211,3 +1211,28 @@ def test_top_hits_subagg_and_term_bool_leaves(spark, setup):
     }}, "size": 8})
     want2 = idx.boolean(("binary",), ("tree",), ("walk",), k=8)
     assert rows(out["hits"]) == rows(want2)
+
+
+def test_constant_score_general_filter_and_dis_max_term(spark, setup):
+    idx, dv = setup
+    out = es_search(None, {"query": {"constant_score": {
+        "filter": {"range": {"n_chars": {"gte": 150}}},
+        "boost": 3.0,
+    }}, "size": 7}, docs=dv)
+    want = [
+        r.doc_id
+        for r in dv.where(F.col("n_chars") >= 150)
+        .orderBy("doc_id").limit(7).collect()
+    ]
+    got = out["hits"].orderBy("doc_id").collect()
+    assert [r.doc_id for r in got] == want
+    assert all(r.score == 3.0 for r in got)
+
+    out = es_search(idx, {"query": {"dis_max": {
+        "queries": [{"term": {"content": "binary"}},
+                    {"match": {"content": "tree"}}],
+        "tie_breaker": 0.4,
+    }}, "size": 6})
+    want2 = idx.dis_max(["binary", "tree"], field="content",
+                        tie_breaker=0.4, k=6)
+    assert rows(out["hits"]) == rows(want2)
