@@ -3231,6 +3231,34 @@ def q_es_req_top_hits(spark, sf_dir):
     )
 
 
+def q_es_req_sort_multi(spark, sf_dir):
+    """Multi-field doc-value sort through the compiler: skeleton match
+    set ordered by (lang asc, length(text) desc, doc_id) — no scoring
+    at all; pruned scan, distinct match set, doc-value join,
+    TakeOrderedAndProject (multi_match.sort_by_fields_topk)."""
+    from fuzzy_wiki_spark.plans.es_body import es_search
+
+    idx = _seg_simple_index(spark, sf_dir, "fw_essm_")
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_chars", F.length("text")
+    )
+    out = es_search(
+        idx,
+        {
+            "query": {
+                "match": {"content": " ".join(BM25_QUERY_TERMS)}
+            },
+            "sort": [
+                {"lang": {"order": "asc"}},
+                {"n_chars": {"order": "desc"}},
+            ],
+            "size": 10,
+        },
+        docs=docs,
+    )
+    return out["hits"].select("doc_id", "lang", "n_chars")
+
+
 def q_es_req_has_parent(spark, sf_dir):
     """has_parent through the compiler: parent_type=source, the inner
     term-level DSL filters the parent value, constant score boost=1.5.
@@ -9433,6 +9461,7 @@ QUERIES = {
     "es_req_msm": q_es_req_msm,
     "es_req_subaggs": q_es_req_subaggs,
     "es_req_top_hits": q_es_req_top_hits,
+    "es_req_sort_multi": q_es_req_sort_multi,
     "es_req_nested": q_es_req_nested,
     "categorize_text": q_categorize_text,
     "seg_categorize": q_seg_categorize,
@@ -11327,4 +11356,14 @@ r AS (
                             ORDER BY sc.score DESC, sc.doc_id) AS rank
   FROM sc JOIN documents d USING(doc_id))
 SELECT lang, doc_id, score, rank::INT AS rank FROM r WHERE rank <= 2
+"""
+
+
+ORACLE_SQL["es_req_sort_multi"] = f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN {_QTERMS})
+SELECT d.doc_id, d.lang, length(d.text) AS n_chars
+FROM m JOIN documents d USING(doc_id)
+ORDER BY d.lang ASC, length(d.text) DESC, d.doc_id
+LIMIT 10
 """

@@ -2345,6 +2345,28 @@ class SegmentIndex:
             ascending=ascending, after=after,
         )
 
+    def sort_by_fields(
+        self,
+        words: list[str],
+        docs: DataFrame,
+        sort_spec: list,
+        field: str = "content",
+        k: int = 10,
+        after: tuple | None = None,
+    ) -> DataFrame:
+        """Multi-field doc-value sort with lexicographic search_after on
+        the serving path (operators/multi_match.sort_by_fields_topk)."""
+        from fuzzy_wiki_spark.operators.multi_match import (
+            sort_by_fields_topk,
+        )
+
+        posts = self.term_postings(
+            field, sorted(set(words)), with_dl=False
+        )
+        return sort_by_fields_topk(
+            posts, field, list(words), docs, sort_spec, k=k, after=after
+        )
+
     def _full_scores(self, query: str) -> DataFrame:
         """FULL (unranked) scored match set of a query — the shared first
         pass of the sampler aggs (k=None: the sample cut happens in the

@@ -343,6 +343,56 @@ def sort_by_field_topk(
     return out.orderBy(*order).limit(k)
 
 
+def sort_by_fields_topk(
+    postings: DataFrame,
+    field: str,
+    words: list[str],
+    docs: DataFrame,
+    sort_spec: list,
+    k: int = 10,
+    id_col: str = "doc_id",
+    after: tuple | None = None,
+) -> DataFrame:
+    """Multi-field doc-value sort — ES ``sort: [{f1: ...}, {f2: ...}]``
+    with ``search_after``. Same plan as sort_by_field_topk (pruned scan
+    → distinct match set → doc-value join → TakeOrderedAndProject);
+    ``sort_spec`` is [(col, ascending)], doc_id is always the final
+    tiebreak, and the cursor is the previous page's
+    (v1, ..., vn, doc_id) applied as the LEXICOGRAPHIC strict
+    inequality over the mixed-direction key — evaluated scan-side, so
+    page N costs page 1 (no deep-paging offset)."""
+    matched = (
+        postings.where(
+            F.col("term").isin(list(words)) & (F.col("field") == field)
+        )
+        .select(id_col)
+        .distinct()
+    )
+    cols = [c for c, _ in sort_spec]
+    out = matched.join(docs.select(id_col, *cols), id_col)
+    keys = [(F.col(c), asc) for c, asc in sort_spec] + [
+        (F.col(id_col), True)
+    ]
+    if after is not None:
+        if len(after) != len(keys):
+            raise ValueError(
+                "search_after cursor must carry one value per sort "
+                "key plus doc_id"
+            )
+        pred = F.lit(False)
+        eq = F.lit(True)
+        for (col, asc), val in zip(keys, after):
+            cmp = col > F.lit(val) if asc else col < F.lit(val)
+            pred = pred | (eq & cmp)
+            eq = eq & (col == F.lit(val))
+        out = out.where(pred)
+    order = [
+        (F.asc(c) if asc else F.desc(c))
+        for (c, asc) in [(c, a) for c, a in sort_spec]
+    ] + [F.asc(id_col)]
+    return out.orderBy(*order).limit(k)
+
+
 def terms_set_topk(
     spark,
     postings: DataFrame,

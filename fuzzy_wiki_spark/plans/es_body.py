@@ -134,8 +134,11 @@ Top level:
 - ``track_total_hits: true`` → ``result["total"]`` (exact count of
   the query's own match set — same field, same analyzed terms, same
   redirect exclusion and filter context as the hits; match/bool/term).
-- ``sort``: default ``_score``; ``[{field: {"order": ...}}]`` routes to
-  sort_by_field (no scoring), with ``search_after`` as the page cursor.
+- ``sort``: default ``_score``; ``[{field: {"order": ...}}, ...]``
+  routes to sort_by_field / sort_by_fields (no scoring; multi-field =
+  lexicographic mixed-direction key), with ``search_after`` as the
+  strict-inequality page cursor — one value per sort key plus doc_id
+  for multi-field.
 - ``collapse``: ``{"field": f}`` → field collapsing on the full scored
   set (SegmentIndex.search_collapse semantics via collapse_topk).
 - ``rescore``: ``{"window_size": w, "query": {"rescore_query":
@@ -1424,20 +1427,49 @@ def es_search(
     # --- sort / collapse ----------------------------------------------
     sort = body.get("sort")
     if sort and sort != [{"_score": "desc"}] and sort != ["_score"]:
-        (sf, spec), = sort[0].items()
-        if sf == "_score":
-            raise ValueError("mixed _score sorts not in the pinned subset")
         if docs is None:
             raise ValueError("field sort requires the docs table")
-        asc = (spec.get("order", "asc") if isinstance(spec, dict) else spec) == "asc"
-        hits = idx.sort_by_field(
-            qterms,
-            docs.select("doc_id", sf),
-            sf,
-            k=k,
-            ascending=asc,
-            after=tuple(body["search_after"]) if "search_after" in body else None,
+        spec_list = []
+        for entry in sort:
+            (sf, spec), = entry.items()
+            if sf == "_score":
+                raise ValueError(
+                    "mixed _score sorts not in the pinned subset"
+                )
+            asc = (
+                spec.get("order", "asc")
+                if isinstance(spec, dict)
+                else spec
+            ) == "asc"
+            spec_list.append((sf, asc))
+        after = (
+            tuple(body["search_after"])
+            if "search_after" in body
+            else None
         )
+        if len(spec_list) == 1:
+            sf, asc = spec_list[0]
+            hits = idx.sort_by_field(
+                qterms,
+                docs.select("doc_id", sf),
+                sf,
+                k=k,
+                ascending=asc,
+                after=after,
+            )
+        else:
+            # multi-field sort: lexicographic key over the doc values,
+            # search_after = (v1, ..., vn, doc_id) strict-inequality
+            # cursor (sort_by_fields_topk — same pruned-scan plan)
+            hits = idx.sort_by_fields(
+                qterms,
+                docs.select(
+                    "doc_id", *[c for c, _ in spec_list]
+                ),
+                spec_list,
+                k=k,
+                after=after,
+            )
     if "collapse" in body:
         if docs is None:
             raise ValueError("collapse requires the docs table")

@@ -1236,3 +1236,33 @@ def test_constant_score_general_filter_and_dis_max_term(spark, setup):
     want2 = idx.dis_max(["binary", "tree"], field="content",
                         tie_breaker=0.4, k=6)
     assert rows(out["hits"]) == rows(want2)
+
+
+def test_multi_field_sort_with_search_after(spark, setup):
+    """sort by [lang asc, n_chars desc] pages correctly under the
+    lexicographic search_after cursor."""
+    idx, dv = setup
+    body = {
+        "query": {"match": {"content": "binary tree"}},
+        "sort": [{"lang": {"order": "asc"}},
+                 {"n_chars": {"order": "desc"}}],
+        "size": 400,
+    }
+    all_rows = [
+        (r.lang, r.n_chars, r.doc_id)
+        for r in es_search(idx, body, docs=dv)["hits"]
+        .select("lang", "n_chars", "doc_id").collect()
+    ]
+    # globally ordered by (lang asc, n_chars desc, doc_id asc)
+    assert all_rows == sorted(
+        all_rows, key=lambda t: (t[0], -t[1], t[2])
+    )
+    assert len(all_rows) > 6
+    # page 2 after the 3rd row
+    cur = all_rows[2]
+    page = es_search(
+        idx,
+        dict(body, size=3, search_after=[cur[0], cur[1], cur[2]]),
+        docs=dv,
+    )["hits"].select("lang", "n_chars", "doc_id").collect()
+    assert [(r.lang, r.n_chars, r.doc_id) for r in page] == all_rows[3:6]
