@@ -805,8 +805,8 @@ def es_search(
             qterms = []
     elif kind == "boosting":
         bq = query["boosting"]
-        field, pos = _match_words(bq["positive"], analyze)
-        _, neg = _match_words(bq["negative"], analyze)
+        field, pos = _leaf_words(bq["positive"], analyze)
+        _, neg = _leaf_words(bq["negative"], analyze)
         hits = idx.boosting(
             pos,
             neg,
@@ -819,7 +819,7 @@ def es_search(
         if docs is None:
             raise ValueError("pinned requires the docs table")
         pq = query["pinned"]
-        field, words = _match_words(pq["organic"], analyze)
+        field, words = _leaf_words(pq["organic"], analyze)
         hits = idx.pinned(
             words, [int(i) for i in pq["ids"]], docs, field=field, k=k_fetch
         )

@@ -309,3 +309,57 @@ def test_build_vocab_no_global_sort_window(spark):
             # must sit above the band-size aggregate, not the term scan
             below = "\n".join(plan.splitlines()[i:i + 3])
             assert "HashAggregate" in below
+
+
+def test_sort_by_fields_is_take_ordered_with_pushed_cursor(spark):
+    """Multi-field sort must finish in TakeOrderedAndProject (never a
+    global sort or window), and the search_after cursor must be a plain
+    Filter below it."""
+    from fuzzy_wiki_spark.operators.multi_match import (
+        sort_by_fields_topk,
+    )
+    from fuzzy_wiki_spark.operators.postings import build_postings
+
+    d = _docs(spark).withColumnRenamed("text", "content")
+    posts = build_postings(d, fields={"content": "content"},
+                           mode="simple")
+    dv = d.select(
+        "doc_id",
+        (F.col("doc_id") % 5).alias("grp"),
+        F.length("content").alias("n"),
+    )
+    out = sort_by_fields_topk(
+        posts, "content", ["a1", "b2"], dv,
+        [("grp", True), ("n", False)], k=5, after=(2, 100, 10),
+    )
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "Filter" in plan
+
+
+def test_terms_with_metrics_single_aggregate(spark):
+    """Every sub-metric rides one combinable groupBy: one docs join, no
+    Expand, no per-metric pass."""
+    from fuzzy_wiki_spark.operators.facets import terms_with_metrics
+    from fuzzy_wiki_spark.operators.postings import build_postings
+
+    d = _docs(spark).withColumnRenamed("text", "content")
+    posts = build_postings(d, fields={"content": "content"},
+                           mode="simple").select("doc_id", "term")
+    dv = d.select(
+        "doc_id",
+        (F.col("doc_id") % 5).alias("grp"),
+        F.length("content").alias("n"),
+    )
+    out = terms_with_metrics(
+        posts, dv, ["a1", "b2"], "grp",
+        [("avg_n", "avg", "n"), ("max_n", "max", "n"),
+         ("card", "cardinality", "doc_id")],
+    )
+    plan = _plan(out).split("== Initial Plan ==")[0]
+    assert "Expand" not in plan
+    njoin = sum(plan.count(j) for j in
+                ("BroadcastHashJoin", "SortMergeJoin",
+                 "ShuffledHashJoin"))
+    assert njoin <= 2, plan
